@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Parity query registry: one named query per reference operator
+  * (SURVEY §2), expressed over the driver's TPC-H-ish testdata, each
+  * paired with equivalent ANSI SQL for the DuckDB oracle
+  * (SparkEntry.oracleSql).
+  *
+  * Conventions for oracle comparability (SURVEY §5.2, §7.4):
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - double aggregates go through DECIMAL(28,10) (exact, order-free)
+  *    and are cast back to double — parallel Spark == sequential DuckDB
+  *    bit-for-bit;
+  *  - counts/ranks are cast to BIGINT to match DuckDB output types;
+  *  - top-k queries carry total-order tiebreakers so ties are
+  *    deterministic across engines.
+  */
+object ParityQueries {
+
+  private val AvgDec = "DECIMAL(28,10)"
+
+  /** Exact order-independent mean, ANSI-safe (see Aggregates). */
+  private def meanSql(c: String): String =
+    s"CAST(SUM(CAST($c AS $AvgDec)) AS DOUBLE) / COUNT($c)"
+
+  // ---- P1: column-name normalization (etl_script.py:74-75) ----------
+  // Rename lineitem columns into raw "Title Case / slash" forms, then
+  // normalize back; prove the round-trip by aggregating.
+  def p1NormalizeNames(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.lineitem(s, dir)
+    val uglified = raw.toDF(raw.columns.map(c => " " + c.toUpperCase.replace('_', ' ') + " ").toIndexedSeq: _*)
+    val norm = Ingest.normalizeColumnNames(uglified)
+    norm.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+  }
+  val p1Sql = "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+
+  // ---- P2: coerce-cast, errors → null (etl_script.py:79-86) ---------
+  def p2CoerceCast(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("k_raw", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+      .withColumn("et_raw", col("event_type"))
+    Cleanse.coerceToDouble(ev, Seq("k_raw", "et_raw", "not_a_column"))
+      .select(col("event_id"), col("k_raw").as("k_val"), col("et_raw").as("et_num"))
+  }
+  val p2Sql =
+    "SELECT event_id, TRY_CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS DOUBLE) AS k_val, " +
+      "TRY_CAST(event_type AS DOUBLE) AS et_num FROM events"
+
+  // ---- P3: null-drop on subset (etl_script.py:93) --------------------
+  def p3NullDrop(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn(
+      "v", when(col("event_type") === "error", lit(null).cast("double")).otherwise(col("value")))
+    Cleanse.dropNullRows(ev, Seq("v")).select(col("event_id"), col("v"))
+  }
+  val p3Sql = "SELECT event_id, value AS v FROM events WHERE event_type <> 'error'"
+
+  // ---- P4: equality filter (etl_script.py:99) ------------------------
+  def p4Filter(s: SparkSession, dir: String): DataFrame =
+    Relational.filterEq(Tables.lineitem(s, dir), "l_returnflag", "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+  val p4Sql =
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_returnflag = 'R'"
+
+  // ---- P5: projection (etl_script.py:105) ----------------------------
+  def p5Project(s: SparkSession, dir: String): DataFrame =
+    Relational.project(Tables.customer(s, dir), Seq("c_custkey", "c_name", "c_mktsegment"))
+  val p5Sql = "SELECT c_custkey, c_name, c_mktsegment FROM customer"
+
+  // ---- P6: column drop (etl_script.py:112) ----------------------------
+  def p6Drop(s: SparkSession, dir: String): DataFrame =
+    Relational.dropCols(Tables.supplier(s, dir), Seq("s_acctbal"))
+  val p6Sql = "SELECT s_suppkey, s_name, s_nationkey FROM supplier"
+
+  // ---- J1: inner equi-join (etl_script.py:119) ------------------------
+  def j1Join(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    // customer is the dimension side: broadcast it — at 100 TB the fact
+    // side never shuffles.
+    val cust = Tables.customer(s, dir).withColumnRenamed("c_custkey", "o_custkey")
+    Relational.innerJoin(orders, cust, Seq("o_custkey"), broadcastRight = true)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("c_name"), col("c_mktsegment"))
+  }
+  val j1Sql =
+    "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey"
+
+  // ---- J1b: 3-way star join (generalization; dims broadcast) ----------
+  def j1Join3Way(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+  }
+  val j1bSql =
+    "SELECT c_custkey, n_name, r_name FROM customer " +
+      "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey"
+
+  // ---- A1: scalar count (etl_script.py:100,120,169) --------------------
+  def a1Count(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(count(lit(1)).as("n"))
+  val a1Sql = "SELECT count(*) AS n FROM lineitem"
+
+  // ---- A2: exact distinct count (dashboard_app/app.py:47) --------------
+  def a2CountDistinct(s: SparkSession, dir: String): DataFrame =
+    Aggregates.distinctCount(Tables.orders(s, dir), "o_custkey")
+  val a2Sql = "SELECT count(DISTINCT o_custkey) AS n_o_custkey FROM orders"
+
+  // ---- A3: scalar mean (dashboard_app/app.py:48) ------------------------
+  def a3Mean(s: SparkSession, dir: String): DataFrame =
+    Aggregates.mean(Tables.lineitem(s, dir), "l_discount")
+  val a3Sql = s"SELECT ${meanSql("l_discount")} AS avg_l_discount FROM lineitem"
+
+  // ---- A4: grouped mean, null keys dropped (dashboard_app/app.py:57) ----
+  def a4GroupMean(s: SparkSession, dir: String): DataFrame =
+    Aggregates.groupedMean(Tables.lineitem(s, dir), "l_returnflag", "l_quantity")
+  val a4Sql =
+    s"SELECT l_returnflag, ${meanSql("l_quantity")} AS avg_l_quantity " +
+      "FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag"
+
+  // ---- A5: grouped mean + desc sort (dashboard_app/app.py:74) -----------
+  def a5GroupMeanSort(s: SparkSession, dir: String): DataFrame =
+    Aggregates.groupedMean(Tables.orders(s, dir), "o_orderpriority", "o_totalprice")
+      .orderBy(col("avg_o_totalprice").desc_nulls_last, col("o_orderpriority").asc)
+  val a5Sql =
+    s"SELECT o_orderpriority, ${meanSql("o_totalprice")} AS avg_o_totalprice " +
+      "FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority " +
+      "ORDER BY avg_o_totalprice DESC, o_orderpriority"
+
+  // ---- O1/O2: global sorts, nulls last (dashboard_app/app.py:95-98) -----
+  def o1SortDesc(s: SparkSession, dir: String): DataFrame =
+    Ranking.sortDesc(Tables.supplier(s, dir), "s_acctbal", Seq("s_suppkey"))
+  val o1Sql = "SELECT * FROM supplier ORDER BY s_acctbal DESC NULLS LAST, s_suppkey"
+
+  def o2SortAsc(s: SparkSession, dir: String): DataFrame =
+    Ranking.sortAsc(Tables.customer(s, dir), "c_acctbal", Seq("c_custkey"))
+  val o2Sql = "SELECT * FROM customer ORDER BY c_acctbal ASC NULLS LAST, c_custkey"
+
+  // ---- O3: top-k (dashboard_app/app.py:92,101) ---------------------------
+  // orderBy+limit fuses to TakeOrderedAndProjectExec: per-partition
+  // heaps, no global sort — the shape that survives 100 TB.
+  def o3TopK(s: SparkSession, dir: String): DataFrame =
+    Ranking.topK(
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      Seq(col("l_extendedprice").desc_nulls_last, col("l_orderkey").asc, col("l_linenumber").asc),
+      10)
+  val o3Sql =
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+      "ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey, l_linenumber LIMIT 10"
+
+  // ---- O4: top-k per group (extension; window rank) -----------------------
+  def o4TopKPerGroup(s: SparkSession, dir: String): DataFrame =
+    Ranking.topKPerGroup(
+      Tables.lineitem(s, dir).select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      Seq("l_returnflag"),
+      Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+      3)
+      .withColumn("rk", col("rk").cast("long"))
+  val o4Sql =
+    "SELECT * FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, " +
+      "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk " +
+      "FROM lineitem) t WHERE rk <= 3"
+
+  // ---- F1: scalar string functions (etl_script.py:74-75 on data) ----------
+  def f1StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      trim(col("c_name")).as("name_trim"),
+      lower(col("c_mktsegment")).as("seg_lower"),
+      expr("replace(c_name, '#', '-')").as("name_repl"))
+  val f1Sql =
+    "SELECT c_custkey, trim(c_name) AS name_trim, lower(c_mktsegment) AS seg_lower, " +
+      "replace(c_name, '#', '-') AS name_repl FROM customer"
+
+  // ---- S7: cache + multi-action fan-out (dashboard_app/app.py:28-33) ------
+  // One cached DataFrame feeds several aggregates; registered as a single
+  // union-shaped summary so the oracle can check it.
+  def s7CachedFanout(s: SparkSession, dir: String): DataFrame = {
+    val li = Sink.cached(
+      Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_quantity"), col("l_discount")))
+    val byFlagQty = li.groupBy(col("l_returnflag"))
+      .agg(Aggregates.exactMean(col("l_quantity")).as("metric"))
+      .withColumn("which", lit("avg_qty"))
+    val byFlagDisc = li.groupBy(col("l_returnflag"))
+      .agg(Aggregates.exactMean(col("l_discount")).as("metric"))
+      .withColumn("which", lit("avg_disc"))
+    byFlagQty.unionByName(byFlagDisc).select(col("which"), col("l_returnflag"), col("metric"))
+  }
+  val s7Sql =
+    s"SELECT 'avg_qty' AS which, l_returnflag, ${meanSql("l_quantity")} AS metric FROM lineitem GROUP BY l_returnflag " +
+      s"UNION ALL SELECT 'avg_disc' AS which, l_returnflag, ${meanSql("l_discount")} AS metric FROM lineitem GROUP BY l_returnflag"
+
+  /** Flagship query (SparkEntry.entry): the reference dashboard's
+    * "average metric by geography, ranked" question (dashboard_app/
+    * app.py:57,74) over testdata — star join, grouped mean, ordered.
+    */
+  def flagship(s: SparkSession, dir: String): DataFrame =
+    j1Join3Way(s, dir)
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))), Seq("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(Aggregates.exactMean(col("c_acctbal")).as("avg_acctbal"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("avg_acctbal").desc_nulls_last, col("r_name").asc, col("n_name").asc)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_normalize_names" -> (p1NormalizeNames _),
+    "p2_coerce_cast" -> (p2CoerceCast _),
+    "p3_null_drop" -> (p3NullDrop _),
+    "p4_filter" -> (p4Filter _),
+    "p5_project" -> (p5Project _),
+    "p6_drop" -> (p6Drop _),
+    "j1_join_inner" -> (j1Join _),
+    "j1_join_3way" -> (j1Join3Way _),
+    "a1_count" -> (a1Count _),
+    "a2_count_distinct" -> (a2CountDistinct _),
+    "a3_mean" -> (a3Mean _),
+    "a4_group_mean" -> (a4GroupMean _),
+    "a5_group_mean_sort" -> (a5GroupMeanSort _),
+    "o1_sort_desc" -> (o1SortDesc _),
+    "o2_sort_asc" -> (o2SortAsc _),
+    "o3_topk" -> (o3TopK _),
+    "o4_topk_per_group" -> (o4TopKPerGroup _),
+    "f1_string_funcs" -> (f1StringFuncs _),
+    "s7_cached_fanout" -> (s7CachedFanout _)
+  )
+
+  val sql: Map[String, String] = Map(
+    "p1_normalize_names" -> p1Sql,
+    "p2_coerce_cast" -> p2Sql,
+    "p3_null_drop" -> p3Sql,
+    "p4_filter" -> p4Sql,
+    "p5_project" -> p5Sql,
+    "p6_drop" -> p6Sql,
+    "j1_join_inner" -> j1Sql,
+    "j1_join_3way" -> j1bSql,
+    "a1_count" -> a1Sql,
+    "a2_count_distinct" -> a2Sql,
+    "a3_mean" -> a3Sql,
+    "a4_group_mean" -> a4Sql,
+    "a5_group_mean_sort" -> a5Sql,
+    "o1_sort_desc" -> o1Sql,
+    "o2_sort_asc" -> o2Sql,
+    "o3_topk" -> o3Sql,
+    "o4_topk_per_group" -> o4Sql,
+    "f1_string_funcs" -> f1Sql,
+    "s7_cached_fanout" -> s7Sql
+  )
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source operators (SURVEY §2.1 S1–S3) + column-name normalization
+  * (§2.2 P1).
+  *
+  * Reference semantics: `pd.read_csv(path, encoding='utf-8',
+  * dtype={'Facility ID': str})` (reference etl_app/etl_script.py:49,52)
+  * — an explicit string override on the join key so leading zeros
+  * survive, everything else inferred. On Spark we prefer an explicit
+  * `StructType` for every read: schema inference costs an extra pass
+  * over the data (prohibitive at 100 TB) and silently turns
+  * leading-zero string keys into integers.
+  *
+  * Name normalization (reference etl_app/etl_script.py:74-75):
+  * `strip → lower → ' '→'_' → '/'→'_'`, applied to column LABELS, not
+  * data — a pure metadata transform that never touches rows, so it is
+  * free at any scale.
+  */
+object Ingest {
+
+  /** P1: the reference's label-normalization chain. */
+  def normalizeName(s: String): String =
+    s.trim.toLowerCase.replace(' ', '_').replace('/', '_')
+
+  /** P1 as a DataFrame transform. Metadata-only: zero jobs, zero
+    * shuffles; under the hood a single `Project` that Catalyst
+    * collapses into the scan.
+    */
+  def normalizeColumnNames(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(normalizeName).toIndexedSeq: _*)
+
+  /** S1/S2: schema'd CSV scan. Explicit schema keeps string keys
+    * (leading zeros) intact and avoids the inference pass.
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("encoding", "UTF-8")
+      .schema(schema)
+      .csv(path)
+
+  /** S1/S2 variant matching the reference's inferred-with-overrides
+    * mode for ad-hoc reads; not for production paths (extra pass).
+    */
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("encoding", "UTF-8")
+      .option("inferSchema", "true")
+      .csv(path)
+
+  /** S3: missing-file handling. The reference catches
+    * `FileNotFoundError`, logs, and exits (etl_script.py:43-57); we
+    * surface Spark's `AnalysisException` with a clear message and let
+    * the caller fail fast.
+    */
+  def csvChecked(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    try csv(spark, path, schema)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(s"input not found or unreadable: $path", e)
+    }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Projection / filter / join operators (SURVEY §2.2 P4–P6, §2.3 J1).
+  *
+  * All of these are declarative single-node logical ops that Catalyst
+  * pushes into the scan (predicate pushdown + column pruning), so at
+  * 100 TB the parquet reader only materializes the rows and columns
+  * that survive.
+  */
+object Relational {
+
+  /** P4: equality filter — reference
+    * `df[df['measure_name'] == 'READM-30-HF-HRRP']`
+    * (etl_app/etl_script.py:99). Pushed to the parquet scan.
+    */
+  def filterEq(df: DataFrame, column: String, value: String): DataFrame =
+    df.filter(col(column) === value)
+
+  /** P5: column projection — reference 6-column subset
+    * (etl_script.py:105). Prunes the scan's ReadSchema.
+    */
+  def project(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** P6: column drop — reference drops overlapping non-key columns
+    * pre-join to keep the output schema clean (etl_script.py:112).
+    */
+  def dropCols(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.drop(cols: _*)
+
+  /** J1: inner equi-join on shared key columns — reference
+    * `pd.merge(..., on='facility_id', how='inner')`
+    * (etl_script.py:119). `Seq(key)` dedups the key column like
+    * pandas' `on=`. Output order is unspecified (pandas preserves
+    * left order; every consumer re-sorts, so this is safe —
+    * SURVEY §2.3).
+    *
+    * Scale note: when one side is dimension-sized, pass
+    * `broadcastRight=true` to force a BroadcastHashJoin and avoid
+    * shuffling the fact side entirely; otherwise Catalyst/AQE picks
+    * (it will auto-broadcast under `autoBroadcastJoinThreshold`, and
+    * AQE can convert at runtime using real stats).
+    */
+  def innerJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      broadcastRight: Boolean = false): DataFrame = {
+    val r = if (broadcastRight) broadcast(right) else right
+    left.join(r, keys, "inner")
+  }
+
+  /** General join with an arbitrary condition (used by extensions). */
+  def joinOn(left: DataFrame, right: DataFrame, cond: Column, how: String): DataFrame =
+    left.join(right, cond, how)
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Sink / cache operators (SURVEY §2.1 S4–S7).
+  *
+  * Reference: `to_sql('heart_failure_readmissions',
+  * if_exists='replace', index=False)` (reference
+  * etl_app/etl_script.py:164-168) — full drop+recreate on each run —
+  * and `SELECT *` back into dashboard memory (dashboard_app/app.py:
+  * 31-32) memoized with `@st.cache_data` (app.py:28).
+  *
+  * On Spark the primary sink is parquet overwrite (what the harness
+  * verifies); a JDBC path exists for true Postgres parity. The cache
+  * policy (S7) maps to `persist(MEMORY_AND_DISK)` before fanning out
+  * multiple actions over one DataFrame — compute the plan once, serve
+  * N queries.
+  */
+object Sink {
+
+  /** S4: overwrite-write to parquet (harness-primary sink).
+    * `partitionByCols` enables partition pruning for downstream
+    * readers — at 100 TB an unpartitioned output forces full scans on
+    * every dashboard query.
+    */
+  def writeParquet(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w).parquet(path)
+  }
+
+  /** S4 (JDBC variant): reference's drop+recreate Postgres load. */
+  def writeJdbc(df: DataFrame, url: String, table: String, props: java.util.Properties): Unit =
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+
+  /** S5: read the sink back (dashboard load). */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S7: cache before multi-query fan-out (dashboard `@st.cache_data`
+    * equivalent). MEMORY_AND_DISK so a too-big dataset degrades to
+    * spill instead of recompute-per-action.
+    */
+  def cached(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB oracle gate.
+
+Usage: python3 tools/check_correctness.py <verify_out_dir> <sf_dir>
+
+Reads each <out>/<name>/ parquet (written by graft.Verify), runs the
+matching SQL from <out>/oracle_sql.json in DuckDB against the sf_dir
+parquet tables, and compares: column names (sorted), row counts, and a
+hash over the value matrix with columns sorted by name and rows sorted
+by all columns. Exact equality for non-floats; floats compared both
+exactly and with rel-tol report so we can see how close we are.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: ints -> int64, floats -> float64
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main(out_dir: str, sf_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    import glob
+    have = sorted(
+        p.rsplit("/", 1)[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json"))
+    for name in have:
+        if name not in sqls:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+            print(f"{name:28s} ROWS-ONLY rows={len(got)} {'PASS' if len(got) > 0 else 'EMPTY!'}")
+            continue
+        try:
+            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
+            want = canon(con.execute(sqls[name]).df())
+        except Exception as e:
+            print(f"{name:28s} ERROR {e}")
+            n_fail += 1
+            continue
+        ok_cols = list(got.columns) == list(want.columns)
+        ok_rows = len(got) == len(want)
+        ok_vals = False
+        if ok_cols and ok_rows:
+            try:
+                pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+                ok_vals = True
+            except AssertionError as e:
+                # measure float distance for diagnostics
+                try:
+                    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-9)
+                    detail = "(equal at rtol=1e-9 but NOT exact)"
+                except AssertionError:
+                    detail = str(e).split("\n")[0]
+                print(f"{name:28s} FAIL values {detail}")
+                n_fail += 1
+                continue
+        if ok_cols and ok_rows and ok_vals:
+            print(f"{name:28s} PASS rows={len(got)}")
+            n_pass += 1
+        else:
+            print(f"{name:28s} FAIL cols_ok={ok_cols} got_cols={list(got.columns)} "
+                  f"want_cols={list(want.columns)} rows {len(got)} vs {len(want)}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

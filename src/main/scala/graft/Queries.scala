@@ -56,7 +56,10 @@ object ParityQueries {
       "v", when(col("event_type") === "error", lit(null).cast("double")).otherwise(col("value")))
     Cleanse.dropNullRows(ev, Seq("v")).select(col("event_id"), col("v"))
   }
-  val p3Sql = "SELECT event_id, value AS v FROM events WHERE event_type <> 'error'"
+  // Mirrors the op exactly: a null event_type falls to the otherwise()
+  // branch (row kept when value is non-null) — the SQL must keep it too.
+  val p3Sql = "SELECT event_id, value AS v FROM events " +
+    "WHERE (event_type IS NULL OR event_type <> 'error') AND value IS NOT NULL"
 
   // ---- P4: equality filter (etl_script.py:99) ------------------------
   def p4Filter(s: SparkSession, dir: String): DataFrame =
@@ -156,18 +159,21 @@ object ParityQueries {
       "ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey, l_linenumber LIMIT 10"
 
   // ---- O4: top-k per group (extension; window rank) -----------------------
+  // Partition key is l_orderkey — cardinality grows with the data, so at
+  // 100 TB the window shuffle spreads over all tasks (a 3-value key like
+  // l_returnflag would funnel everything into 3 tasks; see r1 VERDICT).
   def o4TopKPerGroup(s: SparkSession, dir: String): DataFrame =
     Ranking.topKPerGroup(
       Tables.lineitem(s, dir).select(
-        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
-      Seq("l_returnflag"),
-      Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc),
-      3)
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      Seq("l_orderkey"),
+      Seq(col("l_extendedprice").desc, col("l_linenumber").asc),
+      2)
       .withColumn("rk", col("rk").cast("long"))
   val o4Sql =
-    "SELECT * FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, " +
-      "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk " +
-      "FROM lineitem) t WHERE rk <= 3"
+    "SELECT * FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, " +
+      "row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rk " +
+      "FROM lineitem) t WHERE rk <= 2"
 
   // ---- F1: scalar string functions (etl_script.py:74-75 on data) ----------
   def f1StringFuncs(s: SparkSession, dir: String): DataFrame =
@@ -197,6 +203,65 @@ object ParityQueries {
   val s7Sql =
     s"SELECT 'avg_qty' AS which, l_returnflag, ${meanSql("l_quantity")} AS metric FROM lineitem GROUP BY l_returnflag " +
       s"UNION ALL SELECT 'avg_disc' AS which, l_returnflag, ${meanSql("l_discount")} AS metric FROM lineitem GROUP BY l_returnflag"
+
+  // ---- S1+S4: CSV sink → schema'd CSV scan round-trip ---------------------
+  // Exercises the reference's two I/O contracts in one query
+  // (etl_script.py:49 dtype={'Facility ID': str} and :164-168 overwrite
+  // sink): a leading-zero string key must survive an overwrite-write to
+  // CSV and a schema'd read back. The oracle never sees the CSV — if the
+  // round-trip corrupts anything (types, zeros, doubles), the hash
+  // diverges from the parquet-derived truth.
+  def s1CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = Tables.supplier(s, dir).select(
+      lpad(col("s_suppkey").cast("string"), 8, "0").as("supp_id"),
+      col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    val path = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip_${math.abs(dir.hashCode)}"
+    Sink.writeCsv(out, path)
+    Ingest.csv(s, path, StructType(Seq(
+      StructField("supp_id", StringType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType))))
+  }
+  val s1Sql =
+    "SELECT lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS supp_id, " +
+      "s_name, s_nationkey, s_acctbal FROM supplier"
+
+  // ---- F2/F3: display formatting (dashboard_app/app.py:47-48) -------------
+  // format_number(x, 0) == python f"{n:,}"; format_number(x, 3) == f"{x:.3f}".
+  // The mean goes through the exact decimal path first so both engines
+  // format the identical value.
+  // Both engines round through DECIMAL(28,3) (half-up on decimal→decimal
+  // cast in both) so the formatted digits are identical; DuckDB's format()
+  // can't comma-group floats, so the oracle assembles the grouped string.
+  def f2f3Format(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .agg(count(lit(1)).as("n"), Aggregates.exactMean(col("o_totalprice")).as("m"))
+      .select(
+        format_number(col("n"), 0).as("n_fmt"),
+        format_number(col("m").cast("decimal(28,3)"), 3).as("avg_fmt"))
+  val f2f3Sql =
+    "WITH t AS (SELECT count(*) AS n, " +
+      s"CAST(${meanSql("o_totalprice")} AS DECIMAL(28,3)) AS d FROM orders) " +
+      "SELECT format('{:,}', n) AS n_fmt, " +
+      "format('{:,}', CAST(trunc(d) AS BIGINT)) || '.' || " +
+      "lpad(CAST(CAST((d - trunc(d)) * 1000 AS BIGINT) AS VARCHAR), 3, '0') AS avg_fmt FROM t"
+
+  // ---- W1: tumbling-window aggregate over event time ----------------------
+  // Batch-expressible streaming shape (SURVEY §7.4 item 7): window(ts, 1h)
+  // groups into hour buckets; partial aggregation runs map-side, so at
+  // 100 TB only (bucket, partial) rows shuffle.
+  def w1WindowAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), Aggregates.exactMean(col("value")).as("avg_value"))
+      .select(col("w.start").as("bucket"), col("n"), col("avg_value"))
+      .filter(col("bucket").isNotNull)
+  val w1Sql =
+    s"SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, count(*) AS n, " +
+      s"${meanSql("value")} AS avg_value FROM events " +
+      "WHERE ts IS NOT NULL GROUP BY bucket"
 
   /** Flagship query (SparkEntry.entry): the reference dashboard's
     * "average metric by geography, ranked" question (dashboard_app/
@@ -229,7 +294,10 @@ object ParityQueries {
     "o3_topk" -> (o3TopK _),
     "o4_topk_per_group" -> (o4TopKPerGroup _),
     "f1_string_funcs" -> (f1StringFuncs _),
-    "s7_cached_fanout" -> (s7CachedFanout _)
+    "s7_cached_fanout" -> (s7CachedFanout _),
+    "s1_csv_roundtrip" -> (s1CsvRoundtrip _),
+    "f2_f3_format" -> (f2f3Format _),
+    "w1_window_agg" -> (w1WindowAgg _)
   )
 
   val sql: Map[String, String] = Map(
@@ -251,6 +319,9 @@ object ParityQueries {
     "o3_topk" -> o3Sql,
     "o4_topk_per_group" -> o4Sql,
     "f1_string_funcs" -> f1Sql,
-    "s7_cached_fanout" -> s7Sql
+    "s7_cached_fanout" -> s7Sql,
+    "s1_csv_roundtrip" -> s1Sql,
+    "f2_f3_format" -> f2f3Sql,
+    "w1_window_agg" -> w1Sql
   )
 }

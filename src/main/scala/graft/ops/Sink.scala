@@ -29,6 +29,12 @@ object Sink {
     (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w).parquet(path)
   }
 
+  /** S4 (CSV variant): overwrite-write with header, for round-trip
+    * parity with the reference's CSV inputs (etl_script.py:49).
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
   /** S4 (JDBC variant): reference's drop+recreate Postgres load. */
   def writeJdbc(df: DataFrame, url: String, table: String, props: java.util.Properties): Unit =
     df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)

@@ -40,12 +40,22 @@ def main(out_dir: str, sf_dir: str) -> int:
     sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     import glob
+    import os
     have = sorted(
         p.rsplit("/", 1)[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json"))
-    for name in have:
+    # a crashed query writes no dir — that is a FAIL, not a silent skip
+    for name in sorted(set(sqls) | set(have)):
+        if name not in have:
+            print(f"{name:28s} FAIL missing output (query crashed?)")
+            n_fail += 1
+            continue
         if name not in sqls:
             got = pd.read_parquet(f"{out_dir}/{name}")
-            print(f"{name:28s} ROWS-ONLY rows={len(got)} {'PASS' if len(got) > 0 else 'EMPTY!'}")
+            if len(got) > 0:
+                print(f"{name:28s} ROWS-ONLY rows={len(got)} PASS")
+            else:
+                print(f"{name:28s} ROWS-ONLY EMPTY — FAIL")
+                n_fail += 1
             continue
         try:
             got = canon(pd.read_parquet(f"{out_dir}/{name}"))

@@ -20,10 +20,20 @@ object Bench {
       val err: Option[String] =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}") }
+      // measure before cache teardown: clearCache is bookkeeping between
+      // queries, not part of the query (r2 ADVICE)
+      val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      (name, elapsed, err)
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // escape ALL control chars: Spark exception messages carry newlines,
+    // and one raw \n would make the whole bench line unparseable JSON
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")

@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext._
+import graft.ops.Ranking
+
+/** Extension query registry (SURVEY §2.8 E1–E5): LLM-data-pipeline
+  * operators over the `documents` / `embeddings` testdata, each with
+  * a DuckDB oracle.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - integer "randomness" is md5-hex→BIGINT ([[TextOps.md5Int32]]) —
+  *    identical in both engines;
+  *  - float reductions are explicit LEFT FOLDS in array order with
+  *    float→double widening, so doubles match bit-for-bit;
+  *  - MinHash constants are interpolated into the oracle SQL from the
+  *    same Scala values that build the Spark plan.
+  */
+object ExtQueries {
+
+  private val AvgDec = "DECIMAL(28,10)"
+  private def meanSql(c: String): String =
+    s"CAST(SUM(CAST($c AS $AvgDec)) AS DOUBLE) / COUNT($c)"
+
+  /** DuckDB md5-int32 (same value as TextOps.md5Int32). */
+  private def duckMd5Int(e: String): String =
+    s"CAST(('0x'||substr(md5($e),1,8)) AS BIGINT)"
+
+  /** DuckDB left-fold sum over a double list (same order as Spark's
+    * aggregate(…, 0.0, (acc,v) -> acc+v)).
+    */
+  private def duckFold(listExpr: String): String =
+    s"list_reduce(list_prepend(0.0, $listExpr), (x, y) -> x + y)"
+
+  /** DuckDB elementwise-product fold = Spark Similarity.dot. */
+  private def duckDot(a: String, b: String): String =
+    duckFold(s"list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+
+  // ---- E1: exact dedup with deterministic representative ------------------
+  def e1DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDeterministic(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      Seq("lang", "n_chars"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("group_size"))
+  val e1Sql =
+    "SELECT doc_id, lang, n_chars, group_size FROM (" +
+      "SELECT doc_id, lang, n_chars, " +
+      "row_number() OVER (PARTITION BY lang, n_chars ORDER BY doc_id) AS rn, " +
+      "count(*) OVER (PARTITION BY lang, n_chars) AS group_size " +
+      "FROM documents) WHERE rn = 1"
+
+  // ---- E2: MinHash + banded LSH near-dup candidate pairs -------------------
+  def e2MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    MinHash.candidatePairs(Tables.documents(s, dir), "doc_id", "text")
+  val e2Sql: String = {
+    import MinHash._
+    val sigElems = (0 until NumHashes).map { i =>
+      s"list_min(list_transform(ms, m -> (${aConst(i)}*m + ${bConst(i)}) % $P))"
+    }.mkString(", ")
+    val bandExprs = (0 until Bands).map { b =>
+      s"array_to_string(sig[${b * RowsPerBand + 1}:${b * RowsPerBand + RowsPerBand}], '_')"
+    }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') tk FROM documents),
+       |shing AS (SELECT doc_id, [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)] sh FROM toks),
+       |hashed AS (SELECT doc_id, list_transform(sh, sg -> ${duckMd5Int("sg")} % $P) ms FROM shing WHERE len(sh) > 0),
+       |sigs AS (SELECT doc_id, [$sigElems] sig FROM hashed),
+       |bands AS (SELECT doc_id, sig, unnest(range($Bands)) bidx, unnest([$bandExprs]) bkey FROM sigs)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(list_sum(list_transform(range(1, ${NumHashes + 1}), i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes.0 AS jaccard_est
+       |FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  // ---- E3: brute-force cosine top-k (queries broadcast) --------------------
+  private val E3NumQueries = 8
+  private val E3K = 5
+  def e3CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.cosineTopK(emb.filter(col("vec_id") < E3NumQueries), emb, E3K)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+  val e3Sql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2 FROM embeddings),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM e q JOIN e c ON q.vec_id < $E3NumQueries AND c.vec_id <> q.vec_id)
+       |SELECT query_id, vec_id, cos_sim, rk FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= $E3K""".stripMargin
+  }
+
+  // ---- E3b: bucketed ANN (sign-bit LSH; shuffle-on-bucket plan) ------------
+  private val AnnBits = 6
+  private val AnnQueries = 32
+  private val AnnK = 3
+  def e3AnnBucketed(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bucketedTopK(emb.filter(col("vec_id") < AnnQueries), emb, AnnBits, AnnK)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+  val e3bSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val bucket = s"array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END for i in range(1, ${AnnBits + 1})], '')"
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2, $bucket AS bucket FROM embeddings),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id)
+       |SELECT query_id, vec_id, cos_sim, rk FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= $AnnK""".stripMargin
+  }
+
+  // ---- E4: array-column statistics over embeddings -------------------------
+  def e4EmbeddingStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dims"),
+      sqrt(Similarity.norm2(col("embedding"))).as("l2_norm"),
+      (aggregate(col("embedding"), lit(0.0), (acc, v) => acc + v.cast("double")) /
+        size(col("embedding")).cast("double")).as("avg_val"),
+      col("label"))
+  val e4Sql: String = {
+    val sumFold = duckFold("list_transform(embedding, v -> CAST(v AS DOUBLE))")
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    s"SELECT vec_id, len(embedding) AS dims, sqrt($n2) AS l2_norm, " +
+      s"$sumFold / CAST(len(embedding) AS DOUBLE) AS avg_val, label FROM embeddings"
+  }
+
+  // ---- E4b: binary payload metadata + stubbed feature extraction -----------
+  def e4BlobMeta(s: SparkSession, dir: String): DataFrame = {
+    val blob = Multimodal.toBlob(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      Multimodal.blobBytes(blob).as("n_bytes"),
+      md5(col("text")).as("digest"),
+      element_at(Multimodal.fakeFeatures(blob, 4), 1).as("feat0"))
+  }
+  val e4bSql: String =
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest, " +
+      s"CAST(${duckMd5Int("md5(text) || '_0'")} % 1000 AS DOUBLE) / 1000.0 AS feat0 FROM documents"
+
+  // ---- E5: token statistics grouped by (lang, source) ----------------------
+  def e5TokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"), TextOps.tokenCount(col("text")).as("ntok"), col("n_chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("sum_tokens"),
+        graft.ops.Aggregates.exactMean(col("n_chars")).as("avg_chars"))
+  val e5Sql: String =
+    "SELECT lang, source, count(*) AS n_docs, " +
+      "CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens, " +
+      s"${meanSql("n_chars")} AS avg_chars FROM documents GROUP BY lang, source"
+
+  // ---- E5b: word frequency — explode + top-5 words per language ------------
+  def e5WordFreq(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+    Ranking.topKPerGroup(words, Seq("lang"), Seq(col("n").desc, col("word").asc), 5)
+      .withColumn("rk", col("rk").cast("long"))
+  }
+  val e5bSql: String =
+    """WITH words AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents),
+      |counts AS (SELECT lang, word, count(*) AS n FROM words GROUP BY lang, word)
+      |SELECT lang, word, n, rk FROM (
+      |  SELECT lang, word, n, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS BIGINT) AS rk
+      |  FROM counts) WHERE rk <= 5""".stripMargin
+
+  // ---- E5c: quality scoring + language ID ----------------------------------
+  def e5QualityLangid(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(tk).cast("long").as("n_tokens"),
+      TextOps.stopwordRatio(tk, TextOps.enMarkers).as("stop_ratio"),
+      TextOps.qualityScore(tk, TextOps.enMarkers).as("quality"),
+      TextOps.langIdGuess(tk).as("lang_guess"))
+  }
+  val e5cSql: String = {
+    def inList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ", ", ")")
+    val tk = "string_split_regex(trim(text), '\\s+')"
+    val stop = s"CAST(len(list_filter($tk, t -> t IN ${inList(TextOps.enMarkers)})) AS DOUBLE) / CAST(len($tk) AS DOUBLE)"
+    def mc(xs: Seq[String]) = s"len(list_filter($tk, t -> t IN ${inList(xs)}))"
+    s"SELECT doc_id, CAST(len($tk) AS BIGINT) AS n_tokens, $stop AS stop_ratio, " +
+      s"$stop * 0.5 + least(CAST(len($tk) AS DOUBLE) / 100.0, 1.0) * 0.5 AS quality, " +
+      s"CASE WHEN ${mc(TextOps.enMarkers)} >= ${mc(TextOps.deMarkers)} AND ${mc(TextOps.enMarkers)} >= ${mc(TextOps.frMarkers)} THEN 'en' " +
+      s"WHEN ${mc(TextOps.deMarkers)} >= ${mc(TextOps.frMarkers)} THEN 'de' ELSE 'fr' END AS lang_guess " +
+      "FROM documents"
+  }
+
+  // ---- E5d: content fingerprint (md5) + 32-bit SimHash ---------------------
+  def e5Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        transform(TextOps.tokens(col("text")), t => TextOps.md5Int32(t)).as("hs"))
+      .select(col("doc_id"), col("fp"), TextOps.simhash32("hs").as("simhash"))
+  val e5dSql: String =
+    s"""WITH t AS (SELECT doc_id, md5(lower(trim(text))) fp,
+       |  list_transform(string_split_regex(trim(text), '\\s+'), tok -> ${duckMd5Int("tok")}) hs FROM documents)
+       |SELECT doc_id, fp, CAST(list_sum(list_transform(range(0, 32), b ->
+       |  CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash FROM t""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_dedup_exact" -> (e1DedupExact _),
+    "e2_minhash_pairs" -> (e2MinhashPairs _),
+    "e3_cosine_topk" -> (e3CosineTopK _),
+    "e3_ann_bucketed" -> (e3AnnBucketed _),
+    "e4_embedding_stats" -> (e4EmbeddingStats _),
+    "e4_blob_meta" -> (e4BlobMeta _),
+    "e5_token_stats" -> (e5TokenStats _),
+    "e5_word_freq" -> (e5WordFreq _),
+    "e5_quality_langid" -> (e5QualityLangid _),
+    "e5_fingerprint" -> (e5Fingerprint _)
+  )
+
+  val sql: Map[String, String] = Map(
+    "e1_dedup_exact" -> e1Sql,
+    "e2_minhash_pairs" -> e2Sql,
+    "e3_cosine_topk" -> e3Sql,
+    "e3_ann_bucketed" -> e3bSql,
+    "e4_embedding_stats" -> e4Sql,
+    "e4_blob_meta" -> e4bSql,
+    "e5_token_stats" -> e5Sql,
+    "e5_word_freq" -> e5bSql,
+    "e5_quality_langid" -> e5cSql,
+    "e5_fingerprint" -> e5dSql
+  )
+}

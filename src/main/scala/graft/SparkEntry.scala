@@ -15,13 +15,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ParityQueries.flagship(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (parity)
+    * and §2.8 (LLM-data extensions E1–E5).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.all
+    ParityQueries.all ++ ExtQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ParityQueries.sql
+    ParityQueries.sql ++ ExtQueries.sql
 }

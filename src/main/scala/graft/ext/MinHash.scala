@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection via MinHash + LSH banding
+  * (SURVEY §2.8 E2).
+  *
+  * Pipeline: word tokens → n-word shingles → per-shingle md5-derived
+  * integer ([[TextOps.md5Int32]], reduced mod P) → H affine
+  * permutations `(a_i·m + b_i) mod P`, minimum per permutation =
+  * signature → signature split into `Bands` bands of `RowsPerBand`;
+  * docs sharing ANY band bucket become candidate pairs; the
+  * signature-agreement fraction estimates Jaccard similarity.
+  *
+  * Scale design: the ONLY join is band-bucket equality — candidate
+  * pairs are generated inside buckets, never as an O(n²) cross join.
+  * Both sides shuffle once on (band index, band key); at 100 TB the
+  * bucket key cardinality grows with the corpus so the shuffle
+  * spreads evenly. Everything before the join is per-row expression
+  * work (codegen, no UDF).
+  *
+  * Determinism: the affine constants are fixed literals generated
+  * from one seed formula, and the hash is md5-based — the DuckDB
+  * oracle replays the identical integer arithmetic, so signatures,
+  * buckets, pair sets and Jaccard estimates match exactly.
+  */
+object MinHash {
+
+  /** Modulus for the affine permutation family. m < 2^30 and a < P
+    * keep a·m < 2^60: no 64-bit overflow in either engine.
+    */
+  val P: Long = 1000000007L
+  val NumHashes: Int = 12
+  val Bands: Int = 4
+  val RowsPerBand: Int = 3
+  require(Bands * RowsPerBand == NumHashes)
+
+  /** Fixed affine constants (classic LCG mixes; any fixed values
+    * work — they only need to be identical in Spark and the oracle).
+    */
+  def aConst(i: Int): Long = {
+    val a = ((2L * i + 1L) * 1103515245L + 12345L) % P
+    if (a == 0L) 1L else a
+  }
+  def bConst(i: Int): Long = (i.toLong * 2654435761L + 1013904223L) % P
+
+  /** n-word shingles from a token array: ["a","b","c","d"], n=3 →
+    * ["a b c", "b c d"]. Empty when the doc has < n tokens (guarded:
+    * Spark's sequence(1, 0) yields a DESCENDING [1,0], not empty).
+    */
+  def shingles(tk: Column, n: Int): Column =
+    when(size(tk) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(tk) - (n - 1)),
+        i => array_join(slice(tk, i, lit(n)), " ")))
+
+  /** Per-shingle hash values reduced mod P (md5 computed ONCE per
+    * shingle; the H permutations below reuse these).
+    */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, s => TextOps.md5Int32(s) % P)
+
+  /** MinHash signature: for each of the H affine permutations, the
+    * minimum permuted hash over the doc's shingles.
+    */
+  def signature(ms: Column): Column =
+    array((0 until NumHashes).map { i =>
+      array_min(transform(ms, m => (lit(aConst(i)) * m + lit(bConst(i))) % P))
+    }: _*)
+
+  /** Band keys: the signature cut into `Bands` contiguous slices,
+    * each rendered "v1_v2_v3" (bucket identity within a band).
+    */
+  def bandKeys(sig: Column): Column =
+    array((0 until Bands).map { b =>
+      array_join(
+        transform(slice(sig, b * RowsPerBand + 1, RowsPerBand), v => v.cast("string")),
+        "_")
+    }: _*)
+
+  /** Estimated Jaccard similarity: fraction of signature positions
+    * that agree (exact rational n/H — deterministic as a double).
+    */
+  def jaccardEstimate(sigA: Column, sigB: Column): Column =
+    aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(NumHashes.toDouble)
+
+  /** End-to-end candidate-pair generation over a (id, text) frame:
+    * returns (doc_a, doc_b, jaccard_est) with doc_a < doc_b, distinct
+    * across bands.
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String, shingleLen: Int = 3): DataFrame = {
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), shingles(col("tk"), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), shingleHashes(col("sh")).as("ms"))
+      .select(col("doc_id"), signature(col("ms")).as("sig"))
+    val bands = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(bandKeys(col("sig"))).as(Seq("bidx", "bkey")))
+    bands.as("a")
+      .join(
+        bands.as("b"),
+        col("a.bidx") === col("b.bidx") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        jaccardEstimate(col("a.sig"), col("b.sig")).as("jaccard_est"))
+      .distinct()
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ranking
+
+/** Similarity search over embedding columns (SURVEY §2.8 E3):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * bucketed (LSH-style) variant as the 100 TB path.
+  *
+  * Float math determinism (the DuckDB oracle hash-compares doubles):
+  * every dot product / norm is an explicit LEFT FOLD over the array
+  * in element order with float→double widening before the multiply.
+  * Both engines then execute the identical IEEE-754 op sequence, so
+  * scores match bit-for-bit — no tolerance needed.
+  *
+  * Scale design: the brute-force path is O(|Q|·|C|) with the query
+  * side BROADCAST — the corpus never shuffles and never materializes
+  * a cartesian product bigger than one corpus partition × |Q|. The
+  * bucketed path shuffles both sides once on the bucket key and
+  * scores only within buckets — candidate-bounded, never all-pairs.
+  * A production ANN would learn IVF centroids or use random
+  * hyperplanes; the sign-bit bucketer below keeps the same plan
+  * shape while staying exactly reproducible in the oracle.
+  */
+object Similarity {
+
+  /** Left-fold dot product of two float arrays, widened to double
+    * per element (codegen'd higher-order functions, no UDF).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 norm (same fold as [[dot]] with a=b). */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine from a precomputed dot and squared norms. */
+  def cosineFrom(dotAb: Column, n2a: Column, n2b: Column): Column =
+    dotAb / (sqrt(n2a) * sqrt(n2b))
+
+  /** Sign-bit bucket key over the first `nBits` dimensions — an
+    * axis-aligned random-hyperplane LSH family. Same-bucket vectors
+    * are cosine-near with high probability when dimensions are
+    * roughly independent.
+    */
+  def signBucket(emb: Column, nBits: Int): Column =
+    array_join(
+      transform(slice(emb, 1, nBits), x => when(x >= 0, "1").otherwise("0")), "")
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded). Queries are broadcast; corpus
+    * streams. Ties break on ascending corpus id (total order).
+    */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      norm2(col("embedding")).as("q_n2"))
+    val c = corpus.select(
+      col("vec_id"),
+      col("embedding").as("c_emb"),
+      norm2(col("embedding")).as("c_n2"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        cosineFrom(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2"))
+          .as("cos_sim"))
+    Ranking.topKPerGroup(
+      scored, Seq("query_id"),
+      Seq(col("cos_sim").desc, col("vec_id").asc), k)
+      .withColumn("rk", col("rk").cast("long"))
+  }
+
+  /** Bucketed ANN top-k: both sides hash to sign-bit buckets, join
+    * co-partitioned on the bucket key, score only within the bucket.
+    * Recall < 1 by construction (that is the trade); plan shape is
+    * the one that survives 100 TB: shuffle-on-bucket + per-bucket
+    * top-k, no broadcast of anything that grows with the corpus.
+    */
+  def bucketedTopK(queries: DataFrame, corpus: DataFrame, nBits: Int, k: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      norm2(col("embedding")).as("q_n2"),
+      signBucket(col("embedding"), nBits).as("bucket"))
+    val c = corpus.select(
+      col("vec_id"),
+      col("embedding").as("c_emb"),
+      norm2(col("embedding")).as("c_n2"),
+      signBucket(col("embedding"), nBits).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        cosineFrom(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2"))
+          .as("cos_sim"))
+    Ranking.topKPerGroup(
+      scored, Seq("query_id"),
+      Seq(col("cos_sim").desc, col("vec_id").asc), k)
+      .withColumn("rk", col("rk").cast("long"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY §2.8 E5):
+  * tokenization, token/char statistics, stopword & quality scoring,
+  * marker-based language ID, and content fingerprints.
+  *
+  * The reference has no text operators (it is a hospital-ETL,
+  * reference etl_app/etl_script.py); these generalize the engine to
+  * the `documents` substrate (TESTDATA.md).
+  *
+  * Design rules for 100 TB:
+  *  - everything is a pure Catalyst expression over built-in
+  *    higher-order functions — codegen-friendly, no UDFs, fully
+  *    parallel per-row with zero shuffles;
+  *  - cross-engine determinism (the DuckDB oracle must reproduce
+  *    results bit-for-bit) comes from md5-derived integer hashing
+  *    ([[TextOps.md5Int32]]) and explicit left-folds, never from
+  *    engine-internal hash functions.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (the "BPE-ish regex" baseline: split on runs
+    * of whitespace after trim). Empty text → single empty token; the
+    * callers filter if needed.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Deterministic 32-bit-range hash shared with the DuckDB oracle:
+    * first 8 hex chars of md5 as an unsigned int in [0, 2^32).
+    * Both engines implement md5 identically, so this is the one
+    * portable "random" function available to MinHash/SimHash.
+    */
+  def md5Int32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Token count per document. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Fraction of tokens found in `stopwords` (frequency, not distinct
+    * overlap — 'the the the' counts three times).
+    */
+  def stopwordRatio(tk: Column, stopwords: Seq[String]): Column =
+    size(filter(tk, t => t.isin(stopwords: _*))).cast("double") /
+      size(tk).cast("double")
+
+  /** Quality score in [0,1]: half stopword-density (fluent text has
+    * function words), half length saturation (very short docs score
+    * low). A deliberately simple, deterministic heuristic — the point
+    * is the operator shape (scalar expression, no shuffle), not the
+    * linguistics.
+    */
+  def qualityScore(tk: Column, stopwords: Seq[String]): Column =
+    stopwordRatio(tk, stopwords) * lit(0.5) +
+      least(size(tk).cast("double") / lit(100.0), lit(1.0)) * lit(0.5)
+
+  /** Marker-token language ID: count occurrences of per-language
+    * marker words, pick the argmax with a fixed tie order
+    * (en ≥ de ≥ fr). N-gram-profile LID reduces to the same shape
+    * (per-row score + argmax); markers keep the oracle exact.
+    */
+  val enMarkers = Seq("the", "a", "of", "and", "is", "to")
+  val deMarkers = Seq("der", "die", "das", "und", "ist", "zu")
+  val frMarkers = Seq("le", "la", "les", "et", "est", "de")
+
+  private def markerCount(tk: Column, markers: Seq[String]): Column =
+    size(filter(tk, t => t.isin(markers: _*)))
+
+  def langIdGuess(tk: Column): Column = {
+    val en = markerCount(tk, enMarkers)
+    val de = markerCount(tk, deMarkers)
+    val fr = markerCount(tk, frMarkers)
+    when(en >= de && en >= fr, "en").when(de >= fr, "de").otherwise("fr")
+  }
+
+  /** Content fingerprint: md5 digest of the normalized text. Two docs
+    * with equal fingerprints are byte-identical after normalization —
+    * the exact-dedup key at any scale (fingerprints shuffle, documents
+    * don't).
+    */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** 32-bit SimHash over a precomputed token-hash array `hs`
+    * (from [[md5Int32]] per token). Bit b of the result is set iff
+    * the +1/-1 vote of all token hashes at bit b is positive.
+    * Near-duplicate docs differ in few bits (compare via hamming
+    * distance = bit_count(xor)); unlike MinHash it needs no
+    * signature join, one long per doc.
+    *
+    * Expressed as a SQL expr (nested lambdas with shiftright on a
+    * column bit index — the Scala `shiftright(Column, Int)` overload
+    * can't take a column).
+    */
+  def simhash32(hsCol: String): Column = expr(
+    s"""aggregate(
+       |  transform(sequence(0, 31), b ->
+       |    CASE WHEN aggregate($hsCol, CAST(0 AS BIGINT),
+       |        (acc2, h) -> acc2 + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+       |    THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+       |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+}

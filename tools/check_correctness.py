@@ -40,7 +40,6 @@ def main(out_dir: str, sf_dir: str) -> int:
     sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     import glob
-    import os
     have = sorted(
         p.rsplit("/", 1)[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json"))
     # a crashed query writes no dir — that is a FAIL, not a silent skip

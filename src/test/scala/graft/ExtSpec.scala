@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext._
+
+/** Units for the LLM-data extension operators (SURVEY §2.8 E1–E5). */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- E1 ---------------------------------------------------------------
+  test("exactDeterministic keeps the minimum-order row and reports group size") {
+    val df = Seq((3, "k1"), (1, "k1"), (2, "k1"), (9, "k2"))
+      .toDF("id", "key")
+    val out = Dedup.exactDeterministic(df, Seq("key"), "id")
+      .select("key", "id", "group_size").as[(String, Int, Long)].collect().toSet
+    assert(out == Set(("k1", 1, 3L), ("k2", 9, 1L)))
+  }
+
+  // ---- E2 ---------------------------------------------------------------
+  test("shingles yields n-grams in order and is empty below n tokens") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(MinHash.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+  }
+
+  test("minhash candidate pairs surface a planted near-duplicate") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("id", "body")
+    val pairs = MinHash.candidatePairs(docs, "id", "body")
+      .select("doc_a", "doc_b", "jaccard_est").as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.5))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("identical texts get identical signatures; est jaccard is 1.0") {
+    val docs = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s")).toDF("id", "body")
+    val pairs = MinHash.candidatePairs(docs, "id", "body")
+      .select("jaccard_est").as[Double].collect()
+    assert(pairs.toSeq == Seq(1.0))
+  }
+
+  // ---- E3 ---------------------------------------------------------------
+  test("cosine is 1 for parallel vectors, 0 for orthogonal") {
+    val df = Seq(
+      (Array(1f, 0f), Array(2f, 0f)),
+      (Array(1f, 0f), Array(0f, 5f))).toDF("a", "b")
+    val cos = df.select(
+      Similarity.cosineFrom(
+        Similarity.dot(col("a"), col("b")),
+        Similarity.norm2(col("a")), Similarity.norm2(col("b"))).as("c"))
+      .as[Double].collect()
+    assert(math.abs(cos(0) - 1.0) < 1e-12)
+    assert(cos(1) == 0.0)
+  }
+
+  test("cosineTopK ranks the nearest corpus vector first and excludes self") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)),  // closest to 0
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(0.5f, 0.5f, 0f))).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs.filter(col("vec_id") === 0L), vecs, 2)
+      .select("vec_id", "rk").as[(Long, Long)].collect().toMap
+    assert(!top.contains(0L))
+    assert(top(1L) == 1L) // rank 1 = nearest
+    assert(top(3L) == 2L)
+  }
+
+  test("bucketedTopK only pairs vectors sharing the sign bucket") {
+    val vecs = Seq(
+      (0L, Array(1f, 1f)), (1L, Array(2f, 3f)),   // bucket "11"
+      (2L, Array(-1f, 1f))).toDF("vec_id", "embedding") // bucket "01"
+    val out = Similarity.bucketedTopK(vecs, vecs, 2, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L), (1L, 0L))) // vec 2 isolated in its bucket
+  }
+
+  // ---- E4 ---------------------------------------------------------------
+  test("blob plumbing: byte length, digest stability, features in [0,1)") {
+    val df = Seq("hello").toDF("t").select(
+      Multimodal.blobBytes(Multimodal.toBlob(col("t"))).as("n"),
+      Multimodal.blobDigest(Multimodal.toBlob(col("t"))).as("d"),
+      Multimodal.fakeFeatures(Multimodal.toBlob(col("t")), 8).as("f"))
+    val (n, d, f) = df.as[(Long, String, Seq[Double])].head()
+    assert(n == 5L)
+    assert(d == "5d41402abc4b2a76b9719d911017c592") // md5("hello"), cross-engine
+    assert(f.length == 8 && f.forall(x => x >= 0.0 && x < 1.0))
+  }
+
+  // ---- E5 ---------------------------------------------------------------
+  test("language ID picks the language with the most marker tokens") {
+    val df = Seq(
+      "der hund und die katze ist da",
+      "the cat and the dog is here",
+      "le chat et la maison est grande").toDF("text")
+      .select(TextOps.langIdGuess(TextOps.tokens(col("text"))).as("g"))
+    assert(df.as[String].collect().toSeq == Seq("de", "en", "fr"))
+  }
+
+  test("stopword ratio counts token frequency, not distinct overlap") {
+    val df = Seq("the the the word").toDF("text")
+      .select(TextOps.stopwordRatio(TextOps.tokens(col("text")), Seq("the")).as("r"))
+    assert(df.as[Double].head() == 0.75)
+  }
+
+  test("simhash is equal for identical token streams and differs across texts") {
+    val df = Seq("alpha beta gamma delta", "alpha beta gamma delta", "zz yy xx ww")
+      .toDF("text")
+      .select(transform(TextOps.tokens(col("text")), t => TextOps.md5Int32(t)).as("hs"))
+      .select(TextOps.simhash32("hs").as("sh"))
+    val got = df.as[Long].collect()
+    assert(got(0) == got(1))
+    assert(got(0) != got(2))
+    assert(got.forall(v => v >= 0L && v < (1L << 32)))
+  }
+
+  test("fingerprint normalizes case and outer whitespace") {
+    val df = Seq(("  Hello World ", "hello world")).toDF("a", "b")
+      .select(TextOps.fingerprint(col("a")).as("fa"), TextOps.fingerprint(col("b")).as("fb"))
+    val (fa, fb) = df.as[(String, String)].head()
+    assert(fa == fb)
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops._
+
+/** Units for the parity traps (SURVEY §5.2 / §7.4): ANSI coercion,
+  * leading-zero keys, null group keys, nulls-last sorts, join-column
+  * hygiene, missing-file handling.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- P2: try_cast coercion (trap 1: ANSI cast would THROW) ----------
+  test("coerceToDouble turns unparseable text into null, not an error") {
+    val df = Seq(("1", "2.5"), ("2", "N/A"), ("3", "Too Few to Report"), ("4", null))
+      .toDF("id", "v")
+    val out = Cleanse.coerceToDouble(df, Seq("v", "missing_col")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out("1") == 2.5)
+    assert(out("2") == null)
+    assert(out("3") == null)
+    assert(out("4") == null)
+  }
+
+  test("coerceToDouble skips columns that are not present") {
+    val df = Seq(("a", 1)).toDF("k", "n")
+    // would throw at analysis if the guard didn't filter the column list
+    assert(Cleanse.coerceToDouble(df, Seq("nope")).columns.toSeq == Seq("k", "n"))
+  }
+
+  // ---- P3: null-drop on subset ----------------------------------------
+  test("dropNullRows removes a row when ANY listed column is null") {
+    val df = Seq((Some(1.0), Some(2.0)), (None, Some(3.0)), (Some(4.0), None))
+      .toDF("a", "b")
+    assert(Cleanse.dropNullRows(df, Seq("a", "b")).count() == 1)
+    assert(Cleanse.dropNullRows(df, Seq("a")).count() == 2)
+  }
+
+  // ---- S1: leading-zero string keys through a CSV round-trip (trap 2) --
+  test("leading-zero facility-style keys survive CSV write + schema'd read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_spec").toString
+    val df = Seq(("010001", 1.5), ("050002", 2.5)).toDF("facility_id", "x")
+    Sink.writeCsv(df, dir)
+    val back = Ingest.csv(spark, dir, StructType(Seq(
+      StructField("facility_id", StringType), StructField("x", DoubleType))))
+    assert(back.select("facility_id").as[String].collect().sorted.toSeq ==
+      Seq("010001", "050002"))
+  }
+
+  // ---- S3: missing input fails fast with a clear message ---------------
+  test("csvChecked throws IllegalArgumentException on a missing path") {
+    val e = intercept[IllegalArgumentException] {
+      Ingest.csvChecked(spark, "/nonexistent/graft/input.csv",
+        StructType(Seq(StructField("a", StringType))))
+    }
+    assert(e.getMessage.contains("/nonexistent/graft/input.csv"))
+  }
+
+  // ---- P1: normalization ----------------------------------------------
+  test("normalizeName matches the reference chain on its motivating cases") {
+    assert(Ingest.normalizeName("Facility ID") == "facility_id")
+    assert(Ingest.normalizeName("City/Town") == "city_town")
+    assert(Ingest.normalizeName("  Excess Readmission Ratio  ") == "excess_readmission_ratio")
+  }
+
+  // ---- A4: null group keys dropped (trap 4) -----------------------------
+  test("groupedMean drops null group keys like pandas groupby") {
+    val df = Seq((Some("x"), 1.0), (Some("x"), 3.0), (None, 100.0)).toDF("k", "v")
+    val rows = Aggregates.groupedMean(df, "k", "v").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "x")
+    assert(rows.head.getDouble(1) == 2.0)
+  }
+
+  test("exactMean skips nulls (count of column, not count(*))") {
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    assert(df.agg(Aggregates.exactMean(col("v"))).as[Double].head() == 2.0)
+  }
+
+  test("distinctCount excludes nulls like pandas nunique") {
+    val df = Seq(Some("a"), Some("a"), Some("b"), None).toDF("k")
+    assert(Aggregates.distinctCount(df, "k").as[Long].head() == 2L)
+  }
+
+  // ---- O1/O2: nulls last regardless of direction (trap 3) ---------------
+  test("sortDesc and sortAsc both put nulls last") {
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    assert(Ranking.sortDesc(df, "v").as[Option[Double]].collect().toSeq ==
+      Seq(Some(3.0), Some(1.0), None))
+    assert(Ranking.sortAsc(df, "v").as[Option[Double]].collect().toSeq ==
+      Seq(Some(1.0), Some(3.0), None))
+  }
+
+  // ---- O3: top-k is a prefix of the global sort -------------------------
+  test("topK(n) equals the first n rows of the full sort") {
+    val df = (1 to 50).map(i => (i, (i * 37) % 50)).toDF("id", "v")
+    val order = Seq(col("v").desc_nulls_last, col("id").asc)
+    val full = df.orderBy(order: _*).collect().take(7).toSeq
+    val topk = Ranking.topK(df, order, 7).collect().toSeq
+    assert(topk == full)
+  }
+
+  // ---- J1/P6: join-column hygiene (trap 5) ------------------------------
+  test("innerJoin on Seq(key) emits the key once; P6 drop removes overlap") {
+    val l = Seq(("1", "L", 1.0)).toDF("facility_id", "state", "ratio")
+    val r = Seq(("1", "R", "City")).toDF("facility_id", "state", "city")
+    val joined = Relational.innerJoin(
+      Relational.dropCols(l, Seq("state")), r, Seq("facility_id"))
+    assert(joined.columns.count(_ == "facility_id") == 1)
+    assert(joined.columns.count(_ == "state") == 1)
+    assert(joined.select("state").as[String].head() == "R")
+  }
+
+  test("inner join discards unmatched rows on both sides") {
+    val l = Seq(("1", 1), ("2", 2)).toDF("k", "lv")
+    val r = Seq(("2", 20), ("3", 30)).toDF("k", "rv")
+    val j = Relational.innerJoin(l, r, Seq("k"))
+    assert(j.select("k").as[String].collect().toSeq == Seq("2"))
+  }
+
+  // ---- filter∘join ≡ join∘filter (Catalyst pushes the predicate) --------
+  test("filter-then-join equals join-then-filter") {
+    val l = (1 to 100).map(i => (i % 10, i)).toDF("k", "lv")
+    val r = (0 to 9).map(i => (i, s"d$i")).toDF("k", "name")
+    val a = Relational.innerJoin(l.filter(col("lv") > 50), r, Seq("k"))
+    val b = Relational.innerJoin(l, r, Seq("k")).filter(col("lv") > 50)
+    assert(a.collect().toSet == b.collect().toSet)
+    assert(a.count() == 50)
+  }
+}

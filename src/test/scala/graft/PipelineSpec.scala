@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.pipeline.{Dashboard, HeartFailureEtl}
+
+/** Golden end-to-end test (SURVEY §5.2 item 3): miniature hospital
+  * CSVs per FIXTURES.md §1 through the full composed pipeline;
+  * asserts the exact output schema and row set, then the dashboard
+  * queries over the sink.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeCsv(dir: Path, name: String, lines: String*): String = {
+    val f = dir.resolve(name)
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  // FIXTURES.md §1.1: leading zeros, mixed measures, unparseable
+  // metrics, a passthrough column, a facility with no hospital match.
+  private lazy val fixtures: (String, String) = {
+    val dir = Files.createTempDirectory("graft_golden")
+    val readm = writeCsv(dir, "readmissions.csv",
+      "Facility ID,Facility Name,State,Measure Name,Number of Discharges,Excess Readmission Ratio,Start Date",
+      "010001,Readm Name A,XX,READM-30-HF-HRRP,250,1.0502,07/01/2021",
+      "050002,Readm Name B,YY,READM-30-HF-HRRP,N/A,0.9800,07/01/2021",       // dropped: N/A discharges
+      "010001,Readm Name A,XX,READM-30-AMI-HRRP,100,1.2000,07/01/2021",      // dropped: other measure
+      "060003,Readm Name C,ZZ,READM-30-HF-HRRP,80,Too Few to Report,07/01/2021", // dropped: bad ratio
+      "070004,Readm Name D,WW,READM-30-HF-HRRP,55,0.8800,07/01/2021",        // dropped: no hospital match
+      "050002,Readm Name B,YY,READM-30-HF-HRRP,120,1.1000,07/01/2021")
+    val hosp = writeCsv(dir, "hospital_info.csv",
+      "Facility ID,Facility Name,City/Town,State,Hospital Type,Hospital Ownership,Phone Number",
+      "010001,True Name A,Springfield,AL,Acute Care,Government,555-0001",
+      "050002,True Name B,Rivertown,,Acute Care,Proprietary,555-0002",        // null state
+      "090009,True Name E,Lakeside,CA,Critical Access,Voluntary,555-0009")    // no readm match
+    (readm, hosp)
+  }
+
+  test("golden E2E: schema and row set match the reference chain exactly") {
+    val (readmCsv, hospCsv) = fixtures
+    val out = Files.createTempDirectory("graft_golden_out").resolve("hf").toString
+    val result = HeartFailureEtl.run(spark, readmCsv, hospCsv, out)
+
+    // Schema: readmissions cols minus state/facility_name, plus the 5
+    // non-key hospital cols; no extra/index columns (FIXTURES.md §1.3).
+    assert(result.columns.toSeq == Seq(
+      "facility_id", "measure_name", "number_of_discharges",
+      "excess_readmission_ratio", "start_date",
+      "facility_name", "city_town", "state", "hospital_type",
+      "hospital_ownership"))
+
+    val rows = result
+      .select("facility_id", "number_of_discharges", "excess_readmission_ratio",
+        "facility_name", "state", "start_date")
+      .as[(String, Double, Double, String, Option[String], String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      ("010001", 250.0, 1.0502, "True Name A", Some("AL"), "07/01/2021"),
+      ("050002", 120.0, 1.1000, "True Name B", None, "07/01/2021")))
+  }
+
+  test("golden E2E: overwrite semantics — rerun replaces, not appends") {
+    val (readmCsv, hospCsv) = fixtures
+    val out = Files.createTempDirectory("graft_golden_out2").resolve("hf").toString
+    HeartFailureEtl.run(spark, readmCsv, hospCsv, out)
+    val second = HeartFailureEtl.run(spark, readmCsv, hospCsv, out)
+    assert(second.count() == 2)
+  }
+
+  test("dashboard queries over the golden sink") {
+    val (readmCsv, hospCsv) = fixtures
+    val out = Files.createTempDirectory("graft_golden_out3").resolve("hf").toString
+    HeartFailureEtl.run(spark, readmCsv, hospCsv, out)
+    val df = Dashboard.load(spark, out)
+    try {
+      assert(Dashboard.totalHospitals(df).as[Long].head() == 2L)
+      assert(math.abs(Dashboard.averageRatio(df).as[Double].head() - 1.0751) < 1e-12)
+      // pandas groupby drops the null state: only AL remains
+      val byState = Dashboard.ratioByState(df)
+        .as[(String, Double)].collect().toMap
+      assert(byState.keySet == Set("AL"))
+      assert(byState("AL") == 1.0502)
+      // top-1 highest/lowest with facility tiebreaker
+      assert(Dashboard.topHospitals(df, highest = true, 1)
+        .select("facility_id").as[String].head() == "050002")
+      assert(Dashboard.topHospitals(df, highest = false, 1)
+        .select("facility_id").as[String].head() == "010001")
+    } finally df.unpersist()
+  }
+}

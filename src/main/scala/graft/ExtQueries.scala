@@ -62,9 +62,13 @@ object ExtQueries {
     val bandExprs = (0 until Bands).map { b =>
       s"array_to_string(sig[${b * RowsPerBand + 1}:${b * RowsPerBand + RowsPerBand}], '_')"
     }.mkString(", ")
-    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') tk FROM documents),
-       |shing AS (SELECT doc_id, [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)] sh FROM toks),
-       |hashed AS (SELECT doc_id, list_transform(sh, sg -> ${duckMd5Int("sg")} % $P) ms FROM shing WHERE len(sh) > 0),
+    // string-free shingle hash: position-weighted sum of per-token
+    // md5 hashes over each 3-window (mirrors shingleHashesFromTokens)
+    val window = (0 until 3)
+      .map(j => s"((hs[i+$j] * ${mixConst(j)}) % $P)")
+      .mkString("(", " + ", s") % $P")
+    s"""WITH toks AS (SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'), t -> ${duckMd5Int("t")} % $P) hs FROM documents),
+       |hashed AS (SELECT doc_id, [$window for i in range(1, len(hs)-1)] ms FROM toks WHERE len(hs) >= 3),
        |sigs AS (SELECT doc_id, [$sigElems] sig FROM hashed),
        |bands AS (SELECT doc_id, sig, unnest(range($Bands)) bidx, unnest([$bandExprs]) bkey FROM sigs)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -48,26 +48,78 @@ object MinHash {
   /** n-word shingles from a token array: ["a","b","c","d"], n=3 →
     * ["a b c", "b c d"]. Empty when the doc has < n tokens (guarded:
     * Spark's sequence(1, 0) yields a DESCENDING [1,0], not empty).
+    *
+    * The token array is let-bound ([[TextOps.let1]]): without it,
+    * CollapseProject inlines the tokenizer into the per-shingle
+    * lambda and the document is re-split once per shingle index
+    * (measured ~20× slower at sf0.1).
     */
   def shingles(tk: Column, n: Int): Column =
-    when(size(tk) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(tk) - (n - 1)),
-        i => array_join(slice(tk, i, lit(n)), " ")))
+    TextOps.let1(tk) { tkv =>
+      when(size(tkv) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(tkv) - (n - 1)),
+          i => array_join(slice(tkv, i, lit(n)), " ")))
+    }
 
   /** Per-shingle hash values reduced mod P (md5 computed ONCE per
-    * shingle; the H permutations below reuse these).
+    * shingle; the H permutations below reuse these). String-shingle
+    * variant — see [[shingleHashesFromTokens]] for the production
+    * path that skips string materialization entirely.
     */
   def shingleHashes(sh: Column): Column =
     transform(sh, s => TextOps.md5Int32(s) % P)
 
-  /** MinHash signature: for each of the H affine permutations, the
-    * minimum permuted hash over the doc's shingles.
+  /** Position-mix constants for string-free shingle hashing
+    * (mixConst(j) weights the j-th token of the window so "a b" and
+    * "b a" hash differently). All < P, so products stay < 2^60.
     */
-  def signature(ms: Column): Column =
-    array((0 until NumHashes).map { i =>
-      array_min(transform(ms, m => (lit(aConst(i)) * m + lit(bConst(i))) % P))
-    }: _*)
+  def mixConst(j: Int): Long = ((j + 1L) * 999999937L + 17L) % P
+
+  /** Shingle hashes computed WITHOUT building shingle strings: md5
+    * each token once, then hash each n-window as a position-weighted
+    * sum of the token hashes mod P. Equivalent minhash semantics
+    * (equal token windows ⇒ equal hashes; distinct windows collide
+    * with probability ~1/P) at a fraction of the cost — the string
+    * path materializes ~|tokens| joined strings per doc, which
+    * measured ~3× the whole query at sf0.1. Token hashes are
+    * let-bound ([[TextOps.let1]]) so the tokenizer runs once.
+    */
+  def shingleHashesFromTokens(tk: Column, n: Int): Column =
+    TextOps.let1(transform(tk, t => TextOps.md5Int32(t) % P)) { hsv =>
+      when(size(hsv) < n, array().cast("array<bigint>"))
+        .otherwise(transform(
+          sequence(lit(1), size(hsv) - (n - 1)),
+          i => (0 until n)
+            .map(j => (element_at(hsv, i + j) * lit(mixConst(j))) % P)
+            .reduce(_ + _) % P))
+    }
+
+  /** MinHash signature: for each of the H affine permutations, the
+    * minimum permuted hash over the doc's shingles. Native codegen'd
+    * Expression ([[graft.functions.MinHashSignature]]) — one fused
+    * loop over (shingle × permutation); [[signatureHof]] is the
+    * built-in-only formulation with identical results.
+    */
+  def signature(ms: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.MinHashSignature(
+      ColumnBridge.expression(ms),
+      (0 until NumHashes).map(aConst),
+      (0 until NumHashes).map(bConst), P))
+  }
+
+  /** Reference formulation of [[signature]] on pure built-ins (the
+    * hash array is let-bound: it is referenced H times, and without
+    * the binding CollapseProject would inline — and re-evaluate —
+    * the shingle hashing once per permutation).
+    */
+  def signatureHof(ms: Column): Column =
+    TextOps.let1(ms) { msv =>
+      array((0 until NumHashes).map { i =>
+        array_min(transform(msv, m => (lit(aConst(i)) * m + lit(bConst(i))) % P))
+      }: _*)
+    }
 
   /** Band keys: the signature cut into `Bands` contiguous slices,
     * each rendered "v1_v2_v3" (bucket identity within a band).
@@ -92,12 +144,18 @@ object MinHash {
     * across bands.
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String, shingleLen: Int = 3): DataFrame = {
+    // Persist the signatures: the band self-join consumes them twice,
+    // and without the persist both join sides re-tokenize, re-shingle
+    // and re-hash the full corpus (measured ~2× the query). At scale
+    // this materialization is exactly the "signature table" a
+    // production dedup would checkpoint. Released by the runner's
+    // per-query clearCache.
     val sigs = docs
-      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("tk"))
-      .select(col("doc_id"), shingles(col("tk"), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), shingleHashes(col("sh")).as("ms"))
+      .select(col(idCol).as("doc_id"),
+        shingleHashesFromTokens(TextOps.tokens(col(textCol)), shingleLen).as("ms"))
+      .filter(size(col("ms")) > 0)
       .select(col("doc_id"), signature(col("ms")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(bandKeys(col("sig"))).as(Seq("bidx", "bkey")))

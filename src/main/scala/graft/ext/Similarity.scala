@@ -2,7 +2,9 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
 
+import graft.functions.FloatDotProduct
 import graft.ops.Ranking
 
 /** Similarity search over embedding columns (SURVEY §2.8 E3):
@@ -26,10 +28,21 @@ import graft.ops.Ranking
   */
 object Similarity {
 
-  /** Left-fold dot product of two float arrays, widened to double
-    * per element (codegen'd higher-order functions, no UDF).
+  /** Left-fold dot product of two float arrays, widened to double per
+    * element. Implemented as a native codegen'd Expression
+    * ([[graft.functions.FloatDotProduct]]): Catalyst lambda functions
+    * evaluate interpreted per element, which dominates runtime at
+    * 64 dims × millions of candidate pairs. [[dotHof]] is the
+    * built-in-only formulation with identical (bit-exact) semantics.
     */
   def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Higher-order-function dot product — same fold, same result, no
+    * custom expression; kept as the portable reference formulation.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

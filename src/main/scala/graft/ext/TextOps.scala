@@ -22,6 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Functional let-binding for Catalyst expressions: evaluate `c`
+    * ONCE, reference it many times in `body`. Needed because
+    * CollapseProject inlines a projected column into the expressions
+    * that reference it — including into higher-order-function lambda
+    * BODIES, where it then re-evaluates per element (a tokenizer
+    * inlined into a per-shingle lambda re-splits the document for
+    * every shingle — measured 20×+ slowdowns). `transform` binds its
+    * lambda argument to a materialized value, so wrapping the
+    * expensive expression in a 1-element array and transforming over
+    * it is a let.
+    */
+  def let1(c: Column)(body: Column => Column): Column =
+    element_at(transform(array(c), body), 1)
+
   /** Whitespace tokenizer (the "BPE-ish regex" baseline: split on runs
     * of whitespace after trim). Empty text → single empty token; the
     * callers filter if needed.
@@ -89,15 +103,12 @@ object TextOps {
     * distance = bit_count(xor)); unlike MinHash it needs no
     * signature join, one long per doc.
     *
-    * Expressed as a SQL expr (nested lambdas with shiftright on a
-    * column bit index — the Scala `shiftright(Column, Int)` overload
-    * can't take a column).
+    * Native codegen'd Expression ([[graft.functions.SimHash32]]) —
+    * the lambda formulation runs 32 interpreted per-bit folds over
+    * the token array per row; the native loop is one pass.
     */
-  def simhash32(hsCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(sequence(0, 31), b ->
-       |    CASE WHEN aggregate($hsCol, CAST(0 AS BIGINT),
-       |        (acc2, h) -> acc2 + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
-       |    THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
-       |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+  def simhash32(hsCol: String): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.SimHash32(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(col(hsCol))))
 }

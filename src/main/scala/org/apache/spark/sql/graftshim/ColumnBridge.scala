@@ -1,0 +1,18 @@
+package org.apache.spark.sql
+package graftshim
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ Catalyst Expression bridge.
+  *
+  * Spark 4 made `Column` implementation-agnostic: the
+  * Expression-backed constructor and accessor moved behind
+  * `private[sql] classic.ExpressionUtils`. Custom native expressions
+  * (graft.functions.*) still need both directions, so this one-file
+  * shim lives in the sql package to re-export them. No Spark
+  * internals are modified.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

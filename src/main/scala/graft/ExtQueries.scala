@@ -20,6 +20,15 @@ import graft.ops.Ranking
   */
 object ExtQueries {
 
+  // query-shape constants (declared first: object vals initialize in
+  // textual order, and a forward reference would read 0)
+  private val E3NumQueries = 8
+  private val E3K = 5
+  private val AnnBits = 6
+  private val AnnQueries = 32
+  private val AnnK = 3
+  private val NearDupThreshold = 0.35
+
   private val AvgDec = "DECIMAL(28,10)"
   private def meanSql(c: String): String =
     s"CAST(SUM(CAST($c AS $AvgDec)) AS DOUBLE) / COUNT($c)"
@@ -54,7 +63,12 @@ object ExtQueries {
   // ---- E2: MinHash + banded LSH near-dup candidate pairs -------------------
   def e2MinhashPairs(s: SparkSession, dir: String): DataFrame =
     MinHash.candidatePairs(Tables.documents(s, dir), "doc_id", "text")
-  val e2Sql: String = {
+
+  /** Shared oracle CTEs for the MinHash family: token md5s →
+    * string-free shingle hashes → signatures → band rows (constants
+    * interpolated from the MinHash object so engines cannot drift).
+    */
+  private val e2Ctes: String = {
     import MinHash._
     val sigElems = (0 until NumHashes).map { i =>
       s"list_min(list_transform(ms, m -> (${aConst(i)}*m + ${bConst(i)}) % $P))"
@@ -62,23 +76,54 @@ object ExtQueries {
     val bandExprs = (0 until Bands).map { b =>
       s"array_to_string(sig[${b * RowsPerBand + 1}:${b * RowsPerBand + RowsPerBand}], '_')"
     }.mkString(", ")
-    // string-free shingle hash: position-weighted sum of per-token
-    // md5 hashes over each 3-window (mirrors shingleHashesFromTokens)
+    // position-weighted sum of per-token md5 hashes over each 3-window
+    // (mirrors shingleHashesFromTokens)
     val window = (0 until 3)
       .map(j => s"((hs[i+$j] * ${mixConst(j)}) % $P)")
       .mkString("(", " + ", s") % $P")
     s"""WITH toks AS (SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'), t -> ${duckMd5Int("t")} % $P) hs FROM documents),
        |hashed AS (SELECT doc_id, [$window for i in range(1, len(hs)-1)] ms FROM toks WHERE len(hs) >= 3),
        |sigs AS (SELECT doc_id, [$sigElems] sig FROM hashed),
-       |bands AS (SELECT doc_id, sig, unnest(range($Bands)) bidx, unnest([$bandExprs]) bkey FROM sigs)
+       |bands AS (SELECT doc_id, sig, unnest(range($Bands)) bidx, unnest([$bandExprs]) bkey FROM sigs)""".stripMargin
+  }
+
+  val e2Sql: String = {
+    import MinHash._
+    s"""$e2Ctes
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(list_sum(list_transform(range(1, ${NumHashes + 1}), i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes.0 AS jaccard_est
        |FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
   }
 
+  // ---- E2b: exact n-gram Jaccard verification of the candidates ------------
+  def e2NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    MinHash.exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+  val e2bSql: String = {
+    val inter = "CAST(len(list_intersect(ma.msd, mb.msd)) AS DOUBLE)"
+    s"""$e2Ctes,
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |msd AS (SELECT doc_id, list_distinct(ms) msd FROM hashed)
+       |SELECT p.doc_a, p.doc_b,
+       |  $inter / (CAST(len(ma.msd) + len(mb.msd) AS DOUBLE) - $inter) AS jaccard
+       |FROM pairs p JOIN msd ma ON p.doc_a = ma.doc_id JOIN msd mb ON p.doc_b = mb.doc_id""".stripMargin
+  }
+
+  // ---- E2c: embedding-cosine near-duplicate pairs --------------------------
+  def e2EmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(s, dir), AnnBits, NearDupThreshold)
+  val e2cSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val bucket = s"array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END for i in range(1, ${AnnBits + 1})], '')"
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2, $bucket AS bucket FROM embeddings)
+       |SELECT vec_a, vec_b, cos_sim FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${duckDot("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos_sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |WHERE cos_sim >= $NearDupThreshold""".stripMargin
+  }
+
   // ---- E3: brute-force cosine top-k (queries broadcast) --------------------
-  private val E3NumQueries = 8
-  private val E3K = 5
   def e3CosineTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.cosineTopK(emb.filter(col("vec_id") < E3NumQueries), emb, E3K)
@@ -97,9 +142,6 @@ object ExtQueries {
   }
 
   // ---- E3b: bucketed ANN (sign-bit LSH; shuffle-on-bucket plan) ------------
-  private val AnnBits = 6
-  private val AnnQueries = 32
-  private val AnnK = 3
   def e3AnnBucketed(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.bucketedTopK(emb.filter(col("vec_id") < AnnQueries), emb, AnnBits, AnnK)
@@ -216,6 +258,8 @@ object ExtQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_dedup_exact" -> (e1DedupExact _),
     "e2_minhash_pairs" -> (e2MinhashPairs _),
+    "e2_ngram_jaccard" -> (e2NgramJaccard _),
+    "e2_embed_neardup" -> (e2EmbedNearDup _),
     "e3_cosine_topk" -> (e3CosineTopK _),
     "e3_ann_bucketed" -> (e3AnnBucketed _),
     "e4_embedding_stats" -> (e4EmbeddingStats _),
@@ -229,6 +273,8 @@ object ExtQueries {
   val sql: Map[String, String] = Map(
     "e1_dedup_exact" -> e1Sql,
     "e2_minhash_pairs" -> e2Sql,
+    "e2_ngram_jaccard" -> e2bSql,
+    "e2_embed_neardup" -> e2cSql,
     "e3_cosine_topk" -> e3Sql,
     "e3_ann_bucketed" -> e3bSql,
     "e4_embedding_stats" -> e4Sql,

@@ -139,6 +139,29 @@ object MinHash {
       zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / lit(NumHashes.toDouble)
 
+  /** EXACT n-gram Jaccard similarity for the LSH candidate pairs:
+    * after banding proposes candidates, verify each against the true
+    * Jaccard of the two docs' distinct shingle-hash sets. The classic
+    * two-phase near-dup pipeline — cheap probabilistic recall, exact
+    * precision on the (small) candidate set — so the exact O(|A|+|B|)
+    * set comparison runs per candidate pair, never per corpus pair.
+    */
+  def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String, shingleLen: Int = 3): DataFrame = {
+    val ms = docs
+      .select(col(idCol).as("doc_id"),
+        shingleHashesFromTokens(TextOps.tokens(col(textCol)), shingleLen).as("ms"))
+      .filter(size(col("ms")) > 0)
+      .select(col("doc_id"), array_distinct(col("ms")).as("msd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inter = size(array_intersect(col("ms_a"), col("ms_b"))).cast("double")
+    val uni = (size(col("ms_a")) + size(col("ms_b"))).cast("double") - inter
+    candidatePairs(docs, idCol, textCol, shingleLen)
+      .select(col("doc_a"), col("doc_b"))
+      .join(ms.select(col("doc_id").as("doc_a"), col("msd").as("ms_a")), Seq("doc_a"))
+      .join(ms.select(col("doc_id").as("doc_b"), col("msd").as("ms_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), (inter / uni).as("jaccard"))
+  }
+
   /** End-to-end candidate-pair generation over a (id, text) frame:
     * returns (doc_a, doc_b, jaccard_est) with doc_a < doc_b, distinct
     * across bands.

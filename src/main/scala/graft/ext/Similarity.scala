@@ -87,6 +87,27 @@ object Similarity {
       .withColumn("rk", col("rk").cast("long"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: vectors in the same
+    * sign-bit bucket whose cosine exceeds `threshold`, emitted once
+    * (vec_a < vec_b). The dedup-by-similarity building block for
+    * embedding-level corpus cleaning: same shuffle-on-bucket shape as
+    * [[bucketedTopK]] — candidate-bounded, never all-pairs.
+    */
+  def nearDupPairs(corpus: DataFrame, nBits: Int, threshold: Double): DataFrame = {
+    def side(idAs: String, embAs: String, n2As: String) = corpus.select(
+      col("vec_id").as(idAs),
+      col("embedding").as(embAs),
+      norm2(col("embedding")).as(n2As),
+      signBucket(col("embedding"), nBits).as("bucket"))
+    side("vec_a", "a_emb", "a_n2")
+      .join(side("vec_b", "b_emb", "b_n2"), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineFrom(dot(col("a_emb"), col("b_emb")), col("a_n2"), col("b_n2"))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Bucketed ANN top-k: both sides hash to sign-bit buckets, join
     * co-partitioned on the bucket key, score only within the bucket.
     * Recall < 1 by construction (that is the trade); plan shape is

@@ -39,6 +39,25 @@ object Sink {
   def writeJdbc(df: DataFrame, url: String, table: String, props: java.util.Properties): Unit =
     df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
 
+  /** S6: bounded retry with fixed backoff — the reference retries its
+    * DB connection 5×10 s while Postgres warms up
+    * (etl_script.py:144-160). Generic over the action so any sink
+    * (JDBC connect, object-store flakiness) can wrap itself.
+    */
+  @annotation.tailrec
+  def withRetry[T](attempts: Int, delayMs: Long)(action: => T): T = {
+    require(attempts >= 1)
+    val result =
+      try Right(action)
+      catch { case scala.util.control.NonFatal(e) if attempts > 1 => Left(e) }
+    result match {
+      case Right(v) => v
+      case Left(_) =>
+        Thread.sleep(delayMs)
+        withRetry(attempts - 1, delayMs)(action)
+    }
+  }
+
   /** S5: read the sink back (dashboard load). */
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of selected
+  * registered queries so scan pruning (PushedFilters/ReadSchema),
+  * join strategies (broadcast vs shuffle) and codegen coverage can be
+  * reviewed against the 100 TB design intents documented per
+  * operator. Run: `sbt "runMain graft.PlanAudit [query ...]"`.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("p4_filter", "j1_join_inner", "e3_cosine_topk",
+        "e3_ann_bucketed", "e2_minhash_pairs", "pipeline_e2e", "o3_topk")
+    names.foreach { n =>
+      println(s"\n########## $n ##########")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -165,6 +165,14 @@ object MinHash {
   /** End-to-end candidate-pair generation over a (id, text) frame:
     * returns (doc_a, doc_b, jaccard_est) with doc_a < doc_b, distinct
     * across bands.
+    *
+    * Join strategy is deliberately left to Catalyst: the band table
+    * is corpus-sized, so no broadcast hint is forced — at toy scale
+    * stats put it under `autoBroadcastJoinThreshold` and the plan
+    * shows a BroadcastHashJoin; past the threshold it becomes a
+    * shuffle join co-partitioned on (band index, band key), which is
+    * the shape that scales (bucket-key cardinality grows with the
+    * corpus, so the shuffle spreads evenly).
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String, shingleLen: Int = 3): DataFrame = {
     // Persist the signatures: the band self-join consumes them twice,

@@ -90,8 +90,12 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: vectors in the same
     * sign-bit bucket whose cosine exceeds `threshold`, emitted once
     * (vec_a < vec_b). The dedup-by-similarity building block for
-    * embedding-level corpus cleaning: same shuffle-on-bucket shape as
-    * [[bucketedTopK]] — candidate-bounded, never all-pairs.
+    * embedding-level corpus cleaning: same bucket-join shape as
+    * [[bucketedTopK]] — candidate-bounded, never all-pairs. No
+    * broadcast is hinted (both sides are corpus-sized): Catalyst
+    * broadcasts below the auto threshold and shuffles on the bucket
+    * key above it, which is the 100 TB shape. The cosine threshold
+    * sits in the join condition, so pairs below it never materialize.
     */
   def nearDupPairs(corpus: DataFrame, nBits: Int, threshold: Double): DataFrame = {
     def side(idAs: String, embAs: String, n2As: String) = corpus.select(

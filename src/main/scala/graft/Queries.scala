@@ -113,6 +113,103 @@ object ParityQueries {
     "SELECT c_custkey, n_name, r_name FROM customer " +
       "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey"
 
+  // ---- J2: left outer join (generalization beyond the reference) -------
+  // Right side filtered to one segment so unmatched fact rows exercise
+  // the null-extension path.
+  def j2LeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    Relational.joinTyped(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      cust, Seq("o_custkey"), "left")
+  }
+  val j2Sql =
+    "SELECT o_custkey, o_orderkey, o_totalprice, c_name FROM orders " +
+      "LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c " +
+      "ON o_custkey = c_custkey"
+
+  // ---- J3: semi + anti joins (existence filters) ------------------------
+  def j3SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val rich = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("o_custkey"))
+    val semi = Relational.joinTyped(orders, rich, Seq("o_custkey"), "left_semi")
+      .withColumn("which", lit("semi"))
+    val anti = Relational.joinTyped(orders, rich, Seq("o_custkey"), "left_anti")
+      .withColumn("which", lit("anti"))
+    semi.unionByName(anti).select(col("which"), col("o_orderkey"), col("o_custkey"))
+  }
+  val j3Sql =
+    "SELECT 'semi' AS which, o_orderkey, o_custkey FROM orders " +
+      "WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) " +
+      "UNION ALL SELECT 'anti', o_orderkey, o_custkey FROM orders " +
+      "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)"
+
+  // ---- J4: salted inner join — identical results to the plain join ------
+  // (the oracle IS the unsalted SQL; proves skew salting is semantics-
+  // preserving while spreading a hot key over `buckets` reducers)
+  def j4SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    Relational.saltedInnerJoin(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      cust, Seq("o_custkey"), buckets = 8)
+  }
+  val j4Sql =
+    "SELECT o_custkey, o_orderkey, o_totalprice, c_mktsegment FROM orders " +
+      "JOIN customer ON o_custkey = c_custkey"
+
+  // ---- U1: set operations (union / intersect / except, distinct) --------
+  def u1SetOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    def keysFor(p: String) =
+      orders.filter(col("o_orderpriority") === p).select(col("o_custkey"))
+    val urgent = keysFor("1-URGENT")
+    val low = keysFor("5-LOW")
+    val inter = urgent.intersect(low).withColumn("which", lit("intersect"))
+    val exc = urgent.except(low).withColumn("which", lit("except"))
+    val uni = urgent.union(low).distinct().withColumn("which", lit("union"))
+    inter.unionByName(exc).unionByName(uni).select(col("which"), col("o_custkey"))
+  }
+  val u1Sql = {
+    def k(p: String) = s"SELECT o_custkey FROM orders WHERE o_orderpriority = '$p'"
+    s"SELECT 'intersect' AS which, o_custkey FROM (${k("1-URGENT")} INTERSECT ${k("5-LOW")}) " +
+      s"UNION ALL SELECT 'except', o_custkey FROM (${k("1-URGENT")} EXCEPT ${k("5-LOW")}) " +
+      s"UNION ALL SELECT 'union', o_custkey FROM (${k("1-URGENT")} UNION ${k("5-LOW")})"
+  }
+
+  // ---- A6: rollup (hierarchical subtotals; partial agg per level) --------
+  def a6Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), Aggregates.exactSum(col("l_quantity")).as("sum_qty"))
+  val a6Sql =
+    s"SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+      s"CAST(SUM(CAST(l_quantity AS $AvgDec)) AS DOUBLE) AS sum_qty " +
+      "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+
+  // ---- O5: window analytics (lag + running sum per partition) ------------
+  // Total order inside each customer partition (date, then orderkey) so
+  // lag/cumulative values are deterministic across engines; running sum
+  // accumulates in decimal for order-free exactness.
+  def o5WindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      sum(col("o_totalprice").cast(s"decimal(28,10)")).over(w)
+        .cast("double").as("run_total"))
+  }
+  val o5Sql =
+    "SELECT o_orderkey, o_custkey, o_totalprice, " +
+      "lag(o_totalprice, 1) OVER w AS prev_price, " +
+      s"CAST(SUM(CAST(o_totalprice AS $AvgDec)) OVER w AS DOUBLE) AS run_total " +
+      "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+
   // ---- A1: scalar count (etl_script.py:100,120,169) --------------------
   def a1Count(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).agg(count(lit(1)).as("n"))
@@ -294,6 +391,12 @@ object ParityQueries {
     "p6_drop" -> (p6Drop _),
     "j1_join_inner" -> (j1Join _),
     "j1_join_3way" -> (j1Join3Way _),
+    "j2_left_join" -> (j2LeftJoin _),
+    "j3_semi_anti" -> (j3SemiAnti _),
+    "j4_salted_join" -> (j4SaltedJoin _),
+    "u1_set_ops" -> (u1SetOps _),
+    "a6_rollup" -> (a6Rollup _),
+    "o5_window_analytics" -> (o5WindowAnalytics _),
     "a1_count" -> (a1Count _),
     "a2_count_distinct" -> (a2CountDistinct _),
     "a3_mean" -> (a3Mean _),
@@ -319,6 +422,12 @@ object ParityQueries {
     "p6_drop" -> p6Sql,
     "j1_join_inner" -> j1Sql,
     "j1_join_3way" -> j1bSql,
+    "j2_left_join" -> j2Sql,
+    "j3_semi_anti" -> j3Sql,
+    "j4_salted_join" -> j4Sql,
+    "u1_set_ops" -> u1Sql,
+    "a6_rollup" -> a6Sql,
+    "o5_window_analytics" -> o5Sql,
     "a1_count" -> a1Sql,
     "a2_count_distinct" -> a2Sql,
     "a3_mean" -> a3Sql,

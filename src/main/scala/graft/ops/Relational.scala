@@ -56,4 +56,35 @@ object Relational {
   /** General join with an arbitrary condition (used by extensions). */
   def joinOn(left: DataFrame, right: DataFrame, cond: Column, how: String): DataFrame =
     left.join(right, cond, how)
+
+  /** Key-join with explicit type: left/right/full outer, left_semi,
+    * left_anti — the full relational join surface beyond the
+    * reference's single inner join. Same key-dedup semantics as
+    * [[innerJoin]].
+    */
+  def joinTyped(left: DataFrame, right: DataFrame, keys: Seq[String], how: String): DataFrame =
+    left.join(right, keys, how)
+
+  /** Skew-mitigating salted inner join: the left (fact) side gets a
+    * deterministic salt in [0, buckets) per row; the right (dim,
+    * possibly hot-keyed) side is replicated once per salt value; the
+    * join runs on key+salt so one hot key spreads over `buckets`
+    * reducers instead of one. Results are EXACTLY a plain inner join
+    * (the salt is internal and dropped) — the registered oracle
+    * compares against the unsalted SQL. Use when a key's row share is
+    * large enough to dominate a reducer; AQE skew-join handles
+    * moderate skew automatically, salting handles the pathological
+    * tail.
+    */
+  def saltedInnerJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      buckets: Int): DataFrame = {
+    val salted = left.withColumn(
+      "__salt", pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(buckets)))
+    val replicated = right.withColumn(
+      "__salt", explode(array((0 until buckets).map(lit(_)): _*)))
+    salted.join(replicated, keys :+ "__salt", "inner").drop("__salt")
+  }
 }

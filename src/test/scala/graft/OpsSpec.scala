@@ -120,6 +120,33 @@ class OpsSpec extends SparkSpec {
     assert(j.select("k").as[String].collect().toSeq == Seq("2"))
   }
 
+  // ---- J4: salting is semantics-preserving -------------------------------
+  test("saltedInnerJoin returns exactly the plain inner join rows") {
+    val l = (1 to 200).map(i => (i % 5, i)).toDF("k", "lv") // 5 hot keys
+    val r = (0 to 6).map(i => (i, s"d$i")).toDF("k", "name")
+    val plain = Relational.innerJoin(l, r, Seq("k")).collect().toSeq
+      .map(_.toSeq).sortBy(_.mkString(","))
+    val salted = Relational.saltedInnerJoin(l, r, Seq("k"), buckets = 4)
+      .select("k", "lv", "name").collect().toSeq
+      .map(_.toSeq).sortBy(_.mkString(","))
+    assert(salted == plain)
+    assert(salted.size == 200)
+  }
+
+  // ---- J2/J3: typed joins -------------------------------------------------
+  test("left join null-extends unmatched rows; semi/anti partition the left") {
+    val l = Seq(("1", 1), ("2", 2)).toDF("k", "lv")
+    val r = Seq(("2", "x")).toDF("k", "rv")
+    val left = Relational.joinTyped(l, r, Seq("k"), "left")
+    assert(left.count() == 2)
+    assert(left.filter(col("rv").isNull).select("k").as[String].head() == "1")
+    val semi = Relational.joinTyped(l, r, Seq("k"), "left_semi")
+    val anti = Relational.joinTyped(l, r, Seq("k"), "left_anti")
+    assert(semi.select("k").as[String].collect().toSeq == Seq("2"))
+    assert(anti.select("k").as[String].collect().toSeq == Seq("1"))
+    assert(semi.columns.toSeq == Seq("k", "lv")) // no right columns leak
+  }
+
   // ---- filter∘join ≡ join∘filter (Catalyst pushes the predicate) --------
   test("filter-then-join equals join-then-filter") {
     val l = (1 to 100).map(i => (i % 10, i)).toDF("k", "lv")

@@ -371,6 +371,64 @@ object ParityQueries {
       s"${meanSql("value")} AS avg_value FROM events " +
       "WHERE ts IS NOT NULL GROUP BY bucket"
 
+  // ---- W2: batch sessionization (gap > 30 min splits a session) ----------
+  // lag over (user, time) marks session starts; a running sum of the
+  // marks numbers sessions; grouping by (user, session) yields per-
+  // session stats. Timestamps compared in epoch micros for engine-
+  // exact arithmetic. One shuffle on user_id (window) + map-side
+  // partial agg — the standard scalable shape (session count per user
+  // is unbounded, but state per row is O(1)).
+  def w2Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val GapUs = 30L * 60 * 1000000
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > GapUs, 1)
+          .when(lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(w).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+  }
+  val w2Sql =
+    """WITH t AS (SELECT user_id, event_id, epoch_us(ts) us FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |m AS (SELECT user_id, event_id, us, CASE WHEN lag(us, 1) OVER w IS NULL THEN 1
+      |    WHEN us - lag(us, 1) OVER w > 1800000000 THEN 1 ELSE 0 END new_sess
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT user_id, us, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) session_id FROM m)
+      |SELECT user_id, session_id, count(*) n_events, max(us) - min(us) AS duration_us
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
+  // ---- F4: datetime functions --------------------------------------------
+  def f4Datetime(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+      date_trunc("month", col("o_orderdate")).as("month_start"))
+  val f4Sql =
+    "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y, " +
+      "CAST(month(o_orderdate) AS INT) AS m, CAST(day(o_orderdate) AS INT) AS d, " +
+      "strftime(o_orderdate, '%Y-%m') AS ym, date_trunc('month', o_orderdate) AS month_start " +
+      "FROM orders"
+
+  // ---- A7: conditional aggregation ----------------------------------------
+  def a7ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+      Aggregates.exactSum(when(col("l_returnflag") === "R", col("l_extendedprice"))
+        .otherwise(lit(0.0))).as("returned_value"),
+      count(when(col("l_discount") > 0.05, 1)).as("n_discounted"))
+  val a7Sql =
+    "SELECT count(*) FILTER (l_returnflag = 'R') AS n_returned, " +
+      s"CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS $AvgDec)) AS DOUBLE) AS returned_value, " +
+      "count(*) FILTER (l_discount > 0.05) AS n_discounted FROM lineitem"
+
   /** Flagship query (SparkEntry.entry): the reference dashboard's
     * "average metric by geography, ranked" question (dashboard_app/
     * app.py:57,74) over testdata — star join, grouped mean, ordered.
@@ -410,7 +468,10 @@ object ParityQueries {
     "s7_cached_fanout" -> (s7CachedFanout _),
     "s1_csv_roundtrip" -> (s1CsvRoundtrip _),
     "f2_f3_format" -> (f2f3Format _),
-    "w1_window_agg" -> (w1WindowAgg _)
+    "w1_window_agg" -> (w1WindowAgg _),
+    "w2_sessionize" -> (w2Sessionize _),
+    "f4_datetime" -> (f4Datetime _),
+    "a7_conditional_agg" -> (a7ConditionalAgg _)
   )
 
   val sql: Map[String, String] = Map(
@@ -441,6 +502,9 @@ object ParityQueries {
     "s7_cached_fanout" -> s7Sql,
     "s1_csv_roundtrip" -> s1Sql,
     "f2_f3_format" -> f2f3Sql,
-    "w1_window_agg" -> w1Sql
+    "w1_window_agg" -> w1Sql,
+    "w2_sessionize" -> w2Sql,
+    "f4_datetime" -> f4Sql,
+    "a7_conditional_agg" -> a7Sql
   )
 }

@@ -12,6 +12,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: a small scan+agg job absorbs JVM/codegen/parquet-footer
+    // startup so it doesn't land on the alphabetically-first query
+    // (r2 showed ~5s of warm-up attributed to a1_count).
+    try SparkEntry.queries.get("a1_count")
+      .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
+    catch { case _: Throwable => () }
     // Drive with a noop write, not count(): under count() Catalyst's
     // EliminateSorts deletes orderBys, so sort queries would measure
     // nothing. Failures are reported explicitly instead of as -1.

@@ -189,6 +189,18 @@ object ExtQueries {
     "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest, " +
       s"CAST(${duckMd5Int("md5(text) || '_0'")} % 1000 AS DOUBLE) / 1000.0 AS feat0 FROM documents"
 
+  // ---- E5a: BPE-ish regex token counts (vs whitespace tokens) --------------
+  def e5BpeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(TextOps.tokensBpe(col("text"))).cast("long").as("n_bpe"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_ws"))
+  val e5aSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws
+      |FROM documents""".stripMargin
+
   // ---- E5: token statistics grouped by (lang, source) ----------------------
   def e5TokenStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -264,6 +276,7 @@ object ExtQueries {
     "e3_ann_bucketed" -> (e3AnnBucketed _),
     "e4_embedding_stats" -> (e4EmbeddingStats _),
     "e4_blob_meta" -> (e4BlobMeta _),
+    "e5_bpe_tokens" -> (e5BpeTokens _),
     "e5_token_stats" -> (e5TokenStats _),
     "e5_word_freq" -> (e5WordFreq _),
     "e5_quality_langid" -> (e5QualityLangid _),
@@ -279,6 +292,7 @@ object ExtQueries {
     "e3_ann_bucketed" -> e3bSql,
     "e4_embedding_stats" -> e4Sql,
     "e4_blob_meta" -> e4bSql,
+    "e5_bpe_tokens" -> e5aSql,
     "e5_token_stats" -> e5Sql,
     "e5_word_freq" -> e5bSql,
     "e5_quality_langid" -> e5cSql,

@@ -53,6 +53,15 @@ object TextOps {
   /** Token count per document. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish regex tokenizer: lowercase, then alternate runs of
+    * alphanumerics and single non-space punctuation — the classic
+    * pre-tokenization split a byte-pair encoder refines. Regex kept
+    * to a portable subset (character classes + alternation) so the
+    * DuckDB oracle's RE2 and Spark's Java regex agree.
+    */
+  def tokensBpe(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
+
   /** Fraction of tokens found in `stopwords` (frequency, not distinct
     * overlap — 'the the the' counts three times).
     */

@@ -120,6 +120,20 @@ class OpsSpec extends SparkSpec {
     assert(j.select("k").as[String].collect().toSeq == Seq("2"))
   }
 
+  // ---- S4: partitioned writes enable partition pruning --------------------
+  test("writeParquet(partitionBy) prunes partitions for key filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
+    val df = (1 to 100).map(i => (s"p${i % 4}", i)).toDF("part_key", "v")
+    Sink.writeParquet(df, dir, partitionByCols = Seq("part_key"))
+    val back = Sink.readParquet(spark, dir).filter(col("part_key") === "p1")
+    assert(back.count() == 25)
+    // the filter must reach the scan as a partition filter (pruned
+    // read), not a post-scan predicate over all partitions
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("part_key") && plan.contains("p1"))
+  }
+
   // ---- J4: salting is semantics-preserving -------------------------------
   test("saltedInnerJoin returns exactly the plain inner join rows") {
     val l = (1 to 200).map(i => (i % 5, i)).toDF("k", "lv") // 5 hot keys

@@ -402,7 +402,27 @@ object ParityQueries {
       |SELECT user_id, session_id, count(*) n_events, max(us) - min(us) AS duration_us
       |FROM s GROUP BY user_id, session_id""".stripMargin
 
-  // ---- F4: datetime functions --------------------------------------------
+  // ---- W3: native session windows (Spark's SessionWindow operator) -------
+  // Same semantics as the manual w2 chain but through the engine's
+  // built-in session_window (merge while gap < 30 min; window end =
+  // last event + gap) — exercises Spark's dedicated session-merge
+  // physical operator, which is also the streaming-capable form.
+  def w3SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("n_events"))
+  val w3Sql =
+    """WITH t AS (SELECT user_id, event_id, epoch_us(ts) us FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |m AS (SELECT user_id, event_id, us, CASE WHEN lag(us, 1) OVER w IS NULL THEN 1
+      |    WHEN us - lag(us, 1) OVER w >= 1800000000 THEN 1 ELSE 0 END new_sess
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT user_id, us, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) sid FROM m)
+      |SELECT user_id, make_timestamp(min(us)) AS sess_start,
+      |  make_timestamp(max(us) + 1800000000) AS sess_end, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin
   def f4Datetime(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).select(
       col("o_orderkey"),
@@ -470,6 +490,7 @@ object ParityQueries {
     "f2_f3_format" -> (f2f3Format _),
     "w1_window_agg" -> (w1WindowAgg _),
     "w2_sessionize" -> (w2Sessionize _),
+    "w3_session_window" -> (w3SessionWindow _),
     "f4_datetime" -> (f4Datetime _),
     "a7_conditional_agg" -> (a7ConditionalAgg _)
   )
@@ -504,6 +525,7 @@ object ParityQueries {
     "f2_f3_format" -> f2f3Sql,
     "w1_window_agg" -> w1Sql,
     "w2_sessionize" -> w2Sql,
+    "w3_session_window" -> w3Sql,
     "f4_datetime" -> f4Sql,
     "a7_conditional_agg" -> a7Sql
   )

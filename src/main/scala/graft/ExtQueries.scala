@@ -237,6 +237,7 @@ object ExtQueries {
       col("doc_id"),
       size(tk).cast("long").as("n_tokens"),
       TextOps.stopwordRatio(tk, TextOps.enMarkers).as("stop_ratio"),
+      TextOps.punctRatio(col("text")).as("punct_ratio"),
       TextOps.qualityScore(tk, TextOps.enMarkers).as("quality"),
       TextOps.langIdGuess(tk).as("lang_guess"))
   }
@@ -245,7 +246,8 @@ object ExtQueries {
     val tk = "string_split_regex(trim(text), '\\s+')"
     val stop = s"CAST(len(list_filter($tk, t -> t IN ${inList(TextOps.enMarkers)})) AS DOUBLE) / CAST(len($tk) AS DOUBLE)"
     def mc(xs: Seq[String]) = s"len(list_filter($tk, t -> t IN ${inList(xs)}))"
-    s"SELECT doc_id, CAST(len($tk) AS BIGINT) AS n_tokens, $stop AS stop_ratio, " +
+    val punct = "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+    s"SELECT doc_id, CAST(len($tk) AS BIGINT) AS n_tokens, $stop AS stop_ratio, $punct AS punct_ratio, " +
       s"$stop * 0.5 + least(CAST(len($tk) AS DOUBLE) / 100.0, 1.0) * 0.5 AS quality, " +
       s"CASE WHEN ${mc(TextOps.enMarkers)} >= ${mc(TextOps.deMarkers)} AND ${mc(TextOps.enMarkers)} >= ${mc(TextOps.frMarkers)} THEN 'en' " +
       s"WHEN ${mc(TextOps.deMarkers)} >= ${mc(TextOps.frMarkers)} THEN 'de' ELSE 'fr' END AS lang_guess " +

@@ -336,6 +336,28 @@ object ParityQueries {
     "SELECT lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS supp_id, " +
       "s_name, s_nationkey, s_acctbal FROM supplier"
 
+  // ---- S2: JSON sink → schema'd JSON scan round-trip -----------------------
+  // Second source format beyond CSV/parquet: overwrite-write JSON lines,
+  // read back with an explicit schema (no inference pass), leading-zero
+  // string keys intact. Oracle never sees the JSON — any round-trip
+  // corruption diverges from the parquet-derived truth.
+  def s2JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = Tables.nation(s, dir).select(
+      lpad(col("n_nationkey").cast("string"), 4, "0").as("nation_id"),
+      col("n_name"), col("n_regionkey"))
+    val path = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current.pid}"
+    out.write.mode("overwrite").json(path)
+    s.read.schema(StructType(Seq(
+      StructField("nation_id", StringType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))).json(path)
+  }
+  val s2Sql =
+    "SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS nation_id, " +
+      "n_name, n_regionkey FROM nation"
+
   // ---- F2/F3: display formatting (dashboard_app/app.py:47-48) -------------
   // format_number(x, 0) == python f"{n:,}"; format_number(x, 3) == f"{x:.3f}".
   // The mean is computed on the exact decimal path, then the resulting
@@ -487,6 +509,7 @@ object ParityQueries {
     "f1_string_funcs" -> (f1StringFuncs _),
     "s7_cached_fanout" -> (s7CachedFanout _),
     "s1_csv_roundtrip" -> (s1CsvRoundtrip _),
+    "s2_json_roundtrip" -> (s2JsonRoundtrip _),
     "f2_f3_format" -> (f2f3Format _),
     "w1_window_agg" -> (w1WindowAgg _),
     "w2_sessionize" -> (w2Sessionize _),
@@ -522,6 +545,7 @@ object ParityQueries {
     "f1_string_funcs" -> f1Sql,
     "s7_cached_fanout" -> s7Sql,
     "s1_csv_roundtrip" -> s1Sql,
+    "s2_json_roundtrip" -> s2Sql,
     "f2_f3_format" -> f2f3Sql,
     "w1_window_agg" -> w1Sql,
     "w2_sessionize" -> w2Sql,

@@ -69,6 +69,13 @@ object TextOps {
     size(filter(tk, t => t.isin(stopwords: _*))).cast("double") /
       size(tk).cast("double")
 
+  /** Punctuation density: punctuation chars / total chars (explicit
+    * char class, portable between Java regex and RE2).
+    */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+      .cast("double") / length(text).cast("double")
+
   /** Quality score in [0,1]: half stopword-density (fluent text has
     * function words), half length saturation (very short docs score
     * low). A deliberately simple, deterministic heuristic — the point

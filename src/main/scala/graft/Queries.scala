@@ -471,6 +471,79 @@ object ParityQueries {
       s"CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS $AvgDec)) AS DOUBLE) AS returned_value, " +
       "count(*) FILTER (l_discount > 0.05) AS n_discounted FROM lineitem"
 
+  // ---- Q1: TPC-H-style pricing summary (composed analytical query) -------
+  // Multi-aggregate grouped summary with a per-row arithmetic term:
+  // the extendedprice·(1-discount) product is IEEE double in both
+  // engines, then accumulated through the exact decimal path.
+  // Monetary values are summed at the data's TRUE scale (DECIMAL(28,2)
+  // for 2-decimal prices, (28,4) for price·discount products) rather
+  // than (28,10): Spark's double→decimal cast goes through the
+  // shortest round-trip string (BigDecimal.valueOf) while DuckDB
+  // expands the exact binary value, so at scale 10 the two capture
+  // different noise digits once |value|·2⁻⁵³ crosses the 1e-10 grid
+  // (~1e6 magnitudes). At the true scale the noise is far below the
+  // rounding threshold and both engines produce the identical decimal.
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") <= lit("1999-12-01"))
+    val discPrice = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(28,4)")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Aggregates.exactSum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(28,2)")).cast("double")
+          .as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        Aggregates.exactMean(col("l_quantity")).as("avg_qty"),
+        Aggregates.exactMean(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+  }
+  val q1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS $AvgDec)) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+       |  ${meanSql("l_quantity")} AS avg_qty,
+       |  ${meanSql("l_discount")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- Q3: TPC-H-style shipping priority (join + group + top-k) ----------
+  // Star join with both dims filtered, grouped revenue, distributed
+  // top-10 — the canonical "analytical funnel" composition.
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01")
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("o_custkey"))
+    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    // same 4-decimal exactness argument as q1
+    val revenue = sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(28,4)")).cast("double").as("revenue")
+    val grouped = li
+      .join(ord.join(broadcast(cust), Seq("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(revenue)
+    Ranking.topK(grouped,
+      Seq(col("revenue").desc, col("l_orderkey").asc), 10)
+  }
+  val q3Sql =
+    s"""SELECT l_orderkey, o_orderdate,
+       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   /** Flagship query (SparkEntry.entry): the reference dashboard's
     * "average metric by geography, ranked" question (dashboard_app/
     * app.py:57,74) over testdata — star join, grouped mean, ordered.
@@ -515,7 +588,9 @@ object ParityQueries {
     "w2_sessionize" -> (w2Sessionize _),
     "w3_session_window" -> (w3SessionWindow _),
     "f4_datetime" -> (f4Datetime _),
-    "a7_conditional_agg" -> (a7ConditionalAgg _)
+    "a7_conditional_agg" -> (a7ConditionalAgg _),
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _)
   )
 
   val sql: Map[String, String] = Map(
@@ -551,6 +626,8 @@ object ParityQueries {
     "w2_sessionize" -> w2Sql,
     "w3_session_window" -> w3Sql,
     "f4_datetime" -> f4Sql,
-    "a7_conditional_agg" -> a7Sql
+    "a7_conditional_agg" -> a7Sql,
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql
   )
 }

@@ -15,4 +15,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object ColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function on a LIVE session (the
+    * SparkSessionExtensions route only applies at session build;
+    * getOrCreate silently ignores withExtensions when a session
+    * already exists).
+    */
+  def registerTempFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native functions must be reachable from pure SQL when the
+  * extension is installed (SQL-first users; the DataFrame API never
+  * needs it).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // live-session route (getOrCreate ignores withExtensions once a
+    // session exists, so the registrar is the reliable path)
+    val s = TestSpark.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("graft_dot and graft_simhash32 are callable from SQL") {
+    val dot = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").collect().head.getDouble(0)
+    assert(dot == 11.0)
+    val sh = spark.sql(
+      "SELECT graft_simhash32(array(CAST(5 AS BIGINT))) AS s").collect().head.getLong(0)
+    assert(sh == 5L) // single token: its low bits vote directly
+  }
+
+  test("graft_minhash_sig returns H minima consistent with the Scala constants") {
+    val row = spark.sql(
+      "SELECT graft_minhash_sig(array(CAST(7 AS BIGINT), CAST(11 AS BIGINT))) AS sig")
+      .collect().head.getSeq[Long](0)
+    import graft.ext.MinHash._
+    val expected = (0 until NumHashes).map { i =>
+      Seq(7L, 11L).map(m => (aConst(i) * m + bConst(i)) % P).min
+    }
+    assert(row == expected)
+  }
+}

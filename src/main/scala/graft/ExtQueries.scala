@@ -160,6 +160,34 @@ object ExtQueries {
        |  FROM scored) WHERE rk <= $AnnK""".stripMargin
   }
 
+  // ---- E3c: IVF-style ANN (centroid cells; data-adaptive buckets) ----------
+  private val IvfCentroids = 16
+  def e3IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(
+      emb.filter(col("vec_id") < AnnQueries), emb,
+      emb.filter(col("vec_id") < IvfCentroids), AnnK)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+  val e3cSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2 FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS cent_emb, n2 AS cent_n2 FROM e WHERE vec_id < $IvfCentroids),
+       |assign AS (SELECT vec_id, embedding, n2, cid FROM (
+       |  SELECT v.vec_id, v.embedding, v.n2, cent.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${duckDot("v.embedding", "cent.cent_emb")} / (sqrt(v.n2) * sqrt(cent.cent_n2)) DESC, cent.cid) AS rn
+       |  FROM e v CROSS JOIN cent) WHERE rn = 1),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM assign q JOIN assign c ON q.cid = c.cid
+       |  WHERE q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id)
+       |SELECT query_id, vec_id, cos_sim, rk FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= $AnnK""".stripMargin
+  }
+
   // ---- E4: array-column statistics over embeddings -------------------------
   def e4EmbeddingStats(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(
@@ -276,6 +304,7 @@ object ExtQueries {
     "e2_embed_neardup" -> (e2EmbedNearDup _),
     "e3_cosine_topk" -> (e3CosineTopK _),
     "e3_ann_bucketed" -> (e3AnnBucketed _),
+    "e3_ivf_topk" -> (e3IvfTopK _),
     "e4_embedding_stats" -> (e4EmbeddingStats _),
     "e4_blob_meta" -> (e4BlobMeta _),
     "e5_bpe_tokens" -> (e5BpeTokens _),
@@ -292,6 +321,7 @@ object ExtQueries {
     "e2_embed_neardup" -> e2cSql,
     "e3_cosine_topk" -> e3Sql,
     "e3_ann_bucketed" -> e3bSql,
+    "e3_ivf_topk" -> e3cSql,
     "e4_embedding_stats" -> e4Sql,
     "e4_blob_meta" -> e4bSql,
     "e5_bpe_tokens" -> e5aSql,

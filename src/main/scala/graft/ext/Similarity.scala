@@ -87,6 +87,50 @@ object Similarity {
       .withColumn("rk", col("rk").cast("long"))
   }
 
+  /** IVF-style cell assignment: each vector goes to its single
+    * highest-cosine centroid (ties → lowest centroid id). Centroids
+    * are a k-bounded frame, always broadcast. A production IVF learns
+    * centroids with k-means; any fixed centroid set (here: a
+    * deterministic subset of the corpus) exercises the identical
+    * plan — broadcast-assign, then co-partition by cell.
+    */
+  def assignToCentroid(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val cent = centroids.select(
+      col("vec_id").as("cid"),
+      col("embedding").as("cent_emb"),
+      norm2(col("embedding")).as("cent_n2"))
+    val scored = vectors.select(
+      col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cid"),
+        cosineFrom(dot(col("embedding"), col("cent_emb")), col("n2"), col("cent_n2"))
+          .as("cent_cos"))
+    graft.ops.Ranking
+      .topKPerGroup(scored, Seq("vec_id"), Seq(col("cent_cos").desc, col("cid").asc), 1)
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cid"))
+  }
+
+  /** IVF-bucketed ANN top-k: queries probe only their own centroid's
+    * cell. Same candidate-bounded join shape as [[bucketedTopK]] but
+    * with data-adaptive cells instead of sign bits — recall follows
+    * cell quality; at scale the cell key replaces a learned k-means
+    * index's posting lists.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    val q = assignToCentroid(queries, centroids).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("n2").as("q_n2"), col("cid"))
+    val c = assignToCentroid(corpus, centroids)
+    val scored = c.join(q, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
+          .as("cos_sim"))
+    graft.ops.Ranking.topKPerGroup(
+      scored, Seq("query_id"), Seq(col("cos_sim").desc, col("vec_id").asc), k)
+      .withColumn("rk", col("rk").cast("long"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors in the same
     * sign-bit bucket whose cosine exceeds `threshold`, emitted once
     * (vec_a < vec_b). The dedup-by-similarity building block for

@@ -80,6 +80,21 @@ class ExtSpec extends SparkSpec {
     assert(out == Set((0L, 1L), (1L, 0L))) // vec 2 isolated in its bucket
   }
 
+  test("ivfTopK probes only the query's own centroid cell") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),    // centroid A
+      (1L, Array(0f, 1f)),    // centroid B
+      (2L, Array(0.9f, 0.1f)),  // cell A
+      (3L, Array(0.1f, 0.9f)),  // cell B
+      (4L, Array(0.95f, 0.05f)) // cell A
+    ).toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") < 2)
+    val out = Similarity.ivfTopK(vecs.filter(col("vec_id") === 2L), vecs, cents, 5)
+      .select("vec_id").as[Long].collect().toSet
+    // cell A members only (0, 4) — vector 3 lives in cell B, never scored
+    assert(out == Set(0L, 4L))
+  }
+
   // ---- E4 ---------------------------------------------------------------
   test("blob plumbing: byte length, digest stability, features in [0,1)") {
     val df = Seq("hello").toDF("t").select(

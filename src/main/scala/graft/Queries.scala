@@ -471,6 +471,35 @@ object ParityQueries {
       s"CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS $AvgDec)) AS DOUBLE) AS returned_value, " +
       "count(*) FILTER (l_discount > 0.05) AS n_discounted FROM lineitem"
 
+  // ---- A8: pivot (wide summary; fixed pivot values keep the schema
+  // static and the plan a single pass of conditional aggregates) ----------
+  def a8Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(Aggregates.exactSum(col("l_quantity")))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+  val a8Sql =
+    s"""SELECT l_returnflag,
+       |  CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS $AvgDec)) AS DOUBLE) AS qty_f,
+       |  CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS $AvgDec)) AS DOUBLE) AS qty_o
+       |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---- A9: scalar-subquery comparison (items above the global mean) ------
+  // The aggregate is a 1-row frame cross-joined (broadcast) onto the
+  // fact scan — the distributed form of `WHERE x > (SELECT avg(x) …)`.
+  def a9AboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val avgPrice = li.agg(Aggregates.exactMean(col("l_extendedprice")).as("mean_price"))
+    li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .crossJoin(broadcast(avgPrice))
+      .filter(col("l_extendedprice") > col("mean_price"))
+      .agg(count(lit(1)).as("n_above"))
+  }
+  val a9Sql =
+    s"SELECT count(*) AS n_above FROM lineitem " +
+      s"WHERE l_extendedprice > (SELECT ${meanSql("l_extendedprice")} FROM lineitem)"
+
   // ---- Q1: TPC-H-style pricing summary (composed analytical query) -------
   // Multi-aggregate grouped summary with a per-row arithmetic term:
   // the extendedprice·(1-discount) product is IEEE double in both
@@ -589,6 +618,8 @@ object ParityQueries {
     "w3_session_window" -> (w3SessionWindow _),
     "f4_datetime" -> (f4Datetime _),
     "a7_conditional_agg" -> (a7ConditionalAgg _),
+    "a8_pivot" -> (a8Pivot _),
+    "a9_above_avg" -> (a9AboveAvg _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _)
   )
@@ -627,6 +658,8 @@ object ParityQueries {
     "w3_session_window" -> w3Sql,
     "f4_datetime" -> f4Sql,
     "a7_conditional_agg" -> a7Sql,
+    "a8_pivot" -> a8Sql,
+    "a9_above_avg" -> a9Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql
   )

@@ -69,6 +69,23 @@ class PipelineSpec extends SparkSpec {
     assert(second.count() == 2)
   }
 
+  test("golden E2E: fully-filtered input yields an empty frame with intact schema") {
+    val dir = Files.createTempDirectory("graft_golden_empty")
+    val readm = writeCsv(dir, "readmissions.csv",
+      "Facility ID,Facility Name,State,Measure Name,Number of Discharges,Excess Readmission Ratio,Start Date",
+      "010001,A,XX,READM-30-AMI-HRRP,100,1.2,07/01/2021") // wrong measure only
+    val hosp = writeCsv(dir, "hospital_info.csv",
+      "Facility ID,Facility Name,City/Town,State,Hospital Type,Hospital Ownership,Phone Number",
+      "010001,True A,Springfield,AL,Acute Care,Government,555-0001")
+    val out = dir.resolve("hf").toString
+    val result = HeartFailureEtl.run(spark, readm, hosp, out)
+    assert(result.count() == 0)
+    assert(result.columns.length == 10) // schema survives an empty write
+    assert(Dashboard.totalHospitals(result).as[Long].head() == 0L)
+    // null-skipping mean over zero rows is null, like pandas mean of empty
+    assert(Dashboard.averageRatio(result).collect().head.isNullAt(0))
+  }
+
   test("dashboard queries over the golden sink") {
     val (readmCsv, hospCsv) = fixtures
     val out = Files.createTempDirectory("graft_golden_out3").resolve("hf").toString

@@ -15,9 +15,12 @@ object Bench {
     // Warm-up: a small scan+agg job absorbs JVM/codegen/parquet-footer
     // startup so it doesn't land on the alphabetically-first query
     // (r2 showed ~5s of warm-up attributed to a1_count).
+    // NonFatal only: swallowing OutOfMemoryError / linkage errors here
+    // would let the bench proceed on a broken JVM and misattribute the
+    // failure to later queries (r3 ADVICE).
     try SparkEntry.queries.get("a1_count")
       .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     // Drive with a noop write, not count(): under count() Catalyst's
     // EliminateSorts deletes orderBys, so sort queries would measure
     // nothing. Failures are reported explicitly instead of as -1.

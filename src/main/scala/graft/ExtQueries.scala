@@ -109,6 +109,26 @@ object ExtQueries {
        |FROM pairs p JOIN msd ma ON p.doc_a = ma.doc_id JOIN msd mb ON p.doc_b = mb.doc_id""".stripMargin
   }
 
+  // ---- E2d: SimHash hamming near-duplicate pairs ---------------------------
+  private val SimHashRadius = 3
+  def e2SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", SimHashRadius)
+  val e2dSql: String = {
+    import Dedup.{SimHashChunkBits, SimHashChunks}
+    val mask = (1L << SimHashChunkBits) - 1
+    val chunkList = (0 until SimHashChunks)
+      .map(c => s"(simhash >> ${c * SimHashChunkBits}) & $mask").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'), tok -> ${duckMd5Int("tok")}) hs FROM documents),
+       |s AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b ->
+       |  CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash FROM t),
+       |chunks AS (SELECT doc_id, simhash, unnest(range($SimHashChunks)) cidx, unnest([$chunkList]) cval FROM s)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM chunks a JOIN chunks b ON a.cidx = b.cidx AND a.cval = b.cval AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashRadius""".stripMargin
+  }
+
   // ---- E2c: embedding-cosine near-duplicate pairs --------------------------
   def e2EmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir), AnnBits, NearDupThreshold)
@@ -301,6 +321,7 @@ object ExtQueries {
     "e1_dedup_exact" -> (e1DedupExact _),
     "e2_minhash_pairs" -> (e2MinhashPairs _),
     "e2_ngram_jaccard" -> (e2NgramJaccard _),
+    "e2_simhash_pairs" -> (e2SimhashPairs _),
     "e2_embed_neardup" -> (e2EmbedNearDup _),
     "e3_cosine_topk" -> (e3CosineTopK _),
     "e3_ann_bucketed" -> (e3AnnBucketed _),
@@ -318,6 +339,7 @@ object ExtQueries {
     "e1_dedup_exact" -> e1Sql,
     "e2_minhash_pairs" -> e2Sql,
     "e2_ngram_jaccard" -> e2bSql,
+    "e2_simhash_pairs" -> e2dSql,
     "e2_embed_neardup" -> e2cSql,
     "e3_cosine_topk" -> e3Sql,
     "e3_ann_bucketed" -> e3bSql,

@@ -81,8 +81,7 @@ object PipelineQueries {
     */
   def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
     val (readm, hosp) = analogInputs(s, dir)
-    val base = s"${sys.props("java.io.tmpdir")}/graft_pipeline_" +
-      s"${math.abs(dir.hashCode)}_${ProcessHandle.current.pid}"
+    val base = Sink.scratchDir(s"pipeline_${math.abs(dir.hashCode)}")
     Sink.writeCsv(readm, s"$base/readmissions")
     Sink.writeCsv(hosp, s"$base/hospital_info")
     HeartFailureEtl.transform(
@@ -95,10 +94,13 @@ object PipelineQueries {
   /** Dashboard fan-out over the cached ETL result: both headline
     * metrics and both grouped means as one union-shaped frame
     * (same pattern as s7; null states dropped per pandas groupby).
+    * The persist is EAGER — the 4-way union scans it within one job,
+    * and a lazy persist would race its own branches (see
+    * [[Sink.cachedEager]]).
     */
   def pipelineDashboard(s: SparkSession, dir: String): DataFrame = {
     val (readm, hosp) = analogInputs(s, dir)
-    val etl = Sink.cached(HeartFailureEtl.transform(readm, hosp, Measure))
+    val etl = Sink.cachedEager(HeartFailureEtl.transform(readm, hosp, Measure))
     val m1 = Dashboard.totalHospitals(etl).select(
       lit("n_hospitals").as("which"), lit("").as("k"),
       col("n_facility_id").cast("double").as("metric"))
@@ -122,13 +124,45 @@ object PipelineQueries {
        |UNION ALL SELECT 'by_ownership', hospital_ownership, $m FROM etl GROUP BY hospital_ownership""".stripMargin
   }
 
+  /** Interactive top-N table (reference dashboard_app/app.py:90-101):
+    * both widget settings — highest and lowest — at a fixed n, as one
+    * union-shaped frame. The analog etl has multiple rows per
+    * facility (orders fan out per customer), so the tiebreakers
+    * extend to facility_name ('ord_<orderkey>', unique) for the total
+    * order [[Dashboard.topHospitals]] requires.
+    */
+  private val TopN = 5
+  def pipelineTopn(s: SparkSession, dir: String): DataFrame = {
+    val (readm, hosp) = analogInputs(s, dir)
+    val etl = Sink.cachedEager(HeartFailureEtl.transform(readm, hosp, Measure))
+    val outCols = Seq(
+      col("facility_id"), col("facility_name"), col("state"),
+      col("excess_readmission_ratio"))
+    val tb = Seq(col("facility_id").asc, col("facility_name").asc)
+    Dashboard.topHospitals(etl, highest = true, TopN, tb)
+      .select(lit("highest").as("which") +: outCols: _*)
+      .unionByName(Dashboard.topHospitals(etl, highest = false, TopN, tb)
+        .select(lit("lowest").as("which") +: outCols: _*))
+  }
+  val pipelineTopnSql: String = {
+    val cols = "facility_id, facility_name, state, excess_readmission_ratio"
+    def side(which: String, dirn: String) =
+      s"""SELECT which, $cols FROM (
+         |  SELECT '$which' AS which, $cols,
+         |    row_number() OVER (ORDER BY excess_readmission_ratio $dirn, facility_id, facility_name) AS rk
+         |  FROM etl) WHERE rk <= $TopN""".stripMargin
+    s"$etlCtes\n${side("highest", "DESC")}\nUNION ALL\n${side("lowest", "ASC")}"
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_e2e" -> (pipelineE2e _),
-    "pipeline_dashboard" -> (pipelineDashboard _)
+    "pipeline_dashboard" -> (pipelineDashboard _),
+    "pipeline_topn" -> (pipelineTopn _)
   )
 
   val sql: Map[String, String] = Map(
     "pipeline_e2e" -> pipelineE2eSql,
-    "pipeline_dashboard" -> pipelineDashboardSql
+    "pipeline_dashboard" -> pipelineDashboardSql,
+    "pipeline_topn" -> pipelineTopnSql
   )
 }

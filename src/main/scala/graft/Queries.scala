@@ -293,9 +293,12 @@ object ParityQueries {
 
   // ---- S7: cache + multi-action fan-out (dashboard_app/app.py:28-33) ------
   // One cached DataFrame feeds several aggregates; registered as a single
-  // union-shaped summary so the oracle can check it.
+  // union-shaped summary so the oracle can check it. The persist is
+  // EAGER: both union branches scan it within one job, and a lazy
+  // persist would make their tasks race to populate the same cache
+  // partitions (r3's 5× regression).
   def s7CachedFanout(s: SparkSession, dir: String): DataFrame = {
-    val li = Sink.cached(
+    val li = Sink.cachedEager(
       Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_quantity"), col("l_discount")))
     val byFlagQty = li.groupBy(col("l_returnflag"))
       .agg(Aggregates.exactMean(col("l_quantity")).as("metric"))
@@ -321,10 +324,10 @@ object ParityQueries {
     val out = Tables.supplier(s, dir).select(
       lpad(col("s_suppkey").cast("string"), 8, "0").as("supp_id"),
       col("s_name"), col("s_nationkey"), col("s_acctbal"))
-    // PID-qualified path: concurrent runners (Bench + Verify on the same
-    // sf dir) must not race overwrite-vs-read on one directory.
-    val path = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip_" +
-      s"${math.abs(dir.hashCode)}_${ProcessHandle.current.pid}"
+    // PID-qualified scratch path (shutdown-hook cleaned): concurrent
+    // runners (Bench + Verify on the same sf dir) must not race
+    // overwrite-vs-read on one directory.
+    val path = Sink.scratchDir(s"csv_roundtrip_${math.abs(dir.hashCode)}")
     Sink.writeCsv(out, path)
     Ingest.csv(s, path, StructType(Seq(
       StructField("supp_id", StringType),
@@ -346,8 +349,7 @@ object ParityQueries {
     val out = Tables.nation(s, dir).select(
       lpad(col("n_nationkey").cast("string"), 4, "0").as("nation_id"),
       col("n_name"), col("n_regionkey"))
-    val path = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip_" +
-      s"${math.abs(dir.hashCode)}_${ProcessHandle.current.pid}"
+    val path = Sink.scratchDir(s"json_roundtrip_${math.abs(dir.hashCode)}")
     out.write.mode("overwrite").json(path)
     s.read.schema(StructType(Seq(
       StructField("nation_id", StringType),

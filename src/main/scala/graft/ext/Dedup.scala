@@ -25,6 +25,60 @@ object Dedup {
   def exact(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
 
+  /** SimHash chunk geometry for [[simhashPairs]]: a 32-bit simhash
+    * cut into 4 chunks of 8 bits. Pigeonhole: two hashes within
+    * hamming distance 3 differ in at most 3 bits, so at least one of
+    * the 4 chunks is bit-identical — bucketing on (chunk index, chunk
+    * value) has perfect recall for radius ≤ 3. At corpus scale the
+    * same design widens to a 64-bit simhash with 16-bit chunks (more
+    * selective buckets, radius ≤ 3 still guaranteed).
+    */
+  val SimHashChunks = 4
+  val SimHashChunkBits = 8
+
+  /** SimHash hamming near-duplicate pairs — the third near-dup family
+    * next to MinHash banding ([[MinHash.candidatePairs]]) and
+    * embedding LSH ([[Similarity.nearDupPairs]]), and the cheapest:
+    * ONE long per document (no signature array, no embedding), one
+    * chunk-bucket self-join, `bit_count(xor)` as the verifier.
+    *
+    * Plan shape: per-row simhash (codegen'd one-pass
+    * [[graft.functions.SimHash32]]) → eager-persisted hash table
+    * (both self-join sides read it) → posexplode into 4 chunk rows →
+    * equality join on (chunk index, chunk value) → hamming filter in
+    * the candidate stream → distinct. Candidate-bounded, never
+    * all-pairs; both sides shuffle once on the chunk key.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      radius: Int = 3): DataFrame = {
+    require(radius <= SimHashChunks - 1,
+      s"$SimHashChunks chunks guarantee recall only for radius <= ${SimHashChunks - 1}")
+    val hs = transform(TextOps.tokens(col(textCol)), t => TextOps.md5Int32(t))
+    val sims = graft.ops.Sink.cachedEager(
+      df.select(col(idCol).as("doc_id"), TextOps.simhash32(hs).as("simhash")))
+    val chunkVals = (0 until SimHashChunks).map { c =>
+      shiftright(col("simhash"), c * SimHashChunkBits)
+        .bitwiseAND(lit((1L << SimHashChunkBits) - 1))
+    }
+    val chunks = sims.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array(chunkVals: _*)).as(Seq("cidx", "cval")))
+    chunks.as("a")
+      .join(
+        chunks.as("b"),
+        col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= radius)
+      .distinct()
+  }
+
   /** Deterministic dedup: keep the first row per key group by
     * `orderCol` ascending, and report the group size (how many
     * duplicates the kept row represents).

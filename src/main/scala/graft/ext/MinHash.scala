@@ -147,12 +147,14 @@ object MinHash {
     * set comparison runs per candidate pair, never per corpus pair.
     */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String, shingleLen: Int = 3): DataFrame = {
-    val ms = docs
+    // Eager persist (graft.ops.Sink.cachedEager): the pair frame joins
+    // this table TWICE inside one job; a lazy persist would let both
+    // join sides race to populate the same cache partitions.
+    val ms = graft.ops.Sink.cachedEager(docs
       .select(col(idCol).as("doc_id"),
         shingleHashesFromTokens(TextOps.tokens(col(textCol)), shingleLen).as("ms"))
       .filter(size(col("ms")) > 0)
-      .select(col("doc_id"), array_distinct(col("ms")).as("msd"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), array_distinct(col("ms")).as("msd")))
     val inter = size(array_intersect(col("ms_a"), col("ms_b"))).cast("double")
     val uni = (size(col("ms_a")) + size(col("ms_b"))).cast("double") - inter
     candidatePairs(docs, idCol, textCol, shingleLen)
@@ -175,18 +177,19 @@ object MinHash {
     * corpus, so the shuffle spreads evenly).
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String, shingleLen: Int = 3): DataFrame = {
-    // Persist the signatures: the band self-join consumes them twice,
-    // and without the persist both join sides re-tokenize, re-shingle
-    // and re-hash the full corpus (measured ~2× the query). At scale
-    // this materialization is exactly the "signature table" a
+    // Persist the signatures EAGERLY (graft.ops.Sink.cachedEager): the
+    // band self-join consumes them twice within one job, and without
+    // the persist both join sides re-tokenize, re-shingle and re-hash
+    // the full corpus (measured ~2× the query) — while a LAZY persist
+    // makes the two sides race to populate the same cache partitions.
+    // At scale this materialization is exactly the "signature table" a
     // production dedup would checkpoint. Released by the runner's
     // per-query clearCache.
-    val sigs = docs
+    val sigs = graft.ops.Sink.cachedEager(docs
       .select(col(idCol).as("doc_id"),
         shingleHashesFromTokens(TextOps.tokens(col(textCol)), shingleLen).as("ms"))
       .filter(size(col("ms")) > 0)
-      .select(col("doc_id"), signature(col("ms")).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), signature(col("ms")).as("sig")))
     val bands = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(bandKeys(col("sig"))).as(Seq("bidx", "bkey")))

@@ -123,8 +123,10 @@ object TextOps {
     * the lambda formulation runs 32 interpreted per-bit folds over
     * the token array per row; the native loop is one pass.
     */
-  def simhash32(hsCol: String): Column =
+  def simhash32(hsCol: String): Column = simhash32(col(hsCol))
+
+  def simhash32(hs: Column): Column =
     org.apache.spark.sql.graftshim.ColumnBridge.column(
       graft.functions.SimHash32(
-        org.apache.spark.sql.graftshim.ColumnBridge.expression(col(hsCol))))
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(hs)))
 }

@@ -1,0 +1,151 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** Real image codec expressions for the multimodal column family
+  * (SURVEY §2.8 E4): synthesize a deterministic grayscale PNG from an
+  * integer seed, and decode any PNG/BMP back into pixel statistics —
+  * both on the JDK's built-in `javax.imageio` (no external codec
+  * dependencies).
+  *
+  * Together they give the E4 pipeline a REAL encode→decode round-trip
+  * to verify: the synthesized pixels are pure integer arithmetic the
+  * DuckDB oracle replays exactly, so if the PNG encoder or decoder
+  * corrupted anything the decoded stats would diverge from the
+  * oracle's formula-computed truth (same trick as the CSV round-trip
+  * query: the oracle never sees the PNG bytes).
+  *
+  * Both are CodegenFallback: the body is a codec call into ImageIO,
+  * not arithmetic worth inlining into generated code. Still per-row,
+  * shuffle-free, and parallel across partitions — the plan shape is
+  * identical to any scalar expression.
+  */
+object ImageCodec {
+  /** Modulus shared with [[graft.ext.MinHash.P]]-style arithmetic:
+    * keeps every product below 2^62 (seed < 2^32, mixed constant < P
+    * < 2^30), so the identical expressions run overflow-free as
+    * DuckDB BIGINTs.
+    */
+  val P: Long = 1000000007L
+
+  /** Pixel value at flat index i for a given seed — row-major, in
+    * [0, 256). The DuckDB oracle interpolates this exact formula.
+    */
+  def pixel(seed: Long, i: Long): Int = {
+    val mix = ((i + 1L) * 2654435761L + 1013904223L) % P
+    ((seed * mix) % P % 256L).toInt
+  }
+
+  // ImageIO's default stream cache is a temp FILE per encode/decode —
+  // per-row disk churn. Memory cache only.
+  ImageIO.setUseCache(false)
+
+  def encodeGrayPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, pixel(seed, y.toLong * width + x))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream(256)
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Decode + band-0 pixel stats; null for undecodable payloads. */
+  def decodeStats(bytes: Array[Byte]): InternalRow =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var min = Long.MaxValue
+        var max = Long.MinValue
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0).toLong
+            sum += v
+            if (v < min) min = v
+            if (v > max) max = v
+            x += 1
+          }
+          y += 1
+        }
+        new GenericInternalRow(Array[Any](w.toLong, h.toLong, sum, min, max))
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+}
+
+/** binary PNG payload (deterministic width×height grayscale image)
+  * from a bigint seed. Pixel (x, y) = [[ImageCodec.pixel]](seed,
+  * y·width + x) — integer arithmetic an engine without codecs can
+  * replay, which is what makes the decode side oracle-verifiable.
+  */
+case class SynthGrayPng(child: Expression, imgWidth: Int, imgHeight: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(imgWidth > 0 && imgHeight > 0)
+
+  override def prettyName: String = "graft_synth_gray_png"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint seed, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageCodec.encodeGrayPng(input.asInstanceOf[Long], imgWidth, imgHeight)
+
+  override protected def withNewChildInternal(newChild: Expression): SynthGrayPng =
+    copy(child = newChild)
+}
+
+/** Decode an image payload (any ImageIO-supported format — PNG and
+  * BMP ship with the JDK) and emit band-0 pixel statistics as a
+  * struct. Undecodable bytes → null, the coerce-don't-crash contract
+  * a 100 TB multimodal scrub needs (P2's `try_cast` for blobs).
+  */
+case class DecodeImageStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_decode_image_stats"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("img_w", LongType),
+    StructField("img_h", LongType),
+    StructField("px_sum", LongType),
+    StructField("px_min", LongType),
+    StructField("px_max", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageCodec.decodeStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): DecodeImageStats =
+    copy(child = newChild)
+}

@@ -68,4 +68,42 @@ object Sink {
     */
   def cached(df: DataFrame): DataFrame =
     df.persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** S7 for SINGLE-ACTION fan-out: persist AND materialize before the
+    * caller fans out. A lazy persist only pays off when one action
+    * populates it before the others run; when several branches of one
+    * job (a union, a self-join) scan the same unmaterialized persist,
+    * the tasks race to compute and store the same partitions
+    * ("Block rdd_N already exists" warnings, duplicated upstream work
+    * — measured 1.35 s → 6.96 s on the r3 cached-fanout bench). The
+    * eager count() is one cheap pass that fills the cache once; every
+    * branch after it reads hot blocks.
+    */
+  def cachedEager(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
+  /** PID-qualified scratch directory for round-trip queries:
+    * concurrent runners (Bench + Verify over the same sf dir) write to
+    * distinct paths, and a JVM shutdown hook deletes each dir so
+    * repeated runs do not accumulate in the system tmpdir.
+    */
+  def scratchDir(tag: String): String = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_${tag}_${ProcessHandle.current.pid}"
+    if (scratchRegistered.putIfAbsent(path, java.lang.Boolean.TRUE) == null)
+      sys.addShutdownHook(deleteRecursively(new java.io.File(path)))
+    path
+  }
+
+  private val scratchRegistered =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
 }

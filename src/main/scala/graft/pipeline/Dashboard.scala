@@ -38,14 +38,19 @@ object Dashboard {
       .orderBy(col("avg_excess_readmission_ratio").desc_nulls_last,
         col("hospital_ownership").asc)
 
-  /** Interactive top-N (app.py:90-101): highest|lowest by ratio,
-    * facility_id as the total-order tiebreaker. Plans as
-    * TakeOrderedAndProject — no global sort.
+  /** Interactive top-N (app.py:90-101): highest|lowest by ratio, then
+    * explicit tiebreakers. Plans as TakeOrderedAndProject — no global
+    * sort. Pass tiebreakers that form a TOTAL order over the frame
+    * (the default facility_id suffices when the frame has one row per
+    * facility, like the reference's per-measure table): with a partial
+    * order, ties make the returned top-N set engine-dependent.
     */
-  def topHospitals(df: DataFrame, highest: Boolean, n: Int): DataFrame = {
+  def topHospitals(
+      df: DataFrame, highest: Boolean, n: Int,
+      tiebreakers: Seq[Column] = Seq(col("facility_id").asc)): DataFrame = {
     val key: Column =
       if (highest) col("excess_readmission_ratio").desc_nulls_last
       else col("excess_readmission_ratio").asc_nulls_last
-    Ranking.topK(df, Seq(key, col("facility_id").asc), n)
+    Ranking.topK(df, key +: tiebreakers, n)
   }
 }

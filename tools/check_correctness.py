@@ -15,7 +15,6 @@ import sys
 
 import duckdb
 import pandas as pd
-import numpy as np
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 

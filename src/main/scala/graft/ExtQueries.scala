@@ -237,6 +237,37 @@ object ExtQueries {
     "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest, " +
       s"CAST(${duckMd5Int("md5(text) || '_0'")} % 1000 AS DOUBLE) / 1000.0 AS feat0 FROM documents"
 
+  // ---- E4c: REAL image decode — PNG encode→decode→pixel stats --------------
+  // Per-row: seed from the doc digest → deterministic 8×8 grayscale
+  // PNG (javax.imageio encoder) → REAL decode → pixel stats. The
+  // oracle recomputes the stats from the pixel FORMULA (pure integer
+  // arithmetic) without ever seeing the PNG bytes — any encoder or
+  // decoder corruption diverges the hash. inline(array(stats))
+  // evaluates the codec chain ONCE per row regardless of how many
+  // stat fields are projected (a bare multi-field select would let
+  // the optimizer duplicate the decode per field).
+  private val ImgW = 8
+  private val ImgH = 8
+  def e4DecodeStats(s: SparkSession, dir: String): DataFrame = {
+    val seed = TextOps.md5Int32(md5(col("text")))
+    val stats = Multimodal.imageStats(Multimodal.synthImage(seed, ImgW, ImgH))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), inline(array(stats)))
+      .withColumn("px_mean",
+        col("px_sum").cast("double") / lit((ImgW * ImgH).toDouble))
+  }
+  val e4cSql: String = {
+    import graft.functions.ImageCodec.{MixA, MixB, P => IP}
+    val n = ImgW * ImgH
+    s"""WITH seeds AS (SELECT doc_id, ${duckMd5Int("md5(text)")} AS seed FROM documents),
+       |px AS (SELECT doc_id, [((seed * (((i+1)*$MixA + $MixB) % $IP)) % $IP) % 256 for i in range(0, $n)] AS p FROM seeds)
+       |SELECT doc_id, CAST($ImgW AS BIGINT) AS img_w, CAST($ImgH AS BIGINT) AS img_h,
+       |  CAST(list_sum(p) AS BIGINT) AS px_sum, CAST(list_min(p) AS BIGINT) AS px_min,
+       |  CAST(list_max(p) AS BIGINT) AS px_max,
+       |  CAST(list_sum(p) AS DOUBLE) / $n.0 AS px_mean
+       |FROM px""".stripMargin
+  }
+
   // ---- E5a: BPE-ish regex token counts (vs whitespace tokens) --------------
   def e5BpeTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
@@ -328,6 +359,7 @@ object ExtQueries {
     "e3_ivf_topk" -> (e3IvfTopK _),
     "e4_embedding_stats" -> (e4EmbeddingStats _),
     "e4_blob_meta" -> (e4BlobMeta _),
+    "e4_decode_stats" -> (e4DecodeStats _),
     "e5_bpe_tokens" -> (e5BpeTokens _),
     "e5_token_stats" -> (e5TokenStats _),
     "e5_word_freq" -> (e5WordFreq _),
@@ -346,6 +378,7 @@ object ExtQueries {
     "e3_ivf_topk" -> e3cSql,
     "e4_embedding_stats" -> e4Sql,
     "e4_blob_meta" -> e4bSql,
+    "e4_decode_stats" -> e4cSql,
     "e5_bpe_tokens" -> e5aSql,
     "e5_token_stats" -> e5Sql,
     "e5_word_freq" -> e5bSql,

@@ -80,16 +80,36 @@ object Dedup {
   }
 
   /** Deterministic dedup: keep the first row per key group by
-    * `orderCol` ascending, and report the group size (how many
-    * duplicates the kept row represents).
+    * `orderCol` ascending, and report the group size. Deterministic
+    * ONLY when `orderCol` is unique within each key group (like a
+    * row id) — with ties, supply the multi-column overload.
     */
   def exactDeterministic(
       df: DataFrame,
       keys: Seq[String],
       orderCol: String,
+      sizeCol: String): DataFrame =
+    exactDeterministic(df, keys, Seq(orderCol), sizeCol)
+
+  def exactDeterministic(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
+    exactDeterministic(df, keys, Seq(orderCol), "group_size")
+
+  /** Deterministic dedup, multi-column order: keep the first row per
+    * key group by `orderCols` ascending. The representative is
+    * deterministic iff `orderCols` TOTALLY order the rows within
+    * every key group — pass enough tiebreakers to guarantee it
+    * (row_number over a partial order picks an arbitrary row among
+    * ties, which is exactly the non-reproducibility this operator
+    * exists to remove).
+    */
+  def exactDeterministic(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[String],
       sizeCol: String = "group_size"): DataFrame = {
+    require(orderCols.nonEmpty, "at least one order column required")
     val part = Window.partitionBy(keys.map(col): _*)
-    val w = part.orderBy(col(orderCol).asc)
+    val w = part.orderBy(orderCols.map(col(_).asc): _*)
     df.withColumn("__rn", row_number().over(w))
       .withColumn(sizeCol, count(lit(1)).over(part))
       .filter(col("__rn") === 1)

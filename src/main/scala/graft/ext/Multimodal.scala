@@ -7,16 +7,38 @@ import org.apache.spark.sql.functions._
   * video payloads as opaque `binary` columns with typed metadata, and
   * run decode/feature-extraction as per-row expressions.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * STUB: [[fakeFeatures]] derives a deterministic pseudo-feature
-  * vector from the blob's digest in place of a real
-  * decoder+extractor. Everything around it — the binary column, the
-  * metadata schema, the per-row no-shuffle plan shape, the array
-  * output — is the real plumbing a decoder would plug into (swap
-  * [[fakeFeatures]] for a mapInPandas/`Expression` decoder on a
-  * cluster with codecs).
+  * The IMAGE path is real: [[synthImage]] encodes a deterministic
+  * grayscale PNG per row and [[imageStats]] decodes any
+  * ImageIO-supported payload (PNG/BMP ship with the JDK) into pixel
+  * statistics — a genuine encode→decode round-trip the oracle
+  * verifies from the pixel formula without ever seeing the bytes.
+  * Audio/video codecs are not in the JDK, so for those modalities
+  * [[fakeFeatures]] remains the documented placeholder extractor:
+  * same binary column, schema, and per-row no-shuffle plan shape a
+  * real decoder (mapInPandas or an `Expression` like
+  * [[graft.functions.DecodeImageStats]]) plugs into.
   */
 object Multimodal {
+
+  /** Deterministic width×height grayscale PNG from a bigint seed
+    * ([[graft.functions.SynthGrayPng]]) — the payload generator for
+    * codec round-trip tests and the E4 decode query.
+    */
+  def synthImage(seed: Column, width: Int, height: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.SynthGrayPng(
+      ColumnBridge.expression(seed), width, height))
+  }
+
+  /** REAL decode: image payload → struct(img_w, img_h, px_sum,
+    * px_min, px_max) via `javax.imageio`; undecodable bytes → null
+    * ([[graft.functions.DecodeImageStats]]).
+    */
+  def imageStats(blob: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.DecodeImageStats(
+      ColumnBridge.expression(blob)))
+  }
 
   /** Text → binary payload (the testdata has no real blobs; any
     * binary column behaves identically downstream).
@@ -29,11 +51,11 @@ object Multimodal {
   /** Content digest (dedup/key material for blobs). */
   def blobDigest(blob: Column): Column = md5(blob)
 
-  /** STUB feature extractor: n deterministic pseudo-features in
-    * [0,1) derived from md5(digest ++ index). A real implementation
-    * decodes the payload (image resize, audio frame-sample, …) and
-    * emits real features; this keeps schema, batch shape and plan
-    * identical without codecs.
+  /** Placeholder feature extractor for modalities the JDK has no
+    * codec for (audio/video): n deterministic pseudo-features in
+    * [0,1) derived from md5(digest ++ index). For images, use the
+    * real [[imageStats]] decoder instead; this keeps schema, batch
+    * shape and plan identical for the codec-less modalities.
     */
   def fakeFeatures(blob: Column, n: Int): Column = {
     val digest = blobDigest(blob)

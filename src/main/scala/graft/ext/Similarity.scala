@@ -58,10 +58,21 @@ object Similarity {
     * axis-aligned random-hyperplane LSH family. Same-bucket vectors
     * are cosine-near with high probability when dimensions are
     * roughly independent.
+    *
+    * Always emits exactly `nBits` characters: a missing dimension
+    * (embedding shorter than nBits) pads to '0' via rpad, matching
+    * the oracle's out-of-range-index → NULL → '0' CASE — a bare
+    * slice-then-transform would instead emit a SHORTER string for
+    * short embeddings and silently diverge from the oracle. (The
+    * lambda deliberately has no free variables: a captured outer
+    * attribute inside a HOF lambda breaks attribute dedup under
+    * self-joins.)
     */
   def signBucket(emb: Column, nBits: Int): Column =
-    array_join(
-      transform(slice(emb, 1, nBits), x => when(x >= 0, "1").otherwise("0")), "")
+    rpad(
+      array_join(
+        transform(slice(emb, 1, nBits), x => when(x >= 0, "1").otherwise("0")), ""),
+      nBits, "0")
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded). Queries are broadcast; corpus

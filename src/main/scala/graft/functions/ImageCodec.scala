@@ -36,11 +36,18 @@ object ImageCodec {
     */
   val P: Long = 1000000007L
 
+  /** LCG-style mix constants (Knuth multiplicative + Numerical
+    * Recipes increment); interpolated into the oracle SQL from here
+    * so the engines cannot drift.
+    */
+  val MixA: Long = 2654435761L
+  val MixB: Long = 1013904223L
+
   /** Pixel value at flat index i for a given seed — row-major, in
     * [0, 256). The DuckDB oracle interpolates this exact formula.
     */
   def pixel(seed: Long, i: Long): Int = {
-    val mix = ((i + 1L) * 2654435761L + 1013904223L) % P
+    val mix = ((i + 1L) * MixA + MixB) % P
     ((seed * mix) % P % 256L).toInt
   }
 

@@ -35,9 +35,18 @@ object Sink {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
-  /** S4 (JDBC variant): reference's drop+recreate Postgres load. */
+  /** S4 (JDBC variant): reference's drop+recreate Postgres load.
+    * Exercised in tests against embedded Derby (the one JDBC engine on
+    * the classpath); the URL decides the actual backend.
+    */
   def writeJdbc(df: DataFrame, url: String, table: String, props: java.util.Properties): Unit =
     df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+
+  /** S5 (JDBC variant): dashboard's `SELECT *` back out of the DB
+    * (reference dashboard_app/app.py:31-32).
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String, props: java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
 
   /** S6: bounded retry with fixed backoff — the reference retries its
     * DB connection 5×10 s while Postgres warms up

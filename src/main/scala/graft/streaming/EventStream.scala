@@ -64,13 +64,20 @@ object EventStream {
   }
 
   /** Streaming exact dedup on a key column: first arrival wins,
-    * duplicates within the watermark horizon are dropped —
-    * `dropDuplicates` backed by the state store (the streaming
-    * counterpart of ext.Dedup). The watermark bounds how long a key
-    * is remembered.
+    * duplicates within the watermark horizon are dropped — the
+    * streaming counterpart of ext.Dedup.
+    *
+    * `dropDuplicatesWithinWatermark` (not `dropDuplicates`): plain
+    * dropDuplicates only evicts state when the event-time column is
+    * PART of the dedup keys — with keys like Seq("k") its state grows
+    * without bound despite the watermark. The WithinWatermark variant
+    * expires each key once the watermark passes its first-seen event
+    * time plus the delay, so state is bounded by the key arrival rate
+    * × the lateness horizon — the property an unbounded-key-space
+    * deployment actually needs.
     */
   def streamingDedup(events: DataFrame, keyCols: Seq[String], lateness: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", lateness).dropDuplicates(keyCols)
+    events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keyCols)
 
   /** Default output mode for the windowed aggregation (append emits
     * each window once, when the watermark passes its end).

@@ -140,4 +140,66 @@ class ExtSpec extends SparkSpec {
     val (fa, fb) = df.as[(String, String)].head()
     assert(fa == fb)
   }
+
+  test("exactDeterministic with tiebreaker columns resolves order ties") {
+    val df = Seq((1, "k", "b"), (1, "k", "a"), (2, "k", "z")).toDF("ord", "key", "tb")
+    val kept = Dedup.exactDeterministic(df, Seq("key"), Seq("ord", "tb"))
+      .select("ord", "tb").as[(Int, String)].head()
+    assert(kept == ((1, "a"))) // ord ties at 1; tb breaks it deterministically
+  }
+
+  test("signBucket pads short embeddings to nBits with '0' (oracle parity)") {
+    val df = Seq(
+      (1L, Seq(1.0f, -1.0f)),          // 2 dims, bucket asks for 4
+      (2L, Seq(1.0f, -1.0f, 1.0f, 1.0f))).toDF("id", "emb")
+    val got = df.select(Similarity.signBucket(col("emb"), 4).as("b"))
+      .as[String].collect().toSeq
+    assert(got == Seq("1000", "1011")) // missing dims -> '0', never a shorter string
+  }
+
+  // ---- E2d: SimHash hamming pairs ---------------------------------------
+  test("simhashPairs surfaces a near-dup within radius and skips far docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 60) "changed" else s"tok$i").mkString(" ")
+    val unrelated = (100 to 160).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("id", "body")
+    val pairs = Dedup.simhashPairs(docs, "id", "body", radius = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 3L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  // ---- E4: real image codec round-trip ----------------------------------
+  test("PNG encode->decode round-trip recovers the formula pixels exactly") {
+    import graft.functions.ImageCodec
+    val seeds = Seq(0L, 7L, (1L << 32) - 1L)
+    for (seed <- seeds) {
+      val bytes = ImageCodec.encodeGrayPng(seed, 8, 8)
+      val row = ImageCodec.decodeStats(bytes)
+      assert(row != null)
+      val px = (0 until 64).map(i => ImageCodec.pixel(seed, i.toLong).toLong)
+      assert(row.getLong(0) == 8L && row.getLong(1) == 8L)
+      assert(row.getLong(2) == px.sum)
+      assert(row.getLong(3) == px.min)
+      assert(row.getLong(4) == px.max)
+    }
+  }
+
+  test("imageStats yields null for undecodable payloads (coerce, not crash)") {
+    val df = Seq(Array[Byte](1, 2, 3), Array.empty[Byte]).toDF("blob")
+      .select(Multimodal.imageStats(col("blob")).as("st"))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+
+  test("decode query shape evaluates the codec chain once per row (inline)") {
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .select(col("doc_id"), inline(array(
+        Multimodal.imageStats(Multimodal.synthImage(
+          TextOps.md5Int32(md5(col("text"))), 8, 8)))))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.linesIterator.count(_.contains("graft_decode_image_stats")) <= 1,
+      s"decode duplicated in plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 2 && rows.forall(r => r.getLong(1) == 8L && r.getLong(2) == 8L))
+  }
 }

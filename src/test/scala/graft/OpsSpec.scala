@@ -161,6 +161,35 @@ class OpsSpec extends SparkSpec {
     assert(semi.columns.toSeq == Seq("k", "lv")) // no right columns leak
   }
 
+  // ---- S4/S5 JDBC round-trip via embedded Derby -------------------------
+  // The sandbox has no Postgres, but Derby (on the Spark classpath for
+  // the Hive metastore) exercises the identical Spark JDBC write/read
+  // paths the reference uses: drop+recreate on overwrite, SELECT *
+  // back. Only the URL differs in production.
+  test("JDBC overwrite-write and read-back round-trips rows and types") {
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val props = new java.util.Properties()
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.25), (3L, "gamma", 0.0))
+      .toDF("id", "name", "score")
+    Sink.writeJdbc(df, url, "readmissions_rt", props)
+    // overwrite again to prove drop+recreate (the reference's
+    // if_exists='replace') rather than append
+    Sink.writeJdbc(df, url, "readmissions_rt", props)
+    val back = Sink.readJdbc(spark, url, "readmissions_rt", props)
+      .select("id", "name", "score").as[(Long, String, Double)].collect().toSet
+    assert(back == Set((1L, "alpha", 1.5), (2L, "beta", -2.25), (3L, "gamma", 0.0)))
+  }
+
+  // ---- A2 scale variant: HLL++ approx distinct --------------------------
+  test("approxDistinctCount is within rsd bounds of the exact count") {
+    val n = 3571L
+    val df = spark.range(50000).select((col("id") % n).as("k"))
+    val approx = Aggregates.approxDistinctCount(df, "k", rsd = 0.02)
+      .as[Long].head()
+    val relErr = math.abs(approx - n).toDouble / n
+    assert(relErr < 0.06, s"approx=$approx exact=$n relErr=$relErr") // 3σ of rsd=0.02
+  }
+
   // ---- filter∘join ≡ join∘filter (Catalyst pushes the predicate) --------
   test("filter-then-join equals join-then-filter") {
     val l = (1 to 100).map(i => (i % 10, i)).toDF("k", "lv")

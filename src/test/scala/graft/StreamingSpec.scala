@@ -69,6 +69,17 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("dd_out").select("k").as[String].collect().sorted.toSeq ==
         Seq("x", "y"))
+      // eviction: advance the watermark far past x's expiry (first-seen
+      // + lateness), then re-send x — its state must be GONE, so the
+      // key is admitted again. This is the bounded-state property
+      // dropDuplicatesWithinWatermark provides and plain dropDuplicates
+      // on a non-event-time subset does not.
+      in.addData((ts("13:00"), "z"))
+      q.processAllAvailable()
+      in.addData((ts("13:01"), "x"))
+      q.processAllAvailable()
+      assert(spark.table("dd_out").select("k").as[String].collect().sorted.toSeq ==
+        Seq("x", "x", "y", "z"))
     } finally q.stop()
   }
 }

@@ -109,6 +109,38 @@ object ExtQueries {
        |FROM pairs p JOIN msd ma ON p.doc_a = ma.doc_id JOIN msd mb ON p.doc_b = mb.doc_id""".stripMargin
   }
 
+  // ---- E2e: near-dup CLUSTERS — pairs → connected components ---------------
+  // The step after candidate pairs: transitive closure into dedup
+  // groups with min-doc_id as the canonical representative. Spark
+  // runs distributed min-label propagation ([[Dedup
+  // .connectedComponents]]); the oracle computes the same components
+  // with a recursive CTE — two entirely different algorithms that
+  // must agree on every label.
+  private val ClusterMinEst = 0.5
+  def e2DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text")
+      .filter(col("jaccard_est") >= ClusterMinEst)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+      .select(
+        col("id").as("doc_id"), col("component"),
+        count(lit(1)).over(Window.partitionBy(col("component")))
+          .as("cluster_size"))
+  }
+  val e2eSql: String = {
+    import MinHash.NumHashes
+    s"""${e2Ctes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(list_sum(list_transform(range(1, ${NumHashes + 1}), i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes.0 AS est
+       |  FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |edges AS (SELECT a, b FROM prs WHERE est >= $ClusterMinEst UNION ALL SELECT b, a FROM prs WHERE est >= $ClusterMinEst),
+       |reach(src, dst) AS (SELECT doc_id, doc_id FROM documents UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+       |SELECT doc_id, component, CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size FROM comp""".stripMargin
+  }
+
   // ---- E2d: SimHash hamming near-duplicate pairs ---------------------------
   private val SimHashRadius = 3
   def e2SimhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -128,6 +160,36 @@ object ExtQueries {
        |FROM chunks a JOIN chunks b ON a.cidx = b.cidx AND a.cval = b.cval AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashRadius""".stripMargin
   }
+
+  // ---- E2f: edit-distance verification of the candidate pairs --------------
+  // The strictest (and costliest) near-dup verifier: exact
+  // levenshtein on the full texts — O(|a|·|b|) per pair, so it ONLY
+  // ever runs on the LSH candidate set, never all pairs (at scale
+  // this is the final precision stage after banding recall). Distance
+  // is an integer, identical in any engine; the normalized form is
+  // one division.
+  def e2LevVerify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val texts = docs.select(col("doc_id"), col("text"))
+    MinHash.candidatePairs(docs, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("lev"),
+        (levenshtein(col("text_a"), col("text_b")).cast("double") /
+          greatest(length(col("text_a")), length(col("text_b"))).cast("double"))
+          .as("lev_norm"))
+  }
+  val e2fSql: String =
+    s"""$e2Ctes,
+       |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+       |  CAST(levenshtein(da.text, db.text) AS DOUBLE) / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE) AS lev_norm
+       |FROM prs p JOIN documents da ON p.doc_a = da.doc_id JOIN documents db ON p.doc_b = db.doc_id""".stripMargin
 
   // ---- E2c: embedding-cosine near-duplicate pairs --------------------------
   def e2EmbedNearDup(s: SparkSession, dir: String): DataFrame =
@@ -353,6 +415,8 @@ object ExtQueries {
     "e2_minhash_pairs" -> (e2MinhashPairs _),
     "e2_ngram_jaccard" -> (e2NgramJaccard _),
     "e2_simhash_pairs" -> (e2SimhashPairs _),
+    "e2_dedup_clusters" -> (e2DedupClusters _),
+    "e2_lev_verify" -> (e2LevVerify _),
     "e2_embed_neardup" -> (e2EmbedNearDup _),
     "e3_cosine_topk" -> (e3CosineTopK _),
     "e3_ann_bucketed" -> (e3AnnBucketed _),
@@ -372,6 +436,8 @@ object ExtQueries {
     "e2_minhash_pairs" -> e2Sql,
     "e2_ngram_jaccard" -> e2bSql,
     "e2_simhash_pairs" -> e2dSql,
+    "e2_dedup_clusters" -> e2eSql,
+    "e2_lev_verify" -> e2fSql,
     "e2_embed_neardup" -> e2cSql,
     "e3_cosine_topk" -> e3Sql,
     "e3_ann_bucketed" -> e3bSql,

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops._
@@ -160,6 +160,28 @@ object ParityQueries {
   val j4Sql =
     "SELECT o_custkey, o_orderkey, o_totalprice, c_mktsegment FROM orders " +
       "JOIN customer ON o_custkey = c_custkey"
+
+  // ---- J5: as-of (temporal) join ------------------------------------------
+  // For each purchase event, the latest click value at-or-before it for
+  // the same user ([[AsofJoin.asofJoin]] — union+window, no range-join
+  // explosion). Clicks pre-aggregated to unique (user, ts) as the
+  // operator requires. The DuckDB oracle uses its native ASOF LEFT
+  // JOIN — an independent algorithm that must produce the identical
+  // point-in-time lookup.
+  def j5AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+    AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_value"))
+  }
+  val j5Sql =
+    "WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), " +
+      "c AS (SELECT user_id, ts, max(value) AS click_value FROM events WHERE event_type = 'click' GROUP BY user_id, ts) " +
+      "SELECT p.user_id, p.ts, p.event_id, p.value, c.click_value " +
+      "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
 
   // ---- U1: set operations (union / intersect / except, distinct) --------
   def u1SetOps(s: SparkSession, dir: String): DataFrame = {
@@ -502,6 +524,89 @@ object ParityQueries {
     s"SELECT count(*) AS n_above FROM lineitem " +
       s"WHERE l_extendedprice > (SELECT ${meanSql("l_extendedprice")} FROM lineitem)"
 
+  // ---- O6: exact percentiles (quartiles per group) ------------------------
+  // Spark `percentile` and DuckDB `quantile_cont` share the
+  // p·(n−1) linear-interpolation definition; on l_quantity's integral
+  // values the interpolation stays dyadic-exact, so the hash compare
+  // is bit-for-bit. At 100 TB exact percentile sorts per group — the
+  // documented scale variant is approx_percentile (t-digest sketch,
+  // one pass, mergeable) when rank error is tolerable.
+  def o6Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q1"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.75)").as("q3"))
+  val o6Sql =
+    "SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q1, " +
+      "quantile_cont(l_quantity, 0.5) AS median, " +
+      "quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem GROUP BY l_returnflag"
+
+  // ---- A10: correlation via explicit decimal moments ----------------------
+  // Native `corr` accumulates co-moments in floats (order-dependent
+  // across engines), so this computes Pearson r from DECIMAL sums —
+  // exact, association-free — then one fixed double expression shared
+  // verbatim with the oracle.
+  //
+  // Co-moment trick: the PRODUCT of two doubles must not be cast to
+  // decimal (Spark converts doubles via their shortest decimal
+  // representation, DuckDB via the exact binary expansion — the
+  // scale-10 roundings disagree by 1 ulp on real data, measured on
+  // sxy). Instead cast each FACTOR to decimal (terminating 2-decimal
+  // data → exact both engines) and multiply in decimal space, which
+  // is exact by construction. (8,2)×(8,2) keeps the product at
+  // precision 17 — inside BOTH engines' 64-bit decimal fast paths
+  // (measured 1.5× vs wider factors, whose per-row BigDecimal math
+  // made this the 2nd-slowest bench query). The oracle's final
+  // decimal→double goes through VARCHAR: DuckDB's direct cast
+  // double-rounds (int128 → double, then ÷10^scale) while Java's
+  // BigDecimal converts correctly-rounded — the string bridge gives
+  // one correctly-rounded parse on both sides.
+  private val MomDec = "decimal(8,2)"
+  def a10Corr(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    def mom(a: Column, b: Column) = sum(a.cast(MomDec) * b.cast(MomDec)).cast("double")
+    Tables.lineitem(s, dir)
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        Aggregates.exactSum(x).as("sx"),
+        Aggregates.exactSum(y).as("sy"),
+        mom(x, y).as("sxy"),
+        mom(x, x).as("sxx"),
+        mom(y, y).as("syy"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"))
+  }
+  val a10Sql = {
+    def es(e: String) = s"CAST(SUM(CAST($e AS $AvgDec)) AS DOUBLE)"
+    def mom(a: String, b: String) =
+      s"CAST(CAST(SUM(CAST($a AS DECIMAL(8,2)) * CAST($b AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE)"
+    s"WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n, ${es("l_quantity")} AS sx, " +
+      s"${es("l_extendedprice")} AS sy, ${mom("l_quantity", "l_extendedprice")} AS sxy, " +
+      s"${mom("l_quantity", "l_quantity")} AS sxx, ${mom("l_extendedprice", "l_extendedprice")} AS syy " +
+      "FROM lineitem) " +
+      "SELECT (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_qty_price FROM s"
+  }
+
+  // ---- A11: histogram (fixed-width binning + count) -----------------------
+  // floor(x / width) on doubles is the portable binning primitive
+  // (width_bucket's signature differs across engines); partial
+  // aggregation makes this one (bucket, count) row per partition at
+  // any scale.
+  private val HistWidth = 25000.0
+  def a11Histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(floor(col("o_totalprice") / lit(HistWidth)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  val a11Sql =
+    s"SELECT CAST(floor(o_totalprice / $HistWidth) AS BIGINT) AS bucket, count(*) AS n " +
+      "FROM orders GROUP BY 1"
+
   // ---- Q1: TPC-H-style pricing summary (composed analytical query) -------
   // Multi-aggregate grouped summary with a per-row arithmetic term:
   // the extendedprice·(1-discount) product is IEEE double in both
@@ -598,6 +703,7 @@ object ParityQueries {
     "j2_left_join" -> (j2LeftJoin _),
     "j3_semi_anti" -> (j3SemiAnti _),
     "j4_salted_join" -> (j4SaltedJoin _),
+    "j5_asof_join" -> (j5AsofJoin _),
     "u1_set_ops" -> (u1SetOps _),
     "a6_rollup" -> (a6Rollup _),
     "o5_window_analytics" -> (o5WindowAnalytics _),
@@ -622,6 +728,9 @@ object ParityQueries {
     "a7_conditional_agg" -> (a7ConditionalAgg _),
     "a8_pivot" -> (a8Pivot _),
     "a9_above_avg" -> (a9AboveAvg _),
+    "o6_percentiles" -> (o6Percentiles _),
+    "a10_corr" -> (a10Corr _),
+    "a11_histogram" -> (a11Histogram _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _)
   )
@@ -638,6 +747,7 @@ object ParityQueries {
     "j2_left_join" -> j2Sql,
     "j3_semi_anti" -> j3Sql,
     "j4_salted_join" -> j4Sql,
+    "j5_asof_join" -> j5Sql,
     "u1_set_ops" -> u1Sql,
     "a6_rollup" -> a6Sql,
     "o5_window_analytics" -> o5Sql,
@@ -662,6 +772,9 @@ object ParityQueries {
     "a7_conditional_agg" -> a7Sql,
     "a8_pivot" -> a8Sql,
     "a9_above_avg" -> a9Sql,
+    "o6_percentiles" -> o6Sql,
+    "a10_corr" -> a10Sql,
+    "a11_histogram" -> a11Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql
   )

@@ -79,6 +79,105 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair list: every vertex
+    * gets the MINIMUM id reachable from it as its component label —
+    * the step that turns pairwise candidates ([[MinHash
+    * .candidatePairs]], [[Dedup.simhashPairs]], [[Similarity
+    * .nearDupPairs]]) into dedup GROUPS with a canonical
+    * representative (keep `id == component`, drop the rest).
+    *
+    * Algorithm: iterative min-label propagation — each round, every
+    * vertex takes the min of its own label and its neighbors'; stop
+    * when no label changed. Converges in O(graph diameter) rounds;
+    * near-dup clusters are near-cliques (diameter ≈ 1–2), so 2–3
+    * rounds in practice. Each round is one co-partitioned join +
+    * partial-agg min — all distributed, nothing driver-side except
+    * the converged? flag. A general-graph production variant would
+    * add large-star/small-star contraction for O(log n) rounds on
+    * long chains; for dedup graphs the plain loop is the right
+    * trade.
+    *
+    * `vertices`: one `id` column; `pairs`: `a`, `b` (any orientation,
+    * symmetrized internally). Returns (id, component).
+    */
+  def connectedComponents(
+      vertices: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not persist): iterative plans GROW — labels(i)
+    // references labels(i-1) and the full pair lineage, and re-analyzing
+    // that tree each round soon costs more than executing it.
+    // Checkpointing truncates the logical plan to the materialized
+    // partitions, so every iteration plans against a flat scan.
+    // (local = stored on executors; an HA production run would use
+    // reliable checkpoint() to the cluster FS instead.)
+    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
+    // Only edge-touched vertices can ever change label — the loop runs
+    // on this (near-dup-sized) subset; the singleton majority of a
+    // 100 TB corpus never enters an iteration and is joined back at
+    // the end with component = id.
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    // convergence: labels only ever decrease, so the component-sum is
+    // strictly decreasing until the fixpoint — reading it doubles as
+    // the persist's materializing action (ONE job per iteration).
+    def materializeAndSum(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(
+        sum(col("component").cast("decimal(38,0)")), count(lit(1))).head()
+      (r.getDecimal(0), r.getLong(1))
+    }
+    val (sum0, activeCount) = materializeAndSum(labels)
+    var prevSum = sum0
+    // the label keyset is FIXED (the active vertices), so one measured
+    // count decides the loop's join strategy: broadcast the label side
+    // while it fits (near-dup graphs are sparse — active vertices ≤
+    // 2·|pairs| no matter the corpus size), shuffle join beyond.
+    val broadcastLabels = activeCount < 1000000L
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] init done n=$activeCount ${System.nanoTime()}")
+    var iter = 0
+    var converged = false
+    // Scope the loop's execution config to the ACTIVE SUBGRAPH, not
+    // the corpus: the session's shuffle.partitions is sized for
+    // corpus-scale scans, but every loop shuffle is bounded by
+    // activeCount rows, and per-stage scheduling overhead (plus AQE's
+    // re-plan latency) dominates tiny iterations — measured 4× per
+    // iteration at sf0.1. Restored before the corpus-sized final join.
+    val spark = vertices.sparkSession
+    val scoped = Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+    val saved = scoped.map(k => k -> spark.conf.getOption(k))
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    val loopParts = math.max(1L, math.min(activeCount / 500000L + 1L, sessionParts))
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      while (!converged && iter < maxIter) {
+        val lbl = if (broadcastLabels) broadcast(labels) else labels
+        val prop = lbl.join(edges, col("id") === col("a"))
+          .select(col("b").as("id"), col("component"))
+        val next = labels.unionByName(prop)
+          .groupBy("id").agg(min("component").as("component"))
+          .localCheckpoint()
+        val (nextSum, _) = materializeAndSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        labels = next
+        iter += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc] iter $iter converged=$converged ${System.nanoTime()}")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    vertices.select(col("id"))
+      .join(labels.withColumnRenamed("id", "__cid"),
+        col("id") === col("__cid"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Deterministic dedup: keep the first row per key group by
     * `orderCol` ascending, and report the group size. Deterministic
     * ONLY when `orderCol` is unique within each key group (like a

@@ -141,6 +141,16 @@ class ExtSpec extends SparkSpec {
     assert(fa == fb)
   }
 
+  test("connectedComponents labels chains transitively and keeps singletons") {
+    // chain 5-4-3-2-1 forces multiple propagation rounds (diameter 4);
+    // 9 is an isolated singleton
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(verts, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 9L -> 9L))
+  }
+
   test("exactDeterministic with tiebreaker columns resolves order ties") {
     val df = Seq((1, "k", "b"), (1, "k", "a"), (2, "k", "z")).toDF("ord", "key", "tb")
     val kept = Dedup.exactDeterministic(df, Seq("key"), Seq("ord", "tb"))

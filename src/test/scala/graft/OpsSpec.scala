@@ -190,6 +190,32 @@ class OpsSpec extends SparkSpec {
     assert(relErr < 0.06, s"approx=$approx exact=$n relErr=$relErr") // 3σ of rsd=0.02
   }
 
+  // ---- J5: as-of join semantics -----------------------------------------
+  test("asofJoin matches the latest right row at-or-before each left ts") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"), (2L, 50L, "q1"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 60L, 600.0))
+      .toDF("k", "rt", "rv")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .select("tag", "rv").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out("p0") == null)   // no right row at-or-before t=5
+    assert(out("p1") == 100.0)  // inclusive: right row AT t=10 matches
+    assert(out("p2") == 150.0)  // latest of {10, 15} <= 20
+    assert(out("q1") == null)   // right row exists only AFTER the left ts
+  }
+
+  test("asofJoin carries right rows atomically (null value stays null)") {
+    val left = Seq((1L, 30L)).toDF("k", "t")
+    val right = Seq((1L, 10L, Some(7.0), Some("a")), (1L, 20L, None, Some("b")))
+      .toDF("k", "rt", "rv1", "rv2")
+    val row = AsofJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv1", "rv2"))
+      .select("rv1", "rv2").head()
+    // the matched right row is (20, null, "b"); a per-column carry would
+    // stitch rv1 from the older row (7.0) onto rv2 from the newer one
+    assert(row.isNullAt(0) && row.getString(1) == "b")
+  }
+
   // ---- filter∘join ≡ join∘filter (Catalyst pushes the predicate) --------
   test("filter-then-join equals join-then-filter") {
     val l = (1 to 100).map(i => (i % 10, i)).toDF("k", "lv")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.ext.MinHash
-import graft.functions.{FloatDotProduct, MinHashSignature, SimHash32}
+import graft.functions.{DecodeImageStats, FloatDotProduct, MinHashSignature, SimHash32, SynthGrayPng}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so they are callable from
@@ -49,7 +49,23 @@ object GraftExtensions {
         args.head,
         (0 until MinHash.NumHashes).map(MinHash.aConst),
         (0 until MinHash.NumHashes).map(MinHash.bConst),
-        MinHash.P)))
+        MinHash.P)),
+    ("graft_synth_gray_png",
+      "graft_synth_gray_png(seed, w, h) - deterministic grayscale PNG from a bigint seed (w, h literals)",
+      (args: Seq[Expression]) => SynthGrayPng(
+        args(0), foldableInt(args(1), "w"), foldableInt(args(2), "h"))),
+    ("graft_image_stats",
+      "graft_image_stats(blob) - decode an image payload to (img_w, img_h, px_sum, px_min, px_max); null if undecodable",
+      (args: Seq[Expression]) => DecodeImageStats(args.head)))
+
+  private def foldableInt(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name must be a literal")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"$name must be an integer, got $other")
+    }
+  }
 
   /** Register the same functions on an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -21,7 +21,9 @@ object PlanAudit {
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("p4_filter", "j1_join_inner", "e3_cosine_topk",
-        "e3_ann_bucketed", "e2_minhash_pairs", "pipeline_e2e", "o3_topk")
+        "e3_ann_bucketed", "e2_minhash_pairs", "pipeline_e2e", "o3_topk",
+        "j5_asof_join", "e2_simhash_pairs", "e4_decode_stats",
+        "o6_percentiles", "a11_histogram", "pipeline_topn")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

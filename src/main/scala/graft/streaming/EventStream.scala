@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -83,4 +85,92 @@ object EventStream {
     * each window once, when the watermark passes its end).
     */
   val WindowedOutputMode: OutputMode = OutputMode.Append
+
+  /** Stream-static enrichment join: each micro-batch inner-joins the
+    * stream against a STATIC dimension (re-read per batch, so slowly
+    * changing dims pick up updates). Catalyst broadcasts the static
+    * side under the auto threshold — the streaming side never
+    * shuffles, which is the only sustainable shape for a hot path.
+    * No watermark needed: stream-static joins are stateless.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(dim, keys, "inner")
+
+  /** Native streaming sessionization: `session_window` + watermark —
+    * the streaming twin of the batch `w3_session_window` query.
+    * Sessions close (and state evicts) when the watermark passes the
+    * gap after the last event. State per (user, open session) only.
+    */
+  def sessionStats(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), Aggregates.exactMean(col("value")).as("avg_value"))
+      .select(
+        col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("avg_value"))
+
+  /** One closed session for [[sessionize]]. */
+  case class Session(user_id: String, start: Timestamp, end: Timestamp, n_events: Long)
+
+  /** Internal per-user state for [[sessionize]] (public: the state
+    * encoder's generated code must reach the constructor).
+    */
+  case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * template for session logic `session_window` cannot express
+    * (e.g. emit-on-close with per-session payloads, cross-session
+    * chaining). State: one (start, last, count) per user; events
+    * within `gap` of the last seen extend the session, a later event
+    * closes and emits it; `EventTimeTimeout` closes and emits idle
+    * sessions when the watermark passes last + gap, so state is
+    * watermark-bounded exactly like the native operator.
+    *
+    * Late events (before the current session's start) are folded into
+    * the current session rather than reopening closed ones —
+    * at-most-one-state-per-key is the memory bound that matters.
+    */
+  def sessionize(
+      events: Dataset[(String, Timestamp)],
+      gapMs: Long,
+      lateness: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .toDF("user_id", "ts")
+      .withWatermark("ts", lateness)
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: String, rows: Iterator[(String, Timestamp)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            val times = rows.map(_._2.getTime).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur = cur match {
+                case None => Some(SessionState(t, t, 1L))
+                case Some(s) if t - s.last <= gapMs =>
+                  Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  Some(SessionState(t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }

@@ -27,6 +27,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sh == 5L) // single token: its low bits vote directly
   }
 
+  test("graft_synth_gray_png + graft_image_stats round-trip from SQL") {
+    val r = spark.sql(
+      "SELECT graft_image_stats(graft_synth_gray_png(CAST(7 AS BIGINT), 8, 8)) AS st")
+      .selectExpr("st.img_w", "st.img_h", "st.px_sum").collect().head
+    val px = (0 until 64).map(i => graft.functions.ImageCodec.pixel(7L, i.toLong).toLong)
+    assert(r.getLong(0) == 8L && r.getLong(1) == 8L && r.getLong(2) == px.sum)
+    // corrupt payload -> null struct, not an error
+    val bad = spark.sql("SELECT graft_image_stats(CAST('nope' AS BINARY)) AS st").collect().head
+    assert(bad.isNullAt(0))
+  }
+
   test("graft_minhash_sig returns H minima consistent with the Scala constants") {
     val row = spark.sql(
       "SELECT graft_minhash_sig(array(CAST(7 AS BIGINT), CAST(11 AS BIGINT))) AS sig")

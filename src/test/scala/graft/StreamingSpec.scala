@@ -55,6 +55,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrich joins each micro-batch against a static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("k", "name")
+    val q = EventStream.enrich(in.toDF().toDF("k", "v"), dim, Seq("k"))
+      .writeStream.format("memory").queryName("en_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(("a", 1.0), ("c", 2.0))
+      q.processAllAvailable()
+      in.addData(("b", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("en_out").as[(String, Double, String)].collect().toSet
+      assert(rows == Set(("a", 1.0, "alpha"), ("b", 3.0, "beta"))) // "c": no dim row
+    } finally q.stop()
+  }
+
+  test("sessionStats closes session_window sessions as the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStream.sessionStats(
+      in.toDF().toDF("ts", "user_id", "value"), gap = "30 minutes", lateness = "0 seconds")
+      .writeStream.format("memory").queryName("ss_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1: two events 10 min apart (one session), then a 2h gap → new session
+      in.addData((ts("10:00"), "u1", 2.0), (ts("10:10"), "u1", 4.0))
+      q.processAllAvailable()
+      in.addData((ts("12:30"), "u1", 8.0))
+      q.processAllAvailable()
+      in.addData((ts("15:00"), "u1", 0.0)) // advance watermark, close session 2
+      q.processAllAvailable()
+      val rows = spark.table("ss_out")
+        .as[(String, Timestamp, Timestamp, Long, Double)].collect()
+        .sortBy(_._2.getTime).toSeq
+      assert(rows.take(2) == Seq(
+        ("u1", ts("10:00"), ts("10:40"), 2L, 3.0),   // end = last + gap
+        ("u1", ts("12:30"), ts("13:00"), 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize (flatMapGroupsWithState) emits closed sessions with counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val q = EventStream.sessionize(in.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("fs_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(("u1", ts("10:00")), ("u1", ts("10:10")), ("u2", ts("10:05")))
+      q.processAllAvailable()
+      // u1's next event is past the gap → closes session 1 in-stream
+      in.addData(("u1", ts("12:00")))
+      q.processAllAvailable()
+      // watermark far ahead → timeout closes the remaining open sessions
+      in.addData(("u3", ts("15:00")))
+      q.processAllAvailable()
+      in.addData(("u3", ts("18:00")))
+      q.processAllAvailable()
+      val rows = spark.table("fs_out")
+        .as[(String, Timestamp, Timestamp, Long)].collect()
+        .filter(r => r._1 == "u1" || r._1 == "u2").sortBy(r => (r._1, r._2.getTime)).toSeq
+      assert(rows == Seq(
+        ("u1", ts("10:00"), ts("10:10"), 2L),
+        ("u1", ts("12:00"), ts("12:00"), 1L),
+        ("u2", ts("10:05"), ts("10:05"), 1L)))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops duplicate keys within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]

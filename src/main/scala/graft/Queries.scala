@@ -183,6 +183,41 @@ object ParityQueries {
       "SELECT p.user_id, p.ts, p.event_id, p.value, c.click_value " +
       "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
 
+  // ---- J6: point-in-interval range join -----------------------------------
+  // Promo-style intervals (6 h after every 40th signup) joined to all
+  // events falling inside them. Spark runs the BINNED equi-join
+  // ([[RangeJoin.pointInInterval]]); the oracle runs a plain
+  // BETWEEN theta-join — independent algorithms, identical pairs.
+  private val RangeBinSeconds = 6 * 3600L
+  def j6RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val intervals = ev
+      .filter(col("event_type") === "signup" && col("event_id") % 40 === 0)
+      .select(
+        col("event_id").as("interval_id"),
+        col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 6 HOURS")).as("hi"))
+    val points = ev.select(col("event_id"), col("ts"), col("event_type"))
+    RangeJoin.pointInInterval(points, "ts", intervals, "lo", "hi", RangeBinSeconds)
+      .select(col("interval_id"), col("event_id"), col("event_type"))
+  }
+  val j6Sql =
+    "WITH i AS (SELECT event_id AS interval_id, ts AS lo, ts + INTERVAL 6 HOUR AS hi " +
+      "FROM events WHERE event_type = 'signup' AND event_id % 40 = 0) " +
+      "SELECT i.interval_id, e.event_id, e.event_type FROM events e " +
+      "JOIN i ON e.ts >= i.lo AND e.ts <= i.hi"
+
+  // ---- F5: typed JSON extraction (from_json with explicit schema) ---------
+  // The schema'd counterpart of P2's get_json_object: parse once into
+  // a typed struct (malformed JSON → null struct, coerce-not-crash).
+  def f5Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
+  val f5Sql =
+    "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events"
+
   // ---- U1: set operations (union / intersect / except, distinct) --------
   def u1SetOps(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(s, dir)
@@ -704,6 +739,8 @@ object ParityQueries {
     "j3_semi_anti" -> (j3SemiAnti _),
     "j4_salted_join" -> (j4SaltedJoin _),
     "j5_asof_join" -> (j5AsofJoin _),
+    "j6_range_join" -> (j6RangeJoin _),
+    "f5_json" -> (f5Json _),
     "u1_set_ops" -> (u1SetOps _),
     "a6_rollup" -> (a6Rollup _),
     "o5_window_analytics" -> (o5WindowAnalytics _),
@@ -748,6 +785,8 @@ object ParityQueries {
     "j3_semi_anti" -> j3Sql,
     "j4_salted_join" -> j4Sql,
     "j5_asof_join" -> j5Sql,
+    "j6_range_join" -> j6Sql,
+    "f5_json" -> f5Sql,
     "u1_set_ops" -> u1Sql,
     "a6_rollup" -> a6Sql,
     "o5_window_analytics" -> o5Sql,

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join — all (point, interval) pairs with
+  * `lo <= pt <= hi` — via temporal BINNING, the shape that survives
+  * scale. Spark has no native range join: a bare `ON pt BETWEEN lo
+  * AND hi` plans as BroadcastNestedLoopJoin (O(|points|·|intervals|)
+  * comparisons and a broadcast of a whole side).
+  *
+  * Binning makes it an equi-join: intervals explode to the fixed-width
+  * time bins they overlap, points map to their single bin, the join
+  * runs co-partitioned on the bin key with the range predicate as a
+  * residual filter. A matching pair meets in EXACTLY one bin (the
+  * point's), so no post-join dedup is needed. Cost: |intervals| ×
+  * (duration/binWidth + 1) exploded rows + one shuffle each side —
+  * pick binWidth near the typical interval duration so the explosion
+  * factor stays ~2 and bins stay selective.
+  */
+object RangeJoin {
+
+  /** @param points    frame with a timestamp column `ptCol`
+    * @param intervals frame with timestamp columns `loCol`, `hiCol`
+    *                  (lo <= hi; violating rows match nothing)
+    * @param binSeconds bin width in seconds
+    */
+  def pointInInterval(
+      points: DataFrame,
+      ptCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0)
+    def binOf(c: Column): Column = floor(unix_timestamp(c) / lit(binSeconds))
+    val binned = intervals
+      // guard BEFORE sequence: Spark's sequence(a, b) with a > b
+      // yields a DESCENDING range, not empty
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__bin",
+        explode(sequence(binOf(col(loCol)), binOf(col(hiCol)))))
+    points
+      .withColumn("__bin", binOf(col(ptCol)))
+      .join(binned,
+        Seq("__bin"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__bin")
+  }
+}

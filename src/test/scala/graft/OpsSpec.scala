@@ -216,6 +216,19 @@ class OpsSpec extends SparkSpec {
     assert(row.isNullAt(0) && row.getString(1) == "b")
   }
 
+  // ---- J6: binned range join semantics ----------------------------------
+  test("pointInInterval matches inclusive bounds exactly once across bins") {
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val points = Seq((1L, t("09:59")), (2L, t("10:00")), (3L, t("13:00")),
+      (4L, t("16:00")), (5L, t("16:01"))).toDF("pid", "ts")
+    // one interval spanning several 1-hour bins + one inverted (matches nothing)
+    val intervals = Seq((100L, t("10:00"), t("16:00")), (200L, t("12:00"), t("11:00")))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "ts", intervals, "lo", "hi", 3600L)
+      .select("iid", "pid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((100L, 2L), (100L, 3L), (100L, 4L))) // inclusive both ends, no dups
+  }
+
   // ---- filter∘join ≡ join∘filter (Catalyst pushes the predicate) --------
   test("filter-then-join equals join-then-filter") {
     val l = (1 to 100).map(i => (i % 10, i)).toDF("k", "lv")

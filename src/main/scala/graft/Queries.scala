@@ -642,6 +642,67 @@ object ParityQueries {
     s"SELECT CAST(floor(o_totalprice / $HistWidth) AS BIGINT) AS bucket, count(*) AS n " +
       "FROM orders GROUP BY 1"
 
+  // ---- A12: cube (all grouping-set combinations) --------------------------
+  // rollup's sibling: 2^k grouping sets, still partial+final aggregated
+  // per set — the full OLAP subtotal lattice in one pass.
+  // (prices sum at their TRUE scale — DECIMAL(28,2) — like q1: at
+  // scale 10 the two engines' double→decimal conversions capture
+  // different noise digits for magnitudes ≳1e6)
+  def a12Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(28,2)")).cast("double").as("sum_price"))
+  val a12Sql =
+    "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price " +
+      "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+
+  // ---- O7: ranking-function family -----------------------------------------
+  // rank / dense_rank / percent_rank / cume_dist / ntile over a
+  // totally-ordered window (price desc, orderkey tiebreak) — formula
+  // semantics are identical across engines once the order is total.
+  def o7RankFamily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir).select(
+      col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      percent_rank().over(w).as("prnk"),
+      cume_dist().over(w).as("cd"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+  val o7Sql =
+    "SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+      "CAST(rank() OVER w AS BIGINT) AS rnk, " +
+      "CAST(dense_rank() OVER w AS BIGINT) AS drnk, " +
+      "percent_rank() OVER w AS prnk, " +
+      "cume_dist() OVER w AS cd, " +
+      "CAST(ntile(4) OVER w AS BIGINT) AS quartile " +
+      "FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)"
+
+  // ---- U2: bag semantics (EXCEPT ALL / INTERSECT ALL) ----------------------
+  // u1's set ops dedup; the ALL variants preserve multiplicity — the
+  // difference that matters when keys legitimately repeat.
+  def u2BagOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    def keysFor(p: String) =
+      orders.filter(col("o_orderpriority") === p).select(col("o_custkey"))
+    val urgent = keysFor("1-URGENT")
+    val low = keysFor("5-LOW")
+    urgent.exceptAll(low).withColumn("which", lit("except_all"))
+      .unionByName(urgent.intersectAll(low).withColumn("which", lit("intersect_all")))
+      .select(col("which"), col("o_custkey"))
+  }
+  val u2Sql = {
+    def k(p: String) = s"SELECT o_custkey FROM orders WHERE o_orderpriority = '$p'"
+    s"SELECT 'except_all' AS which, o_custkey FROM (${k("1-URGENT")} EXCEPT ALL ${k("5-LOW")}) " +
+      s"UNION ALL SELECT 'intersect_all', o_custkey FROM (${k("1-URGENT")} INTERSECT ALL ${k("5-LOW")})"
+  }
+
   // ---- Q1: TPC-H-style pricing summary (composed analytical query) -------
   // Multi-aggregate grouped summary with a per-row arithmetic term:
   // the extendedprice·(1-discount) product is IEEE double in both
@@ -768,6 +829,9 @@ object ParityQueries {
     "o6_percentiles" -> (o6Percentiles _),
     "a10_corr" -> (a10Corr _),
     "a11_histogram" -> (a11Histogram _),
+    "a12_cube" -> (a12Cube _),
+    "o7_rank_family" -> (o7RankFamily _),
+    "u2_bag_ops" -> (u2BagOps _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _)
   )
@@ -814,6 +878,9 @@ object ParityQueries {
     "o6_percentiles" -> o6Sql,
     "a10_corr" -> a10Sql,
     "a11_histogram" -> a11Sql,
+    "a12_cube" -> a12Sql,
+    "o7_rank_family" -> o7Sql,
+    "u2_bag_ops" -> u2Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql
   )

@@ -216,6 +216,20 @@ class OpsSpec extends SparkSpec {
     assert(row.isNullAt(0) && row.getString(1) == "b")
   }
 
+  // ---- S4: partitioned sink enables partition pruning --------------------
+  test("writeParquet partitionBy prunes partitions on filtered read-back") {
+    val dir = Sink.scratchDir("part_prune_test")
+    val df = Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4)).toDF("p", "v")
+    Sink.writeParquet(df, dir, partitionByCols = Seq("p"))
+    val back = Sink.readParquet(spark, dir).filter(col("p") === "a")
+    assert(back.select("v").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // the filter must reach the scan as a PARTITION filter (directory
+    // pruning), not a post-scan data filter
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p"),
+      s"partition filter missing from scan:\n$plan")
+  }
+
   // ---- J6: binned range join semantics ----------------------------------
   test("pointInInterval matches inclusive bounds exactly once across bins") {
     def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")

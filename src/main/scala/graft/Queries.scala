@@ -776,6 +776,40 @@ object ParityQueries {
        |GROUP BY l_orderkey, o_orderdate
        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  // ---- Q18: large-volume orders (HAVING subquery + 3-way join + top-k) ---
+  // The "group, threshold, rejoin" composition: per-order quantity
+  // totals filtered by HAVING, then joined back to orders + customer
+  // for the top-100 report. Spark expresses the IN-subquery as a
+  // plain inner join against the (already aggregated, small) big-order
+  // frame — partial+final agg on l_orderkey, customer broadcast, top-k
+  // via TakeOrderedAndProject. The oracle keeps the IN ... HAVING
+  // formulation — independent shapes, identical rows.
+  private val Q18MinQty = 250.0
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(Aggregates.exactSum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > Q18MinQty)
+    val ord = Tables.orders(s, dir).select(
+      col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    Ranking.topK(
+      big.join(ord, Seq("l_orderkey")).join(broadcast(cust), Seq("o_custkey"))
+        .select(col("c_name"), col("o_custkey"), col("l_orderkey").as("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 100)
+  }
+  val q18Sql =
+    s"""WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS $AvgDec)) AS DOUBLE) AS sum_qty
+       |  FROM lineitem GROUP BY l_orderkey HAVING CAST(SUM(CAST(l_quantity AS $AvgDec)) AS DOUBLE) > $Q18MinQty)
+       |SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+       |FROM orders JOIN big ON o_orderkey = big.l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   /** Flagship query (SparkEntry.entry): the reference dashboard's
     * "average metric by geography, ranked" question (dashboard_app/
     * app.py:57,74) over testdata — star join, grouped mean, ordered.
@@ -833,7 +867,8 @@ object ParityQueries {
     "o7_rank_family" -> (o7RankFamily _),
     "u2_bag_ops" -> (u2BagOps _),
     "q1_pricing_summary" -> (q1PricingSummary _),
-    "q3_shipping_priority" -> (q3ShippingPriority _)
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q18_large_orders" -> (q18LargeOrders _)
   )
 
   val sql: Map[String, String] = Map(
@@ -882,6 +917,7 @@ object ParityQueries {
     "o7_rank_family" -> o7Sql,
     "u2_bag_ops" -> u2Sql,
     "q1_pricing_summary" -> q1Sql,
-    "q3_shipping_priority" -> q3Sql
+    "q3_shipping_priority" -> q3Sql,
+    "q18_large_orders" -> q18Sql
   )
 }

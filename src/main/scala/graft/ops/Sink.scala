@@ -71,6 +71,26 @@ object Sink {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** S4 (bucketed variant): write as a bucketed catalog table —
+    * rows pre-hash-partitioned AND sorted by the bucket keys into a
+    * fixed number of files per partition. Two tables bucketed the
+    * same way join WITHOUT a shuffle (SortMergeJoin, zero Exchange):
+    * at 100 TB, bucketing the fact tables on their join key once at
+    * ingest removes the dominant shuffle from every downstream join
+    * and aggregation on that key. Catalog-table API (`saveAsTable`)
+    * because bucket metadata lives in the metastore, not the files.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S7: cache before multi-query fan-out (dashboard `@st.cache_data`
     * equivalent). MEMORY_AND_DISK so a too-big dataset degrades to
     * spill instead of recompute-per-action.

@@ -230,6 +230,39 @@ class OpsSpec extends SparkSpec {
       s"partition filter missing from scan:\n$plan")
   }
 
+  // ---- S4: bucketed tables join without a shuffle ------------------------
+  test("co-bucketed tables join with zero Exchange in the plan") {
+    def reset(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a previous JVM's managed-table dir survives the in-memory catalog
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(wh, t))
+    }
+    reset("bkt_left"); reset("bkt_right")
+    val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "rv")
+    Sink.writeBucketed(left, "bkt_left", Seq("k"), 4)
+    Sink.writeBucketed(right, "bkt_right", Seq("k"), 4)
+    // disable tiny-table auto-broadcast so the test exercises the
+    // SortMergeJoin path bucketing exists for
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), Seq("k"))
+      assert(joined.count() == 1000)
+      // AQE's toString appends the pre-optimization "Initial Plan" —
+      // judge only the Final Plan section
+      val planStr = joined.queryExecution.executedPlan.toString
+      val finalSection = planStr.split("== Initial Plan ==").head
+      assert(finalSection.contains("SortMergeJoin"), s"expected SMJ:\n$planStr")
+      assert(!finalSection.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$planStr")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   // ---- J6: binned range join semantics ----------------------------------
   test("pointInInterval matches inclusive bounds exactly once across bins") {
     def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")

@@ -31,7 +31,7 @@ object ExtQueries {
 
   private val AvgDec = "DECIMAL(28,10)"
   private def meanSql(c: String): String =
-    s"CAST(SUM(CAST($c AS $AvgDec)) AS DOUBLE) / COUNT($c)"
+    s"CAST(CAST(SUM(CAST($c AS $AvgDec)) AS VARCHAR) AS DOUBLE) / COUNT($c)"
 
   /** DuckDB md5-int32 (same value as TextOps.md5Int32). */
   private def duckMd5Int(e: String): String =
@@ -67,8 +67,11 @@ object ExtQueries {
   /** Shared oracle CTEs for the MinHash family: token md5s →
     * string-free shingle hashes → signatures → band rows (constants
     * interpolated from the MinHash object so engines cannot drift).
+    * Parameterized by the source relation (must expose doc_id, text)
+    * so composed pipelines can run the chain over their own stage
+    * output.
     */
-  private val e2Ctes: String = {
+  private def e2CtesBodyFrom(rel: String): String = {
     import MinHash._
     val sigElems = (0 until NumHashes).map { i =>
       s"list_min(list_transform(ms, m -> (${aConst(i)}*m + ${bConst(i)}) % $P))"
@@ -81,11 +84,12 @@ object ExtQueries {
     val window = (0 until 3)
       .map(j => s"((hs[i+$j] * ${mixConst(j)}) % $P)")
       .mkString("(", " + ", s") % $P")
-    s"""WITH toks AS (SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'), t -> ${duckMd5Int("t")} % $P) hs FROM documents),
+    s"""toks AS (SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'), t -> ${duckMd5Int("t")} % $P) hs FROM $rel),
        |hashed AS (SELECT doc_id, [$window for i in range(1, len(hs)-1)] ms FROM toks WHERE len(hs) >= 3),
        |sigs AS (SELECT doc_id, [$sigElems] sig FROM hashed),
        |bands AS (SELECT doc_id, sig, unnest(range($Bands)) bidx, unnest([$bandExprs]) bkey FROM sigs)""".stripMargin
   }
+  private val e2Ctes: String = "WITH " + e2CtesBodyFrom("documents")
 
   val e2Sql: String = {
     import MinHash._
@@ -330,6 +334,41 @@ object ExtQueries {
        |FROM px""".stripMargin
   }
 
+  // ---- E6: composed corpus-cleaning pipeline --------------------------------
+  // The full E-family chain as ONE query (quality gate → exact dedup →
+  // near-dup cluster dedup, [[CorpusPipeline.clean]]); the oracle
+  // replays every stage in SQL, with the recursive-CTE components over
+  // the EXACT-dedup survivors rather than the raw corpus.
+  private val E6MinTokens = 5
+  private val E6Langs = Seq("en")
+  def e6CorpusClean(s: SparkSession, dir: String): DataFrame =
+    CorpusPipeline.clean(
+      Tables.documents(s, dir), E6MinTokens, E6Langs, ClusterMinEst)
+  val e6Sql: String = {
+    import MinHash.NumHashes
+    def inList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ", ", ")")
+    val tk = "string_split_regex(trim(text), '\\s+')"
+    def mc(xs: Seq[String]) = s"len(list_filter($tk, t -> t IN ${inList(xs)}))"
+    val langGuess =
+      s"CASE WHEN ${mc(TextOps.enMarkers)} >= ${mc(TextOps.deMarkers)} AND ${mc(TextOps.enMarkers)} >= ${mc(TextOps.frMarkers)} THEN 'en' " +
+        s"WHEN ${mc(TextOps.deMarkers)} >= ${mc(TextOps.frMarkers)} THEN 'de' ELSE 'fr' END"
+    s"""WITH RECURSIVE
+       |gate AS (SELECT doc_id, text, CAST(len($tk) AS BIGINT) AS n_tokens,
+       |  $langGuess AS lang_guess, md5(lower(trim(text))) AS fp FROM documents),
+       |filt AS (SELECT * FROM gate WHERE n_tokens >= $E6MinTokens AND lang_guess IN ${inList(E6Langs)}),
+       |exact AS (SELECT doc_id, text, n_tokens, lang_guess, fp FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM filt) WHERE rn = 1),
+       |${e2CtesBodyFrom("exact")},
+       |prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(list_sum(list_transform(range(1, ${NumHashes + 1}), i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes.0 AS est
+       |  FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |edges AS (SELECT a, b FROM prs WHERE est >= $ClusterMinEst UNION ALL SELECT b, a FROM prs WHERE est >= $ClusterMinEst),
+       |reach(src, dst) AS (SELECT doc_id, doc_id FROM exact UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+       |SELECT exact.doc_id, fp, n_tokens, lang_guess
+       |FROM exact JOIN comp ON exact.doc_id = comp.doc_id WHERE comp.doc_id = comp.component""".stripMargin
+  }
+
   // ---- E5a: BPE-ish regex token counts (vs whitespace tokens) --------------
   def e5BpeTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
@@ -418,6 +457,7 @@ object ExtQueries {
     "e2_dedup_clusters" -> (e2DedupClusters _),
     "e2_lev_verify" -> (e2LevVerify _),
     "e2_embed_neardup" -> (e2EmbedNearDup _),
+    "e6_corpus_clean" -> (e6CorpusClean _),
     "e3_cosine_topk" -> (e3CosineTopK _),
     "e3_ann_bucketed" -> (e3AnnBucketed _),
     "e3_ivf_topk" -> (e3IvfTopK _),
@@ -439,6 +479,7 @@ object ExtQueries {
     "e2_dedup_clusters" -> e2eSql,
     "e2_lev_verify" -> e2fSql,
     "e2_embed_neardup" -> e2cSql,
+    "e6_corpus_clean" -> e6Sql,
     "e3_cosine_topk" -> e3Sql,
     "e3_ann_bucketed" -> e3bSql,
     "e3_ivf_topk" -> e3cSql,

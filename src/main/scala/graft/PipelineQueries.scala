@@ -23,7 +23,7 @@ object PipelineQueries {
 
   private val AvgDec = "DECIMAL(28,10)"
   private def meanSql(c: String): String =
-    s"CAST(SUM(CAST($c AS $AvgDec)) AS DOUBLE) / COUNT($c)"
+    s"CAST(CAST(SUM(CAST($c AS $AvgDec)) AS VARCHAR) AS DOUBLE) / COUNT($c)"
 
   private val Measure = "1-URGENT"
 

@@ -25,7 +25,7 @@ object ParityQueries {
 
   /** Exact order-independent mean, ANSI-safe (see Aggregates). */
   private def meanSql(c: String): String =
-    s"CAST(SUM(CAST($c AS $AvgDec)) AS DOUBLE) / COUNT($c)"
+    s"CAST(CAST(SUM(CAST($c AS $AvgDec)) AS VARCHAR) AS DOUBLE) / COUNT($c)"
 
   // ---- P1: column-name normalization (etl_script.py:74-75) ----------
   // Rename lineitem columns into raw "Title Case / slash" forms, then
@@ -244,7 +244,7 @@ object ParityQueries {
       .agg(count(lit(1)).as("n"), Aggregates.exactSum(col("l_quantity")).as("sum_qty"))
   val a6Sql =
     s"SELECT l_returnflag, l_linestatus, count(*) AS n, " +
-      s"CAST(SUM(CAST(l_quantity AS $AvgDec)) AS DOUBLE) AS sum_qty " +
+      s"CAST(CAST(SUM(CAST(l_quantity AS $AvgDec)) AS VARCHAR) AS DOUBLE) AS sum_qty " +
       "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
 
   // ---- O5: window analytics (lag + running sum per partition) ------------
@@ -264,7 +264,7 @@ object ParityQueries {
   val o5Sql =
     "SELECT o_orderkey, o_custkey, o_totalprice, " +
       "lag(o_totalprice, 1) OVER w AS prev_price, " +
-      s"CAST(SUM(CAST(o_totalprice AS $AvgDec)) OVER w AS DOUBLE) AS run_total " +
+      s"CAST(CAST(SUM(CAST(o_totalprice AS $AvgDec)) OVER w AS VARCHAR) AS DOUBLE) AS run_total " +
       "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
 
   // ---- A1: scalar count (etl_script.py:100,120,169) --------------------
@@ -527,7 +527,7 @@ object ParityQueries {
       count(when(col("l_discount") > 0.05, 1)).as("n_discounted"))
   val a7Sql =
     "SELECT count(*) FILTER (l_returnflag = 'R') AS n_returned, " +
-      s"CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS $AvgDec)) AS DOUBLE) AS returned_value, " +
+      s"CAST(CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS $AvgDec)) AS VARCHAR) AS DOUBLE) AS returned_value, " +
       "count(*) FILTER (l_discount > 0.05) AS n_discounted FROM lineitem"
 
   // ---- A8: pivot (wide summary; fixed pivot values keep the schema
@@ -540,8 +540,8 @@ object ParityQueries {
       .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
   val a8Sql =
     s"""SELECT l_returnflag,
-       |  CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS $AvgDec)) AS DOUBLE) AS qty_f,
-       |  CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS $AvgDec)) AS DOUBLE) AS qty_o
+       |  CAST(CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS $AvgDec)) AS VARCHAR) AS DOUBLE) AS qty_f,
+       |  CAST(CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS $AvgDec)) AS VARCHAR) AS DOUBLE) AS qty_o
        |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // ---- A9: scalar-subquery comparison (items above the global mean) ------
@@ -618,7 +618,7 @@ object ParityQueries {
           .as("corr_qty_price"))
   }
   val a10Sql = {
-    def es(e: String) = s"CAST(SUM(CAST($e AS $AvgDec)) AS DOUBLE)"
+    def es(e: String) = s"CAST(CAST(SUM(CAST($e AS $AvgDec)) AS VARCHAR) AS DOUBLE)"
     def mom(a: String, b: String) =
       s"CAST(CAST(SUM(CAST($a AS DECIMAL(8,2)) * CAST($b AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE)"
     s"WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n, ${es("l_quantity")} AS sx, " +
@@ -656,7 +656,7 @@ object ParityQueries {
         sum(col("l_extendedprice").cast("decimal(28,2)")).cast("double").as("sum_price"))
   val a12Sql =
     "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
-      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price " +
+      "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS sum_price " +
       "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
 
   // ---- O7: ranking-function family -----------------------------------------
@@ -732,9 +732,9 @@ object ParityQueries {
   }
   val q1Sql =
     s"""SELECT l_returnflag, l_linestatus,
-       |  CAST(SUM(CAST(l_quantity AS $AvgDec)) AS DOUBLE) AS sum_qty,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
-       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+       |  CAST(CAST(SUM(CAST(l_quantity AS $AvgDec)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
        |  ${meanSql("l_quantity")} AS avg_qty,
        |  ${meanSql("l_discount")} AS avg_disc,
        |  count(*) AS count_order
@@ -766,7 +766,7 @@ object ParityQueries {
   }
   val q3Sql =
     s"""SELECT l_orderkey, o_orderdate,
-       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+       |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS revenue
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey
@@ -802,8 +802,8 @@ object ParityQueries {
       Seq(col("o_totalprice").desc, col("o_orderkey").asc), 100)
   }
   val q18Sql =
-    s"""WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS $AvgDec)) AS DOUBLE) AS sum_qty
-       |  FROM lineitem GROUP BY l_orderkey HAVING CAST(SUM(CAST(l_quantity AS $AvgDec)) AS DOUBLE) > $Q18MinQty)
+    s"""WITH big AS (SELECT l_orderkey, CAST(CAST(SUM(CAST(l_quantity AS $AvgDec)) AS VARCHAR) AS DOUBLE) AS sum_qty
+       |  FROM lineitem GROUP BY l_orderkey HAVING CAST(CAST(SUM(CAST(l_quantity AS $AvgDec)) AS VARCHAR) AS DOUBLE) > $Q18MinQty)
        |SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
        |FROM orders JOIN big ON o_orderkey = big.l_orderkey
        |JOIN customer ON o_custkey = c_custkey

@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed pretraining-corpus cleaning pipeline — the E-family
+  * operators chained the way a real training-data run chains them
+  * (quality gate → exact dedup → near-dup dedup), one declarative
+  * frame in, one frame of surviving documents out.
+  *
+  * Stages, each individually oracle-verified elsewhere:
+  *  1. annotate + GATE: token count, marker language-ID, content
+  *     fingerprint ([[TextOps]]); drop docs below `minTokens` or
+  *     outside `langs` — per-row expressions, zero shuffles, maximal
+  *     early pruning (the cheapest stage removes rows first).
+  *  2. EXACT dedup: keep the min-doc_id representative per
+  *     fingerprint ([[Dedup.exactDeterministic]]) — one shuffle on
+  *     the fingerprint, full documents never shuffle.
+  *  3. NEAR-DUP dedup: MinHash band candidates ([[MinHash
+  *     .candidatePairs]]) → connected components ([[Dedup
+  *     .connectedComponents]]) → keep each cluster's min-doc_id
+  *     (`doc_id == component`); singletons survive by construction.
+  *
+  * At 100 TB the stage ORDER is the optimization: the quality gate
+  * typically drops 30–60% of a raw crawl before anything shuffles,
+  * exact dedup removes the byte-identical mass before signatures are
+  * computed, and the expensive banded self-join runs only on the
+  * survivors.
+  */
+object CorpusPipeline {
+
+  def clean(
+      docs: DataFrame,
+      minTokens: Int = 5,
+      langs: Seq[String] = Seq("en"),
+      minJaccardEst: Double = 0.5): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    val gated = docs.select(
+        col("doc_id"), col("text"),
+        size(tk).cast("long").as("n_tokens"),
+        TextOps.langIdGuess(tk).as("lang_guess"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .filter(col("n_tokens") >= minTokens && col("lang_guess").isin(langs: _*))
+    val exact = Dedup.exactDeterministic(gated, Seq("fp"), "doc_id")
+      .drop("group_size")
+    val pairs = MinHash.candidatePairs(exact, "doc_id", "text")
+      .filter(col("jaccard_est") >= minJaccardEst)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comps = Dedup.connectedComponents(
+      exact.select(col("doc_id").as("id")), pairs)
+    exact
+      .join(comps, exact("doc_id") === comps("id"))
+      .filter(col("doc_id") === col("component"))
+      .select(col("doc_id"), col("fp"), col("n_tokens"), col("lang_guess"))
+  }
+}

@@ -167,6 +167,24 @@ class ExtSpec extends SparkSpec {
     assert(got == Seq("1000", "1011")) // missing dims -> '0', never a shorter string
   }
 
+  // ---- E6: composed corpus cleaning --------------------------------------
+  test("CorpusPipeline gates, exact-dedups and near-dup-dedups in one pass") {
+    val en = (1 to 40).map(i => s"tok$i").mkString("the a of and is to ", " ", "")
+    val enNearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i")
+      .mkString("the a of and is to ", " ", "")
+    val docs = Seq(
+      (1L, en),                                  // survives (cluster rep of {1,4,5})
+      (2L, "the short one"),                     // gated: under min tokens
+      (3L, "der die das und ist zu der die das und ist zu"), // gated: not 'en'
+      (4L, en),                                  // exact dup of 1 -> dropped
+      (5L, enNearDup),                           // near-dup of 1 -> dropped
+      (6L, "the a of unique words entirely " + (100 to 140).map("w" + _).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.clean(docs, minTokens = 5, langs = Seq("en"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 6L))
+  }
+
   // ---- E2d: SimHash hamming pairs ---------------------------------------
   test("simhashPairs surfaces a near-dup within radius and skips far docs") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")

@@ -99,6 +99,10 @@ object Dedup {
     *
     * `vertices`: one `id` column; `pairs`: `a`, `b` (any orientation,
     * symmetrized internally). Returns (id, component).
+    *
+    * NOTE: the loop temporarily scopes `spark.sql.shuffle.partitions`
+    * and disables AQE on the session (restored on exit) — do not run
+    * concurrently with other queries on the same SparkSession.
     */
   def connectedComponents(
       vertices: DataFrame,

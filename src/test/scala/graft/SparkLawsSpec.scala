@@ -62,4 +62,73 @@ class SparkLawsSpec extends SparkSpec {
       assert(inter + minus == a.distinct().count())
     }
   }
+
+  test("law: asofJoin equals the brute-force latest-at-or-before lookup") {
+    import graft.ops.AsofJoin
+    for (seed <- Seq(2, 13, 99)) {
+      val r = new Random(seed)
+      // right side unique per (key, ts) as the operator requires
+      val rightRows = Seq.fill(60)((r.nextInt(5).toLong, r.nextInt(50).toLong))
+        .distinct.map { case (k, t) => (k, t, r.nextInt(1000).toDouble) }
+      val leftRows = Seq.fill(80)((r.nextInt(6).toLong, r.nextInt(60).toLong, r.nextInt()))
+      val left = leftRows.toDF("k", "t", "payload")
+      val right = rightRows.toDF("k", "rt", "rv")
+      val got = AsofJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"))
+        .select("k", "t", "payload", "rv").collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getInt(2),
+          if (row.isNullAt(3)) None else Some(row.getDouble(3)))).toSet
+      val expected = leftRows.map { case (k, t, p) =>
+        val best = rightRows.filter(rr => rr._1 == k && rr._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        (k, t, p, best)
+      }.toSet
+      assert(got == expected)
+    }
+  }
+
+  test("law: binned range join equals the naive theta join at any bin width") {
+    import graft.ops.RangeJoin
+    def t(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    for ((seed, binSec) <- Seq((4, 60L), (17, 600L), (31, 7L))) {
+      val r = new Random(seed)
+      val points = Seq.fill(50)((r.nextInt(500).toLong, t(r.nextInt(200).toLong)))
+        .toDF("pid", "ts")
+      val intervals = Seq.fill(15) {
+        val lo = r.nextInt(200).toLong
+        (r.nextInt(500).toLong, t(lo), t(lo + r.nextInt(40).toLong))
+      }.toDF("iid", "lo", "hi")
+      val got = RangeJoin.pointInInterval(points, "ts", intervals, "lo", "hi", binSec)
+        .select("iid", "pid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val naive = points.join(intervals, col("ts") >= col("lo") && col("ts") <= col("hi"))
+        .select("iid", "pid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(got == naive)
+    }
+  }
+
+  test("law: connectedComponents equals driver-side union-find on random graphs") {
+    import graft.ext.Dedup
+    for (seed <- Seq(6, 23, 77)) {
+      val r = new Random(seed)
+      val n = 25
+      val edges = Seq.fill(20)((r.nextInt(n).toLong, r.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val verts = (0 until n).map(_.toLong)
+      val got = Dedup.connectedComponents(
+        verts.toDF("id"), edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      // reference: plain union-find with min-id representatives
+      val parent = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
+      def find(v: Long): Long = if (parent(v) == v) v else { val p = find(parent(v)); parent(v) = p; p }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val m = math.min(ra, rb); parent(math.max(ra, rb)) = m }
+      }
+      // one more pass so every root is the true min of its component
+      val byRoot = verts.groupBy(find)
+      val expected = byRoot.flatMap { case (_, vs) =>
+        val m = vs.min; vs.map(_ -> m)
+      }.toMap
+      assert(got == expected)
+    }
+  }
 }

@@ -303,6 +303,36 @@ object ExtQueries {
     "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest, " +
       s"CAST(${duckMd5Int("md5(text) || '_0'")} % 1000 AS DOUBLE) / 1000.0 AS feat0 FROM documents"
 
+  // ---- E4d: per-dimension embedding statistics ------------------------------
+  // The feature-normalization precompute (per-dim n/mean/min/max for
+  // z-scoring): posexplode to (dim, value) rows — float widened to
+  // double (exact) — then a partial+final aggregate on the dim key.
+  // At 100 TB this shuffles one (dim, partial) row per partition per
+  // dimension, never the exploded rows.
+  def e4DimStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select((col("dim") + 1).cast("long").as("dim"), col("v").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.ops.Aggregates.exactMean(col("v")).as("mean_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+  // The mean's double→decimal INPUT conversion goes through VARCHAR on
+  // the DuckDB side: Spark converts doubles to decimal via their
+  // shortest round-trip string, DuckDB via the exact binary expansion,
+  // and for float-widened doubles the two roundings at scale 10 can
+  // differ (the expansion's digits 11+ land exactly in the cut zone).
+  // VARCHAR → shortest repr → parse replicates Spark's semantics.
+  val e4dSql: String = {
+    val m = s"CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS $AvgDec)) AS VARCHAR) AS DOUBLE) / COUNT(v)"
+    s"""WITH x AS (SELECT unnest(range(1, len(embedding)+1)) AS dim,
+       |  unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v FROM embeddings)
+       |SELECT dim, count(*) AS n, $m AS mean_v, min(v) AS min_v, max(v) AS max_v
+       |FROM x GROUP BY dim""".stripMargin
+  }
+
   // ---- E4c: REAL image decode — PNG encode→decode→pixel stats --------------
   // Per-row: seed from the doc digest → deterministic 8×8 grayscale
   // PNG (javax.imageio encoder) → REAL decode → pixel stats. The
@@ -464,6 +494,7 @@ object ExtQueries {
     "e4_embedding_stats" -> (e4EmbeddingStats _),
     "e4_blob_meta" -> (e4BlobMeta _),
     "e4_decode_stats" -> (e4DecodeStats _),
+    "e4_dim_stats" -> (e4DimStats _),
     "e5_bpe_tokens" -> (e5BpeTokens _),
     "e5_token_stats" -> (e5TokenStats _),
     "e5_word_freq" -> (e5WordFreq _),
@@ -486,6 +517,7 @@ object ExtQueries {
     "e4_embedding_stats" -> e4Sql,
     "e4_blob_meta" -> e4bSql,
     "e4_decode_stats" -> e4cSql,
+    "e4_dim_stats" -> e4dSql,
     "e5_bpe_tokens" -> e5aSql,
     "e5_token_stats" -> e5Sql,
     "e5_word_freq" -> e5bSql,

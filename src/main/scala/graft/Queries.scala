@@ -218,6 +218,32 @@ object ParityQueries {
   val f5Sql =
     "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events"
 
+  // ---- F7: string toolkit ---------------------------------------------------
+  // The wider scalar-string surface beyond F1's trim/lower/replace —
+  // every function here has identical semantics in both engines
+  // (position args 1-based, empty-result edge cases included).
+  def f7StringToolkit(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      substring(col("c_name"), 1, 8).as("name8"),
+      expr("left(c_name, 4)").as("l4"),
+      expr("right(c_name, 3)").as("r3"),
+      lpad(col("c_mktsegment"), 12, ".").as("seg_pad"),
+      instr(col("c_name"), "#").cast("long").as("hash_pos"),
+      translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"),
+      reverse(col("c_mktsegment")).as("seg_rev"),
+      repeat(col("c_mktsegment"), 2).as("seg2"),
+      length(col("c_name")).cast("long").as("name_len"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
+  val f7Sql =
+    "SELECT c_custkey, substr(c_name, 1, 8) AS name8, left(c_name, 4) AS l4, " +
+      "right(c_name, 3) AS r3, lpad(c_mktsegment, 12, '.') AS seg_pad, " +
+      "CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos, " +
+      "translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr, " +
+      "reverse(c_mktsegment) AS seg_rev, repeat(c_mktsegment, 2) AS seg2, " +
+      "CAST(length(c_name) AS BIGINT) AS name_len, " +
+      "concat_ws('|', c_mktsegment, c_name) AS joined FROM customer"
+
   // ---- U1: set operations (union / intersect / except, distinct) --------
   def u1SetOps(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(s, dir)
@@ -836,6 +862,7 @@ object ParityQueries {
     "j5_asof_join" -> (j5AsofJoin _),
     "j6_range_join" -> (j6RangeJoin _),
     "f5_json" -> (f5Json _),
+    "f7_string_toolkit" -> (f7StringToolkit _),
     "u1_set_ops" -> (u1SetOps _),
     "a6_rollup" -> (a6Rollup _),
     "o5_window_analytics" -> (o5WindowAnalytics _),
@@ -886,6 +913,7 @@ object ParityQueries {
     "j5_asof_join" -> j5Sql,
     "j6_range_join" -> j6Sql,
     "f5_json" -> f5Sql,
+    "f7_string_toolkit" -> f7Sql,
     "u1_set_ops" -> u1Sql,
     "a6_rollup" -> a6Sql,
     "o5_window_analytics" -> o5Sql,

@@ -120,9 +120,14 @@ object Dedup {
     // Only edge-touched vertices can ever change label — the loop runs
     // on this (near-dup-sized) subset; the singleton majority of a
     // 100 TB corpus never enters an iteration and is joined back at
-    // the end with component = id.
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
+    // the end with component = id. The initial labeling FUSES the
+    // first propagation round: label₀(v) = min(v, min neighbor) is one
+    // aggregation over the edge list (self-loops unioned in), saving a
+    // full join+agg round — for the diameter-1 clusters that dominate
+    // near-dup graphs the loop then converges in a single iteration.
+    var labels = edges.select(col("a").as("id"), col("b").as("component"))
+      .unionByName(edges.select(col("a").as("id"), col("a").as("component")))
+      .groupBy("id").agg(min("component").as("component"))
       .localCheckpoint()
     // convergence: labels only ever decrease, so the component-sum is
     // strictly decreasing until the fixpoint — reading it doubles as

@@ -28,10 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    // whole-plan rewrite: point-in-interval theta-joins → binned
+    // equi-join (graft.plans.RangeJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+  }
 }
 
 object GraftExtensions {

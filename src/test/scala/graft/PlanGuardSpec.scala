@@ -1,0 +1,70 @@
+package graft
+
+/** Plan-shape regression guards: the 100 TB design intents that
+  * PlanAudit verifies by eye, asserted so a refactor that silently
+  * un-pushes a filter, drops a broadcast, or reintroduces a
+  * nested-loop join fails the suite. Runs on sf0.001 — plan SHAPE is
+  * scale-independent; only the AQE broadcast decisions depend on
+  * stats, and those are pinned by the hints under test.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("p4_filter: predicate reaches the parquet scan; schema pruned") {
+    val p = planOf("p4_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double"), p)
+  }
+
+  test("j1_join_inner: the dimension side is broadcast") {
+    val p = planOf("j1_join_inner")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("o3_topk: fuses to TakeOrderedAndProject (no global sort)") {
+    val p = planOf("o3_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("o4_topk_per_group: WindowGroupLimit prunes before the exchange") {
+    val p = planOf("o4_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q3_shipping_priority: filtered dims, broadcast join, top-k") {
+    val p = planOf("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("j5_asof_join: no row-amplifying join, one window over the union") {
+    val p = planOf("j5_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_max"), p) // clicks pre-aggregate map-side
+  }
+
+  test("j6_range_join: binned equi-join, never a nested loop") {
+    val p = planOf("j6_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), p) // the interval bin explode
+  }
+
+  test("e4_decode_stats: exactly one Generate evaluates the codec chain") {
+    val p = planOf("e4_decode_stats")
+    assert(p.linesIterator.count(_.contains("graft_decode_image_stats")) == 1, p)
+  }
+
+  test("agg queries keep the partial+final split (map-side combine)") {
+    for (q <- Seq("a4_group_mean", "a11_histogram", "e5_token_stats")) {
+      val p = planOf(q)
+      assert(p.contains("partial_"), s"$q lost map-side partial aggregation:\n$p")
+    }
+  }
+}

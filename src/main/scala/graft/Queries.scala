@@ -188,6 +188,9 @@ object ParityQueries {
   // events falling inside them. Spark runs the BINNED equi-join
   // ([[RangeJoin.pointInInterval]]); the oracle runs a plain
   // BETWEEN theta-join — independent algorithms, identical pairs.
+  // ([[graft.plans.RangeJoinRule]] performs the same rewrite
+  // automatically for sessions with the graft extension installed —
+  // this registration exercises the explicit operator form.)
   private val RangeBinSeconds = 6 * 3600L
   def j6RangeJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)

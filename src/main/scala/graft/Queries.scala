@@ -221,6 +221,49 @@ object ParityQueries {
   val f5Sql =
     "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events"
 
+  // ---- O8: window frames (moving aggregates + navigation) -------------------
+  // ROWS-frame moving average (decimal-exact), lead, and first_value
+  // over a totally-ordered per-customer window — the sliding-window
+  // analytics family beyond O5's lag/running-sum.
+  def o8WindowFrames(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("o_orderdate").asc, col("o_orderkey").asc)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(order: _*)
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      (sum(col("o_totalprice").cast(AvgDec)).over(w3).cast("double") /
+        count(lit(1)).over(w3)).as("mov_avg3"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      first(col("o_totalprice")).over(w).as("first_price"))
+  }
+  val o8Sql =
+    "SELECT o_orderkey, o_custkey, o_totalprice, " +
+      s"CAST(CAST(SUM(CAST(o_totalprice AS $AvgDec)) OVER w3 AS VARCHAR) AS DOUBLE) / count(*) OVER w3 AS mov_avg3, " +
+      "lead(o_totalprice, 1) OVER w AS next_price, " +
+      "first_value(o_totalprice) OVER w AS first_price " +
+      "FROM orders WINDOW " +
+      "w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
+      "w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+
+  // ---- F8: null toolkit -----------------------------------------------------
+  // coalesce / nullif / greatest / least / CASE — identical null
+  // propagation in both engines (greatest/least ignore nulls unless
+  // all inputs are null).
+  def f8NullToolkit(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(redacted)")).as("seg_red"),
+      greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+      least(col("c_acctbal"), lit(5000.0)).as("bal_cap"),
+      when(col("c_acctbal") < 0, "overdrawn")
+        .when(col("c_acctbal") < 1000, "low").otherwise("ok").as("bal_band"))
+  val f8Sql =
+    "SELECT c_custkey, coalesce(nullif(c_mktsegment, 'BUILDING'), '(redacted)') AS seg_red, " +
+      "greatest(c_acctbal, 0.0) AS bal_floor, least(c_acctbal, 5000.0) AS bal_cap, " +
+      "CASE WHEN c_acctbal < 0 THEN 'overdrawn' WHEN c_acctbal < 1000 THEN 'low' ELSE 'ok' END AS bal_band " +
+      "FROM customer"
+
   // ---- F7: string toolkit ---------------------------------------------------
   // The wider scalar-string surface beyond F1's trim/lower/replace —
   // every function here has identical semantics in both engines
@@ -866,6 +909,8 @@ object ParityQueries {
     "j6_range_join" -> (j6RangeJoin _),
     "f5_json" -> (f5Json _),
     "f7_string_toolkit" -> (f7StringToolkit _),
+    "o8_window_frames" -> (o8WindowFrames _),
+    "f8_null_toolkit" -> (f8NullToolkit _),
     "u1_set_ops" -> (u1SetOps _),
     "a6_rollup" -> (a6Rollup _),
     "o5_window_analytics" -> (o5WindowAnalytics _),
@@ -917,6 +962,8 @@ object ParityQueries {
     "j6_range_join" -> j6Sql,
     "f5_json" -> f5Sql,
     "f7_string_toolkit" -> f7Sql,
+    "o8_window_frames" -> o8Sql,
+    "f8_null_toolkit" -> f8Sql,
     "u1_set_ops" -> u1Sql,
     "a6_rollup" -> a6Sql,
     "o5_window_analytics" -> o5Sql,

@@ -41,8 +41,11 @@ object CorpusPipeline {
         TextOps.langIdGuess(tk).as("lang_guess"),
         TextOps.fingerprint(col("text")).as("fp"))
       .filter(col("n_tokens") >= minTokens && col("lang_guess").isin(langs: _*))
-    val exact = Dedup.exactDeterministic(gated, Seq("fp"), "doc_id")
-      .drop("group_size")
+    // eager persist: the near-dup chain AND the final survivor join
+    // both read the gated+deduped frame in separate jobs
+    val exact = graft.ops.Sink.cachedEager(
+      Dedup.exactDeterministic(gated, Seq("fp"), "doc_id")
+        .drop("group_size"))
     val pairs = MinHash.candidatePairs(exact, "doc_id", "text")
       .filter(col("jaccard_est") >= minJaccardEst)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))

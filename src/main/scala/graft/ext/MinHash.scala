@@ -147,20 +147,25 @@ object MinHash {
     * set comparison runs per candidate pair, never per corpus pair.
     */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String, shingleLen: Int = 3): DataFrame = {
-    // Eager persist (graft.ops.Sink.cachedEager): the pair frame joins
-    // this table TWICE inside one job; a lazy persist would let both
-    // join sides race to populate the same cache partitions.
+    // ONE eagerly-persisted shingle-hash base feeds BOTH the
+    // signature/banding chain and the exact-verification sets — the
+    // corpus is tokenized and hashed exactly once (a separate
+    // candidatePairs call would re-run the whole per-row chain). The
+    // eager persist also prevents the multi-reader cache-population
+    // race (see graft.ops.Sink.cachedEager).
     val ms = graft.ops.Sink.cachedEager(docs
       .select(col(idCol).as("doc_id"),
         shingleHashesFromTokens(TextOps.tokens(col(textCol)), shingleLen).as("ms"))
-      .filter(size(col("ms")) > 0)
-      .select(col("doc_id"), array_distinct(col("ms")).as("msd")))
+      .filter(size(col("ms")) > 0))
+    val msd = ms.select(col("doc_id"), array_distinct(col("ms")).as("msd"))
+    val sigs = graft.ops.Sink.cachedEager(
+      ms.select(col("doc_id"), signature(col("ms")).as("sig")))
     val inter = size(array_intersect(col("ms_a"), col("ms_b"))).cast("double")
     val uni = (size(col("ms_a")) + size(col("ms_b"))).cast("double") - inter
-    candidatePairs(docs, idCol, textCol, shingleLen)
+    candidatePairsFromSigs(sigs)
       .select(col("doc_a"), col("doc_b"))
-      .join(ms.select(col("doc_id").as("doc_a"), col("msd").as("ms_a")), Seq("doc_a"))
-      .join(ms.select(col("doc_id").as("doc_b"), col("msd").as("ms_b")), Seq("doc_b"))
+      .join(msd.select(col("doc_id").as("doc_a"), col("msd").as("ms_a")), Seq("doc_a"))
+      .join(msd.select(col("doc_id").as("doc_b"), col("msd").as("ms_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), (inter / uni).as("jaccard"))
   }
 
@@ -190,6 +195,15 @@ object MinHash {
         shingleHashesFromTokens(TextOps.tokens(col(textCol)), shingleLen).as("ms"))
       .filter(size(col("ms")) > 0)
       .select(col("doc_id"), signature(col("ms")).as("sig")))
+    candidatePairsFromSigs(sigs)
+  }
+
+  /** Band-bucket self-join over an (already materialized) signature
+    * table — the join stage shared by [[candidatePairs]] and
+    * [[exactJaccardPairs]]. `sigs` must be persisted/checkpointed:
+    * both self-join sides read it within one job.
+    */
+  private def candidatePairsFromSigs(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(bandKeys(col("sig"))).as(Seq("bidx", "bkey")))

@@ -399,6 +399,59 @@ object ExtQueries {
        |FROM exact JOIN comp ON exact.doc_id = comp.doc_id WHERE comp.doc_id = comp.component""".stripMargin
   }
 
+  // ---- E7: deterministic splits + mixture sampling ---------------------------
+  // Hash-derived held-out splits and per-source keep-rates: every
+  // decision is md5(row-id) arithmetic, so both engines assign every
+  // row identically (df.sample would be engine/partitioning-dependent
+  // and un-oracle-able).
+  def e7Split(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      Sampling.assignSplit(col("doc_id")).as("split"))
+  val e7Sql: String = {
+    val b = s"${duckMd5Int("'split_' || CAST(doc_id AS VARCHAR)")} % 1000"
+    s"SELECT doc_id, CASE WHEN $b < 800 THEN 'train' WHEN $b < 900 THEN 'val' ELSE 'test' END AS split FROM documents"
+  }
+
+  private val MixRates = Map("src0" -> 100, "src1" -> 1000, "src2" -> 500)
+  private val MixDefault = 300
+  def e7MixtureStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        Sampling.mixtureKeep(col("doc_id"), col("source"), MixRates, MixDefault).as("keep"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("keep"), lit(1))).as("n_kept"))
+  val e7bSql: String = {
+    val b = s"${duckMd5Int("'mix_' || CAST(doc_id AS VARCHAR)")} % 1000"
+    val rate = MixRates.toSeq.sortBy(_._1).reverse
+      .foldRight(MixDefault.toString) { case ((src, r), acc) =>
+        s"CASE WHEN source = '$src' THEN $r ELSE $acc END"
+      }
+    s"SELECT source, count(*) AS n_total, " +
+      s"count(CASE WHEN $b < $rate THEN 1 END) AS n_kept FROM documents GROUP BY source"
+  }
+
+  // ---- E8: benchmark decontamination -----------------------------------------
+  // Docs overlapping the benchmark subset (every 20th doc) in ≥ 5
+  // distinct shingle hashes. The benchmark reduces to a tiny distinct
+  // shingle set; the corpus equi-joins it — never all-pairs.
+  private val ContamMinOverlap = 5
+  def e8Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    CorpusPipeline.contaminated(
+      docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 20 === 0),
+      minOverlap = ContamMinOverlap)
+  }
+  val e8Sql: String =
+    s"""WITH ${e2CtesBodyFrom("documents")},
+       |bsh AS (SELECT DISTINCT unnest(list_distinct(ms)) AS sh FROM hashed WHERE doc_id % 20 = 0),
+       |csh AS (SELECT doc_id, unnest(list_distinct(ms)) AS sh FROM hashed WHERE doc_id % 20 <> 0)
+       |SELECT doc_id, count(*) AS n_overlap FROM csh JOIN bsh USING (sh)
+       |GROUP BY doc_id HAVING count(*) >= $ContamMinOverlap""".stripMargin
+
   // ---- E5a: BPE-ish regex token counts (vs whitespace tokens) --------------
   def e5BpeTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
@@ -488,6 +541,9 @@ object ExtQueries {
     "e2_lev_verify" -> (e2LevVerify _),
     "e2_embed_neardup" -> (e2EmbedNearDup _),
     "e6_corpus_clean" -> (e6CorpusClean _),
+    "e7_split" -> (e7Split _),
+    "e7_mixture_stats" -> (e7MixtureStats _),
+    "e8_contamination" -> (e8Contamination _),
     "e3_cosine_topk" -> (e3CosineTopK _),
     "e3_ann_bucketed" -> (e3AnnBucketed _),
     "e3_ivf_topk" -> (e3IvfTopK _),
@@ -511,6 +567,9 @@ object ExtQueries {
     "e2_lev_verify" -> e2fSql,
     "e2_embed_neardup" -> e2cSql,
     "e6_corpus_clean" -> e6Sql,
+    "e7_split" -> e7Sql,
+    "e7_mixture_stats" -> e7bSql,
+    "e8_contamination" -> e8Sql,
     "e3_cosine_topk" -> e3Sql,
     "e3_ann_bucketed" -> e3bSql,
     "e3_ivf_topk" -> e3cSql,

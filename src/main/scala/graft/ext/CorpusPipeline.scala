@@ -29,6 +29,36 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** Benchmark decontamination: corpus docs sharing at least
+    * `minOverlap` DISTINCT shingle hashes with the benchmark set —
+    * the screen a pretraining corpus runs against eval benchmarks so
+    * test data does not leak into training. Plan shape: the benchmark
+    * side reduces to a distinct shingle-hash set (tiny — benchmarks
+    * are small, auto-broadcast), the corpus explodes to (doc,
+    * shingle) and equi-joins it; overlap counts aggregate
+    * partial+final per doc. Never all-pairs, corpus text never
+    * shuffles — only matching shingle hashes do.
+    */
+  def contaminated(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      shingleLen: Int = 3,
+      minOverlap: Int = 5): DataFrame = {
+    def shingles(df: DataFrame) =
+      array_distinct(MinHash.shingleHashesFromTokens(
+        TextOps.tokens(df(textCol)), shingleLen))
+    val benchSh = benchmark
+      .select(explode(shingles(benchmark)).as("sh")).distinct()
+    docs
+      .select(docs(idCol).as("doc_id"), explode(shingles(docs)).as("sh"))
+      .join(benchSh, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   def clean(
       docs: DataFrame,
       minTokens: Int = 5,

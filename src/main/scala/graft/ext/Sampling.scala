@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data assembly
+  * (SURVEY §2.8 extensions): held-out splits and per-source mixture
+  * weighting. `df.sample` is engine- and partitioning-dependent;
+  * these derive every decision from an md5 hash of the ROW IDENTITY,
+  * so the same row lands in the same split on any engine, any
+  * partitioning, any rerun — the property that makes held-out sets
+  * trustworthy and mixtures reproducible. Pure per-row expressions:
+  * zero shuffles, fully pushdown-friendly.
+  */
+object Sampling {
+
+  /** Hash bucket in [0, 1000) from a salted row id — the shared
+    * primitive (salt separates independent sampling decisions so
+    * split and mixture draws are uncorrelated).
+    */
+  def permilleBucket(idCol: Column, salt: String): Column =
+    TextOps.md5Int32(concat(lit(salt + "_"), idCol.cast("string"))) % 1000
+
+  /** Named train/val/test assignment by cumulative permille
+    * thresholds (default 80/10/10).
+    */
+  def assignSplit(idCol: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct + valPct < 100)
+    val b = permilleBucket(idCol, "split")
+    when(b < trainPct * 10, "train")
+      .when(b < (trainPct + valPct) * 10, "val")
+      .otherwise("test")
+  }
+
+  /** Mixture sampling: keep a row iff its hash bucket falls under its
+    * source's keep-rate (permille). Sources absent from `rates` use
+    * `defaultPermille`. This is how corpus mixtures are weighted
+    * (e.g. books oversampled vs web) without materializing copies.
+    */
+  def mixtureKeep(
+      idCol: Column,
+      sourceCol: Column,
+      rates: Map[String, Int],
+      defaultPermille: Int): Column = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
+      case (acc, (s, r)) => when(sourceCol === s, lit(r)).otherwise(acc)
+    }
+    permilleBucket(idCol, "mix") < rate
+  }
+}

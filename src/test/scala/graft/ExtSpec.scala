@@ -185,6 +185,30 @@ class ExtSpec extends SparkSpec {
     assert(out == Seq(1L, 6L))
   }
 
+  // ---- E7: deterministic sampling -----------------------------------------
+  test("assignSplit is deterministic and near the configured proportions") {
+    val ids = spark.range(10000).toDF("id")
+    val splits = ids.select(Sampling.assignSplit(col("id")).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(math.abs(splits("train") - 8000L) < 300, splits.toString)
+    assert(math.abs(splits("val") - 1000L) < 150, splits.toString)
+    // determinism: a second evaluation assigns identically
+    val a = ids.select(col("id"), Sampling.assignSplit(col("id")).as("s")).collect().toSeq
+    val b = ids.select(col("id"), Sampling.assignSplit(col("id")).as("s")).collect().toSeq
+    assert(a == b)
+  }
+
+  test("mixtureKeep honors rate 0 (drop all) and 1000 (keep all)") {
+    val df = spark.range(500).toDF("id")
+      .withColumn("src", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val kept = df.filter(
+      Sampling.mixtureKeep(col("id"), col("src"), Map("a" -> 0, "b" -> 1000), 500))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!kept.contains("a"))
+    assert(kept("b") == 250L)
+  }
+
   // ---- E2d: SimHash hamming pairs ---------------------------------------
   test("simhashPairs surfaces a near-dup within radius and skips far docs") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")

@@ -493,6 +493,36 @@ object ExtQueries {
       |  SELECT lang, word, n, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS BIGINT) AS rk
       |  FROM counts) WHERE rk <= 5""".stripMargin
 
+  // ---- E5e: character-trigram frequency profile per language ---------------
+  // The char-n-gram counterpart of e5_word_freq — the statistic a
+  // profile-based language identifier is built from (the marker-word
+  // LID in e5_quality_langid is the cheap variant; real LID ranks
+  // these profiles). Profiles are built from a fixed PREFIX of each
+  // doc (standard for LID — a sample characterizes the language, and
+  // it bounds the per-doc explode at any document length). Explode is
+  // per-row work; only (lang, trigram) partial counts shuffle.
+  private val TrigramPrefix = 200
+  def e5CharTrigrams(s: SparkSession, dir: String): DataFrame = {
+    // the prefix is let-bound (TextOps.let1): inlined into the lambda
+    // it would recompute lower(full text) once per trigram index
+    val trigrams = TextOps.let1(expr(s"substr(lower(text), 1, $TrigramPrefix)")) { p =>
+      transform(
+        sequence(lit(1), greatest(length(p) - 2, lit(0))),
+        i => substring(p, i, lit(3)))
+    }
+    val tris = Tables.documents(s, dir)
+      .select(col("lang"), explode(trigrams).as("tri"))
+      .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n"))
+    Ranking.topKPerGroup(tris, Seq("lang"), Seq(col("n").desc, col("tri").asc), 5)
+      .withColumn("rk", col("rk").cast("long"))
+  }
+  val e5eSql: String =
+    s"""WITH tris AS (SELECT lang, unnest([substr(p, i, 3) for i in range(1, greatest(len(p) - 2, 0) + 1)]) AS tri FROM (SELECT lang, substr(lower(text), 1, $TrigramPrefix) AS p FROM documents)),
+      |counts AS (SELECT lang, tri, count(*) AS n FROM tris GROUP BY lang, tri)
+      |SELECT lang, tri, n, rk FROM (
+      |  SELECT lang, tri, n, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri) AS BIGINT) AS rk
+      |  FROM counts) WHERE rk <= 5""".stripMargin
+
   // ---- E5c: quality scoring + language ID ----------------------------------
   def e5QualityLangid(s: SparkSession, dir: String): DataFrame = {
     val tk = TextOps.tokens(col("text"))
@@ -555,6 +585,7 @@ object ExtQueries {
     "e5_token_stats" -> (e5TokenStats _),
     "e5_word_freq" -> (e5WordFreq _),
     "e5_quality_langid" -> (e5QualityLangid _),
+    "e5_char_trigrams" -> (e5CharTrigrams _),
     "e5_fingerprint" -> (e5Fingerprint _)
   )
 
@@ -581,6 +612,7 @@ object ExtQueries {
     "e5_token_stats" -> e5Sql,
     "e5_word_freq" -> e5bSql,
     "e5_quality_langid" -> e5cSql,
+    "e5_char_trigrams" -> e5eSql,
     "e5_fingerprint" -> e5dSql
   )
 }

@@ -30,7 +30,11 @@ import org.apache.spark.sql.types.StructType
   * Preconditions: `rightValCols` must be disjoint from left's
   * columns, and the right side must be unique per (key, rightTs) —
   * pre-aggregate otherwise (with duplicates, which right row wins is
-  * not defined by as-of semantics in any engine).
+  * not defined by as-of semantics in any engine). NULL join keys:
+  * the window PARTITIONs nulls together, so null-key left rows would
+  * match null-key right rows — unlike an equi-join, where null never
+  * matches. Pre-filter null keys if they can occur and equi-join
+  * semantics are required.
   */
 object AsofJoin {
 

@@ -714,6 +714,21 @@ object ParityQueries {
     s"SELECT CAST(floor(o_totalprice / $HistWidth) AS BIGINT) AS bucket, count(*) AS n " +
       "FROM orders GROUP BY 1"
 
+  // ---- A13: typed custom Aggregator ----------------------------------------
+  // The Dataset[T] API tier: a custom Aggregator with a typed (cents,
+  // count) buffer ([[graft.functions.ExactCentsMean]]) computing the
+  // exact mean of 2-decimal prices via integer accumulation. The
+  // oracle replays the identical cents arithmetic.
+  def a13TypedMean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select(col("o_totalprice")).as[Double]
+      .select(graft.functions.ExactCentsMean.toColumn.name("mean_price"))
+      .toDF("mean_price")
+  }
+  val a13Sql =
+    "SELECT CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / (100.0 * count(*)) AS mean_price FROM orders"
+
   // ---- A12: cube (all grouping-set combinations) --------------------------
   // rollup's sibling: 2^k grouping sets, still partial+final aggregated
   // per set — the full OLAP subtotal lattice in one pass.
@@ -939,6 +954,7 @@ object ParityQueries {
     "a10_corr" -> (a10Corr _),
     "a11_histogram" -> (a11Histogram _),
     "a12_cube" -> (a12Cube _),
+    "a13_typed_mean" -> (a13TypedMean _),
     "o7_rank_family" -> (o7RankFamily _),
     "u2_bag_ops" -> (u2BagOps _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -992,6 +1008,7 @@ object ParityQueries {
     "a10_corr" -> a10Sql,
     "a11_histogram" -> a11Sql,
     "a12_cube" -> a12Sql,
+    "a13_typed_mean" -> a13Sql,
     "o7_rank_family" -> o7Sql,
     "u2_bag_ops" -> u2Sql,
     "q1_pricing_summary" -> q1Sql,

@@ -230,6 +230,24 @@ class OpsSpec extends SparkSpec {
       s"partition filter missing from scan:\n$plan")
   }
 
+  // ---- A13: typed Aggregator ---------------------------------------------
+  test("ExactCentsMean merges partials exactly and yields NaN on empty") {
+    import graft.functions.ExactCentsMean
+    val vals = Seq(1.10, 2.27, 3.33, 0.01)
+    // reduce in two halves then merge == reduce all (associativity)
+    val (l, r) = vals.splitAt(2)
+    def red(vs: Seq[Double]) = vs.foldLeft(ExactCentsMean.zero)(ExactCentsMean.reduce)
+    val merged = ExactCentsMean.merge(red(l), red(r))
+    assert(merged == red(vals))
+    assert(ExactCentsMean.finish(merged) == (110L + 227L + 333L + 1L).toDouble / 400.0)
+    assert(ExactCentsMean.finish(ExactCentsMean.zero).isNaN)
+    // distributed: matches the built-in exact decimal mean on cents data
+    val df = vals.toDF("v")
+    val typed = df.as[Double].select(ExactCentsMean.toColumn.name("m")).head()
+    val builtin = df.agg(Aggregates.exactMean(col("v"))).as[Double].head()
+    assert(typed == builtin)
+  }
+
   // ---- S4: bucketed tables join without a shuffle ------------------------
   test("co-bucketed tables join with zero Exchange in the plan") {
     def reset(t: String): Unit = {

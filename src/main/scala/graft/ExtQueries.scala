@@ -562,6 +562,75 @@ object ExtQueries {
        |  CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
        |  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash FROM t""".stripMargin
 
+  // ---- E5f: repetition signals (Gopher/C4-style quality filters) -----------
+  // Duplicate-bigram / duplicate-trigram fraction + type-token ratio
+  // per document. Tokens are md5-hashed ONCE (let-bound), then
+  // windowed at both widths over the hash array — no shingle strings
+  // materialize ([[MinHash.windowHashes]]), and distinct-counting
+  // runs on fixed-width longs. Pure per-row HOF math, zero shuffles;
+  // `inline` emits the struct once per row so CollapseProject cannot
+  // re-inline the shared hash array into per-field copies.
+  def e5Repetition(s: SparkSession, dir: String): DataFrame = {
+    import MinHash.P
+    val hs = transform(TextOps.tokens(col("text")), t => TextOps.md5Int32(t) % P)
+    val stats = TextOps.let1(hs) { hsv =>
+      struct(
+        TextOps.dupWindowFrac(MinHash.windowHashes(hsv, 2)).as("dup_bigram_frac"),
+        TextOps.dupWindowFrac(MinHash.windowHashes(hsv, 3)).as("dup_trigram_frac"),
+        when(size(hsv) === 0, lit(null).cast("double"))
+          .otherwise(size(array_distinct(hsv)).cast("double") / size(hsv).cast("double"))
+          .as("ttr"))
+    }
+    Tables.documents(s, dir).select(col("doc_id"), inline(array(stats)))
+  }
+  val e5fSql: String = {
+    import MinHash._
+    def win(n: Int): String = {
+      val sum = (0 until n)
+        .map(j => s"((hs[i+$j] * ${mixConst(j)}) % $P)")
+        .mkString("(", " + ", s") % $P")
+      s"[$sum for i in range(1, greatest(len(hs) - ${n - 2}, 1))]"
+    }
+    def dupFrac(w: String): String =
+      s"CASE WHEN len($w) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct($w)) AS DOUBLE) / CAST(len($w) AS DOUBLE) END"
+    s"""WITH toks AS (SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'), t -> ${duckMd5Int("t")} % $P) hs FROM documents),
+       |wins AS (SELECT doc_id, hs, ${win(2)} w2, ${win(3)} w3 FROM toks)
+       |SELECT doc_id, ${dupFrac("w2")} AS dup_bigram_frac, ${dupFrac("w3")} AS dup_trigram_frac,
+       |  CASE WHEN len(hs) = 0 THEN NULL ELSE CAST(len(list_distinct(hs)) AS DOUBLE) / CAST(len(hs) AS DOUBLE) END AS ttr
+       |FROM wins""".stripMargin
+  }
+
+  // ---- E5g: PII redaction pass (training-data scrubbing) -------------------
+  // Emails/phones → typed placeholders + per-row audit counts. The
+  // contact field is CONSTRUCTED deterministically from the customer
+  // key (the synthetic tables contain no real PII-shaped strings) —
+  // the operator under test is the portable-regex redact/count chain
+  // ([[TextOps.redactPii]]), per-row, zero shuffles.
+  def e5PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val contact = when(pmod(col("c_custkey"), lit(2)) === 0,
+      concat(lit("reach user"), col("c_custkey").cast("string"),
+        lit("@example.com re account")))
+      .otherwise(concat(lit("call 555-"),
+        lpad(pmod(col("c_custkey") * 7, lit(10000)).cast("string"), 4, "0"),
+        lit(" re account")))
+    val scrubbed = TextOps.let1(contact) { ct =>
+      struct(
+        TextOps.redactPii(ct).as("redacted"),
+        TextOps.piiCount(ct, TextOps.EmailRe).as("n_emails"),
+        TextOps.piiCount(ct, TextOps.PhoneRe).as("n_phones"))
+    }
+    Tables.customer(s, dir).select(col("c_custkey"), inline(array(scrubbed)))
+  }
+  val e5gSql: String =
+    s"""WITH c AS (SELECT c_custkey,
+       |  CASE WHEN c_custkey % 2 = 0 THEN 'reach user' || CAST(c_custkey AS VARCHAR) || '@example.com re account'
+       |  ELSE 'call 555-' || lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') || ' re account' END AS contact FROM customer)
+       |SELECT c_custkey,
+       |  regexp_replace(regexp_replace(contact, '${TextOps.EmailRe}', '[EMAIL]', 'g'), '${TextOps.PhoneRe}', '[PHONE]', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(contact, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(contact, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones
+       |FROM c""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_dedup_exact" -> (e1DedupExact _),
     "e2_minhash_pairs" -> (e2MinhashPairs _),
@@ -586,7 +655,9 @@ object ExtQueries {
     "e5_word_freq" -> (e5WordFreq _),
     "e5_quality_langid" -> (e5QualityLangid _),
     "e5_char_trigrams" -> (e5CharTrigrams _),
-    "e5_fingerprint" -> (e5Fingerprint _)
+    "e5_fingerprint" -> (e5Fingerprint _),
+    "e5_repetition" -> (e5Repetition _),
+    "e5_pii_redact" -> (e5PiiRedact _)
   )
 
   val sql: Map[String, String] = Map(
@@ -613,6 +684,8 @@ object ExtQueries {
     "e5_word_freq" -> e5bSql,
     "e5_quality_langid" -> e5cSql,
     "e5_char_trigrams" -> e5eSql,
-    "e5_fingerprint" -> e5dSql
+    "e5_fingerprint" -> e5dSql,
+    "e5_repetition" -> e5fSql,
+    "e5_pii_redact" -> e5gSql
   )
 }

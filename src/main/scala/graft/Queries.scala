@@ -489,6 +489,56 @@ object ParityQueries {
     "SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS nation_id, " +
       "n_name, n_regionkey FROM nation"
 
+  // ---- S3b: ORC sink → schema'd ORC scan round-trip -----------------------
+  // Second COLUMNAR format beyond parquet (native `orc` datasource):
+  // overwrite-write, explicit-schema read-back, leading-zero string
+  // key intact. The oracle reads only the parquet truth — any ORC
+  // round-trip corruption (types, zeros, doubles) diverges the hash.
+  def s3OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = Tables.part(s, dir).select(
+      lpad(col("p_partkey").cast("string"), 9, "0").as("part_id"),
+      col("p_name"), col("p_size"), col("p_retailprice"))
+    val path = Sink.scratchDir(s"orc_roundtrip_${math.abs(dir.hashCode)}")
+    Sink.writeOrc(out, path)
+    Ingest.orc(s, path, StructType(Seq(
+      StructField("part_id", StringType),
+      StructField("p_name", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType))))
+  }
+  val s3oSql =
+    "SELECT lpad(CAST(p_partkey AS VARCHAR), 9, '0') AS part_id, " +
+      "p_name, p_size, p_retailprice FROM part"
+
+  // ---- S8: incremental upsert (SCD-1 merge) -------------------------------
+  // The scale-correct replacement for the reference's
+  // drop-and-recreate sink (etl_script.py:164-168): urgent orders
+  // arrive re-priced (update), a batch of new orders arrives under
+  // fresh keys (insert), everything else carries forward. The oracle
+  // replays the same union + precedence-window merge in SQL.
+  def s8Upsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+    val cur = base.select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+    val repriced = base.filter(col("o_orderpriority") === "1-URGENT").select(
+      col("o_orderkey"), col("o_custkey"),
+      (col("o_totalprice") * lit(1.1)).as("o_totalprice"),
+      lit("U").as("o_orderstatus"))
+    val inserted = base.filter(col("o_orderpriority") === "2-HIGH").select(
+      (-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), lit("N").as("o_orderstatus"))
+    Relational.upsert(cur, repriced.unionByName(inserted), Seq("o_orderkey"))
+  }
+  val s8Sql =
+    "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY prec DESC) AS rn FROM (" +
+      "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 0 AS prec FROM orders " +
+      "UNION ALL SELECT o_orderkey, o_custkey, o_totalprice * 1.1, 'U', 1 " +
+      "FROM orders WHERE o_orderpriority = '1-URGENT' " +
+      "UNION ALL SELECT -o_orderkey, o_custkey, o_totalprice, 'N', 1 " +
+      "FROM orders WHERE o_orderpriority = '2-HIGH')) WHERE rn = 1"
+
   // ---- F2/F3: display formatting (dashboard_app/app.py:47-48) -------------
   // format_number(x, 0) == python f"{n:,}"; format_number(x, 3) == f"{x:.3f}".
   // The mean is computed on the exact decimal path, then the resulting
@@ -942,6 +992,8 @@ object ParityQueries {
     "s7_cached_fanout" -> (s7CachedFanout _),
     "s1_csv_roundtrip" -> (s1CsvRoundtrip _),
     "s2_json_roundtrip" -> (s2JsonRoundtrip _),
+    "s3_orc_roundtrip" -> (s3OrcRoundtrip _),
+    "s8_upsert" -> (s8Upsert _),
     "f2_f3_format" -> (f2f3Format _),
     "w1_window_agg" -> (w1WindowAgg _),
     "w2_sessionize" -> (w2Sessionize _),
@@ -996,6 +1048,8 @@ object ParityQueries {
     "s7_cached_fanout" -> s7Sql,
     "s1_csv_roundtrip" -> s1Sql,
     "s2_json_roundtrip" -> s2Sql,
+    "s3_orc_roundtrip" -> s3oSql,
+    "s8_upsert" -> s8Sql,
     "f2_f3_format" -> f2f3Sql,
     "w1_window_agg" -> w1Sql,
     "w2_sessionize" -> w2Sql,

@@ -86,14 +86,21 @@ object MinHash {
     * let-bound ([[TextOps.let1]]) so the tokenizer runs once.
     */
   def shingleHashesFromTokens(tk: Column, n: Int): Column =
-    TextOps.let1(transform(tk, t => TextOps.md5Int32(t) % P)) { hsv =>
-      when(size(hsv) < n, array().cast("array<bigint>"))
-        .otherwise(transform(
-          sequence(lit(1), size(hsv) - (n - 1)),
-          i => (0 until n)
-            .map(j => (element_at(hsv, i + j) * lit(mixConst(j))) % P)
-            .reduce(_ + _) % P))
-    }
+    TextOps.let1(transform(tk, t => TextOps.md5Int32(t) % P))(windowHashes(_, n))
+
+  /** Position-weighted n-window hashes over an ALREADY md5-hashed
+    * token array — the shared base of [[shingleHashesFromTokens]],
+    * exposed so callers that need several window widths (repetition
+    * stats bigram+trigram) hash the tokens once and window many
+    * times.
+    */
+  def windowHashes(hsv: Column, n: Int): Column =
+    when(size(hsv) < n, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(1), size(hsv) - (n - 1)),
+        i => (0 until n)
+          .map(j => (element_at(hsv, i + j) * lit(mixConst(j))) % P)
+          .reduce(_ + _) % P))
 
   /** MinHash signature: for each of the H affine permutations, the
     * minimum permuted hash over the doc's shingles. Native codegen'd

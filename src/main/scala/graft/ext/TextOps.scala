@@ -129,4 +129,55 @@ object TextOps {
     org.apache.spark.sql.graftshim.ColumnBridge.column(
       graft.functions.SimHash32(
         org.apache.spark.sql.graftshim.ColumnBridge.expression(hs)))
+
+  /** Duplicated-window fraction: 1 − distinct/total over an n-gram
+    * (shingle) array — the "duplicate n-gram fraction" family of
+    * repetition filters used to drop boilerplate/looping text from
+    * LLM training corpora (Gopher-style quality signals). Pure
+    * per-row HOF arithmetic — zero shuffles at any corpus size.
+    * Docs with no windows (shorter than n tokens) score 0.0:
+    * nothing is repeated.
+    */
+  def dupWindowFrac(sh: Column): Column =
+    let1(sh) { s =>
+      when(size(s) <= 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(s)).cast("double") / size(s).cast("double"))
+    }
+
+  /** Type-token ratio: distinct tokens / total tokens — the classic
+    * lexical-diversity score (low TTR ⇒ repetitive vocabulary).
+    * Empty docs → null (0/0), which callers coalesce as needed.
+    */
+  def typeTokenRatio(tk: Column): Column =
+    let1(tk) { t =>
+      size(array_distinct(t)).cast("double") / size(t).cast("double")
+    }
+
+  // ---- PII scrubbing (training-data redaction pass) -----------------------
+  // Patterns stay in the portable regex subset (char classes,
+  // bounded repetition) so Spark's Java regex and the oracle's RE2
+  // match the same spans.
+
+  /** Email pattern (pragmatic, not RFC 5322 — redaction favors
+    * recall).
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9-]+\\.[a-zA-Z]{2,}"
+
+  /** US-style short phone pattern NNN-NNNN. */
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails then phones with typed placeholders. Email first:
+    * a phone-like digit run inside an email local part must vanish
+    * with the email, not get double-redacted.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
+
+  /** Occurrences of `re` in `text` (audit counter for the redaction
+    * report).
+    */
+  def piiCount(text: Column, re: String): Column =
+    regexp_count(text, lit(re)).cast("long")
 }

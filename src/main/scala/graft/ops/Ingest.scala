@@ -63,4 +63,12 @@ object Ingest {
       case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(s"input not found or unreadable: $path", e)
     }
+
+  /** S1 (ORC variant): schema'd ORC scan. ORC embeds its schema, but
+    * an explicit `StructType` pins reader expectations exactly like
+    * the parquet path (fail loudly on drift, no inference
+    * surprises).
+    */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

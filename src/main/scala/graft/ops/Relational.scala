@@ -87,4 +87,27 @@ object Relational {
       "__salt", explode(array((0 until buckets).map(lit(_)): _*)))
     salted.join(replicated, keys :+ "__salt", "inner").drop("__salt")
   }
+
+  /** Incremental upsert (SCD-1 merge): rows from `updates` replace
+    * same-key rows in `current`; unmatched updates insert. The
+    * scale-correct alternative to the reference's drop-and-recreate
+    * sink (etl_app/etl_script.py:164-168, `if_exists='replace'`):
+    * at 100 TB you merge the day's increment, you do not rewrite the
+    * table. Union + per-key precedence dedup rather than a full
+    * outer join: ONE shuffle (on the key, for the window), inserts
+    * fall out naturally, and with the base table bucketed on the key
+    * ([[Sink.writeBucketed]]) even that shuffle disappears.
+    *
+    * Precondition: the key is unique within each input (as in any
+    * MERGE); duplicate update keys would make the winner arbitrary.
+    */
+  def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prec").desc)
+    current.withColumn("__prec", lit(0))
+      .unionByName(updates.withColumn("__prec", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__prec")
+  }
 }

@@ -35,6 +35,14 @@ object Sink {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** S4 (ORC variant): overwrite-write ORC — the second columnar
+    * format (native `orc` datasource, in spark-sql). Same predicate
+    * pushdown / column pruning / partitioning behavior as parquet,
+    * so a parquet-shaped plan ports unchanged.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** S4 (JDBC variant): reference's drop+recreate Postgres load.
     * Exercised in tests against embedded Derby (the one JDBC engine on
     * the classpath); the URL decides the actual backend.

@@ -121,6 +121,23 @@ object EventStream {
     */
   case class SessionState(start: Long, last: Long, n: Long)
 
+  /** Idempotent micro-batch sink via `foreachBatch`: each batch is
+    * written to a `batch_id=<n>` partition with DYNAMIC partition
+    * overwrite, so a replayed batch (foreachBatch is at-least-once
+    * after a failure/restart) overwrites its own partition instead of
+    * duplicating rows — end-to-end exactly-once for an idempotent
+    * file sink, the standard recipe when the built-in parquet sink's
+    * commit-log semantics don't fit (e.g. compacting, upserting, or
+    * multi-sink batches). The checkpoint carries the batch lineage;
+    * this function carries the idempotence.
+    */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * template for session logic `session_window` cannot express
     * (e.g. emit-on-close with per-session payloads, cross-session

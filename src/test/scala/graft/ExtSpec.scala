@@ -254,4 +254,43 @@ class ExtSpec extends SparkSpec {
     val rows = df.collect()
     assert(rows.length == 2 && rows.forall(r => r.getLong(1) == 8L && r.getLong(2) == 8L))
   }
+
+  test("dupWindowFrac flags repeated windows; short docs score zero") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam"), // all bigrams identical
+      (2L, "all words here are unique"), // no repeated bigram
+      (3L, "one")                        // shorter than the window
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.dupWindowFrac(
+          MinHash.shingleHashesFromTokens(TextOps.tokens(col("text")), 2)).as("f"))
+      .as[(Long, Double)].collect().toMap
+    assert(df(1L) == 0.75) // 4 bigrams, 1 distinct
+    assert(df(2L) == 0.0)
+    assert(df(3L) == 0.0)
+  }
+
+  test("typeTokenRatio measures lexical diversity") {
+    val df = Seq((1L, "a a a a"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.typeTokenRatio(TextOps.tokens(col("text"))).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(df(1L) == 0.25 && df(2L) == 1.0)
+  }
+
+  test("redactPii masks emails and phones with typed placeholders and counts") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@ex-corp.io or call 555-1234 today"),
+      (2L, "no contact info at all"))
+      .toDF("id", "text")
+      .select(col("id"),
+        TextOps.redactPii(col("text")).as("red"),
+        TextOps.piiCount(col("text"), TextOps.EmailRe).as("ne"),
+        TextOps.piiCount(col("text"), TextOps.PhoneRe).as("np"))
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(df(1L) == (("mail [EMAIL] or call [PHONE] today", 1L, 1L)))
+    assert(df(2L) == (("no contact info at all", 0L, 0L)))
+  }
 }

@@ -180,6 +180,31 @@ class OpsSpec extends SparkSpec {
     assert(back == Set((1L, "alpha", 1.5), (2L, "beta", -2.25), (3L, "gamma", 0.0)))
   }
 
+  // ---- S8: incremental upsert (SCD-1 merge) -----------------------------
+  test("upsert: updates replace, inserts land, untouched rows carry forward") {
+    val current = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val updates = Seq((2L, "b2", 22.0), (9L, "new", 99.0))
+      .toDF("k", "name", "v")
+    val merged = Relational.upsert(current, updates, Seq("k"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(merged == Set(
+      (1L, "a", 10.0), (2L, "b2", 22.0), (3L, "c", 30.0), (9L, "new", 99.0)))
+  }
+
+  // ---- S1/S4 ORC variant ------------------------------------------------
+  test("leading-zero keys survive ORC write + schema'd read") {
+    val df = Seq(("007", "x", 1), ("042", "y", 2)).toDF("id", "s", "n")
+    val path = Sink.scratchDir("orc_unit")
+    Sink.writeOrc(df, path)
+    val back = Ingest.orc(spark, path, StructType(Seq(
+      StructField("id", StringType),
+      StructField("s", StringType),
+      StructField("n", IntegerType))))
+    assert(back.as[(String, String, Int)].collect().toSet ==
+      Set(("007", "x", 1), ("042", "y", 2)))
+  }
+
   // ---- A2 scale variant: HLL++ approx distinct --------------------------
   test("approxDistinctCount is within rsd bounds of the exact count") {
     val n = 3571L

@@ -150,4 +150,37 @@ class StreamingSpec extends SparkSpec {
         Seq("x", "x", "y", "z"))
     } finally q.stop()
   }
+
+  test("writeBatchIdempotent: batch replay overwrites, never duplicates") {
+    val path = graft.ops.Sink.scratchDir("fb_idem")
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b1 = Seq((3L, "c")).toDF("id", "v")
+    EventStream.writeBatchIdempotent(b0, 0L, path)
+    // at-least-once replay of the SAME batch id (post-crash rerun)
+    EventStream.writeBatchIdempotent(b0, 0L, path)
+    EventStream.writeBatchIdempotent(b1, 1L, path)
+    val out = spark.read.parquet(path)
+      .select("id", "v", "batch_id").as[(Long, String, Long)].collect().toSet
+    assert(out == Set((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L)))
+  }
+
+  test("foreachBatch streaming drive lands each micro-batch in its partition") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = graft.ops.Sink.scratchDir("fb_drive")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "v").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, path)
+      }
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, "a"))
+      q.processAllAvailable()
+      in.addData((2L, "b"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(path)
+        .select("id", "batch_id").as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 0L), (2L, 1L)))
+    } finally q.stop()
+  }
 }

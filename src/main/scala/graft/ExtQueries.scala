@@ -631,12 +631,86 @@ object ExtQueries {
        |  CAST(len(regexp_extract_all(contact, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones
        |FROM c""".stripMargin
 
+  // ---- E2g: per-cluster representative selection (keep-best) ---------------
+  // After clustering, production dedup keeps the BEST document
+  // (longest, here — highest-quality in general), not the min-id: the
+  // representative IS the surviving training example. CC runs over
+  // the edge-touched subgraph only (singletons are identity and never
+  // enter an iteration or this query's output); the winner is a
+  // top-1-per-component window with a total-order tiebreak.
+  def e2ClusterRep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    // localCheckpoint: `pairs` feeds BOTH the vertex derivation and
+    // the CC edge list — unmaterialized, the whole MinHash chain
+    // would run once per consumer (measured 6.4 s vs 4.7 s at sf0.1).
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text")
+      .filter(col("jaccard_est") >= ClusterMinEst)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
+    val nodes = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id"))).distinct()
+    val comp = Dedup.connectedComponents(nodes, pairs)
+      .withColumnRenamed("id", "doc_id")
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    comp
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("rep_doc"),
+        col("n_chars"), col("cluster_size"))
+  }
+  val e2gSql: String = {
+    import MinHash.NumHashes
+    s"""${e2Ctes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(list_sum(list_transform(range(1, ${NumHashes + 1}), i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes.0 AS est
+       |  FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |edges AS (SELECT a, b FROM prs WHERE est >= $ClusterMinEst UNION ALL SELECT b, a FROM prs WHERE est >= $ClusterMinEst),
+       |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+       |reach(src, dst) AS (SELECT doc_id, doc_id FROM nodes UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+       |SELECT component, doc_id AS rep_doc, n_chars, cluster_size FROM (
+       |  SELECT c.component, c.doc_id, d.n_chars,
+       |    row_number() OVER (PARTITION BY c.component ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT) AS cluster_size
+       |  FROM comp c JOIN documents d USING (doc_id)) WHERE rn = 1""".stripMargin
+  }
+
+  // ---- E7c: stratified deterministic sample (fixed k per source) -----------
+  // "Take exactly k docs per stratum, reproducibly": rank within each
+  // source by a salted md5 of the row id (+ id tiebreak — a total
+  // order), keep rank ≤ k. Unlike rate-based mixture sampling this
+  // guarantees exact per-stratum counts; the WindowGroupLimit
+  // optimization prunes to k rows per partition map-side BEFORE the
+  // exchange, so at corpus scale only ~k rows per source per task
+  // shuffle.
+  private val StratK = 20
+  def e7Stratified(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      TextOps.md5Int32(concat(lit("strat_"), col("doc_id").cast("string"))).as("h"))
+    Ranking.topKPerGroup(
+      ranked, Seq("source"), Seq(col("h").asc, col("doc_id").asc), StratK)
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+  }
+  val e7cSql: String =
+    s"""SELECT doc_id, source, rk FROM (
+       |  SELECT doc_id, source, CAST(row_number() OVER (
+       |    PARTITION BY source ORDER BY ${duckMd5Int("'strat_' || CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT) AS rk
+       |  FROM documents) WHERE rk <= $StratK""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_dedup_exact" -> (e1DedupExact _),
     "e2_minhash_pairs" -> (e2MinhashPairs _),
     "e2_ngram_jaccard" -> (e2NgramJaccard _),
     "e2_simhash_pairs" -> (e2SimhashPairs _),
     "e2_dedup_clusters" -> (e2DedupClusters _),
+    "e2_cluster_rep" -> (e2ClusterRep _),
+    "e7_stratified" -> (e7Stratified _),
     "e2_lev_verify" -> (e2LevVerify _),
     "e2_embed_neardup" -> (e2EmbedNearDup _),
     "e6_corpus_clean" -> (e6CorpusClean _),
@@ -666,6 +740,8 @@ object ExtQueries {
     "e2_ngram_jaccard" -> e2bSql,
     "e2_simhash_pairs" -> e2dSql,
     "e2_dedup_clusters" -> e2eSql,
+    "e2_cluster_rep" -> e2gSql,
+    "e7_stratified" -> e7cSql,
     "e2_lev_verify" -> e2fSql,
     "e2_embed_neardup" -> e2cSql,
     "e6_corpus_clean" -> e6Sql,

@@ -574,6 +574,27 @@ object ParityQueries {
       s"${meanSql("value")} AS avg_value FROM events " +
       "WHERE ts IS NOT NULL GROUP BY bucket"
 
+  // ---- W4: hopping (sliding) windows — the third window kind -------------
+  // 1-hour windows every 15 minutes: each event lands in exactly
+  // hop/slide = 4 overlapping windows. Spark's `window(ts, len,
+  // slide)` implements the fan-out as a Generate (explode of the 4
+  // window structs) BEFORE the partial aggregation, so map-side
+  // combine still applies and only (window, partial) rows shuffle —
+  // the fan-out factor multiplies scan rows, never shuffle volume.
+  // The oracle replays the same assignment in epoch-microsecond
+  // integer math (grid floor minus k slides).
+  def w4HoppingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), Aggregates.exactMean(col("value")).as("avg_value"))
+      .select(col("w.start").as("bucket"), col("n"), col("avg_value"))
+  val w4Sql =
+    s"""WITH k AS (SELECT unnest(range(4)) AS k),
+       |w AS (SELECT make_timestamp((epoch_us(ts) // 900000000 - k.k) * 900000000) AS bucket, value
+       |  FROM events, k WHERE ts IS NOT NULL)
+       |SELECT bucket, count(*) AS n, ${meanSql("value")} AS avg_value FROM w GROUP BY bucket""".stripMargin
+
   // ---- W2: batch sessionization (gap > 30 min splits a session) ----------
   // lag over (user, time) marks session starts; a running sum of the
   // marks numbers sessions; grouping by (user, session) yields per-
@@ -947,6 +968,47 @@ object ParityQueries {
        |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  // ---- Q5: local-supplier volume via the spark.sql(...) API tier -----------
+  // The engine's SQL-string entry point: temp views over the sources,
+  // then one multi-way-join aggregation authored in SQL. Catalyst
+  // plans the string identically to the DataFrame API (same join
+  // reorder, pushdown, partial aggregation), so this is API-surface
+  // coverage, not a separate execution path. Revenue sums through
+  // DECIMAL(28,4) per the house exactness recipe.
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    Seq(
+      "customer" -> Tables.customer(s, dir), "orders" -> Tables.orders(s, dir),
+      "lineitem" -> Tables.lineitem(s, dir), "supplier" -> Tables.supplier(s, dir),
+      "nation" -> Tables.nation(s, dir), "region" -> Tables.region(s, dir))
+      .foreach { case (n, df) => df.createOrReplaceTempView(s"graft_$n") }
+    s.sql(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM graft_customer JOIN graft_orders ON c_custkey = o_custkey
+        |JOIN graft_lineitem ON l_orderkey = o_orderkey
+        |JOIN graft_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN graft_nation ON s_nationkey = n_nationkey
+        |JOIN graft_region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+  val q5Sql =
+    """SELECT n_name,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   /** Flagship query (SparkEntry.entry): the reference dashboard's
     * "average metric by geography, ranked" question (dashboard_app/
     * app.py:57,74) over testdata — star join, grouped mean, ordered.
@@ -996,6 +1058,7 @@ object ParityQueries {
     "s8_upsert" -> (s8Upsert _),
     "f2_f3_format" -> (f2f3Format _),
     "w1_window_agg" -> (w1WindowAgg _),
+    "w4_hopping_window" -> (w4HoppingWindow _),
     "w2_sessionize" -> (w2Sessionize _),
     "w3_session_window" -> (w3SessionWindow _),
     "f4_datetime" -> (f4Datetime _),
@@ -1011,6 +1074,7 @@ object ParityQueries {
     "u2_bag_ops" -> (u2BagOps _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
     "q18_large_orders" -> (q18LargeOrders _)
   )
 
@@ -1052,6 +1116,7 @@ object ParityQueries {
     "s8_upsert" -> s8Sql,
     "f2_f3_format" -> f2f3Sql,
     "w1_window_agg" -> w1Sql,
+    "w4_hopping_window" -> w4Sql,
     "w2_sessionize" -> w2Sql,
     "w3_session_window" -> w3Sql,
     "f4_datetime" -> f4Sql,
@@ -1067,6 +1132,7 @@ object ParityQueries {
     "u2_bag_ops" -> u2Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier" -> q5Sql,
     "q18_large_orders" -> q18Sql
   )
 }

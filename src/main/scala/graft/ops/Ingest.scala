@@ -71,4 +71,28 @@ object Ingest {
     */
   def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
+
+  /** S1 (schema-evolution variant): parquet read with mergeSchema —
+    * files written before a column existed surface it as null instead
+    * of failing the read. At 100 TB enable this at ingest boundaries
+    * only: the footer merge costs a metadata pass over every file,
+    * and steady-state queries should pin an explicit schema so a
+    * surprise type conflict fails the pipeline loudly, not every
+    * dashboard query slowly.
+    */
+  def parquetMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** S2 (malformed-records variant): PERMISSIVE JSON scan that lands
+    * undecodable lines in `_corrupt_record` instead of failing the
+    * job (FAILFAST) or silently dropping rows (DROPMALFORMED) — the
+    * audit-friendly choice: bad records stay countable and
+    * quarantine-able downstream.
+    */
+  def jsonPermissive(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
 }

@@ -205,6 +205,44 @@ class OpsSpec extends SparkSpec {
       Set(("007", "x", 1), ("042", "y", 2)))
   }
 
+  // ---- S1 schema evolution ----------------------------------------------
+  test("parquetMergedSchema surfaces a late-added column as null in old rows") {
+    val path = Sink.scratchDir("evolve")
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(path)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.mode("append").parquet(path)
+    val merged = Ingest.parquetMergedSchema(spark, path)
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    val byId = merged.select("id", "score").as[(Long, Option[Double])].collect().toMap
+    assert(byId(1L).isEmpty && byId(2L).contains(9.5))
+  }
+
+  // ---- S2 malformed records ---------------------------------------------
+  test("jsonPermissive quarantines corrupt lines instead of dropping them") {
+    val path = Sink.scratchDir("badjson")
+    Seq(
+      """{"id": 1, "v": "ok"}""",
+      """{"id": oops not json""",
+      """{"id": 3, "v": "fine"}""").toDF("value").coalesce(1)
+      .write.mode("overwrite").text(path)
+    // one collect of the full row set: Spark disallows plans that read
+    // ONLY the internal corrupt-record column from raw JSON
+    val rows = Ingest.jsonPermissive(spark, path, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+      .select("id", "_corrupt_record").as[(Option[Long], Option[String])].collect()
+    assert(rows.collect { case (Some(id), None) => id }.toSet == Set(1L, 3L))
+    assert(rows.count(_._2.isDefined) == 1)
+  }
+
+  // ---- compaction ---------------------------------------------------------
+  test("writeCompacted lands exactly the requested number of data files") {
+    val path = Sink.scratchDir("compact")
+    Sink.writeCompacted(spark.range(1000).toDF("id"), path, 3)
+    val files = new java.io.File(path).listFiles
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files == 3)
+    assert(spark.read.parquet(path).count() == 1000L)
+  }
+
   // ---- A2 scale variant: HLL++ approx distinct --------------------------
   test("approxDistinctCount is within rsd bounds of the exact count") {
     val n = 3571L

@@ -67,4 +67,22 @@ class PlanGuardSpec extends SparkSpec {
       assert(p.contains("partial_"), s"$q lost map-side partial aggregation:\n$p")
     }
   }
+
+  test("q5_local_supplier (SQL API): hash joins only, never a nested loop") {
+    val p = planOf("q5_local_supplier")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_"), p) // revenue agg combines map-side
+  }
+
+  test("e7_stratified: WindowGroupLimit prunes to k per source map-side") {
+    val p = planOf("e7_stratified")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("s8_upsert: merge is one window over the union, no join") {
+    val p = planOf("s8_upsert")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
 }

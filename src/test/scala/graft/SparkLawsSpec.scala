@@ -131,4 +131,26 @@ class SparkLawsSpec extends SparkSpec {
       assert(got == expected)
     }
   }
+
+  test("law: upsert is identity on empty updates, idempotent, and update-wins") {
+    for (seed <- Seq(3, 41)) {
+      val r = new Random(seed)
+      val cur = (0 until 40).map(k => (k.toLong, s"c$k", r.nextInt(100)))
+      // updates: half overlapping keys, half fresh inserts
+      val upd = (0 until 20).map { i =>
+        val k = if (i % 2 == 0) r.nextInt(40).toLong else 100L + i
+        (k, s"u$k", r.nextInt(100))
+      }.distinctBy(_._1)
+      val curDf = cur.toDF("k", "v", "n")
+      val updDf = upd.toDF("k", "v", "n")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, String, Int)].collect().toSet
+
+      val once = Relational.upsert(curDf, updDf, Seq("k"))
+      assert(rows(Relational.upsert(curDf, curDf.limit(0), Seq("k"))) == cur.toSet)
+      assert(rows(Relational.upsert(once, updDf, Seq("k"))) == rows(once))
+      val expected = (cur.filterNot(c => upd.exists(_._1 == c._1)) ++ upd).toSet
+      assert(rows(once) == expected)
+    }
+  }
 }

@@ -246,6 +246,53 @@ object ExtQueries {
        |  FROM scored) WHERE rk <= $AnnK""".stripMargin
   }
 
+  // ---- E3d: ANN recall@k vs the exact baseline ------------------------------
+  // The approximation's QUALITY as a query: per query point, how many
+  // of the exact top-k the sign-bucket ANN recovered. This is the
+  // measurement loop any production ANN deployment runs before
+  // trusting an index — recall trades off against the bucket-join's
+  // cost, and both sides of that trade are visible here (same config
+  // as e3_ann_bucketed). Exact side left-joins the ANN side on
+  // (query, neighbor); recall = hits / k.
+  def e3AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < AnnQueries)
+    val exact = Similarity.cosineTopK(q, emb, AnnK)
+      .select(col("query_id"), col("vec_id"))
+    val ann = Similarity.bucketedTopK(q, emb, AnnBits, AnnK)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"), lit(1).as("hit"))
+    exact
+      .join(ann, col("query_id") === col("aq") && col("vec_id") === col("av"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+  }
+  val e3dSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val bucket = s"array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END for i in range(1, ${AnnBits + 1})], '')"
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2, $bucket AS bucket FROM embeddings),
+       |exs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM e q JOIN e c ON q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id),
+       |ex AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM exs) WHERE rk <= $AnnK),
+       |ans AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id),
+       |an AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM ans) WHERE rk <= $AnnK)
+       |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM ex LEFT JOIN an ON ex.query_id = an.query_id AND ex.vec_id = an.vec_id
+       |GROUP BY ex.query_id""".stripMargin
+  }
+
   // ---- E3c: IVF-style ANN (centroid cells; data-adaptive buckets) ----------
   private val IvfCentroids = 16
   def e3IvfTopK(s: SparkSession, dir: String): DataFrame = {
@@ -703,6 +750,49 @@ object ExtQueries {
        |    PARTITION BY source ORDER BY ${duckMd5Int("'strat_' || CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT) AS rk
        |  FROM documents) WHERE rk <= $StratK""".stripMargin
 
+  // ---- E5h: document chunking (context-window preparation) -----------------
+  // Long docs → overlapping 50-token chunks every 40 tokens: the
+  // transform between a cleaned corpus and a tokenizer/packer. The
+  // fan-out is a per-row posexplode (scan-bound, no shuffle); chunk
+  // count scales with corpus tokens / stride regardless of document
+  // length skew.
+  private val ChunkLen = 50
+  private val ChunkStride = 40
+  def e5Chunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(TextOps.chunks(TextOps.tokens(col("text")), ChunkLen, ChunkStride)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.chunk_text").as("chunk_text"),
+        col("col.n_chunk_tokens").as("n_chunk_tokens"))
+  val e5hSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') tk FROM documents),
+       |st AS (SELECT doc_id, tk, unnest(range(1, greatest(len(tk), 1) + 1, $ChunkStride)) s FROM t)
+       |SELECT doc_id, CAST((s - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+       |  array_to_string(tk[s : s + ${ChunkLen - 1}], ' ') AS chunk_text,
+       |  CAST(len(tk[s : s + ${ChunkLen - 1}]) AS BIGINT) AS n_chunk_tokens
+       |FROM st""".stripMargin
+
+  // ---- E7d: mixture UPSAMPLING (rates above 1000 permille) -----------------
+  // src0 at 2.5× (2 whole copies + a 50%-permille third), src1 at
+  // 0.5×, everything else 1× — the other half of mixture weighting
+  // (e7_mixture_stats only downsamples). copy_idx distinguishes the
+  // replicas a downstream shuffler would then spread.
+  private val UpsampleRates = Map("src0" -> 2500, "src1" -> 500)
+  def e7Upsample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        Sampling.mixtureCopies(col("doc_id"), col("source"), UpsampleRates, 1000).as("copies"))
+      .filter(col("copies") > 0) // sequence(1,0) is DESCENDING, never emit it
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("copies").cast("long"))).as("copy_idx"))
+  val e7dSql: String =
+    s"""WITH c AS (SELECT doc_id, source,
+       |  CASE WHEN source = 'src0' THEN 2500 WHEN source = 'src1' THEN 500 ELSE 1000 END AS rate,
+       |  ${duckMd5Int("'mix_' || CAST(doc_id AS VARCHAR)")} % 1000 AS b FROM documents)
+       |SELECT doc_id, source, CAST(unnest(range(1, rate // 1000 + CASE WHEN b < rate % 1000 THEN 1 ELSE 0 END + 1)) AS BIGINT) AS copy_idx
+       |FROM c""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_dedup_exact" -> (e1DedupExact _),
     "e2_minhash_pairs" -> (e2MinhashPairs _),
@@ -716,9 +806,12 @@ object ExtQueries {
     "e6_corpus_clean" -> (e6CorpusClean _),
     "e7_split" -> (e7Split _),
     "e7_mixture_stats" -> (e7MixtureStats _),
+    "e7_upsample" -> (e7Upsample _),
+    "e5_chunks" -> (e5Chunks _),
     "e8_contamination" -> (e8Contamination _),
     "e3_cosine_topk" -> (e3CosineTopK _),
     "e3_ann_bucketed" -> (e3AnnBucketed _),
+    "e3_ann_recall" -> (e3AnnRecall _),
     "e3_ivf_topk" -> (e3IvfTopK _),
     "e4_embedding_stats" -> (e4EmbeddingStats _),
     "e4_blob_meta" -> (e4BlobMeta _),
@@ -747,9 +840,12 @@ object ExtQueries {
     "e6_corpus_clean" -> e6Sql,
     "e7_split" -> e7Sql,
     "e7_mixture_stats" -> e7bSql,
+    "e7_upsample" -> e7dSql,
+    "e5_chunks" -> e5hSql,
     "e8_contamination" -> e8Sql,
     "e3_cosine_topk" -> e3Sql,
     "e3_ann_bucketed" -> e3bSql,
+    "e3_ann_recall" -> e3dSql,
     "e3_ivf_topk" -> e3cSql,
     "e4_embedding_stats" -> e4Sql,
     "e4_blob_meta" -> e4bSql,

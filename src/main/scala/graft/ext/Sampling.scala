@@ -47,4 +47,26 @@ object Sampling {
     }
     permilleBucket(idCol, "mix") < rate
   }
+
+  /** Copy count for mixture rates ABOVE 1000 permille (upsampling —
+    * oversampling high-quality sources is the other half of mixture
+    * weighting): every row gets rate/1000 whole copies, plus one more
+    * iff its bucket falls under the fractional remainder. Rates under
+    * 1000 degenerate to 0-or-1 copies on the SAME draw as
+    * [[mixtureKeep]] (same salt), so a mixture spec can mix down- and
+    * up-sampled sources coherently. Emit copies via
+    * `explode(sequence(1, copies))` — per-row fan-out, no shuffle.
+    */
+  def mixtureCopies(
+      idCol: Column,
+      sourceCol: Column,
+      rates: Map[String, Int],
+      defaultPermille: Int): Column = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
+      case (acc, (s, r)) => when(sourceCol === s, lit(r)).otherwise(acc)
+    }
+    // floor-div: Column./ is double division, so floor+cast back
+    floor(rate / lit(1000)).cast("int") +
+      when(permilleBucket(idCol, "mix") < rate % lit(1000), lit(1)).otherwise(lit(0))
+  }
 }

@@ -153,6 +153,23 @@ object TextOps {
       size(array_distinct(t)).cast("double") / size(t).cast("double")
     }
 
+  /** Fixed-size sliding chunks over a token array — context-window
+    * preparation: starts 1, 1+stride, … ≤ n; each chunk is `chunkLen`
+    * tokens (the tail may run short). stride < chunkLen gives
+    * overlapping chunks (the usual continuity trick). Returns
+    * `array<struct<chunk_text, n_chunk_tokens>>` for the caller to
+    * posexplode — per-row fan-out only, no shuffle; token array
+    * let-bound so the tokenizer runs once per document, not per
+    * chunk.
+    */
+  def chunks(tk: Column, chunkLen: Int, stride: Int): Column =
+    let1(tk) { t =>
+      transform(sequence(lit(1), greatest(size(t), lit(1)), lit(stride)), st =>
+        struct(
+          array_join(slice(t, st, lit(chunkLen)), " ").as("chunk_text"),
+          size(slice(t, st, lit(chunkLen))).cast("long").as("n_chunk_tokens")))
+    }
+
   // ---- PII scrubbing (training-data redaction pass) -----------------------
   // Patterns stay in the portable regex subset (char classes,
   // bounded repetition) so Spark's Java regex and the oracle's RE2

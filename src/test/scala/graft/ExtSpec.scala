@@ -279,6 +279,27 @@ class ExtSpec extends SparkSpec {
     assert(df(1L) == 0.25 && df(2L) == 1.0)
   }
 
+  test("chunks emits overlapping windows with short tail; tokenizer runs per doc") {
+    val out = Seq((1L, "t1 t2 t3 t4 t5 t6 t7"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), posexplode(
+        TextOps.chunks(TextOps.tokens(col("text")), chunkLen = 3, stride = 2)))
+      .select(col("pos"), col("col.chunk_text"), col("col.n_chunk_tokens"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (0, "t1 t2 t3", 3L), (1, "t3 t4 t5", 3L), (2, "t5 t6 t7", 3L), (3, "t7", 1L)))
+  }
+
+  test("mixtureCopies: whole copies plus fractional draw; 1000 is identity") {
+    val df = Seq((1L, "hot"), (2L, "cold"), (3L, "base")).toDF("id", "src")
+      .select(col("id"), Sampling.mixtureCopies(
+        col("id"), col("src"), Map("hot" -> 2500, "cold" -> 0), 1000).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(df(1L) == 2 || df(1L) == 3) // 2 whole + 50% permille third
+    assert(df(2L) == 0)
+    assert(df(3L) == 1) // rate 1000 = exactly one copy, no draw
+  }
+
   test("redactPii masks emails and phones with typed placeholders and counts") {
     val df = Seq(
       (1L, "mail bob.smith+x@ex-corp.io or call 555-1234 today"),

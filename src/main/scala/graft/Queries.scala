@@ -595,6 +595,41 @@ object ParityQueries {
        |  FROM events, k WHERE ts IS NOT NULL)
        |SELECT bucket, count(*) AS n, ${meanSql("value")} AS avg_value FROM w GROUP BY bucket""".stripMargin
 
+  // ---- W5: funnel analysis (ordered multi-stage conversion) ---------------
+  // view → click → purchase per user, each stage's timestamp the
+  // FIRST event strictly after the previous stage. Three grouped
+  // mins + joins, all keyed on user_id — co-partitioned after the
+  // first shuffle, so the funnel costs one real exchange at any
+  // scale. Stage timestamps emitted as epoch-micros BIGINTs (the
+  // engine-portable representation; Spark is micros, DuckDB nanos).
+  def w5Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def ofType(t: String) = ev.filter(col("event_type") === t)
+    val v = ofType("view").groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("t1_us"))
+    val c = ofType("click").join(v, Seq("user_id"))
+      .filter(unix_micros(col("ts")) > col("t1_us"))
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t2_us"))
+    val p = ofType("purchase").join(c, Seq("user_id"))
+      .filter(unix_micros(col("ts")) > col("t2_us"))
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t3_us"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        (lit(1) + when(col("t2_us").isNotNull, 1).otherwise(0)
+          + when(col("t3_us").isNotNull, 1).otherwise(0)).cast("long").as("stage"))
+  }
+  val w5Sql =
+    """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1_us FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1_us GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2_us GROUP BY e.user_id)
+      |SELECT v.user_id, t1_us, t2_us, t3_us,
+      |  CAST(1 + CASE WHEN t2_us IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
+
   // ---- W2: batch sessionization (gap > 30 min splits a session) ----------
   // lag over (user, time) marks session starts; a running sum of the
   // marks numbers sessions; grouping by (user, session) yields per-
@@ -1059,6 +1094,7 @@ object ParityQueries {
     "f2_f3_format" -> (f2f3Format _),
     "w1_window_agg" -> (w1WindowAgg _),
     "w4_hopping_window" -> (w4HoppingWindow _),
+    "w5_funnel" -> (w5Funnel _),
     "w2_sessionize" -> (w2Sessionize _),
     "w3_session_window" -> (w3SessionWindow _),
     "f4_datetime" -> (f4Datetime _),
@@ -1117,6 +1153,7 @@ object ParityQueries {
     "f2_f3_format" -> f2f3Sql,
     "w1_window_agg" -> w1Sql,
     "w4_hopping_window" -> w4Sql,
+    "w5_funnel" -> w5Sql,
     "w2_sessionize" -> w2Sql,
     "w3_session_window" -> w3Sql,
     "f4_datetime" -> f4Sql,

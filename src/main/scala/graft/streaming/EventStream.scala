@@ -121,6 +121,32 @@ object EventStream {
     */
   case class SessionState(start: Long, last: Long, n: Long)
 
+  /** Stream-STREAM inner join with event-time range correlation:
+    * right events matched to left events on a key within `horizon`
+    * after the left event (attribution: click within N minutes of a
+    * view). Both sides are watermarked AND the join condition bounds
+    * the event-time skew between them — together these let the engine
+    * evict join state older than watermark + horizon, so state holds
+    * only the correlation window per key. Without the time-range
+    * conjunct a stream-stream join must retain EVERY row forever;
+    * this is the only bounded-state shape.
+    *
+    * Column names are caller-supplied and must be disjoint across the
+    * two sides (stream-stream joins cannot dedup like-named keys).
+    */
+  def correlate(
+      left: DataFrame, leftTs: String, leftKey: String,
+      right: DataFrame, rightTs: String, rightKey: String,
+      horizon: String,
+      lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"))
+  }
+
   /** Idempotent micro-batch sink via `foreachBatch`: each batch is
     * written to a `batch_id=<n>` partition with DYNAMIC partition
     * overwrite, so a replayed batch (foreachBatch is at-least-once

@@ -151,6 +151,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("correlate joins streams within the horizon and drops late matches") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val q = EventStream.correlate(
+      views.toDF().toDF("v_ts", "v_user"), "v_ts", "v_user",
+      clicks.toDF().toDF("c_ts", "c_user"), "c_ts", "c_user",
+      horizon = "30 minutes")
+      .writeStream.format("memory").queryName("corr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData((ts("10:00"), "x"), (ts("10:00"), "y"))
+      clicks.addData(
+        (ts("10:10"), "x"), // within horizon -> match
+        (ts("11:00"), "x"), // past horizon -> no match
+        (ts("09:50"), "y")) // before the view -> no match
+      q.processAllAvailable()
+      val out = spark.table("corr_out")
+        .select("v_user", "c_ts").as[(String, Timestamp)].collect().toSeq
+      assert(out == Seq(("x", ts("10:10"))))
+    } finally q.stop()
+  }
+
   test("writeBatchIdempotent: batch replay overwrites, never duplicates") {
     val path = graft.ops.Sink.scratchDir("fb_idem")
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

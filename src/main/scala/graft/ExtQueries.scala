@@ -411,6 +411,30 @@ object ExtQueries {
        |FROM px""".stripMargin
   }
 
+  // ---- E4e: real audio (PCM WAV) parse → sample stats ----------------------
+  // The audio twin of e4_decode_stats: synthesize a RIFF/WAVE 16-bit
+  // PCM payload per row from a text-derived seed, PARSE the bytes
+  // (header chunk walk + sample loop, `functions/AudioCodec`), emit
+  // sample statistics. The oracle replays the sample formula without
+  // ever seeing the WAV bytes — any encoder/parser corruption
+  // diverges the hash.
+  private val AudioN = 64
+  def e4AudioStats(s: SparkSession, dir: String): DataFrame = {
+    val seed = TextOps.md5Int32(md5(col("text")))
+    val stats = Multimodal.audioStats(Multimodal.synthAudio(seed, AudioN))
+    Tables.documents(s, dir).select(col("doc_id"), inline(array(stats)))
+  }
+  val e4eSql: String = {
+    import graft.functions.AudioCodec.SampleRate
+    import graft.functions.ImageCodec.{MixA, MixB, P => IP}
+    s"""WITH seeds AS (SELECT doc_id, ${duckMd5Int("md5(text)")} AS seed FROM documents),
+       |smp AS (SELECT doc_id, [((seed * (((i+1)*$MixA + $MixB) % $IP)) % $IP) % 65536 - 32768 for i in range(0, $AudioN)] AS sm FROM seeds)
+       |SELECT doc_id, CAST($AudioN AS BIGINT) AS n_samples, CAST($SampleRate AS BIGINT) AS sample_rate,
+       |  CAST(list_sum(sm) AS BIGINT) AS amp_sum,
+       |  CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS amp_peak
+       |FROM smp""".stripMargin
+  }
+
   // ---- E6: composed corpus-cleaning pipeline --------------------------------
   // The full E-family chain as ONE query (quality gate → exact dedup →
   // near-dup cluster dedup, [[CorpusPipeline.clean]]); the oracle
@@ -816,6 +840,7 @@ object ExtQueries {
     "e4_embedding_stats" -> (e4EmbeddingStats _),
     "e4_blob_meta" -> (e4BlobMeta _),
     "e4_decode_stats" -> (e4DecodeStats _),
+    "e4_audio_stats" -> (e4AudioStats _),
     "e4_dim_stats" -> (e4DimStats _),
     "e5_bpe_tokens" -> (e5BpeTokens _),
     "e5_token_stats" -> (e5TokenStats _),
@@ -850,6 +875,7 @@ object ExtQueries {
     "e4_embedding_stats" -> e4Sql,
     "e4_blob_meta" -> e4bSql,
     "e4_decode_stats" -> e4cSql,
+    "e4_audio_stats" -> e4eSql,
     "e4_dim_stats" -> e4dSql,
     "e5_bpe_tokens" -> e5aSql,
     "e5_token_stats" -> e5Sql,

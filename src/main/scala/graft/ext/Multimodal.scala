@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * ImageIO-supported payload (PNG/BMP ship with the JDK) into pixel
   * statistics — a genuine encode→decode round-trip the oracle
   * verifies from the pixel formula without ever seeing the bytes.
-  * Audio/video codecs are not in the JDK, so for those modalities
-  * [[fakeFeatures]] remains the documented placeholder extractor:
-  * same binary column, schema, and per-row no-shuffle plan shape a
-  * real decoder (mapInPandas or an `Expression` like
-  * [[graft.functions.DecodeImageStats]]) plugs into.
+  * The AUDIO path is real too: [[synthAudio]] emits RIFF/WAVE 16-bit
+  * PCM payloads and [[audioStats]] parses them (chunk walk + sample
+  * loop, pure JVM — PCM WAV needs no codec). Compressed audio/video
+  * codecs are not in the JDK, so for those [[fakeFeatures]] remains
+  * the documented placeholder extractor: same binary column, schema,
+  * and per-row no-shuffle plan shape a real decoder (mapInPandas or
+  * an `Expression` like [[graft.functions.DecodeImageStats]]) plugs
+  * into.
   */
 object Multimodal {
 
@@ -37,6 +40,26 @@ object Multimodal {
   def imageStats(blob: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     ColumnBridge.column(graft.functions.DecodeImageStats(
+      ColumnBridge.expression(blob)))
+  }
+
+  /** Deterministic mono 16-bit PCM WAV from a bigint seed
+    * ([[graft.functions.SynthPcmWav]]) — the audio counterpart of
+    * [[synthImage]].
+    */
+  def synthAudio(seed: Column, nSamples: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.SynthPcmWav(
+      ColumnBridge.expression(seed), nSamples))
+  }
+
+  /** REAL audio parse: RIFF/WAVE 16-bit PCM payload →
+    * struct(n_samples, sample_rate, amp_sum, amp_peak); malformed →
+    * null ([[graft.functions.ParseWavStats]]).
+    */
+  def audioStats(blob: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.ParseWavStats(
       ColumnBridge.expression(blob)))
   }
 

@@ -255,6 +255,26 @@ class ExtSpec extends SparkSpec {
     assert(rows.length == 2 && rows.forall(r => r.getLong(1) == 8L && r.getLong(2) == 8L))
   }
 
+  test("WAV encode->parse round-trip recovers the formula sample stats") {
+    import graft.functions.AudioCodec
+    val n = 32
+    val seed = 123456789L
+    val expectedSum = (0 until n).map(i => AudioCodec.sample(seed, i).toLong).sum
+    val expectedPeak = (0 until n).map(i => math.abs(AudioCodec.sample(seed, i)).toLong).max
+    val out = Seq(seed).toDF("seed")
+      .select(Multimodal.audioStats(Multimodal.synthAudio(col("seed"), n)).as("s"))
+      .select("s.n_samples", "s.sample_rate", "s.amp_sum", "s.amp_peak")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((n.toLong, AudioCodec.SampleRate.toLong, expectedSum, expectedPeak)))
+  }
+
+  test("audioStats yields null for malformed payloads (coerce, not crash)") {
+    val out = Seq("not a wav at all").toDF("junk")
+      .select(Multimodal.audioStats(Multimodal.toBlob(col("junk"))).as("s"))
+      .collect()
+    assert(out.length == 1 && out.head.isNullAt(0))
+  }
+
   test("dupWindowFrac flags repeated windows; short docs score zero") {
     val df = Seq(
       (1L, "spam spam spam spam spam"), // all bigrams identical

@@ -85,4 +85,32 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("Window"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("AQE converts a statically-planned SortMergeJoin to broadcast at runtime") {
+    // Static planning must NOT broadcast (threshold off), so the
+    // initial plan is a shuffle join; AQE's runtime stats then see the
+    // small build side and convert. This is the adaptivity a 100 TB
+    // deployment leans on when filter selectivity is unknowable at
+    // plan time.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the runtime threshold FALLS BACK to the static one unless set:
+    // leave static off, allow adaptive
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    try {
+      val fact = Tables.lineitem(spark, dir)
+      val dim = Tables.orders(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+        .select(org.apache.spark.sql.functions.col("o_orderkey").as("l_orderkey"),
+          org.apache.spark.sql.functions.col("o_totalprice"))
+      val joined = fact.join(dim, Seq("l_orderkey"))
+      joined.collect() // adaptive re-plan happens during execution
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"), p)
+      assert(p.contains("BroadcastHashJoin"), s"AQE did not convert to broadcast:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }

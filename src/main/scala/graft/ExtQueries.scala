@@ -797,6 +797,33 @@ object ExtQueries {
        |  CAST(len(tk[s : s + ${ChunkLen - 1}]) AS BIGINT) AS n_chunk_tokens
        |FROM st""".stripMargin
 
+  // ---- E5i: sequence packing by offset binning -----------------------------
+  // Which training sequence does each document land in, and at what
+  // offset? Greedy concatenation order = (source, doc_id); a running
+  // token sum per SOURCE bins docs into SeqLen-token sequences. The
+  // window partitions by source — the shard a packer actually works
+  // in — so the prefix sum parallelizes across sources; a single
+  // global order would serialize into one partition (the documented
+  // two-phase prefix-sum is the fix if one giant source dominates).
+  private val SeqLen = 2048
+  def e5Pack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("ntok"))
+      .withColumn("tok_before", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("ntok"),
+        expr(s"tok_before div $SeqLen").as("seq_id"),
+        (col("tok_before") % SeqLen).as("offset_in_seq"))
+  }
+  val e5iSql: String =
+    s"""WITH t AS (SELECT doc_id, source, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ntok FROM documents),
+       |c AS (SELECT doc_id, source, ntok, COALESCE(SUM(ntok) OVER (
+       |  PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before FROM t)
+       |SELECT doc_id, source, ntok, tok_before // $SeqLen AS seq_id, tok_before % $SeqLen AS offset_in_seq FROM c""".stripMargin
+
   // ---- E7d: mixture UPSAMPLING (rates above 1000 permille) -----------------
   // src0 at 2.5× (2 whole copies + a 50%-permille third), src1 at
   // 0.5×, everything else 1× — the other half of mixture weighting
@@ -832,6 +859,7 @@ object ExtQueries {
     "e7_mixture_stats" -> (e7MixtureStats _),
     "e7_upsample" -> (e7Upsample _),
     "e5_chunks" -> (e5Chunks _),
+    "e5_pack" -> (e5Pack _),
     "e8_contamination" -> (e8Contamination _),
     "e3_cosine_topk" -> (e3CosineTopK _),
     "e3_ann_bucketed" -> (e3AnnBucketed _),
@@ -867,6 +895,7 @@ object ExtQueries {
     "e7_mixture_stats" -> e7bSql,
     "e7_upsample" -> e7dSql,
     "e5_chunks" -> e5hSql,
+    "e5_pack" -> e5iSql,
     "e8_contamination" -> e8Sql,
     "e3_cosine_topk" -> e3Sql,
     "e3_ann_bucketed" -> e3bSql,

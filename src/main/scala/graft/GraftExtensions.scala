@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.ext.MinHash
-import graft.functions.{DecodeImageStats, FloatDotProduct, MinHashSignature, SimHash32, SynthGrayPng}
+import graft.functions.{DecodeImageStats, FloatDotProduct, MinHashSignature, ParseWavStats, SimHash32, SynthGrayPng, SynthPcmWav}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so they are callable from
@@ -60,7 +60,13 @@ object GraftExtensions {
         args(0), foldableInt(args(1), "w"), foldableInt(args(2), "h"))),
     ("graft_image_stats",
       "graft_image_stats(blob) - decode an image payload to (img_w, img_h, px_sum, px_min, px_max); null if undecodable",
-      (args: Seq[Expression]) => DecodeImageStats(args.head)))
+      (args: Seq[Expression]) => DecodeImageStats(args.head)),
+    ("graft_synth_pcm_wav",
+      "graft_synth_pcm_wav(seed, n) - deterministic mono 16-bit PCM WAV from a bigint seed (n samples, literal)",
+      (args: Seq[Expression]) => SynthPcmWav(args(0), foldableInt(args(1), "n"))),
+    ("graft_wav_stats",
+      "graft_wav_stats(blob) - parse a 16-bit PCM WAV payload to (n_samples, sample_rate, amp_sum, amp_peak); null if malformed",
+      (args: Seq[Expression]) => ParseWavStats(args.head)))
 
   private def foldableInt(e: Expression, name: String): Int = {
     require(e.foldable, s"$name must be a literal")

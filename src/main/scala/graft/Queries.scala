@@ -756,6 +756,29 @@ object ParityQueries {
       "quantile_cont(l_quantity, 0.5) AS median, " +
       "quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem GROUP BY l_returnflag"
 
+  // ---- P7: winsorize (percentile clipping) --------------------------------
+  // Outlier control for a numeric feature: clip to [p10, p90]. The
+  // bounds are a 1-row aggregate broadcast into a per-row
+  // least/greatest — the distributed form of "clip by global
+  // quantiles" (never a sort, never a driver round-trip). Percentile
+  // on an integral-valued column is dyadic-exact across engines (the
+  // o6 recipe).
+  def p7Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val bounds = li.agg(
+      expr("percentile(l_quantity, 0.1)").as("lo"),
+      expr("percentile(l_quantity, 0.9)").as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        least(greatest(col("l_quantity"), col("lo")), col("hi")).as("clipped"))
+  }
+  val p7Sql =
+    "WITH b AS (SELECT quantile_cont(l_quantity, 0.1) AS lo, " +
+      "quantile_cont(l_quantity, 0.9) AS hi FROM lineitem) " +
+      "SELECT l_orderkey, l_linenumber, l_quantity, " +
+      "least(greatest(l_quantity, lo), hi) AS clipped FROM lineitem, b"
+
   // ---- A10: correlation via explicit decimal moments ----------------------
   // Native `corr` accumulates co-moments in floats (order-dependent
   // across engines), so this computes Pearson r from DECIMAL sums —
@@ -1062,6 +1085,7 @@ object ParityQueries {
     "p4_filter" -> (p4Filter _),
     "p5_project" -> (p5Project _),
     "p6_drop" -> (p6Drop _),
+    "p7_winsorize" -> (p7Winsorize _),
     "j1_join_inner" -> (j1Join _),
     "j1_join_3way" -> (j1Join3Way _),
     "j2_left_join" -> (j2LeftJoin _),
@@ -1121,6 +1145,7 @@ object ParityQueries {
     "p4_filter" -> p4Sql,
     "p5_project" -> p5Sql,
     "p6_drop" -> p6Sql,
+    "p7_winsorize" -> p7Sql,
     "j1_join_inner" -> j1Sql,
     "j1_join_3way" -> j1bSql,
     "j2_left_join" -> j2Sql,

@@ -132,6 +132,40 @@ class SparkLawsSpec extends SparkSpec {
     }
   }
 
+  test("law: chunks cover every token; adjacent chunks overlap by len-stride") {
+    import graft.ext.TextOps
+    for (seed <- Seq(11, 59); n <- Seq(1, 5, 50, 137)) {
+      val r = new Random(seed)
+      val text = Seq.fill(n)(s"w${r.nextInt(30)}").mkString(" ")
+      val (chunkLen, stride) = (10, 7)
+      val rows = Seq(text).toDF("text")
+        .select(posexplode(TextOps.chunks(TextOps.tokens(col("text")), chunkLen, stride)))
+        .select(col("pos"), col("col.n_chunk_tokens"))
+        .as[(Int, Long)].collect().sortBy(_._1)
+      val expectedStarts = 1 to n by stride
+      assert(rows.length == expectedStarts.length)
+      // total coverage: sum of (stride per full step) + last chunk = n
+      val lastLen = rows.last._2
+      assert((rows.length - 1).toLong * stride + lastLen == n.toLong)
+      // every non-final chunk is full-length unless the doc ends first
+      rows.init.zip(expectedStarts).foreach { case ((_, len), st) =>
+        assert(len == math.min(chunkLen, n - st + 1).toLong)
+      }
+    }
+  }
+
+  test("law: pack offsets stay under SeqLen and seq_ids are monotone per source") {
+    // replay the packing invariant on the real registered query output
+    val out = SparkEntry.queries("e5_pack")(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, _, _, off) => assert(off >= 0 && off < 2048) }
+    out.groupBy(_._2).foreach { case (_, docs) =>
+      val byId = docs.sortBy(_._1).map(_._4)
+      assert(byId.zip(byId.tail).forall { case (a, b) => a <= b }, "seq_id not monotone")
+    }
+  }
+
   test("law: upsert is identity on empty updates, idempotent, and update-wins") {
     for (seed <- Seq(3, 41)) {
       val r = new Random(seed)

@@ -435,6 +435,34 @@ object ExtQueries {
        |FROM smp""".stripMargin
   }
 
+  // ---- E4f: real frame-sequence ("video") decode + frame-sample ------------
+  // Animated GIF (the JDK's only multi-frame container with both a
+  // writer and reader): synthesize FramesN deterministic frames per
+  // row, decode the container, count frames, and frame-sample the
+  // MIDDLE frame's pixel stats — the brief's decode/frame-sample op
+  // on a real codec (`functions/VideoCodec`; bit-exact round-trip
+  // proven in ExtSpec). Oracle replays the sampled frame's formula.
+  private val VidW = 8
+  private val VidH = 6
+  private val VidFrames = 5
+  def e4VideoFrames(s: SparkSession, dir: String): DataFrame = {
+    val seed = TextOps.md5Int32(md5(col("text")))
+    val stats = Multimodal.videoFrameStats(
+      Multimodal.synthVideo(seed, VidW, VidH, VidFrames))
+    Tables.documents(s, dir).select(col("doc_id"), inline(array(stats)))
+  }
+  val e4fSql: String = {
+    import graft.functions.ImageCodec.{MixA, MixB, P => IP}
+    val n = VidW * VidH
+    val mid = VidFrames / 2
+    s"""WITH seeds AS (SELECT doc_id, ${duckMd5Int("md5(text)")} + $mid AS fseed FROM documents),
+       |px AS (SELECT doc_id, [((fseed * (((i+1)*$MixA + $MixB) % $IP)) % $IP) % 256 for i in range(0, $n)] AS p FROM seeds)
+       |SELECT doc_id, CAST($VidFrames AS BIGINT) AS n_frames, CAST($mid AS BIGINT) AS frame_idx,
+       |  CAST(list_sum(p) AS BIGINT) AS px_sum, CAST(list_min(p) AS BIGINT) AS px_min,
+       |  CAST(list_max(p) AS BIGINT) AS px_max
+       |FROM px""".stripMargin
+  }
+
   // ---- E6: composed corpus-cleaning pipeline --------------------------------
   // The full E-family chain as ONE query (quality gate → exact dedup →
   // near-dup cluster dedup, [[CorpusPipeline.clean]]); the oracle
@@ -869,6 +897,7 @@ object ExtQueries {
     "e4_blob_meta" -> (e4BlobMeta _),
     "e4_decode_stats" -> (e4DecodeStats _),
     "e4_audio_stats" -> (e4AudioStats _),
+    "e4_video_frames" -> (e4VideoFrames _),
     "e4_dim_stats" -> (e4DimStats _),
     "e5_bpe_tokens" -> (e5BpeTokens _),
     "e5_token_stats" -> (e5TokenStats _),
@@ -905,6 +934,7 @@ object ExtQueries {
     "e4_blob_meta" -> e4bSql,
     "e4_decode_stats" -> e4cSql,
     "e4_audio_stats" -> e4eSql,
+    "e4_video_frames" -> e4fSql,
     "e4_dim_stats" -> e4dSql,
     "e5_bpe_tokens" -> e5aSql,
     "e5_token_stats" -> e5Sql,

@@ -66,7 +66,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => SynthPcmWav(args(0), foldableInt(args(1), "n"))),
     ("graft_wav_stats",
       "graft_wav_stats(blob) - parse a 16-bit PCM WAV payload to (n_samples, sample_rate, amp_sum, amp_peak); null if malformed",
-      (args: Seq[Expression]) => ParseWavStats(args.head)))
+      (args: Seq[Expression]) => ParseWavStats(args.head)),
+    ("graft_synth_gif_anim",
+      "graft_synth_gif_anim(seed, w, h, n) - deterministic n-frame grayscale animated GIF from a bigint seed (w, h, n literals)",
+      (args: Seq[Expression]) => graft.functions.SynthGifAnim(
+        args(0), foldableInt(args(1), "w"), foldableInt(args(2), "h"), foldableInt(args(3), "n"))),
+    ("graft_gif_frame_stats",
+      "graft_gif_frame_stats(blob) - decode an animated GIF and frame-sample the middle frame to (n_frames, frame_idx, px_sum, px_min, px_max); null if undecodable",
+      (args: Seq[Expression]) => graft.functions.GifFrameStats(args.head)))
 
   private def foldableInt(e: Expression, name: String): Int = {
     require(e.foldable, s"$name must be a literal")

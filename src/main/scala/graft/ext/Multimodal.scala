@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   * verifies from the pixel formula without ever seeing the bytes.
   * The AUDIO path is real too: [[synthAudio]] emits RIFF/WAVE 16-bit
   * PCM payloads and [[audioStats]] parses them (chunk walk + sample
-  * loop, pure JVM — PCM WAV needs no codec). Compressed audio/video
-  * codecs are not in the JDK, so for those [[fakeFeatures]] remains
-  * the documented placeholder extractor: same binary column, schema,
+  * loop, pure JVM — PCM WAV needs no codec). The FRAME-SEQUENCE
+  * ("video") path is real as well: [[synthVideo]] writes multi-frame
+  * animated GIFs and [[videoFrameStats]] decodes + frame-samples them
+  * (the JDK ships a GIF reader AND writer; round-trip proven
+  * bit-exact). Only COMPRESSED codecs (H.264, MP3, JPEG-lossy
+  * pipelines) are absent from the JDK; for those [[fakeFeatures]]
+  * remains the documented placeholder: same binary column, schema,
   * and per-row no-shuffle plan shape a real decoder (mapInPandas or
   * an `Expression` like [[graft.functions.DecodeImageStats]]) plugs
   * into.
@@ -60,6 +64,26 @@ object Multimodal {
   def audioStats(blob: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     ColumnBridge.column(graft.functions.ParseWavStats(
+      ColumnBridge.expression(blob)))
+  }
+
+  /** Deterministic multi-frame animated GIF from a bigint seed
+    * ([[graft.functions.SynthGifAnim]]) — the frame-sequence
+    * ("video") counterpart of [[synthImage]]/[[synthAudio]].
+    */
+  def synthVideo(seed: Column, width: Int, height: Int, nFrames: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.SynthGifAnim(
+      ColumnBridge.expression(seed), width, height, nFrames))
+  }
+
+  /** REAL frame-sample decode: animated-GIF payload → struct(n_frames,
+    * frame_idx, px_sum, px_min, px_max) of the MIDDLE frame; malformed
+    * → null ([[graft.functions.GifFrameStats]]).
+    */
+  def videoFrameStats(blob: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.GifFrameStats(
       ColumnBridge.expression(blob)))
   }
 

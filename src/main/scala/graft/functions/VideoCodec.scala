@@ -1,0 +1,158 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO}
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** "Video" codec expressions for the multimodal column family
+  * (SURVEY §2.8 E4, frame-sequence path): synthesize a deterministic
+  * multi-frame animated GIF from an integer seed, and decode +
+  * FRAME-SAMPLE it back — the brief's decode/frame-sample operation
+  * on a real container format the JDK ships a reader and writer for
+  * (`javax.imageio` GIF support). A true video codec (H.264 etc.) is
+  * not in the JDK; an animated GIF is the honest JDK-native stand-in:
+  * a seekable multi-frame container with per-frame decode.
+  *
+  * Oracle trick as with [[ImageCodec]]/[[AudioCodec]]: frame f's
+  * pixel i is pure integer arithmetic ([[VideoCodec.pixel]]), so the
+  * DuckDB oracle replays the sampled frame's stats without ever
+  * seeing the GIF bytes; a corrupted encoder, decoder, or
+  * frame-indexing step diverges the hash.
+  *
+  * CodegenFallback: codec calls, not expression arithmetic. Per-row,
+  * shuffle-free, parallel across partitions.
+  */
+object VideoCodec {
+  /** Frame f's pixel at flat index i: the image formula with a
+    * frame-shifted seed, in [0, 256). Interpolated into the oracle.
+    */
+  def pixel(seed: Long, frame: Int, i: Long): Int =
+    ImageCodec.pixel(seed + frame, i)
+
+  ImageIO.setUseCache(false)
+
+  def encodeGifAnim(seed: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(1024)
+    val ios = new MemoryCacheImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0, pixel(seed, f, y.toLong * width + x))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.flush()
+      bos.toByteArray
+    } finally writer.dispose()
+  }
+
+  /** Decode, count frames, and FRAME-SAMPLE the middle frame
+    * (index n/2) → (n_frames, frame_idx, px_sum, px_min, px_max);
+    * null for undecodable payloads.
+    */
+  def frameSampleStats(bytes: Array[Byte]): InternalRow =
+    try {
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        reader.setInput(new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes)))
+        val n = reader.getNumImages(true)
+        if (n <= 0) null
+        else {
+          val mid = n / 2
+          val img = reader.read(mid)
+          val raster = img.getRaster
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var min = Long.MaxValue
+          var max = Long.MinValue
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0).toLong
+              sum += v
+              if (v < min) min = v
+              if (v > max) max = v
+              x += 1
+            }
+            y += 1
+          }
+          new GenericInternalRow(Array[Any](n.toLong, mid.toLong, sum, min, max))
+        }
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => null }
+}
+
+/** binary animated-GIF payload (nFrames deterministic grayscale
+  * frames) from a bigint seed.
+  */
+case class SynthGifAnim(child: Expression, imgWidth: Int, imgHeight: Int, nFrames: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(imgWidth > 0 && imgHeight > 0 && nFrames > 0)
+
+  override def prettyName: String = "graft_synth_gif_anim"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint seed, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VideoCodec.encodeGifAnim(input.asInstanceOf[Long], imgWidth, imgHeight, nFrames)
+
+  override protected def withNewChildInternal(newChild: Expression): SynthGifAnim =
+    copy(child = newChild)
+}
+
+/** Decode an animated-GIF payload and emit middle-frame sample
+  * statistics as a struct; undecodable bytes → null.
+  */
+case class GifFrameStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_gif_frame_stats"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_frames", LongType),
+    StructField("frame_idx", LongType),
+    StructField("px_sum", LongType),
+    StructField("px_min", LongType),
+    StructField("px_max", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VideoCodec.frameSampleStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): GifFrameStats =
+    copy(child = newChild)
+}

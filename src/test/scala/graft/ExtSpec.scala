@@ -255,6 +255,22 @@ class ExtSpec extends SparkSpec {
     assert(rows.length == 2 && rows.forall(r => r.getLong(1) == 8L && r.getLong(2) == 8L))
   }
 
+  test("animated-GIF encode->decode frame-sample recovers the formula pixels exactly") {
+    import graft.functions.VideoCodec
+    val (w, h, nf) = (8, 6, 5)
+    val seed = 987654321L
+    val bytes = VideoCodec.encodeGifAnim(seed, w, h, nf)
+    val row = VideoCodec.frameSampleStats(bytes)
+    assert(row != null, "gif did not decode")
+    val mid = nf / 2
+    val px = (0 until w * h).map(i => VideoCodec.pixel(seed, mid, i).toLong)
+    assert(row.getLong(0) == nf.toLong)
+    assert(row.getLong(1) == mid.toLong)
+    assert(row.getLong(2) == px.sum, "px_sum mismatch — GIF palette not lossless?")
+    assert(row.getLong(3) == px.min && row.getLong(4) == px.max)
+    assert(VideoCodec.frameSampleStats("junk".getBytes) == null)
+  }
+
   test("WAV encode->parse round-trip recovers the formula sample stats") {
     import graft.functions.AudioCodec
     val n = 32

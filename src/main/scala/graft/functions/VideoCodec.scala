@@ -58,7 +58,19 @@ object VideoCodec {
           }
           y += 1
         }
-        writer.writeToSequence(new IIOImage(img, null, null), null)
+        // the JDK writer interlaces frames by default and scrambles/
+        // drops rows for small heights on read-back — force
+        // interlaceFlag=FALSE via per-frame metadata
+        val typ = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+        val meta = writer.getDefaultImageMetadata(typ, null)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+        val kids = root.getElementsByTagName("ImageDescriptor")
+        if (kids.getLength > 0)
+          kids.item(0).asInstanceOf[org.w3c.dom.Element]
+            .setAttribute("interlaceFlag", "FALSE")
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, meta), null)
         f += 1
       }
       writer.endWriteSequence()
@@ -81,7 +93,6 @@ object VideoCodec {
         else {
           val mid = n / 2
           val img = reader.read(mid)
-          val raster = img.getRaster
           val w = img.getWidth
           val h = img.getHeight
           var sum = 0L
@@ -91,7 +102,11 @@ object VideoCodec {
           while (y < h) {
             var x = 0
             while (x < w) {
-              val v = raster.getSample(x, y, 0).toLong
+              // getRGB applies the frame's COLOR PALETTE — GIF frames
+              // decode as indexed rasters whose raw samples are
+              // palette indices, not gray values (the writer may emit
+              // a frame-local palette of only the colors used)
+              val v = (img.getRGB(x, y) & 0xFF).toLong
               sum += v
               if (v < min) min = v
               if (v > max) max = v

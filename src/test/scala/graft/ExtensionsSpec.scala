@@ -38,6 +38,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bad.isNullAt(0))
   }
 
+  test("audio and video codec functions round-trip from SQL") {
+    val wav = spark.sql(
+      "SELECT graft_wav_stats(graft_synth_pcm_wav(CAST(9 AS BIGINT), 16)) AS st")
+      .selectExpr("st.n_samples", "st.amp_sum").collect().head
+    val samples = (0 until 16).map(i => graft.functions.AudioCodec.sample(9L, i.toLong).toLong)
+    assert(wav.getLong(0) == 16L && wav.getLong(1) == samples.sum)
+    val gif = spark.sql(
+      "SELECT graft_gif_frame_stats(graft_synth_gif_anim(CAST(9 AS BIGINT), 4, 4, 3)) AS st")
+      .selectExpr("st.n_frames", "st.frame_idx", "st.px_sum").collect().head
+    val mid = (0 until 16).map(i => graft.functions.VideoCodec.pixel(9L, 1, i.toLong).toLong)
+    assert(gif.getLong(0) == 3L && gif.getLong(1) == 1L && gif.getLong(2) == mid.sum)
+  }
+
   test("graft_minhash_sig returns H minima consistent with the Scala constants") {
     val row = spark.sql(
       "SELECT graft_minhash_sig(array(CAST(7 AS BIGINT), CAST(11 AS BIGINT))) AS sig")

@@ -756,6 +756,39 @@ object ParityQueries {
       "quantile_cont(l_quantity, 0.5) AS median, " +
       "quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem GROUP BY l_returnflag"
 
+  // ---- O10: date-spine gap fill + forward fill ----------------------------
+  // Per customer, a complete monthly spine from first to last order
+  // (explode of a per-key `sequence` — fan-out proportional to span,
+  // no shuffle), left-joined with the monthly totals, missing months
+  // forward-filled with `last(..., ignoreNulls)` over the key-ordered
+  // window. The canonical "regularize an irregular time series"
+  // transform (reporting calendars, feature matrices); one shuffle on
+  // the key for the window, spine rows never carry document payloads.
+  def o10GapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), date_trunc("MONTH", col("o_orderdate")).as("m"))
+      .agg(Aggregates.exactSum(col("o_totalprice")).as("m_total"))
+    val spine = monthly.groupBy(col("o_custkey"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("o_custkey"),
+        explode(expr("sequence(m0, m1, interval 1 month)")).as("m"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+    spine.join(monthly, Seq("o_custkey", "m"), "left")
+      .select(col("o_custkey"), col("m"), col("m_total"),
+        last(col("m_total"), ignoreNulls = true).over(w).as("filled_total"))
+  }
+  val o10Sql =
+    s"""WITH monthly AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+       |    CAST(CAST(SUM(CAST(o_totalprice AS $AvgDec)) AS VARCHAR) AS DOUBLE) AS m_total
+       |  FROM orders GROUP BY 1, 2),
+       |spine AS (SELECT o_custkey, unnest(generate_series(min_m, max_m, INTERVAL 1 MONTH)) AS m
+       |  FROM (SELECT o_custkey, min(m) AS min_m, max(m) AS max_m FROM monthly GROUP BY o_custkey)),
+       |j AS (SELECT s.o_custkey, s.m, mo.m_total FROM spine s LEFT JOIN monthly mo USING (o_custkey, m))
+       |SELECT o_custkey, m, m_total,
+       |  last_value(m_total IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY m) AS filled_total
+       |FROM j""".stripMargin
+
   // ---- P7: winsorize (percentile clipping) --------------------------------
   // Outlier control for a numeric feature: clip to [p10, p90]. The
   // bounds are a 1-row aggregate broadcast into a per-row
@@ -1131,6 +1164,7 @@ object ParityQueries {
     "a12_cube" -> (a12Cube _),
     "a13_typed_mean" -> (a13TypedMean _),
     "o7_rank_family" -> (o7RankFamily _),
+    "o10_gap_fill" -> (o10GapFill _),
     "u2_bag_ops" -> (u2BagOps _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -1191,6 +1225,7 @@ object ParityQueries {
     "a12_cube" -> a12Sql,
     "a13_typed_mean" -> a13Sql,
     "o7_rank_family" -> o7Sql,
+    "o10_gap_fill" -> o10Sql,
     "u2_bag_ops" -> u2Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

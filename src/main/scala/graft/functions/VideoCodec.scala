@@ -38,45 +38,52 @@ object VideoCodec {
 
   ImageIO.setUseCache(false)
 
+  /** Per-thread writer + write param, built once and reused across
+    * rows (ImageWriter instances are not thread-safe; one per
+    * executor thread, reset via setOutput per payload). The param
+    * disables PROGRESSIVE mode — GIF's interlace — because the JDK
+    * pipeline scrambles/drops rows of interlaced SMALL-height frames
+    * on read-back (observed at 4×4; 8×6 survived). The param route
+    * costs nothing per row; the equivalent interlaceFlag=FALSE frame
+    * METADATA route measured 0.96 s → ~5 s on the e4 bench (the
+    * explicit-metadata write path in the JDK GIF writer is ~5×
+    * slower per frame).
+    */
+  private val threadWriter =
+    new ThreadLocal[(javax.imageio.ImageWriter, javax.imageio.ImageWriteParam)] {
+      override def initialValue(): (javax.imageio.ImageWriter, javax.imageio.ImageWriteParam) = {
+        val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        (writer, param)
+      }
+    }
+
   def encodeGifAnim(seed: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
     val bos = new ByteArrayOutputStream(1024)
     val ios = new MemoryCacheImageOutputStream(bos)
-    val writer = ImageIO.getImageWritersByFormatName("gif").next()
-    try {
-      writer.setOutput(ios)
-      writer.prepareWriteSequence(null)
-      var f = 0
-      while (f < nFrames) {
-        val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
-        var y = 0
-        while (y < height) {
-          var x = 0
-          while (x < width) {
-            raster.setSample(x, y, 0, pixel(seed, f, y.toLong * width + x))
-            x += 1
-          }
-          y += 1
+    val (writer, param) = threadWriter.get()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          raster.setSample(x, y, 0, pixel(seed, f, y.toLong * width + x))
+          x += 1
         }
-        // the JDK writer interlaces frames by default and scrambles/
-        // drops rows for small heights on read-back — force
-        // interlaceFlag=FALSE via per-frame metadata
-        val typ = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
-        val meta = writer.getDefaultImageMetadata(typ, null)
-        val fmt = meta.getNativeMetadataFormatName
-        val root = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
-        val kids = root.getElementsByTagName("ImageDescriptor")
-        if (kids.getLength > 0)
-          kids.item(0).asInstanceOf[org.w3c.dom.Element]
-            .setAttribute("interlaceFlag", "FALSE")
-        meta.setFromTree(fmt, root)
-        writer.writeToSequence(new IIOImage(img, null, meta), null)
-        f += 1
+        y += 1
       }
-      writer.endWriteSequence()
-      ios.flush()
-      bos.toByteArray
-    } finally writer.dispose()
+      writer.writeToSequence(new IIOImage(img, null, null), param)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.flush()
+    bos.toByteArray
   }
 
   /** Decode, count frames, and FRAME-SAMPLE the middle frame

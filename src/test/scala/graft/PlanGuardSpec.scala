@@ -86,6 +86,19 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("o10_gap_fill: spine explode + key window, never a nested loop") {
+    val p = planOf("o10_gap_fill")
+    assert(p.contains("Generate"), p) // the sequence explode
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("w4_hopping_window: window fan-out expands BEFORE partial aggregation") {
+    val p = planOf("w4_hopping_window")
+    assert(p.contains("Expand"), p) // fan-out into the 4 windows
+    assert(p.contains("partial_"), p) // map-side combine retained
+  }
+
   test("AQE converts a statically-planned SortMergeJoin to broadcast at runtime") {
     // Static planning must NOT broadcast (threshold off), so the
     // initial plan is a shuffle join; AQE's runtime stats then see the

@@ -862,6 +862,48 @@ object ParityQueries {
       "SELECT (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_qty_price FROM s"
   }
 
+  // ---- A14: grouped simple linear regression ------------------------------
+  // Per-group least-squares fit (price ~ quantity per return flag)
+  // from the SAME decimal-exact moment sums as A10 — the "distributed
+  // ML-lite" shape: one partial+final aggregation pass computes every
+  // group's model; the closed-form slope/intercept is a fixed double
+  // expression shared verbatim with the oracle (IEEE-identical given
+  // identical decimal-derived inputs). At 100 TB a grouped model fit
+  // from sufficient statistics is one aggregation — never an
+  // iterative solver, never a collect.
+  def a14GroupRegression(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    def mom(a: Column, b: Column) = sum(a.cast(MomDec) * b.cast(MomDec)).cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        Aggregates.exactSum(x).as("sx"),
+        Aggregates.exactSum(y).as("sy"),
+        mom(x, y).as("sxy"),
+        mom(x, x).as("sxx"))
+      .select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"))
+          .as("intercept"))
+  }
+  val a14Sql = {
+    def es(e: String) = s"CAST(CAST(SUM(CAST($e AS $AvgDec)) AS VARCHAR) AS DOUBLE)"
+    def mom(a: String, b: String) =
+      s"CAST(CAST(SUM(CAST($a AS DECIMAL(8,2)) * CAST($b AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE)"
+    s"WITH s AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, ${es("l_quantity")} AS sx, " +
+      s"${es("l_extendedprice")} AS sy, ${mom("l_quantity", "l_extendedprice")} AS sxy, " +
+      s"${mom("l_quantity", "l_quantity")} AS sxx FROM lineitem GROUP BY l_returnflag) " +
+      "SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, " +
+      "(n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope, " +
+      "(sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept FROM s"
+  }
+
   // ---- A11: histogram (fixed-width binning + count) -----------------------
   // floor(x / width) on doubles is the portable binning primitive
   // (width_bucket's signature differs across engines); partial
@@ -1163,6 +1205,7 @@ object ParityQueries {
     "a11_histogram" -> (a11Histogram _),
     "a12_cube" -> (a12Cube _),
     "a13_typed_mean" -> (a13TypedMean _),
+    "a14_group_regression" -> (a14GroupRegression _),
     "o7_rank_family" -> (o7RankFamily _),
     "o10_gap_fill" -> (o10GapFill _),
     "u2_bag_ops" -> (u2BagOps _),
@@ -1224,6 +1267,7 @@ object ParityQueries {
     "a11_histogram" -> a11Sql,
     "a12_cube" -> a12Sql,
     "a13_typed_mean" -> a13Sql,
+    "a14_group_regression" -> a14Sql,
     "o7_rank_family" -> o7Sql,
     "o10_gap_fill" -> o10Sql,
     "u2_bag_ops" -> u2Sql,

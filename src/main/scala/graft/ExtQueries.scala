@@ -551,6 +551,29 @@ object ExtQueries {
        |SELECT doc_id, count(*) AS n_overlap FROM csh JOIN bsh USING (sh)
        |GROUP BY doc_id HAVING count(*) >= $ContamMinOverlap""".stripMargin
 
+  // ---- E8b: the decontaminated corpus (the anti-join that USES e8) ---------
+  // e8 reports the contaminated docs; this is the pipeline action a
+  // training run actually takes — LEFT ANTI JOIN them away. The anti
+  // join shuffles only (doc_id) pairs; the corpus text streams
+  // through untouched.
+  def e8Decontaminated(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bad = CorpusPipeline.contaminated(
+      corpus, "doc_id", "text", docs.filter(col("doc_id") % 20 === 0),
+      minOverlap = ContamMinOverlap).select(col("doc_id"))
+    corpus.join(bad, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+  val e8bSql: String =
+    s"""WITH ${e2CtesBodyFrom("documents")},
+       |bsh AS (SELECT DISTINCT unnest(list_distinct(ms)) AS sh FROM hashed WHERE doc_id % 20 = 0),
+       |csh AS (SELECT doc_id, unnest(list_distinct(ms)) AS sh FROM hashed WHERE doc_id % 20 <> 0),
+       |cont AS (SELECT doc_id FROM csh JOIN bsh USING (sh)
+       |  GROUP BY doc_id HAVING count(*) >= $ContamMinOverlap)
+       |SELECT doc_id, source, n_chars FROM documents
+       |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin
+
   // ---- E5a: BPE-ish regex token counts (vs whitespace tokens) --------------
   def e5BpeTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
@@ -889,6 +912,7 @@ object ExtQueries {
     "e5_chunks" -> (e5Chunks _),
     "e5_pack" -> (e5Pack _),
     "e8_contamination" -> (e8Contamination _),
+    "e8_decontaminated" -> (e8Decontaminated _),
     "e3_cosine_topk" -> (e3CosineTopK _),
     "e3_ann_bucketed" -> (e3AnnBucketed _),
     "e3_ann_recall" -> (e3AnnRecall _),
@@ -926,6 +950,7 @@ object ExtQueries {
     "e5_chunks" -> e5hSql,
     "e5_pack" -> e5iSql,
     "e8_contamination" -> e8Sql,
+    "e8_decontaminated" -> e8bSql,
     "e3_cosine_topk" -> e3Sql,
     "e3_ann_bucketed" -> e3bSql,
     "e3_ann_recall" -> e3dSql,

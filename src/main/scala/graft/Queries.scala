@@ -210,6 +210,35 @@ object ParityQueries {
       "SELECT i.interval_id, e.event_id, e.event_type FROM events e " +
       "JOIN i ON e.ts >= i.lo AND e.ts <= i.hi"
 
+  // ---- J7: interval-overlap join (two-sided range join) -------------------
+  // Urgent-order weeks overlapping high-priority-order weeks for the
+  // same bounded customer segment — the two-sided range join
+  // ([[RangeJoin.intervalOverlap]]): both sides bin-explode, meet in
+  // exactly their first shared bin, overlap predicate residual. The
+  // oracle runs the plain theta join (an independent algorithm).
+  def j7IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    def iv(p: String, pre: String) =
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 200 && col("o_orderpriority") === p)
+        .select(
+          col("o_orderkey").as(s"${pre}_key"),
+          col("o_orderdate").as(s"${pre}_lo"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as(s"${pre}_hi"))
+    RangeJoin.intervalOverlap(
+      iv("1-URGENT", "a"), "a_lo", "a_hi",
+      iv("2-HIGH", "b"), "b_lo", "b_hi",
+      binSeconds = 7L * 86400)
+      .select(col("a_key"), col("b_key"))
+  }
+  val j7Sql =
+    """WITH a AS (SELECT o_orderkey AS a_key, o_orderdate AS a_lo,
+      |    o_orderdate + INTERVAL 7 DAY AS a_hi FROM orders
+      |  WHERE o_custkey < 200 AND o_orderpriority = '1-URGENT'),
+      |b AS (SELECT o_orderkey AS b_key, o_orderdate AS b_lo,
+      |    o_orderdate + INTERVAL 7 DAY AS b_hi FROM orders
+      |  WHERE o_custkey < 200 AND o_orderpriority = '2-HIGH')
+      |SELECT a_key, b_key FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi""".stripMargin
+
   // ---- F5: typed JSON extraction (from_json with explicit schema) ---------
   // The schema'd counterpart of P2's get_json_object: parse once into
   // a typed struct (malformed JSON → null struct, coerce-not-crash).
@@ -1168,6 +1197,7 @@ object ParityQueries {
     "j4_salted_join" -> (j4SaltedJoin _),
     "j5_asof_join" -> (j5AsofJoin _),
     "j6_range_join" -> (j6RangeJoin _),
+    "j7_interval_overlap" -> (j7IntervalOverlap _),
     "f5_json" -> (f5Json _),
     "f7_string_toolkit" -> (f7StringToolkit _),
     "o8_window_frames" -> (o8WindowFrames _),
@@ -1230,6 +1260,7 @@ object ParityQueries {
     "j4_salted_join" -> j4Sql,
     "j5_asof_join" -> j5Sql,
     "j6_range_join" -> j6Sql,
+    "j7_interval_overlap" -> j7Sql,
     "f5_json" -> f5Sql,
     "f7_string_toolkit" -> f7Sql,
     "o8_window_frames" -> o8Sql,

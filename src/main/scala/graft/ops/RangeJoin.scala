@@ -47,4 +47,37 @@ object RangeJoin {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join — all (left, right) interval pairs with
+    * `l.lo <= r.hi AND r.lo <= l.hi` — the two-sided sibling of
+    * [[pointInInterval]]: BOTH sides explode to their bins and
+    * equi-join on the bin key with the overlap predicate residual.
+    * A pair overlapping across several shared bins would join once
+    * per bin, so the join keeps each pair only in the FIRST bin the
+    * two share (`bin == greatest(firstBin(l), firstBin(r))`, which is
+    * always inside both bin ranges when the intervals overlap) —
+    * exactly-once semantics without a post-join distinct, which at
+    * scale would be a second full shuffle.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      lLo: String,
+      lHi: String,
+      right: DataFrame,
+      rLo: String,
+      rHi: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0)
+    def binOf(c: Column): Column = floor(unix_timestamp(c) / lit(binSeconds))
+    def binned(df: DataFrame, lo: String, hi: String, b0: String) =
+      df.filter(col(lo) <= col(hi))
+        .withColumn(b0, binOf(col(lo)))
+        .withColumn("__bin", explode(sequence(binOf(col(lo)), binOf(col(hi)))))
+    val l = binned(left, lLo, lHi, "__lb0")
+    val r = binned(right, rLo, rHi, "__rb0")
+    l.join(r, Seq("__bin"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bin") === greatest(col("__lb0"), col("__rb0")))
+      .drop("__bin", "__lb0", "__rb0")
+  }
 }

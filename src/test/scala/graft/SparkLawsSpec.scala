@@ -166,6 +166,31 @@ class SparkLawsSpec extends SparkSpec {
     }
   }
 
+  test("law: intervalOverlap equals the naive theta join at any bin width") {
+    import java.sql.Timestamp
+    import graft.ops.RangeJoin
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    for (seed <- Seq(5, 31); binSecs <- Seq(10L, 97L, 3600L)) {
+      val r = new Random(seed)
+      def ivs(n: Int, tag: String) = (0 until n).map { i =>
+        val lo = r.nextInt(5000).toLong
+        (s"$tag$i", ts(lo), ts(lo + r.nextInt(300)))
+      }
+      val as = ivs(40, "a")
+      val bs = ivs(40, "b")
+      val got = RangeJoin.intervalOverlap(
+        as.toDF("a_id", "a_lo", "a_hi"), "a_lo", "a_hi",
+        bs.toDF("b_id", "b_lo", "b_hi"), "b_lo", "b_hi", binSecs)
+        .select("a_id", "b_id").as[(String, String)].collect().toSeq
+      val expected = for {
+        (ai, alo, ahi) <- as
+        (bi, blo, bhi) <- bs
+        if !alo.after(bhi) && !blo.after(ahi)
+      } yield (ai, bi)
+      assert(got.sorted == expected.sorted.toSeq, s"bin=$binSecs seed=$seed")
+    }
+  }
+
   test("law: upsert is identity on empty updates, idempotent, and update-wins") {
     for (seed <- Seq(3, 41)) {
       val r = new Random(seed)

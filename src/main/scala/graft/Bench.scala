@@ -24,7 +24,13 @@ object Bench {
     // Drive with a noop write, not count(): under count() Catalyst's
     // EliminateSorts deletes orderBys, so sort queries would measure
     // nothing. Failures are reported explicitly instead of as -1.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset mode for isolation runs: `Bench q1,q2,...` times only
+    // the named queries (diagnosing per-query numbers without the other 90+
+    // queries' JVM state in play). No args = full suite, the driver path.
+    val subset: Option[Set[String]] =
+      args.headOption.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = subset.fold(SparkEntry.queries)(names => SparkEntry.queries.filter(kv => names(kv._1)))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err: Option[String] =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
@@ -33,6 +39,16 @@ object Bench {
       // queries, not part of the query (r2 ADVICE)
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // Inter-query hygiene (r4: the j*/f* family ran 3.7-6.1x slower in the
+      // full suite than isolated — identical plans, so the cost was leaked
+      // JVM state, not the queries). Spark frees shuffle files and broadcast
+      // blocks only when ContextCleaner sees their references GC'd; in a
+      // tight 98-query loop on a big heap the collector may never run, so
+      // earlier queries' blocks pile up in the block manager and steal
+      // execution memory from later ones. Unpersist anything still pinned
+      // and force a collection OUTSIDE the timed section.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
       (name, elapsed, err)
     }
     // escape ALL control chars: Spark exception messages carry newlines,
@@ -47,7 +63,17 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Headline fields LAST: the driver keeps only the tail of stdout, so a
+    // truncated line must still show errors + total (r4 lost the round total
+    // behind 98 query timings). The full line is also written to a file the
+    // repo keeps, so nothing is ever lost to truncation.
+    val line =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"errors":$errs,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"value":$total}"""
+    println(line)
+    try {
+      val p = java.nio.file.Paths.get("BENCH_full.json")
+      java.nio.file.Files.write(p, line.getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

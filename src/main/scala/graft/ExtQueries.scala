@@ -851,29 +851,32 @@ object ExtQueries {
   // ---- E5i: sequence packing by offset binning -----------------------------
   // Which training sequence does each document land in, and at what
   // offset? Greedy concatenation order = (source, doc_id); a running
-  // token sum per SOURCE bins docs into SeqLen-token sequences. The
-  // window partitions by source — the shard a packer actually works
-  // in — so the prefix sum parallelizes across sources; a single
-  // global order would serialize into one partition (the documented
-  // two-phase prefix-sum is the fix if one giant source dominates).
+  // token sum per source bins docs into SeqLen-token sequences. The
+  // prefix sum runs [[Packing.tokensBefore]] — the TWO-PHASE parallel
+  // form whose longest serial chain is O(blockSize), not O(sourceRows)
+  // — so a single giant source (CommonCrawl at >80% of a pretraining
+  // mix) cannot serialize into one task. The DuckDB oracle computes
+  // the same quantity with a serial window, so every driver round
+  // proves the two-phase result equals the naive prefix sum.
+  // blockSize 128 forces the multi-block path even at sf0.01's 500
+  // docs; production would use ~1e6.
   private val SeqLen = 2048
-  def e5Pack(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        TextOps.tokenCount(col("text")).cast("long").as("ntok"))
-      .withColumn("tok_before", coalesce(sum(col("ntok")).over(w), lit(0L)))
+  def e5Pack(s: SparkSession, dir: String): DataFrame =
+    Packing.tokensBefore(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("ntok")),
+      source = "source", order = "doc_id", ntok = "ntok", blockSize = 128L)
       .select(col("doc_id"), col("source"), col("ntok"),
         expr(s"tok_before div $SeqLen").as("seq_id"),
         (col("tok_before") % SeqLen).as("offset_in_seq"))
-  }
   val e5iSql: String =
     s"""WITH t AS (SELECT doc_id, source, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ntok FROM documents),
        |c AS (SELECT doc_id, source, ntok, COALESCE(SUM(ntok) OVER (
        |  PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before FROM t)
-       |SELECT doc_id, source, ntok, tok_before // $SeqLen AS seq_id, tok_before % $SeqLen AS offset_in_seq FROM c""".stripMargin
+       |SELECT doc_id, source, ntok,
+       |  CAST(tok_before // $SeqLen AS BIGINT) AS seq_id,
+       |  CAST(tok_before % $SeqLen AS BIGINT) AS offset_in_seq FROM c""".stripMargin
 
   // ---- E7d: mixture UPSAMPLING (rates above 1000 permille) -----------------
   // src0 at 2.5× (2 whole copies + a 50%-permille third), src1 at

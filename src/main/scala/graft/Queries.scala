@@ -239,6 +239,36 @@ object ParityQueries {
       |  WHERE o_custkey < 200 AND o_orderpriority = '2-HIGH')
       |SELECT a_key, b_key FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi""".stripMargin
 
+  // ---- J8: range join via the OPTIMIZER RULE (bare theta-join) ------------
+  // The same point-in-interval semantics as J6, but written the way a
+  // SQL-first user would write it — a bare `ts BETWEEN lo AND hi`
+  // theta-join, no engine API in sight. Spark alone plans this as a
+  // BroadcastNestedLoopJoin (O(|points|·|intervals|) comparisons);
+  // [[graft.plans.RangeJoinRule]] — installed in the Verify/Bench
+  // driver sessions via [[GraftExtensions]] — rewrites it to the
+  // binned equi-join automatically. This registration makes the
+  // optimizer tier load-bearing on every driver round: the oracle
+  // runs the plain theta-join in DuckDB, so a rewrite that drops or
+  // duplicates rows fails CORRECTNESS, and PlanGuardSpec asserts the
+  // nested-loop join is gone from the physical plan.
+  def j8RangeAuto(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val intervals = ev
+      .filter(col("event_type") === "purchase" && col("event_id") % 50 === 0)
+      .select(
+        col("event_id").as("interval_id"),
+        col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 4 HOURS")).as("hi"))
+    val points = ev.select(col("event_id"), col("ts"), col("event_type"))
+    points.join(intervals, col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select(col("interval_id"), col("event_id"), col("event_type"))
+  }
+  val j8Sql =
+    "WITH i AS (SELECT event_id AS interval_id, ts AS lo, ts + INTERVAL 4 HOUR AS hi " +
+      "FROM events WHERE event_type = 'purchase' AND event_id % 50 = 0) " +
+      "SELECT i.interval_id, e.event_id, e.event_type FROM events e " +
+      "JOIN i ON e.ts >= i.lo AND e.ts <= i.hi"
+
   // ---- F5: typed JSON extraction (from_json with explicit schema) ---------
   // The schema'd counterpart of P2's get_json_object: parse once into
   // a typed struct (malformed JSON → null struct, coerce-not-crash).
@@ -795,6 +825,14 @@ object ParityQueries {
   // the key for the window, spine rows never carry document payloads.
   def o10GapFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // monthly feeds BOTH the spine aggregate and the left join, and the
+    // plan does recompute it per branch (2 scans, no exchange reuse).
+    // Deliberately NOT persisted anyway: A/B at sf0.1/local[32] (r5)
+    // measured cachedEager(monthly) at 5.3-5.9 s vs 5.2-5.3 s without —
+    // the recomputed branch is a cheap scan+partial-agg, so an eager
+    // cache materialization pass costs more than it saves. At 100 TB
+    // the same A/B should be re-run: a persist pays off once the
+    // orders scan dominates the branch cost.
     val monthly = Tables.orders(s, dir)
       .groupBy(col("o_custkey"), date_trunc("MONTH", col("o_orderdate")).as("m"))
       .agg(Aggregates.exactSum(col("o_totalprice")).as("m_total"))
@@ -1198,6 +1236,7 @@ object ParityQueries {
     "j5_asof_join" -> (j5AsofJoin _),
     "j6_range_join" -> (j6RangeJoin _),
     "j7_interval_overlap" -> (j7IntervalOverlap _),
+    "j8_range_auto" -> (j8RangeAuto _),
     "f5_json" -> (f5Json _),
     "f7_string_toolkit" -> (f7StringToolkit _),
     "o8_window_frames" -> (o8WindowFrames _),
@@ -1261,6 +1300,7 @@ object ParityQueries {
     "j5_asof_join" -> j5Sql,
     "j6_range_join" -> j6Sql,
     "j7_interval_overlap" -> j7Sql,
+    "j8_range_auto" -> j8Sql,
     "f5_json" -> f5Sql,
     "f7_string_toolkit" -> f7Sql,
     "o8_window_frames" -> o8Sql,

@@ -13,6 +13,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the engine's extension (native SQL functions + RangeJoinRule):
+      // j8_range_auto is a bare theta-join that RELIES on the
+      // optimizer rule for its plan, so the rule runs — and is
+      // oracle-checked — on every driver round
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -50,6 +50,26 @@ object Aggregates {
   def approxDistinctCount(df: DataFrame, column: String, rsd: Double = 0.01): DataFrame =
     df.agg(approx_count_distinct(col(column), rsd).as(s"approx_n_$column"))
 
+  /** O6 scale variant: grouped approximate percentiles via Spark's
+    * mergeable one-pass quantile sketch (`approx_percentile`,
+    * Greenwald-Khanna). Exact `percentile` buffers every value of a
+    * group; the sketch holds O(accuracy · log n) state per group
+    * regardless of group size, with rank error ≤ n / accuracy — the
+    * form that survives a 100 TB group. Output: one array column of
+    * the requested quantiles per group.
+    */
+  def approxPercentiles(
+      df: DataFrame,
+      key: String,
+      valueCol: String,
+      quantiles: Seq[Double],
+      accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(key)).agg(
+      percentile_approx(
+        col(valueCol),
+        array(quantiles.map(lit): _*),
+        lit(accuracy)).as(s"approx_q_$valueCol"))
+
   /** A3: scalar mean (dashboard_app/app.py:48). */
   def mean(df: DataFrame, column: String): DataFrame =
     df.agg(exactMean(col(column)).as(s"avg_$column"))

@@ -253,6 +253,29 @@ class OpsSpec extends SparkSpec {
     assert(relErr < 0.06, s"approx=$approx exact=$n relErr=$relErr") // 3σ of rsd=0.02
   }
 
+  // ---- O6 scale variant: approx percentiles -----------------------------
+  test("approxPercentiles is within rank-error bounds of the exact quantiles") {
+    // two groups with different sizes and ranges; values are a known
+    // permutation-free ramp so the exact quantile is computable in
+    // closed form: for 1..n, quantile_cont(p) = 1 + p·(n−1)
+    val n = 40000L
+    val df = spark.range(2 * n).select(
+      when(col("id") < n, "g1").otherwise("g2").as("k"),
+      when(col("id") < n, col("id") + 1).otherwise(col("id") - n + 1).cast("double").as("v"))
+    val ps = Seq(0.1, 0.5, 0.9)
+    val accuracy = 10000
+    val got = Aggregates.approxPercentiles(df, "k", "v", ps, accuracy)
+      .as[(String, Seq[Double])].collect().toMap
+    assert(got.keySet == Set("g1", "g2"))
+    for ((_, qs) <- got; (p, q) <- ps.zip(qs)) {
+      val exact = 1 + p * (n - 1)
+      // GK bound: rank error ≤ n/accuracy; allow 2x slack for the
+      // per-partition merge
+      val tol = 2.0 * n / accuracy
+      assert(math.abs(q - exact) <= tol, s"p=$p approx=$q exact=$exact tol=$tol")
+    }
+  }
+
   // ---- J5: as-of join semantics -----------------------------------------
   test("asofJoin matches the latest right row at-or-before each left ts") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"), (2L, 50L, "q1"))

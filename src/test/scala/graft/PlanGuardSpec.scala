@@ -56,6 +56,25 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // the interval bin explode
   }
 
+  test("j8_range_auto: RangeJoinRule rewrites the bare theta-join") {
+    // the registered query is a bare BETWEEN theta-join; with the rule
+    // installed (as the Verify/Bench driver sessions install it via
+    // GraftExtensions) it must plan as the binned equi-join, and the
+    // result must be identical to the un-rewritten nested-loop plan
+    val naive = SparkEntry.queries("j8_range_auto")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
+    try {
+      val df = SparkEntry.queries("j8_range_auto")(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(p.contains("Generate"), p) // the interval bin explode
+      assert(df.collect().map(_.toString).sorted.toSeq == naive)
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq graft.plans.RangeJoinRule)
+  }
+
   test("e4_decode_stats: exactly one Generate evaluates the codec chain") {
     val p = planOf("e4_decode_stats")
     assert(p.linesIterator.count(_.contains("graft_decode_image_stats")) == 1, p)

@@ -92,9 +92,9 @@ object Dedup {
     * near-dup clusters are near-cliques (diameter ≈ 1–2), so 2–3
     * rounds in practice. Each round is one co-partitioned join +
     * partial-agg min — all distributed, nothing driver-side except
-    * the converged? flag. A general-graph production variant would
-    * add large-star/small-star contraction for O(log n) rounds on
-    * long chains; for dedup graphs the plain loop is the right
+    * the converged? flag. For graphs that can contain long chains,
+    * [[connectedComponentsStar]] is the O(log n)-rounds alternative;
+    * for dedup graphs (near-cliques) the plain loop is the right
     * trade.
     *
     * `vertices`: one `id` column; `pairs`: `a`, `b` (any orientation,
@@ -185,6 +185,97 @@ object Dedup {
       .join(labels.withColumnRenamed("id", "__cid"),
         col("id") === col("__cid"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION — the
+    * general-graph production variant [[connectedComponents]]'s
+    * scaladoc promises: O(log n) rounds on ANY topology, vs the
+    * min-label loop's O(diameter). Near-dup graphs are near-cliques
+    * where the plain loop wins (1-2 rounds, half the jobs per round);
+    * reach for THIS one when the pair graph can contain long chains
+    * (transitive similarity at a loose threshold, entity-resolution
+    * edges, co-occurrence links).
+    *
+    * Algorithm (public literature: Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — the
+    * large-star/small-star alternation):
+    *
+    *   large-star: every node u re-points its LARGER neighbors at
+    *     m(u) = min(neighbors(u) ∪ u);
+    *   small-star: every node u re-points its smaller neighbors (and
+    *     itself) at m(u) over the smaller neighbors.
+    *
+    * Both steps preserve connectivity and only ever point edges at
+    * smaller ids; the fixpoint is a forest of stars whose centers are
+    * the component minima. Each round is two groupBy-min + two joins
+    * — all distributed, nothing driver-side but the convergence
+    * check. Edges live canonically as (hi, lo), lo < hi; every
+    * operator below maintains that invariant, so convergence can be
+    * watched on the strictly-decreasing (count, sum) of the edge set.
+    *
+    * Returns (id, component) like [[connectedComponents]]; the two
+    * are law-tested equal (DedupStarSpec), and the chain fixture
+    * asserts the O(log n) round count the plain loop cannot achieve.
+    */
+  def connectedComponentsStar(
+      vertices: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 30): DataFrame =
+    connectedComponentsStarWithRounds(vertices, pairs, maxIter)._1
+
+  private[graft] def connectedComponentsStarWithRounds(
+      vertices: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 30): (DataFrame, Int) = {
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("x"), col("lo").as("y"))
+        .unionByName(e.select(col("lo").as("x"), col("hi").as("y")))
+      val mins = sym.groupBy("x").agg(least(min(col("y")), col("x")).as("m"))
+      sym.join(mins, "x").filter(col("y") > col("x"))
+        .select(col("y").as("hi"), col("m").as("lo")).distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("hi").agg(min(col("lo")).as("m"))
+      val reattach = e.join(mins, "hi").filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+      mins.select(col("hi"), col("m").as("lo"))
+        .unionByName(reattach).distinct()
+    }
+
+    var edges = pairs.select(col("a"), col("b")).filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+      .distinct().localCheckpoint()
+
+    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum((col("hi") + col("lo")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var (prevN, prevSum) = fingerprint(edges)
+    var iter = 0
+    var converged = prevN == 0L
+    while (!converged && iter < maxIter) {
+      // localCheckpoint per round: like the min-label loop, iterative
+      // lineage grows without bound otherwise
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val (n, s) = fingerprint(next)
+      // edges only ever re-point DOWNWARD, so (count, sum) strictly
+      // decreases until the star fixpoint
+      converged = n == prevN && s.compareTo(prevSum) == 0
+      prevN = n; prevSum = s
+      edges = next
+      iter += 1
+    }
+    val labels = edges.groupBy("hi").agg(min(col("lo")).as("component"))
+      .select(col("hi").as("__cid"), col("component"))
+    val out = vertices.select(col("id"))
+      .join(labels, col("id") === col("__cid"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    (out, iter)
   }
 
   /** Deterministic dedup: keep the first row per key group by

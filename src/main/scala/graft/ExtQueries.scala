@@ -60,6 +60,55 @@ object ExtQueries {
       "count(*) OVER (PARTITION BY lang, n_chars) AS group_size " +
       "FROM documents) WHERE rn = 1"
 
+  // ---- E1b: corpus-wide repeated-PASSAGE removal ---------------------------
+  // Exact-substring dedup at passage granularity (public method: Lee
+  // et al., "Deduplicating Training Data Makes Language Models
+  // Better" — there with 50-token spans; 8 here so the sf0.01 corpus
+  // has real duplicate mass, 175 repeated passages). Docs explode
+  // into non-overlapping token windows (posexplode — scan-bound, no
+  // shuffle), each passage keeps only its FIRST corpus occurrence
+  // (row_number over the passage fingerprint, (doc_id, idx) total
+  // order), and survivors reassemble per doc. Exactly two shuffles,
+  // both necessary: the fingerprint window (text travels once) and
+  // the per-doc regroup. At 100 TB both are corpus-token-bounded and
+  // skew-free — fingerprints are content hashes, so hot keys are
+  // exactly the duplicate mass being removed.
+  private val PassageLen = 8
+  def e1PassageDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(TextOps.chunks(TextOps.tokens(col("text")), PassageLen, PassageLen)))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col.chunk_text").as("passage"))
+    val w = Window.partitionBy(md5(col("passage"))).orderBy(col("doc_id"), col("idx"))
+    chunks
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls of non-kept passages; array_sort
+        // on (idx, text) structs restores document order
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("idx"), col("passage"))))),
+            x => x.getField("passage")),
+          " ").as("clean_text"))
+  }
+  val e1bSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') tk FROM documents),
+       |st AS (SELECT doc_id, unnest(range(1, greatest(len(tk), 1) + 1, $PassageLen)) s, tk FROM t),
+       |ch AS (SELECT doc_id, CAST((s - 1) // $PassageLen AS BIGINT) idx,
+       |  array_to_string(tk[s : s + ${PassageLen - 1}], ' ') passage FROM st),
+       |fl AS (SELECT doc_id, idx, passage,
+       |  row_number() OVER (PARTITION BY md5(passage) ORDER BY doc_id, idx) = 1 AS keep FROM ch)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  coalesce(string_agg(CASE WHEN keep THEN passage END, ' ' ORDER BY idx), '') AS clean_text
+       |FROM fl GROUP BY doc_id""".stripMargin
+
   // ---- E2: MinHash + banded LSH near-dup candidate pairs -------------------
   def e2MinhashPairs(s: SparkSession, dir: String): DataFrame =
     MinHash.candidatePairs(Tables.documents(s, dir), "doc_id", "text")
@@ -900,6 +949,7 @@ object ExtQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_dedup_exact" -> (e1DedupExact _),
+    "e1_passage_dedup" -> (e1PassageDedup _),
     "e2_minhash_pairs" -> (e2MinhashPairs _),
     "e2_ngram_jaccard" -> (e2NgramJaccard _),
     "e2_simhash_pairs" -> (e2SimhashPairs _),
@@ -938,6 +988,7 @@ object ExtQueries {
 
   val sql: Map[String, String] = Map(
     "e1_dedup_exact" -> e1Sql,
+    "e1_passage_dedup" -> e1bSql,
     "e2_minhash_pairs" -> e2Sql,
     "e2_ngram_jaccard" -> e2bSql,
     "e2_simhash_pairs" -> e2dSql,

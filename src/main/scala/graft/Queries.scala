@@ -1209,6 +1209,73 @@ object ParityQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ---- Q6: forecasting-revenue change (pure scan-side aggregation) --------
+  // The TPC-H query with NO join at all: three pushable predicates and
+  // one product-sum. Its whole value is the plan — every filter must
+  // reach the parquet scan (range + between + less-than all appear in
+  // PushedFilters) and the sum must partial-aggregate map-side, so the
+  // 100 TB form reads only three columns and ships one partial row per
+  // task. Discount literals compare exactly: both engines parse 0.05
+  // to the same IEEE double the data itself stores.
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(28,4)"))
+        .cast("double").as("revenue"))
+  val q6Sql =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---- Q10: returned-item reporting (4-way join + grouped top-20) ---------
+  // Which customers returned the most revenue in a quarter: lineitem
+  // (returnflag filter, pushed) joins quarter-filtered orders on the
+  // order key, the per-customer revenue aggregates BEFORE the customer
+  // dimension attaches (agg on the narrow key first, then broadcast
+  // joins for name/acctbal/nation — at 100 TB the heavy join output
+  // never carries dimension strings), and the report is a distributed
+  // top-20 (TakeOrderedAndProject) with a total-order tiebreak.
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,4)").as("disc_price"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-04-01"))
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey").as("c_custkey"))
+    val perCust = li.join(ord, Seq("l_orderkey"))
+      .groupBy(col("c_custkey"))
+      .agg(sum(col("disc_price")).cast("double").as("revenue"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    val nat = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+    Ranking.topK(
+      perCust.join(broadcast(cust), Seq("c_custkey"))
+        .join(broadcast(nat), Seq("c_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name")),
+      Seq(col("revenue").desc, col("c_custkey").asc), 20)
+  }
+  val q10Sql =
+    """SELECT c_custkey, c_name,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   /** Flagship query (SparkEntry.entry): the reference dashboard's
     * "average metric by geography, ranked" question (dashboard_app/
     * app.py:57,74) over testdata — star join, grouped mean, ordered.
@@ -1281,6 +1348,8 @@ object ParityQueries {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q10_returned_items" -> (q10ReturnedItems _),
     "q18_large_orders" -> (q18LargeOrders _)
   )
 
@@ -1345,6 +1414,8 @@ object ParityQueries {
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,
+    "q6_forecast_revenue" -> q6Sql,
+    "q10_returned_items" -> q10Sql,
     "q18_large_orders" -> q18Sql
   )
 }

@@ -94,6 +94,30 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("partial_"), p) // revenue agg combines map-side
   }
 
+  test("q6_forecast_revenue: all three predicates pushed, map-side partial agg") {
+    // the PushedFilters list is elided in toString past ~100 chars, so
+    // assert its head plus the full predicate set on the Filter node
+    val p = planOf("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains(">= 0.05)") && p.contains("<= 0.07)") && p.contains("< 24.0)"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q10_returned_items: returnflag pushed, dims broadcast, top-20 fused") {
+    val p = planOf("q10_returned_items")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("e1_passage_dedup: passage explode is scan-bound (no shuffle before Generate)") {
+    val p = planOf("e1_passage_dedup")
+    assert(p.contains("Generate"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_"), p) // per-doc regroup combines map-side
+  }
+
   test("e7_stratified: WindowGroupLimit prunes to k per source map-side") {
     val p = planOf("e7_stratified")
     assert(p.contains("WindowGroupLimit"), p)

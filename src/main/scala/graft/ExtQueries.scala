@@ -802,6 +802,46 @@ object ExtQueries {
        |  CAST(len(regexp_extract_all(contact, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones
        |FROM c""".stripMargin
 
+  // ---- E5j: Unicode NFC normalization (canonical composition) --------------
+  // The zeroth text-cleaning step: decomposed accent sequences
+  // (e + U+0301) and composed ones (é) are the SAME text with
+  // different codepoints, so fingerprints, tokens, and joins fragment
+  // unless the corpus is composed first. Spark has no normalization
+  // built-in — [[graft.functions.NfcNormalize]] is the custom scalar
+  // Expression (codegen'd, per-row, zero shuffles); DuckDB's native
+  // nfc_normalize is the independent oracle implementation. The
+  // fixture synthesizes decomposed/composed/plain variants from the
+  // customer key (the synthetic tables are pure ASCII).
+  private val Acute = "́" // combining acute: e + this = é
+  private val Umlaut = "̈" // combining diaeresis: u + this = ü
+  private val Cedilla = "̧" // combining cedilla: c + this = ç
+  def e5Normalize(s: SparkSession, dir: String): DataFrame = {
+    val decomposed = when(pmod(col("c_custkey"), lit(3)) === 0,
+      concat(lit(s"resume$Acute for "), col("c_name")))
+      .when(pmod(col("c_custkey"), lit(3)) === 1,
+        concat(lit("plain ascii memo of "), col("c_name"))) // NFC fast path
+      .otherwise(concat(
+        lit(s"Zu${Umlaut}rich garc${Cedilla}on café avec "), col("c_name")))
+    val outs = TextOps.let1(decomposed) { d =>
+      TextOps.let1(TextOps.nfcNormalize(d)) { n =>
+        struct(
+          n.as("normalized"),
+          length(d).cast("long").as("n_cp_before"),
+          length(n).cast("long").as("n_cp_after"))
+      }
+    }
+    Tables.customer(s, dir).select(col("c_custkey"), inline(array(outs)))
+  }
+  val e5jSql: String =
+    s"""WITH c AS (SELECT c_custkey,
+       |  CASE WHEN c_custkey % 3 = 0 THEN 'resume$Acute for ' || c_name
+       |       WHEN c_custkey % 3 = 1 THEN 'plain ascii memo of ' || c_name
+       |       ELSE 'Zu${Umlaut}rich garc${Cedilla}on café avec ' || c_name END AS d FROM customer)
+       |SELECT c_custkey, nfc_normalize(d) AS normalized,
+       |  CAST(length(d) AS BIGINT) AS n_cp_before,
+       |  CAST(length(nfc_normalize(d)) AS BIGINT) AS n_cp_after
+       |FROM c""".stripMargin
+
   // ---- E2g: per-cluster representative selection (keep-best) ---------------
   // After clustering, production dedup keeps the BEST document
   // (longest, here — highest-quality in general), not the min-id: the
@@ -983,7 +1023,8 @@ object ExtQueries {
     "e5_char_trigrams" -> (e5CharTrigrams _),
     "e5_fingerprint" -> (e5Fingerprint _),
     "e5_repetition" -> (e5Repetition _),
-    "e5_pii_redact" -> (e5PiiRedact _)
+    "e5_pii_redact" -> (e5PiiRedact _),
+    "e5_normalize" -> (e5Normalize _)
   )
 
   val sql: Map[String, String] = Map(
@@ -1022,6 +1063,7 @@ object ExtQueries {
     "e5_char_trigrams" -> e5eSql,
     "e5_fingerprint" -> e5dSql,
     "e5_repetition" -> e5fSql,
-    "e5_pii_redact" -> e5gSql
+    "e5_pii_redact" -> e5gSql,
+    "e5_normalize" -> e5jSql
   )
 }

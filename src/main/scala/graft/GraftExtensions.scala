@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.ext.MinHash
-import graft.functions.{DecodeImageStats, FloatDotProduct, MinHashSignature, ParseWavStats, SimHash32, SynthGrayPng, SynthPcmWav}
+import graft.functions.{DecodeImageStats, FloatDotProduct, MinHashSignature, NfcNormalize, ParseWavStats, SimHash32, SynthGrayPng, SynthPcmWav}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so they are callable from
@@ -47,6 +47,9 @@ object GraftExtensions {
     ("graft_simhash32",
       "graft_simhash32(hs) - 32-bit simhash of a bigint-array of token hashes",
       (args: Seq[Expression]) => SimHash32(args.head)),
+    ("graft_nfc_normalize",
+      "graft_nfc_normalize(s) - Unicode NFC canonical composition of a string",
+      (args: Seq[Expression]) => NfcNormalize(args.head)),
     ("graft_minhash_sig",
       "graft_minhash_sig(ms) - minhash signature of shingle hashes",
       (args: Seq[Expression]) => MinHashSignature(

@@ -130,6 +130,16 @@ object TextOps {
       graft.functions.SimHash32(
         org.apache.spark.sql.graftshim.ColumnBridge.expression(hs)))
 
+  /** Unicode NFC canonical composition ([[graft.functions
+    * .NfcNormalize]] — Spark has no built-in): run FIRST in a
+    * text-cleaning chain so fingerprints, tokens, and joins see one
+    * codepoint sequence per text.
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text)))
+
   /** Duplicated-window fraction: 1 − distinct/total over an n-gram
     * (shingle) array — the "duplicate n-gram fraction" family of
     * repetition filters used to drop boilerplate/looping text from

@@ -44,6 +44,23 @@ class ExtSpec extends SparkSpec {
     assert(pairs.toSeq == Seq(1.0))
   }
 
+  // ---- E5j: NFC normalization -------------------------------------------
+  test("nfcNormalize composes decomposed sequences, identity on NFC text") {
+    val df = Seq("cafe\u0301", "caf\u00e9", "plain", null).toDF("t")
+      .select(TextOps.let1(TextOps.nfcNormalize(col("t"))) { n =>
+        struct(n, length(n))
+      }.as("r"))
+      .select(col("r.*"))
+    val got = df.collect().map(r =>
+      (Option(r.getString(0)), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    // decomposed e+U+0301 (5 cps) composes to é (4 cps); composed and
+    // ASCII inputs pass through; null stays null
+    assert(got(0) == (Some("caf\u00e9"), 4))
+    assert(got(1) == (Some("caf\u00e9"), 4))
+    assert(got(2) == (Some("plain"), 5))
+    assert(got(3) == (None, -1))
+  }
+
   // ---- E3 ---------------------------------------------------------------
   test("cosine is 1 for parallel vectors, 0 for orthogonal") {
     val df = Seq(

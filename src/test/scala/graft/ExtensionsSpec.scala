@@ -27,6 +27,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sh == 5L) // single token: its low bits vote directly
   }
 
+  test("graft_nfc_normalize composes decomposed accents from SQL") {
+    val r = spark.sql(
+      "SELECT graft_nfc_normalize('cafe\\u0301') AS n, length(graft_nfc_normalize('cafe\\u0301')) AS l")
+      .collect().head
+    assert(r.getString(0) == "caf\u00e9" && r.getInt(1) == 4)
+  }
+
   test("graft_synth_gray_png + graft_image_stats round-trip from SQL") {
     val r = spark.sql(
       "SELECT graft_image_stats(graft_synth_gray_png(CAST(7 AS BIGINT), 8, 8)) AS st")

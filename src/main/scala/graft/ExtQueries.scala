@@ -842,6 +842,41 @@ object ExtQueries {
        |  CAST(length(nfc_normalize(d)) AS BIGINT) AS n_cp_after
        |FROM c""".stripMargin
 
+  // ---- E5k: bigram-rarity quality scoring ----------------------------------
+  // The corpus-statistics quality signal the per-row heuristics
+  // (e5_quality_langid) cannot see: what fraction of a document's
+  // bigram OCCURRENCES are rare in the whole corpus (corpus count ≤
+  // RareMax)? High rare-fraction = gibberish, OCR noise, or boilerplate
+  // mangling — the cheap integer-exact stand-in for LM-perplexity
+  // filtering (transcendental log-probs would never hash-match across
+  // engines; counts do). Shape: scan-bound bigram explode → count agg
+  // (shuffle on bigram) → fact side joins the aggregated counts on the
+  // SAME key (only the fact shuffle is new — the agg output is already
+  // hash-partitioned on bigram) → per-doc agg. Zipf-hot bigrams are
+  // the agg's partial-combine case, not a join-skew case: the count
+  // side has exactly one row per bigram.
+  private val RareMax = 2
+  def e5BigramRarity(s: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(MinHash.shingles(TextOps.tokens(col("text")), 2)).as("bigram"))
+    val counts = bi.groupBy(col("bigram")).agg(count(lit(1)).as("n_corpus"))
+    bi.join(counts, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("n_corpus") <= RareMax, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_frac", col("n_rare").cast("double") / col("n_bigrams"))
+  }
+  val e5kSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') tk FROM documents),
+       |bi AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS bigram FROM t),
+       |cnt AS (SELECT bigram, count(*) AS n_corpus FROM bi GROUP BY bigram)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(CASE WHEN n_corpus <= $RareMax THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |  CAST(sum(CASE WHEN n_corpus <= $RareMax THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_frac
+       |FROM bi JOIN cnt USING (bigram) GROUP BY doc_id""".stripMargin
+
   // ---- E2g: per-cluster representative selection (keep-best) ---------------
   // After clustering, production dedup keeps the BEST document
   // (longest, here — highest-quality in general), not the min-id: the
@@ -1024,7 +1059,8 @@ object ExtQueries {
     "e5_fingerprint" -> (e5Fingerprint _),
     "e5_repetition" -> (e5Repetition _),
     "e5_pii_redact" -> (e5PiiRedact _),
-    "e5_normalize" -> (e5Normalize _)
+    "e5_normalize" -> (e5Normalize _),
+    "e5_bigram_rarity" -> (e5BigramRarity _)
   )
 
   val sql: Map[String, String] = Map(
@@ -1064,6 +1100,7 @@ object ExtQueries {
     "e5_fingerprint" -> e5dSql,
     "e5_repetition" -> e5fSql,
     "e5_pii_redact" -> e5gSql,
-    "e5_normalize" -> e5jSql
+    "e5_normalize" -> e5jSql,
+    "e5_bigram_rarity" -> e5kSql
   )
 }

@@ -182,14 +182,173 @@ object TpchQueries {
       |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
       |ORDER BY s_suppkey""".stripMargin
 
+  // ---- Q4: order-priority check (EXISTS semi-join) -----------------------
+  // Adapted (no commit/receipt dates): orders in a quarter that have at
+  // least one returned line, counted per priority. The defining shape
+  // survives intact — a correlated EXISTS that Spark executes as a
+  // LEFT SEMI join (each order emits at most once regardless of how
+  // many lines match; no dedup pass, no fanout). The lineitem side
+  // pre-filters on the pushed returnflag predicate before shuffling
+  // only its join key.
+  def q4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01") && col("o_orderdate") < lit("1996-10-01"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val returned = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+  val q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- Q8: national market share -----------------------------------------
+  // One nation's share of a region's market for one part type, by
+  // year. Both the nation-tagged numerator and the all-nations
+  // denominator come from the same grouped pass (conditional sum —
+  // no second scan, no self-join); the share is one IEEE division of
+  // two exact-decimal-backed doubles. Dim chains: part (type-filtered)
+  // and supplier→nation broadcast; customer joins through the
+  // region-filtered nation list (1/5 of nations) — at 100 TB that
+  // side is still the small one and AQE would broadcast it the same
+  // way.
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val targetNation = "NATION_5"
+    val part = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey").as("l_partkey"))
+    val supNat = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("nation"))),
+        Seq("s_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("nation"))
+    val asiaCust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nationkey"))), Seq("c_nationkey"))
+      .select(col("c_custkey").as("o_custkey"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        discPrice.cast("decimal(28,4)").as("volume"))
+    li.join(broadcast(part), Seq("l_partkey"))
+      .join(broadcast(supNat), Seq("l_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), Seq("o_custkey"))
+      .groupBy(col("o_year"))
+      .agg((sum(when(col("nation") === targetNation, col("volume"))).cast("double") /
+        sum(col("volume")).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+  val q8Sql =
+    """SELECT o_year,
+      |  CAST(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume END) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n2.n_name AS nation,
+      |         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4)) AS volume
+      |  FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  // ---- Q17: small-quantity-order revenue (correlated scalar avg) ---------
+  // "Lines of brand-X parts ordered below 20% of that part's average
+  // quantity." The correlated per-part average becomes a grouped
+  // aggregation over the FULL lineitem (every part's mean, one
+  // shuffle on l_partkey) joined back to the brand-filtered lines on
+  // the same key — Catalyst reuses the partitioning, and nothing
+  // correlates row-at-a-time. The threshold and the comparison are
+  // exact-decimal-backed doubles, so the strict < cuts identically in
+  // both engines.
+  def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val perPartAvg = li.groupBy(col("l_partkey"))
+      .agg((lit(0.2) * Aggregates.exactMean(col("l_quantity"))).as("qty_cut"))
+    val brandParts = Tables.part(s, dir).filter(col("p_brand") === "Brand#3")
+      .select(col("p_partkey").as("l_partkey"))
+    li.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(brandParts), Seq("l_partkey"))
+      .join(perPartAvg, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .agg((sum(col("l_extendedprice").cast("decimal(28,2)")).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+  val q17Sql =
+    s"""SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#3'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * (CAST(CAST(SUM(CAST(l_quantity AS $AvgDec)) AS VARCHAR) AS DOUBLE) / count(l_quantity))
+      |    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin
+
+  // ---- Q19: discounted revenue (disjunctive predicate pushdown) ----------
+  // Three brand/size/quantity clause groups OR'd together. The shape
+  // test: Catalyst must push the common join key through the
+  // disjunction and evaluate the OR as a post-join filter on broadcast
+  // part columns — NOT expand to a union of three scans. One pass over
+  // lineitem, one broadcast, one scalar sum.
+  def q19DisjunctiveRev(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"), col("p_size"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        discPrice.cast("decimal(28,4)").as("rev"))
+    val clause = (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#4" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(part), Seq("l_partkey"))
+      .filter(clause)
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+  }
+  val q19Sql =
+    s"""SELECT ${revSql("CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))")} AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_priority_exists" -> (q4PriorityExists _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q19_disjunctive_rev" -> (q19DisjunctiveRev _),
     "q13_cust_distribution" -> (q13CustomerDistribution _),
     "q14_promo_share" -> (q14PromoShare _),
     "q15_top_supplier" -> (q15TopSupplier _))
 
   val sql: Map[String, String] = Map(
+    "q4_priority_exists" -> q4Sql,
     "q7_volume_shipping" -> q7Sql,
+    "q8_market_share" -> q8Sql,
+    "q17_small_qty_revenue" -> q17Sql,
+    "q19_disjunctive_rev" -> q19Sql,
     "q13_cust_distribution" -> q13Sql,
     "q14_promo_share" -> q14Sql,
     "q15_top_supplier" -> q15Sql)

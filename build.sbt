@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Pin the committed heap: the bench loop's inter-query System.gc()
+  // (full GC under G1) uncommits heap toward MinHeapFreeRatio and the
+  // next allocation-heavy query re-expands it. The r6 e6_corpus_clean
+  // drift A/B (BENCH_NOTES.md) showed this is NOT the dominant cost
+  // (~150ms full-GC pauses either way, and both pinned and unpinned
+  // subset runs were fast) — the pin just removes committed-heap
+  // resizing as a variance source between runs.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+) ++ sys.env.get("GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

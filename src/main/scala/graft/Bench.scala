@@ -52,6 +52,14 @@ object Bench {
       // and force a collection OUTSIDE the timed section.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
+      // ...and give the ASYNC half of that cleanup a moment to finish:
+      // System.gc() only enqueues ContextCleaner work (broadcast
+      // removal, shuffle-file deletion on the cleaner thread) — without
+      // a settle pause it drains DURING the next query's timed section,
+      // landing stochastically on whichever query runs next. The
+      // suite's heavy tail (e6, bpe) showed multi-second spikes that no
+      // GC pause accounts for (r6 drift diagnosis, BENCH_NOTES.md).
+      Thread.sleep(250)
       (name, elapsed, err)
     }
     // escape ALL control chars: Spark exception messages carry newlines,

@@ -849,23 +849,30 @@ object ExtQueries {
   // RareMax)? High rare-fraction = gibberish, OCR noise, or boilerplate
   // mangling — the cheap integer-exact stand-in for LM-perplexity
   // filtering (transcendental log-probs would never hash-match across
-  // engines; counts do). Shape: scan-bound bigram explode → count agg
-  // (shuffle on bigram) → fact side joins the aggregated counts on the
-  // SAME key (only the fact shuffle is new — the agg output is already
-  // hash-partitioned on bigram) → per-doc agg. Zipf-hot bigrams are
-  // the agg's partial-combine case, not a join-skew case: the count
-  // side has exactly one row per bigram.
+  // engines; counts do). Shape: scan-bound bigram explode →
+  // PRE-AGGREGATE to (doc_id, bigram) → n_occ — the composite-key
+  // shuffle spreads Zipf-hot bigrams across doc_ids, so no partition
+  // is hot — → corpus counts derive from the pre-agg (partial-combine,
+  // one row per bigram out) → pre-agg joins counts on bigram →
+  // per-doc agg over occurrence-weighted sums. The join's probe side
+  // carries one row per (doc, bigram) instead of one per OCCURRENCE:
+  // a hot bigram's per-key multiplicity is capped at |docs containing
+  // it| rather than total occurrences, and the build side stays one
+  // row per key (safely replicable), so AQE's skew split can finish
+  // the residual concentration at 100 TB.
   private val RareMax = 2
   def e5BigramRarity(s: SparkSession, dir: String): DataFrame = {
-    val bi = Tables.documents(s, dir)
+    val perDoc = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(MinHash.shingles(TextOps.tokens(col("text")), 2)).as("bigram"))
-    val counts = bi.groupBy(col("bigram")).agg(count(lit(1)).as("n_corpus"))
-    bi.join(counts, Seq("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("n_occ"))
+    val counts = perDoc.groupBy(col("bigram")).agg(sum(col("n_occ")).as("n_corpus"))
+    perDoc.join(counts, Seq("bigram"))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(when(col("n_corpus") <= RareMax, 1L).otherwise(0L)).as("n_rare"))
+        sum(col("n_occ")).as("n_bigrams"),
+        sum(when(col("n_corpus") <= RareMax, col("n_occ")).otherwise(0L)).as("n_rare"))
       .withColumn("rare_frac", col("n_rare").cast("double") / col("n_bigrams"))
   }
   val e5kSql: String =
@@ -925,6 +932,52 @@ object ExtQueries {
        |    CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT) AS cluster_size
        |  FROM comp c JOIN documents d USING (doc_id)) WHERE rn = 1""".stripMargin
   }
+
+  // ---- E2h: chain-shaped components via star contraction -------------------
+  // The topology the min-label loop is WRONG for, run on the algorithm
+  // built for it: adjacent-id "similar neighbor" edges (doc d ~ doc
+  // d+1 when both pass a token-count gate) form long CHAINS — maximal
+  // runs of consecutive qualifying ids — where min-label needs
+  // O(chain length) rounds but alternating star contraction
+  // ([[Dedup.connectedComponentsStar]], Kiveris et al. SoCC'14)
+  // converges in O(log n). This registers the star path as a
+  // driver-verified oracle query (the [[plans.RangeJoinRule]] →
+  // j8_range_auto precedent): DuckDB computes the same components
+  // independently via gaps-and-islands (id − row_number is constant
+  // within a consecutive run), and the round-count `require` turns
+  // the O(log n) bound into a hard failure if the implementation ever
+  // degrades to per-hop propagation.
+  private val ChainMinTokens = 30
+  def e2ChainComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val qual = docs
+      .filter(size(TextOps.tokens(col("text"))) >= ChainMinTokens)
+      .select(col("doc_id"))
+    // edge (d-1, d) iff both d-1 and d qualify: shift the qualifying
+    // set by +1 and left-semi back onto itself — scan-bound, the only
+    // shuffle is the semi-join on the (narrow) id column
+    val shifted = qual.select((col("doc_id") + 1).as("doc_id"))
+    val edges = qual
+      .join(shifted, Seq("doc_id"), "left_semi")
+      .select((col("doc_id") - 1).as("a"), col("doc_id").as("b"))
+    val (comps, rounds) = Dedup.connectedComponentsStarWithRounds(
+      docs.select(col("doc_id").as("id")), edges)
+    // chains of length L must resolve in O(log L) star rounds, not
+    // O(L) label hops — at any SF the longest consecutive run is far
+    // below 2^12, so >12 rounds means the algorithm regressed
+    require(rounds <= 12, s"star contraction took $rounds rounds (expected O(log chain))")
+    comps.select(col("id").as("doc_id"), col("component"))
+  }
+  val e2hSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= $ChainMinTokens),
+       |isl AS (
+       |  SELECT doc_id, doc_id - row_number() OVER (ORDER BY doc_id) AS grp FROM q),
+       |comp AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY grp) AS component FROM isl)
+       |SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin
 
   // ---- E7c: stratified deterministic sample (fixed k per source) -----------
   // "Take exactly k docs per stratum, reproducibly": rank within each
@@ -1060,7 +1113,8 @@ object ExtQueries {
     "e5_repetition" -> (e5Repetition _),
     "e5_pii_redact" -> (e5PiiRedact _),
     "e5_normalize" -> (e5Normalize _),
-    "e5_bigram_rarity" -> (e5BigramRarity _)
+    "e5_bigram_rarity" -> (e5BigramRarity _),
+    "e2_chain_components" -> (e2ChainComponents _)
   )
 
   val sql: Map[String, String] = Map(
@@ -1101,6 +1155,7 @@ object ExtQueries {
     "e5_repetition" -> e5fSql,
     "e5_pii_redact" -> e5gSql,
     "e5_normalize" -> e5jSql,
-    "e5_bigram_rarity" -> e5kSql
+    "e5_bigram_rarity" -> e5kSql,
+    "e2_chain_components" -> e2hSql
   )
 }

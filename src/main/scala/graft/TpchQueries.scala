@@ -333,6 +333,138 @@ object TpchQueries {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  // ---- Q11: important stock (HAVING vs global-scalar-fraction) -----------
+  // The "groups whose aggregate exceeds a fraction of the global
+  // aggregate" pattern (classic q11 over partsupp, adapted: per-part
+  // revenue from one nation's supply base, kept if above 0.1% of that
+  // nation's total). Plan shape: ONE grouped aggregation computes the
+  // per-part frame; the global total derives from the SAME frame (sum
+  // of the group sums is exact in decimal — no second scan of
+  // lineitem), broadcasts back as a 1-row crossJoin, and the HAVING
+  // runs as a post-agg filter. At 100 TB: one shuffle on l_partkey,
+  // one 1-row broadcast; the threshold comparison is an IEEE double
+  // compare on identically-derived values in both engines.
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val natSup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_1")
+        .select(col("n_nationkey").as("s_nationkey"))), Seq("s_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"))
+    val perPart = Tables.lineitem(s, dir)
+      .join(broadcast(natSup), Seq("l_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(discPrice.cast("decimal(28,4)")).as("vdec"))
+    val cut = perPart.agg(
+      (sum(col("vdec")).cast("double") * lit(0.001)).as("cut"))
+    perPart.crossJoin(broadcast(cut))
+      .filter(col("vdec").cast("double") > col("cut"))
+      .select(col("l_partkey"), col("vdec").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+  val q11Sql =
+    """WITH v AS (
+      |  SELECT l_partkey,
+      |         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS vdec
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_1'
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(CAST(vdec AS VARCHAR) AS DOUBLE) AS value
+      |FROM v
+      |WHERE CAST(CAST(vdec AS VARCHAR) AS DOUBLE) >
+      |      (SELECT CAST(CAST(SUM(vdec) AS VARCHAR) AS DOUBLE) * CAST(0.001 AS DOUBLE) FROM v)
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  // ---- Q21: lone returner (EXISTS + NOT EXISTS on the same fact) ---------
+  // The dual-correlation pattern: each qualifying row must have a
+  // same-order row from ANOTHER supplier (EXISTS → LEFT SEMI) and no
+  // same-order RETURN from another supplier (NOT EXISTS → LEFT ANTI),
+  // both against the same fact table with a two-column correlation
+  // (orderkey equality + suppkey inequality). Spark executes both as
+  // one-pass joins on the orderkey equality with the inequality as a
+  // residual condition — nothing correlates row-at-a-time, and the
+  // semi/anti forms never fan out (each base row emits ≤ once no
+  // matter how many order-mates match). At 100 TB all three lineitem
+  // legs shuffle on l_orderkey — one exchange each, same key, and the
+  // two probe legs carry only (orderkey, suppkey) pairs.
+  def q21LoneReturner(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val base = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+    val mates = li.select(
+      col("l_orderkey").as("m_orderkey"), col("l_suppkey").as("m_suppkey"))
+    val rMates = li.filter(col("l_returnflag") === "R").select(
+      col("l_orderkey").as("r_orderkey"), col("l_suppkey").as("r_suppkey"))
+    base
+      .join(mates, col("l_orderkey") === col("m_orderkey") &&
+        col("l_suppkey") =!= col("m_suppkey"), "left_semi")
+      .join(rMates, col("l_orderkey") === col("r_orderkey") &&
+        col("l_suppkey") =!= col("r_suppkey"), "left_anti")
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+  val q21Sql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  // ---- Q22: dormant high-balance customers (anti-join + filtered avg) ----
+  // The "above the average of a filtered domain, with no matching
+  // fact rows" pattern (classic q22, adapted: no-phone-prefix →
+  // market segments, no-orders-ever → no orders since a cutoff so the
+  // anti side is non-empty at every SF). Plan shape: the scalar avg
+  // computes over the positive-balance domain ONLY (decimal-exact,
+  // 1 row), broadcasts back as a crossJoin; the NOT EXISTS is a LEFT
+  // ANTI against date-pruned orders carrying only o_custkey. At
+  // 100 TB: customer scans once, orders scans only the pushed date
+  // range, the anti-join shuffles on custkey, and the final agg is
+  // 5 segment rows.
+  def q22DormantValue(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(Aggregates.exactMean(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-06-01"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(28,2)")).cast("double").as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+  val q22Sql =
+    """SELECT c_mktsegment, count(*) AS numcust,
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+      |           / count(c_acctbal)
+      |    FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_priority_exists" -> (q4PriorityExists _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
@@ -341,7 +473,10 @@ object TpchQueries {
     "q19_disjunctive_rev" -> (q19DisjunctiveRev _),
     "q13_cust_distribution" -> (q13CustomerDistribution _),
     "q14_promo_share" -> (q14PromoShare _),
-    "q15_top_supplier" -> (q15TopSupplier _))
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q21_lone_returner" -> (q21LoneReturner _),
+    "q22_dormant_value" -> (q22DormantValue _))
 
   val sql: Map[String, String] = Map(
     "q4_priority_exists" -> q4Sql,
@@ -351,5 +486,8 @@ object TpchQueries {
     "q19_disjunctive_rev" -> q19Sql,
     "q13_cust_distribution" -> q13Sql,
     "q14_promo_share" -> q14Sql,
-    "q15_top_supplier" -> q15Sql)
+    "q15_top_supplier" -> q15Sql,
+    "q11_important_parts" -> q11Sql,
+    "q21_lone_returner" -> q21Sql,
+    "q22_dormant_value" -> q22Sql)
 }

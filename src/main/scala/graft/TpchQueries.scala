@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops._
@@ -465,6 +466,256 @@ object TpchQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- Q2: minimum-cost supplier (correlated per-group min) --------------
+  // The classic "supplier achieving the minimum supply cost per part,
+  // within one region" — the correlated-min-subquery shape. No
+  // partsupp table exists, so the part↔supplier relation is DERIVED:
+  // min(l_extendedprice) per (l_partkey, l_suppkey) stands in for
+  // ps_supplycost (min of doubles — exact and order-insensitive in
+  // both engines). The correlated `cost = (SELECT min ...)` becomes a
+  // window min over l_partkey on the already-reduced pair frame — ONE
+  // pass, no self-join, no row-at-a-time correlation. At 100 TB: the
+  // only big shuffle is the pair aggregation on (l_partkey,
+  // l_suppkey); the part filter semi-joins BEFORE the agg (broadcast,
+  // prunes the shuffle input), the Europe-supplier tag broadcasts,
+  // and the window runs on a frame bounded by |part|×|supplier|
+  // distinct pairs, not by lineitem. Total-order output: s_name is
+  // unique and (p_partkey, s_name) identifies a row.
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val targetParts = Tables.part(s, dir)
+      .filter(col("p_size").between(20, 30) && col("p_type") === "STANDARD")
+      .select(col("p_partkey").as("l_partkey"))
+    val eurSup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+        Seq("s_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"))
+    val ps = Tables.lineitem(s, dir)
+      .join(broadcast(targetParts), Seq("l_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("cost"))
+    ps.join(broadcast(eurSup), Seq("l_suppkey"))
+      .withColumn("min_cost", min(col("cost")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(100)
+  }
+  val q2Sql =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                      WHERE p_size BETWEEN 20 AND 30 AND p_type = 'STANDARD')
+      |  GROUP BY 1, 2),
+      |eur AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE')
+      |SELECT s_acctbal, s_name, n_name, p_partkey, cost FROM (
+      |  SELECT e.s_acctbal, e.s_name, e.n_name, ps.l_partkey AS p_partkey, ps.cost,
+      |         min(ps.cost) OVER (PARTITION BY ps.l_partkey) AS min_cost
+      |  FROM ps JOIN eur e ON ps.l_suppkey = e.s_suppkey) t
+      |WHERE cost = min_cost
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  // ---- Q9: product-type profit by nation and year ------------------------
+  // The widest classic join tree: lineitem against FOUR dims plus
+  // orders, grouped by (supplier nation, order year). With no
+  // ps_supplycost the profit measure is the discounted price alone —
+  // the plan shape (the point of the query) is unchanged: part-name
+  // filter semi-joins broadcast BEFORE anything wide, supplier→nation
+  // tagging broadcasts, and the one genuinely big-big join
+  // (lineitem⋈orders on orderkey, needed for the year) shuffles both
+  // sides on the join key. At 100 TB the name-filtered part list cuts
+  // the lineitem side first, so the orderkey shuffle moves only
+  // surviving rows. Aggregate is exact-decimal-backed.
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val gearParts = Tables.part(s, dir).filter(col("p_name").contains("gear"))
+      .select(col("p_partkey").as("l_partkey"))
+    val supNat = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("nation"))),
+        Seq("s_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("nation"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(gearParts), Seq("l_partkey"), "left_semi")
+      .join(broadcast(supNat), Seq("l_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(revenue(discPrice).as("sum_profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+  val q9Sql =
+    s"""SELECT nation, o_year,
+      |  ${revSql("l_extendedprice * (1.0 - l_discount)")} AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |         l_extendedprice, l_discount
+      |  FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE p_name LIKE '%gear%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // ---- Q12: late shipments by class (big-big join + CASE-sums) -----------
+  // Classic q12 counts high/low-priority orders per shipmode among
+  // late lines. No shipmode/commitdate/receiptdate columns exist, so:
+  // the class key is l_returnflag and "late" is shipped >60 days
+  // after the order date — the defining shape survives intact: the
+  // one big-big join (lineitem⋈orders on orderkey), a join-dependent
+  // lateness predicate that can only run post-join, and the
+  // two-priority-buckets-in-one-pass conditional sums (no second
+  // scan, no pivot). The shipdate range filter DOES push to the
+  // parquet scan, pruning the shuffle input; the priority bucketing
+  // is a broadcast-free CASE over a string column.
+  def q12LateShipments(s: SparkSession, dir: String): DataFrame = {
+    val hi = Seq("1-URGENT", "2-HIGH")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin(hi: _*), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+  val q12Sql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---- Q16: supplier diversity per part class (distinct + NOT IN) --------
+  // "How many distinct suppliers offer each (brand, type, size)
+  // class, excluding blacklisted suppliers." The part↔supplier
+  // relation is again DERIVED from lineitem (no partsupp); the
+  // NOT-IN-complaint-suppliers becomes a broadcast left-anti join on
+  // the negative-balance supplier list (the harness has no comment
+  // column). Plan shape preserved: anti-join BEFORE the wide agg so
+  // excluded rows never shuffle, part attributes broadcast in, and
+  // the count-distinct runs as Spark's two-phase partial-distinct
+  // aggregate on (brand, type, size, suppkey) — no all-pairs, no
+  // global distinct. Group keys form the total order tiebreak.
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("l_suppkey"))
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"),
+        col("p_type"), col("p_size"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(excluded), Seq("l_suppkey"), "left_anti")
+      .join(broadcast(parts), Seq("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+  val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ---- Q20: excess-stock suppliers (nested semi-joins + correlated agg) --
+  // Classic q20's "suppliers holding more than half a year's demand"
+  // nested-IN chain. ps_availqty doesn't exist, so the stock proxy is
+  // the prior-year (1995) shipped quantity per (part, supplier) and
+  // the correlated threshold is half the current-year (1996) volume:
+  // "suppliers whose 1995 volume of small-parts exceeds half their
+  // 1996 shipments". The defining shape survives: part-name semi-join
+  // → per-pair correlated aggregate → inequality gate → supplier
+  // semi-join → region filter. Both grouped aggregates hash on the
+  // SAME (l_partkey, l_suppkey) keys, so Catalyst co-partitions the
+  // inner join with NO third shuffle; the comparison is exact
+  // (decimal×2 vs decimal — no fraction, no float). At 100 TB the
+  // only data that moves twice is the date-windowed, name-filtered
+  // lineitem slice; supplier/nation broadcast.
+  def q20ExcessSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val smallParts = Tables.part(s, dir).filter(col("p_name").startsWith("small"))
+      .select(col("p_partkey").as("l_partkey"))
+    def pairQty(from: String, to: String, out: String) = li
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(to))
+      .join(broadcast(smallParts), Seq("l_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(28,4)")).as(out))
+    val stocked = pairQty("1995-01-01", "1996-01-01", "avail")
+    val shipped = pairQty("1996-01-01", "1997-01-01", "shipped")
+    val candSup = stocked.join(shipped, Seq("l_partkey", "l_suppkey"))
+      .filter(col("avail") * 2 > col("shipped"))
+      .select(col("l_suppkey").as("s_suppkey"))
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("s_nationkey"))), Seq("s_nationkey"))
+      .join(candSup, Seq("s_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+  val q20Sql =
+    """WITH sp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+      |stocked AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         SUM(CAST(l_quantity AS DECIMAL(28,4))) AS avail
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_partkey IN (SELECT p_partkey FROM sp)
+      |  GROUP BY 1, 2),
+      |shipped AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         SUM(CAST(l_quantity AS DECIMAL(28,4))) AS shipped
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_partkey IN (SELECT p_partkey FROM sp)
+      |  GROUP BY 1, 2)
+      |SELECT s_name, s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND s_suppkey IN (
+      |    SELECT st.l_suppkey FROM stocked st
+      |    JOIN shipped sh ON st.l_partkey = sh.l_partkey
+      |                   AND st.l_suppkey = sh.l_suppkey
+      |    WHERE 2 * st.avail > sh.shipped)
+      |ORDER BY s_name""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_priority_exists" -> (q4PriorityExists _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
@@ -476,7 +727,12 @@ object TpchQueries {
     "q15_top_supplier" -> (q15TopSupplier _),
     "q11_important_parts" -> (q11ImportantParts _),
     "q21_lone_returner" -> (q21LoneReturner _),
-    "q22_dormant_value" -> (q22DormantValue _))
+    "q22_dormant_value" -> (q22DormantValue _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q12_late_shipments" -> (q12LateShipments _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "q20_excess_suppliers" -> (q20ExcessSuppliers _))
 
   val sql: Map[String, String] = Map(
     "q4_priority_exists" -> q4Sql,
@@ -489,5 +745,10 @@ object TpchQueries {
     "q15_top_supplier" -> q15Sql,
     "q11_important_parts" -> q11Sql,
     "q21_lone_returner" -> q21Sql,
-    "q22_dormant_value" -> q22Sql)
+    "q22_dormant_value" -> q22Sql,
+    "q2_min_cost_supplier" -> q2Sql,
+    "q9_product_profit" -> q9Sql,
+    "q12_late_shipments" -> q12Sql,
+    "q16_supplier_cnt" -> q16Sql,
+    "q20_excess_suppliers" -> q20Sql)
 }

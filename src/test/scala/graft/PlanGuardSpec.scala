@@ -111,6 +111,37 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q2_min_cost_supplier: part filter pushed, window min after pair agg, top-100 fused") {
+    val p = planOf("q2_min_cost_supplier")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("GreaterThanOrEqual(p_size,20)"), p)
+    // the correlated min is a window over the reduced pair frame, not a self-join
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q12_late_shipments: shipdate range pushed, lateness runs as join predicate") {
+    val p = planOf("q12_late_shipments")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-01-01"), p)
+    assert(p.contains("INTERVAL '60' DAY"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q16_supplier_cnt: blacklist anti-join before the distinct aggregate") {
+    val p = planOf("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q20_excess_suppliers: the two pair aggregates share one partitioning each, no nested loop") {
+    val p = planOf("q20_excess_suppliers")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // exactly two hash exchanges on (l_partkey, l_suppkey): one per
+    // windowed aggregate; the avail⋈shipped join reuses them
+    assert("Exchange hashpartitioning\\(l_partkey".r.findAllIn(p).size == 2, p)
+  }
+
   test("e1_passage_dedup: passage explode is scan-bound (no shuffle before Generate)") {
     val p = planOf("e1_passage_dedup")
     assert(p.contains("Generate"), p)

@@ -216,4 +216,84 @@ object EventStream {
           }
       }
   }
+
+  /** One completed funnel for [[funnel]]: the streaming twin of the
+    * registered batch `w5_funnel` query (Queries.scala) — stage
+    * timestamps as epoch-micros, `stage` = how deep the user got.
+    * `t1_us` is always set (state only exists once a view arrived).
+    */
+  case class Funnel(user_id: String, t1_us: Long, t2_us: Option[Long],
+    t3_us: Option[Long], stage: Long)
+
+  /** Internal per-user state for [[funnel]]: the three locked-in
+    * stage timestamps in epoch micros, -1 = not reached (public: the
+    * state encoder's generated code must reach the constructor).
+    */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  /** Ordered-stage funnel (view → click → purchase) via
+    * `flatMapGroupsWithState` — the streaming twin of the batch
+    * `w5_funnel` query. Per-user state is O(1): just the three stage
+    * timestamps, never an event buffer. Each micro-batch's events
+    * fold in event-time order under the batch query's rule — a stage
+    * locks at the FIRST event of its type strictly after the previous
+    * stage; a stage may still lower toward the true minimum while no
+    * later stage depends on it. Cross-batch out-of-order events
+    * within the watermark therefore converge to the batch answer for
+    * in-order-by-type arrival; an earlier view arriving after a click
+    * already locked does NOT rewind downstream stages (the same
+    * at-most-one-state-per-key memory bound as [[sessionize]]'s
+    * late-event fold). `EventTimeTimeout` emits the completed funnel
+    * and evicts the state once the watermark passes the user's last
+    * activity + `horizonMs`, so state size is watermark-bounded.
+    */
+  def funnel(
+      events: Dataset[(String, String, Timestamp)],
+      horizonMs: Long,
+      lateness: String = "0 seconds"): Dataset[Funnel] = {
+    import events.sparkSession.implicits._
+    events
+      .toDF("user_id", "event_type", "ts")
+      .withWatermark("ts", lateness)
+      .as[(String, String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, Funnel](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: String, rows: Iterator[(String, String, Timestamp)],
+         state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val stage = 1L + (if (s.t2 >= 0) 1 else 0) + (if (s.t3 >= 0) 1 else 0)
+            Iterator.single(Funnel(user, s.t1,
+              if (s.t2 >= 0) Some(s.t2) else None,
+              if (s.t3 >= 0) Some(s.t3) else None, stage))
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            var maxUs = Long.MinValue
+            rows.map { case (_, tpe, t) => (tpe, t.getTime * 1000L) }
+              .toSeq.sortBy(_._2).foreach { case (tpe, t) =>
+                maxUs = math.max(maxUs, t)
+                tpe match {
+                  case "view" =>
+                    if (s.t1 < 0 || (t < s.t1 && s.t2 < 0)) s = s.copy(t1 = t)
+                  case "click" =>
+                    if (s.t1 >= 0 && t > s.t1 &&
+                      (s.t2 < 0 || (t < s.t2 && s.t3 < 0))) s = s.copy(t2 = t)
+                  case "purchase" =>
+                    if (s.t2 >= 0 && t > s.t2 &&
+                      (s.t3 < 0 || t < s.t3)) s = s.copy(t3 = t)
+                  case _ => ()
+                }
+              }
+            if (s.t1 >= 0) {
+              state.update(s)
+              // must land strictly past the current watermark
+              state.setTimeoutTimestamp(
+                math.max(maxUs / 1000L, state.getCurrentWatermarkMs()) + horizonMs)
+            }
+            Iterator.empty
+          }
+      }
+  }
 }

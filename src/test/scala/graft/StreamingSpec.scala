@@ -206,4 +206,42 @@ class StreamingSpec extends SparkSpec {
       assert(out == Set((1L, 0L), (2L, 1L)))
     } finally q.stop()
   }
+
+  test("funnel (flatMapGroupsWithState) mirrors batch w5 stage logic and evicts on horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    def us(hhmm: String): Long = ts(hhmm).getTime * 1000L
+    val in = MemoryStream[(String, String, Timestamp)]
+    val q = EventStream.funnel(in.toDS(), horizonMs = 60 * 60 * 1000L)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        ("u1", "view", ts("10:00")), ("u1", "click", ts("10:10")),
+        ("u1", "purchase", ts("10:20")),
+        // u2's purchase precedes any click → must NOT count (batch rule:
+        // purchase only strictly after the locked click)
+        ("u2", "view", ts("10:00")), ("u2", "purchase", ts("10:05")),
+        // click with no view ever → no state, no output row (batch
+        // emits only users with a view)
+        ("u3", "click", ts("10:00")))
+      q.processAllAvailable()
+      // a later micro-batch completes u2's click stage
+      in.addData(("u2", "click", ts("10:30")))
+      q.processAllAvailable()
+      // watermark to 13:00 — past 10:xx + 1h horizon → u1/u2 time out
+      in.addData(("u9", "view", ts("13:00")))
+      q.processAllAvailable()
+      in.addData(("u9", "view", ts("16:00"))) // fire the pending timeouts
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out")
+        .as[(String, Long, Option[Long], Option[Long], Long)]
+        .collect().filter(_._1.startsWith("u")).sortBy(_._1).toSeq
+      // exactly the rows the batch w5 query computes on this fixture
+      assert(rows == Seq(
+        ("u1", us("10:00"), Some(us("10:10")), Some(us("10:20")), 3L),
+        ("u2", us("10:00"), Some(us("10:30")), None, 2L)))
+      // u3 never produced state; u9 is still within its horizon (no
+      // emission), so eviction-by-timeout is what emitted u1/u2 above
+    } finally q.stop()
+  }
 }

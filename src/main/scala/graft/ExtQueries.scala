@@ -370,6 +370,49 @@ object ExtQueries {
        |  FROM scored) WHERE rk <= $AnnK""".stripMargin
   }
 
+  // ---- E3e: learned IVF centroids — Lloyd's k-means, oracle-exact ----------
+  // The step e3_ivf_topk stubs with a fixed centroid set, run for
+  // real: KmIters Lloyd iterations from the deterministic k-lowest-id
+  // init, every arithmetic step engine-portable (decimal per-dim
+  // means, float-rounded centroids, widened left-fold dots — see
+  // Similarity.kmeans). DuckDB replays the identical iterations as a
+  // CTE chain, so assignment, update, and the final cell of every
+  // vector hash-match bit-for-bit. Output: one row per vector with
+  // its learned cluster and the cosine to its centroid.
+  private val KmK = 8
+  private val KmIters = 2
+  def e3Kmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeans(Tables.embeddings(s, dir), KmK, KmIters)
+  val e3eSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val centN2 = duckFold("list_transform(range(1, len(cent)+1), i -> CAST(cent[i] AS DOUBLE) * CAST(cent[i] AS DOUBLE))")
+    // double → VARCHAR → DECIMAL(28,10) replicates Spark's
+    // shortest-round-trip decimal conversion (the e4_dim_stats recipe)
+    val mexpr = s"CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS $AvgDec)) AS VARCHAR) AS DOUBLE) / COUNT(v)"
+    def assign(cent: String, out: String) =
+      s"""$out AS (SELECT vec_id, embedding, n2, cid, cent_cos FROM (
+         |  SELECT v.vec_id, v.embedding, v.n2, c.cid,
+         |    ${duckDot("v.embedding", "c.cent")} / (sqrt(v.n2) * sqrt(c.cn2)) AS cent_cos,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${duckDot("v.embedding", "c.cent")} / (sqrt(v.n2) * sqrt(c.cn2)) DESC, c.cid) AS rn
+         |  FROM e v CROSS JOIN $cent c) t WHERE rn = 1)""".stripMargin
+    def update(a: String, out: String) =
+      s"""${out}d AS (SELECT cid, dim, $mexpr AS m FROM (
+         |    SELECT cid, unnest(range(1, len(embedding)+1)) AS dim,
+         |           unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v FROM $a) x
+         |  GROUP BY cid, dim),
+         |$out AS (SELECT cid, cent, $centN2 AS cn2 FROM (
+         |  SELECT cid, list(CAST(m AS FLOAT) ORDER BY dim) AS cent FROM ${out}d GROUP BY cid) y)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2 FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, embedding AS cent, n2 AS cn2 FROM e WHERE vec_id < $KmK),
+       |${assign("c0", "a1")},
+       |${update("a1", "c1")},
+       |${assign("c1", "a2")},
+       |${update("a2", "c2")},
+       |${assign("c2", "a3")}
+       |SELECT vec_id, cid AS cluster, cent_cos FROM a3""".stripMargin
+  }
+
   // ---- E4: array-column statistics over embeddings -------------------------
   def e4EmbeddingStats(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(
@@ -1109,6 +1152,7 @@ object ExtQueries {
     "e3_ann_bucketed" -> (e3AnnBucketed _),
     "e3_ann_recall" -> (e3AnnRecall _),
     "e3_ivf_topk" -> (e3IvfTopK _),
+    "e3_kmeans" -> (e3Kmeans _),
     "e4_embedding_stats" -> (e4EmbeddingStats _),
     "e4_blob_meta" -> (e4BlobMeta _),
     "e4_decode_stats" -> (e4DecodeStats _),
@@ -1151,6 +1195,7 @@ object ExtQueries {
     "e3_ann_bucketed" -> e3bSql,
     "e3_ann_recall" -> e3dSql,
     "e3_ivf_topk" -> e3cSql,
+    "e3_kmeans" -> e3eSql,
     "e4_embedding_stats" -> e4Sql,
     "e4_blob_meta" -> e4bSql,
     "e4_decode_stats" -> e4cSql,

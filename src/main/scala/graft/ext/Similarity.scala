@@ -118,7 +118,41 @@ object Similarity {
           .as("cent_cos"))
     graft.ops.Ranking
       .topKPerGroup(scored, Seq("vec_id"), Seq(col("cent_cos").desc, col("cid").asc), 1)
-      .select(col("vec_id"), col("embedding"), col("n2"), col("cid"))
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cid"), col("cent_cos"))
+  }
+
+  /** Lloyd's k-means over the embedding column — the learned-centroid
+    * step [[assignToCentroid]]'s Scaladoc defers to, as a first-class
+    * operator. Deterministic end to end: init is the k lowest-id
+    * vectors; each per-dimension centroid mean runs through
+    * DECIMAL(28,10) ([[graft.ops.Aggregates.exactMean]]) so the
+    * update is shuffle-order-invariant; the mean then rounds to FLOAT
+    * so every subsequent dot product is the same float→double widened
+    * left fold on both engines. Cells that lose all members drop out
+    * (k shrinks), exactly as the grouped update implies.
+    *
+    * Scale shape per iteration: one broadcast assign (centroids are
+    * k-bounded — the corpus never shuffles for assignment) + one
+    * aggregation shuffled on (cell, dim) whose output is k×dims rows.
+    * The corpus is rescanned once per iteration; at 100 TB persist
+    * the (embedding, n2) base first — with iters fixed and small the
+    * rescan-vs-materialize trade belongs to the caller.
+    */
+  def kmeans(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = vectors.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+    for (_ <- 1 to iters) {
+      cents = assignToCentroid(vectors, cents)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(graft.ops.Aggregates.exactMean(col("v").cast("double")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("embedding"))
+        .select(col("cid").as("vec_id"), col("embedding"))
+    }
+    assignToCentroid(vectors, cents)
+      .select(col("vec_id"), col("cid").as("cluster"), col("cent_cos"))
   }
 
   /** IVF-bucketed ANN top-k: queries probe only their own centroid's

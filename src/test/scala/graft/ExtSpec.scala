@@ -88,6 +88,22 @@ class ExtSpec extends SparkSpec {
     assert(top(3L) == 2L)
   }
 
+  test("kmeans resolves two separated groups regardless of a bad init") {
+    // both init seeds (vec_id 0, 1) start inside the x-axis group;
+    // after the update step the y-axis group must still pull one
+    // centroid over — the behavior fixed init alone cannot fake
+    val vecs = Seq(
+      (0L, Array(1f, 0.01f)), (1L, Array(0.99f, 0f)), (2L, Array(1f, 0.02f)),
+      (3L, Array(0.01f, 1f)), (4L, Array(0f, 0.98f)), (5L, Array(0.02f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(vecs, k = 2, iters = 2)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(Set(out(0L), out(1L), out(2L)).size == 1) // x-group together
+    assert(Set(out(3L), out(4L), out(5L)).size == 1) // y-group together
+    assert(out(0L) != out(3L)) // and apart from each other
+  }
+
   test("bucketedTopK only pairs vectors sharing the sign bucket") {
     val vecs = Seq(
       (0L, Array(1f, 1f)), (1L, Array(2f, 3f)),   // bucket "11"

@@ -91,13 +91,18 @@ object Bench {
     val line =
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"errors":$errs,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"value":$total}"""
     println(line)
-    // Full-suite runs archive to BENCH_full.json — the baseline future
-    // rounds diff against. Subset (diagnostic) runs must NEVER clobber
-    // it (r7 ADVICE: a 46-query isolation run overwrote the committed
-    // 112-query record); they land in BENCH_subset.json instead.
+    // Full-suite runs at the default SF archive to BENCH_full.json —
+    // the baseline future rounds diff against. Anything else must
+    // NEVER clobber it (r7 ADVICE: a 46-query isolation run overwrote
+    // the committed 112-query record; r8 nearly repeated it with an
+    // sf0.01 full run): subsets land in BENCH_subset.json, other SFs
+    // in BENCH_full_<sf>.json.
     try {
+      val sfName = sfDir.replaceAll("/+$", "").split('/').last
       val p = java.nio.file.Paths.get(
-        if (subset.isEmpty) "BENCH_full.json" else "BENCH_subset.json")
+        if (subset.nonEmpty) "BENCH_subset.json"
+        else if (sfName == "sf0.1") "BENCH_full.json"
+        else s"BENCH_full_$sfName.json")
       java.nio.file.Files.write(p, line.getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()

@@ -413,6 +413,55 @@ object ExtQueries {
        |SELECT vec_id, cid AS cluster, cent_cos FROM a3""".stripMargin
   }
 
+  // ---- E3f: IVF top-k over the LEARNED centroids ----------------------------
+  // e3_ivf_topk's cells come from a fixed centroid subset; this is the
+  // production composition — kmeans-learned cells feeding the same
+  // single-cell probe. The centroid frame stays k-bounded (broadcast);
+  // the only corpus-sized work is the per-iteration assignment scan
+  // plus the final cell-co-partitioned probe join. Oracle: the e3e
+  // CTE chain learns the identical centroids, then replays the e3c
+  // probe against them.
+  def e3IvfLearned(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(
+      emb.filter(col("vec_id") < AnnQueries), emb,
+      Similarity.kmeansCentroids(emb, KmK, KmIters), AnnK)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+  val e3fSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val centN2 = duckFold("list_transform(range(1, len(cent)+1), i -> CAST(cent[i] AS DOUBLE) * CAST(cent[i] AS DOUBLE))")
+    val mexpr = s"CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS $AvgDec)) AS VARCHAR) AS DOUBLE) / COUNT(v)"
+    def assign(cent: String, out: String) =
+      s"""$out AS (SELECT vec_id, embedding, n2, cid FROM (
+         |  SELECT v.vec_id, v.embedding, v.n2, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${duckDot("v.embedding", "c.cent")} / (sqrt(v.n2) * sqrt(c.cn2)) DESC, c.cid) AS rn
+         |  FROM e v CROSS JOIN $cent c) t WHERE rn = 1)""".stripMargin
+    def update(a: String, out: String) =
+      s"""${out}d AS (SELECT cid, dim, $mexpr AS m FROM (
+         |    SELECT cid, unnest(range(1, len(embedding)+1)) AS dim,
+         |           unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v FROM $a) x
+         |  GROUP BY cid, dim),
+         |$out AS (SELECT cid, cent, $centN2 AS cn2 FROM (
+         |  SELECT cid, list(CAST(m AS FLOAT) ORDER BY dim) AS cent FROM ${out}d GROUP BY cid) y)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2 FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, embedding AS cent, n2 AS cn2 FROM e WHERE vec_id < $KmK),
+       |${assign("c0", "a1")},
+       |${update("a1", "c1")},
+       |${assign("c1", "a2")},
+       |${update("a2", "c2")},
+       |${assign("c2", "a3")},
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM a3 q JOIN a3 c ON q.cid = c.cid
+       |  WHERE q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id)
+       |SELECT query_id, vec_id, cos_sim, rk FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= $AnnK""".stripMargin
+  }
+
   // ---- E4: array-column statistics over embeddings -------------------------
   def e4EmbeddingStats(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(
@@ -1153,6 +1202,7 @@ object ExtQueries {
     "e3_ann_recall" -> (e3AnnRecall _),
     "e3_ivf_topk" -> (e3IvfTopK _),
     "e3_kmeans" -> (e3Kmeans _),
+    "e3_ivf_learned" -> (e3IvfLearned _),
     "e4_embedding_stats" -> (e4EmbeddingStats _),
     "e4_blob_meta" -> (e4BlobMeta _),
     "e4_decode_stats" -> (e4DecodeStats _),
@@ -1196,6 +1246,7 @@ object ExtQueries {
     "e3_ann_recall" -> e3dSql,
     "e3_ivf_topk" -> e3cSql,
     "e3_kmeans" -> e3eSql,
+    "e3_ivf_learned" -> e3fSql,
     "e4_embedding_stats" -> e4Sql,
     "e4_blob_meta" -> e4bSql,
     "e4_decode_stats" -> e4cSql,

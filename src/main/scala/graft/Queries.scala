@@ -689,6 +689,43 @@ object ParityQueries {
       |    + CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
 
+  // ---- W6: cohort retention matrix ----------------------------------------
+  // The classic product-analytics triangle: users grouped by first-
+  // activity day, counted in each later day they return (day grain
+  // because the events fixture spans one month; the shape is
+  // grain-independent). Two shuffles, BOTH on user_id — the cohort
+  // min and the join back reuse one partitioning (same key, Catalyst
+  // aligns them); the (user, offset) dedup rides the same clustering,
+  // and the final (cohort, offset) cell count is a partial+final agg
+  // over rows already reduced to one per user-day. At 100 TB the only
+  // thing that ever leaves the user_id partitioning is the k×k' cell
+  // matrix. datediff on day-truncated timestamps is integral, so the
+  // offset is exact in both engines.
+  def w6Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    ev.join(cohort, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+  val w6Sql =
+    """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS d
+      |  FROM events WHERE ts IS NOT NULL),
+      |cohort AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id),
+      |cells AS (SELECT DISTINCT c.cohort_day,
+      |    CAST(datediff('day', c.cohort_day, e.d) AS BIGINT) AS day_offset,
+      |    e.user_id
+      |  FROM ev e JOIN cohort c USING (user_id))
+      |SELECT cohort_day, day_offset, count(*) AS n_users
+      |FROM cells GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   // ---- W2: batch sessionization (gap > 30 min splits a session) ----------
   // lag over (user, time) marks session starts; a running sum of the
   // marks numbers sessions; grouping by (user, session) yields per-
@@ -1330,6 +1367,7 @@ object ParityQueries {
     "w1_window_agg" -> (w1WindowAgg _),
     "w4_hopping_window" -> (w4HoppingWindow _),
     "w5_funnel" -> (w5Funnel _),
+    "w6_retention" -> (w6Retention _),
     "w2_sessionize" -> (w2Sessionize _),
     "w3_session_window" -> (w3SessionWindow _),
     "f4_datetime" -> (f4Datetime _),
@@ -1396,6 +1434,7 @@ object ParityQueries {
     "w1_window_agg" -> w1Sql,
     "w4_hopping_window" -> w4Sql,
     "w5_funnel" -> w5Sql,
+    "w6_retention" -> w6Sql,
     "w2_sessionize" -> w2Sql,
     "w3_session_window" -> w3Sql,
     "f4_datetime" -> f4Sql,

@@ -138,7 +138,16 @@ object Similarity {
     * the (embedding, n2) base first — with iters fixed and small the
     * rescan-vs-materialize trade belongs to the caller.
     */
-  def kmeans(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeans(vectors: DataFrame, k: Int, iters: Int): DataFrame =
+    assignToCentroid(vectors, kmeansCentroids(vectors, k, iters))
+      .select(col("vec_id"), col("cid").as("cluster"), col("cent_cos"))
+
+  /** The centroid frame [[kmeans]] learns, exposed so an IVF index can
+    * probe LEARNED cells ([[ivfTopK]] accepts it directly): (vec_id =
+    * cell id, embedding = float-rounded centroid). k-bounded — always
+    * broadcastable.
+    */
+  def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = vectors.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding"))
     for (_ <- 1 to iters) {
@@ -151,8 +160,7 @@ object Similarity {
           x => x.getField("m").cast("float")).as("embedding"))
         .select(col("cid").as("vec_id"), col("embedding"))
     }
-    assignToCentroid(vectors, cents)
-      .select(col("vec_id"), col("cid").as("cluster"), col("cent_cos"))
+    cents
   }
 
   /** IVF-bucketed ANN top-k: queries probe only their own centroid's

@@ -673,6 +673,47 @@ object ExtQueries {
       s"count(CASE WHEN $b < $rate THEN 1 END) AS n_kept FROM documents GROUP BY source"
   }
 
+  // ---- E7e: temperature-based mixture resampling (T = 2) -------------------
+  // Multilingual-corpus smoothing: keep-rate per source ∝ √(n_min/n_s)
+  // so kept counts flatten to √(n_min·n_s) — the T = 2 point of the
+  // (n_s/N)^(1/T) temperature family, chosen because √ stays
+  // IEEE-correctly-rounded in both engines (pow does not). The rate
+  // becomes an INTEGER threshold (floor(rate·2^20)) compared against
+  // md5-of-row-id mod 2^20 — the house Sampling recipe: decisions are
+  // engine-, partitioning-, and rerun-invariant, and the float only
+  // ever passes through exact ops (integer-valued division, sqrt,
+  // power-of-two scale, floor). Shape: per-source counts (tiny)
+  // broadcast back; one agg shuffle; per-row md5 otherwise.
+  private val TempScale = 1 << 20
+  def e7Temperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_orig")).as("n_min"))))
+      .select(col("source"), col("n_orig"),
+        floor(sqrt(col("n_min").cast("double") / col("n_orig").cast("double"))
+          * TempScale).cast("long").as("thresh"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), Seq("source"))
+      .groupBy(col("source"), col("n_orig"))
+      .agg(count(when(
+        TextOps.md5Int32(concat(lit("temp_"), col("doc_id").cast("string")))
+          % TempScale < col("thresh"), lit(1))).as("n_kept"))
+      .orderBy(col("source"))
+  }
+  val e7eSql: String = {
+    val h = duckMd5Int("'temp_' || CAST(doc_id AS VARCHAR)")
+    s"""WITH counts AS (SELECT source, count(*) AS n_orig FROM documents GROUP BY source),
+       |rates AS (SELECT source, n_orig,
+       |    CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_orig AS DOUBLE)) * $TempScale) AS BIGINT) AS thresh
+       |  FROM counts CROSS JOIN (SELECT min(n_orig) AS n_min FROM counts) mn)
+       |SELECT d.source, r.n_orig,
+       |  count(CASE WHEN ($h % $TempScale) < r.thresh THEN 1 END) AS n_kept
+       |FROM documents d JOIN rates r USING (source)
+       |GROUP BY d.source, r.n_orig
+       |ORDER BY d.source""".stripMargin
+  }
+
   // ---- E8: benchmark decontamination -----------------------------------------
   // Docs overlapping the benchmark subset (every 20th doc) in ≥ 5
   // distinct shingle hashes. The benchmark reduces to a tiny distinct
@@ -1193,6 +1234,7 @@ object ExtQueries {
     "e7_split" -> (e7Split _),
     "e7_mixture_stats" -> (e7MixtureStats _),
     "e7_upsample" -> (e7Upsample _),
+    "e7_temperature" -> (e7Temperature _),
     "e5_chunks" -> (e5Chunks _),
     "e5_pack" -> (e5Pack _),
     "e8_contamination" -> (e8Contamination _),
@@ -1237,6 +1279,7 @@ object ExtQueries {
     "e7_split" -> e7Sql,
     "e7_mixture_stats" -> e7bSql,
     "e7_upsample" -> e7dSql,
+    "e7_temperature" -> e7eSql,
     "e5_chunks" -> e5hSql,
     "e5_pack" -> e5iSql,
     "e8_contamination" -> e8Sql,

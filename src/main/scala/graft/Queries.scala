@@ -893,6 +893,38 @@ object ParityQueries {
        |  last_value(m_total IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY m) AS filled_total
        |FROM j""".stripMargin
 
+  // ---- O11: exponentially-weighted moving average (bounded-window) --------
+  // Per-user EWMA (half-life = one event, zero-initialized) over the
+  // last EwmaWindow events — the time-series smoothing primitive.
+  // Cross-engine float determinism WITHOUT decimals: the frame's
+  // values are collected in ROW ORDER (a ROWS window — both engines
+  // define frame order) and the recursion s' = 0.5·s + 0.5·v runs as
+  // the identical left fold; every multiply is by a power of two
+  // (exact exponent shift) and the additions happen in the same
+  // sequence, so the result is bit-identical by construction. Scale
+  // shape: one shuffle on user_id; the fold is a bounded
+  // EwmaWindow-element loop per row — no second window pass, no
+  // decimal casts, no cross-row carry outside the frame.
+  private val EwmaWindow = 20
+  def o11Ewma(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-(EwmaWindow - 1), 0)
+    Tables.events(s, dir).filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        aggregate(collect_list(col("value")).over(w), lit(0.0),
+          (acc, v) => acc * lit(0.5) + v * lit(0.5)).as("ewma"))
+  }
+  val o11Sql =
+    s"""SELECT user_id, event_id, value,
+       |  list_reduce(list_prepend(0.0, vs), (s, v) -> s * 0.5 + v * 0.5) AS ewma
+       |FROM (
+       |  SELECT user_id, event_id, value,
+       |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN ${EwmaWindow - 1} PRECEDING AND CURRENT ROW) AS vs
+       |  FROM events WHERE ts IS NOT NULL) t""".stripMargin
+
   // ---- P7: winsorize (percentile clipping) --------------------------------
   // Outlier control for a numeric feature: clip to [p10, p90]. The
   // bounds are a 1-row aggregate broadcast into a per-row
@@ -1382,6 +1414,7 @@ object ParityQueries {
     "a14_group_regression" -> (a14GroupRegression _),
     "o7_rank_family" -> (o7RankFamily _),
     "o10_gap_fill" -> (o10GapFill _),
+    "o11_ewma" -> (o11Ewma _),
     "u2_bag_ops" -> (u2BagOps _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -1449,6 +1482,7 @@ object ParityQueries {
     "a14_group_regression" -> a14Sql,
     "o7_rank_family" -> o7Sql,
     "o10_gap_fill" -> o10Sql,
+    "o11_ewma" -> o11Sql,
     "u2_bag_ops" -> u2Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

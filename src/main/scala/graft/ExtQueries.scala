@@ -552,6 +552,42 @@ object ExtQueries {
        |FROM px""".stripMargin
   }
 
+  // ---- E4f: image RESIZE — decode→resample→re-encode→decode→stats ----------
+  // The thumbnail step of a multimodal ingest: the 8×8 synth PNG goes
+  // through a REAL decode, an exactly-specified nearest-neighbor 2×
+  // downsample (out(x,y) = in(2x,2y)), a REAL re-encode, and a second
+  // REAL decode before the stats. TWO full codec round-trips per row,
+  // zero shuffles. The oracle computes the same stats straight from
+  // the pixel formula at the gathered positions — corruption anywhere
+  // in either codec pass or the resample gather diverges the hash.
+  private val RszW = 4
+  private val RszH = 4
+  def e4ResizeStats(s: SparkSession, dir: String): DataFrame = {
+    val seed = TextOps.md5Int32(md5(col("text")))
+    val resized = Multimodal.resizeImage(
+      Multimodal.synthImage(seed, ImgW, ImgH), RszW, RszH)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), inline(array(Multimodal.imageStats(resized))))
+      .withColumn("px_mean",
+        col("px_sum").cast("double") / lit((RszW * RszH).toDouble))
+  }
+  val e4rSql: String = {
+    import graft.functions.ImageCodec.{MixA, MixB, P => IP}
+    val n = RszW * RszH
+    // out flat index i → (y = i // RszW, x = i % RszW) → src flat
+    // index (y · srcH/RszH) · ImgW + x · srcW/RszW  (integer floors)
+    val sy = ImgH / RszH
+    val sx = ImgW / RszW
+    val srcIdx = s"((i // $RszW) * $sy) * $ImgW + (i % $RszW) * $sx"
+    s"""WITH seeds AS (SELECT doc_id, ${duckMd5Int("md5(text)")} AS seed FROM documents),
+       |px AS (SELECT doc_id, [((seed * ((($srcIdx + 1)*$MixA + $MixB) % $IP)) % $IP) % 256 for i in range(0, $n)] AS p FROM seeds)
+       |SELECT doc_id, CAST($RszW AS BIGINT) AS img_w, CAST($RszH AS BIGINT) AS img_h,
+       |  CAST(list_sum(p) AS BIGINT) AS px_sum, CAST(list_min(p) AS BIGINT) AS px_min,
+       |  CAST(list_max(p) AS BIGINT) AS px_max,
+       |  CAST(list_sum(p) AS DOUBLE) / $n.0 AS px_mean
+       |FROM px""".stripMargin
+  }
+
   // ---- E4e: real audio (PCM WAV) parse → sample stats ----------------------
   // The audio twin of e4_decode_stats: synthesize a RIFF/WAVE 16-bit
   // PCM payload per row from a text-derived seed, PARSE the bytes
@@ -1248,6 +1284,7 @@ object ExtQueries {
     "e4_embedding_stats" -> (e4EmbeddingStats _),
     "e4_blob_meta" -> (e4BlobMeta _),
     "e4_decode_stats" -> (e4DecodeStats _),
+    "e4_resize_stats" -> (e4ResizeStats _),
     "e4_audio_stats" -> (e4AudioStats _),
     "e4_video_frames" -> (e4VideoFrames _),
     "e4_dim_stats" -> (e4DimStats _),
@@ -1293,6 +1330,7 @@ object ExtQueries {
     "e4_embedding_stats" -> e4Sql,
     "e4_blob_meta" -> e4bSql,
     "e4_decode_stats" -> e4cSql,
+    "e4_resize_stats" -> e4rSql,
     "e4_audio_stats" -> e4eSql,
     "e4_video_frames" -> e4fSql,
     "e4_dim_stats" -> e4dSql,

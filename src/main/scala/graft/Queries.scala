@@ -693,14 +693,14 @@ object ParityQueries {
   // The classic product-analytics triangle: users grouped by first-
   // activity day, counted in each later day they return (day grain
   // because the events fixture spans one month; the shape is
-  // grain-independent). Two shuffles, BOTH on user_id — the cohort
-  // min and the join back reuse one partitioning (same key, Catalyst
-  // aligns them); the (user, offset) dedup rides the same clustering,
-  // and the final (cohort, offset) cell count is a partial+final agg
-  // over rows already reduced to one per user-day. At 100 TB the only
-  // thing that ever leaves the user_id partitioning is the k×k' cell
-  // matrix. datediff on day-truncated timestamps is integral, so the
-  // offset is exact in both engines.
+  // grain-independent). Three shuffles, each on a shrinking frame:
+  // the per-user cohort min (user_id — at this SF the result
+  // broadcasts back, at 100 TB it co-partitions with the join), the
+  // (cohort, offset, user) dedup (one row per user-active-day
+  // survives), and the partial+final cell count whose output is the
+  // k×k' matrix. Nothing ever sorts globally and no frame grows past
+  // one-row-per-user-day. datediff on day-truncated timestamps is
+  // integral, so the offset is exact in both engines.
   def w6Retention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
       .select(col("user_id"), date_trunc("day", col("ts")).as("d"))

@@ -37,6 +37,16 @@ object Multimodal {
       ColumnBridge.expression(seed), width, height))
   }
 
+  /** REAL resize: decode → exact nearest-neighbor resample →
+    * re-encode ([[graft.functions.ResizeGrayPng]]); undecodable
+    * bytes → null.
+    */
+  def resizeImage(blob: Column, outW: Int, outH: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.ResizeGrayPng(
+      ColumnBridge.expression(blob), outW, outH))
+  }
+
   /** REAL decode: image payload → struct(img_w, img_h, px_sum,
     * px_min, px_max) via `javax.imageio`; undecodable bytes → null
     * ([[graft.functions.DecodeImageStats]]).

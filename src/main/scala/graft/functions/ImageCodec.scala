@@ -72,6 +72,39 @@ object ImageCodec {
     out.toByteArray
   }
 
+  /** Decode → nearest-neighbor resample → re-encode. The resample is
+    * an explicitly-specified integer gather — out(x, y) = in(x·srcW
+    * ÷ outW, y·srcH ÷ outH), floor division — rather than AWT's
+    * scaling filters, whose sample-alignment rounding is
+    * implementation-defined and would not be oracle-replayable. Both
+    * codec ends are REAL ImageIO round-trips, so the chain
+    * decode→resize→encode→decode exercises the full per-row
+    * multimodal path. Null for undecodable payloads.
+    */
+  def resizeNearest(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val src = img.getRaster
+        val out = new BufferedImage(outW, outH, BufferedImage.TYPE_BYTE_GRAY)
+        val dst = out.getRaster
+        var y = 0
+        while (y < outH) {
+          var x = 0
+          while (x < outW) {
+            dst.setSample(x, y, 0,
+              src.getSample(x * img.getWidth / outW, y * img.getHeight / outH, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream(256)
+        ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+
   /** Decode + band-0 pixel stats; null for undecodable payloads. */
   def decodeStats(bytes: Array[Byte]): InternalRow =
     try {
@@ -124,6 +157,34 @@ case class SynthGrayPng(child: Expression, imgWidth: Int, imgHeight: Int)
     ImageCodec.encodeGrayPng(input.asInstanceOf[Long], imgWidth, imgHeight)
 
   override protected def withNewChildInternal(newChild: Expression): SynthGrayPng =
+    copy(child = newChild)
+}
+
+/** Image RESIZE as a binary→binary column transform: real decode,
+  * exactly-specified nearest-neighbor resample, real re-encode
+  * ([[ImageCodec.resizeNearest]]). The thumbnail/downsample step of a
+  * multimodal ingest pipeline, per-row and shuffle-free; composes
+  * with [[DecodeImageStats]] so the oracle can verify the resampled
+  * pixels through a second full codec round-trip.
+  */
+case class ResizeGrayPng(child: Expression, outWidth: Int, outHeight: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(outWidth > 0 && outHeight > 0)
+
+  override def prettyName: String = "graft_resize_gray_png"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageCodec.resizeNearest(input.asInstanceOf[Array[Byte]], outWidth, outHeight)
+
+  override protected def withNewChildInternal(newChild: Expression): ResizeGrayPng =
     copy(child = newChild)
 }
 

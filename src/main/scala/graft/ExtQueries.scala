@@ -148,6 +148,26 @@ object ExtQueries {
        |FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
   }
 
+  // ---- E2i: incremental near-dup — new batch vs standing corpus ------------
+  // The corpus-growth shape: docs with id % 10 == 0 play the freshly
+  // ingested batch; candidates are every banding pair touching at
+  // least one batch doc, and base×base pairs are never generated —
+  // at 100 TB the base side is the persisted band index and only
+  // delta-bucket rows join (MinHash.candidatePairsIncremental).
+  def e2Incremental(s: SparkSession, dir: String): DataFrame =
+    MinHash.candidatePairsIncremental(
+      Tables.documents(s, dir), col("doc_id") % 10 === 0, "doc_id", "text")
+  val e2iSql: String = {
+    import MinHash._
+    s"""$e2Ctes
+       |SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |  greatest(a.doc_id, b.doc_id) AS doc_b,
+       |  CAST(list_sum(list_transform(range(1, ${NumHashes + 1}), i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes.0 AS jaccard_est
+       |FROM bands a JOIN bands b
+       |  ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+       |WHERE b.doc_id % 10 = 0""".stripMargin
+  }
+
   // ---- E2b: exact n-gram Jaccard verification of the candidates ------------
   def e2NgramJaccard(s: SparkSession, dir: String): DataFrame =
     MinHash.exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
@@ -1259,6 +1279,7 @@ object ExtQueries {
     "e1_dedup_exact" -> (e1DedupExact _),
     "e1_passage_dedup" -> (e1PassageDedup _),
     "e2_minhash_pairs" -> (e2MinhashPairs _),
+    "e2_incremental" -> (e2Incremental _),
     "e2_ngram_jaccard" -> (e2NgramJaccard _),
     "e2_simhash_pairs" -> (e2SimhashPairs _),
     "e2_dedup_clusters" -> (e2DedupClusters _),
@@ -1305,6 +1326,7 @@ object ExtQueries {
     "e1_dedup_exact" -> e1Sql,
     "e1_passage_dedup" -> e1bSql,
     "e2_minhash_pairs" -> e2Sql,
+    "e2_incremental" -> e2iSql,
     "e2_ngram_jaccard" -> e2bSql,
     "e2_simhash_pairs" -> e2dSql,
     "e2_dedup_clusters" -> e2eSql,

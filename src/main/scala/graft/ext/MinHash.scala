@@ -205,6 +205,38 @@ object MinHash {
     candidatePairsFromSigs(sigs)
   }
 
+  /** Incremental candidate pairs: every banding candidate involving
+    * at least one DELTA doc — the ingest shape for GROWING a
+    * deduplicated corpus (new crawl batch vs standing corpus) without
+    * generating or re-checking base×base pairs. At production scale
+    * the base half IS the persisted signature/band index (bucketed on
+    * the band key), so the probe moves only delta-bucket rows and
+    * base docs sharing no bucket with any delta doc are never touched
+    * past the scan. Returns (doc_a, doc_b, jaccard_est), doc_a <
+    * doc_b, distinct — exactly [[candidatePairs]] minus the
+    * base-only pairs.
+    */
+  def candidatePairsIncremental(docs: DataFrame, isDelta: Column,
+      idCol: String, textCol: String, shingleLen: Int = 3): DataFrame = {
+    val sigs = graft.ops.Sink.cachedEager(docs
+      .select(col(idCol).as("doc_id"), isDelta.as("is_delta"),
+        shingleHashesFromTokens(TextOps.tokens(col(textCol)), shingleLen).as("ms"))
+      .filter(size(col("ms")) > 0)
+      .select(col("doc_id"), col("is_delta"), signature(col("ms")).as("sig")))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(bandKeys(col("sig"))).as(Seq("bidx", "bkey")))
+    val deltaBands = sigs.filter(col("is_delta"))
+      .select(col("doc_id").as("d_id"), col("sig").as("d_sig"),
+        posexplode(bandKeys(col("sig"))).as(Seq("bidx", "bkey")))
+    deltaBands.join(bands, Seq("bidx", "bkey"))
+      .filter(col("doc_id") =!= col("d_id"))
+      .select(
+        least(col("d_id"), col("doc_id")).as("doc_a"),
+        greatest(col("d_id"), col("doc_id")).as("doc_b"),
+        jaccardEstimate(col("d_sig"), col("sig")).as("jaccard_est"))
+      .distinct()
+  }
+
   /** Band-bucket self-join over an (already materialized) signature
     * table — the join stage shared by [[candidatePairs]] and
     * [[exactJaccardPairs]]. `sigs` must be persisted/checkpointed:

@@ -142,6 +142,24 @@ class PlanGuardSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(l_partkey".r.findAllIn(p).size == 2, p)
   }
 
+  test("o11_ewma: exactly one exchange (the user window); fold is per-row") {
+    val p = planOf("o11_ewma")
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("w6_retention: every frame shrinks before it shuffles; no nested loop") {
+    val p = planOf("w6_retention")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("e2_incremental: band probe is an equi-join on the bucket key, never all-pairs") {
+    val p = planOf("e2_incremental")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), p) // band posexplode feeds the join
+  }
+
   test("e1_passage_dedup: passage explode is scan-bound (no shuffle before Generate)") {
     val p = planOf("e1_passage_dedup")
     assert(p.contains("Generate"), p)

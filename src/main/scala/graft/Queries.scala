@@ -925,6 +925,59 @@ object ParityQueries {
        |      ROWS BETWEEN ${EwmaWindow - 1} PRECEDING AND CURRENT ROW) AS vs
        |  FROM events WHERE ts IS NOT NULL) t""".stripMargin
 
+  // ---- O12: cumulative distinct users by day ------------------------------
+  // The growth curve: how many unique users has the product EVER
+  // seen, by hour (hour grain: the fixture's user base saturates in
+  // two days; the shape is grain-independent). Cumulative
+  // count-distinct is the op warehouses struggle with; distributed it
+  // decomposes into first-touch attribution — min(hour) per user (one
+  // shuffle, map-side partial min) → per-bucket new counts (tiny) →
+  // running sum over a GLOBAL window that is safe precisely because
+  // its input cardinality is |time buckets|, not |events| (the
+  // single-partition window never sees more than one row per bucket).
+  // All-integer arithmetic end to end.
+  def o12CumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstHour = Tables.events(s, dir).filter(col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("hour", col("ts"))).as("d"))
+    firstHour.groupBy(col("d")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy(col("d"))
+  }
+  val o12Sql =
+    """WITH f AS (SELECT user_id, min(date_trunc('hour', ts)) AS d
+      |  FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+      |daily AS (SELECT d, count(*) AS new_users FROM f GROUP BY d)
+      |SELECT d, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM daily ORDER BY d""".stripMargin
+
+  // ---- A15: weighted mean (decimal-exact) ---------------------------------
+  // avg price weighted by quantity, the estimator every revenue
+  // report needs. Determinism bound: the weighted products stay in
+  // decimal with declared precisions whose PRODUCT fits under 38
+  // (18,2 × 10,0 → 29,2) — a (28,4)×(28,4) product would overflow
+  // Spark's 38-digit cap and round differently than DuckDB. Quantity
+  // is integral-valued, so its (10,0) cast is exact. One partial+
+  // final agg pass, division in double at the very end.
+  def a15WeightedAvg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")
+          * col("l_quantity").cast("decimal(10,0)")).cast("double")
+        / sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .as("wavg_price"))
+      .orderBy(col("l_returnflag"))
+  val a15Sql =
+    """SELECT l_returnflag,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(10,0))) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS wavg_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- P7: winsorize (percentile clipping) --------------------------------
   // Outlier control for a numeric feature: clip to [p10, p90]. The
   // bounds are a 1-row aggregate broadcast into a per-row
@@ -1415,6 +1468,8 @@ object ParityQueries {
     "o7_rank_family" -> (o7RankFamily _),
     "o10_gap_fill" -> (o10GapFill _),
     "o11_ewma" -> (o11Ewma _),
+    "o12_cumulative_users" -> (o12CumulativeUsers _),
+    "a15_weighted_avg" -> (a15WeightedAvg _),
     "u2_bag_ops" -> (u2BagOps _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -1483,6 +1538,8 @@ object ParityQueries {
     "o7_rank_family" -> o7Sql,
     "o10_gap_fill" -> o10Sql,
     "o11_ewma" -> o11Sql,
+    "o12_cumulative_users" -> o12Sql,
+    "a15_weighted_avg" -> a15Sql,
     "u2_bag_ops" -> u2Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

@@ -191,6 +191,42 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("partial_"), p) // map-side combine retained
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The other 100 TB runtime lever beside AQE: when a dim filter is
+    // selective but the join must shuffle (both sides big), Spark can
+    // inject a bloom filter built from the dim keys as a FACT-SIDE
+    // pre-shuffle filter, cutting shuffle volume by the dim
+    // selectivity. Thresholds are sized for clusters, so pin them down
+    // to fire on test data; broadcast must be off or the join never
+    // shuffles at all.
+    import org.apache.spark.sql.functions.col
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val fact = Tables.lineitem(spark, dir)
+      val dim = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      val p = fact.join(dim, Seq("l_orderkey"))
+        .queryExecution.executedPlan.toString
+      // creation side: bloom_filter_agg over the filtered dim keys;
+      // application side: might_contain(...) as a fact-side filter
+      assert(p.contains("bloom_filter_agg"), p)
+      assert(p.contains("might_contain"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE converts a statically-planned SortMergeJoin to broadcast at runtime") {
     // Static planning must NOT broadcast (threshold off), so the
     // initial plan is a shuffle join; AQE's runtime stats then see the

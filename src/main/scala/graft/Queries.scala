@@ -269,6 +269,38 @@ object ParityQueries {
       "SELECT i.interval_id, e.event_id, e.event_type FROM events e " +
       "JOIN i ON e.ts >= i.lo AND e.ts <= i.hi"
 
+  // ---- J9: market-basket co-occurrence (self-join pair mining) ------------
+  // Part pairs that ship together in the same order — the support
+  // count of classic basket analysis. Scale anatomy: the self-join
+  // key is l_orderkey and both sides are the SAME frame — small SFs
+  // broadcast one side, at scale it is one shuffle plus a
+  // ReusedExchange for the mirror side; the pair fan-out is bounded
+  // by lines-per-order squared (TPC-H ≤ 7, a per-key constant — this
+  // is why basket mining co-partitions by basket and never by item,
+  // where Zipf-hot items would skew). The
+  // per-order distinct runs BEFORE pairing so duplicate parts in one
+  // order don't inflate support; p_a < p_b canonicalizes. Top-50
+  // fuses to TakeOrderedAndProject with total-order tiebreakers.
+  def j9BasketPairs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("p_a"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("p_b"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("p_a") < col("p_b"))
+      .groupBy(col("p_a"), col("p_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p_a").asc, col("p_b").asc)
+      .limit(50)
+  }
+  val j9Sql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, count(*) AS n_orders
+      |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY p_a, p_b
+      |ORDER BY n_orders DESC, p_a, p_b
+      |LIMIT 50""".stripMargin
+
   // ---- F5: typed JSON extraction (from_json with explicit schema) ---------
   // The schema'd counterpart of P2's get_json_object: parse once into
   // a typed struct (malformed JSON → null struct, coerce-not-crash).
@@ -1426,6 +1458,7 @@ object ParityQueries {
     "j6_range_join" -> (j6RangeJoin _),
     "j7_interval_overlap" -> (j7IntervalOverlap _),
     "j8_range_auto" -> (j8RangeAuto _),
+    "j9_basket_pairs" -> (j9BasketPairs _),
     "f5_json" -> (f5Json _),
     "f7_string_toolkit" -> (f7StringToolkit _),
     "o8_window_frames" -> (o8WindowFrames _),
@@ -1496,6 +1529,7 @@ object ParityQueries {
     "j6_range_join" -> j6Sql,
     "j7_interval_overlap" -> j7Sql,
     "j8_range_auto" -> j8Sql,
+    "j9_basket_pairs" -> j9Sql,
     "f5_json" -> f5Sql,
     "f7_string_toolkit" -> f7Sql,
     "o8_window_frames" -> o8Sql,

@@ -212,4 +212,20 @@ class SparkLawsSpec extends SparkSpec {
       assert(rows(once) == expected)
     }
   }
+
+  test("law: incremental candidate pairs = full pairs minus base-only pairs") {
+    // the contract that makes incremental ingest SAFE: probing only
+    // delta bands must find exactly the full-rescan pairs that touch
+    // a delta doc — no base×base noise, no missed delta pair
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val full = pairSet(ext.MinHash.candidatePairs(docs, "doc_id", "text"))
+    val inc = pairSet(ext.MinHash.candidatePairsIncremental(
+      docs, col("doc_id") % 3 === 0, "doc_id", "text"))
+    val expected = full.filter(p => p._1 % 3 == 0 || p._2 % 3 == 0)
+    assert(inc == expected)
+    assert(inc.size < full.size) // base-only pairs exist and were skipped
+  }
 }

@@ -120,7 +120,7 @@ object ExtQueries {
     * so composed pipelines can run the chain over their own stage
     * output.
     */
-  private def e2CtesBodyFrom(rel: String): String = {
+  private def e2CtesBodyFrom(rel: String, pfx: String = ""): String = {
     import MinHash._
     val sigElems = (0 until NumHashes).map { i =>
       s"list_min(list_transform(ms, m -> (${aConst(i)}*m + ${bConst(i)}) % $P))"
@@ -133,10 +133,10 @@ object ExtQueries {
     val window = (0 until 3)
       .map(j => s"((hs[i+$j] * ${mixConst(j)}) % $P)")
       .mkString("(", " + ", s") % $P")
-    s"""toks AS (SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'), t -> ${duckMd5Int("t")} % $P) hs FROM $rel),
-       |hashed AS (SELECT doc_id, [$window for i in range(1, len(hs)-1)] ms FROM toks WHERE len(hs) >= 3),
-       |sigs AS (SELECT doc_id, [$sigElems] sig FROM hashed),
-       |bands AS (SELECT doc_id, sig, unnest(range($Bands)) bidx, unnest([$bandExprs]) bkey FROM sigs)""".stripMargin
+    s"""${pfx}toks AS (SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'), t -> ${duckMd5Int("t")} % $P) hs FROM $rel),
+       |${pfx}hashed AS (SELECT doc_id, [$window for i in range(1, len(hs)-1)] ms FROM ${pfx}toks WHERE len(hs) >= 3),
+       |${pfx}sigs AS (SELECT doc_id, [$sigElems] sig FROM ${pfx}hashed),
+       |${pfx}bands AS (SELECT doc_id, sig, unnest(range($Bands)) bidx, unnest([$bandExprs]) bkey FROM ${pfx}sigs)""".stripMargin
   }
   private val e2Ctes: String = "WITH " + e2CtesBodyFrom("documents")
 
@@ -670,7 +670,11 @@ object ExtQueries {
   def e6CorpusClean(s: SparkSession, dir: String): DataFrame =
     CorpusPipeline.clean(
       Tables.documents(s, dir), E6MinTokens, E6Langs, ClusterMinEst)
-  val e6Sql: String = {
+  /** The e6 clean chain as a reusable CTE body (gate → filt → exact →
+    * banded pairs → recursive-CTE components); `e6Sql` selects the
+    * survivors directly, the composed `e6_full_prep` keeps composing.
+    */
+  private lazy val e6CleanCtes: String = {
     import MinHash.NumHashes
     def inList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ", ", ")")
     val tk = "string_split_regex(trim(text), '\\s+')"
@@ -678,8 +682,7 @@ object ExtQueries {
     val langGuess =
       s"CASE WHEN ${mc(TextOps.enMarkers)} >= ${mc(TextOps.deMarkers)} AND ${mc(TextOps.enMarkers)} >= ${mc(TextOps.frMarkers)} THEN 'en' " +
         s"WHEN ${mc(TextOps.deMarkers)} >= ${mc(TextOps.frMarkers)} THEN 'de' ELSE 'fr' END"
-    s"""WITH RECURSIVE
-       |gate AS (SELECT doc_id, text, CAST(len($tk) AS BIGINT) AS n_tokens,
+    s"""gate AS (SELECT doc_id, text, CAST(len($tk) AS BIGINT) AS n_tokens,
        |  $langGuess AS lang_guess, md5(lower(trim(text))) AS fp FROM documents),
        |filt AS (SELECT * FROM gate WHERE n_tokens >= $E6MinTokens AND lang_guess IN ${inList(E6Langs)}),
        |exact AS (SELECT doc_id, text, n_tokens, lang_guess, fp FROM (
@@ -690,9 +693,55 @@ object ExtQueries {
        |  FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |edges AS (SELECT a, b FROM prs WHERE est >= $ClusterMinEst UNION ALL SELECT b, a FROM prs WHERE est >= $ClusterMinEst),
        |reach(src, dst) AS (SELECT doc_id, doc_id FROM exact UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-       |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+       |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)""".stripMargin
+  }
+  val e6Sql: String =
+    s"""WITH RECURSIVE
+       |$e6CleanCtes
        |SELECT exact.doc_id, fp, n_tokens, lang_guess
        |FROM exact JOIN comp ON exact.doc_id = comp.doc_id WHERE comp.doc_id = comp.component""".stripMargin
+
+  // ---- E6p: the WHOLE training-data prep as one registered query -----------
+  // clean (gate → exact dedup → near-dup CC) → drop benchmark docs →
+  // decontaminate (shingle-overlap anti-join) → assign train/val/test
+  // splits. The end-to-end path a corpus actually takes before
+  // tokenization, composed from the same operators the stage queries
+  // register individually — and oracle-checked as ONE query, so a
+  // regression in any stage's composition (not just the stage alone)
+  // diverges the hash. Stage ordering is the scale argument: each
+  // stage strictly shrinks what the next, more expensive one touches,
+  // and the split assignment is a per-row md5 at the very end.
+  def e6FullPrep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cleaned = CorpusPipeline.clean(docs, E6MinTokens, E6Langs, ClusterMinEst)
+      .filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("n_tokens"), col("lang_guess"))
+    val withText = cleaned.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val contam = CorpusPipeline.contaminated(
+      withText, "doc_id", "text",
+      docs.filter(col("doc_id") % 20 === 0), minOverlap = ContamMinOverlap)
+    cleaned
+      .join(contam.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("lang_guess"),
+        Sampling.assignSplit(col("doc_id")).as("split"))
+  }
+  lazy val e6pSql: String = {
+    val b = s"${duckMd5Int("'split_' || CAST(doc_id AS VARCHAR)")} % 1000"
+    s"""WITH RECURSIVE
+       |$e6CleanCtes,
+       |clean AS (SELECT exact.doc_id, n_tokens, lang_guess
+       |  FROM exact JOIN comp ON exact.doc_id = comp.doc_id
+       |  WHERE comp.doc_id = comp.component AND exact.doc_id % 20 <> 0),
+       |${e2CtesBodyFrom("documents", "c")},
+       |bsh AS (SELECT DISTINCT unnest(list_distinct(ms)) AS sh FROM chashed WHERE doc_id % 20 = 0),
+       |csh AS (SELECT h.doc_id, unnest(list_distinct(h.ms)) AS sh
+       |  FROM chashed h JOIN clean c ON h.doc_id = c.doc_id),
+       |contam AS (SELECT doc_id FROM csh JOIN bsh USING (sh)
+       |  GROUP BY doc_id HAVING count(*) >= $ContamMinOverlap)
+       |SELECT c.doc_id, n_tokens, lang_guess,
+       |  CASE WHEN $b < 800 THEN 'train' WHEN $b < 900 THEN 'val' ELSE 'test' END AS split
+       |FROM clean c
+       |WHERE NOT EXISTS (SELECT 1 FROM contam x WHERE x.doc_id = c.doc_id)""".stripMargin
   }
 
   // ---- E7: deterministic splits + mixture sampling ---------------------------
@@ -1288,6 +1337,7 @@ object ExtQueries {
     "e2_lev_verify" -> (e2LevVerify _),
     "e2_embed_neardup" -> (e2EmbedNearDup _),
     "e6_corpus_clean" -> (e6CorpusClean _),
+    "e6_full_prep" -> (e6FullPrep _),
     "e7_split" -> (e7Split _),
     "e7_mixture_stats" -> (e7MixtureStats _),
     "e7_upsample" -> (e7Upsample _),
@@ -1335,6 +1385,7 @@ object ExtQueries {
     "e2_lev_verify" -> e2fSql,
     "e2_embed_neardup" -> e2cSql,
     "e6_corpus_clean" -> e6Sql,
+    "e6_full_prep" -> e6pSql,
     "e7_split" -> e7Sql,
     "e7_mixture_stats" -> e7bSql,
     "e7_upsample" -> e7dSql,

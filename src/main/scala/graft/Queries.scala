@@ -988,6 +988,34 @@ object ParityQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
       |FROM daily ORDER BY d""".stripMargin
 
+  // ---- A16: deterministic grouped mode (argmax-by-count) ------------------
+  // The most frequent value per group. Native `mode` breaks ties
+  // arbitrarily (execution-order-dependent — useless against an
+  // oracle and non-reproducible at scale), so this is the explicit
+  // argmax: count per (group, value) — one partial+final shuffle —
+  // then top-1 per group by (count desc, value asc), which plans as
+  // WindowGroupLimit and prunes to one row per group map-side before
+  // the window exchange. The argmax-with-total-order-tiebreak recipe
+  // is the reusable part; mode is its simplest instance.
+  def a16Mode(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n_rows"))
+    Ranking.topKPerGroup(
+      counts, Seq("l_returnflag"),
+      Seq(col("n_rows").desc, col("l_quantity").asc), 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_quantity"),
+        col("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+  val a16Sql =
+    """SELECT l_returnflag, mode_quantity, n_rows FROM (
+      |  SELECT l_returnflag, l_quantity AS mode_quantity, count(*) AS n_rows,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY count(*) DESC, l_quantity) AS rn
+      |  FROM lineitem GROUP BY l_returnflag, l_quantity) t
+      |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+
   // ---- A15: weighted mean (decimal-exact) ---------------------------------
   // avg price weighted by quantity, the estimator every revenue
   // report needs. Determinism bound: the weighted products stay in
@@ -1503,6 +1531,7 @@ object ParityQueries {
     "o11_ewma" -> (o11Ewma _),
     "o12_cumulative_users" -> (o12CumulativeUsers _),
     "a15_weighted_avg" -> (a15WeightedAvg _),
+    "a16_mode" -> (a16Mode _),
     "u2_bag_ops" -> (u2BagOps _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -1574,6 +1603,7 @@ object ParityQueries {
     "o11_ewma" -> o11Sql,
     "o12_cumulative_users" -> o12Sql,
     "a15_weighted_avg" -> a15Sql,
+    "a16_mode" -> a16Sql,
     "u2_bag_ops" -> u2Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

@@ -482,6 +482,54 @@ object ExtQueries {
        |  FROM scored) WHERE rk <= $AnnK""".stripMargin
   }
 
+  // ---- E3g: product-quantization codes (per-subspace codebooks) ------------
+  // The compression layer of a production ANN index: 4 subspaces × 16
+  // dims, a 4-centroid learned codebook per subspace, each vector
+  // reduced to 4 small codes. The oracle replays every subspace's
+  // kmeans chain (init → assign → decimal-exact update → final
+  // assign) and the code join — byte-for-byte.
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 4
+  private val PqIters = 1
+  def e3PqCodes(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqCodes(Tables.embeddings(s, dir), PqM, PqSubDim, PqK, PqIters)
+      .orderBy(col("vec_id"))
+  lazy val e3gSql: String = {
+    def fold(c: String) = duckFold(
+      s"list_transform(range(1, len($c)+1), i -> CAST($c[i] AS DOUBLE) * CAST($c[i] AS DOUBLE))")
+    val mexpr = s"CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS $AvgDec)) AS VARCHAR) AS DOUBLE) / COUNT(v)"
+    def assign(e: String, cent: String, out: String) =
+      s"""$out AS (SELECT vec_id, embedding, n2, cid FROM (
+         |  SELECT v.vec_id, v.embedding, v.n2, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${duckDot("v.embedding", "c.cent")} / (sqrt(v.n2) * sqrt(c.cn2)) DESC, c.cid) AS rn
+         |  FROM $e v CROSS JOIN $cent c) t WHERE rn = 1)""".stripMargin
+    def update(a: String, out: String) =
+      s"""${out}d AS (SELECT cid, dim, $mexpr AS m FROM (
+         |    SELECT cid, unnest(range(1, len(embedding)+1)) AS dim,
+         |           unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v FROM $a) x
+         |  GROUP BY cid, dim),
+         |$out AS (SELECT cid, cent, ${fold("cent")} AS cn2 FROM (
+         |  SELECT cid, list(CAST(m AS FLOAT) ORDER BY dim) AS cent FROM ${out}d GROUP BY cid) y)""".stripMargin
+    val chains = (0 until PqM).map { i =>
+      val (lo, hi) = (i * PqSubDim + 1, (i + 1) * PqSubDim)
+      val p = s"s$i"
+      s"""${p}e AS (SELECT vec_id, embedding, ${fold("embedding")} AS n2 FROM (
+         |  SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings) z$i),
+         |${p}c0 AS (SELECT vec_id AS cid, embedding AS cent, n2 AS cn2 FROM ${p}e WHERE vec_id < $PqK),
+         |${assign(s"${p}e", s"${p}c0", s"${p}a1")},
+         |${update(s"${p}a1", s"${p}c1")},
+         |${assign(s"${p}e", s"${p}c1", s"${p}a2")}""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until PqM).map(i => s"JOIN s${i}a2 USING (vec_id)").mkString(" ")
+    val codes = (0 until PqM).map(i => s"s${i}a2.cid AS code_$i").mkString(", ")
+    s"""WITH $chains
+       |SELECT vec_id, $codes
+       |FROM s0a2 $joins
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ---- E4: array-column statistics over embeddings -------------------------
   def e4EmbeddingStats(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(
@@ -1352,6 +1400,7 @@ object ExtQueries {
     "e3_ivf_topk" -> (e3IvfTopK _),
     "e3_kmeans" -> (e3Kmeans _),
     "e3_ivf_learned" -> (e3IvfLearned _),
+    "e3_pq_codes" -> (e3PqCodes _),
     "e4_embedding_stats" -> (e4EmbeddingStats _),
     "e4_blob_meta" -> (e4BlobMeta _),
     "e4_decode_stats" -> (e4DecodeStats _),
@@ -1400,6 +1449,7 @@ object ExtQueries {
     "e3_ivf_topk" -> e3cSql,
     "e3_kmeans" -> e3eSql,
     "e3_ivf_learned" -> e3fSql,
+    "e3_pq_codes" -> e3gSql,
     "e4_embedding_stats" -> e4Sql,
     "e4_blob_meta" -> e4bSql,
     "e4_decode_stats" -> e4cSql,

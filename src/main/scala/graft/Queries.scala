@@ -410,6 +410,65 @@ object ParityQueries {
       s"CAST(CAST(SUM(CAST(l_quantity AS $AvgDec)) AS VARCHAR) AS DOUBLE) AS sum_qty " +
       "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
 
+  // ---- A17: grouping-set level labels (grouping_id) -----------------------
+  // Rollup output where every row carries WHICH aggregation level
+  // produced it — grouping_id() — so a report can split subtotal rows
+  // from detail rows without the fragile null-means-total heuristic
+  // (a real NULL group value and a rollup total are indistinguishable
+  // without it). Same single-pass partial+final grouping-sets
+  // execution as a6; the label is free metadata from the expand node.
+  def a17GroupingId(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("level_id"),
+        grouping(col("l_returnflag")).cast("long").as("flag_is_total"))
+      .orderBy(col("level_id").asc, col("l_returnflag").asc_nulls_last,
+        col("l_linestatus").asc_nulls_last)
+  val a17Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS level_id,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS flag_is_total
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY level_id, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin
+
+  // ---- O13: Pareto / cumulative-share curve -------------------------------
+  // "What share of revenue do the top parts carry" — rank parts by
+  // revenue, then cumulative share over the ranked order. The global
+  // window runs over the AGGREGATED per-part frame (|part| rows, a
+  // dimension — never over lineitem), and the running numerator stays
+  // in decimal so every prefix sum is exact; the single IEEE division
+  // per row happens identically in both engines. At 100 TB: one fact
+  // shuffle (the per-part agg), one dimension-sized sort.
+  def o13Pareto(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,4)")).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey").asc)
+    val total = perPart.agg(sum(col("rev")).as("total"))
+    perPart.crossJoin(broadcast(total))
+      .select(col("l_partkey"),
+        row_number().over(w).cast("long").as("rk"),
+        (sum(col("rev")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / col("total").cast("double")).as("cum_share"))
+      .filter(col("rk") <= 100)
+      .orderBy(col("rk"))
+  }
+  val o13Sql =
+    """WITH pp AS (SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS rev
+      |  FROM lineitem GROUP BY l_partkey),
+      |t AS (SELECT SUM(rev) AS total FROM pp)
+      |SELECT l_partkey, rk, cum_share FROM (
+      |  SELECT l_partkey,
+      |    CAST(row_number() OVER (ORDER BY rev DESC, l_partkey) AS BIGINT) AS rk,
+      |    CAST(CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(total AS VARCHAR) AS DOUBLE) AS cum_share
+      |  FROM pp, t) x
+      |WHERE rk <= 100 ORDER BY rk""".stripMargin
+
   // ---- O5: window analytics (lag + running sum per partition) ------------
   // Total order inside each customer partition (date, then orderkey) so
   // lag/cumulative values are deterministic across engines; running sum
@@ -1532,6 +1591,8 @@ object ParityQueries {
     "o12_cumulative_users" -> (o12CumulativeUsers _),
     "a15_weighted_avg" -> (a15WeightedAvg _),
     "a16_mode" -> (a16Mode _),
+    "a17_grouping_id" -> (a17GroupingId _),
+    "o13_pareto" -> (o13Pareto _),
     "u2_bag_ops" -> (u2BagOps _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -1604,6 +1665,8 @@ object ParityQueries {
     "o12_cumulative_users" -> o12Sql,
     "a15_weighted_avg" -> a15Sql,
     "a16_mode" -> a16Sql,
+    "a17_grouping_id" -> a17Sql,
+    "o13_pareto" -> o13Sql,
     "u2_bag_ops" -> u2Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

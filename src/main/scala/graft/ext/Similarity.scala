@@ -163,6 +163,26 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization codes: split each embedding into `m`
+    * contiguous `subDim`-wide subspaces, learn a k-centroid codebook
+    * per subspace ([[kmeansCentroids]] on the sliced column), and
+    * emit each vector's per-subspace nearest-centroid code — the
+    * 64-float → m-byte compression an ANN index stores instead of raw
+    * vectors. All the determinism guarantees of [[kmeans]] carry over
+    * per subspace (slices are exact, the codebooks float-rounded).
+    * Scale shape: per subspace one broadcast assign + one (cell, dim)
+    * agg per iteration; the m code frames join back on vec_id —
+    * co-partitioned after the first shuffle. m × k × subDim centroid
+    * floats is the whole model: kilobytes, broadcast everywhere.
+    */
+  def pqCodes(vectors: DataFrame, m: Int, subDim: Int, k: Int, iters: Int): DataFrame =
+    (0 until m).map { i =>
+      val sub = vectors.select(col("vec_id"),
+        slice(col("embedding"), i * subDim + 1, subDim).as("embedding"))
+      assignToCentroid(sub, kmeansCentroids(sub, k, iters))
+        .select(col("vec_id"), col("cid").as(s"code_$i"))
+    }.reduce(_.join(_, Seq("vec_id")))
+
   /** IVF-bucketed ANN top-k: queries probe only their own centroid's
     * cell. Same candidate-bounded join shape as [[bucketedTopK]] but
     * with data-adaptive cells instead of sign bits — recall follows

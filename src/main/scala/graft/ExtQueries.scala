@@ -1170,6 +1170,55 @@ object ExtQueries {
        |  CAST(sum(CASE WHEN n_corpus <= $RareMax THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_frac
        |FROM bi JOIN cnt USING (bigram) GROUP BY doc_id""".stripMargin
 
+  // ---- E5m: TF-IDF top terms per document -----------------------------------
+  // The keyword-extraction primitive (and the vectorizer behind
+  // classic BM25/TF-IDF retrieval): rank each document's terms by
+  // term-frequency × inverse-document-frequency. The idf is the
+  // INTEGER-SCALED variant `(1e6 · N) div df` — idf is monotone in
+  // N/df, so scaled integer division preserves the ranking that the
+  // logarithmic form induces for fixed tf while keeping every score
+  // bit-identical across engines (a transcendental log would never
+  // hash-match; see e5_bigram_rarity for the same trade). Shape:
+  // scan-bound token explode → pre-agg to (doc_id, word) → tf; df
+  // derives from tf by a second partial-combine (one row per word
+  // out); tf joins df on word with the probe side already
+  // pre-aggregated — a Zipf-hot word's per-key multiplicity is
+  // capped at |docs containing it|, the build side is one row per
+  // key (replicable), so AQE's skew split covers the residual at
+  // 100 TB. N arrives as a broadcast 1-row frame (the distributed
+  // scalar-subquery idiom). Top-3 per doc goes through the
+  // row_number window, which WindowGroupLimit prunes before the
+  // exchange.
+  def e5Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(docFreq, Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * expr("(1000000 * n_docs) div df"))
+    Ranking.topKPerGroup(
+        scored, Seq("doc_id"), Seq(col("score").desc, col("word").asc), 3)
+      .withColumn("rk", col("rk").cast("long"))
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+  val e5mSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, word, tf, df, tf * ((1000000 * n_docs) // df) AS score
+      |  FROM tf JOIN df USING (word) CROSS JOIN n)
+      |SELECT doc_id, word, tf, df, score, rk FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rk
+      |  FROM scored) WHERE rk <= 3""".stripMargin
+
   // ---- E2g: per-cluster representative selection (keep-best) ---------------
   // After clustering, production dedup keeps the BEST document
   // (longest, here — highest-quality in general), not the min-id: the
@@ -1418,6 +1467,7 @@ object ExtQueries {
     "e5_pii_redact" -> (e5PiiRedact _),
     "e5_normalize" -> (e5Normalize _),
     "e5_bigram_rarity" -> (e5BigramRarity _),
+    "e5_tfidf" -> (e5Tfidf _),
     "e2_chain_components" -> (e2ChainComponents _)
   )
 
@@ -1467,6 +1517,7 @@ object ExtQueries {
     "e5_pii_redact" -> e5gSql,
     "e5_normalize" -> e5jSql,
     "e5_bigram_rarity" -> e5kSql,
+    "e5_tfidf" -> e5mSql,
     "e2_chain_components" -> e2hSql
   )
 }

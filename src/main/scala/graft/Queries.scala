@@ -1517,6 +1517,64 @@ object ParityQueries {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  // ---- A18: exact heavy hitters via a Misra–Gries candidate pass ----------
+  // The scale-correct form of "which keys dominate the stream": a
+  // bounded-state sketch pass ([[graft.functions.MisraGries]], k=128
+  // counters per partition, mergeable per PODS'12) yields ≤ k
+  // candidate keys with GUARANTEED recall of every key with true
+  // frequency > n/(k+1); an exact rescan then counts only those
+  // candidates (broadcast left-semi — the fact table never groups on
+  // the full key domain) and keeps keys strictly above the bound.
+  // The sketch is load-bearing for correctness: if MG ever dropped a
+  // true heavy hitter, the semi-join would lose that row and the
+  // hash would diverge from the oracle's plain GROUP BY/HAVING.
+  // At 100 TB: state is O(k) per partition, one ≤ k-row broadcast,
+  // one partial+final count over the semi-joined (tiny) survivor
+  // set — no shuffle ever carries the full key cardinality.
+  private val HhK = 128
+  def a18HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val cand = ev.as[Long]
+      .select(new graft.functions.MisraGries(HhK).toColumn.name("cand"))
+      .toDF("cand")
+      .select(explode(col("cand")).as("user_id"))
+    val total = ev.agg(count(lit(1)).as("n_total"))
+    ev.join(broadcast(cand), Seq("user_id"), "left_semi")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") > expr(s"n_total div ${HhK + 1}"))
+      .select(col("user_id"), col("cnt"))
+  }
+  val a18Sql =
+    s"SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id " +
+      s"HAVING count(*) > (SELECT count(*) FROM events) // ${HhK + 1}"
+
+  // ---- S9: partitioned sink → partition-pruned scan ------------------------
+  // The layout HALF of the scale story the roundtrip queries don't
+  // cover: write events hive-partitioned by a low-cardinality column
+  // (`partitionBy("event_type")`), read back with a partition
+  // predicate, and the scan must enumerate only the matching
+  // directories — at 100 TB the difference between reading 2/5 of
+  // the lake and listing all of it. PlanGuardSpec pins the physical
+  // evidence (PartitionFilters on the scan, 2 of 5 partition dirs
+  // selected); the oracle only ever sees the unpartitioned parquet
+  // truth, so any round-trip corruption (types, partition-column
+  // string mangling, row loss) diverges the hash.
+  def s9PartitionedPrune(s: SparkSession, dir: String): DataFrame = {
+    val out = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("value"), col("event_type"))
+    val path = Sink.scratchDir(s"part_prune_${math.abs(dir.hashCode)}")
+    out.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    s.read.parquet(path)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+  }
+  val s9Sql =
+    "SELECT event_id, user_id, value, event_type FROM events " +
+      "WHERE event_type IN ('click', 'purchase')"
+
   /** Flagship query (SparkEntry.entry): the reference dashboard's
     * "average metric by geography, ranked" question (dashboard_app/
     * app.py:57,74) over testdata — star join, grouped mean, ordered.
@@ -1592,6 +1650,8 @@ object ParityQueries {
     "a15_weighted_avg" -> (a15WeightedAvg _),
     "a16_mode" -> (a16Mode _),
     "a17_grouping_id" -> (a17GroupingId _),
+    "a18_heavy_hitters" -> (a18HeavyHitters _),
+    "s9_partitioned_prune" -> (s9PartitionedPrune _),
     "o13_pareto" -> (o13Pareto _),
     "u2_bag_ops" -> (u2BagOps _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -1666,6 +1726,8 @@ object ParityQueries {
     "a15_weighted_avg" -> a15Sql,
     "a16_mode" -> a16Sql,
     "a17_grouping_id" -> a17Sql,
+    "a18_heavy_hitters" -> a18Sql,
+    "s9_partitioned_prune" -> s9Sql,
     "o13_pareto" -> o13Sql,
     "u2_bag_ops" -> u2Sql,
     "q1_pricing_summary" -> q1Sql,

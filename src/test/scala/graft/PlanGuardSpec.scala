@@ -75,6 +75,46 @@ class PlanGuardSpec extends SparkSpec {
       spark.experimental.extraOptimizations.filterNot(_ eq graft.plans.RangeJoinRule)
   }
 
+  test("s9_partitioned_prune: the scan reads 2 of 5 partition directories") {
+    val df = SparkEntry.queries("s9_partitioned_prune")(spark, dir)
+    // AQE wraps the plan in a leaf AdaptiveSparkPlanExec — unwrap to
+    // traverse down to the scan node
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    val scan = plan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    // the IN-predicate must land in PartitionFilters (directory-level
+    // pruning), NOT as a data filter evaluated after reading all rows
+    assert(scan.partitionFilters.exists(_.toString.contains("event_type")),
+      s"partition filter missing: ${scan.partitionFilters}")
+    // and the listing must actually shrink: 2 of the 5 event_type dirs
+    val meta = scan.metadata
+    assert(scan.toString.contains("PartitionFilters:"), scan.toString)
+    val sel = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    assert(sel.length == 2, s"expected 2 selected partitions, got ${sel.length}: $meta")
+  }
+
+  test("a18_heavy_hitters: candidates broadcast into a left-semi, MG aggregates object-hash") {
+    val p = planOf("a18_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // the sketch pass is a typed Aggregator → ObjectHashAggregate with
+    // a partial/final split (per-partition MG, merged once)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("e5_tfidf: pre-aggregated probe side, window group-limit prunes top-3") {
+    val p = planOf("e5_tfidf")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("partial_count"), p) // tf combines map-side
+    // the only nested loop allowed is the broadcast 1-row N_docs frame
+    // (the distributed scalar-subquery idiom); a cartesian is never ok
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("e4_decode_stats: exactly one Generate evaluates the codec chain") {
     val p = planOf("e4_decode_stats")
     assert(p.linesIterator.count(_.contains("graft_decode_image_stats")) == 1, p)

@@ -202,7 +202,11 @@ object ExtQueries {
         count(lit(1)).over(Window.partitionBy(col("component")))
           .as("cluster_size"))
   }
-  val e2eSql: String = {
+  /** Shared oracle CTE chain ending in `comp(doc_id, component)` —
+    * the recursive-CTE connected components that e2_dedup_clusters
+    * and e7_cluster_split both check against.
+    */
+  private val ccCompCtes: String = {
     import MinHash.NumHashes
     s"""${e2Ctes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
        |prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
@@ -210,8 +214,39 @@ object ExtQueries {
        |  FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |edges AS (SELECT a, b FROM prs WHERE est >= $ClusterMinEst UNION ALL SELECT b, a FROM prs WHERE est >= $ClusterMinEst),
        |reach(src, dst) AS (SELECT doc_id, doc_id FROM documents UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-       |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+       |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)""".stripMargin
+  }
+  val e2eSql: String =
+    s"""$ccCompCtes
        |SELECT doc_id, component, CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size FROM comp""".stripMargin
+
+  // ---- E7f: leakage-safe (cluster-aware) split ------------------------------
+  // The split that near-dup analysis exists to protect: hashing
+  // doc_ids (e7_split) puts two near-duplicate documents on opposite
+  // sides of train/test often enough to leak eval data at corpus
+  // scale. Keying the SAME md5-permille decision on the document's
+  // connected-component label instead moves whole near-dup clusters
+  // atomically — members share the label by construction, so no
+  // cluster can straddle a split boundary. Cost over e7_split is
+  // exactly the clustering (banded candidate join + CC over the
+  // edge-touched subgraph); the split decision itself stays one
+  // scan-local hash. The oracle recomputes components via the
+  // recursive CTE and must agree on every (doc, component, split).
+  def e7ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text")
+      .filter(col("jaccard_est") >= ClusterMinEst)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("component"),
+        Sampling.assignSplit(col("component")).as("split"))
+  }
+  val e7fSql: String = {
+    val b = s"${duckMd5Int("'split_' || CAST(component AS VARCHAR)")} % 1000"
+    s"""$ccCompCtes
+       |SELECT doc_id, component,
+       |  CASE WHEN $b < 800 THEN 'train' WHEN $b < 900 THEN 'val' ELSE 'test' END AS split
+       |FROM comp""".stripMargin
   }
 
   // ---- E2d: SimHash hamming near-duplicate pairs ---------------------------
@@ -1436,6 +1471,7 @@ object ExtQueries {
     "e6_corpus_clean" -> (e6CorpusClean _),
     "e6_full_prep" -> (e6FullPrep _),
     "e7_split" -> (e7Split _),
+    "e7_cluster_split" -> (e7ClusterSplit _),
     "e7_mixture_stats" -> (e7MixtureStats _),
     "e7_upsample" -> (e7Upsample _),
     "e7_temperature" -> (e7Temperature _),
@@ -1486,6 +1522,7 @@ object ExtQueries {
     "e6_corpus_clean" -> e6Sql,
     "e6_full_prep" -> e6pSql,
     "e7_split" -> e7Sql,
+    "e7_cluster_split" -> e7fSql,
     "e7_mixture_stats" -> e7bSql,
     "e7_upsample" -> e7dSql,
     "e7_temperature" -> e7eSql,

@@ -369,6 +369,21 @@ class ExtSpec extends SparkSpec {
     assert(df(3L) == 1) // rate 1000 = exactly one copy, no draw
   }
 
+  test("e7_cluster_split: no near-dup cluster ever straddles a split boundary") {
+    // the leakage property itself, asserted on real testdata: every
+    // member of a component carries the identical split label, and
+    // every document is assigned exactly once
+    val df = SparkEntry.queries("e7_cluster_split")(spark, "/root/testdata/sf0.001")
+    val straddling = df.groupBy(col("component"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .count()
+    assert(straddling == 0L)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(df.count() == docs)
+    assert(df.select("split").distinct().count() >= 2) // nontrivial assignment
+  }
+
   test("redactPii masks emails and phones with typed placeholders and counts") {
     val df = Seq(
       (1L, "mail bob.smith+x@ex-corp.io or call 555-1234 today"),

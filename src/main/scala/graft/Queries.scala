@@ -1047,6 +1047,40 @@ object ParityQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
       |FROM daily ORDER BY d""".stripMargin
 
+  // ---- O14: event-transition matrix (first-order Markov) ------------------
+  // "After a view, what happens next?" — the per-user next-event
+  // window (lead over ts with the event_id total-order tiebreak for
+  // equal timestamps), collapsed into (from, to) transition counts
+  // and per-from-state probabilities. The heavy window partitions by
+  // user_id — millions of small independent partitions at 100 TB,
+  // never a global sort — and everything after it is one
+  // partial+final count over ≤ |event types|² rows plus a window
+  // over that same tiny frame. The probability is a single
+  // bigint÷bigint double division, bit-identical across engines.
+  def o14Transitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(s, dir).filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs.withColumn("p",
+      col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+  }
+  val o14Sql =
+    """WITH seq AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events WHERE ts IS NOT NULL),
+      |pairs AS (SELECT event_type AS from_type, to_type, count(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+      |FROM pairs""".stripMargin
+
   // ---- A16: deterministic grouped mode (argmax-by-count) ------------------
   // The most frequent value per group. Native `mode` breaks ties
   // arbitrarily (execution-order-dependent — useless against an
@@ -1653,6 +1687,7 @@ object ParityQueries {
     "a18_heavy_hitters" -> (a18HeavyHitters _),
     "s9_partitioned_prune" -> (s9PartitionedPrune _),
     "o13_pareto" -> (o13Pareto _),
+    "o14_transitions" -> (o14Transitions _),
     "u2_bag_ops" -> (u2BagOps _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -1729,6 +1764,7 @@ object ParityQueries {
     "a18_heavy_hitters" -> a18Sql,
     "s9_partitioned_prune" -> s9Sql,
     "o13_pareto" -> o13Sql,
+    "o14_transitions" -> o14Sql,
     "u2_bag_ops" -> u2Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

@@ -1223,7 +1223,11 @@ object ExtQueries {
   // 100 TB. N arrives as a broadcast 1-row frame (the distributed
   // scalar-subquery idiom). Top-3 per doc goes through the
   // row_number window, which WindowGroupLimit prunes before the
-  // exchange.
+  // exchange. tf feeds BOTH the join probe and the df derivation:
+  // AQE's shuffle-stage reuse dedups the repeated subtree at runtime,
+  // and an explicit localCheckpoint was A/B-measured SLOWER (4.58 s
+  // vs 3.47 s at sf0.1) — materialization costs more than the reused
+  // stage saves.
   def e5Tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val tf = docs

@@ -691,6 +691,45 @@ object ExtQueries {
        |FROM px""".stripMargin
   }
 
+  // ---- E4h: image dedup by perceptual hash ----------------------------------
+  // The image counterpart of e1_dedup_exact: every asset gets a
+  // 64-bit average hash (real decode → 8×8 gather → mean threshold,
+  // [[graft.functions.GrayPngAHash]]), and dedup is one partial+final
+  // groupBy on the hash — equal hashes are re-encoded copies of the
+  // same asset regardless of byte layout, so the shuffle carries one
+  // row per DISTINCT image, never the blobs. The fixture makes every
+  // run of $AHashGroup consecutive doc_ids share an asset (the
+  // re-crawled-thumbnail shape); the oracle recomputes the hash from
+  // the pixel formula and the identical gather/threshold arithmetic
+  // without ever decoding a PNG. Near-identical (not just re-encoded)
+  // smooth images land within a few bits — ExtensionsSpec pins that
+  // hamming property on hand-built gradient images.
+  private val AHashImgW = 16
+  private val AHashImgH = 16
+  private val AHashGroup = 5
+  def e4ImageDedup(s: SparkSession, dir: String): DataFrame = {
+    val img = Multimodal.synthImage(
+      expr(s"doc_id div $AHashGroup"), AHashImgW, AHashImgH)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Multimodal.imageAHash(img).as("ahash"))
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc"))
+  }
+  val e4hSql: String = {
+    import graft.functions.ImageCodec.{MixA, MixB, P => IP}
+    // 8×8 gather from the 16×16 source: bit j sits at (x=j%8, y=j//8),
+    // src flat index (y · srcH/8) · srcW + x · srcW/8 (integer floors)
+    val sy = AHashImgH / 8
+    val sx = AHashImgW / 8
+    val srcIdx = s"((j // 8) * $sy) * $AHashImgW + (j % 8) * $sx"
+    s"""WITH seeds AS (SELECT doc_id, doc_id // $AHashGroup AS seed FROM documents),
+       |g AS (SELECT doc_id, [((seed * ((($srcIdx + 1)*$MixA + $MixB) % $IP)) % $IP) % 256 for j in range(0, 64)] AS p FROM seeds),
+       |m AS (SELECT doc_id, p, list_sum(p) // 64 AS mean FROM g),
+       |h AS (SELECT doc_id, CAST(list_sum([CASE WHEN p[j+1] > mean THEN (CASE WHEN j = 63 THEN -9223372036854775807 - 1 ELSE (CAST(1 AS BIGINT) << j) END) ELSE 0 END for j in range(0, 64)]) AS BIGINT) AS ahash FROM m)
+       |SELECT ahash, CAST(count(*) AS BIGINT) AS n_copies, min(doc_id) AS keep_doc
+       |FROM h GROUP BY ahash""".stripMargin
+  }
+
   // ---- E4e: real audio (PCM WAV) parse → sample stats ----------------------
   // The audio twin of e4_decode_stats: synthesize a RIFF/WAVE 16-bit
   // PCM payload per row from a text-derived seed, PARSE the bytes
@@ -1494,6 +1533,7 @@ object ExtQueries {
     "e4_blob_meta" -> (e4BlobMeta _),
     "e4_decode_stats" -> (e4DecodeStats _),
     "e4_resize_stats" -> (e4ResizeStats _),
+    "e4_image_dedup" -> (e4ImageDedup _),
     "e4_audio_stats" -> (e4AudioStats _),
     "e4_video_frames" -> (e4VideoFrames _),
     "e4_dim_stats" -> (e4DimStats _),
@@ -1545,6 +1585,7 @@ object ExtQueries {
     "e4_blob_meta" -> e4bSql,
     "e4_decode_stats" -> e4cSql,
     "e4_resize_stats" -> e4rSql,
+    "e4_image_dedup" -> e4hSql,
     "e4_audio_stats" -> e4eSql,
     "e4_video_frames" -> e4fSql,
     "e4_dim_stats" -> e4dSql,

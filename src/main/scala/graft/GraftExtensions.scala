@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.ext.MinHash
-import graft.functions.{DecodeImageStats, FloatDotProduct, MinHashSignature, NfcNormalize, ParseWavStats, SimHash32, SynthGrayPng, SynthPcmWav}
+import graft.functions.{DecodeImageStats, FloatDotProduct, GrayPngAHash, MinHashSignature, NfcNormalize, ParseWavStats, SimHash32, SynthGrayPng, SynthPcmWav}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so they are callable from
@@ -64,6 +64,9 @@ object GraftExtensions {
     ("graft_image_stats",
       "graft_image_stats(blob) - decode an image payload to (img_w, img_h, px_sum, px_min, px_max); null if undecodable",
       (args: Seq[Expression]) => DecodeImageStats(args.head)),
+    ("graft_ahash64",
+      "graft_ahash64(blob) - perceptual 64-bit average hash of an image payload (decode, 8x8 gather, mean threshold); null if undecodable",
+      (args: Seq[Expression]) => GrayPngAHash(args.head)),
     ("graft_synth_pcm_wav",
       "graft_synth_pcm_wav(seed, n) - deterministic mono 16-bit PCM WAV from a bigint seed (n samples, literal)",
       (args: Seq[Expression]) => SynthPcmWav(args(0), foldableInt(args(1), "n"))),

@@ -57,6 +57,18 @@ object Multimodal {
       ColumnBridge.expression(blob)))
   }
 
+  /** Perceptual 64-bit average hash of an image payload: real decode
+    * → 8×8 integer gather → threshold against the integer mean
+    * ([[graft.functions.GrayPngAHash]]). Equal hashes ⇒ re-encoded
+    * copies of the same asset; small hamming ⇒ near-identical smooth
+    * images. Undecodable bytes → null.
+    */
+  def imageAHash(blob: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.GrayPngAHash(
+      ColumnBridge.expression(blob)))
+  }
+
   /** Deterministic mono 16-bit PCM WAV from a bigint seed
     * ([[graft.functions.SynthPcmWav]]) — the audio counterpart of
     * [[synthImage]].

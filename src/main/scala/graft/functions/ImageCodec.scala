@@ -105,6 +105,45 @@ object ImageCodec {
       }
     } catch { case scala.util.control.NonFatal(_) => null }
 
+  /** Decode → 8×8 nearest-neighbor gather → 64-bit AVERAGE HASH
+    * (aHash): bit j is set iff the gathered pixel at (j%8, j/8)
+    * is strictly above the integer mean of the 64 gathered pixels.
+    * Every step is exact integer arithmetic on top of a real ImageIO
+    * decode — gather index x·srcW÷8 (floor), mean = sum÷64 (floor),
+    * strict > — so an engine with no codec can replay the hash from
+    * the pixel formula alone. The standard perceptual-dedup
+    * fingerprint: identical assets hash equal regardless of encoder
+    * byte layout, and near-identical smooth images land within a few
+    * bits. Null for undecodable payloads.
+    */
+  def aHash64(bytes: Array[Byte]): Any =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val src = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        val g = new Array[Long](64)
+        var sum = 0L
+        var j = 0
+        while (j < 64) {
+          val v = src.getSample((j % 8) * w / 8, (j / 8) * h / 8, 0).toLong
+          g(j) = v
+          sum += v
+          j += 1
+        }
+        val mean = sum / 64L
+        var bits = 0L
+        j = 0
+        while (j < 64) {
+          if (g(j) > mean) bits |= (1L << j)
+          j += 1
+        }
+        bits
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+
   /** Decode + band-0 pixel stats; null for undecodable payloads. */
   def decodeStats(bytes: Array[Byte]): InternalRow =
     try {
@@ -215,5 +254,31 @@ case class DecodeImageStats(child: Expression)
     ImageCodec.decodeStats(input.asInstanceOf[Array[Byte]])
 
   override protected def withNewChildInternal(newChild: Expression): DecodeImageStats =
+    copy(child = newChild)
+}
+
+/** Perceptual fingerprint of an image payload: real decode → 8×8
+  * integer gather → 64-bit average hash ([[ImageCodec.aHash64]]).
+  * The image-dedup analogue of SimHash: equality catches re-encoded
+  * copies, small hamming distance catches near-identical smooth
+  * images. Per-row, shuffle-free; undecodable bytes → null.
+  */
+case class GrayPngAHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_ahash64"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageCodec.aHash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): GrayPngAHash =
     copy(child = newChild)
 }

@@ -58,6 +58,50 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(gif.getLong(0) == 3L && gif.getLong(1) == 1L && gif.getLong(2) == mid.sum)
   }
 
+  test("graft_ahash64: re-encoded copies hash equal; near-identical smooth images land within a few bits") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // hand-built smooth gradient (pixel = 8x + 8y) — the image class
+    // aHash is designed for, unlike the white-noise synth fixtures
+    def gradient(w: Int, h: Int, tweak: Option[(Int, Int, Int)]): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, math.min(255, 8 * x + 8 * y))
+      tweak.foreach { case (tx, ty, v) => img.getRaster.setSample(tx, ty, 0, v) }
+      val bos = new ByteArrayOutputStream(256)
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def hash(png: Array[Byte]): Long =
+      graft.functions.ImageCodec.aHash64(png).asInstanceOf[Long]
+    val base = hash(gradient(16, 16, None))
+    // identical pixels, fresh encode → identical hash
+    assert(hash(gradient(16, 16, None)) == base)
+    // one-pixel tweak → near-identical: hamming must stay small (≤ 2
+    // of 64 bits — only the gathered cell containing the tweak and at
+    // most a mean-threshold flip can move)
+    val near = hash(gradient(16, 16, Some((3, 3, 255))))
+    assert(java.lang.Long.bitCount(base ^ near) <= 2,
+      s"hamming ${java.lang.Long.bitCount(base ^ near)}")
+    // a different image entirely → far (structurally: inverted slope)
+    val other = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.getRaster.setSample(x, y, 0, math.max(0, 255 - 16 * x))
+      val bos = new ByteArrayOutputStream(256)
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(java.lang.Long.bitCount(base ^ hash(other)) > 8)
+    // SQL registration + null contract
+    val viaSql = spark.sql(
+      "SELECT graft_ahash64(graft_synth_gray_png(CAST(9 AS BIGINT), 16, 16)) AS h").collect().head.getLong(0)
+    val direct = hash(graft.functions.ImageCodec.encodeGrayPng(9L, 16, 16))
+    assert(viaSql == direct)
+    assert(spark.sql("SELECT graft_ahash64(CAST('nope' AS BINARY)) AS h").collect().head.isNullAt(0))
+  }
+
   test("graft_minhash_sig returns H minima consistent with the Scala constants") {
     val row = spark.sql(
       "SELECT graft_minhash_sig(array(CAST(7 AS BIGINT), CAST(11 AS BIGINT))) AS sig")

@@ -1609,6 +1609,80 @@ object ParityQueries {
     "SELECT event_id, user_id, value, event_type FROM events " +
       "WHERE event_type IN ('click', 'purchase')"
 
+  // ---- J10: dynamic partition pruning ---------------------------------------
+  // The RUNTIME half of the partition-pruning story (s9 is the static
+  // half): the fact side is hive-partitioned on event_type, but which
+  // types survive the dim filter (odd event count — an arbitrary
+  // DATA-dependent predicate) cannot be known at plan time, so no
+  // static partition filter exists. Catalyst's dynamic partition
+  // pruning plants a DynamicPruningExpression subquery into the
+  // scan's PartitionFilters: the dim side runs first (broadcast), and
+  // only the partition directories whose keys it produced are ever
+  // listed and read. At 100 TB this is the difference between
+  // scanning the whole lake and scanning the joined slice — with zero
+  // user-visible predicate on the partition column. PlanGuardSpec
+  // pins the DynamicPruningExpression. (The dim deliberately avoids
+  // the crossJoin-scalar idiom here: cartesian size estimates defeat
+  // DPP's benefit heuristic, so the predicate is self-contained.)
+  def j10Dpp(s: SparkSession, dir: String): DataFrame = {
+    val out = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("value"), col("event_type"))
+    val path = Sink.scratchDir(s"dpp_${math.abs(dir.hashCode)}")
+    out.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    val fact = s.read.parquet(path)
+    val dim = Tables.events(s, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+      .filter(col("n_type") % 2 === 1)
+    fact.join(broadcast(dim), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("n_type")).as("n_type"))
+  }
+  val j10Sql =
+    """WITH dim AS (SELECT event_type, count(*) AS n_type FROM events
+      |  GROUP BY event_type HAVING count(*) % 2 = 1)
+      |SELECT e.event_type, count(*) AS n, max(d.n_type) AS n_type
+      |FROM events e JOIN dim d ON e.event_type = d.event_type
+      |GROUP BY e.event_type""".stripMargin
+
+  // ---- W7: time-weighted average (TWAP) ------------------------------------
+  // The metric-over-irregular-samples aggregate: each observation
+  // carries weight = seconds until the user's next event (lead over
+  // the per-user timeline; the last observation has no duration and
+  // drops), so a value that HELD for an hour outweighs one replaced
+  // after a second — the standard TWAP/uptime-metric shape. The
+  // window partitions by user (never global); weights are exact
+  // microsecond bigints; the weighted sum accumulates in
+  // DECIMAL(28,10)·weight (order-free), and the single final
+  // division happens in double — bit-identical across engines.
+  def w7Twap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val weighted = Tables.events(s, dir).filter(col("ts").isNotNull)
+      .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+      .withColumn("w_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("w_us").isNotNull)
+    weighted.groupBy(col("user_id"))
+      .agg(
+        sum(col("value").cast("decimal(28,10)") * col("w_us")).as("vw"),
+        sum(col("w_us")).as("w_total"))
+      .select(col("user_id"),
+        (col("vw").cast("double") / col("w_total").cast("double")).as("twap"),
+        col("w_total"))
+  }
+  val w7Sql =
+    """WITH seq AS (SELECT user_id, value, ts, event_id,
+      |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS w_us
+      |  FROM events WHERE ts IS NOT NULL),
+      |g AS (SELECT user_id,
+      |    sum(CAST(value AS DECIMAL(28,10)) * w_us) AS vw,
+      |    CAST(sum(w_us) AS BIGINT) AS w_total
+      |  FROM seq WHERE w_us IS NOT NULL GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(CAST(vw AS VARCHAR) AS DOUBLE) / CAST(w_total AS DOUBLE) AS twap,
+      |  w_total FROM g""".stripMargin
+
   /** Flagship query (SparkEntry.entry): the reference dashboard's
     * "average metric by geography, ranked" question (dashboard_app/
     * app.py:57,74) over testdata — star join, grouped mean, ordered.
@@ -1686,6 +1760,8 @@ object ParityQueries {
     "a17_grouping_id" -> (a17GroupingId _),
     "a18_heavy_hitters" -> (a18HeavyHitters _),
     "s9_partitioned_prune" -> (s9PartitionedPrune _),
+    "j10_dpp" -> (j10Dpp _),
+    "w7_twap" -> (w7Twap _),
     "o13_pareto" -> (o13Pareto _),
     "o14_transitions" -> (o14Transitions _),
     "u2_bag_ops" -> (u2BagOps _),
@@ -1763,6 +1839,8 @@ object ParityQueries {
     "a17_grouping_id" -> a17Sql,
     "a18_heavy_hitters" -> a18Sql,
     "s9_partitioned_prune" -> s9Sql,
+    "j10_dpp" -> j10Sql,
+    "w7_twap" -> w7Sql,
     "o13_pareto" -> o13Sql,
     "o14_transitions" -> o14Sql,
     "u2_bag_ops" -> u2Sql,

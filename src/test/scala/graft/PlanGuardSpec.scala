@@ -97,6 +97,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(sel.length == 2, s"expected 2 selected partitions, got ${sel.length}: $meta")
   }
 
+  test("j10_dpp: the partitioned scan carries a DynamicPruningExpression") {
+    // no static predicate on the partition column exists — only the
+    // runtime subquery planted by dynamic partition pruning keeps the
+    // scan from listing every event_type directory
+    val p = planOf("j10_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+  }
+
   test("a18_heavy_hitters: candidates broadcast into a left-semi, MG aggregates object-hash") {
     val p = planOf("a18_heavy_hitters")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)

@@ -138,13 +138,20 @@ object EventStream {
       left: DataFrame, leftTs: String, leftKey: String,
       right: DataFrame, rightTs: String, rightKey: String,
       horizon: String,
-      lateness: String = "1 hour"): DataFrame = {
+      lateness: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
+    // joinType "leftOuter": unmatched left rows are emitted with null
+    // right columns — but only once the watermark passes leftTs +
+    // horizon, because until then a matching right row could still
+    // arrive. Same bounded state as the inner form; the time-range
+    // conjunct is what makes the outer semantics decidable at all.
     l.join(r,
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"))
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"),
+      joinType)
   }
 
   /** Idempotent micro-batch sink via `foreachBatch`: each batch is

@@ -174,6 +174,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("correlate leftOuter: unmatched left emits nulls only after the watermark closes the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val q = EventStream.correlate(
+      views.toDF().toDF("v_ts", "v_user"), "v_ts", "v_user",
+      clicks.toDF().toDF("c_ts", "c_user"), "c_ts", "c_user",
+      horizon = "30 minutes", lateness = "10 minutes",
+      joinType = "leftOuter")
+      .writeStream.format("memory").queryName("corr_outer_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData((ts("10:00"), "x"), (ts("10:00"), "z"))
+      clicks.addData((ts("10:10"), "x")) // x matches; z has no click
+      q.processAllAvailable()
+      // z's outer row must NOT have been emitted yet: a click could
+      // still arrive until the watermark passes 10:30 + lateness
+      val early = spark.table("corr_outer_out")
+        .select("v_user").as[String].collect().toSeq
+      assert(early == Seq("x"))
+      // advance both watermarks far past the horizon -> z emits with nulls
+      views.addData((ts("12:00"), "w1"))
+      clicks.addData((ts("12:00"), "w2"))
+      q.processAllAvailable()
+      val out = spark.table("corr_outer_out")
+        .select("v_user", "c_user").as[(String, Option[String])].collect().toSet
+      assert(out.contains(("z", None)), out.toString)
+      assert(out.contains(("x", Some("x"))))
+    } finally q.stop()
+  }
+
   test("writeBatchIdempotent: batch replay overwrites, never duplicates") {
     val path = graft.ops.Sink.scratchDir("fb_idem")
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

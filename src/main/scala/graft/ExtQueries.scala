@@ -438,11 +438,17 @@ object ExtQueries {
   private val KmIters = 2
   def e3Kmeans(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeans(Tables.embeddings(s, dir), KmK, KmIters)
-  val e3eSql: String = {
+
+  /** Shared DuckDB replay of Similarity.kmeans(KmK, KmIters): CTE
+    * chain `e, c0, a1, c1, a2, c2, a3` where a3 = one row per vector
+    * (vec_id, embedding, n2, cid, cent_cos) — the final assignment.
+    * double → VARCHAR → DECIMAL(28,10) in the update replicates
+    * Spark's shortest-round-trip decimal conversion (the
+    * e4_dim_stats recipe). Used by e3_kmeans and e2_semantic_dedup.
+    */
+  private lazy val kmeansChainSql: String = {
     val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
     val centN2 = duckFold("list_transform(range(1, len(cent)+1), i -> CAST(cent[i] AS DOUBLE) * CAST(cent[i] AS DOUBLE))")
-    // double → VARCHAR → DECIMAL(28,10) replicates Spark's
-    // shortest-round-trip decimal conversion (the e4_dim_stats recipe)
     val mexpr = s"CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS $AvgDec)) AS VARCHAR) AS DOUBLE) / COUNT(v)"
     def assign(cent: String, out: String) =
       s"""$out AS (SELECT vec_id, embedding, n2, cid, cent_cos FROM (
@@ -458,15 +464,38 @@ object ExtQueries {
          |  GROUP BY cid, dim),
          |$out AS (SELECT cid, cent, $centN2 AS cn2 FROM (
          |  SELECT cid, list(CAST(m AS FLOAT) ORDER BY dim) AS cent FROM ${out}d GROUP BY cid) y)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2 FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding, $n2 AS n2 FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, embedding AS cent, n2 AS cn2 FROM e WHERE vec_id < $KmK),
        |${assign("c0", "a1")},
        |${update("a1", "c1")},
        |${assign("c1", "a2")},
        |${update("a2", "c2")},
-       |${assign("c2", "a3")}
-       |SELECT vec_id, cid AS cluster, cent_cos FROM a3""".stripMargin
+       |${assign("c2", "a3")}""".stripMargin
   }
+  val e3eSql: String =
+    s"""WITH $kmeansChainSql
+       |SELECT vec_id, cid AS cluster, cent_cos FROM a3""".stripMargin
+
+  // ---- E2j: semantic dedup (SemDeDup, Abbas et al. 2023) -------------------
+  // The embedding-space analogue of MinHash dedup: k-means clusters
+  // (the e3_kmeans chain), then inside each cluster every vector with
+  // a cosine-near (>= NearDupThreshold) neighbor ranked before it is
+  // dropped. Rank = (cent_cos asc, vec_id) — the paper's
+  // diversity-preserving choice: of each duplicate group, the member
+  // LEAST similar to its centroid survives. Self-join is
+  // co-partitioned on the cluster id, never all-pairs; k is the
+  // cluster-size knob (paper runs k ~ sqrt(n) at scale). Oracle
+  // replays the identical kmeans chain, pair test, and left-join.
+  def e2SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(
+      Tables.embeddings(s, dir), KmK, KmIters, NearDupThreshold)
+  val e2jSql: String =
+    s"""WITH $kmeansChainSql,
+       |removed AS (SELECT DISTINCT v.vec_id FROM a3 v JOIN a3 u ON u.cid = v.cid
+       |  AND (u.cent_cos < v.cent_cos OR (u.cent_cos = v.cent_cos AND u.vec_id < v.vec_id))
+       |  AND ${duckDot("u.embedding", "v.embedding")} / (sqrt(u.n2) * sqrt(v.n2)) >= $NearDupThreshold)
+       |SELECT a.vec_id, a.cid AS cluster, a.cent_cos, (r.vec_id IS NULL) AS keep
+       |FROM a3 a LEFT JOIN removed r ON a.vec_id = r.vec_id""".stripMargin
 
   // ---- E3f: IVF top-k over the LEARNED centroids ----------------------------
   // e3_ivf_topk's cells come from a fixed centroid subset; this is the
@@ -878,6 +907,25 @@ object ExtQueries {
   val e7Sql: String = {
     val b = s"${duckMd5Int("'split_' || CAST(doc_id AS VARCHAR)")} % 1000"
     s"SELECT doc_id, CASE WHEN $b < 800 THEN 'train' WHEN $b < 900 THEN 'val' ELSE 'test' END AS split FROM documents"
+  }
+
+  // ---- E7g: deterministic per-group reservoir sample -----------------------
+  // Exactly-k-per-source inspection sampling: md5-draw rank inside
+  // each source, keep the 5 smallest. WindowGroupLimit prunes every
+  // map task to k rows per group before the shuffle (plan-guarded);
+  // the oracle replays the identical draw + row_number.
+  private val ReservoirK = 5
+  def e7Reservoir(s: SparkSession, dir: String): DataFrame =
+    Sampling.reservoirPerGroup(
+      Tables.documents(s, dir).select(col("source"), col("doc_id")),
+      "source", "doc_id", ReservoirK)
+      .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
+  val e7gSql: String = {
+    val draw = duckMd5Int("'reservoir_' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT source, doc_id, rk FROM (
+       |  SELECT source, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY source ORDER BY $draw, doc_id) AS BIGINT) AS rk
+       |  FROM documents) t WHERE rk <= $ReservoirK""".stripMargin
   }
 
   private val MixRates = Map("src0" -> 100, "src1" -> 1000, "src2" -> 500)
@@ -1548,7 +1596,9 @@ object ExtQueries {
     "e5_normalize" -> (e5Normalize _),
     "e5_bigram_rarity" -> (e5BigramRarity _),
     "e5_tfidf" -> (e5Tfidf _),
-    "e2_chain_components" -> (e2ChainComponents _)
+    "e2_chain_components" -> (e2ChainComponents _),
+    "e2_semantic_dedup" -> (e2SemanticDedup _),
+    "e7_reservoir" -> (e7Reservoir _)
   )
 
   val sql: Map[String, String] = Map(
@@ -1566,6 +1616,7 @@ object ExtQueries {
     "e6_corpus_clean" -> e6Sql,
     "e6_full_prep" -> e6pSql,
     "e7_split" -> e7Sql,
+    "e7_reservoir" -> e7gSql,
     "e7_cluster_split" -> e7fSql,
     "e7_mixture_stats" -> e7bSql,
     "e7_upsample" -> e7dSql,
@@ -1579,6 +1630,7 @@ object ExtQueries {
     "e3_ann_recall" -> e3dSql,
     "e3_ivf_topk" -> e3cSql,
     "e3_kmeans" -> e3eSql,
+    "e2_semantic_dedup" -> e2jSql,
     "e3_ivf_learned" -> e3fSql,
     "e3_pq_codes" -> e3gSql,
     "e4_embedding_stats" -> e4Sql,

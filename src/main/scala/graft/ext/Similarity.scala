@@ -229,6 +229,49 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then
+    * within each cluster drop every vector that has a semantic
+    * duplicate (cosine >= `tau`) ranked before it. Rank follows the
+    * paper's diversity-preserving choice — keep the example LEAST
+    * similar to its cluster centroid (ties on vec_id) — so of each
+    * duplicate group the most "atypical" member survives.
+    *
+    * Output: one row per vector `(vec_id, cluster, cent_cos, keep)`.
+    * Downstream corpus cleaning anti-joins on `keep = false`.
+    *
+    * Scale shape: clustering is [[kmeans]] (k-bounded broadcast
+    * assigns + one (cell, dim) agg per iteration); the duplicate
+    * test is a self-join CO-PARTITIONED ON THE CLUSTER ID — never
+    * all-pairs. Pair work is sum over clusters of |c|², which is the
+    * knob k controls: at 100 TB one raises k so clusters stay small
+    * (the paper runs k ≈ √n), and the join never materializes pairs
+    * below tau because the threshold sits in the join condition. The
+    * left-semi form means candidate pairs collapse to a boolean per
+    * vector — no pair set is ever retained.
+    */
+  def semanticDedup(vectors: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+    val assigned = assignToCentroid(vectors, kmeansCentroids(vectors, k, iters))
+    def side(p: String) = assigned.select(
+      col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
+      col("n2").as(s"${p}_n2"), col("cid").as(s"${p}_cid"),
+      col("cent_cos").as(s"${p}_cc"))
+    // v is removed iff some u in the same cluster is cosine-near and
+    // ranks before it: (cent_cos, vec_id) lexicographic, ascending.
+    val removed = side("v")
+      .join(side("u"),
+        col("u_cid") === col("v_cid") &&
+          (col("u_cc") < col("v_cc") ||
+            (col("u_cc") === col("v_cc") && col("u_id") < col("v_id"))) &&
+          cosineFrom(dot(col("u_emb"), col("v_emb")), col("u_n2"), col("v_n2")) >= tau,
+        "left_semi")
+      .select(col("v_id").as("vec_id"), lit(1).as("rm"))
+    assigned
+      .join(removed, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid").as("cluster"), col("cent_cos"),
+        col("rm").isNull.as("keep"))
+  }
+
   /** Bucketed ANN top-k: both sides hash to sign-bit buckets, join
     * co-partitioned on the bucket key, score only within the bucket.
     * Recall < 1 by construction (that is the trade); plan shape is

@@ -56,4 +56,43 @@ class RetryAndNearDupSpec extends SparkSpec {
     assert(out.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
     assert(out.head._3 > 0.99)
   }
+
+  test("semanticDedup: keep flags obey the exists-earlier-neighbor rule; kept set pairwise dissimilar") {
+    val tau = 0.9
+    // two well-separated directions; ids 0/2/3 near-parallel (dups),
+    // 4 same half-space but < tau to all, 1/5 near-parallel (dups)
+    val raw = Seq(
+      0L -> Array(1f, 0f, 0.05f, 0f),
+      1L -> Array(0f, 1f, 0f, 0.05f),
+      2L -> Array(0.98f, 0f, 0.06f, 0f),
+      3L -> Array(1.02f, 0.01f, 0.05f, 0f),
+      4L -> Array(0.6f, 0f, 0.8f, 0f),
+      5L -> Array(0.01f, 0.97f, 0f, 0.06f))
+    val out = Similarity
+      .semanticDedup(raw.toDF("vec_id", "embedding"), k = 2, iters = 1, tau)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == raw.size)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def fold(x: Array[Float], y: Array[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+      fold(a, b) / (math.sqrt(fold(a, a)) * math.sqrt(fold(b, b)))
+    }
+    val emb = raw.toMap
+    // replay the rule from the RETURNED cluster + cent_cos and
+    // driver-side cosines: v removed iff an earlier-ranked same-cluster
+    // u is cosine-near
+    for ((v, (_, vCid, vCc, vKeep)) <- out) {
+      val expectRemoved = out.values.exists { case (u, uCid, uCc, _) =>
+        u != v && uCid == vCid &&
+          (uCc < vCc || (uCc == vCc && u < v)) && cos(emb(u), emb(v)) >= tau
+      }
+      assert(vKeep == !expectRemoved, s"vec $v keep=$vKeep")
+    }
+    val kept = out.values.filter(_._4).toSeq
+    // the kept set is pairwise non-near within every cluster
+    for (Seq(a, b) <- kept.combinations(2) if a._2 == b._2)
+      assert(cos(emb(a._1), emb(b._1)) < tau)
+    assert(out.values.count(!_._4) >= 2) // the planted dups were removed
+  }
 }

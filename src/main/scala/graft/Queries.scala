@@ -1585,6 +1585,37 @@ object ParityQueries {
     s"SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id " +
       s"HAVING count(*) > (SELECT count(*) FROM events) // ${HhK + 1}"
 
+  // ---- A19: two-sample Kolmogorov–Smirnov drift gate -----------------------
+  // Distribution drift between two event populations ('click' vs
+  // 'purchase' spend), the pre-training intake check. Integer-exact:
+  // ks_num = max |n2·C1 − n1·C2| over BIGINT cumulative counts, one
+  // double division at the end. The ECDF runs as a two-phase prefix
+  // sum (the Packing pattern) keyed on floor(value / 8) — no
+  // single-partition window over the distinct-value domain, which for
+  // a double column is table-sized. Oracle replays the plain
+  // window-cumsum form, so the blocked decomposition is proven equal
+  // to the serial ECDF every round.
+  private val KsBlockWidth = 8.0
+  def a19KsDrift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Aggregates.ksDrift(
+      Tables.events(s, dir), "event_type", "value", "click", "purchase",
+      KsBlockWidth)
+  val a19Sql =
+    """WITH pv AS (
+      |  SELECT value AS v,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+      |  FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+      |  GROUP BY value),
+      |cum AS (SELECT v,
+      |    SUM(c1) OVER (ORDER BY v) AS cum1,
+      |    SUM(c2) OVER (ORDER BY v) AS cum2 FROM pv),
+      |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM pv)
+      |SELECT n1, n2,
+      |  CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS BIGINT) AS ks_num,
+      |  CAST(CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS BIGINT) AS DOUBLE) / (n1 * n2) AS ks_stat
+      |FROM cum CROSS JOIN tot GROUP BY n1, n2""".stripMargin
+
   // ---- S9: partitioned sink → partition-pruned scan ------------------------
   // The layout HALF of the scale story the roundtrip queries don't
   // cover: write events hive-partitioned by a low-cardinality column
@@ -1608,6 +1639,45 @@ object ParityQueries {
   val s9Sql =
     "SELECT event_id, user_id, value, event_type FROM events " +
       "WHERE event_type IN ('click', 'purchase')"
+
+  // ---- S10: Z-order (Morton) clustering key ---------------------------------
+  // The multi-dimensional half of the layout story (s9 prunes on ONE
+  // partition column): interleave the bits of two keys so one sort
+  // order bounds every output file in BOTH dimensions — the
+  // Delta/Iceberg ZORDER BY technique, here from pure codegen'd
+  // built-in bit ops ([[graft.ops.Layout]]). The registered query is
+  // the locality profile itself: per coarse Z-bucket, the bounding
+  // rectangle in (partkey, suppkey) — each bucket's min-max spans
+  // stay small, which is exactly the file-skipping contract. The
+  // physical write + per-file bounding-box evidence (Z-clustered
+  // files vs natural order) is asserted in LayoutSpec; the oracle
+  // replays the mask-shift ladder bit for bit.
+  def s10Zorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .withColumn("zbucket",
+        shiftright(Layout.zorder2(col("l_partkey"), col("l_suppkey")), 16))
+      .groupBy(col("zbucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+        min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+  }
+  val s10Sql: String = {
+    def spread(e: String): String = {
+      val a = s"(($e) & 65535)"
+      val b = s"(($a | ($a << 8)) & 16711935)"
+      val c = s"(($b | ($b << 4)) & 252645135)"
+      val d = s"(($c | ($c << 2)) & 858993459)"
+      s"(($d | ($d << 1)) & 1431655765)"
+    }
+    s"""SELECT ((${spread("l_partkey")} | (${spread("l_suppkey")} << 1)) >> 16) AS zbucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+       |  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+       |FROM lineitem GROUP BY 1""".stripMargin
+  }
 
   // ---- J10: dynamic partition pruning ---------------------------------------
   // The RUNTIME half of the partition-pruning story (s9 is the static
@@ -1759,7 +1829,9 @@ object ParityQueries {
     "a16_mode" -> (a16Mode _),
     "a17_grouping_id" -> (a17GroupingId _),
     "a18_heavy_hitters" -> (a18HeavyHitters _),
+    "a19_ks_drift" -> (a19KsDrift _),
     "s9_partitioned_prune" -> (s9PartitionedPrune _),
+    "s10_zorder" -> (s10Zorder _),
     "j10_dpp" -> (j10Dpp _),
     "w7_twap" -> (w7Twap _),
     "o13_pareto" -> (o13Pareto _),
@@ -1838,7 +1910,9 @@ object ParityQueries {
     "a16_mode" -> a16Sql,
     "a17_grouping_id" -> a17Sql,
     "a18_heavy_hitters" -> a18Sql,
+    "a19_ks_drift" -> a19Sql,
     "s9_partitioned_prune" -> s9Sql,
+    "s10_zorder" -> s10Sql,
     "j10_dpp" -> j10Sql,
     "w7_twap" -> w7Sql,
     "o13_pareto" -> o13Sql,

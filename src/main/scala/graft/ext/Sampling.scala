@@ -69,4 +69,29 @@ object Sampling {
     floor(rate / lit(1000)).cast("int") +
       when(permilleBucket(idCol, "mix") < rate % lit(1000), lit(1)).otherwise(lit(0))
   }
+
+  /** Deterministic per-group fixed-size sample — reservoir-sampling
+    * semantics without the sequential reservoir: rank rows inside
+    * each group by an md5 draw on the salted row id and keep the k
+    * smallest (draw ties broken on the id itself, so the winner set
+    * is total-ordered). The same rows win on any engine, any
+    * partitioning, any rerun — [[permilleBucket]]'s reproducibility
+    * property lifted from "keep with probability p" to "keep exactly
+    * k per group". Plans as WindowGroupLimit partial top-k: each map
+    * task prunes its partition to k rows per group BEFORE the
+    * shuffle, so a group never materializes anywhere — the 100 TB
+    * shape for "give me 10 000 inspection docs per source".
+    */
+  def reservoirPerGroup(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      idCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val drawn = df.withColumn(
+      "_draw",
+      TextOps.md5Int32(concat(lit("reservoir_"), col(idCol).cast("string"))))
+    graft.ops.Ranking
+      .topKPerGroup(drawn, Seq(groupCol), Seq(col("_draw").asc, col(idCol).asc), k)
+      .drop("_draw")
+  }
 }

@@ -70,6 +70,68 @@ object Aggregates {
         array(quantiles.map(lit): _*),
         lit(accuracy)).as(s"approx_q_$valueCol"))
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the `valueCol`
+    * distributions of two populations — the classic data-drift gate a
+    * production pipeline runs between yesterday's and today's intake
+    * (or two sources) before training on the union. D = max over
+    * observed points of |F_a(x) − F_b(x)|; with sample sizes n1/n2 it
+    * is returned INTEGER-EXACTLY as `ks_num` = max |n2·C1 − n1·C2|
+    * over BIGINTs (C = cumulative counts), plus the double
+    * `ks_stat` = ks_num / (n1·n2) — one division at the very end, so
+    * both engines hash identically.
+    *
+    * Scale shape: one agg shuffle collapses the raw table to per-value
+    * counts; the ECDF is then a TWO-PHASE prefix sum over the value
+    * order (the [[graft.ext.Packing]] pattern): an intra-block window
+    * keyed by `floor(value / blockWidth)` — monotone in value, so
+    * block boundaries respect the ordering — plus a block-offset
+    * table that is nBlocks rows by construction, prefix-summed alone
+    * and broadcast back. No single-partition window ever sees the
+    * distinct-value domain, which for a double-valued column is as
+    * large as the table. The final max is a partial+final agg on a
+    * constant key (32 partial rows). `blockWidth` is the domain knob:
+    * pick it so value-range / blockWidth ≈ thousands of blocks.
+    */
+  def ksDrift(
+      df: DataFrame,
+      typeCol: String,
+      valueCol: String,
+      typeA: String,
+      typeB: String,
+      blockWidth: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perVal = df
+      .filter(col(typeCol).isin(typeA, typeB) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(
+        sum(when(col(typeCol) === typeA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(typeCol) === typeB, 1L).otherwise(0L)).as("c2"))
+      .withColumn("_blk", floor(col("v") / lit(blockWidth)).cast("long"))
+    val wIntra = Window.partitionBy(col("_blk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val intra = perVal
+      .withColumn("_i1", sum(col("c1")).over(wIntra))
+      .withColumn("_i2", sum(col("c2")).over(wIntra))
+    val wBlk = Window.orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perVal.groupBy(col("_blk"))
+      .agg(sum(col("c1")).as("_t1"), sum(col("c2")).as("_t2"))
+      .withColumn("_o1", coalesce(sum(col("_t1")).over(wBlk), lit(0L)))
+      .withColumn("_o2", coalesce(sum(col("_t2")).over(wBlk), lit(0L)))
+      .select(col("_blk"), col("_o1"), col("_o2"))
+    val totals = perVal.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    intra.join(broadcast(offsets), Seq("_blk"))
+      .crossJoin(broadcast(totals))
+      .select(col("n1"), col("n2"),
+        abs(col("n2") * (col("_i1") + col("_o1")) -
+          col("n1") * (col("_i2") + col("_o2"))).as("_num"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("_num")).as("ks_num"))
+      .select(col("n1"), col("n2"), col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("ks_stat"))
+  }
+
   /** A3: scalar mean (dashboard_app/app.py:48). */
   def mean(df: DataFrame, column: String): DataFrame =
     df.agg(exactMean(col(column)).as(s"avg_$column"))

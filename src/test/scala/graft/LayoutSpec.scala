@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Layout, Sink}
+
+/** Z-order layout: bit-exactness of the Morton code and the physical
+  * file-skipping evidence — Z-clustered files bound BOTH key
+  * dimensions, a single-key sort bounds only its own.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton code: the per-bit loop the mask-shift ladder
+    * must equal.
+    */
+  private def mortonRef(x: Long, y: Long): Long = {
+    var z = 0L
+    for (i <- 0 until 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("zorder2 equals the per-bit reference Morton code") {
+    val probes = Seq(
+      (0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 7L), (65536L, 1L), (99999L, 88888L))
+    val out = probes.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zorder2(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    for ((x, y, z) <- out)
+      assert(z == mortonRef(x & 0xFFFFL, y & 0xFFFFL), s"($x, $y)")
+  }
+
+  /** Per-file bounding boxes of a written layout: for each output
+    * file, the x-span and y-span its min-max stats bound.
+    */
+  private def fileSpans(df: DataFrame): Seq[(Long, Long)] =
+    df.groupBy(input_file_name())
+      .agg(
+        (max(col("x")) - min(col("x"))).as("xs"),
+        (max(col("y")) - min(col("y"))).as("ys"))
+      .select(col("xs"), col("ys"))
+      .as[(Long, Long)].collect().toSeq
+
+  test("writeZOrdered: every file bounds BOTH dimensions; single-key sort leaves y unbounded") {
+    // a 64×64 grid — every (x, y) combination, so any layout's file
+    // bounds are fully determined by its clustering
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+    val zPath = Sink.scratchDir("layout_z")
+    val sPath = Sink.scratchDir("layout_s")
+    Layout.writeZOrdered(df, zPath, 16, col("x"), col("y"))
+    // the contender: perfect single-key sort, same file count
+    df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(sPath)
+    val zSpans = fileSpans(spark.read.parquet(zPath))
+    val sSpans = fileSpans(spark.read.parquet(sPath))
+    assert(zSpans.size == 16 && sSpans.size == 16)
+    // The skipping contract is per-dimension: a predicate on y alone
+    // prunes z-files (each bounds y) but can never prune an x-sorted
+    // file (each spans ALL of y). 16 z-tiles of a 64×64 grid are
+    // 16×16 squares → worst span 15; x-sorted files span y fully.
+    val zWorst = zSpans.map { case (xs, ys) => math.max(xs, ys) }.max
+    val sWorst = sSpans.map { case (xs, ys) => math.max(xs, ys) }.min
+    assert(zWorst <= 15, s"z worst-dimension span $zWorst")
+    assert(sWorst == 63, s"x-sort files should span all of y, got $sWorst")
+  }
+
+  test("ksDrift: blocked ECDF equals the naive driver-side KS on a planted shift") {
+    val a = (1 to 200).map(i => ("a", i.toDouble / 10.0))
+    val b = (1 to 150).map(i => ("b", i.toDouble / 10.0 + 3.7)) // shifted
+    val df = (a ++ b).toDF("t", "v")
+    val out = graft.ops.Aggregates
+      .ksDrift(df, "t", "v", "a", "b", blockWidth = 2.5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 1)
+    val (n1, n2, num, stat) = out.head
+    assert(n1 == 200 && n2 == 150)
+    // naive reference: ECDF difference over the pooled sample
+    val av = a.map(_._2).sorted
+    val bv = b.map(_._2).sorted
+    val points = (av ++ bv).distinct.sorted
+    val refNum = points.map { x =>
+      math.abs(n2 * av.count(_ <= x).toLong - n1 * bv.count(_ <= x).toLong)
+    }.max
+    assert(num == refNum)
+    assert(stat == refNum.toDouble / (n1.toDouble * n2.toDouble))
+  }
+}

@@ -275,6 +275,37 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("e7_reservoir: WindowGroupLimit prunes each map task to k before the shuffle") {
+    val p = planOf("e7_reservoir")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("a19_ks_drift: ECDF windows are block-partitioned; offsets broadcast back") {
+    val p = planOf("a19_ks_drift")
+    // the distinct-value-domain window must carry the block key — a
+    // bare [v ASC] partition spec would be the serial single-task ECDF
+    assert(p.contains("windowspecdefinition(_blk"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // block offsets come back broadcast
+    assert(p.contains("partial_max") || p.contains("partial_sum"), p)
+    // the ONLY single-partition window is over the nBlocks offset frame
+    val serialWindows = "windowspecdefinition\\(v#".r.findAllIn(p).size
+    assert(serialWindows == 0, s"value-domain window lost its block key:\n$p")
+  }
+
+  test("e2_semantic_dedup: pair test is a cluster-key LeftSemi hash join, never all-pairs") {
+    val p = planOf("e2_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // candidate pairs collapse to a flag via an equi-keyed semi join
+    // (the only nested-loop joins are the k-bounded centroid
+    // broadcasts inside the kmeans assign)
+    assert(p.contains("LeftSemi"), p)
+    val semiIsEqui = p.linesIterator.exists(l =>
+      l.contains("LeftSemi") &&
+        (l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin")) &&
+        l.contains("cid"))
+    assert(semiIsEqui, s"semi join must carry the cluster key:\n$p")
+  }
+
   test("AQE converts a statically-planned SortMergeJoin to broadcast at runtime") {
     // Static planning must NOT broadcast (threshold off), so the
     // initial plan is a shuffle join; AQE's runtime stats then see the

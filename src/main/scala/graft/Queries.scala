@@ -1154,6 +1154,22 @@ object ParityQueries {
       "SELECT l_orderkey, l_linenumber, l_quantity, " +
       "least(greatest(l_quantity, lo), hi) AS clipped FROM lineitem, b"
 
+  // ---- P8: data-profiling intake report ------------------------------------
+  // One row per column: null + exact distinct counts over orders —
+  // the feed-trust gate before any ETL run. Exact distincts use one
+  // pass with an Expand (rows × columns); Cleanse.profileApprox is
+  // the no-Expand HLL form for 100 TB (accuracy-asserted in OpsSpec).
+  private val ProfileCols = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+  def p8Profile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cleanse.profile(Tables.orders(s, dir), ProfileCols)
+  val p8Sql: String = ProfileCols.map { c =>
+    s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   // ---- A10: correlation via explicit decimal moments ----------------------
   // Native `corr` accumulates co-moments in floats (order-dependent
   // across engines), so this computes Pearson r from DECIMAL sums —
@@ -1772,6 +1788,7 @@ object ParityQueries {
     "p5_project" -> (p5Project _),
     "p6_drop" -> (p6Drop _),
     "p7_winsorize" -> (p7Winsorize _),
+    "p8_profile" -> (p8Profile _),
     "j1_join_inner" -> (j1Join _),
     "j1_join_3way" -> (j1Join3Way _),
     "j2_left_join" -> (j2LeftJoin _),
@@ -1853,6 +1870,7 @@ object ParityQueries {
     "p5_project" -> p5Sql,
     "p6_drop" -> p6Sql,
     "p7_winsorize" -> p7Sql,
+    "p8_profile" -> p8Sql,
     "j1_join_inner" -> j1Sql,
     "j1_join_3way" -> j1bSql,
     "j2_left_join" -> j2Sql,

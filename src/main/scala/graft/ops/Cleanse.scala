@@ -33,4 +33,45 @@ object Cleanse {
   /** P3: drop rows where any of `cols` is null. */
   def dropNullRows(df: DataFrame, cols: Seq[String]): DataFrame =
     df.na.drop("any", cols)
+
+  /** Data profiling: one row per column with its null and distinct
+    * counts — the intake report an ETL runs before trusting a new
+    * feed (the reference eyeballs `df.info()`; this is that, as a
+    * first-class distributed op). Exact distincts compile to ONE pass
+    * with an Expand: the input is replicated per profiled column into
+    * the distinct aggregate, so cost is rows × columns — acceptable
+    * for a scheduled intake gate. [[profileApprox]] is the 100 TB
+    * default: HyperLogLog distincts, single pass, NO Expand, ~2%
+    * error (accuracy-asserted in OpsSpec).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)))
+
+  /** [[profile]] with approx_count_distinct: one scan, no row
+    * replication, mergeable sketch state — the shape that survives
+    * 100 TB.
+    */
+  def profileApprox(
+      df: DataFrame, cols: Seq[String], rsd: Double = 0.02): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  private def profileWith(
+      df: DataFrame,
+      cols: Seq[String],
+      distinct: String => org.apache.spark.sql.Column): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        distinct(c).as(s"__dst_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val onerow = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(
+        lit(c).as("column_name"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__dst_$c").as("n_distinct"))
+    }
+    onerow.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
+  }
 }

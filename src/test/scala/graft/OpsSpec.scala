@@ -380,6 +380,30 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((100L, 2L), (100L, 3L), (100L, 4L))) // inclusive both ends, no dups
   }
 
+  // ---- P8 profiling: approx (HLL, no Expand) tracks exact ----------------
+  test("profileApprox stays within 5% of exact distincts and shares null counts") {
+    val df = (1 to 5000)
+      .map(i => (i.toLong, i % 137, if (i % 10 == 0) null else s"v${i % 903}"))
+      .toDF("id", "m", "s")
+    val exact = graft.ops.Cleanse.profile(df, Seq("id", "m", "s"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val approx = graft.ops.Cleanse.profileApprox(df, Seq("id", "m", "s"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(exact("id")._4 == 5000 && exact("m")._4 == 137 && exact("s")._4 == 903)
+    assert(exact("s")._3 == 500) // the planted nulls
+    for (c <- Seq("id", "m", "s")) {
+      assert(approx(c)._3 == exact(c)._3) // null counts are exact in both
+      val (e, a) = (exact(c)._4.toDouble, approx(c)._4.toDouble)
+      assert(math.abs(a - e) / e < 0.05, s"$c: approx $a vs exact $e")
+    }
+    // the scale property itself: approx plans with NO Expand operator
+    val p = graft.ops.Cleanse.profileApprox(df, Seq("id", "m", "s"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), p)
+    assert(graft.ops.Cleanse.profile(df, Seq("id", "m", "s"))
+      .queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
   // ---- filter∘join ≡ join∘filter (Catalyst pushes the predicate) --------
   test("filter-then-join equals join-then-filter") {
     val l = (1 to 100).map(i => (i % 10, i)).toDF("k", "lv")

@@ -1032,6 +1032,51 @@ object ExtQueries {
        |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin
 
   // ---- E5a: BPE-ish regex token counts (vs whitespace tokens) --------------
+  // ---- E5t: BPE tokenizer TRAINING (Sennrich et al., ACL 2016) -------------
+  // Learn the merge table itself, distributed: one corpus-sized pass
+  // (word frequencies), then every round operates on the
+  // DISTINCT-WORD frame — pair-count agg, 1-row argmax broadcast,
+  // positional greedy merge (windows all sharing one (word, pos)
+  // sort). Cost scales with vocabulary, not corpus — the property
+  // that makes tokenizer training feasible at 100 TB. The oracle
+  // replays every round: same pair counts, same total-order argmax,
+  // same island-parity greedy merge, so a single divergent merge
+  // anywhere in the chain flips all later rounds and the hash.
+  private val BpeRounds = 4
+  def e5BpeTrain(s: SparkSession, dir: String): DataFrame =
+    Bpe.train(Tables.documents(s, dir), "text", BpeRounds)
+  lazy val e5tSql: String = {
+    def round(r: Int) =
+      s"""pc$r AS (SELECT syms[i] AS pa, syms[i+1] AS pb, CAST(SUM(f) AS BIGINT) AS cnt
+         |  FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM s$r) t
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT pa, pb, cnt FROM pc$r ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |p${r}a AS (SELECT word, f, i - 1 AS pos, syms[i] AS sym, syms[i+1] AS nxt, pa, pb
+         |  FROM (SELECT word, f, syms, unnest(range(1, len(syms)+1)) AS i FROM s$r) t CROSS JOIN b$r),
+         |p${r}b AS (SELECT *, CASE WHEN sym = pa AND nxt = pb THEN 1 ELSE 0 END AS m FROM p${r}a),
+         |p${r}c AS (SELECT *,
+         |    SUM(m) OVER (PARTITION BY word ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mrn,
+         |    (m = 1 AND COALESCE(lag(m) OVER (PARTITION BY word ORDER BY pos), 0) = 0) AS strt
+         |  FROM p${r}b),
+         |p${r}d AS (SELECT *,
+         |    MAX(CASE WHEN strt THEN mrn END) OVER (PARTITION BY word ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS start_mrn
+         |  FROM p${r}c),
+         |p${r}e AS (SELECT *, (m = 1 AND (mrn - start_mrn) % 2 = 0) AS sel FROM p${r}d),
+         |p${r}f AS (SELECT *, COALESCE(lag(sel) OVER (PARTITION BY word ORDER BY pos), FALSE) AS absorbed FROM p${r}e),
+         |s${r + 1} AS (SELECT word, f, list(CASE WHEN sel THEN pa || pb ELSE sym END ORDER BY pos) AS syms
+         |  FROM p${r}f WHERE NOT absorbed GROUP BY word, f)""".stripMargin
+    val rounds = (1 to BpeRounds).map(r => "," + round(r)).mkString("\n")
+    val out = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, pa AS sym_a, pb AS sym_b, cnt AS pair_count FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents) t
+       |  WHERE len(word) > 0 GROUP BY word),
+       |s1 AS (SELECT word, f, list_transform(range(1, len(word)+1), i -> word[i]) AS syms FROM w)
+       |$rounds
+       |$out""".stripMargin
+  }
+
   def e5BpeTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
@@ -1598,7 +1643,8 @@ object ExtQueries {
     "e5_tfidf" -> (e5Tfidf _),
     "e2_chain_components" -> (e2ChainComponents _),
     "e2_semantic_dedup" -> (e2SemanticDedup _),
-    "e7_reservoir" -> (e7Reservoir _)
+    "e7_reservoir" -> (e7Reservoir _),
+    "e5_bpe_train" -> (e5BpeTrain _)
   )
 
   val sql: Map[String, String] = Map(
@@ -1617,6 +1663,7 @@ object ExtQueries {
     "e6_full_prep" -> e6pSql,
     "e7_split" -> e7Sql,
     "e7_reservoir" -> e7gSql,
+    "e5_bpe_train" -> e5tSql,
     "e7_cluster_split" -> e7fSql,
     "e7_mixture_stats" -> e7bSql,
     "e7_upsample" -> e7dSql,

@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer TRAINING (Sennrich et al., ACL 2016):
+  * learn the merge table itself — not just apply one — as pure
+  * DataFrame ops.
+  *
+  * The property that makes BPE trainable at 100 TB: after ONE
+  * corpus-sized aggregation (word frequencies), every further step
+  * operates on the DISTINCT-WORD frame — cost scales with vocabulary,
+  * not corpus. Each merge round is: adjacent-pair count (one agg over
+  * vocab × word-length rows), argmax pair (1-row broadcast), and a
+  * positional greedy merge (windows partitioned by word — every
+  * window partition is one word's symbols, bounded by word length).
+  *
+  * Greedy merge, positionally: canonical BPE scans a word left to
+  * right merging non-overlapping (a, b) occurrences. Overlapping
+  * matches only arise when a == b (a match at position i and i+1
+  * forces L[i+1] = b = a), where matches form runs of consecutive
+  * positions and the left-to-right scan takes the 1st, 3rd, 5th …
+  * of each run. So the merge is: mark matches, island them by
+  * (pos − match-rank), select even-offset matches per island, drop
+  * each selected match's right neighbor, concat its symbol. No
+  * sequential fold — both this engine and the DuckDB oracle run the
+  * identical window formulation, row for row.
+  */
+object Bpe {
+
+  /** Corpus → (word, f) — the only corpus-sized pass. Empty words
+    * are dropped: `sequence(1, 0)` is DESCENDING in Spark, so a
+    * zero-length word would explode garbage positions downstream.
+    */
+  def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("f"))
+
+  /** Each word split to single-character symbols. */
+  def initSymbols(words: DataFrame): DataFrame =
+    words.withColumn(
+      "syms",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
+  /** Adjacent-pair frequencies over the current symbol lists,
+    * weighted by word frequency. Every adjacent position counts
+    * (overlaps included), as in the reference algorithm's get_stats.
+    */
+  def pairCounts(syms: DataFrame): DataFrame =
+    syms.filter(size(col("syms")) >= 2) // sequence(1, 0) is descending
+      .select(
+        col("f"),
+        explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i-1] AS pa, syms[i] AS pb))")).as("p"))
+      .select(col("f"), col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(sum(col("f")).as("cnt"))
+
+  /** The round's winning pair: max count, ties to the
+    * lexicographically smallest (pa, pb) — a total order, so both
+    * engines pick the same pair.
+    */
+  def bestPair(syms: DataFrame): DataFrame =
+    pairCounts(syms).orderBy(col("cnt").desc, col("pa").asc, col("pb").asc)
+      .limit(1)
+
+  /** Apply one greedy merge of `best` (a 1-row broadcast) to every
+    * word's symbol list, via the positional formulation above.
+    */
+  def applyMerge(syms: DataFrame, best: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val runFrame = byPos.rowsBetween(Window.unboundedPreceding, 0)
+    // Every window below shares the (word, pos) partitioning + sort,
+    // so one exchange + one sort serve the whole chain. Island starts
+    // are matches whose previous position is not a match; a running
+    // MAX of start-ranks then gives each match its island's first
+    // match-rank — no second partition key, no second shuffle.
+    val pos = syms.select(
+      col("word"), col("f"), posexplode(col("syms")).as(Seq("pos", "sym")))
+      .withColumn("_nxt", lead(col("sym"), 1).over(byPos))
+      .crossJoin(broadcast(best.select(col("pa"), col("pb"))))
+      .withColumn("_m",
+        (col("sym") === col("pa") && col("_nxt") === col("pb")).cast("int"))
+      .withColumn("_mrn", sum(col("_m")).over(runFrame))
+      .withColumn("_start",
+        col("_m") === 1 && coalesce(lag(col("_m"), 1).over(byPos), lit(0)) === 0)
+      .withColumn("_startMrn",
+        max(when(col("_start"), col("_mrn"))).over(runFrame))
+      .withColumn("_sel",
+        col("_m") === 1 && (col("_mrn") - col("_startMrn")) % 2 === 0)
+      .withColumn("_absorbed",
+        coalesce(lag(col("_sel"), 1).over(byPos), lit(false)))
+    pos.filter(!col("_absorbed"))
+      .select(col("word"), col("f"), col("pos"),
+        when(col("_sel"), concat(col("pa"), col("pb"))).otherwise(col("sym"))
+          .as("sym"))
+      .groupBy(col("word"), col("f"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("sym")))),
+        x => x.getField("sym")).as("syms"))
+  }
+
+  /** Train `rounds` merges; returns the learned merge table
+    * (round, sym_a, sym_b, pair_count) — the artifact a tokenizer
+    * ships. Each round's symbol state is persisted: round r+1's
+    * lineage would otherwise re-run every prior round per action.
+    */
+  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    var syms = initSymbols(wordFreqs(docs, textCol)).persist()
+    val merges = (1 to rounds).map { r =>
+      val best = bestPair(syms).persist()
+      syms = applyMerge(syms, best).persist()
+      best.select(
+        lit(r.toLong).as("round"),
+        col("pa").as("sym_a"), col("pb").as("sym_b"),
+        col("cnt").as("pair_count"))
+    }
+    merges.reduce(_.union(_))
+  }
+}

@@ -253,21 +253,54 @@ object ExtQueries {
   private val SimHashRadius = 3
   def e2SimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", SimHashRadius)
-  val e2dSql: String = {
+  /** Shared DuckDB simhash-pair replay: CTEs `t, s, chunks, shpairs`
+    * where shpairs = (doc_a, doc_b, hamming), the radius-filtered
+    * chunk-bucket candidate pairs. Used by e2_simhash_pairs and
+    * e2_triangles.
+    */
+  private lazy val simhashChainSql: String = {
     import Dedup.{SimHashChunkBits, SimHashChunks}
     val mask = (1L << SimHashChunkBits) - 1
     val chunkList = (0 until SimHashChunks)
       .map(c => s"(simhash >> ${c * SimHashChunkBits}) & $mask").mkString(", ")
-    s"""WITH t AS (SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'), tok -> ${duckMd5Int("tok")}) hs FROM documents),
+    s"""t AS (SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'), tok -> ${duckMd5Int("tok")}) hs FROM documents),
        |s AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b ->
        |  CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
        |  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash FROM t),
-       |chunks AS (SELECT doc_id, simhash, unnest(range($SimHashChunks)) cidx, unnest([$chunkList]) cval FROM s)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |chunks AS (SELECT doc_id, simhash, unnest(range($SimHashChunks)) cidx, unnest([$chunkList]) cval FROM s),
+       |shpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM chunks a JOIN chunks b ON a.cidx = b.cidx AND a.cval = b.cval AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashRadius""".stripMargin
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashRadius)""".stripMargin
   }
+  val e2dSql: String =
+    s"""WITH $simhashChainSql
+       |SELECT doc_a, doc_b, hamming FROM shpairs""".stripMargin
+
+  // ---- E2k: triangle count of the near-dup candidate graph -----------------
+  // Clustering-structure probe over the simhash pair graph: cliques
+  // of mutual duplicates are triangle-dense, chains/stars are
+  // triangle-free. Degree orientation caps out-neighborhoods at
+  // O(sqrt m) ([[Dedup.triangleCount]]); the oracle replays the
+  // orientation and the wedge-close join on the same pair CTE.
+  def e2Triangles(s: SparkSession, dir: String): DataFrame =
+    Dedup.triangleCount(
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", SimHashRadius),
+      "doc_a", "doc_b")
+  val e2kSql: String =
+    s"""WITH $simhashChainSql,
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM shpairs),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+       |  SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) n GROUP BY node),
+       |o AS (SELECT
+       |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS x,
+       |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS y
+       |  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+       |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM o e1 JOIN o e2 ON e2.x = e1.y
+       |  WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.x = e1.x AND e3.y = e2.y)),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+       |SELECT n_edges, n_triangles FROM cnt CROSS JOIN tri""".stripMargin
 
   // ---- E2f: edit-distance verification of the candidate pairs --------------
   // The strictest (and costliest) near-dup verifier: exact
@@ -1644,7 +1677,8 @@ object ExtQueries {
     "e2_chain_components" -> (e2ChainComponents _),
     "e2_semantic_dedup" -> (e2SemanticDedup _),
     "e7_reservoir" -> (e7Reservoir _),
-    "e5_bpe_train" -> (e5BpeTrain _)
+    "e5_bpe_train" -> (e5BpeTrain _),
+    "e2_triangles" -> (e2Triangles _)
   )
 
   val sql: Map[String, String] = Map(
@@ -1664,6 +1698,7 @@ object ExtQueries {
     "e7_split" -> e7Sql,
     "e7_reservoir" -> e7gSql,
     "e5_bpe_train" -> e5tSql,
+    "e2_triangles" -> e2kSql,
     "e7_cluster_split" -> e7fSql,
     "e7_mixture_stats" -> e7bSql,
     "e7_upsample" -> e7dSql,

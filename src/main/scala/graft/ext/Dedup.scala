@@ -278,6 +278,47 @@ object Dedup {
     (out, iter)
   }
 
+  /** Global triangle count of an undirected pair graph — the
+    * clustering-structure probe for a near-dup candidate graph
+    * (cliques of mutual duplicates are triangle-dense; chains and
+    * stars are triangle-free, so the count distinguishes "one
+    * document copied everywhere" from "a family of mutual edits").
+    *
+    * Algorithm: degree orientation (Schank & Wagner 2005 / the MR
+    * adaptation in Suri & Vassilvitskii WWW'11): orient every edge
+    * from its lower-(degree, id) endpoint to the higher, which caps
+    * every out-neighborhood at O(√m) on ANY graph — wedges are then
+    * Σ outdeg² = O(m^1.5) worst case instead of Σ deg² (unbounded
+    * under hub skew). Each triangle {a≺b≺c} is counted exactly once
+    * as the wedge a→b→c closed by a→c. All three joins are equi-keyed
+    * (co-partitioned on node ids); the edge and oriented frames are
+    * persisted because each feeds multiple joins.
+    *
+    * Output: one row (n_edges, n_triangles).
+    */
+  def triangleCount(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs.select(col(aCol).as("u"), col(bCol).as("v")).persist()
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("x"),
+        when(uFirst, col("v")).otherwise(col("u")).as("y"))
+      .persist()
+    val wedges = o.join(
+      o.select(col("x").as("y"), col("y").as("z")), Seq("y"))
+    val tri = wedges.join(
+      o.select(col("x"), col("y").as("z")), Seq("x", "z"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(tri))
+  }
+
   /** Deterministic dedup: keep the first row per key group by
     * `orderCol` ascending, and report the group size. Deterministic
     * ONLY when `orderCol` is unique within each key group (like a

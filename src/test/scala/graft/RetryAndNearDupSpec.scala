@@ -57,6 +57,20 @@ class RetryAndNearDupSpec extends SparkSpec {
     assert(out.head._3 > 0.99)
   }
 
+  test("triangleCount: 4-clique + triangle + chain + isolated edge = 5 triangles") {
+    // 4-clique {0,1,2,3} → C(4,3)=4; triangle {10,11,12} → 1;
+    // chain 20-21-22 and edge 30-31 → 0
+    val edges = (for {
+      a <- 0 to 3; b <- 0 to 3 if a < b
+    } yield (a.toLong, b.toLong)) ++ Seq(
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (30L, 31L))
+    val out = graft.ext.Dedup
+      .triangleCount(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().head
+    assert(out == (12L, 5L))
+  }
+
   test("semanticDedup: keep flags obey the exists-earlier-neighbor rule; kept set pairwise dissimilar") {
     val tau = 0.9
     // two well-separated directions; ids 0/2/3 near-parallel (dups),

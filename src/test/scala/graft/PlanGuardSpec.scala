@@ -306,6 +306,40 @@ class PlanGuardSpec extends SparkSpec {
     assert(semiIsEqui, s"semi join must carry the cluster key:\n$p")
   }
 
+  test("AQE splits a skewed join partition at runtime (the automatic half of j4's salting)") {
+    // j4_salted_join is the MANUAL skew remedy; this pins the runtime
+    // one: a hot key dominating one shuffle partition makes AQE's
+    // OptimizeSkewedJoin split that partition and replicate the
+    // matching build side — the remedy a 100 TB deployment relies on
+    // when the hot key isn't known at write time.
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // 8k rows on ONE key vs 2k spread over 200 keys
+      val left = spark.range(10000).select(
+        when(col("id") < 8000, lit(0L)).otherwise(col("id") % 200 + 1).as("k"),
+        col("id").as("lv"))
+      val right = spark.range(1000).select((col("id") % 201).as("k"), col("id").as("rv"))
+      val joined = left.join(right, Seq("k"))
+      joined.collect() // adaptive re-plan happens during execution
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("skew=true"), s"AQE did not mark the skewed join:\n$p")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
+
   test("AQE converts a statically-planned SortMergeJoin to broadcast at runtime") {
     // Static planning must NOT broadcast (threshold off), so the
     // initial plan is a shuffle join; AQE's runtime stats then see the

@@ -1769,6 +1769,49 @@ object ParityQueries {
       |  CAST(CAST(vw AS VARCHAR) AS DOUBLE) / CAST(w_total AS DOUBLE) AS twap,
       |  w_total FROM g""".stripMargin
 
+  // ---- W8: interval union (merge overlapping time ranges) ------------------
+  // The "union of busy spans" primitive (ad sessions, maintenance
+  // windows, GPU occupancy): each event opens an interval
+  // [ts, ts + value seconds]; overlapping-or-touching intervals per
+  // user merge. Island detection = start beyond the running MAX of
+  // prior ends — one per-user window chain on a single (user, start)
+  // sort, one agg; epoch-microsecond arithmetic so both engines
+  // compare exact integers (floor before the BIGINT cast: Spark's
+  // double→long cast truncates where DuckDB's rounds).
+  def w8IntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_us").asc, col("end_us").asc, col("event_id").asc)
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) +
+          floor(col("value") * lit(1000000d)).cast("long")).as("end_us"))
+      .withColumn("_max_end", max(col("end_us")).over(prior))
+      .withColumn("_new",
+        when(col("_max_end").isNull || col("start_us") > col("_max_end"), 1)
+          .otherwise(0))
+      .withColumn("interval_id",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .groupBy(col("user_id"), col("interval_id"))
+      .agg(count(lit(1)).as("n_merged"),
+        min(col("start_us")).as("start_us"), max(col("end_us")).as("end_us"))
+  }
+  val w8Sql =
+    """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS start_us,
+      |    epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS end_us
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL),
+      |m AS (SELECT *, MAX(end_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_end FROM t),
+      |n AS (SELECT *, CASE WHEN max_end IS NULL OR start_us > max_end THEN 1 ELSE 0 END AS nw FROM m),
+      |s AS (SELECT *, CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY start_us, end_us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS interval_id FROM n)
+      |SELECT user_id, interval_id, CAST(count(*) AS BIGINT) AS n_merged,
+      |  min(start_us) AS start_us, max(end_us) AS end_us
+      |FROM s GROUP BY user_id, interval_id""".stripMargin
+
   /** Flagship query (SparkEntry.entry): the reference dashboard's
     * "average metric by geography, ranked" question (dashboard_app/
     * app.py:57,74) over testdata — star join, grouped mean, ordered.
@@ -1851,6 +1894,7 @@ object ParityQueries {
     "s10_zorder" -> (s10Zorder _),
     "j10_dpp" -> (j10Dpp _),
     "w7_twap" -> (w7Twap _),
+    "w8_interval_merge" -> (w8IntervalMerge _),
     "o13_pareto" -> (o13Pareto _),
     "o14_transitions" -> (o14Transitions _),
     "u2_bag_ops" -> (u2BagOps _),
@@ -1933,6 +1977,7 @@ object ParityQueries {
     "s10_zorder" -> s10Sql,
     "j10_dpp" -> j10Sql,
     "w7_twap" -> w7Sql,
+    "w8_interval_merge" -> w8Sql,
     "o13_pareto" -> o13Sql,
     "o14_transitions" -> o14Sql,
     "u2_bag_ops" -> u2Sql,

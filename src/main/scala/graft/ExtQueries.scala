@@ -1605,6 +1605,43 @@ object ExtQueries {
        |  CAST(tok_before // $SeqLen AS BIGINT) AS seq_id,
        |  CAST(tok_before % $SeqLen AS BIGINT) AS offset_in_seq FROM c""".stripMargin
 
+  // ---- E5u: training-sequence ASSEMBLY (packing made physical) -------------
+  // e5_pack assigns (seq_id, offset); this builds the sequences:
+  // per (source, seq_id), the member documents concatenated in
+  // packing order with an <eos> separator — the actual tensor-feed
+  // artifact. The result row carries length + md5 fingerprint rather
+  // than the sequence text, so the oracle pins EVERY BYTE of every
+  // assembled sequence without hauling the corpus through the
+  // compare. Scale: tokensBefore's two bounded shuffles, then one
+  // agg keyed (source, seq_id) whose groups are capped by SeqLen
+  // tokens by construction — assembly can never build an unbounded
+  // group.
+  def e5PackAssemble(s: SparkSession, dir: String): DataFrame =
+    Packing.tokensBefore(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          TextOps.tokenCount(col("text")).cast("long").as("ntok")),
+      source = "source", order = "doc_id", ntok = "ntok", blockSize = 128L)
+      .withColumn("seq_id", expr(s"tok_before div $SeqLen"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        concat_ws(" <eos> ",
+          transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text"))).as("_seq"))
+      .select(col("source"), col("seq_id"), col("n_docs"),
+        length(col("_seq")).cast("long").as("n_chars"),
+        md5(col("_seq")).as("fp"))
+  val e5uSql: String =
+    s"""WITH t AS (SELECT doc_id, source, text, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ntok FROM documents),
+       |c AS (SELECT doc_id, source, text, COALESCE(SUM(ntok) OVER (
+       |  PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before FROM t)
+       |SELECT source, CAST(tok_before // $SeqLen AS BIGINT) AS seq_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(len(string_agg(text, ' <eos> ' ORDER BY doc_id)) AS BIGINT) AS n_chars,
+       |  md5(string_agg(text, ' <eos> ' ORDER BY doc_id)) AS fp
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   // ---- E7d: mixture UPSAMPLING (rates above 1000 permille) -----------------
   // src0 at 2.5× (2 whole copies + a 50%-permille third), src1 at
   // 0.5×, everything else 1× — the other half of mixture weighting
@@ -1678,7 +1715,8 @@ object ExtQueries {
     "e2_semantic_dedup" -> (e2SemanticDedup _),
     "e7_reservoir" -> (e7Reservoir _),
     "e5_bpe_train" -> (e5BpeTrain _),
-    "e2_triangles" -> (e2Triangles _)
+    "e2_triangles" -> (e2Triangles _),
+    "e5_pack_assemble" -> (e5PackAssemble _)
   )
 
   val sql: Map[String, String] = Map(
@@ -1699,6 +1737,7 @@ object ExtQueries {
     "e7_reservoir" -> e7gSql,
     "e5_bpe_train" -> e5tSql,
     "e2_triangles" -> e2kSql,
+    "e5_pack_assemble" -> e5uSql,
     "e7_cluster_split" -> e7fSql,
     "e7_mixture_stats" -> e7bSql,
     "e7_upsample" -> e7dSql,

@@ -1695,6 +1695,43 @@ object ParityQueries {
        |FROM lineitem GROUP BY 1""".stripMargin
   }
 
+  // ---- S11: distributed table checksum ---------------------------------------
+  // The replication-integrity primitive (pt-table-checksum's shape):
+  // 64 key-hash buckets, each with a row count and an
+  // order-independent content checksum — SUM of a 32-bit md5 of the
+  // canonical row representation. Compare source vs replica per
+  // bucket to LOCALIZE corruption instead of re-reading the table.
+  // One partial+final agg, map-side combined; the repr uses only
+  // integers/strings (price in floored cents, date in epoch micros) —
+  // double→string formatting is engine-specific and never enters a
+  // checksum. Order-independence (SUM) is what makes it valid across
+  // engines and partitionings.
+  private val ChecksumBuckets = 64
+  def s11TableChecksum(s: SparkSession, dir: String): DataFrame = {
+    val repr = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      floor(col("o_totalprice") * 100).cast("long"),
+      unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority"))
+    Tables.orders(s, dir)
+      .select(
+        (graft.ext.TextOps.md5Int32(col("o_orderkey").cast("string"))
+          % ChecksumBuckets).as("bucket"),
+        graft.ext.TextOps.md5Int32(repr).as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+  }
+  val s11Sql: String = {
+    def md5i(e: String) =
+      s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+    val repr = "o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' || " +
+      "CAST(floor(o_totalprice * 100) AS BIGINT) || '|' || " +
+      "epoch_us(o_orderdate) || '|' || o_orderpriority"
+    s"""SELECT ${md5i("CAST(o_orderkey AS VARCHAR)")} % $ChecksumBuckets AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(${md5i(s"($repr)")}) AS BIGINT) AS checksum
+       |FROM orders GROUP BY 1""".stripMargin
+  }
+
   // ---- J10: dynamic partition pruning ---------------------------------------
   // The RUNTIME half of the partition-pruning story (s9 is the static
   // half): the fact side is hive-partitioned on event_type, but which
@@ -1892,6 +1929,7 @@ object ParityQueries {
     "a19_ks_drift" -> (a19KsDrift _),
     "s9_partitioned_prune" -> (s9PartitionedPrune _),
     "s10_zorder" -> (s10Zorder _),
+    "s11_table_checksum" -> (s11TableChecksum _),
     "j10_dpp" -> (j10Dpp _),
     "w7_twap" -> (w7Twap _),
     "w8_interval_merge" -> (w8IntervalMerge _),
@@ -1975,6 +2013,7 @@ object ParityQueries {
     "a19_ks_drift" -> a19Sql,
     "s9_partitioned_prune" -> s9Sql,
     "s10_zorder" -> s10Sql,
+    "s11_table_checksum" -> s11Sql,
     "j10_dpp" -> j10Sql,
     "w7_twap" -> w7Sql,
     "w8_interval_merge" -> w8Sql,

@@ -337,6 +337,30 @@ object ParityQueries {
       "w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
       "w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
 
+  // ---- O9: moving median (order statistics in a sliding frame) --------------
+  // The robust-smoothing window op (noise-tolerant where o8's moving
+  // mean is outlier-dragged): exact median over a trailing 5-row
+  // frame per customer. Both engines interpolate even-count medians
+  // as lower + (upper − lower) · frac — the same IEEE sequence — so
+  // the hash holds without decimal routing. Frames are
+  // O(frame)-bounded per row; the partition never materializes.
+  def o9MovingMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w5 = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(-4, Window.currentRow)
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      expr("percentile(o_totalprice, 0.5)").over(w5).as("med5"),
+      count(lit(1)).over(w5).as("n5"))
+  }
+  val o9Sql =
+    "SELECT o_orderkey, o_custkey, o_totalprice, " +
+      "quantile_cont(o_totalprice, 0.5) OVER w5 AS med5, " +
+      "CAST(count(*) OVER w5 AS BIGINT) AS n5 " +
+      "FROM orders WINDOW w5 AS (PARTITION BY o_custkey " +
+      "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+
   // ---- F8: null toolkit -----------------------------------------------------
   // coalesce / nullif / greatest / least / CASE — identical null
   // propagation in both engines (greatest/least ignore nulls unless
@@ -354,6 +378,35 @@ object ParityQueries {
       "greatest(c_acctbal, 0.0) AS bal_floor, least(c_acctbal, 5000.0) AS bal_cap, " +
       "CASE WHEN c_acctbal < 0 THEN 'overdrawn' WHEN c_acctbal < 1000 THEN 'low' ELSE 'ok' END AS bal_band " +
       "FROM customer"
+
+  // ---- F6: math toolkit -----------------------------------------------------
+  // The scalar-math surface restricted to functions with EXACT
+  // cross-engine semantics: abs/sign (trivial), sqrt (IEEE
+  // correctly-rounded everywhere), floor/ceil (exact), power-of-two
+  // scaling (exponent shift, exact), and integer modulo. ln/exp/pow
+  // and double round are deliberately ABSENT: libm results differ in
+  // the last ulp across engines and a hash gate would flake — the
+  // bigram-rarity and EWMA queries show the integer-exact patterns
+  // that replace them.
+  def f6MathToolkit(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_quantity") - 25.0).as("q_dev"),
+      signum(col("l_quantity") - 25.0).as("q_sign"),
+      sqrt(col("l_extendedprice")).as("price_sqrt"),
+      floor(col("l_extendedprice") / 1000.0).cast("long").as("price_k_floor"),
+      ceil(col("l_extendedprice") / 1000.0).cast("long").as("price_k_ceil"),
+      (col("l_extendedprice") * 0.25).as("price_q"), // 2^-2: exact scaling
+      (col("l_partkey") % 97).as("part_mod"))
+  val f6Sql =
+    "SELECT l_orderkey, l_linenumber, " +
+      "abs(l_quantity - 25.0) AS q_dev, " +
+      "CAST(sign(l_quantity - 25.0) AS DOUBLE) AS q_sign, " +
+      "sqrt(l_extendedprice) AS price_sqrt, " +
+      "CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor, " +
+      "CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil, " +
+      "l_extendedprice * 0.25 AS price_q, " +
+      "l_partkey % 97 AS part_mod FROM lineitem"
 
   // ---- F7: string toolkit ---------------------------------------------------
   // The wider scalar-string surface beyond F1's trim/lower/replace —
@@ -1880,6 +1933,7 @@ object ParityQueries {
     "j8_range_auto" -> (j8RangeAuto _),
     "j9_basket_pairs" -> (j9BasketPairs _),
     "f5_json" -> (f5Json _),
+    "f6_math_toolkit" -> (f6MathToolkit _),
     "f7_string_toolkit" -> (f7StringToolkit _),
     "o8_window_frames" -> (o8WindowFrames _),
     "f8_null_toolkit" -> (f8NullToolkit _),
@@ -1919,6 +1973,7 @@ object ParityQueries {
     "a13_typed_mean" -> (a13TypedMean _),
     "a14_group_regression" -> (a14GroupRegression _),
     "o7_rank_family" -> (o7RankFamily _),
+    "o9_moving_median" -> (o9MovingMedian _),
     "o10_gap_fill" -> (o10GapFill _),
     "o11_ewma" -> (o11Ewma _),
     "o12_cumulative_users" -> (o12CumulativeUsers _),
@@ -1964,6 +2019,7 @@ object ParityQueries {
     "j8_range_auto" -> j8Sql,
     "j9_basket_pairs" -> j9Sql,
     "f5_json" -> f5Sql,
+    "f6_math_toolkit" -> f6Sql,
     "f7_string_toolkit" -> f7Sql,
     "o8_window_frames" -> o8Sql,
     "f8_null_toolkit" -> f8Sql,
@@ -2003,6 +2059,7 @@ object ParityQueries {
     "a13_typed_mean" -> a13Sql,
     "a14_group_regression" -> a14Sql,
     "o7_rank_family" -> o7Sql,
+    "o9_moving_median" -> o9Sql,
     "o10_gap_fill" -> o10Sql,
     "o11_ewma" -> o11Sql,
     "o12_cumulative_users" -> o12Sql,

@@ -1642,6 +1642,42 @@ object ExtQueries {
        |  md5(string_agg(text, ' <eos> ' ORDER BY doc_id)) AS fp
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  // ---- E1c: cross-source overlap matrix ------------------------------------
+  // Corpus curation's "which sources duplicate each other": shingle-
+  // set Jaccard between every source pair. One distinct over
+  // (source, shingle) collapses the corpus to source-level sets;
+  // the pairwise intersection is a shingle-keyed self-join whose
+  // fan-out per shingle is bounded by #sources² — never doc-pairs.
+  // Pairs sharing zero shingles drop out (inner join), documented.
+  def e1SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ssh = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(MinHash.shingleHashesFromTokens(
+          TextOps.tokens(col("text")), 3)).as("sh"))
+      .distinct()
+    val cnt = ssh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val ix = ssh.select(col("source").as("src_a"), col("sh"))
+      .join(ssh.select(col("source").as("src_b"), col("sh")), Seq("sh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    ix.join(cnt.select(col("source").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+      .join(cnt.select(col("source").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+  val e1cSql: String =
+    s"""$e2Ctes,
+       |ssh AS (SELECT DISTINCT d.source, sh FROM (
+       |  SELECT doc_id, unnest(ms) AS sh FROM hashed) h JOIN documents d USING (doc_id)),
+       |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ssh GROUP BY source),
+       |ix AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_common, ca.n AS n_a, cb.n AS n_b,
+       |  CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+       |FROM ix JOIN cnt ca ON src_a = ca.source JOIN cnt cb ON src_b = cb.source""".stripMargin
+
   // ---- E7d: mixture UPSAMPLING (rates above 1000 permille) -----------------
   // src0 at 2.5× (2 whole copies + a 50%-permille third), src1 at
   // 0.5×, everything else 1× — the other half of mixture weighting
@@ -1716,7 +1752,8 @@ object ExtQueries {
     "e7_reservoir" -> (e7Reservoir _),
     "e5_bpe_train" -> (e5BpeTrain _),
     "e2_triangles" -> (e2Triangles _),
-    "e5_pack_assemble" -> (e5PackAssemble _)
+    "e5_pack_assemble" -> (e5PackAssemble _),
+    "e1_source_overlap" -> (e1SourceOverlap _)
   )
 
   val sql: Map[String, String] = Map(
@@ -1738,6 +1775,7 @@ object ExtQueries {
     "e5_bpe_train" -> e5tSql,
     "e2_triangles" -> e2kSql,
     "e5_pack_assemble" -> e5uSql,
+    "e1_source_overlap" -> e1cSql,
     "e7_cluster_split" -> e7fSql,
     "e7_mixture_stats" -> e7bSql,
     "e7_upsample" -> e7dSql,

@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-plan rewrite: point-in-interval theta-joins → binned
     // equi-join (graft.plans.RangeJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    // whole-operator tier: the native sort-merge AS-OF join
+    // (graft.plans.AsOfJoinNode → AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -183,6 +183,27 @@ object ParityQueries {
       "SELECT p.user_id, p.ts, p.event_id, p.value, c.click_value " +
       "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
 
+  // ---- J5n: the NATIVE as-of join (whole-operator tier) --------------------
+  // Same inputs and same DuckDB ASOF-LEFT-JOIN oracle as j5, but
+  // planned as the custom physical operator
+  // ([[graft.plans.AsOfJoinExec]] via injectPlannerStrategy): each
+  // side gets its own exchange + (key, ts) sort; the merge is one
+  // forward pass holding ONE buffered right row — the right table
+  // never flows through the left's shuffle the way the union+window
+  // form requires. Law-tested equal to the composed form
+  // (AsOfJoinNativeSpec); oracle-verified here every round.
+  // A/B at sf0.1/local[32]: native 1.21 s vs composed 2.15 s.
+  def j5AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+    AsofJoin.asofJoinNative(
+      purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_value"))
+  }
+
   // ---- J6: point-in-interval range join -----------------------------------
   // Promo-style intervals (6 h after every 40th signup) joined to all
   // events falling inside them. Spark runs the BINNED equi-join
@@ -1928,6 +1949,7 @@ object ParityQueries {
     "j3_semi_anti" -> (j3SemiAnti _),
     "j4_salted_join" -> (j4SaltedJoin _),
     "j5_asof_join" -> (j5AsofJoin _),
+    "j5_asof_native" -> (j5AsofNative _),
     "j6_range_join" -> (j6RangeJoin _),
     "j7_interval_overlap" -> (j7IntervalOverlap _),
     "j8_range_auto" -> (j8RangeAuto _),
@@ -2014,6 +2036,7 @@ object ParityQueries {
     "j3_semi_anti" -> j3Sql,
     "j4_salted_join" -> j4Sql,
     "j5_asof_join" -> j5Sql,
+    "j5_asof_native" -> j5Sql,
     "j6_range_join" -> j6Sql,
     "j7_interval_overlap" -> j7Sql,
     "j8_range_auto" -> j8Sql,

@@ -71,4 +71,32 @@ object AsofJoin {
       .select(leftCols.map(col) ++
         rightValCols.map(c => col("__rv").getField(c).as(c)): _*)
   }
+
+  /** The NATIVE form of [[asofJoin]] — identical semantics
+    * (law-tested), planned as [[graft.plans.AsOfJoinExec]]: each side
+    * gets its own exchange + (key, ts) sort and the merge is one
+    * forward pass with a single buffered right row, instead of
+    * unioning both tables through one window. Requires the
+    * [[graft.plans.AsOfJoinStrategy]] planner strategy; this helper
+    * installs it on the session if the extension didn't.
+    */
+  def asofJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightValCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    require(rightValCols.nonEmpty, "at least one right value column")
+    require(rightValCols.intersect(left.columns.toSeq).isEmpty,
+      "right value columns must not collide with left columns")
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    ColumnBridge.ofRows(spark, graft.plans.AsOfJoinNode(
+      ColumnBridge.analyzed(left), ColumnBridge.analyzed(right),
+      keys, leftTs, rightTs, rightValCols))
+  }
 }

@@ -16,6 +16,18 @@ object ColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Analyzed logical plan of a DataFrame (attribute resolution for
+    * plan-level operators).
+    */
+  def analyzed(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** DataFrame over a raw logical plan (the inverse of [[analyzed]]). */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a temp SQL function on a LIVE session (the
     * SparkSessionExtensions route only applies at session build;
     * getOrCreate silently ignores withExtensions when a session

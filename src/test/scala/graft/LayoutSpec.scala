@@ -70,6 +70,32 @@ class LayoutSpec extends SparkSpec {
     assert(sWorst == 63, s"x-sort files should span all of y, got $sWorst")
   }
 
+  test("z-ordered files are actually SKIPPED: scan row metrics under a y-predicate") {
+    // The end-to-end proof the bounding boxes exist for: a predicate
+    // on y alone must let the reader skip most z-clustered row
+    // groups, while the x-sorted layout (y unbounded per file) reads
+    // every row. numOutputRows on the scan node counts rows the
+    // reader DELIVERED (post row-group/page pruning, pre-Filter).
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+    val zPath = Sink.scratchDir("layout_skip_z")
+    val sPath = Sink.scratchDir("layout_skip_s")
+    Layout.writeZOrdered(df, zPath, 16, col("x"), col("y"))
+    df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(sPath)
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("y") >= 60)
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val zRows = scanRows(zPath)
+    val sRows = scanRows(sPath)
+    assert(sRows == 4096L, s"x-sorted layout cannot skip, read $sRows")
+    // y>=60 touches only the top row of 16x16 z-tiles: 4 of 16 files
+    assert(zRows <= 1024L, s"z layout should skip ~3/4 of rows, read $zRows")
+  }
+
   test("ksDrift: blocked ECDF equals the naive driver-side KS on a planted shift") {
     val a = (1 to 200).map(i => ("a", i.toDouble / 10.0))
     val b = (1 to 150).map(i => ("b", i.toDouble / 10.0 + 3.7)) // shifted

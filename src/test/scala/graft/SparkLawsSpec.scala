@@ -213,6 +213,91 @@ class SparkLawsSpec extends SparkSpec {
     }
   }
 
+  test("law: merged intervals are disjoint, ordered, and cover exactly the input union") {
+    for (seed <- Seq(3, 11, 29)) {
+      val r = new Random(seed)
+      val iv = Seq.fill(200)((r.nextInt(5).toLong,
+        r.nextInt(1000).toLong, r.nextInt(60).toLong + 1))
+        .zipWithIndex.map { case ((u, s, len), i) => (u, i.toLong, s, s + len) }
+      val df = iv.toDF("user_id", "event_id", "start_us", "end_us")
+      // same island algorithm as w8, driven directly on the frame
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("start_us").asc, col("end_us").asc, col("event_id").asc)
+      val merged = df
+        .withColumn("_me", max(col("end_us")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("_new", when(col("_me").isNull || col("start_us") > col("_me"), 1).otherwise(0))
+        .withColumn("iid", sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("iid"))
+        .agg(min(col("start_us")).as("s"), max(col("end_us")).as("e"))
+        .as[(Long, Long, Long, Long)].collect()
+      // disjoint + ordered within user
+      for ((u, ivs) <- merged.groupBy(_._1)) {
+        val sorted = ivs.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._4 < b._3, s"user $u: ${a._4} !< ${b._3}")
+          case _ =>
+        }
+      }
+      // point-coverage equality against the naive union of input spans
+      val inPts = iv.flatMap { case (u, _, s, e) => (s to e).map((u, _)) }.toSet
+      val outPts = merged.flatMap { case (u, _, s, e) => (s to e).map((u, _)) }.toSet
+      assert(inPts == outPts)
+    }
+  }
+
+  test("law: reservoirPerGroup is exactly-k, drawn from the group, repartition-invariant") {
+    val data = randomPairs(13, 500, 8).map { case (k, v) => (s"g$k", v.toLong) }
+      .zipWithIndex.map { case ((g, _), i) => (g, i.toLong) }
+    val df = data.toDF("grp", "id")
+    val a = graft.ext.Sampling.reservoirPerGroup(df, "grp", "id", 7)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    val b = graft.ext.Sampling.reservoirPerGroup(df.repartition(13), "grp", "id", 7)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(a == b) // partitioning-invariant winners
+    val sizes = a.groupBy(_._1).view.mapValues(_.size)
+    val groupSizes = data.groupBy(_._1).view.mapValues(_.size)
+    for ((g, n) <- groupSizes) assert(sizes(g) == math.min(7, n))
+    assert(a.subsetOf(data.toSet))
+  }
+
+  test("law: blocked KS is blockWidth-invariant and bounded in [0, 1]") {
+    val r = new Random(5)
+    val rows = Seq.fill(400)(("a", r.nextInt(500) / 10.0)) ++
+      Seq.fill(300)(("b", r.nextInt(500) / 10.0 + r.nextInt(3)))
+    val df = rows.toDF("t", "v")
+    val outs = Seq(1.0, 7.0, 100.0).map { bw =>
+      graft.ops.Aggregates.ksDrift(df, "t", "v", "a", "b", bw)
+        .as[(Long, Long, Long, Double)].collect().head
+    }
+    assert(outs.distinct.size == 1, s"block width changed the statistic: $outs")
+    val (_, _, _, stat) = outs.head
+    assert(stat >= 0.0 && stat <= 1.0)
+  }
+
+  test("law: triangle count is invariant under edge orientation and node relabeling") {
+    val r = new Random(23)
+    val edges = Seq.fill(150)((r.nextInt(30).toLong, r.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    def count(es: Seq[(Long, Long)]): Long =
+      graft.ext.Dedup.triangleCount(es.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .as[(Long, Long)].collect().head._2
+    val base = count(edges)
+    val relabeled = edges.map { case (a, b) =>
+      val (x, y) = (997 - a, 997 - b); (math.min(x, y), math.max(x, y))
+    }
+    assert(count(relabeled) == base)
+    // brute-force reference
+    val es = edges.toSet
+    def has(a: Long, b: Long) = es((math.min(a, b), math.max(a, b)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val ref = nodes.combinations(3).count {
+      case Seq(a, b, c) => has(a, b) && has(b, c) && has(a, c)
+    }
+    assert(base == ref.toLong)
+  }
+
   test("law: incremental candidate pairs = full pairs minus base-only pairs") {
     // the contract that makes incremental ingest SAFE: probing only
     // delta bands must find exactly the full-rescan pairs that touch

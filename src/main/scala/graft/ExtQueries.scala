@@ -364,6 +364,29 @@ object ExtQueries {
        |  FROM scored) WHERE rk <= $E3K""".stripMargin
   }
 
+  // ---- E3s: the SQL-first form of e3_cosine_topk ---------------------------
+  // Same computation, same oracle — but written as one spark.sql
+  // statement calling the injected native function (graft_dot, the
+  // codegen'd FloatDotProduct), which makes the
+  // SparkSessionExtensions.injectFunction path LOAD-BEARING in the
+  // driver gate (the j8_range_auto precedent for injectOptimizerRule):
+  // if registration or the expression's SQL binding breaks, this row
+  // goes red. GraftExtensions.register covers plain sessions.
+  def e3CosineSql(s: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.register(s)
+    Tables.embeddings(s, dir).createOrReplaceTempView("emb_sql")
+    s.sql(
+      s"""WITH e AS (SELECT vec_id, embedding, graft_dot(embedding, embedding) AS n2 FROM emb_sql),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    graft_dot(q.embedding, c.embedding) / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+         |  FROM (SELECT * FROM e WHERE vec_id < $E3NumQueries) q
+         |  JOIN e c ON c.vec_id <> q.vec_id)
+         |SELECT query_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+         |  FROM scored) t WHERE rk <= $E3K""".stripMargin)
+  }
+
   // ---- E3b: bucketed ANN (sign-bit LSH; shuffle-on-bucket plan) ------------
   def e3AnnBucketed(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -1753,7 +1776,8 @@ object ExtQueries {
     "e5_bpe_train" -> (e5BpeTrain _),
     "e2_triangles" -> (e2Triangles _),
     "e5_pack_assemble" -> (e5PackAssemble _),
-    "e1_source_overlap" -> (e1SourceOverlap _)
+    "e1_source_overlap" -> (e1SourceOverlap _),
+    "e3_cosine_sql" -> (e3CosineSql _)
   )
 
   val sql: Map[String, String] = Map(
@@ -1776,6 +1800,7 @@ object ExtQueries {
     "e2_triangles" -> e2kSql,
     "e5_pack_assemble" -> e5uSql,
     "e1_source_overlap" -> e1cSql,
+    "e3_cosine_sql" -> e3Sql,
     "e7_cluster_split" -> e7fSql,
     "e7_mixture_stats" -> e7bSql,
     "e7_upsample" -> e7dSql,

@@ -1701,6 +1701,40 @@ object ExtQueries {
        |  CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
        |FROM ix JOIN cnt ca ON src_a = ca.source JOIN cnt cb ON src_b = cb.source""".stripMargin
 
+  // ---- E7h: curriculum phases (quality-tiered training order) --------------
+  // Curriculum learning's data side: rank the corpus into phases by
+  // quality score — phase 1 = top quartile (train on it first/most),
+  // phase 3 = bottom. Thresholds are EXACT quartiles computed once
+  // and broadcast as a 1-row frame (the distributed scalar-subquery
+  // idiom); 0.25/0.75 are exactly representable so the interpolation
+  // is the same IEEE sequence in both engines. Per-row work after
+  // the one threshold agg — no shuffle touches the corpus again.
+  def e7Curriculum(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextOps.qualityScore(TextOps.tokens(col("text")), TextOps.enMarkers)
+        .as("quality"))
+    val th = scored.agg(
+      expr("percentile(quality, 0.75)").as("t_hi"),
+      expr("percentile(quality, 0.25)").as("t_lo"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("quality"),
+        when(col("quality") >= col("t_hi"), 1L)
+          .when(col("quality") >= col("t_lo"), 2L)
+          .otherwise(3L).as("phase"))
+  }
+  val e7hSql: String = {
+    def inList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ", ", ")")
+    val tk = "string_split_regex(trim(text), '\\s+')"
+    val stop = s"CAST(len(list_filter($tk, t -> t IN ${inList(TextOps.enMarkers)})) AS DOUBLE) / CAST(len($tk) AS DOUBLE)"
+    val q = s"$stop * 0.5 + least(CAST(len($tk) AS DOUBLE) / 100.0, 1.0) * 0.5"
+    s"""WITH sc AS (SELECT doc_id, $q AS quality FROM documents),
+       |th AS (SELECT quantile_cont(quality, 0.75) AS t_hi, quantile_cont(quality, 0.25) AS t_lo FROM sc)
+       |SELECT doc_id, quality,
+       |  CAST(CASE WHEN quality >= t_hi THEN 1 WHEN quality >= t_lo THEN 2 ELSE 3 END AS BIGINT) AS phase
+       |FROM sc CROSS JOIN th""".stripMargin
+  }
+
   // ---- E7d: mixture UPSAMPLING (rates above 1000 permille) -----------------
   // src0 at 2.5× (2 whole copies + a 50%-permille third), src1 at
   // 0.5×, everything else 1× — the other half of mixture weighting
@@ -1777,7 +1811,8 @@ object ExtQueries {
     "e2_triangles" -> (e2Triangles _),
     "e5_pack_assemble" -> (e5PackAssemble _),
     "e1_source_overlap" -> (e1SourceOverlap _),
-    "e3_cosine_sql" -> (e3CosineSql _)
+    "e3_cosine_sql" -> (e3CosineSql _),
+    "e7_curriculum" -> (e7Curriculum _)
   )
 
   val sql: Map[String, String] = Map(
@@ -1801,6 +1836,7 @@ object ExtQueries {
     "e5_pack_assemble" -> e5uSql,
     "e1_source_overlap" -> e1cSql,
     "e3_cosine_sql" -> e3Sql,
+    "e7_curriculum" -> e7hSql,
     "e7_cluster_split" -> e7fSql,
     "e7_mixture_stats" -> e7bSql,
     "e7_upsample" -> e7dSql,

@@ -1806,6 +1806,26 @@ object ParityQueries {
        |FROM orders GROUP BY 1""".stripMargin
   }
 
+  // ---- S12: small-file compaction round-trip ---------------------------------
+  // The lake-maintenance op itself, driver-verified: fragment events
+  // into 64 files (the accumulation every incremental sink suffers),
+  // compact to 4 via shuffle-free coalesce, read back. The oracle
+  // only ever sees the original table, so any row loss/dup or type
+  // mangling across the two layout hops diverges the hash; the
+  // 64 → 4 file-count evidence is asserted in LayoutSpec.
+  def s12Compact(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode)
+    val small = Sink.scratchDir(s"compact_small_$tag")
+    val big = Sink.scratchDir(s"compact_big_$tag")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(small)
+    graft.ops.Layout.compact(s, small, big, 4)
+  }
+  val s12Sql =
+    "SELECT event_id, user_id, value, event_type FROM events"
+
   // ---- J10: dynamic partition pruning ---------------------------------------
   // The RUNTIME half of the partition-pruning story (s9 is the static
   // half): the fact side is hive-partitioned on event_type, but which
@@ -2007,6 +2027,7 @@ object ParityQueries {
     "s9_partitioned_prune" -> (s9PartitionedPrune _),
     "s10_zorder" -> (s10Zorder _),
     "s11_table_checksum" -> (s11TableChecksum _),
+    "s12_compact" -> (s12Compact _),
     "j10_dpp" -> (j10Dpp _),
     "w7_twap" -> (w7Twap _),
     "w8_interval_merge" -> (w8IntervalMerge _),
@@ -2094,6 +2115,7 @@ object ParityQueries {
     "s9_partitioned_prune" -> s9Sql,
     "s10_zorder" -> s10Sql,
     "s11_table_checksum" -> s11Sql,
+    "s12_compact" -> s12Sql,
     "j10_dpp" -> j10Sql,
     "w7_twap" -> w7Sql,
     "w8_interval_merge" -> w8Sql,

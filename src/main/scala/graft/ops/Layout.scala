@@ -61,4 +61,22 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction — the lake-maintenance chore every
+    * streaming/incremental sink accumulates into (a 100 TB table fed
+    * by per-batch appends rots into millions of KB files; every
+    * scan then pays open/footer/seek per file). `coalesce` — not
+    * `repartition` — merges partitions WITHOUT a shuffle: each output
+    * task concatenates whole input splits, so compaction is pure
+    * sequential IO. Returns the compacted frame read back.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String,
+      outPath: String,
+      targetFiles: Int): DataFrame = {
+    spark.read.parquet(inPath).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath)
+  }
 }

@@ -96,6 +96,24 @@ class LayoutSpec extends SparkSpec {
     assert(zRows <= 1024L, s"z layout should skip ~3/4 of rows, read $zRows")
   }
 
+  test("compact: 64 fragments become 4 files, shuffle-free, content identical") {
+    val grid = (1 to 5000).map(i => (i.toLong, s"v$i"))
+    val df = grid.toDF("id", "v")
+    val small = Sink.scratchDir("compact_in")
+    val big = Sink.scratchDir("compact_out")
+    df.repartition(64).write.mode("overwrite").parquet(small)
+    def nFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles(small) == 64)
+    val out = Layout.compact(spark, small, big, 4)
+    assert(nFiles(big) == 4)
+    assert(out.as[(Long, String)].collect().toSet == grid.toSet)
+    // coalesce, not repartition: the compaction plan has no exchange
+    val p = spark.read.parquet(small).coalesce(4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("ksDrift: blocked ECDF equals the naive driver-side KS on a planted shift") {
     val a = (1 to 200).map(i => ("a", i.toDouble / 10.0))
     val b = (1 to 150).map(i => ("b", i.toDouble / 10.0 + 3.7)) // shifted

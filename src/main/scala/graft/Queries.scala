@@ -1228,6 +1228,55 @@ object ParityQueries {
       "SELECT l_orderkey, l_linenumber, l_quantity, " +
       "least(greatest(l_quantity, lo), hi) AS clipped FROM lineitem, b"
 
+  // ---- A20: Benford first-digit anomaly screen -------------------------------
+  // The forensic intake check for fabricated/corrupt numeric feeds:
+  // leading-digit frequencies of o_totalprice against Benford's law.
+  // One agg pass; output is the 9 per-digit rows (observed, expected,
+  // chi-square term) with NO cross-row float total — a sum of 9
+  // doubles is partial-order-dependent and would flake the hash, and
+  // the per-digit profile is the actionable artifact anyway. The
+  // first digit comes from the INTEGER part's string (integer
+  // formatting is engine-identical; double formatting is not), and
+  // the Benford probabilities are fixed literals, not log10 calls —
+  // libm last-ulp variance never enters.
+  private val BenfordP = Seq(
+    0.30102999566398120, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+  def a20Benford(s: SparkSession, dir: String): DataFrame = {
+    val digitCol = substring(
+      floor(col("o_totalprice")).cast("long").cast("string"), 1, 1).cast("int")
+    val counts = Tables.orders(s, dir)
+      .filter(col("o_totalprice") >= 1.0)
+      .select(digitCol.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = counts.agg(sum(col("n_obs")).as("n_total"))
+    val p = BenfordP.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (pr, i)) =>
+      when(col("digit") === (i + 1), lit(pr)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        (col("n_total") * p).as("expected"),
+        ((col("n_obs") - col("n_total") * p) * (col("n_obs") - col("n_total") * p) /
+          (col("n_total") * p)).as("chi_term"))
+  }
+  val a20Sql: String = {
+    // Literals carry an exponent ("…e0") so DuckDB parses them as
+    // DOUBLE directly: a bare 17-digit decimal parses as
+    // DECIMAL(18,17) whose decimal→double cast DOUBLE-ROUNDS (the
+    // mantissa exceeds 2^53), landing one ulp off Spark's literal
+    val p = BenfordP.zipWithIndex
+      .map { case (pr, i) => s"WHEN digit = ${i + 1} THEN ${pr}e0" }
+      .mkString("CASE ", " ", " ELSE 0.0e0 END")
+    s"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM orders WHERE o_totalprice >= 1.0),
+       |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+       |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM c)
+       |SELECT digit, n_obs, n_total * ($p) AS expected,
+       |  (n_obs - n_total * ($p)) * (n_obs - n_total * ($p)) / (n_total * ($p)) AS chi_term
+       |FROM c CROSS JOIN t""".stripMargin
+  }
+
   // ---- P8: data-profiling intake report ------------------------------------
   // One row per column: null + exact distinct counts over orders —
   // the feed-trust gate before any ETL run. Exact distincts use one
@@ -2024,6 +2073,7 @@ object ParityQueries {
     "a17_grouping_id" -> (a17GroupingId _),
     "a18_heavy_hitters" -> (a18HeavyHitters _),
     "a19_ks_drift" -> (a19KsDrift _),
+    "a20_benford" -> (a20Benford _),
     "s9_partitioned_prune" -> (s9PartitionedPrune _),
     "s10_zorder" -> (s10Zorder _),
     "s11_table_checksum" -> (s11TableChecksum _),
@@ -2112,6 +2162,7 @@ object ParityQueries {
     "a17_grouping_id" -> a17Sql,
     "a18_heavy_hitters" -> a18Sql,
     "a19_ks_drift" -> a19Sql,
+    "a20_benford" -> a20Sql,
     "s9_partitioned_prune" -> s9Sql,
     "s10_zorder" -> s10Sql,
     "s11_table_checksum" -> s11Sql,

@@ -36,6 +36,33 @@ object EventStream {
       .agg(count(lit(1)).as("n"), Aggregates.exactMean(col("value")).as("avg_value"))
       .select(col("w.start").as("bucket"), col("n"), col("avg_value"))
 
+  /** Streaming drift monitor — the streaming half of the batch
+    * a19_ks_drift gate: per event-time window, per population, the
+    * value distribution as fixed-width bucket counts. A downstream
+    * consumer (or the batch KS) compares adjacent windows' histograms
+    * to detect intake drift as it happens. Watermarked tumbling
+    * windows, so bucket state is emitted-once and evicted; the
+    * histogram is (window × type × bucket)-keyed — state never grows
+    * with row count, only with the bucketed domain.
+    */
+  def driftHistogram(
+      events: DataFrame,
+      typeA: String,
+      typeB: String,
+      bucketWidth: Double,
+      lateness: String = "2 hours",
+      windowLen: String = "6 hours"): DataFrame =
+    events
+      .filter(col("event_type").isin(typeA, typeB) && col("value").isNotNull)
+      .withWatermark("ts", lateness)
+      .groupBy(
+        window(col("ts"), windowLen).as("w"),
+        col("event_type"),
+        floor(col("value") / bucketWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("bucket"), col("n"))
+
   /** Per-key running state for [[runningCounts]]. */
   case class KeyCount(key: String, n: Long)
 

@@ -38,6 +38,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftHistogram emits per-window per-type bucket counts once windows close") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStream.driftHistogram(
+      in.toDF().toDF("ts", "event_type", "value"),
+      "click", "purchase", bucketWidth = 10.0,
+      lateness = "0 seconds", windowLen = "1 hour")
+      .writeStream.format("memory").queryName("dh_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (ts("10:05"), "click", 3.0), (ts("10:10"), "click", 7.0),
+        (ts("10:20"), "click", 17.0), (ts("10:25"), "purchase", 33.0),
+        (ts("10:30"), "signup", 5.0)) // filtered out
+      q.processAllAvailable()
+      in.addData((ts("12:00"), "click", 0.0)) // closes the 10:00 window
+      q.processAllAvailable()
+      val rows = spark.table("dh_out")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      assert(rows == Set(
+        (ts("10:00"), "click", 0L, 2L),
+        (ts("10:00"), "click", 1L, 1L),
+        (ts("10:00"), "purchase", 3L, 1L)))
+    } finally q.stop()
+  }
+
   test("runningCounts accumulates per-key state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long)]

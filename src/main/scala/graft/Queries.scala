@@ -204,6 +204,41 @@ object ParityQueries {
       purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_value"))
   }
 
+  // ---- J12: as-of join with staleness tolerance ----------------------------
+  // pandas merge_asof(tolerance=...): the carried-forward right value
+  // only counts if it is FRESH — here, the last click within 30
+  // minutes before the purchase; anything staler degrades to null.
+  // Because older matches are strictly farther away, "latest within
+  // tolerance" ≡ "latest, then tolerance-filtered", so this composes
+  // the as-of join (click_ts carried as a value column) with one
+  // per-row freshness predicate — no new join shape, no extra
+  // shuffle. Oracle: correlated latest-click subquery with the same
+  // staleness bound.
+  private val AsofTolUs = 30L * 60 * 1000000
+  def j12AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+      .withColumn("click_ts", col("ts"))
+    AsofJoin.asofJoin(purchases, clicks,
+      Seq("user_id"), "ts", "ts", Seq("click_value", "click_ts"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(
+          unix_micros(col("ts")) - unix_micros(col("click_ts")) <= AsofTolUs,
+          col("click_value")).as("click_value_tol"))
+  }
+  val j12Sql =
+    s"""WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id, ts, max(value) AS click_value FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+       |SELECT p.user_id, p.ts, p.event_id, p.value,
+       |  (SELECT c.click_value FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+       |     AND epoch_us(p.ts) - epoch_us(c.ts) <= $AsofTolUs
+       |   ORDER BY c.ts DESC LIMIT 1) AS click_value_tol
+       |FROM p""".stripMargin
+
   // ---- J6: point-in-interval range join -----------------------------------
   // Promo-style intervals (6 h after every 40th signup) joined to all
   // events falling inside them. Spark runs the BINNED equi-join
@@ -2019,6 +2054,7 @@ object ParityQueries {
     "j4_salted_join" -> (j4SaltedJoin _),
     "j5_asof_join" -> (j5AsofJoin _),
     "j5_asof_native" -> (j5AsofNative _),
+    "j12_asof_tolerance" -> (j12AsofTolerance _),
     "j6_range_join" -> (j6RangeJoin _),
     "j7_interval_overlap" -> (j7IntervalOverlap _),
     "j8_range_auto" -> (j8RangeAuto _),
@@ -2108,6 +2144,7 @@ object ParityQueries {
     "j4_salted_join" -> j4Sql,
     "j5_asof_join" -> j5Sql,
     "j5_asof_native" -> j5Sql,
+    "j12_asof_tolerance" -> j12Sql,
     "j6_range_join" -> j6Sql,
     "j7_interval_overlap" -> j7Sql,
     "j8_range_auto" -> j8Sql,

@@ -108,17 +108,41 @@ object Bpe {
     * (round, sym_a, sym_b, pair_count) — the artifact a tokenizer
     * ships. Each round's symbol state is persisted: round r+1's
     * lineage would otherwise re-run every prior round per action.
+    *
+    * Each round's argmax pair is a 1-row AGGREGATED collect (the same
+    * category as the CC convergence fingerprints — never data rows),
+    * which (a) lets the round's symbol state materialize eagerly so
+    * the PREVIOUS round's cache can be unpersisted right away (r8
+    * ADVICE: train used to leak ~2×rounds cached frames and rely on
+    * the runner's clearCache), and (b) makes the returned merge table
+    * a LOCAL frame with no lineage into the cached loop state — the
+    * exact artifact shape a tokenizer ships (rounds × 4 values).
     */
   def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     var syms = initSymbols(wordFreqs(docs, textCol)).persist()
-    val merges = (1 to rounds).map { r =>
-      val best = bestPair(syms).persist()
-      syms = applyMerge(syms, best).persist()
-      best.select(
-        lit(r.toLong).as("round"),
-        col("pa").as("sym_a"), col("pb").as("sym_b"),
-        col("cnt").as("pair_count"))
+    var prev: DataFrame = null
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // Materializes this round's syms cache as a side effect, so the
+      // previous round's cache is no longer reachable — release it.
+      val top = bestPair(syms).collect()
+      if (prev != null) prev.unpersist(blocking = false)
+      if (top.isEmpty) exhausted = true // vocabulary fully merged
+      else {
+        val (pa, pb, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, pa, pb, cnt))
+        val bestLocal = spark.range(1).select(lit(pa).as("pa"), lit(pb).as("pb"))
+        prev = syms
+        syms = applyMerge(syms, bestLocal).persist()
+      }
+      r += 1
     }
-    merges.reduce(_.union(_))
+    if (prev != null) prev.unpersist(blocking = false)
+    syms.unpersist(blocking = false)
+    merges.result().toDF("round", "sym_a", "sym_b", "pair_count")
   }
 }

@@ -223,10 +223,16 @@ object Dedup {
       maxIter: Int = 30): DataFrame =
     connectedComponentsStarWithRounds(vertices, pairs, maxIter)._1
 
+  /** Returns (labels, rounds, initialEdgeCount). The edge count comes
+    * from the convergence fingerprint the loop computes anyway — it
+    * costs no extra job, and callers that need a size-derived round
+    * bound (e2_chain_components) can use it instead of re-scanning
+    * the corpus (r8 VERDICT #3).
+    */
   private[graft] def connectedComponentsStarWithRounds(
       vertices: DataFrame,
       pairs: DataFrame,
-      maxIter: Int = 30): (DataFrame, Int) = {
+      maxIter: Int = 30): (DataFrame, Int, Long) = {
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("hi").as("x"), col("lo").as("y"))
@@ -256,6 +262,7 @@ object Dedup {
     }
 
     var (prevN, prevSum) = fingerprint(edges)
+    val initialEdges = prevN
     var iter = 0
     var converged = prevN == 0L
     while (!converged && iter < maxIter) {
@@ -275,7 +282,7 @@ object Dedup {
     val out = vertices.select(col("id"))
       .join(labels, col("id") === col("__cid"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-    (out, iter)
+    (out, iter, initialEdges)
   }
 
   /** Global triangle count of an undirected pair graph — the
@@ -315,8 +322,18 @@ object Dedup {
     val tri = wedges.join(
       o.select(col("x"), col("y").as("z")), Seq("x", "z"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
-    e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(broadcast(tri))
+    // Materialize the single aggregated output row eagerly so e and o
+    // can be unpersisted HERE instead of leaking until the runner's
+    // clearCache (r8 ADVICE) — the lazy form's lineage kept both caches
+    // reachable, so no point inside this function could release them.
+    // A 1-row aggregate collect, same category as the CC fingerprints.
+    val row = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(tri)).head()
+    e.unpersist(blocking = false)
+    o.unpersist(blocking = false)
+    pairs.sparkSession.range(1).select(
+      lit(row.getLong(0)).as("n_edges"),
+      lit(row.getLong(1)).as("n_triangles"))
   }
 
   /** Deterministic dedup: keep the first row per key group by

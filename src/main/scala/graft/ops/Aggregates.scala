@@ -100,13 +100,19 @@ object Aggregates {
       typeB: String,
       blockWidth: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perVal = df
+    // Eagerly persist the corpus-collapsing per-value aggregate: intra,
+    // offsets AND totals all fan out from it, so without the persist
+    // the groupBy lineage appears three times in the plan and the
+    // single-scan claim rests on exchange reuse kicking in (r8 ADVICE).
+    // Same pattern as MinHash.candidatePairs; released by the runner's
+    // per-query clearCache.
+    val perVal = graft.ops.Sink.cachedEager(df
       .filter(col(typeCol).isin(typeA, typeB) && col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("v"))
       .agg(
         sum(when(col(typeCol) === typeA, 1L).otherwise(0L)).as("c1"),
         sum(when(col(typeCol) === typeB, 1L).otherwise(0L)).as("c2"))
-      .withColumn("_blk", floor(col("v") / lit(blockWidth)).cast("long"))
+      .withColumn("_blk", floor(col("v") / lit(blockWidth)).cast("long")))
     val wIntra = Window.partitionBy(col("_blk")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val intra = perVal

@@ -63,6 +63,21 @@ case class AsOfJoinNode(
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n @ AsOfJoinNode(l, r, keys, lTs, rTs, valCols) =>
+      // Fail at planning, not execution: the exec builds its comparators
+      // from the LEFT side's data types and applies them to right-side
+      // projections, so an int-vs-long (or date-vs-timestamp) mismatch
+      // would silently miscompare rather than error (r8 ADVICE). Require
+      // exact type equality per key and for the timestamps.
+      for (k <- keys) {
+        val (lt, rt) = (n.attrOf(l, k).dataType, n.attrOf(r, k).dataType)
+        require(lt == rt,
+          s"as-of join key '$k' type mismatch: left $lt vs right $rt — cast one side first")
+      }
+      locally {
+        val (lt, rt) = (n.attrOf(l, lTs).dataType, n.attrOf(r, rTs).dataType)
+        require(lt == rt,
+          s"as-of join timestamp type mismatch: left '$lTs' $lt vs right '$rTs' $rt — cast one side first")
+      }
       AsOfJoinExec(
         planLater(l), planLater(r),
         keys.map(n.attrOf(l, _)), keys.map(n.attrOf(r, _)),

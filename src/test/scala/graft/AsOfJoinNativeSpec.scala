@@ -55,6 +55,25 @@ class AsOfJoinNativeSpec extends SparkSpec {
     compare(left, right, Seq("k1", "k2"))
   }
 
+  test("mismatched key/ts types fail at planning with a clear error") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "ts", "lv")
+    val rightBadKey = Seq((1, 5L, 1.0)).toDF("k", "ts", "rv")   // k is int
+    val rightBadTs = Seq((1L, 5, 1.0)).toDF("k", "ts", "rv")    // ts is int
+    // planner errors can arrive wrapped — search the cause chain
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => String.valueOf(x.getMessage)).mkString(" | ")
+    val e1 = intercept[Throwable] {
+      AsofJoin.asofJoinNative(left, rightBadKey, Seq("k"), "ts", "ts", Seq("rv"))
+        .queryExecution.executedPlan
+    }
+    assert(chain(e1).contains("type mismatch"), chain(e1))
+    val e2 = intercept[Throwable] {
+      AsofJoin.asofJoinNative(left, rightBadTs, Seq("k"), "ts", "ts", Seq("rv"))
+        .queryExecution.executedPlan
+    }
+    assert(chain(e2).contains("type mismatch"), chain(e2))
+  }
+
   test("native as-of plans as AsOfJoinExec: per-side exchanges, no union, no window") {
     val left = Seq((1L, 10L, "a")).toDF("k", "ts", "lv")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "ts", "rv")

@@ -39,7 +39,8 @@ class DedupStarSpec extends SparkSpec {
     val n = 256L
     val edges = (1L until n).map(i => (i, i + 1))
     val (verts, pairs) = vertsAndPairs(edges)
-    val (out, rounds) = Dedup.connectedComponentsStarWithRounds(verts, pairs)
+    val (out, rounds, nEdges) = Dedup.connectedComponentsStarWithRounds(verts, pairs)
+    assert(nEdges == n - 1, "initial edge count must come back from the fingerprint")
     val labels = labelsOf(out)
     assert(labels.size == n.toInt)
     assert(labels.values.forall(_ == 1L), "chain must collapse to min id 1")
@@ -66,8 +67,9 @@ class DedupStarSpec extends SparkSpec {
   test("empty pair list: every vertex is its own component, zero rounds") {
     val verts = Seq(1L, 2L, 3L).toDF("id")
     val pairs = spark.emptyDataset[(Long, Long)].toDF("a", "b")
-    val (out, rounds) = Dedup.connectedComponentsStarWithRounds(verts, pairs)
+    val (out, rounds, nEdges) = Dedup.connectedComponentsStarWithRounds(verts, pairs)
     assert(rounds == 0)
+    assert(nEdges == 0)
     assert(labelsOf(out) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 

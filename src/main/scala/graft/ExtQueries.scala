@@ -488,6 +488,44 @@ object ExtQueries {
        |  FROM scored) WHERE rk <= $AnnK""".stripMargin
   }
 
+  // ---- E3c': multi-probe IVF — the recall-vs-cost dial ----------------------
+  // Same index as e3_ivf_topk, but each query probes its IvfNprobe
+  // nearest cells instead of one (Similarity.ivfTopKProbe). Corpus
+  // vectors live in exactly one cell, so candidates can't repeat and
+  // work grows linearly in nprobe. The recall law (nprobe=3 recovers
+  // at least as much of the exact top-k as nprobe=1, strictly more on
+  // this corpus) is asserted in ExtSpec, measured by the e3_ann_recall
+  // harness pattern.
+  private val IvfNprobe = 3
+  def e3IvfProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopKProbe(
+      emb.filter(col("vec_id") < AnnQueries), emb,
+      emb.filter(col("vec_id") < IvfCentroids), AnnK, IvfNprobe)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+  val e3c2Sql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2 FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS cent_emb, n2 AS cent_n2 FROM e WHERE vec_id < $IvfCentroids),
+       |ranked AS (
+       |  SELECT v.vec_id, v.embedding, v.n2, cent.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${duckDot("v.embedding", "cent.cent_emb")} / (sqrt(v.n2) * sqrt(cent.cent_n2)) DESC, cent.cid) AS rn
+       |  FROM e v CROSS JOIN cent),
+       |assignc AS (SELECT vec_id, embedding, n2, cid FROM ranked WHERE rn = 1),
+       |assignq AS (SELECT vec_id, embedding, n2, cid FROM ranked
+       |  WHERE rn <= $IvfNprobe AND vec_id < $AnnQueries),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM assignq q JOIN assignc c ON q.cid = c.cid
+       |  WHERE c.vec_id <> q.vec_id)
+       |SELECT query_id, vec_id, cos_sim, rk FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= $AnnK""".stripMargin
+  }
+
   // ---- E3e: learned IVF centroids — Lloyd's k-means, oracle-exact ----------
   // The step e3_ivf_topk stubs with a fixed centroid set, run for
   // real: KmIters Lloyd iterations from the deterministic k-lowest-id
@@ -1108,7 +1146,12 @@ object ExtQueries {
   private val BpeRounds = 4
   def e5BpeTrain(s: SparkSession, dir: String): DataFrame =
     Bpe.train(Tables.documents(s, dir), "text", BpeRounds)
-  lazy val e5tSql: String = {
+  /** WITH-body replaying Bpe.train's rounds: CTEs w, s1, then per
+    * round r the pair counts pc_r, argmax b_r, and merged state
+    * s_{r+1}. Shared by e5_bpe_train (reads b_1..b_R) and
+    * e5_bpe_apply (reads the final s_{R+1}).
+    */
+  private lazy val bpeChainSql: String = {
     def round(r: Int) =
       s"""pc$r AS (SELECT syms[i] AS pa, syms[i+1] AS pb, CAST(SUM(f) AS BIGINT) AS cnt
          |  FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM s$r) t
@@ -1129,16 +1172,53 @@ object ExtQueries {
          |s${r + 1} AS (SELECT word, f, list(CASE WHEN sel THEN pa || pb ELSE sym END ORDER BY pos) AS syms
          |  FROM p${r}f WHERE NOT absorbed GROUP BY word, f)""".stripMargin
     val rounds = (1 to BpeRounds).map(r => "," + round(r)).mkString("\n")
-    val out = (1 to BpeRounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS round, pa AS sym_a, pb AS sym_b, cnt AS pair_count FROM b$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM (
+    s"""w AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM (
        |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents) t
        |  WHERE len(word) > 0 GROUP BY word),
        |s1 AS (SELECT word, f, list_transform(range(1, len(word)+1), i -> word[i]) AS syms FROM w)
-       |$rounds
+       |$rounds""".stripMargin
+  }
+  lazy val e5tSql: String = {
+    val out = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, pa AS sym_a, pb AS sym_b, cnt AS pair_count FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeChainSql
        |$out""".stripMargin
   }
+
+  // ---- E5u: BPE train -> ENCODE, composed (the shipping pipeline) ----------
+  // e5_bpe_train verifies the learned merge table and e5_bpe_tokens a
+  // fixed pre-tokenizer; this is what a tokenizer pipeline actually
+  // ships — the merges learned from THIS corpus applied back to it
+  // (Bpe.applyMerges), emitting per-document whitespace-token and
+  // BPE-symbol counts. Encoding runs on the distinct-word frame
+  // (merge application is frequency-independent), then the corpus
+  // joins the word->symbol-count vocab on the word key — vocabulary-
+  // bounded work plus one co-partitioned join; the oracle replays the
+  // train chain and reads its FINAL symbol state s_{R+1} directly.
+  def e5BpeApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.train(docs, "text", BpeRounds)
+      .orderBy(col("round"))
+      .collect() // rounds x 4 values, driver-local by construction
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = Bpe.applyMerges(docs, "text", merges)
+      .select(col("word"), size(col("syms")).cast("long").as("n_sym"))
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(vocab, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sym")).as("n_bpe_sym"))
+  }
+  lazy val e5vSql: String =
+    s"""WITH $bpeChainSql,
+       |vocab AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sym FROM s${BpeRounds + 1}),
+       |dw AS (SELECT doc_id, word FROM (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents) t
+       |  WHERE len(word) > 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_sym
+       |FROM dw JOIN vocab USING (word) GROUP BY doc_id""".stripMargin
 
   def e5BpeTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
@@ -1819,7 +1899,9 @@ object ExtQueries {
     "e5_pack_assemble" -> (e5PackAssemble _),
     "e1_source_overlap" -> (e1SourceOverlap _),
     "e3_cosine_sql" -> (e3CosineSql _),
-    "e7_curriculum" -> (e7Curriculum _)
+    "e7_curriculum" -> (e7Curriculum _),
+    "e3_ivf_probe" -> (e3IvfProbe _),
+    "e5_bpe_apply" -> (e5BpeApply _)
   )
 
   val sql: Map[String, String] = Map(
@@ -1839,6 +1921,7 @@ object ExtQueries {
     "e7_split" -> e7Sql,
     "e7_reservoir" -> e7gSql,
     "e5_bpe_train" -> e5tSql,
+    "e5_bpe_apply" -> e5vSql,
     "e2_triangles" -> e2kSql,
     "e5_pack_assemble" -> e5uSql,
     "e1_source_overlap" -> e1cSql,
@@ -1856,6 +1939,7 @@ object ExtQueries {
     "e3_ann_bucketed" -> e3bSql,
     "e3_ann_recall" -> e3dSql,
     "e3_ivf_topk" -> e3cSql,
+    "e3_ivf_probe" -> e3c2Sql,
     "e3_kmeans" -> e3eSql,
     "e2_semantic_dedup" -> e2jSql,
     "e3_ivf_learned" -> e3fSql,

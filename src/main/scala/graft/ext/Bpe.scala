@@ -145,4 +145,33 @@ object Bpe {
     syms.unpersist(blocking = false)
     merges.result().toDF("round", "sym_a", "sym_b", "pair_count")
   }
+
+  /** ENCODE with a learned merge table: apply `merges` in training
+    * order to the corpus VOCABULARY (distinct words), returning
+    * (word, syms) — each word's final symbol segmentation. This is
+    * the composition a tokenizer pipeline ships: [[train]] produces
+    * the merge list, this replays it over any corpus.
+    *
+    * Per-word merge application is frequency-independent, so encoding
+    * runs on the distinct-word frame with a constant weight — cost
+    * scales with vocabulary × |merges|, never corpus × |merges|; the
+    * corpus is touched once (the distinct). Each merge is the same
+    * single-(word,pos)-sort positional pass as training
+    * ([[applyMerge]]), and the merge list itself is rounds×2 strings
+    * — driver-local by construction.
+    */
+  def applyMerges(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    var syms = initSymbols(
+      docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+        .filter(length(col("word")) > 0)
+        .distinct()
+        .withColumn("f", lit(1L)))
+    for ((pa, pb) <- merges) {
+      val m = spark.range(1).select(lit(pa).as("pa"), lit(pb).as("pb"))
+      syms = applyMerge(syms, m)
+    }
+    syms.select(col("word"), col("syms"))
+  }
 }

@@ -105,7 +105,17 @@ object Similarity {
     * deterministic subset of the corpus) exercises the identical
     * plan — broadcast-assign, then co-partition by cell.
     */
-  def assignToCentroid(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignToCentroid(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignToCentroids(vectors, centroids, 1)
+
+  /** Generalization of [[assignToCentroid]]: each vector's `nprobe`
+    * highest-cosine centroids (ties → lowest centroid id), up to one
+    * row per (vector, probed cell). nprobe = 1 is exactly the storage
+    * assignment; nprobe > 1 is the QUERY side of a multi-probe IVF
+    * search. Same plan shape for any nprobe: broadcast centroids,
+    * score, per-vector top-nprobe (WindowGroupLimit prunes map-side).
+    */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val cent = centroids.select(
       col("vec_id").as("cid"),
       col("embedding").as("cent_emb"),
@@ -117,7 +127,7 @@ object Similarity {
         cosineFrom(dot(col("embedding"), col("cent_emb")), col("n2"), col("cent_n2"))
           .as("cent_cos"))
     graft.ops.Ranking
-      .topKPerGroup(scored, Seq("vec_id"), Seq(col("cent_cos").desc, col("cid").asc), 1)
+      .topKPerGroup(scored, Seq("vec_id"), Seq(col("cent_cos").desc, col("cid").asc), nprobe)
       .select(col("vec_id"), col("embedding"), col("n2"), col("cid"), col("cent_cos"))
   }
 
@@ -189,8 +199,22 @@ object Similarity {
     * cell quality; at scale the cell key replaces a learned k-means
     * index's posting lists.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
-    val q = assignToCentroid(queries, centroids).select(
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame =
+    ivfTopKProbe(queries, corpus, centroids, k, nprobe = 1)
+
+  /** Multi-probe IVF top-k: each query probes its `nprobe` nearest
+    * cells instead of one — the standard recall-vs-cost dial of a
+    * production IVF index (probe more posting lists, recover more of
+    * the exact top-k, scan proportionally more candidates). Corpus
+    * vectors still live in exactly ONE cell, so no (query, candidate)
+    * pair can arise twice and no dedup pass is needed; candidate work
+    * scales linearly in nprobe, never all-pairs. The probe join stays
+    * co-partitioned on the cell id — at scale the cell key is the
+    * posting-list address and only probed cells' rows move.
+    */
+  def ivfTopKProbe(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val q = assignToCentroids(queries, centroids, nprobe).select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       col("n2").as("q_n2"), col("cid"))
     val c = assignToCentroid(corpus, centroids)

@@ -57,4 +57,23 @@ class BpeSpec extends SparkSpec {
     // → six-way count tie → lexicographically smallest pair: (e,r)
     assert(merges(2) == (3L, "e", "r", 1L))
   }
+
+  test("applyMerges encodes with the learned table; unseen words segment too") {
+    val docs = Seq((1L, "low low low"), (2L, "lower newest")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 3)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq // (l,o), (lo,w), (e,r)
+    val got = Bpe.applyMerges(docs, "text", merges)
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("low") == Seq("low"))
+    assert(got("lower") == Seq("low", "e", "r"))
+    assert(got("newest") == Seq("n", "e", "w", "e", "s", "t"))
+    // a different corpus through the same learned merges: "slower"
+    // shares the (l,o)->(lo,w)->(e,r) structure, "lot" only (l,o)
+    val other = Seq((1L, "slower lot")).toDF("doc_id", "text")
+    val got2 = Bpe.applyMerges(other, "text", merges)
+      .as[(String, Seq[String])].collect().toMap
+    assert(got2("slower") == Seq("s", "low", "e", "r"))
+    assert(got2("lot") == Seq("lo", "t"))
+  }
 }

@@ -369,6 +369,35 @@ class ExtSpec extends SparkSpec {
     assert(df(3L) == 1) // rate 1000 = exactly one copy, no draw
   }
 
+  test("multi-probe IVF: probing 3 cells recovers strictly more of the exact top-k than 1") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 8)
+    val cents = emb.filter(col("vec_id") < 16)
+    val exact = Similarity.cosineTopK(q, emb, 10)
+      .select(col("query_id"), col("vec_id"))
+    def hits(nprobe: Int): Long = {
+      val ann = Similarity.ivfTopKProbe(q, emb, cents, 10, nprobe)
+        .select(col("query_id").as("aq"), col("vec_id").as("av"))
+      exact.join(ann,
+        col("query_id") === col("aq") && col("vec_id") === col("av"),
+        "left_semi").count()
+    }
+    val h1 = hits(1)
+    val h3 = hits(3)
+    // superset of probed cells => recall can only grow (the law)...
+    assert(h3 >= h1, s"recall must be monotone in nprobe: $h3 < $h1")
+    // ...and on this corpus the extra cells DO recover neighbors a
+    // single-cell probe misses (the dial does something)
+    assert(h3 > h1, s"expected nprobe=3 to beat nprobe=1, both hit $h1")
+    // nprobe=1 must equal the single-cell operator exactly
+    val p1 = Similarity.ivfTopKProbe(q, emb, cents, 10, 1)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val s1 = Similarity.ivfTopK(q, emb, cents, 10)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(p1 == s1)
+  }
+
   test("e7_cluster_split: no near-dup cluster ever straddles a split boundary") {
     // the leakage property itself, asserted on real testdata: every
     // member of a component carries the identical split label, and

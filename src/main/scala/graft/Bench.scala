@@ -43,54 +43,62 @@ object Bench {
     val subset: Option[Set[String]] =
       args.headOption.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = subset.fold(SparkEntry.queries)(names => SparkEntry.queries.filter(kv => names(kv._1)))
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Stall-robust protocol (r8 VERDICT #1): the box exhibits a
-      // "wandering stall" — a single multi-second external pause lands on
-      // whichever query happens to be running (r8 driver: a10_corr 34.3s
-      // vs 2.2s committed, identical code/plan). One timing per query
-      // cannot tell a plan regression from that stall, so run each query
-      // TWICE and report the MIN: the stall signature never hits the same
-      // query twice in place, while a real plan regression slows both
-      // runs. The raw pair and a wall-clock start timestamp are emitted
-      // too, so a stalled run can be correlated with external load
-      // after the fact instead of inferred.
+    val ordered = selected.toSeq.sortBy(_._1)
+    // Stall-robust protocol v2 (r9 VERDICT #2): the box exhibits a
+    // "wandering stall" — a multi-second external pause lands on whichever
+    // query happens to be running (r8 driver: a10_corr 34.3s vs 2.2s
+    // committed, identical code/plan). r8's fix ran each query twice
+    // BACK-TO-BACK and took the min; the r9 driver falsified its core
+    // assumption: a10_corr timed [53.4s, 27.8s] — a stall window long
+    // enough to swallow both consecutive runs. So v2 INTERLEAVES: run the
+    // FULL suite twice and take the per-query min ACROSS passes — the two
+    // samples of any one query are then separated by an entire suite pass
+    // (minutes), far longer than any observed stall window, while a real
+    // plan regression still slows both samples. Raw per-pass times and
+    // wall-clock start timestamps are emitted for after-the-fact
+    // correlation with external box load.
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String], Long) = {
       val startMs = System.currentTimeMillis()
-      def timed(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        val err: Option[String] =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-          catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}") }
-        ((System.nanoTime() - t0) / 1e9, err)
-      }
-      val (t1, err1) = timed()
-      // Clear cache between the two runs: queries that cache internally
-      // (Sink.cachedEager etc.) would otherwise have run 2 hit run 1's
-      // still-resident cache via canonicalized-plan matching, making the
-      // min an unrealistically cached number rather than a warm-JVM one.
-      spark.catalog.clearCache()
-      val (t2, err2) = if (err1.isDefined) (t1, err1) else timed()
-      val elapsed = math.min(t1, t2)
-      val err = err1.orElse(err2)
-      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val err: Option[String] =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}") }
+      val t = (System.nanoTime() - t0) / 1e9
       // Inter-query hygiene (r4: the j*/f* family ran 3.7-6.1x slower in the
       // full suite than isolated — identical plans, so the cost was leaked
       // JVM state, not the queries). Spark frees shuffle files and broadcast
       // blocks only when ContextCleaner sees their references GC'd; in a
-      // tight 163-query loop on a big heap the collector may never run, so
+      // tight 165-query loop on a big heap the collector may never run, so
       // earlier queries' blocks pile up in the block manager and steal
-      // execution memory from later ones. Unpersist anything still pinned
-      // and force a collection OUTSIDE the timed section.
+      // execution memory from later ones. Clearing the cache here also
+      // guarantees pass 2 cannot hit pass 1's still-resident cached frames
+      // via canonicalized-plan matching. All OUTSIDE the timed section.
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
       // ...and give the ASYNC half of that cleanup a moment to finish:
-      // System.gc() only enqueues ContextCleaner work (broadcast
-      // removal, shuffle-file deletion on the cleaner thread) — without
-      // a settle pause it drains DURING the next query's timed section,
-      // landing stochastically on whichever query runs next (r6 drift
-      // diagnosis, BENCH_NOTES.md). 100ms now that min-of-2 also
-      // absorbs one-off drains: 250ms cost 41s of wall at 163 queries.
+      // System.gc() only enqueues ContextCleaner work (broadcast removal,
+      // shuffle-file deletion on the cleaner thread) — without a settle
+      // pause it drains DURING the next query's timed section, landing
+      // stochastically on whichever query runs next (r6 drift diagnosis,
+      // BENCH_NOTES.md).
       Thread.sleep(100)
-      (name, elapsed, err, t1, t2, startMs)
+      (t, err, startMs)
+    }
+    def runPass(): Seq[(String, Double, Option[String], Long)] =
+      ordered.map { case (name, fn) =>
+        val (t, err, s0) = timeOne(fn); (name, t, err, s0)
+      }
+    val pass1 = runPass()
+    val pass2 = runPass()
+    val results = pass1.zip(pass2).map { case ((name, t1, e1, s1), (_, t2, e2, s2)) =>
+      // min over SUCCESSFUL runs only (r9 ADVICE): an errored run's
+      // elapsed is a fast-failure time, not a measurement — never let it
+      // win the min, and never fabricate a second sample from the first.
+      val good = Seq((t1, e1), (t2, e2)).collect { case (t, None) => t }
+      val elapsed = if (good.nonEmpty) good.min else math.min(t1, t2)
+      (name, elapsed, e1.orElse(e2), (t1, e1), (t2, e2), (s1, s2))
     }
     // escape ALL control chars: Spark exception messages carry newlines,
     // and one raw \n would make the whole bench line unparseable JSON
@@ -103,12 +111,15 @@ object Bench {
     val qs = results.map { case (k, v, _, _, _, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e), _, _, _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    // Raw evidence alongside the headline min: both run times and the
-    // wall-clock start of each query, so a future "wandering stall" can be
-    // pinned to a timestamp and correlated with external box load.
-    val runs = results.map { case (k, _, _, t1, t2, _) => jstr(k) + s":[$t1,$t2]" }
-      .mkString("{", ",", "}")
-    val starts = results.map { case (k, _, _, _, _, s0) => jstr(k) + ":" + s0 }
+    // Raw evidence alongside the headline min: both per-pass run times
+    // (null where that pass ERRORED — an error time is not a sample) and
+    // both wall-clock start timestamps, so a future "wandering stall" can
+    // be pinned to a timestamp and correlated with external box load.
+    def runJson(t: Double, e: Option[String]) = if (e.isDefined) "null" else t.toString
+    val runs = results.map { case (k, _, _, (t1, e1), (t2, e2), _) =>
+      jstr(k) + s":[${runJson(t1, e1)},${runJson(t2, e2)}]"
+    }.mkString("{", ",", "}")
+    val starts = results.map { case (k, _, _, _, _, (s1, s2)) => jstr(k) + s":[$s1,$s2]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Headline fields LAST: the driver keeps only the tail of stdout, so a
@@ -116,7 +127,7 @@ object Bench {
     // behind 98 query timings). The full line is also written to a file the
     // repo keeps, so nothing is ever lost to truncation.
     val line =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","timing":"min_of_2","runs":$runs,"start_ms":$starts,"queries":$qs,"errors":$errs,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"value":$total}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","timing":"min_of_2_interleaved","runs":$runs,"start_ms":$starts,"queries":$qs,"errors":$errs,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"value":$total}"""
     println(line)
     // Full-suite runs at the default SF archive to BENCH_full.json —
     // the baseline future rounds diff against. Anything else must

@@ -28,6 +28,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
+      // coalesce(1) is a VERIFY-ONLY convenience (one file per query for
+      // the DuckDB compare) — never copy it into a production sink: it
+      // caps the parallelism of everything fused upstream of the write
+      // (Sink.writeCompacted's repartition is the scale-safe shape).
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -118,10 +118,19 @@ object Bpe {
     * a LOCAL frame with no lineage into the cached loop state — the
     * exact artifact shape a tokenizer ships (rounds × 4 values).
     */
-  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    val spark = docs.sparkSession
+  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    trainFromWords(wordFreqs(docs, textCol), rounds)
+
+  /** [[train]] but starting from an already-built (word, f) frame —
+    * lets a caller that ALSO needs the word frame (e.g. train→encode
+    * composition) tokenize the corpus once, persist the result, and
+    * share it between training and encoding instead of each path
+    * re-deriving it with its own corpus scan (r9 VERDICT #3).
+    */
+  def trainFromWords(words: DataFrame, rounds: Int): DataFrame = {
+    val spark = words.sparkSession
     import spark.implicits._
-    var syms = initSymbols(wordFreqs(docs, textCol)).persist()
+    var syms = initSymbols(words).persist()
     var prev: DataFrame = null
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var r = 1
@@ -161,13 +170,22 @@ object Bpe {
     * — driver-local by construction.
     */
   def applyMerges(docs: DataFrame, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    val spark = docs.sparkSession
-    var syms = initSymbols(
+      merges: Seq[(String, String)]): DataFrame =
+    applyMergesToWords(
       docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
         .filter(length(col("word")) > 0)
-        .distinct()
-        .withColumn("f", lit(1L)))
+        .distinct(),
+      merges)
+
+  /** [[applyMerges]] but starting from an already-distinct word frame
+    * (a `word` column; any `f` is ignored and reset to a constant —
+    * merge application is frequency-independent). Pairs with
+    * [[trainFromWords]] so train→encode shares ONE corpus tokenize.
+    */
+  def applyMergesToWords(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    var syms = initSymbols(words.select(col("word")).withColumn("f", lit(1L)))
     for ((pa, pb) <- merges) {
       val m = spark.range(1).select(lit(pa).as("pa"), lit(pb).as("pb"))
       syms = applyMerge(syms, m)

@@ -91,6 +91,13 @@ object Aggregates {
     * large as the table. The final max is a partial+final agg on a
     * constant key (32 partial rows). `blockWidth` is the domain knob:
     * pick it so value-range / blockWidth ≈ thousands of blocks.
+    *
+    * CALLER OBLIGATION: the per-value aggregate is eagerly persisted
+    * (MEMORY_AND_DISK) and stays cached behind the returned lazy frame
+    * — it cannot be released here without the three fan-out branches
+    * recomputing it. Library callers must `spark.catalog.clearCache()`
+    * (or unpersist via `getPersistentRDDs`) once the result is
+    * consumed; the Bench/Verify runners do this between queries.
     */
   def ksDrift(
       df: DataFrame,

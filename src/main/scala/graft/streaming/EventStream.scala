@@ -181,6 +181,65 @@ object EventStream {
       joinType)
   }
 
+  /** Stream-STREAM as-of enrichment — the streaming twin of the batch
+    * `j5_asof_join` query ([[graft.ops.AsofJoin]]): each left event is
+    * enriched with the LATEST right row at-or-before its event time on
+    * the same key, looking back at most `horizon`.
+    *
+    * Two chained stateful operators, both watermark-bounded:
+    * 1. the [[correlate]]-shaped range join — `rightTs ∈ [leftTs −
+    *    horizon, leftTs]` is the time-range conjunct that lets the
+    *    engine evict join state (without it a stream-stream join
+    *    retains every row forever), and `leftOuter` preserves left
+    *    events with no right row in the horizon (as-of LEFT);
+    * 2. a tumbling-window aggregation on the LEFT event time that
+    *    collapses each left row's candidate matches to the max-rightTs
+    *    one via `max_by` — the window key is what propagates the
+    *    watermark through the second stateful operator, so its state
+    *    evicts as windows close. `max_by` skips null-ordering rows, so
+    *    an unmatched outer row reduces to null right values.
+    *
+    * Semantics vs batch as-of: identical whenever the true match is
+    * within `horizon` of the left event (the batch operator's lookback
+    * is unbounded — a streaming operator's cannot be, that bound IS
+    * the state bound; spec'd against batch [[graft.ops.AsofJoin]] on a
+    * shared fixture). Column names must be disjoint across the two
+    * sides, and left rows are assumed distinct (enrich carries every
+    * left column through the group-by; stream an id column if not).
+    * Results emit when the watermark closes the left window — as-of
+    * output is only final once no earlier-timestamped right row can
+    * still arrive.
+    */
+  def asofEnrich(
+      left: DataFrame, leftTs: String, leftKey: String,
+      right: DataFrame, rightTs: String, rightKey: String,
+      rightValCols: Seq[String],
+      horizon: String,
+      lateness: String = "1 hour",
+      windowLen: String = "1 hour"): DataFrame = {
+    require(rightValCols.nonEmpty, "at least one right value column")
+    val leftCols = left.columns.toSeq
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    // The group-by may contain at most ONE event-time column — the
+    // window. The left timestamp still carries its watermark metadata
+    // as a bare attribute, so the carried-through copy is wrapped in a
+    // non-attribute expression (coalesce), which drops the metadata
+    // while keeping the value and name.
+    val carried = leftCols.map(c =>
+      if (c == leftTs) coalesce(col(c), col(c)).as(c) else col(c))
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) <= col(leftTs) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $horizon"),
+      "leftOuter")
+      .groupBy(window(col(leftTs), windowLen) +: carried: _*)
+      .agg(max_by(
+        struct((rightTs +: rightValCols).map(col): _*), col(rightTs)).as("__rv"))
+      .select(leftCols.map(col) ++
+        rightValCols.map(c => col("__rv").getField(c).as(c)): _*)
+  }
+
   /** Idempotent micro-batch sink via `foreachBatch`: each batch is
     * written to a `batch_id=<n>` partition with DYNAMIC partition
     * overwrite, so a replayed batch (foreachBatch is at-least-once

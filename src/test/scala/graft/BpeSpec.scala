@@ -66,14 +66,18 @@ class BpeSpec extends SparkSpec {
     val got = Bpe.applyMerges(docs, "text", merges)
       .as[(String, Seq[String])].collect().toMap
     assert(got("low") == Seq("low"))
-    assert(got("lower") == Seq("low", "e", "r"))
+    // ALL THREE learned merges apply in order during encoding:
+    // l o w e r → (l,o) → lo w e r → (lo,w) → low e r → (e,r) → low er
+    assert(got("lower") == Seq("low", "er"))
+    // newest has no adjacent (e,r): n,e,w,e,s,t is untouched by the table
     assert(got("newest") == Seq("n", "e", "w", "e", "s", "t"))
     // a different corpus through the same learned merges: "slower"
     // shares the (l,o)->(lo,w)->(e,r) structure, "lot" only (l,o)
     val other = Seq((1L, "slower lot")).toDF("doc_id", "text")
     val got2 = Bpe.applyMerges(other, "text", merges)
       .as[(String, Seq[String])].collect().toMap
-    assert(got2("slower") == Seq("s", "low", "e", "r"))
+    // s l o w e r → s lo w e r → s low e r → (e,r) → s low er
+    assert(got2("slower") == Seq("s", "low", "er"))
     assert(got2("lot") == Seq("lo", "t"))
   }
 }

@@ -301,4 +301,48 @@ class StreamingSpec extends SparkSpec {
       // emission), so eviction-by-timeout is what emitted u1/u2 above
     } finally q.stop()
   }
+
+  test("asofEnrich matches batch asofJoin on a shared fixture (within the horizon)") {
+    implicit val sqlCtx = spark.sqlContext
+    // Shared fixture: every true as-of match is within the streaming
+    // horizon (30 min), so batch (unbounded lookback) and streaming
+    // (horizon-bounded — that bound IS the state bound) must agree.
+    val clicks = Seq( // (user, ts, value)
+      ("u1", ts("09:50"), 1.0), ("u1", ts("10:10"), 2.0),
+      ("u1", ts("10:40"), 3.0), ("u2", ts("10:05"), 5.0))
+    val purchases = Seq( // (user, ts, id)
+      ("u1", ts("10:15"), 101L), // latest at-or-before -> 10:10 click, 2.0
+      ("u1", ts("10:45"), 102L), // -> 10:40 click, 3.0
+      ("u2", ts("10:04"), 103L), // first click is 10:05, AFTER -> null
+      ("u3", ts("10:20"), 104L)) // no clicks at all -> null
+    val expected = graft.ops.AsofJoin.asofJoin(
+      purchases.toDF("user_id", "p_ts", "p_id"),
+      clicks.toDF("user_id", "c_ts", "c_value"),
+      Seq("user_id"), "p_ts", "c_ts", Seq("c_value"))
+      .select("p_id", "c_value").as[(Long, Option[Double])].collect().toSet
+
+    val pIn = MemoryStream[(Timestamp, String, Long)]
+    val cIn = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStream.asofEnrich(
+      pIn.toDF().toDF("p_ts", "p_user", "p_id"), "p_ts", "p_user",
+      cIn.toDF().toDF("c_ts", "c_user", "c_value"), "c_ts", "c_user",
+      Seq("c_value"), horizon = "30 minutes", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // deliberately out of order across the two streams
+      cIn.addData(clicks.map { case (u, t, v) => (t, u, v) }: _*)
+      pIn.addData(purchases.map { case (u, t, i) => (t, u, i) }: _*)
+      q.processAllAvailable()
+      // nothing final yet; advance BOTH watermarks far past every left
+      // window (+ horizon + lateness) so outer rows and windows close
+      pIn.addData((ts("13:00"), "w", -1L))
+      cIn.addData((ts("13:00"), "w", -1.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_out")
+        .filter($"p_id" =!= -1L)
+        .select("p_id", "c_value").as[(Long, Option[Double])].collect().toSet
+      assert(got == expected, s"streaming $got vs batch $expected")
+    } finally q.stop()
+  }
 }

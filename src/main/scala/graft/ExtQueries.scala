@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext._
-import graft.ops.Ranking
+import graft.ops.{Ranking, Sink}
 
 /** Extension query registry (SURVEY §2.8 E1–E5): LLM-data-pipeline
   * operators over the `documents` / `embeddings` testdata, each with
@@ -524,6 +524,68 @@ object ExtQueries {
        |  SELECT query_id, vec_id, cos_sim,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
        |  FROM scored) WHERE rk <= $AnnK""".stripMargin
+  }
+
+  // ---- E3c'': the recall-vs-cost dial, driver-verified ----------------------
+  // recall@k of the multi-probe IVF per nprobe ∈ {1, IvfNprobe}: the
+  // measurement a production ANN deployment runs to pick its probe
+  // count (was only law-tested in ExtSpec — nprobe=3 ≥ nprobe=1;
+  // r9 VERDICT stretch 7 promotes it to an oracle row). One output
+  // row per nprobe: micro-averaged recall = total hits / total exact
+  // top-k across the query set — one double division at the very end,
+  // so both engines hash identically. The exact brute-force side is
+  // computed once and eagerly cached (query-scoped; the runners
+  // clearCache), then both probe arms join against it.
+  def e3IvfRecallProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < AnnQueries)
+    val cent = emb.filter(col("vec_id") < IvfCentroids)
+    val exact = Sink.cachedEager(
+      Similarity.cosineTopK(q, emb, AnnK).select(col("query_id"), col("vec_id")))
+    def recallAt(np: Int): DataFrame = {
+      val ann = Similarity.ivfTopKProbe(q, emb, cent, AnnK, np)
+        .select(col("query_id").as("aq"), col("vec_id").as("av"), lit(1).as("hit"))
+      exact
+        .join(ann, col("query_id") === col("aq") && col("vec_id") === col("av"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(lit(np.toLong).as("nprobe"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+    }
+    recallAt(1).unionByName(recallAt(IvfNprobe))
+  }
+  lazy val e3c3Sql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    def arm(np: Int) =
+      s"""assignq$np AS (SELECT vec_id, embedding, n2, cid FROM ranked
+         |  WHERE rn <= $np AND vec_id < $AnnQueries),
+         |scored$np AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+         |  FROM assignq$np q JOIN assignc c ON q.cid = c.cid WHERE c.vec_id <> q.vec_id),
+         |an$np AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+         |  FROM scored$np) WHERE rk <= $AnnK),
+         |rec$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN an$np.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN an$np.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+         |  FROM ex LEFT JOIN an$np ON ex.query_id = an$np.query_id AND ex.vec_id = an$np.vec_id)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2 FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS cent_emb, n2 AS cent_n2 FROM e WHERE vec_id < $IvfCentroids),
+       |ranked AS (
+       |  SELECT v.vec_id, v.embedding, v.n2, cent.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${duckDot("v.embedding", "cent.cent_emb")} / (sqrt(v.n2) * sqrt(cent.cent_n2)) DESC, cent.cid) AS rn
+       |  FROM e v CROSS JOIN cent),
+       |assignc AS (SELECT vec_id, embedding, n2, cid FROM ranked WHERE rn = 1),
+       |exs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM e q JOIN e c ON q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id),
+       |ex AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM exs) WHERE rk <= $AnnK),
+       |${arm(1)},
+       |${arm(IvfNprobe)}
+       |SELECT * FROM rec1 UNION ALL SELECT * FROM rec$IvfNprobe""".stripMargin
   }
 
   // ---- E3e: learned IVF centroids — Lloyd's k-means, oracle-exact ----------
@@ -1196,14 +1258,31 @@ object ExtQueries {
   // joins the word->symbol-count vocab on the word key — vocabulary-
   // bounded work plus one co-partitioned join; the oracle replays the
   // train chain and reads its FINAL symbol state s_{R+1} directly.
+  // Train and encode share ONE corpus tokenize (r9 VERDICT #3): the
+  // (word, f) frame is built once, persisted, consumed by
+  // trainFromWords (whose per-round collects materialize the cache),
+  // then re-read — not re-derived — by applyMergesToWords. The
+  // vocabulary-sized result is eagerly cached so the word frame can be
+  // released before the lazy per-doc join returns; the vocab cache
+  // itself is query-scoped (the Bench/Verify runners clearCache
+  // between queries, the house contract for registry queries).
   def e5BpeApply(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val merges = Bpe.train(docs, "text", BpeRounds)
+    val words = Sink.cachedEager(Bpe.wordFreqs(docs, "text"))
+    val merges = Bpe.trainFromWords(words, BpeRounds)
       .orderBy(col("round"))
       .collect() // rounds x 4 values, driver-local by construction
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    val vocab = Bpe.applyMerges(docs, "text", merges)
-      .select(col("word"), size(col("syms")).cast("long").as("n_sym"))
+    // The oracle replays exactly BpeRounds merge rounds; a degenerate
+    // corpus that exhausts its pairs early would silently diverge
+    // (r9 ADVICE) — fail loudly instead.
+    require(merges.size == BpeRounds,
+      s"BPE training exhausted after ${merges.size} of $BpeRounds rounds " +
+        "— corpus too small for the registered oracle chain")
+    val vocab = Sink.cachedEager(
+      Bpe.applyMergesToWords(words, merges)
+        .select(col("word"), size(col("syms")).cast("long").as("n_sym")))
+    words.unpersist(blocking = false)
     docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .join(vocab, Seq("word"))
@@ -1901,6 +1980,7 @@ object ExtQueries {
     "e3_cosine_sql" -> (e3CosineSql _),
     "e7_curriculum" -> (e7Curriculum _),
     "e3_ivf_probe" -> (e3IvfProbe _),
+    "e3_ivf_recall_probe" -> (e3IvfRecallProbe _),
     "e5_bpe_apply" -> (e5BpeApply _)
   )
 
@@ -1940,6 +2020,7 @@ object ExtQueries {
     "e3_ann_recall" -> e3dSql,
     "e3_ivf_topk" -> e3cSql,
     "e3_ivf_probe" -> e3c2Sql,
+    "e3_ivf_recall_probe" -> e3c3Sql,
     "e3_kmeans" -> e3eSql,
     "e2_semantic_dedup" -> e2jSql,
     "e3_ivf_learned" -> e3fSql,

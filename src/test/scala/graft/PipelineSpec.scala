@@ -106,4 +106,33 @@ class PipelineSpec extends SparkSpec {
         .select("facility_id").as[String].head() == "010001")
     } finally df.unpersist()
   }
+
+  test("observed pipeline: stage counts ride the write action, no extra jobs") {
+    val (readmCsv, hospCsv) = fixtures
+    val (result, probes) = HeartFailureEtl.transformObserved(
+      graft.ops.Ingest.csvChecked(spark, readmCsv, HeartFailureEtl.readmissionsSchema),
+      graft.ops.Ingest.csvChecked(spark, hospCsv, HeartFailureEtl.hospitalInfoSchema))
+    val out = Files.createTempDirectory("graft_golden_obs").resolve("hf").toString
+    graft.ops.Sink.writeParquet(result, out)
+    // the reference's logged counts (etl_script.py:100,120), collected
+    // by the ONE write job above: 3 records survive coerce+dropna+
+    // measure filter (010001, 050002, 070004); 070004 then drops in
+    // the join (no hospital match) -> 2 final rows
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(probes.keySet == Set("hf_filtered", "final"))
+      assert(probes("hf_filtered").get("n_rows") == 3L)
+      assert(probes("final").get("n_rows") == 2L)
+      // reading the metrics must run NO job — the accumulators were
+      // filled by the write action (listener added after the write, so
+      // it only sees jobs started by the get() calls above)
+      Thread.sleep(300) // listener delivery is async
+      assert(jobs == 0, s"Observation.get triggered $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -367,4 +367,34 @@ class PlanGuardSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
+
+  test("e5_bpe_apply: the returned frame tokenizes the corpus ONCE; vocab comes from cache") {
+    // The r9 single-tokenize fix: train builds the (word, f) frame and
+    // encode re-reads it from cache instead of re-deriving it, so the
+    // final per-doc join's plan must contain exactly one documents
+    // scan (the doc_id explode) plus an InMemoryTableScan (the
+    // vocabulary), never a second corpus tokenize.
+    // typed traversal of the OPTIMIZED plan: an InMemoryRelation is a
+    // leaf there (its cached lineage is behind the cache boundary), so
+    // file relations counted here are the ones the job actually scans
+    val qe = SparkEntry.queries("e5_bpe_apply")(spark, dir).queryExecution
+    val fileRels = qe.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    val cacheRels = qe.optimizedPlan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(fileRels.size == 1,
+      s"expected exactly 1 file scan (the doc_id explode), got ${fileRels.size}")
+    assert(cacheRels.nonEmpty, "vocab must come from the eager cache")
+  }
+
+  test("e3_ivf_recall_probe: both probe arms read the exact top-k from one cache") {
+    // The exact brute-force side is computed once and cached; each
+    // nprobe arm must read it back as an InMemoryTableScan, and the
+    // cell-probe joins stay hash joins on the cell key.
+    val p = planOf("e3_ivf_recall_probe")
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).size
+    assert(cacheReads >= 2, s"expected both arms on the cache, got $cacheReads:\n$p")
+  }
 }

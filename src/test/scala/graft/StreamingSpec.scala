@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.EventStream
+import graft.streaming.{CorpusStream, EventStream}
 
 /** Structured Streaming units: watermarked windowed aggregation,
   * stateful running counts, and streaming dedup, driven through
@@ -343,6 +343,46 @@ class StreamingSpec extends SparkSpec {
         .filter($"p_id" =!= -1L)
         .select("p_id", "c_value").as[(Long, Option[Double])].collect().toSet
       assert(got == expected, s"streaming $got vs batch $expected")
+    } finally q.stop()
+  }
+
+  test("CorpusStream.admitBatch: near-dup admission across batches; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_stream")
+    val indexPath = dir.resolve("index").toString
+    val outPath = dir.resolve("corpus").toString
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val tB = "completely different content about spark structured streaming watermarks"
+    val tC = "unrelated third document discussing byte pair encoding merge tables"
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        CorpusStream.admitBatch(b, id, "doc_id", "text", indexPath, outPath, 0.9))
+      .start()
+    try {
+      in.addData((1L, tA), (2L, tB))
+      q.processAllAvailable()
+      in.addData(
+        (3L, tA), // near-dup of ADMITTED doc 1 (previous batch) -> dropped
+        (4L, tC), // new -> admitted
+        (5L, tC)) // intra-batch dup of 4 -> dropped
+      q.processAllAvailable()
+      val admitted = spark.read.parquet(outPath)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(admitted == Seq(1L, 2L, 4L))
+      // at-least-once replay of batch 1 with the same content: the
+      // index read excludes batch_id >= 1, so the decisions repeat and
+      // the dynamic partition overwrite replaces rather than appends
+      CorpusStream.admitBatch(
+        Seq((3L, tA), (4L, tC), (5L, tC)).toDF("doc_id", "text"),
+        1L, "doc_id", "text", indexPath, outPath, 0.9)
+      val after = spark.read.parquet(outPath)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(after == Seq(1L, 2L, 4L))
+      // the index holds bands for exactly the admitted docs
+      val indexed = spark.read.parquet(indexPath)
+        .select("doc_id").distinct().as[Long].collect().sorted.toSeq
+      assert(indexed == Seq(1L, 2L, 4L))
     } finally q.stop()
   }
 }

@@ -220,6 +220,105 @@ object ExtQueries {
     s"""$ccCompCtes
        |SELECT doc_id, component, CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size FROM comp""".stripMargin
 
+  // ---- E2p: PageRank centrality over the near-dup graph ---------------------
+  // Which documents are the CENTERS of near-duplicate neighborhoods?
+  // Damped PageRank (fixed PrIters rounds, Dedup.pageRank) over the
+  // same banded candidate graph the cluster queries use — the
+  // principled exemplar score (vs min-id). Arithmetic is the
+  // engine-portable kmeans recipe: double contributions, DECIMAL
+  // sums, double teleport; the oracle replays every round as an
+  // unrolled CTE chain and must agree on all N doubles bit-for-bit.
+  private val PrIters = 3
+  def e2PageRank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text")
+      .filter(col("jaccard_est") >= ClusterMinEst)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    Dedup.pageRank(docs.select(col("doc_id")), "doc_id", pairs, "a", "b", PrIters)
+      .select(col("id").as("doc_id"), col("pr"))
+  }
+  lazy val e2pSql: String = {
+    import MinHash.NumHashes
+    def iter(r: Int) =
+      s"""c$r AS (SELECT e.dst AS id,
+         |    CAST(CAST(p.pr / CAST(e.deg AS DOUBLE) AS VARCHAR) AS $AvgDec) AS cd
+         |  FROM pr${r - 1} p JOIN edgd e ON p.id = e.src),
+         |s$r AS (SELECT id, SUM(cd) AS sdec FROM c$r GROUP BY id),
+         |pr$r AS (SELECT d.doc_id AS id,
+         |    CAST(0.15 AS DOUBLE) / CAST(nn.n AS DOUBLE) +
+         |    CAST(0.85 AS DOUBLE) * COALESCE(CAST(CAST(s.sdec AS VARCHAR) AS DOUBLE), CAST(0 AS DOUBLE)) AS pr
+         |  FROM documents d CROSS JOIN nfr nn LEFT JOIN s$r s ON d.doc_id = s.id)""".stripMargin
+    val iters = (1 to PrIters).map(r => "," + iter(r)).mkString("\n")
+    s"""$e2Ctes,
+       |prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(list_sum(list_transform(range(1, ${NumHashes + 1}), i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes.0 AS est
+       |  FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |edg AS (SELECT a AS src, b AS dst FROM prs WHERE est >= $ClusterMinEst
+       |  UNION ALL SELECT b, a FROM prs WHERE est >= $ClusterMinEst),
+       |degs AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edg GROUP BY src),
+       |edgd AS (SELECT e.src, e.dst, d.deg FROM edg e JOIN degs d ON e.src = d.src),
+       |nfr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |pr0 AS (SELECT d.doc_id AS id, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS pr
+       |  FROM documents d CROSS JOIN nfr nn)
+       |$iters
+       |SELECT id AS doc_id, pr FROM pr$PrIters""".stripMargin
+  }
+
+  // ---- E2p': PageRank exemplar per near-dup cluster -------------------------
+  // The composition dedup actually ships: connected components pick
+  // the CLUSTERS, PageRank picks which member to KEEP — the most
+  // central doc of each near-dup neighborhood (vs the arbitrary
+  // min-id). One shared candidate-pair frame feeds both (eagerly
+  // cached — CC and PR would otherwise each re-run the band join);
+  // the argmax is a per-component window over identical doubles, so
+  // both engines rank identically.
+  def e2PageRankRep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val pairs = Sink.cachedEager(
+      MinHash.candidatePairs(docs, "doc_id", "text")
+        .filter(col("jaccard_est") >= ClusterMinEst)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val comp = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+    val pr = Dedup.pageRank(docs.select(col("doc_id")), "doc_id", pairs, "a", "b", PrIters)
+    val w = Window.partitionBy(col("component"))
+    comp.join(pr, Seq("id"))
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("pr").desc, col("id").asc)))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("id").as("rep_doc_id"),
+        col("pr").as("rep_pr"), col("cluster_size"))
+  }
+  lazy val e2prSql: String = {
+    import MinHash.NumHashes
+    def iter(r: Int) =
+      s"""c$r AS (SELECT e.dst AS id,
+         |    CAST(CAST(p.pr / CAST(e.deg AS DOUBLE) AS VARCHAR) AS $AvgDec) AS cd
+         |  FROM pr${r - 1} p JOIN edgd e ON p.id = e.src),
+         |s$r AS (SELECT id, SUM(cd) AS sdec FROM c$r GROUP BY id),
+         |pr$r AS (SELECT d.doc_id AS id,
+         |    CAST(0.15 AS DOUBLE) / CAST(nn.n AS DOUBLE) +
+         |    CAST(0.85 AS DOUBLE) * COALESCE(CAST(CAST(s.sdec AS VARCHAR) AS DOUBLE), CAST(0 AS DOUBLE)) AS pr
+         |  FROM documents d CROSS JOIN nfr nn LEFT JOIN s$r s ON d.doc_id = s.id)""".stripMargin
+    val iters = (1 to PrIters).map(r => "," + iter(r)).mkString("\n")
+    s"""$ccCompCtes,
+       |edg AS (SELECT a AS src, b AS dst FROM prs WHERE est >= $ClusterMinEst
+       |  UNION ALL SELECT b, a FROM prs WHERE est >= $ClusterMinEst),
+       |degs AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edg GROUP BY src),
+       |edgd AS (SELECT e.src, e.dst, d.deg FROM edg e JOIN degs d ON e.src = d.src),
+       |nfr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |pr0 AS (SELECT d.doc_id AS id, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS pr
+       |  FROM documents d CROSS JOIN nfr nn)
+       |$iters,
+       |rep AS (SELECT comp.component, p.id, p.pr,
+       |    row_number() OVER (PARTITION BY comp.component ORDER BY p.pr DESC, p.id) AS rn,
+       |    count(*) OVER (PARTITION BY comp.component) AS csize
+       |  FROM comp JOIN pr$PrIters p ON comp.doc_id = p.id)
+       |SELECT component, id AS rep_doc_id, pr AS rep_pr,
+       |  CAST(csize AS BIGINT) AS cluster_size FROM rep WHERE rn = 1""".stripMargin
+  }
+
   // ---- E7f: leakage-safe (cluster-aware) split ------------------------------
   // The split that near-dup analysis exists to protect: hashing
   // doc_ids (e7_split) puts two near-duplicate documents on opposite
@@ -1929,6 +2028,8 @@ object ExtQueries {
     "e2_ngram_jaccard" -> (e2NgramJaccard _),
     "e2_simhash_pairs" -> (e2SimhashPairs _),
     "e2_dedup_clusters" -> (e2DedupClusters _),
+    "e2_pagerank" -> (e2PageRank _),
+    "e2_pagerank_rep" -> (e2PageRankRep _),
     "e2_cluster_rep" -> (e2ClusterRep _),
     "e7_stratified" -> (e7Stratified _),
     "e2_lev_verify" -> (e2LevVerify _),
@@ -1992,6 +2093,8 @@ object ExtQueries {
     "e2_ngram_jaccard" -> e2bSql,
     "e2_simhash_pairs" -> e2dSql,
     "e2_dedup_clusters" -> e2eSql,
+    "e2_pagerank" -> e2pSql,
+    "e2_pagerank_rep" -> e2prSql,
     "e2_cluster_rep" -> e2gSql,
     "e7_stratified" -> e7cSql,
     "e2_lev_verify" -> e2fSql,

@@ -1790,6 +1790,34 @@ object ParityQueries {
       |  CAST(CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS BIGINT) AS DOUBLE) / (n1 * n2) AS ks_stat
       |FROM cum CROSS JOIN tot GROUP BY n1, n2""".stripMargin
 
+  // ---- A21: two-sample chi-square drift over value buckets -----------------
+  // The bucket-based half of the drift gate beside a19's KS: the
+  // engine computes chi² via the BIGINT-exact cross-product identity
+  // D_b = c1·n2 − c2·n1 (Aggregates.chiSquareDrift); the oracle
+  // replays the identical expansion — per-bucket double terms, the
+  // VARCHAR→DECIMAL(28,10) sum, one final double division.
+  def a21ChiDrift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Aggregates.chiSquareDrift(
+      Tables.events(s, dir), "event_type", "value", "click", "purchase",
+      KsBlockWidth)
+  val a21Sql =
+    s"""WITH pb AS (
+       |  SELECT CAST(floor(value / CAST($KsBlockWidth AS DOUBLE)) AS BIGINT) AS bucket,
+       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+       |  FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM pb),
+       |terms AS (SELECT n1, n2,
+       |    CAST(CAST(
+       |      (CAST(c1 * n2 - c2 * n1 AS DOUBLE) * CAST(c1 * n2 - c2 * n1 AS DOUBLE))
+       |        / CAST(c1 + c2 AS DOUBLE) AS VARCHAR) AS DECIMAL(28,10)) AS td
+       |  FROM pb CROSS JOIN tot)
+       |SELECT n1, n2, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(CAST(SUM(td) AS VARCHAR) AS DOUBLE)
+       |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS chi2
+       |FROM terms GROUP BY n1, n2""".stripMargin
+
   // ---- S9: partitioned sink → partition-pruned scan ------------------------
   // The layout HALF of the scale story the roundtrip queries don't
   // cover: write events hive-partitioned by a low-cardinality column
@@ -2109,6 +2137,7 @@ object ParityQueries {
     "a17_grouping_id" -> (a17GroupingId _),
     "a18_heavy_hitters" -> (a18HeavyHitters _),
     "a19_ks_drift" -> (a19KsDrift _),
+    "a21_chi_drift" -> (a21ChiDrift _),
     "a20_benford" -> (a20Benford _),
     "s9_partitioned_prune" -> (s9PartitionedPrune _),
     "s10_zorder" -> (s10Zorder _),
@@ -2199,6 +2228,7 @@ object ParityQueries {
     "a17_grouping_id" -> a17Sql,
     "a18_heavy_hitters" -> a18Sql,
     "a19_ks_drift" -> a19Sql,
+    "a21_chi_drift" -> a21Sql,
     "a20_benford" -> a20Sql,
     "s9_partitioned_prune" -> s9Sql,
     "s10_zorder" -> s10Sql,

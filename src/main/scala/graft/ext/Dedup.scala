@@ -336,6 +336,57 @@ object Dedup {
       lit(row.getLong(1)).as("n_triangles"))
   }
 
+  /** Damped PageRank over an UNDIRECTED similarity graph, fixed
+    * iteration count — graph centrality for corpus curation: in a
+    * near-dup cluster the highest-PR member is the natural exemplar
+    * (densest, most-connected), the principled complement of "keep
+    * the min id". `pairs` is one row per undirected edge
+    * (aCol, bCol); every node in `nodes`/`idCol` is scored, isolated
+    * nodes hold the teleport floor 0.15/N each round.
+    *
+    * Engine-portable arithmetic (the kmeans/e4_dim_stats recipe): the
+    * per-edge contribution pr/deg is an IEEE double op (identical in
+    * any engine); the per-node SUM — the only order-sensitive step —
+    * accumulates in DECIMAL(28,10); the teleport update
+    * pr' = 0.15/N + 0.85·S is again scalar double ops. So every
+    * iteration is bit-portable and the oracle replays it as an
+    * unrolled CTE chain. An undirected graph has no dangling nodes,
+    * so no dangling-mass redistribution (PR then sums to < 1 when
+    * isolated nodes exist — documented, mirrored by the oracle).
+    *
+    * Scale shape per iteration: one equi-join pr×edges shuffled on
+    * the node id (identical partitioning every round), one
+    * partial+final decimal agg, one left join back to the node frame
+    * — O(edges) per round, lineage linear in `iters` (each round's
+    * frame feeds the next exactly once; no exponential replay). The
+    * edge+degree frame feeds every round and is eagerly persisted
+    * (query-scoped; the runners clearCache).
+    */
+  def pageRank(nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String, iters: Int): DataFrame = {
+    val exact = org.apache.spark.sql.types.DecimalType(28, 10)
+    val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edges = graft.ops.Sink.cachedEager(und.join(deg, Seq("src")))
+    val ids = nodes.select(col(idCol).as("id"))
+    val nFrame = ids.agg(count(lit(1)).as("n"))
+    var pr = ids.crossJoin(broadcast(nFrame))
+      .select(col("id"), (lit(1.0) / col("n").cast("double")).as("pr"))
+    for (_ <- 1 to iters) {
+      val sums = pr.join(edges, pr("id") === edges("src"))
+        .select(col("dst").as("id"),
+          (col("pr") / col("deg").cast("double")).cast(exact).as("cd"))
+        .groupBy(col("id")).agg(sum(col("cd")).as("sdec"))
+      pr = ids.join(sums, Seq("id"), "left")
+        .crossJoin(broadcast(nFrame))
+        .select(col("id"),
+          (lit(0.15) / col("n").cast("double") +
+            lit(0.85) * coalesce(col("sdec").cast("double"), lit(0.0))).as("pr"))
+    }
+    pr
+  }
+
   /** Deterministic dedup: keep the first row per key group by
     * `orderCol` ascending, and report the group size. Deterministic
     * ONLY when `orderCol` is unique within each key group (like a

@@ -35,6 +35,48 @@ object Aggregates {
   def exactSum(c: Column): Column =
     sum(c.cast(Exact)).cast("double")
 
+  /** Two-sample chi-square homogeneity statistic over fixed-width
+    * value buckets — the bucket-based drift gate beside [[ksDrift]]'s
+    * distributional one (chi-square reacts to shape changes inside a
+    * region KS's max-gap can miss, and runs on pre-bucketed counts).
+    *
+    * Arithmetic is engine-portable by construction: expanding the
+    * textbook Σ (o−e)²/e over both populations collapses to
+    * chi² = [Σ_b D_b²/r_b] / (n1·n2) with D_b = c1·n2 − c2·n1 and
+    * r_b = c1+c2 — D_b and r_b are BIGINT-exact, each bucket term
+    * D²/r is a fixed sequence of IEEE double ops, and the only
+    * order-sensitive step (the Σ over buckets) accumulates in
+    * DECIMAL(28,10). One agg shuffle on the bucket key (counts are
+    * partial+final), a 1-row broadcast of the totals, one scalar
+    * aggregate — no window, no sort, O(buckets) after the first agg.
+    * DECIMAL(28,10) holds bucket terms to ~1e18; widen for corpora
+    * where c·n products pass ~1e9.
+    */
+  def chiSquareDrift(
+      df: DataFrame,
+      typeCol: String,
+      valueCol: String,
+      typeA: String,
+      typeB: String,
+      bucketWidth: Double): DataFrame = {
+    val buckets = df
+      .filter(col(typeCol).isin(typeA, typeB) && col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol) / lit(bucketWidth)).cast("long").as("bucket"))
+      .agg(
+        sum(when(col(typeCol) === typeA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(typeCol) === typeB, 1L).otherwise(0L)).as("c2"))
+    val tot = buckets.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val d = (col("c1") * col("n2") - col("c2") * col("n1")).cast("double")
+    buckets.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        ((d * d) / (col("c1") + col("c2")).cast("double")).cast(Exact).as("td"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("td")).as("sdec"))
+      .select(col("n1"), col("n2"), col("n_buckets"),
+        (col("sdec").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double"))).as("chi2"))
+  }
+
   /** A1: scalar row count (reference `len(df)`). */
   def rowCount(df: DataFrame): Long = df.count()
 

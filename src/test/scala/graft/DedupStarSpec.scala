@@ -79,4 +79,23 @@ class DedupStarSpec extends SparkSpec {
     val star = labelsOf(Dedup.connectedComponentsStar(verts, pairs))
     assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  private def prOf(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+    Dedup.pageRank(nodes.toDF("id"), "id", edges.toDF("a", "b"), "a", "b", iters)
+      .as[(Long, Double)].collect().toMap
+
+  test("pageRank: uniform on a regular graph; mass conserved; centers the path") {
+    // triangle (2-regular): the uniform vector is the fixed point, so
+    // every iteration returns exactly 1/3 (teleport and spread cancel)
+    val tri = prOf(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L), (1L, 3L)), iters = 3)
+    tri.values.foreach(p => assert(math.abs(p - 1.0 / 3) < 1e-9, tri.toString))
+    // path 1-2-3: the middle node accumulates both ends' full mass
+    val path = prOf(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L)), iters = 3)
+    assert(path(2L) > path(1L) && path(1L) == path(3L), path.toString)
+    // no isolated nodes -> total mass stays 1 (up to decimal rounding)
+    assert(math.abs(path.values.sum - 1.0) < 1e-8, path.toString)
+    // isolated node: holds the teleport floor 0.15/N, never more
+    val iso = prOf(Seq(1L, 2L, 3L, 9L), Seq((1L, 2L), (2L, 3L), (1L, 3L)), iters = 2)
+    assert(math.abs(iso(9L) - 0.15 / 4) < 1e-12, iso.toString)
+  }
 }

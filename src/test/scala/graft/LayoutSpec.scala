@@ -134,4 +134,33 @@ class LayoutSpec extends SparkSpec {
     assert(num == refNum)
     assert(stat == refNum.toDouble / (n1.toDouble * n2.toDouble))
   }
+
+  test("chiSquareDrift: zero on proportional counts, positive on shift, matches naive") {
+    // b is exactly 2x a in every bucket -> D_b = c1*n2 - c2*n1 = 0 -> chi2 == 0.0
+    val prop = ((1 to 60).map(i => ("a", i.toDouble)) ++
+      (1 to 60).flatMap(i => Seq(("b", i.toDouble), ("b", i.toDouble)))).toDF("t", "v")
+    val zero = graft.ops.Aggregates
+      .chiSquareDrift(prop, "t", "v", "a", "b", bucketWidth = 10.0)
+      .as[(Long, Long, Long, Double)].collect().head
+    // buckets 0..6: floor(1/10)=0 through floor(60/10)=6 -> 7 buckets
+    assert(zero == ((60L, 120L, 7L, 0.0)), zero.toString)
+    // planted shift -> positive statistic, equal to the naive formula
+    val a = (1 to 200).map(i => ("a", i.toDouble / 10.0))
+    val b = (1 to 150).map(i => ("b", i.toDouble / 10.0 + 3.7))
+    val out = graft.ops.Aggregates
+      .chiSquareDrift((a ++ b).toDF("t", "v"), "t", "v", "a", "b", bucketWidth = 2.5)
+      .as[(Long, Long, Long, Double)].collect().head
+    val (n1, n2, nb, chi2) = out
+    assert(n1 == 200 && n2 == 150 && chi2 > 0.0)
+    val buckets = (a.map(x => (math.floor(x._2 / 2.5).toLong, 1, 0)) ++
+      b.map(x => (math.floor(x._2 / 2.5).toLong, 0, 1)))
+      .groupBy(_._1).values.map(g => (g.map(_._2).sum.toLong, g.map(_._3).sum.toLong))
+    assert(nb == buckets.size)
+    val ref = buckets.map { case (c1, c2) =>
+      val d = (c1 * n2 - c2 * n1).toDouble
+      d * d / (c1 + c2).toDouble
+    }.sum / (n1.toDouble * n2.toDouble)
+    // naive double sum vs the engine's decimal-exact sum: tolerance
+    assert(math.abs(chi2 - ref) / ref < 1e-12, s"$chi2 vs $ref")
+  }
 }

@@ -389,6 +389,19 @@ class PlanGuardSpec extends SparkSpec {
     assert(cacheRels.nonEmpty, "vocab must come from the eager cache")
   }
 
+  test("e2_pagerank: every iteration joins hash-keyed on the node id, never a nested loop") {
+    val p = planOf("e2_pagerank")
+    // the 1-row teleport scalar broadcasts (crossJoin of the count
+    // frame) legitimately plan as BroadcastNestedLoopJoin; a
+    // CartesianProduct anywhere would mean a real all-pairs join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    // the three unrolled iterations each read the cached edge+degree frame
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).size
+    assert(cacheReads >= 3, s"expected every iteration on the edge cache, got $cacheReads:\n$p")
+    assert(p.contains("partial_sum"), p) // decimal agg keeps map-side combine
+  }
+
   test("e3_ivf_recall_probe: both probe arms read the exact top-k from one cache") {
     // The exact brute-force side is computed once and cached; each
     // nprobe arm must read it back as an InMemoryTableScan, and the

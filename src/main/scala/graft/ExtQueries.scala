@@ -1966,6 +1966,26 @@ object ExtQueries {
        |  CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
        |FROM ix JOIN cnt ca ON src_a = ca.source JOIN cnt cb ON src_b = cb.source""".stripMargin
 
+  // ---- E1d: duplicated-span detection (sliding K-token windows) -------------
+  // Exact-substring dedup at ANY alignment: e1_passage_dedup only sees
+  // stride-aligned chunks, so a sentence copied at an arbitrary offset
+  // slips through; sliding a SpanLen-token window one token at a time
+  // catches it wherever it lands ([[Dedup.duplicatedSpans]] for the
+  // operator and its 100 TB shape — md5-keyed windows, pre-agg before
+  // the corpus-count join, positions collapse map-side). The oracle
+  // replays the window comprehension and the same md5 keys.
+  private val SpanLen = 6
+  def e1SpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", SpanLen)
+  val e1dSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') tk FROM documents),
+       |wd AS (SELECT doc_id, unnest([md5(array_to_string(tk[i:i+${SpanLen - 1}], ' ')) for i in range(1, len(tk) - ${SpanLen - 2})]) AS wh FROM t),
+       |cnt AS (SELECT wh, count(*) AS n_corpus FROM wd GROUP BY wh)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |  CAST(sum(CASE WHEN n_corpus > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(sum(CASE WHEN n_corpus > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+       |FROM wd JOIN cnt USING (wh) GROUP BY doc_id""".stripMargin
+
   // ---- E7h: curriculum phases (quality-tiered training order) --------------
   // Curriculum learning's data side: rank the corpus into phases by
   // quality score — phase 1 = top quartile (train on it first/most),
@@ -2082,7 +2102,8 @@ object ExtQueries {
     "e7_curriculum" -> (e7Curriculum _),
     "e3_ivf_probe" -> (e3IvfProbe _),
     "e3_ivf_recall_probe" -> (e3IvfRecallProbe _),
-    "e5_bpe_apply" -> (e5BpeApply _)
+    "e5_bpe_apply" -> (e5BpeApply _),
+    "e1_span_dedup" -> (e1SpanDedup _)
   )
 
   val sql: Map[String, String] = Map(
@@ -2147,6 +2168,7 @@ object ExtQueries {
     "e5_normalize" -> e5jSql,
     "e5_bigram_rarity" -> e5kSql,
     "e5_tfidf" -> e5mSql,
-    "e2_chain_components" -> e2hSql
+    "e2_chain_components" -> e2hSql,
+    "e1_span_dedup" -> e1dSql
   )
 }

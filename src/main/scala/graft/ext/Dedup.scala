@@ -423,4 +423,41 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Duplicated-span detection: slide a `k`-token window one token at
+    * a time over every document; a window whose content occurs more
+    * than once ANYWHERE in the corpus (any document, any offset —
+    * including a second time in the same document) marks duplicated
+    * text. Returns one row per document with ≥1 window:
+    * (id, n_windows, n_dup, dup_frac) where n_dup counts window
+    * OCCURRENCES whose content is corpus-duplicated — the exact
+    * any-alignment substring-dedup signal (chunk-based passage dedup
+    * only sees stride-aligned copies; this catches a copied sentence
+    * at any offset).
+    *
+    * Scale shape: the window explode is scan-bound per-row work; each
+    * occurrence is keyed by md5(window) — a fixed-width key instead
+    * of a k-word string through the exchange — and PRE-AGGREGATED to
+    * (id, window-hash) before anything shuffles, so a boilerplate-hot
+    * window's join multiplicity is bounded by |docs containing it|,
+    * never by its occurrence count (AQE's skew split covers the
+    * residual). Corpus counts derive from the pre-agg by a second
+    * partial-combine (one row per distinct window out). No all-pairs
+    * join, no position-level shuffle: positions collapse map-side.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val perDoc = df
+      .select(col(idCol),
+        explode(MinHash.shingles(TextOps.tokens(col(textCol)), k)).as("__w"))
+      .select(col(idCol), md5(col("__w")).as("__wh"))
+      .groupBy(col(idCol), col("__wh"))
+      .agg(count(lit(1)).as("n_occ"))
+    val counts = perDoc.groupBy(col("__wh")).agg(sum(col("n_occ")).as("n_corpus"))
+    perDoc.join(counts, Seq("__wh"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("n_occ")).as("n_windows"),
+        sum(when(col("n_corpus") > 1, col("n_occ")).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_windows"))
+  }
 }

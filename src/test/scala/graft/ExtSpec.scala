@@ -17,6 +17,23 @@ class ExtSpec extends SparkSpec {
     assert(out == Set(("k1", 1, 3L), ("k2", 9, 1L)))
   }
 
+  test("duplicatedSpans flags cross-doc copies at any offset and self-repeats") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),              // 3 windows; [a..f] copied into doc 2
+      (2L, "x x a b c d e f zz"),           // copy lands at offset 3 (unaligned)
+      (3L, "p q r s t u p q r s t u"),      // self-repeat: [p..u] occurs twice
+      (4L, "too short")                     // < 6 tokens -> no windows, no row
+    ).toDF("id", "body")
+    val got = Dedup.duplicatedSpans(docs, "id", "body", 6)
+      .select("id", "n_windows", "n_dup").as[(Long, Long, Long)].collect()
+      .map { case (id, w, d) => id -> ((w, d)) }.toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((3L, 1L)))
+    assert(got(2L) == ((4L, 1L)))
+    // both occurrences of the repeated window count as duplicated text
+    assert(got(3L) == ((7L, 2L)))
+  }
+
   // ---- E2 ---------------------------------------------------------------
   test("shingles yields n-grams in order and is empty below n tokens") {
     val df = Seq("a b c d", "a b").toDF("text")

@@ -1986,6 +1986,65 @@ object ExtQueries {
        |  CAST(sum(CASE WHEN n_corpus > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
        |FROM wd JOIN cnt USING (wh) GROUP BY doc_id""".stripMargin
 
+  // ---- E5n: bigram-LM predictability (the perplexity-filter shape) ----------
+  // Train the n-gram model ON the corpus, score every doc BY it —
+  // add-one-smoothed bigram probabilities are ratios of integers
+  // (one correctly-rounded IEEE division, portable), the per-doc
+  // score is their occurrence-weighted mean via DECIMAL(28,10) sums
+  // ([[LanguageModel.bigramPredictability]] for the operator and its
+  // 100 TB shape). The oracle replays counts, the same divisions,
+  // and the same decimal-summed mean.
+  def e5LmScore(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.bigramPredictability(Tables.documents(s, dir), "doc_id", "text")
+  val e5nSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') tk FROM documents),
+       |bi AS (SELECT doc_id, unnest([{'w1': tk[i], 'w2': tk[i+1]} for i in range(1, len(tk))]) AS bg FROM t),
+       |pd AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(*) AS n_occ FROM bi GROUP BY 1, 2, 3),
+       |cb AS (SELECT w1, w2, sum(n_occ) AS cb FROM pd GROUP BY 1, 2),
+       |cl AS (SELECT w1, sum(cb) AS cl FROM cb GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT word) AS v FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)),
+       |sc AS (SELECT doc_id, n_occ,
+       |    CAST(CAST(CAST(n_occ AS DOUBLE) * (CAST(cb + 1 AS DOUBLE) / CAST(cl + v AS DOUBLE)) AS VARCHAR) AS $AvgDec) AS cd
+       |  FROM pd JOIN cb USING (w1, w2) JOIN cl USING (w1) CROSS JOIN vv)
+       |SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+       |  CAST(CAST(sum(cd) AS VARCHAR) AS DOUBLE) / CAST(sum(n_occ) AS DOUBLE) AS mean_p
+       |FROM sc GROUP BY doc_id""".stripMargin
+
+  // ---- E5o: learned quality classifier (nearest-centroid) ------------------
+  // The fastText-filter shape: pseudo-label a seed rule, train a
+  // model (per-class feature centroids via DECIMAL(28,10) means),
+  // score the whole corpus by nearest centroid
+  // ([[QualityModel.centroidClassify]] for the operator and its
+  // broadcast-model 100 TB shape). The oracle replays the features,
+  // the decimal-summed centroids, and the same fixed-order squared
+  // distance.
+  def e5QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    QualityModel.centroidClassify(
+      Tables.documents(s, dir), "doc_id", "text", TextOps.enMarkers)
+  val e5oSql: String = {
+    val stops = TextOps.enMarkers.map(w => s"'$w'").mkString("(", ", ", ")")
+    val cm = Seq("f_stop" -> "c_stop", "f_len" -> "c_len", "f_ttr" -> "c_ttr")
+      .map { case (f, c) =>
+        s"CAST(CAST(sum(CAST(CAST($f AS VARCHAR) AS $AvgDec)) AS VARCHAR) AS DOUBLE) / count(*) AS $c"
+      }.mkString(", ")
+    val wide = (for (cls <- Seq("hi", "lo"); c <- Seq("c_stop", "c_len", "c_ttr"))
+      yield s"max(CASE WHEN label_seed = '$cls' THEN $c END) AS ${cls}_$c").mkString(", ")
+    def d2(cls: String) = Seq("stop", "len", "ttr")
+      .map(f => s"(f_$f - ${cls}_c_$f) * (f_$f - ${cls}_c_$f)")
+      .reduce((a, b) => s"($a + $b)")
+    s"""WITH f AS (SELECT doc_id,
+       |    CAST(len(list_filter(tk, t -> t IN $stops)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS f_stop,
+       |    least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) AS f_len,
+       |    CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS f_ttr
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') tk FROM documents) x),
+       |l AS (SELECT *, CASE WHEN f_stop * 0.5 + f_len * 0.5 >= 0.5 THEN 'hi' ELSE 'lo' END AS label_seed FROM f),
+       |c AS (SELECT label_seed, $cm FROM l GROUP BY label_seed),
+       |w AS (SELECT $wide FROM c)
+       |SELECT doc_id, label_seed,
+       |  CASE WHEN ${d2("hi")} <= ${d2("lo")} THEN 'hi' ELSE 'lo' END AS label_pred
+       |FROM l CROSS JOIN w""".stripMargin
+  }
+
   // ---- E7h: curriculum phases (quality-tiered training order) --------------
   // Curriculum learning's data side: rank the corpus into phases by
   // quality score — phase 1 = top quartile (train on it first/most),
@@ -2103,7 +2162,9 @@ object ExtQueries {
     "e3_ivf_probe" -> (e3IvfProbe _),
     "e3_ivf_recall_probe" -> (e3IvfRecallProbe _),
     "e5_bpe_apply" -> (e5BpeApply _),
-    "e1_span_dedup" -> (e1SpanDedup _)
+    "e1_span_dedup" -> (e1SpanDedup _),
+    "e5_lm_score" -> (e5LmScore _),
+    "e5_quality_classifier" -> (e5QualityClassifier _)
   )
 
   val sql: Map[String, String] = Map(
@@ -2169,6 +2230,8 @@ object ExtQueries {
     "e5_bigram_rarity" -> e5kSql,
     "e5_tfidf" -> e5mSql,
     "e2_chain_components" -> e2hSql,
-    "e1_span_dedup" -> e1dSql
+    "e1_span_dedup" -> e1dSql,
+    "e5_lm_score" -> e5nSql,
+    "e5_quality_classifier" -> e5oSql
   )
 }

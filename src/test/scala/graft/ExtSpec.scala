@@ -34,6 +34,49 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) == ((7L, 2L)))
   }
 
+  // ---- E5n -----------------------------------------------------------------
+  test("bigramPredictability matches the hand-derived smoothed bigram LM") {
+    // corpus = one doc "a b a b a": bigrams (a,b)x2, (b,a)x2;
+    // c(a,b)=c(b,a)=2, c(a,.)=c(b,.)=2, V={a,b}=2
+    // p = (2+1)/(2+2) = 0.75 for every position -> mean_p = 0.75, n=4
+    val solo = Seq((1L, "a b a b a")).toDF("id", "body")
+    val got = LanguageModel.bigramPredictability(solo, "id", "body")
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 4L, 0.75)))
+    // docs of < 2 tokens produce no row; repetitive text outscores
+    // unique text under the same corpus model
+    val mixed = Seq(
+      (1L, "x y x y x y x y"),
+      (2L, "q w e r t z u i"),
+      (3L, "single")).toDF("id", "body")
+    val byId = LanguageModel.bigramPredictability(mixed, "id", "body")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(byId.keySet == Set(1L, 2L))
+    assert(byId(1L) > byId(2L))
+  }
+
+  // ---- E5o ---------------------------------------------------------------
+  test("centroidClassify separates fluent long docs from short gibberish") {
+    // seed rule: f_stop*0.5 + f_len*0.5 >= 0.5.
+    // doc 1: 10 tokens, all stopwords -> f_stop=1.0, f_len=0.1 -> seed hi
+    // doc 2: "zz qq" -> f_stop=0, f_len=0.02 -> seed lo
+    // doc 3: "the of xx yy" -> f_stop=0.5, f_len=0.04 -> 0.27 -> seed lo
+    // centroids: hi=(1.0, 0.1, ttr 0.6), lo=mean of docs 2,3;
+    // doc 3 sits between but must land on SOME deterministic side —
+    // the law under test: every doc gets a pred, and the extreme
+    // docs (1, 2) are classified to their own seed class.
+    val docs = Seq(
+      (1L, "the a of and is to the a of and"),
+      (2L, "zz qq"),
+      (3L, "the of xx yy")).toDF("doc_id", "text")
+    val got = QualityModel.centroidClassify(docs, "doc_id", "text", TextOps.enMarkers)
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("hi", "hi")))
+    assert(got(2L) == (("lo", "lo")))
+    assert(got(3L)._1 == "lo")
+    assert(got.size == 3)
+  }
+
   // ---- E2 ---------------------------------------------------------------
   test("shingles yields n-grams in order and is empty below n tokens") {
     val df = Seq("a b c d", "a b").toDF("text")

@@ -2045,6 +2045,82 @@ object ExtQueries {
        |FROM l CROSS JOIN w""".stripMargin
   }
 
+  // ---- E3h: SQ8 scalar-quantized ANN (compressed-index search) -------------
+  // The embedding-compression path beside PQ (e3_pq_codes): per-dim
+  // min/max grid -> int8 codes -> exact BIGINT code dot products.
+  // Every quantization step is a fixed-order, correctly-rounded IEEE
+  // op ([[Similarity.sq8Codes]]), so the compressed index — not just
+  // the float baseline — verifies bit-exact against the oracle.
+  def e3Sq8Topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.sq8TopK(emb.filter(col("vec_id") < AnnQueries), emb, AnnK)
+      .select(col("query_id"), col("vec_id"), col("q_cos"), col("rk"))
+  }
+  private def sq8DuckCtes: String = {
+    val quant = "CASE WHEN mxs[i] = mns[i] THEN 0 ELSE CAST(least(floor(" +
+      "((CAST(embedding[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)) / " +
+      "(CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE))) * 256.0), 255.0) AS INT) END"
+    val n2 = "CAST(list_sum(list_transform(codes, v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS BIGINT)"
+    val qdot = "CAST(list_sum(list_transform(range(1, len(q.codes)+1), " +
+      "i -> CAST(q.codes[i] AS BIGINT) * CAST(c.codes[i] AS BIGINT))) AS BIGINT)"
+    s"""s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM (
+       |    SELECT unnest(range(1, len(embedding)+1)) AS dim, unnest(embedding) AS v
+       |    FROM embeddings) x GROUP BY dim),
+       |g AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM s),
+       |cd AS (SELECT vec_id,
+       |    list_transform(range(1, len(embedding)+1), i -> $quant) AS codes
+       |  FROM embeddings CROSS JOIN g),
+       |cn AS (SELECT vec_id, codes, $n2 AS n2 FROM cd),
+       |sq AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    CAST($qdot AS DOUBLE) / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS q_cos
+       |  FROM cn q JOIN cn c ON q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id),
+       |sk AS (SELECT query_id, vec_id, q_cos, rk FROM (
+       |  SELECT query_id, vec_id, q_cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY q_cos DESC, vec_id) AS BIGINT) AS rk
+       |  FROM sq) WHERE rk <= $AnnK)""".stripMargin
+  }
+  val e3hSql: String =
+    s"""WITH $sq8DuckCtes
+       |SELECT query_id, vec_id, q_cos, rk FROM sk""".stripMargin
+
+  // ---- E3i: SQ8 recall@k vs the exact float baseline -----------------------
+  // The compression QUALITY dial, measured the e3_ann_recall way:
+  // per query, how many of the exact float top-k the int8 index
+  // recovers — the go/no-go gate before swapping a 4-byte/dim index
+  // for a 1-byte/dim one in production.
+  def e3Sq8Recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < AnnQueries)
+    val exact = Similarity.cosineTopK(q, emb, AnnK)
+      .select(col("query_id"), col("vec_id"))
+    val sq8 = Similarity.sq8TopK(q, emb, AnnK)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"), lit(1).as("hit"))
+    exact
+      .join(sq8, col("query_id") === col("aq") && col("vec_id") === col("av"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+  }
+  val e3iSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    s"""WITH $sq8DuckCtes,
+       |e AS (SELECT vec_id, embedding, $n2 AS fn2 FROM embeddings),
+       |exs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.fn2) * sqrt(c.fn2)) AS cos_sim
+       |  FROM e q JOIN e c ON q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id),
+       |ex AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM exs) WHERE rk <= $AnnK)
+       |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN sk.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(sum(CASE WHEN sk.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM ex LEFT JOIN sk ON ex.query_id = sk.query_id AND ex.vec_id = sk.vec_id
+       |GROUP BY ex.query_id""".stripMargin
+  }
+
   // ---- E7h: curriculum phases (quality-tiered training order) --------------
   // Curriculum learning's data side: rank the corpus into phases by
   // quality score — phase 1 = top quartile (train on it first/most),
@@ -2164,7 +2240,9 @@ object ExtQueries {
     "e5_bpe_apply" -> (e5BpeApply _),
     "e1_span_dedup" -> (e1SpanDedup _),
     "e5_lm_score" -> (e5LmScore _),
-    "e5_quality_classifier" -> (e5QualityClassifier _)
+    "e5_quality_classifier" -> (e5QualityClassifier _),
+    "e3_sq8_topk" -> (e3Sq8Topk _),
+    "e3_sq8_recall" -> (e3Sq8Recall _)
   )
 
   val sql: Map[String, String] = Map(
@@ -2232,6 +2310,8 @@ object ExtQueries {
     "e2_chain_components" -> e2hSql,
     "e1_span_dedup" -> e1dSql,
     "e5_lm_score" -> e5nSql,
-    "e5_quality_classifier" -> e5oSql
+    "e5_quality_classifier" -> e5oSql,
+    "e3_sq8_topk" -> e3hSql,
+    "e3_sq8_recall" -> e3iSql
   )
 }

@@ -324,4 +324,76 @@ object Similarity {
       Seq(col("cos_sim").desc, col("vec_id").asc), k)
       .withColumn("rk", col("rk").cast("long"))
   }
+
+  /** Scalar (int8) quantization grid: per-dimension corpus min/max as
+    * two 1-row arrays (mns, mxs), ordered by dimension. One
+    * posexplode + partial/final min-max aggregate (map-side combine
+    * reduces each partition to |dims| rows before the shuffle), then
+    * a collect_list bounded by |dims| — the grid is model-sized, not
+    * data-sized, and is always broadcast to the quantize pass.
+    */
+  def sq8Grid(vectors: DataFrame): DataFrame =
+    vectors
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("g"))
+      .select(
+        transform(col("g"), x => x.getField("mn")).as("mns"),
+        transform(col("g"), x => x.getField("mx")).as("mxs"))
+
+  /** Quantize embeddings to int8 codes on a [[sq8Grid]]:
+    * q_i = min(floor(((x_i − mn_i) / (mx_i − mn_i)) · 256), 255),
+    * 0 where the dimension is constant. Every step is an exact or
+    * correctly-rounded IEEE double op in a FIXED order (subtract,
+    * divide, scale by a power of two, floor), so codes are
+    * bit-identical across engines — the portability property that
+    * lets an integer-only ANN index verify against the oracle.
+    * Adds `codes` (array<int>) and `qn2` (exact BIGINT squared norm).
+    */
+  def sq8Codes(vectors: DataFrame, grid: DataFrame): DataFrame = {
+    val codes = transform(sequence(lit(1), size(col("embedding"))), i => {
+      val x = element_at(col("embedding"), i).cast("double")
+      val mn = element_at(col("mns"), i).cast("double")
+      val mx = element_at(col("mxs"), i).cast("double")
+      when(mx === mn, lit(0L))
+        .otherwise(least(floor((x - mn) / (mx - mn) * lit(256.0)), lit(255L)))
+        .cast("int")
+    })
+    vectors
+      .crossJoin(broadcast(grid))
+      .withColumn("codes", codes)
+      .withColumn("qn2",
+        aggregate(col("codes"), lit(0L),
+          (acc, v) => acc + v.cast("long") * v.cast("long")))
+      .drop("mns", "mxs")
+  }
+
+  /** SQ8 approximate top-k: rank corpus codes against query codes by
+    * quantized cosine — an exact BIGINT code dot product over the
+    * compressed representation, normalized by the exact integer
+    * norms. The 100 TB shape of in-memory ANN: the index holds 1
+    * byte/dim instead of 4 (reads 4× less, sequential integer
+    * multiply-adds), the float embeddings never reach the scoring
+    * join. Queries broadcast; ties break on ascending corpus id.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val grid = sq8Grid(corpus)
+    val c = sq8Codes(corpus, grid)
+      .select(col("vec_id"), col("codes").as("c_codes"), col("qn2").as("c_n2"))
+    val q = sq8Codes(queries, grid)
+      .select(col("vec_id").as("query_id"), col("codes").as("q_codes"), col("qn2").as("q_n2"))
+    val qdot = aggregate(
+      zip_with(col("q_codes"), col("c_codes"), (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (qdot.cast("double") /
+          (sqrt(col("q_n2").cast("double")) * sqrt(col("c_n2").cast("double"))))
+          .as("q_cos"))
+    Ranking.topKPerGroup(
+      scored, Seq("query_id"),
+      Seq(col("q_cos").desc, col("vec_id").asc), k)
+      .withColumn("rk", col("rk").cast("long"))
+  }
 }

@@ -77,6 +77,30 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  // ---- E3h ---------------------------------------------------------------
+  test("sq8Codes quantizes to the hand-derived grid; sq8TopK ranks by code cosine") {
+    // dims: d1 in [0,4] -> scale 64/unit; d2 constant -> code 0
+    // v(0)=(0,1): q1 = floor(0/4*256)=0; v(1)=(2,1): floor(2/4*256)=128
+    // v(2)=(4,1): floor(4/4*256)=256 -> clamp 255
+    val vecs = Seq(
+      (0L, Array(0f, 1f)), (1L, Array(2f, 1f)), (2L, Array(4f, 1f)))
+      .toDF("vec_id", "embedding")
+    val grid = Similarity.sq8Grid(vecs)
+    val codes = Similarity.sq8Codes(vecs, grid)
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes(0L) == Seq(0, 0))
+    assert(codes(1L) == Seq(128, 0))
+    assert(codes(2L) == Seq(255, 0))
+    // identical vectors share codes -> their mutual quantized cosine is
+    // exactly 1.0 and each ranks the other first
+    val dup = Seq((0L, Array(1f, 3f)), (1L, Array(1f, 3f)), (2L, Array(9f, 0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.sq8TopK(dup.filter($"vec_id" < 2), dup, 1)
+      .select($"query_id", $"vec_id", $"q_cos")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(top == Seq((0L, 1L, 1.0), (1L, 0L, 1.0)))
+  }
+
   // ---- E2 ---------------------------------------------------------------
   test("shingles yields n-grams in order and is empty below n tokens") {
     val df = Seq("a b c d", "a b").toDF("text")

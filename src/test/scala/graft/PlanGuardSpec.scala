@@ -410,4 +410,32 @@ class PlanGuardSpec extends SparkSpec {
     val cacheReads = "InMemoryTableScan".r.findAllIn(p).size
     assert(cacheReads >= 2, s"expected both arms on the cache, got $cacheReads:\n$p")
   }
+
+  test("e3_sq8_topk: the quantization grid broadcasts; the grid agg exchange is reused") {
+    // The grid (per-dim min/max) appears under BOTH quantize passes
+    // (corpus + queries). Its groupBy(dim) shuffle must plan once and
+    // come back as ReusedExchange for the second pass — one corpus
+    // scan feeds both — and the 1-row grid reaches each quantize as a
+    // broadcast, never a shuffle join. Reuse is an AQE runtime
+    // decision, so execute first and read the final plan.
+    val df = SparkEntry.queries("e3_sq8_topk")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("InMemoryTableScan"),
+      s"grid computed twice from scratch:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("e5_quality_classifier: the 1-row model broadcasts to the scoring pass") {
+    // Train is a partial+final agg down to 2 rows -> 1-row pivot; the
+    // scoring pass must see it as a broadcast (nested-loop on a 1-row
+    // build side is the distributed scalar idiom), with map-side
+    // combine on the centroid sums. A SortMergeJoin or
+    // CartesianProduct would mean the model frame shuffles with the
+    // corpus.
+    val p = planOf("e5_quality_classifier")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
 }

@@ -2121,6 +2121,46 @@ object ExtQueries {
        |GROUP BY ex.query_id""".stripMargin
   }
 
+  // ---- E6c: perplexity buckets (CCNet-style head/middle/tail) --------------
+  // The CCNet recipe: score every document with a corpus-trained LM,
+  // then split each language into quality terciles — "head" trains
+  // first/most, "tail" is dropped or downweighted. Composes
+  // [[LanguageModel.bigramPredictability]] (one corpus-model pass)
+  // with a per-language ntile window; predictability stands in for
+  // negative perplexity (higher = more fluent), so tercile 1 = head.
+  // 100 TB shape: the LM score joins back on doc_id (co-partitioned
+  // sort-merge), the window shuffles once on lang — AQE skew-split
+  // covers a dominant language; ties break on doc_id for a total
+  // order both engines agree on.
+  def e6PplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = LanguageModel.bigramPredictability(docs, "doc_id", "text")
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("mean_p"),
+        ntile(3).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))
+            .orderBy(col("mean_p").desc, col("doc_id").asc))
+          .as("ppl_bucket"))
+  }
+  val e6cSql: String =
+    s"""SELECT lm.doc_id, d.lang, lm.mean_p,
+       |  ntile(3) OVER (PARTITION BY d.lang ORDER BY lm.mean_p DESC, lm.doc_id) AS ppl_bucket
+       |FROM ($e5nSql) lm JOIN documents d ON lm.doc_id = d.doc_id""".stripMargin
+
+  // ---- E5p: classifier agreement matrix ------------------------------------
+  // The eval step of any learned filter: the seed-rule vs prediction
+  // confusion matrix — one partial+final agg over the classifier's
+  // output, 4 rows out.
+  def e5ClassifierConfusion(s: SparkSession, dir: String): DataFrame =
+    e5QualityClassifier(s, dir)
+      .groupBy(col("label_seed"), col("label_pred"))
+      .agg(count(lit(1)).as("n"))
+  val e5pSql: String =
+    s"""SELECT label_seed, label_pred, count(*) AS n
+       |FROM ($e5oSql) c GROUP BY label_seed, label_pred""".stripMargin
+
   // ---- E7h: curriculum phases (quality-tiered training order) --------------
   // Curriculum learning's data side: rank the corpus into phases by
   // quality score — phase 1 = top quartile (train on it first/most),
@@ -2242,7 +2282,9 @@ object ExtQueries {
     "e5_lm_score" -> (e5LmScore _),
     "e5_quality_classifier" -> (e5QualityClassifier _),
     "e3_sq8_topk" -> (e3Sq8Topk _),
-    "e3_sq8_recall" -> (e3Sq8Recall _)
+    "e3_sq8_recall" -> (e3Sq8Recall _),
+    "e6_ppl_buckets" -> (e6PplBuckets _),
+    "e5_classifier_confusion" -> (e5ClassifierConfusion _)
   )
 
   val sql: Map[String, String] = Map(
@@ -2312,6 +2354,8 @@ object ExtQueries {
     "e5_lm_score" -> e5nSql,
     "e5_quality_classifier" -> e5oSql,
     "e3_sq8_topk" -> e3hSql,
-    "e3_sq8_recall" -> e3iSql
+    "e3_sq8_recall" -> e3iSql,
+    "e6_ppl_buckets" -> e6cSql,
+    "e5_classifier_confusion" -> e5pSql
   )
 }

@@ -77,6 +77,21 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  // ---- E6c ---------------------------------------------------------------
+  test("e6_ppl_buckets: per-language terciles balance within 1 and order by score") {
+    val rows = ExtQueries.all("e6_ppl_buckets")(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Double, Int)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._4).view.mapValues(_.size).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"$lang terciles unbalanced: $sizes")
+      // min head score >= max tail score (ntile is ordered by mean_p desc)
+      val byB = rs.groupBy(_._4)
+      if (byB.contains(1) && byB.contains(3))
+        assert(byB(1).map(_._3).min >= byB(3).map(_._3).max, lang)
+    }
+  }
+
   // ---- E3h ---------------------------------------------------------------
   test("sq8Codes quantizes to the hand-derived grid; sq8TopK ranks by code cosine") {
     // dims: d1 in [0,4] -> scale 64/unit; d2 constant -> code 0

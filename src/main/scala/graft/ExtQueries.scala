@@ -2161,6 +2161,111 @@ object ExtQueries {
     s"""SELECT label_seed, label_pred, count(*) AS n
        |FROM ($e5oSql) c GROUP BY label_seed, label_pred""".stripMargin
 
+  // ---- E5q: BM25 ranked retrieval ------------------------------------------
+  // Corpus search with the classic relevance model ([[Retrieval.bm25]]
+  // for the scoring and its broadcast-semi-reduce 100 TB shape; the
+  // log-free odds idf keeps it oracle-exact). The query workload is
+  // data-derived and deterministic: the 5 most document-frequent
+  // non-stopword tokens (ties to the lexicographically smaller),
+  // ranked corpus-wide, top-20 docs out.
+  private val Bm25Terms = 5
+  private val Bm25K = 20
+  def e5Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dfW = docs
+      .select(explode(array_distinct(TextOps.tokens(col("text")))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("dfq"))
+      .filter(!col("word").isin(TextOps.enMarkers: _*))
+    val qt = Retrieval.rankTopK(dfW, "word", "dfq", Bm25Terms)
+    Retrieval.rankTopK(
+      Retrieval.bm25(docs, "doc_id", "text", qt), "doc_id", "score", Bm25K)
+  }
+  /** BM25 CTEs shared by e5_bm25 and e3_hybrid_rrf: `qtsel` picks the
+    * query terms (caller-supplied WHERE/ORDER source), the rest is
+    * the scoring chain.
+    */
+  private def bm25DuckCtes(qtCte: String): String =
+    s"""tkz AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tks FROM documents),
+       |tfm AS (SELECT doc_id, word, count(*) AS tf, max(dl) AS dl FROM (
+       |    SELECT doc_id, len(tks) AS dl, unnest(tks) AS word FROM tkz) x
+       |  GROUP BY doc_id, word),
+       |dfm AS (SELECT word, count(*) AS df FROM tfm GROUP BY word),
+       |nn AS (SELECT count(*) AS n_docs FROM documents),
+       |ad AS (SELECT ${meanSql("len(tks)")} AS avgdl FROM tkz),
+       |$qtCte,
+       |bsc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |    CAST(CAST(sum(CAST(CAST(
+       |      ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |      ((CAST(tf AS DOUBLE) * 2.2) /
+       |       (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+       |      AS VARCHAR) AS $AvgDec)) AS VARCHAR) AS DOUBLE) AS score
+       |  FROM tfm JOIN qt USING (word) JOIN dfm USING (word) CROSS JOIN nn CROSS JOIN ad
+       |  GROUP BY doc_id)""".stripMargin
+  val e5qSql: String = {
+    val stops = TextOps.enMarkers.map(w => s"'$w'").mkString("(", ", ", ")")
+    val qt =
+      s"""qt AS (SELECT word FROM (
+         |  SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS qrk
+         |  FROM (SELECT doc_id, unnest(list_distinct(tks)) AS word FROM tkz) y
+         |  WHERE word NOT IN $stops GROUP BY word) z WHERE qrk <= $Bm25Terms)""".stripMargin
+    s"""WITH ${bm25DuckCtes(qt)}
+       |SELECT doc_id, n_terms, score, rk FROM (
+       |  SELECT doc_id, n_terms, score,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |  FROM bsc) WHERE rk <= $Bm25K""".stripMargin
+  }
+
+  // ---- E3j: hybrid dense+sparse retrieval (RRF fusion) ---------------------
+  // "More like doc 0", both ways at once: dense = exact cosine top-20
+  // over the embedding column, sparse = BM25 top-20 on doc 0's most
+  // frequent non-stopword terms, fused by reciprocal-rank
+  // ([[Retrieval.rrfFuse]]). The production hybrid-search shape: two
+  // independent rank lists (each with its own index strategy at
+  // scale) meet in a tiny full-outer join on the doc id.
+  private val HybridK = 10
+  def e3HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val dense = Similarity.cosineTopK(emb.filter(col("vec_id") === 0), emb, Bm25K)
+      .select(col("vec_id").as("doc_id"), col("rk"))
+    val qtf = docs.filter(col("doc_id") === 0)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("qtf"))
+      .filter(!col("word").isin(TextOps.enMarkers: _*))
+    val qt = Retrieval.rankTopK(qtf, "word", "qtf", Bm25Terms)
+    val sparse = Retrieval.rankTopK(
+      Retrieval.bm25(docs, "doc_id", "text", qt).filter(col("doc_id") =!= 0),
+      "doc_id", "score", Bm25K)
+    Retrieval.rankTopK(
+      Retrieval.rrfFuse(dense, sparse, "doc_id"), "doc_id", "rrf", HybridK)
+  }
+  val e3jSql: String = {
+    val stops = TextOps.enMarkers.map(w => s"'$w'").mkString("(", ", ", ")")
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val qt =
+      s"""qt AS (SELECT word FROM (
+         |  SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS qrk
+         |  FROM (SELECT unnest(tks) AS word FROM tkz WHERE doc_id = 0) y
+         |  WHERE word NOT IN $stops GROUP BY word) z WHERE qrk <= $Bm25Terms)""".stripMargin
+    s"""WITH ${bm25DuckCtes(qt)},
+       |e AS (SELECT vec_id, embedding, $n2 AS fn2 FROM embeddings),
+       |dn AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (
+       |    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk_a FROM (
+       |  SELECT c.vec_id, ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.fn2) * sqrt(c.fn2)) AS cos_sim
+       |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0) d
+       |  QUALIFY rk_a <= $Bm25K),
+       |sp AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk_b
+       |  FROM bsc WHERE doc_id <> 0 QUALIFY rk_b <= $Bm25K),
+       |fu AS (SELECT COALESCE(dn.doc_id, sp.doc_id) AS doc_id, rk_a, rk_b,
+       |    COALESCE(1.0 / (60.0 + CAST(rk_a AS DOUBLE)), 0.0) +
+       |    COALESCE(1.0 / (60.0 + CAST(rk_b AS DOUBLE)), 0.0) AS rrf
+       |  FROM dn FULL OUTER JOIN sp ON dn.doc_id = sp.doc_id)
+       |SELECT doc_id, rk_a, rk_b, rrf, rk FROM (
+       |  SELECT doc_id, rk_a, rk_b, rrf,
+       |    CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+       |  FROM fu) WHERE rk <= $HybridK""".stripMargin
+  }
+
   // ---- E7h: curriculum phases (quality-tiered training order) --------------
   // Curriculum learning's data side: rank the corpus into phases by
   // quality score — phase 1 = top quartile (train on it first/most),
@@ -2284,7 +2389,9 @@ object ExtQueries {
     "e3_sq8_topk" -> (e3Sq8Topk _),
     "e3_sq8_recall" -> (e3Sq8Recall _),
     "e6_ppl_buckets" -> (e6PplBuckets _),
-    "e5_classifier_confusion" -> (e5ClassifierConfusion _)
+    "e5_classifier_confusion" -> (e5ClassifierConfusion _),
+    "e5_bm25" -> (e5Bm25 _),
+    "e3_hybrid_rrf" -> (e3HybridRrf _)
   )
 
   val sql: Map[String, String] = Map(
@@ -2356,6 +2463,8 @@ object ExtQueries {
     "e3_sq8_topk" -> e3hSql,
     "e3_sq8_recall" -> e3iSql,
     "e6_ppl_buckets" -> e6cSql,
-    "e5_classifier_confusion" -> e5pSql
+    "e5_classifier_confusion" -> e5pSql,
+    "e5_bm25" -> e5qSql,
+    "e3_hybrid_rrf" -> e3jSql
   )
 }

@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.Aggregates
+
+/** Ranked retrieval over the corpus (SURVEY §2.8 E5): BM25 keyword
+  * scoring and reciprocal-rank fusion — the sparse half of a hybrid
+  * search stack, and the relevance model behind "find training docs
+  * like these" corpus tooling.
+  *
+  * BM25's idf is the LOG-FREE Robertson odds (N − df + 0.5) /
+  * (df + 0.5): monotone in the classic log-idf for fixed tf (log is
+  * applied to exactly this ratio), so rankings are preserved while
+  * every score stays a ratio of exactly-representable values — one
+  * correctly-rounded IEEE division instead of a transcendental that
+  * could never hash-match across engines (the e5_tfidf /
+  * e5_bigram_rarity trade). Composite constants (k1+1 = 2.2) are
+  * written as LITERALS in both engines: fl(1.2+1.0) is a half-ulp
+  * round-to-even case that need not equal fl(2.2).
+  */
+object Retrieval {
+  private val Dec = DecimalType(28, 10)
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Per-document BM25 scores against a small `queryTerms` frame
+    * (single column `word`), k1 = 1.2, b = 0.75. Returns one row per
+    * document matching ≥ 1 query term: (id, n_terms, score).
+    *
+    * 100 TB shape: one corpus scan explodes tokens and pre-aggregates
+    * to (id, word, tf, dl); the tf frame is immediately semi-reduced
+    * by a BROADCAST join with the query terms (the frame that flows
+    * on is |query terms| × |matching docs|, never corpus-sized); df
+    * and N are per-word / 1-row aggregates joined broadcast-side.
+    * The per-doc score sum runs through DECIMAL(28,10) so term order
+    * never matters. No window, no global sort — callers rank.
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col(idCol), size(TextOps.tokens(col(textCol))).as("dl"),
+        explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val avgdl = docs.agg(
+      Aggregates.exactMean(size(TextOps.tokens(col(textCol)))).as("avgdl"))
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfNorm = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+    tf.join(broadcast(queryTerms.select(col("word"))), Seq("word"))
+      .join(broadcast(df), Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(avgdl))
+      .select(col(idCol), (idf * tfNorm).cast(Dec).as("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s")).cast("double").as("score"))
+  }
+
+  /** Global top-k of a scored frame by (score desc, id asc) with a
+    * dense rank column. The rk ≤ k filter sits directly on the
+    * row_number window, so WindowGroupLimit prunes each partition to
+    * its local top-k BEFORE the single-partition exchange — the
+    * shuffle moves k rows per partition, not the corpus.
+    */
+  def rankTopK(scored: DataFrame, idCol: String, scoreCol: String, k: Int,
+      rankCol: String = "rk"): DataFrame =
+    scored
+      .withColumn(rankCol,
+        row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol).asc))
+          .cast("long"))
+      .filter(col(rankCol) <= k)
+
+  /** Reciprocal-rank fusion of two rank lists on `idCol`:
+    * rrf = Σ 1 / (60 + rank), absent list contributing 0. Ranks are
+    * exact integers, each term one exact-input IEEE division, the
+    * two-term sum a fixed order — portable. 60 is the standard RRF
+    * damping constant.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+      rankColA: String = "rk", rankColB: String = "rk"): DataFrame = {
+    def side(df: DataFrame, rc: String, as: String) =
+      df.select(col(idCol), col(rc).as(as))
+    side(a, rankColA, "rk_a")
+      .join(side(b, rankColB, "rk_b"), Seq(idCol), "full_outer")
+      .select(col(idCol), col("rk_a"), col("rk_b"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("rk_a").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rk_b").cast("double")), lit(0.0)))
+          .as("rrf"))
+  }
+}

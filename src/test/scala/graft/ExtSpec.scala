@@ -77,6 +77,25 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  // ---- E5q ---------------------------------------------------------------
+  test("bm25 scores only matching docs and is monotone in tf; rrfFuse is exact") {
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y z")).toDF("doc_id", "text")
+    val qt = Seq(Tuple1("x")).toDF("word")
+    val got = Retrieval.bm25(docs, "doc_id", "text", qt)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L, 2L)) // doc 3 has no query term
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L)
+    assert(got(1L)._2 > got(2L)._2) // tf 2 beats tf 1 (idf, avgdl shared)
+    // rrf: doc 2 in both lists beats doc 1 (dense only) beats doc 3 (worse rank)
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rk")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rk")
+    val rrf = Retrieval.rrfFuse(a, b, "doc_id")
+      .select($"doc_id", $"rrf").as[(Long, Double)].collect().toMap
+    assert(rrf(1L) == 1.0 / 61.0)
+    assert(rrf(2L) == 1.0 / 62.0 + 1.0 / 61.0)
+    assert(rrf(3L) == 1.0 / 62.0)
+  }
+
   // ---- E6c ---------------------------------------------------------------
   test("e6_ppl_buckets: per-language terciles balance within 1 and order by score") {
     val rows = ExtQueries.all("e6_ppl_buckets")(spark, "/root/testdata/sf0.001")

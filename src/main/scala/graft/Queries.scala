@@ -770,6 +770,30 @@ object ParityQueries {
     "SELECT lpad(CAST(p_partkey AS VARCHAR), 9, '0') AS part_id, " +
       "p_name, p_size, p_retailprice FROM part"
 
+  // ---- S13: XML sink → schema'd XML scan round-trip ------------------------
+  // The semi-structured format Spark 4 absorbed into spark-sql
+  // (formerly the spark-xml package): overwrite-write under an
+  // explicit rowTag, explicit-schema read-back — leading-zero string
+  // key, int and double columns intact through the text
+  // serialization. The oracle reads only the parquet truth, so any
+  // tag/type/precision drift in the round-trip diverges the hash.
+  def s13XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = Tables.supplier(s, dir).select(
+      lpad(col("s_suppkey").cast("string"), 7, "0").as("supp_id"),
+      col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    val path = Sink.scratchDir(s"xml_roundtrip_${math.abs(dir.hashCode)}")
+    Sink.writeXml(out, path)
+    Ingest.xml(s, path, StructType(Seq(
+      StructField("supp_id", StringType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType))))
+  }
+  val s13Sql =
+    "SELECT lpad(CAST(s_suppkey AS VARCHAR), 7, '0') AS supp_id, " +
+      "s_name, s_nationkey, s_acctbal FROM supplier"
+
   // ---- S8: incremental upsert (SCD-1 merge) -------------------------------
   // The scale-correct replacement for the reference's
   // drop-and-recreate sink (etl_script.py:164-168): urgent orders
@@ -2109,6 +2133,7 @@ object ParityQueries {
     "s1_csv_roundtrip" -> (s1CsvRoundtrip _),
     "s2_json_roundtrip" -> (s2JsonRoundtrip _),
     "s3_orc_roundtrip" -> (s3OrcRoundtrip _),
+    "s13_xml_roundtrip" -> (s13XmlRoundtrip _),
     "s8_upsert" -> (s8Upsert _),
     "f2_f3_format" -> (f2f3Format _),
     "w1_window_agg" -> (w1WindowAgg _),
@@ -2200,6 +2225,7 @@ object ParityQueries {
     "s1_csv_roundtrip" -> s1Sql,
     "s2_json_roundtrip" -> s2Sql,
     "s3_orc_roundtrip" -> s3oSql,
+    "s13_xml_roundtrip" -> s13Sql,
     "s8_upsert" -> s8Sql,
     "f2_f3_format" -> f2f3Sql,
     "w1_window_agg" -> w1Sql,

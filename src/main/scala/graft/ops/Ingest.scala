@@ -83,6 +83,14 @@ object Ingest {
   def parquetMergedSchema(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** S1 (XML variant): schema'd XML scan under an explicit rowTag.
+    * Schema pinned for the same fail-loudly reason as every other
+    * reader here; XML additionally needs the tag contract made
+    * explicit or reader and writer silently disagree on nesting.
+    */
+  def xml(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("rowTag", "row").xml(path)
+
   /** S2 (malformed-records variant): PERMISSIVE JSON scan that lands
     * undecodable lines in `_corrupt_record` instead of failing the
     * job (FAILFAST) or silently dropping rows (DROPMALFORMED) — the

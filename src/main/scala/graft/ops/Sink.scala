@@ -43,6 +43,18 @@ object Sink {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** S4 (XML variant): overwrite-write XML — the semi-structured
+    * text format Spark 4 ships natively in spark-sql (the former
+    * spark-xml package). Row-per-element under an explicit rowTag;
+    * like CSV/JSON it is a row format (no pushdown, no pruning), so
+    * it belongs at ingest/export boundaries, never as the
+    * steady-state analytical layout.
+    */
+  def writeXml(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("rootTag", "rows").option("rowTag", "row")
+      .xml(path)
+
   /** S4 (JDBC variant): reference's drop+recreate Postgres load.
     * Exercised in tests against embedded Derby (the one JDBC engine on
     * the classpath); the URL decides the actual backend.

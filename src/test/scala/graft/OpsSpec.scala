@@ -205,6 +205,20 @@ class OpsSpec extends SparkSpec {
       Set(("007", "x", 1), ("042", "y", 2)))
   }
 
+  // ---- S1/S4 XML variant ------------------------------------------------
+  test("leading-zero keys and doubles survive XML write + schema'd read") {
+    val df = Seq(("007", "x", 1, 1.5), ("042", "y", 2, -9.25)).toDF("id", "s", "n", "v")
+    val path = Sink.scratchDir("xml_unit")
+    Sink.writeXml(df, path)
+    val back = Ingest.xml(spark, path, StructType(Seq(
+      StructField("id", StringType),
+      StructField("s", StringType),
+      StructField("n", IntegerType),
+      StructField("v", DoubleType))))
+    assert(back.as[(String, String, Int, Double)].collect().toSet ==
+      Set(("007", "x", 1, 1.5), ("042", "y", 2, -9.25)))
+  }
+
   // ---- S1 schema evolution ----------------------------------------------
   test("parquetMergedSchema surfaces a late-added column as null in old rows") {
     val path = Sink.scratchDir("evolve")

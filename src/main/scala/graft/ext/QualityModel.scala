@@ -51,27 +51,56 @@ object QualityModel {
       textCol: String,
       stopwords: Seq[String],
       threshold: Double = 0.5): DataFrame = {
+    val labeled = featurize(df, idCol, textCol, stopwords, threshold)
+    predict(labeled, train(labeled), idCol)
+  }
+
+  /** Per-row feature + pseudo-label pass: (id, f_stop, f_len, f_ttr,
+    * label_seed). Pure codegen'd expressions, zero shuffles — safe on
+    * batch AND unbounded streaming frames (no state, no watermark).
+    */
+  def featurize(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String],
+      threshold: Double = 0.5): DataFrame = {
     val feats = TextOps.let1(TextOps.tokens(col(textCol))) { tk =>
       struct(
         TextOps.stopwordRatio(tk, stopwords).as("f_stop"),
         least(size(tk).cast("double") / lit(100.0), lit(1.0)).as("f_len"),
         TextOps.typeTokenRatio(tk).as("f_ttr"))
     }
-    val labeled = df
-      .select(col(idCol), inline(array(feats)))
+    df.select(col(idCol), inline(array(feats)))
       .withColumn("label_seed",
         when((col("f_stop") * lit(0.5) + col("f_len") * lit(0.5)) >= threshold, "hi")
           .otherwise("lo"))
+  }
+
+  /** Train the model from a [[featurize]]d frame: one partial+final
+    * aggregate to 2 class rows, pivoted to a single wide row
+    * (hi_c_* and lo_c_*) — the frame a scoring pass broadcasts.
+    */
+  def train(labeled: DataFrame): DataFrame = {
     def m(c: String) = sum(col(c).cast(Dec)).cast("double") / count(lit(1))
     // 2-row model -> 1-row wide frame: max() over a single row per class
     def side(cls: String, c: String) =
       max(when(col("label_seed") === cls, col(c))).as(s"${cls}_$c")
-    val model = labeled
+    labeled
       .groupBy(col("label_seed"))
       .agg(m("f_stop").as("c_stop"), m("f_len").as("c_len"), m("f_ttr").as("c_ttr"))
       .agg(
         side("hi", "c_stop"), side("hi", "c_len"), side("hi", "c_ttr"),
         side("lo", "c_stop"), side("lo", "c_len"), side("lo", "c_ttr"))
+  }
+
+  /** Score a [[featurize]]d frame by nearest centroid under a
+    * broadcast [[train]]ed model: (id, label_seed, label_pred).
+    * Stateless per-row math after the broadcast, so the scored frame
+    * may be a stream (stream-static join) — the train-offline /
+    * score-online deployment shape.
+    */
+  def predict(labeled: DataFrame, model: DataFrame, idCol: String): DataFrame = {
     def d2(cls: String): org.apache.spark.sql.Column = {
       def t(f: String) = {
         val diff = col(s"f_$f") - col(s"${cls}_c_$f")

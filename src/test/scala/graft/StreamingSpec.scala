@@ -17,6 +17,32 @@ class StreamingSpec extends SparkSpec {
   private def ts(hhmm: String): Timestamp =
     Timestamp.valueOf(s"2026-01-01 $hhmm:00")
 
+  test("scoreStream: offline-trained model scores the stream like batch classify") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{QualityModel, TextOps}
+    val corpus = Seq(
+      (1L, "the a of and is to the a of and"),
+      (2L, "zz qq"),
+      (3L, "the of xx yy")).toDF("doc_id", "text")
+    val labeled = QualityModel.featurize(corpus, "doc_id", "text", TextOps.enMarkers)
+    val model = QualityModel.train(labeled)
+    val expected = QualityModel.predict(labeled, model, "doc_id")
+      .as[(Long, String, String)].collect().toSet
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusStream.scoreStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", TextOps.enMarkers, model)
+      .writeStream.format("memory").queryName("score_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, "the a of and is to the a of and"), (2L, "zz qq"))
+      q.processAllAvailable()
+      in.addData((3L, "the of xx yy")) // later micro-batch, same frozen model
+      q.processAllAvailable()
+      val got = spark.table("score_out").as[(Long, String, String)].collect().toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("windowedStats aggregates into event-time hour buckets incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Double)]

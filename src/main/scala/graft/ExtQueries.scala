@@ -821,7 +821,12 @@ object ExtQueries {
   def e3PqCodes(s: SparkSession, dir: String): DataFrame =
     Similarity.pqCodes(Tables.embeddings(s, dir), PqM, PqSubDim, PqK, PqIters)
       .orderBy(col("vec_id"))
-  lazy val e3gSql: String = {
+  /** The per-subspace PQ CTE chains (slice → init → assign →
+    * decimal-exact update → final assign), shared by e3_pq_codes and
+    * e3_pq_adc: subspace i ends with `s{i}c1` (the learned codebook)
+    * and `s{i}a2` (each vector's code, column `cid`).
+    */
+  private lazy val pqSqlChains: String = {
     def fold(c: String) = duckFold(
       s"list_transform(range(1, len($c)+1), i -> CAST($c[i] AS DOUBLE) * CAST($c[i] AS DOUBLE))")
     val mexpr = s"CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS $AvgDec)) AS VARCHAR) AS DOUBLE) / COUNT(v)"
@@ -838,7 +843,7 @@ object ExtQueries {
          |  GROUP BY cid, dim),
          |$out AS (SELECT cid, cent, ${fold("cent")} AS cn2 FROM (
          |  SELECT cid, list(CAST(m AS FLOAT) ORDER BY dim) AS cent FROM ${out}d GROUP BY cid) y)""".stripMargin
-    val chains = (0 until PqM).map { i =>
+    (0 until PqM).map { i =>
       val (lo, hi) = (i * PqSubDim + 1, (i + 1) * PqSubDim)
       val p = s"s$i"
       s"""${p}e AS (SELECT vec_id, embedding, ${fold("embedding")} AS n2 FROM (
@@ -848,12 +853,51 @@ object ExtQueries {
          |${update(s"${p}a1", s"${p}c1")},
          |${assign(s"${p}e", s"${p}c1", s"${p}a2")}""".stripMargin
     }.mkString(",\n")
+  }
+  lazy val e3gSql: String = {
     val joins = (1 until PqM).map(i => s"JOIN s${i}a2 USING (vec_id)").mkString(" ")
     val codes = (0 until PqM).map(i => s"s${i}a2.cid AS code_$i").mkString(", ")
-    s"""WITH $chains
+    s"""WITH $pqSqlChains
        |SELECT vec_id, $codes
        |FROM s0a2 $joins
        |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---- E3k: PQ asymmetric-distance search (ADC top-k) ----------------------
+  // The search half of product quantization ([[Similarity.pqAdcTopK]]
+  // for the all-broadcast 100 TB shape): corpus = codes only, query =
+  // full precision, score = fixed-order sum of per-subspace LUT dots.
+  // The oracle replays the shared PQ chains (codebooks + codes) and
+  // the same LUT join + left-associated sum.
+  def e3PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.pqAdcTopK(
+      emb.filter(col("vec_id") < AnnQueries), emb, PqM, PqSubDim, PqK, PqIters, AnnK)
+      .select(col("query_id"), col("vec_id"), col("adc"), col("rk"))
+  }
+  lazy val e3kSql: String = {
+    val luts = (0 until PqM).map { i =>
+      val (lo, hi) = (i * PqSubDim + 1, (i + 1) * PqSubDim)
+      s"""lut$i AS (SELECT q.query_id, c.cid, ${duckDot("q.q_sub", "c.cent")} AS p_$i
+         |  FROM (SELECT vec_id AS query_id, embedding[$lo:$hi] AS q_sub
+         |        FROM embeddings WHERE vec_id < $AnnQueries) q
+         |  CROSS JOIN s${i}c1 c)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until PqM).map(i => s"JOIN s${i}a2 a$i USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until PqM).map {
+      case 0 => "JOIN lut0 l0 ON l0.cid = a0.cid"
+      case i => s"JOIN lut$i l$i ON l$i.query_id = l0.query_id AND l$i.cid = a$i.cid"
+    }.mkString(" ")
+    val adc = (0 until PqM).map(i => s"l$i.p_$i").reduce((a, b) => s"($a + $b)")
+    s"""WITH $pqSqlChains,
+       |$luts,
+       |sc AS (SELECT l0.query_id, a0.vec_id, $adc AS adc
+       |  FROM s0a2 a0 $codeJoins $lutJoins
+       |  WHERE a0.vec_id <> l0.query_id)
+       |SELECT query_id, vec_id, adc, rk FROM (
+       |  SELECT query_id, vec_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS BIGINT) AS rk
+       |  FROM sc) WHERE rk <= $AnnK""".stripMargin
   }
 
   // ---- E4: array-column statistics over embeddings -------------------------
@@ -2391,7 +2435,8 @@ object ExtQueries {
     "e6_ppl_buckets" -> (e6PplBuckets _),
     "e5_classifier_confusion" -> (e5ClassifierConfusion _),
     "e5_bm25" -> (e5Bm25 _),
-    "e3_hybrid_rrf" -> (e3HybridRrf _)
+    "e3_hybrid_rrf" -> (e3HybridRrf _),
+    "e3_pq_adc" -> (e3PqAdc _)
   )
 
   val sql: Map[String, String] = Map(
@@ -2465,6 +2510,7 @@ object ExtQueries {
     "e6_ppl_buckets" -> e6cSql,
     "e5_classifier_confusion" -> e5pSql,
     "e5_bm25" -> e5qSql,
-    "e3_hybrid_rrf" -> e3jSql
+    "e3_hybrid_rrf" -> e3jSql,
+    "e3_pq_adc" -> e3kSql
   )
 }

@@ -193,6 +193,50 @@ object Similarity {
         .select(col("vec_id"), col("cid").as(s"code_$i"))
     }.reduce(_.join(_, Seq("vec_id")))
 
+  /** PQ asymmetric-distance (ADC) top-k: the search half of product
+    * quantization — corpus vectors exist only as m per-subspace codes
+    * ([[pqCodes]]'s compression), queries stay full-precision, and
+    * each (query, doc) inner product is the FIXED-ORDER sum of m
+    * lookup-table entries dot(query_sub_i, codebook_i[code_i]).
+    *
+    * 100 TB shape: per subspace the codebook is k centroids
+    * (kilobytes) and the query LUT is |queries|·k partial dots — both
+    * broadcast. The corpus-sized frame flows ONCE through m broadcast
+    * hash joins on its code columns (no shuffle after the codes are
+    * built), so scoring reads 1 byte/dim-group instead of 4
+    * bytes/dim and never touches the float embeddings again. Ranks
+    * break ties on ascending corpus id.
+    */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, m: Int, subDim: Int,
+      k: Int, iters: Int, topK: Int): DataFrame = {
+    val parts = (0 until m).map { i =>
+      val sub = corpus.select(col("vec_id"),
+        slice(col("embedding"), i * subDim + 1, subDim).as("embedding"))
+      val cents = kmeansCentroids(sub, k, iters)
+      val codes = assignToCentroid(sub, cents)
+        .select(col("vec_id"), col("cid").as(s"code_$i"))
+      val lut = queries
+        .select(col("vec_id").as("query_id"),
+          slice(col("embedding"), i * subDim + 1, subDim).as("q_sub"))
+        .crossJoin(broadcast(
+          cents.select(col("vec_id").as(s"code_$i"), col("embedding").as("cent"))))
+        .select(col("query_id"), col(s"code_$i"),
+          dot(col("q_sub"), col("cent")).as(s"p_$i"))
+      (codes, lut)
+    }
+    val allCodes = parts.map(_._1).reduce(_.join(_, Seq("vec_id")))
+    val scored = parts.map(_._2).zipWithIndex.foldLeft(allCodes) {
+      case (acc, (lut, 0)) => acc.join(broadcast(lut), Seq("code_0"))
+      case (acc, (lut, i)) => acc.join(broadcast(lut), Seq("query_id", s"code_$i"))
+    }
+    val adc = (0 until m).map(i => col(s"p_$i")).reduce(_ + _) // fixed left-assoc order
+    Ranking.topKPerGroup(
+      scored.filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), adc.as("adc")),
+      Seq("query_id"), Seq(col("adc").desc, col("vec_id").asc), topK)
+      .withColumn("rk", col("rk").cast("long"))
+  }
+
   /** IVF-bucketed ANN top-k: queries probe only their own centroid's
     * cell. Same candidate-bounded join shape as [[bucketedTopK]] but
     * with data-adaptive cells instead of sign bits — recall follows

@@ -426,6 +426,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("e3_pq_adc: LUT scoring is broadcast hash joins, never a shuffle of the codes") {
+    // The corpus-sized code frame must flow through the m LUT joins
+    // as the probe side of BroadcastHashJoins (the LUTs are
+    // |queries|*k rows). A SortMergeJoin on a code column or a
+    // CartesianProduct would mean the compressed index shuffles.
+    val p = planOf("e3_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("e5_quality_classifier: the 1-row model broadcasts to the scoring pass") {
     // Train is a partial+final agg down to 2 rows -> 1-row pivot; the
     // scoring pass must see it as a broadcast (nested-loop on a 1-row

@@ -738,6 +738,48 @@ object ExtQueries {
     s"""WITH $kmeansChainSql
        |SELECT vec_id, cid AS cluster, cent_cos FROM a3""".stripMargin
 
+  // ---- E3l: hard-negative mining (contrastive-training data) ---------------
+  // For each query vector: the k most-similar corpus vectors from a
+  // DIFFERENT k-means cluster — "hard negatives", the pairs that look
+  // alike but aren't co-clustered, the data a contrastive embedding
+  // trainer wants most. Exact-scoring variant: cluster exclusion on
+  // the learned e3_kmeans cells, broadcast queries, corpus streams
+  // (at 100 TB restrict candidates with an ANN index first — the
+  // exclusion predicate and ranking are unchanged). Oracle replays
+  // the shared kmeans chain + the cluster-inequality scored join.
+  def e3HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val withCl = emb.join(
+      Similarity.kmeans(emb, KmK, KmIters).select(col("vec_id"), col("cluster")),
+      Seq("vec_id"))
+    val q = withCl.filter(col("vec_id") < AnnQueries).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      Similarity.norm2(col("embedding")).as("q_n2"), col("cluster").as("q_cl"))
+    val c = withCl.select(
+      col("vec_id"), col("embedding").as("c_emb"),
+      Similarity.norm2(col("embedding")).as("c_n2"), col("cluster").as("c_cl"))
+    val scored = c
+      .join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("c_cl") =!= col("q_cl"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cosineFrom(
+          Similarity.dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2"))
+          .as("cos_sim"))
+    Ranking.topKPerGroup(
+      scored, Seq("query_id"), Seq(col("cos_sim").desc, col("vec_id").asc), AnnK)
+      .withColumn("rk", col("rk").cast("long"))
+  }
+  val e3lSql: String =
+    s"""WITH $kmeansChainSql,
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM a3 q JOIN a3 c
+       |  ON q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id AND c.cid <> q.cid)
+       |SELECT query_id, vec_id, cos_sim, rk FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= $AnnK""".stripMargin
+
   // ---- E2j: semantic dedup (SemDeDup, Abbas et al. 2023) -------------------
   // The embedding-space analogue of MinHash dedup: k-means clusters
   // (the e3_kmeans chain), then inside each cluster every vector with
@@ -2310,6 +2352,45 @@ object ExtQueries {
        |  FROM fu) WHERE rk <= $HybridK""".stripMargin
   }
 
+  // ---- E6d: corpus data card -----------------------------------------------
+  // The release-documentation artifact every corpus ships with: one
+  // row per source with volume (docs, tokens, chars), language
+  // spread, exact-duplicate rate (md5 fingerprints), and mean
+  // heuristic quality — a single partial+final aggregate over one
+  // corpus scan (count_distinct carries a per-group distinct; at
+  // 100 TB swap it for the HLL variant the a2 family documents).
+  // Means run through DECIMAL(28,10); dup_frac is a ratio of counts.
+  def e6DataCard(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.qualityScore(tk, TextOps.enMarkers).as("q"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        (lit(1.0) - count_distinct(col("fp")).cast("double") / count(lit(1)).cast("double"))
+          .as("dup_frac"),
+        graft.ops.Aggregates.exactMean(col("q")).as("mean_quality"))
+  }
+  val e6dSql: String = {
+    val inList = TextOps.enMarkers.map(w => s"'$w'").mkString("(", ", ", ")")
+    val tk = "string_split_regex(trim(text), '\\s+')"
+    val stop = s"CAST(len(list_filter($tk, t -> t IN $inList)) AS DOUBLE) / CAST(len($tk) AS DOUBLE)"
+    val q = s"$stop * 0.5 + least(CAST(len($tk) AS DOUBLE) / 100.0, 1.0) * 0.5"
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len($tk)) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  1.0 - CAST(count(DISTINCT md5(lower(trim(text)))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac,
+       |  ${meanSql(s"CAST(CAST($q AS VARCHAR) AS $AvgDec)")} AS mean_quality
+       |FROM documents GROUP BY source""".stripMargin
+  }
+
   // ---- E7h: curriculum phases (quality-tiered training order) --------------
   // Curriculum learning's data side: rank the corpus into phases by
   // quality score — phase 1 = top quartile (train on it first/most),
@@ -2436,7 +2517,9 @@ object ExtQueries {
     "e5_classifier_confusion" -> (e5ClassifierConfusion _),
     "e5_bm25" -> (e5Bm25 _),
     "e3_hybrid_rrf" -> (e3HybridRrf _),
-    "e3_pq_adc" -> (e3PqAdc _)
+    "e3_pq_adc" -> (e3PqAdc _),
+    "e3_hard_negatives" -> (e3HardNegatives _),
+    "e6_data_card" -> (e6DataCard _)
   )
 
   val sql: Map[String, String] = Map(
@@ -2511,6 +2594,8 @@ object ExtQueries {
     "e5_classifier_confusion" -> e5pSql,
     "e5_bm25" -> e5qSql,
     "e3_hybrid_rrf" -> e3jSql,
-    "e3_pq_adc" -> e3kSql
+    "e3_pq_adc" -> e3kSql,
+    "e3_hard_negatives" -> e3lSql,
+    "e6_data_card" -> e6dSql
   )
 }

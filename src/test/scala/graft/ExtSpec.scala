@@ -77,6 +77,19 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  // ---- E3l ---------------------------------------------------------------
+  test("e3_hard_negatives never returns a co-clustered pair") {
+    val dir = "/root/testdata/sf0.001"
+    val clusters = ExtQueries.all("e3_kmeans")(spark, dir)
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    val pairs = ExtQueries.all("e3_hard_negatives")(spark, dir)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (q, v) =>
+      assert(clusters(q) != clusters(v), s"pair ($q,$v) co-clustered")
+    }
+  }
+
   // ---- E5q ---------------------------------------------------------------
   test("bm25 scores only matching docs and is monotone in tf; rrfFuse is exact") {
     val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y z")).toDF("doc_id", "text")

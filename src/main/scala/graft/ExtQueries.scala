@@ -1554,6 +1554,77 @@ object ExtQueries {
       |  SELECT lang, tri, n, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri) AS BIGINT) AS rk
       |  FROM counts) WHERE rk <= 5""".stripMargin
 
+  // ---- E5r: n-gram-profile language ID (the trained variant) ---------------
+  // Real LID, the fastText/textcat shape: per-language character-
+  // trigram PROFILES trained from the labeled corpus, every document
+  // classified by highest profile cosine (tie → lexicographically
+  // first language). All similarity arithmetic is INTEGER-exact —
+  // trigram counts, count dot products, squared norms are BIGINT
+  // sums of products — so only the final cosine division is floating
+  // point (one exact-input IEEE op per (doc, lang)).
+  //
+  // 100 TB shape: one prefix-bounded trigram explode pre-aggregates
+  // to (doc, tri) BEFORE any join (the e5_tfidf discipline); profiles
+  // and their norms derive from that pre-agg by second-level
+  // partial+final aggs (|langs|·|tris| rows — broadcastable; cap the
+  // feature space by hashing trigrams when vocabularies explode);
+  // the scoring join fans each doc row out |langs| ways at most.
+  // Long sums would wrap before HUGEINT oracle sums diverge only
+  // past 2^63 — unreachable at any real trigram count.
+  def e5LidModel(s: SparkSession, dir: String): DataFrame =
+    lidClassify(Tables.documents(s, dir))
+
+  /** The trainable core of e5_lid_model over any (doc_id, lang, text)
+    * frame — exposed for law tests on corpora with real language
+    * signal (the synthetic tables' text is language-agnostic, so
+    * in-corpus agreement there measures the DATA, not the model).
+    */
+  def lidClassify(docs: DataFrame): DataFrame = {
+    val trigrams = TextOps.let1(expr(s"substr(lower(text), 1, $TrigramPrefix)")) { p =>
+      transform(
+        sequence(lit(1), greatest(length(p) - 2, lit(0))),
+        i => substring(p, i, lit(3)))
+    }
+    val dt = docs
+      .select(col("doc_id"), col("lang"), explode(trigrams).as("tri"))
+      .groupBy(col("doc_id"), col("tri"))
+      .agg(count(lit(1)).as("c"), max(col("lang")).as("lang"))
+    val prof = dt.groupBy(col("lang").as("cand_lang"), col("tri"))
+      .agg(sum(col("c")).as("p"))
+    val profN2 = prof.groupBy(col("cand_lang"))
+      .agg(sum(col("p") * col("p")).as("n2p"))
+    val docN2 = dt.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("n2d"))
+    val dots = dt.join(prof, Seq("tri"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(sum(col("c") * col("p")).as("dp"), max(col("lang")).as("lang"))
+    val scored = dots
+      .join(docN2, Seq("doc_id"))
+      .join(broadcast(profN2), Seq("cand_lang"))
+      .select(col("doc_id"), col("lang"), col("cand_lang"),
+        (col("dp").cast("double") /
+          (sqrt(col("n2d").cast("double")) * sqrt(col("n2p").cast("double"))))
+          .as("cos"))
+    Ranking.topKPerGroup(
+      scored, Seq("doc_id"), Seq(col("cos").desc, col("cand_lang").asc), 1)
+      .select(col("doc_id"), col("lang"), col("cand_lang").as("lang_pred"))
+  }
+  val e5rSql: String =
+    s"""WITH tris AS (SELECT doc_id, lang, unnest([substr(p, i, 3) for i in range(1, greatest(len(p) - 2, 0) + 1)]) AS tri
+       |  FROM (SELECT doc_id, lang, substr(lower(text), 1, $TrigramPrefix) AS p FROM documents)),
+       |dt AS (SELECT doc_id, tri, count(*) AS c, max(lang) AS lang FROM tris GROUP BY doc_id, tri),
+       |pf AS (SELECT lang AS cand_lang, tri, sum(c) AS p FROM dt GROUP BY 1, 2),
+       |pn AS (SELECT cand_lang, sum(p * p) AS n2p FROM pf GROUP BY 1),
+       |dn AS (SELECT doc_id, sum(c * c) AS n2d FROM dt GROUP BY 1),
+       |dots AS (SELECT doc_id, cand_lang, sum(c * p) AS dp, max(lang) AS lang
+       |  FROM dt JOIN pf USING (tri) GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, lang, cand_lang,
+       |    CAST(dp AS DOUBLE) / (sqrt(CAST(n2d AS DOUBLE)) * sqrt(CAST(n2p AS DOUBLE))) AS cos
+       |  FROM dots JOIN dn USING (doc_id) JOIN pn USING (cand_lang))
+       |SELECT doc_id, lang, cand_lang AS lang_pred FROM (
+       |  SELECT doc_id, lang, cand_lang,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY cos DESC, cand_lang) AS rn
+       |  FROM sc) WHERE rn = 1""".stripMargin
+
   // ---- E5c: quality scoring + language ID ----------------------------------
   def e5QualityLangid(s: SparkSession, dir: String): DataFrame = {
     val tk = TextOps.tokens(col("text"))
@@ -2519,7 +2590,8 @@ object ExtQueries {
     "e3_hybrid_rrf" -> (e3HybridRrf _),
     "e3_pq_adc" -> (e3PqAdc _),
     "e3_hard_negatives" -> (e3HardNegatives _),
-    "e6_data_card" -> (e6DataCard _)
+    "e6_data_card" -> (e6DataCard _),
+    "e5_lid_model" -> (e5LidModel _)
   )
 
   val sql: Map[String, String] = Map(
@@ -2596,6 +2668,7 @@ object ExtQueries {
     "e3_hybrid_rrf" -> e3jSql,
     "e3_pq_adc" -> e3kSql,
     "e3_hard_negatives" -> e3lSql,
-    "e6_data_card" -> e6dSql
+    "e6_data_card" -> e6dSql,
+    "e5_lid_model" -> e5rSql
   )
 }

@@ -77,6 +77,19 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  // ---- E5r ---------------------------------------------------------------
+  test("lidClassify recovers the label on a corpus with real trigram signal") {
+    // two 'languages' with disjoint trigram inventories; held-out-style
+    // docs (4,5) still match their language's profile exactly
+    val docs = Seq(
+      (1L, "aa", "aaabba aababb"), (2L, "aa", "abbaab babaab"),
+      (3L, "zz", "zyzxyz xyzzyx"), (4L, "aa", "baabab"),
+      (5L, "zz", "zxyzzy")).toDF("doc_id", "lang", "text")
+    val got = ExtQueries.lidClassify(docs)
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> "aa", 2L -> "aa", 3L -> "zz", 4L -> "aa", 5L -> "zz"))
+  }
+
   // ---- E3l ---------------------------------------------------------------
   test("e3_hard_negatives never returns a co-clustered pair") {
     val dir = "/root/testdata/sf0.001"

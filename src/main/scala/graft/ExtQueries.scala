@@ -1564,13 +1564,14 @@ object ExtQueries {
   // point (one exact-input IEEE op per (doc, lang)).
   //
   // 100 TB shape: one prefix-bounded trigram explode pre-aggregates
-  // to (doc, tri) BEFORE any join (the e5_tfidf discipline); profiles
-  // and their norms derive from that pre-agg by second-level
-  // partial+final aggs (|langs|·|tris| rows — broadcastable; cap the
-  // feature space by hashing trigrams when vocabularies explode);
-  // the scoring join fans each doc row out |langs| ways at most.
-  // Long sums would wrap before HUGEINT oracle sums diverge only
-  // past 2^63 — unreachable at any real trigram count.
+  // to (doc, tri) BEFORE any join (the e5_tfidf discipline); each
+  // language profile truncates to its LidTopTri most frequent
+  // trigrams (textcat's trick), making the model |langs|·LidTopTri
+  // rows — broadcast to the scoring join, which therefore never
+  // shuffles the corpus-sized frame. Long sums would wrap where the
+  // oracle's HUGEINT doesn't only past 2^63 — unreachable at any
+  // real trigram count.
+  private val LidTopTri = 300
   def e5LidModel(s: SparkSession, dir: String): DataFrame =
     lidClassify(Tables.documents(s, dir))
 
@@ -1578,6 +1579,14 @@ object ExtQueries {
     * frame — exposed for law tests on corpora with real language
     * signal (the synthetic tables' text is language-agnostic, so
     * in-corpus agreement there measures the DATA, not the model).
+    *
+    * The (doc, tri) pre-agg feeds THREE consumers (profiles, doc
+    * norms, the scoring join), so it is eagerly persisted — one
+    * explode pass instead of three (measured 9.9 s → one-scan at
+    * sf0.1). Library callers outside the Bench/Verify runners (which
+    * clearCache per query) own releasing it via
+    * `spark.catalog.clearCache()` — the frame cannot unpersist
+    * before the lazily-evaluated result is consumed.
     */
   def lidClassify(docs: DataFrame): DataFrame = {
     val trigrams = TextOps.let1(expr(s"substr(lower(text), 1, $TrigramPrefix)")) { p =>
@@ -1585,16 +1594,27 @@ object ExtQueries {
         sequence(lit(1), greatest(length(p) - 2, lit(0))),
         i => substring(p, i, lit(3)))
     }
-    val dt = docs
+    val dt = graft.ops.Sink.cachedEager(docs
       .select(col("doc_id"), col("lang"), explode(trigrams).as("tri"))
       .groupBy(col("doc_id"), col("tri"))
-      .agg(count(lit(1)).as("c"), max(col("lang")).as("lang"))
-    val prof = dt.groupBy(col("lang").as("cand_lang"), col("tri"))
-      .agg(sum(col("c")).as("p"))
+      .agg(count(lit(1)).as("c"), max(col("lang")).as("lang")))
+    // textcat-style truncation: each language's profile keeps its
+    // LidTopTri most frequent trigrams — the model becomes
+    // |langs| · LidTopTri rows, small enough to BROADCAST, so the
+    // scoring join never shuffles the corpus-sized (doc, tri) frame.
+    // Local sf0.1 timing is stage-overhead-bound either way (~4.5 s
+    // min-of-2, stall-noise dominated); the broadcast shape is what
+    // survives 100 TB. Doc norms stay full-vector — the standard
+    // asymmetric-truncation cosine.
+    val prof = Ranking.topKPerGroup(
+      dt.groupBy(col("lang").as("cand_lang"), col("tri"))
+        .agg(sum(col("c")).as("p")),
+      Seq("cand_lang"), Seq(col("p").desc, col("tri").asc), LidTopTri)
+      .drop("rk")
     val profN2 = prof.groupBy(col("cand_lang"))
       .agg(sum(col("p") * col("p")).as("n2p"))
     val docN2 = dt.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("n2d"))
-    val dots = dt.join(prof, Seq("tri"))
+    val dots = dt.join(broadcast(prof), Seq("tri"))
       .groupBy(col("doc_id"), col("cand_lang"))
       .agg(sum(col("c") * col("p")).as("dp"), max(col("lang")).as("lang"))
     val scored = dots
@@ -1612,7 +1632,10 @@ object ExtQueries {
     s"""WITH tris AS (SELECT doc_id, lang, unnest([substr(p, i, 3) for i in range(1, greatest(len(p) - 2, 0) + 1)]) AS tri
        |  FROM (SELECT doc_id, lang, substr(lower(text), 1, $TrigramPrefix) AS p FROM documents)),
        |dt AS (SELECT doc_id, tri, count(*) AS c, max(lang) AS lang FROM tris GROUP BY doc_id, tri),
-       |pf AS (SELECT lang AS cand_lang, tri, sum(c) AS p FROM dt GROUP BY 1, 2),
+       |pf AS (SELECT cand_lang, tri, p FROM (
+       |  SELECT lang AS cand_lang, tri, sum(c) AS p,
+       |    row_number() OVER (PARTITION BY lang ORDER BY sum(c) DESC, tri) AS prk
+       |  FROM dt GROUP BY lang, tri) t WHERE prk <= $LidTopTri),
        |pn AS (SELECT cand_lang, sum(p * p) AS n2p FROM pf GROUP BY 1),
        |dn AS (SELECT doc_id, sum(c * c) AS n2d FROM dt GROUP BY 1),
        |dots AS (SELECT doc_id, cand_lang, sum(c * p) AS dp, max(lang) AS lang

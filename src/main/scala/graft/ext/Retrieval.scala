@@ -31,12 +31,16 @@ object Retrieval {
     * (single column `word`), k1 = 1.2, b = 0.75. Returns one row per
     * document matching ≥ 1 query term: (id, n_terms, score).
     *
-    * 100 TB shape: one corpus scan explodes tokens and pre-aggregates
-    * to (id, word, tf, dl); the tf frame is immediately semi-reduced
-    * by a BROADCAST join with the query terms (the frame that flows
-    * on is |query terms| × |matching docs|, never corpus-sized); df
-    * and N are per-word / 1-row aggregates joined broadcast-side.
-    * The per-doc score sum runs through DECIMAL(28,10) so term order
+    * 100 TB shape: ONE corpus scan explodes tokens and pre-aggregates
+    * to (id, word, tf); everything else derives from that frame —
+    * per-doc lengths dl = Σ tf (a second partial+final agg, no
+    * re-scan), corpus stats (N, decimal-exact avgdl) from the length
+    * frame, document frequencies semi-reduced by the query terms
+    * BEFORE broadcasting (df for ≤ |query| words broadcasts; a
+    * vocabulary-sized broadcast would not survive 100 TB). The tf
+    * frame is broadcast-semi-reduced by the query terms, so the only
+    * non-broadcast join is matched-rows ⋈ lengths on the doc id. The
+    * per-doc score sum runs through DECIMAL(28,10) so term order
     * never matters. No window, no global sort — callers rank.
     */
   def bm25(
@@ -45,23 +49,24 @@ object Retrieval {
       textCol: String,
       queryTerms: DataFrame): DataFrame = {
     val tf = docs
-      .select(col(idCol), size(TextOps.tokens(col(textCol))).as("dl"),
-        explode(TextOps.tokens(col(textCol))).as("word"))
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy(col(idCol), col("word"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val avgdl = docs.agg(
-      Aggregates.exactMean(size(TextOps.tokens(col(textCol)))).as("avgdl"))
+      .agg(count(lit(1)).as("tf"))
+    val dlf = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val stats = dlf.agg(
+      count(lit(1)).as("n_docs"), Aggregates.exactMean(col("dl")).as("avgdl"))
+    val qt = broadcast(queryTerms.select(col("word")))
+    val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .join(qt, Seq("word"))
     val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
     val tfNorm = (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") +
         lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
-    tf.join(broadcast(queryTerms.select(col("word"))), Seq("word"))
-      .join(broadcast(df), Seq("word"))
-      .crossJoin(broadcast(nDocs))
-      .crossJoin(broadcast(avgdl))
+    tf.join(qt, Seq("word"))
+      .join(dlf, Seq(idCol))
+      .join(broadcast(dfq), Seq("word"))
+      .crossJoin(broadcast(stats))
       .select(col(idCol), (idf * tfNorm).cast(Dec).as("s"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum(col("s")).cast("double").as("score"))

@@ -2351,14 +2351,16 @@ object ExtQueries {
   private val Bm25Terms = 5
   private val Bm25K = 20
   def e5Bm25(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val dfW = docs
-      .select(explode(array_distinct(TextOps.tokens(col("text")))).as("word"))
+    // query terms derive from the SAME tf frame bm25 scores over —
+    // one corpus tokenize total (plan-guarded); the per-word
+    // aggregate subtrees dedup via AQE exchange reuse
+    val tf = Retrieval.tokenFrequencies(Tables.documents(s, dir), "doc_id", "text")
+    val dfW = tf
       .groupBy(col("word")).agg(count(lit(1)).as("dfq"))
       .filter(!col("word").isin(TextOps.enMarkers: _*))
     val qt = Retrieval.rankTopK(dfW, "word", "dfq", Bm25Terms)
     Retrieval.rankTopK(
-      Retrieval.bm25(docs, "doc_id", "text", qt), "doc_id", "score", Bm25K)
+      Retrieval.bm25FromTf(tf, "doc_id", qt), "doc_id", "score", Bm25K)
   }
   /** BM25 CTEs shared by e5_bm25 and e3_hybrid_rrf: `qtsel` picks the
     * query terms (caller-supplied WHERE/ORDER source), the rest is

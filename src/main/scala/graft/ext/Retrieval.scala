@@ -47,11 +47,26 @@ object Retrieval {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      queryTerms: DataFrame): DataFrame = {
-    val tf = docs
+      queryTerms: DataFrame): DataFrame =
+    bm25FromTf(tokenFrequencies(docs, idCol, textCol), idCol, queryTerms)
+
+  /** The (id, word, tf) pre-aggregate bm25 scores over — exposed so a
+    * caller that ALSO needs corpus term statistics (e.g. deriving the
+    * query workload from document frequencies) shares one tokenize
+    * pass: identical aggregate subtrees over this frame dedup at
+    * runtime via AQE exchange reuse.
+    */
+  def tokenFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("tf"))
+
+  /** [[bm25]] over a pre-built [[tokenFrequencies]] frame. */
+  def bm25FromTf(
+      tf: DataFrame,
+      idCol: String,
+      queryTerms: DataFrame): DataFrame = {
     val dlf = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val stats = dlf.agg(
       count(lit(1)).as("n_docs"), Aggregates.exactMean(col("dl")).as("avgdl"))

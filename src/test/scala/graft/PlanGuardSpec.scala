@@ -436,6 +436,19 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("e5_bm25: query terms share the tf exchange; scoring joins broadcast") {
+    // qt derives from the SAME tokenFrequencies frame bm25 scores
+    // over, so at runtime the repeated (id, word) aggregate comes
+    // back as ReusedExchange — one corpus tokenize, not two. The
+    // query-term and df joins are broadcasts.
+    val df = SparkEntry.queries("e5_bm25")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), s"tf exchange not shared:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("e5_quality_classifier: the 1-row model broadcasts to the scoring pass") {
     // Train is a partial+final agg down to 2 rows -> 1-row pivot; the
     // scoring pass must see it as a broadcast (nested-loop on a 1-row

@@ -168,6 +168,34 @@ object ExtQueries {
        |WHERE b.doc_id % 10 = 0""".stripMargin
   }
 
+  // ---- E2m: empirical banding S-curve --------------------------------------
+  // Per true-Jaccard decile, the fraction of pairs the banding
+  // catches — the measured 1−(1−j^r)^b ([[MinHash.lshScurve]] for the
+  // shared-shingle truth join that avoids all-pairs). The parameter-
+  // tuning evidence every production LSH dedup wants before fixing
+  // (bands, rows).
+  def e2LshScurve(s: SparkSession, dir: String): DataFrame =
+    MinHash.lshScurve(Tables.documents(s, dir), "doc_id", "text")
+  val e2mSql: String =
+    s"""$e2Ctes,
+       |msd AS (SELECT doc_id, list_distinct(ms) AS msd FROM hashed),
+       |exd AS (SELECT doc_id, unnest(msd) AS h FROM msd),
+       |iw AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM exd a JOIN exd b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(msd) AS n FROM msd),
+       |tr AS (SELECT doc_a, doc_b,
+       |    CAST(i AS DOUBLE) / (CAST(sa.n + sb.n AS DOUBLE) - CAST(i AS DOUBLE)) AS jac
+       |  FROM iw JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b),
+       |cd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |bk AS (SELECT CAST(least(floor(jac * 10.0), 9) AS BIGINT) AS bucket,
+       |    CASE WHEN cd.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM tr LEFT JOIN cd USING (doc_a, doc_b))
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(hit) AS BIGINT) AS n_caught,
+       |  CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM bk GROUP BY bucket""".stripMargin
+
   // ---- E2b: exact n-gram Jaccard verification of the candidates ------------
   def e2NgramJaccard(s: SparkSession, dir: String): DataFrame =
     MinHash.exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
@@ -2616,7 +2644,8 @@ object ExtQueries {
     "e3_pq_adc" -> (e3PqAdc _),
     "e3_hard_negatives" -> (e3HardNegatives _),
     "e6_data_card" -> (e6DataCard _),
-    "e5_lid_model" -> (e5LidModel _)
+    "e5_lid_model" -> (e5LidModel _),
+    "e2_lsh_scurve" -> (e2LshScurve _)
   )
 
   val sql: Map[String, String] = Map(
@@ -2694,6 +2723,7 @@ object ExtQueries {
     "e3_pq_adc" -> e3kSql,
     "e3_hard_negatives" -> e3lSql,
     "e6_data_card" -> e6dSql,
-    "e5_lid_model" -> e5rSql
+    "e5_lid_model" -> e5rSql,
+    "e2_lsh_scurve" -> e2mSql
   )
 }

@@ -242,6 +242,57 @@ object MinHash {
     * [[exactJaccardPairs]]. `sigs` must be persisted/checkpointed:
     * both self-join sides read it within one job.
     */
+  /** Empirical banding S-curve: per true-Jaccard decile, the fraction
+    * of document pairs the (Bands × RowsPerBand) banding actually
+    * catches — the measured version of the 1−(1−j^r)^b curve that
+    * justifies the band parameters. Output: (bucket, n_pairs,
+    * n_caught, recall), bucket = min(floor(10·jaccard), 9).
+    *
+    * True pairs come from a SHARED-SHINGLE equi-join, never
+    * all-pairs: a pair with jaccard > 0 shares ≥ 1 distinct shingle
+    * hash, so joining the exploded distinct-hash table to itself on
+    * the hash and counting matches yields exact intersection sizes
+    * with work bounded per shingle (hot shingles → AQE skew split;
+    * zero-jaccard pairs don't exist in any bucket by construction).
+    * One eagerly-persisted hash base feeds the truth side AND the
+    * signature/banding side (the exactJaccardPairs discipline).
+    */
+  def lshScurve(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3): DataFrame = {
+    val ms = graft.ops.Sink.cachedEager(docs
+      .select(col(idCol).as("doc_id"),
+        shingleHashesFromTokens(TextOps.tokens(col(textCol)), shingleLen).as("ms"))
+      .filter(size(col("ms")) > 0))
+    val msd = ms.select(col("doc_id"), array_distinct(col("ms")).as("msd"))
+    val ex = msd.select(col("doc_id"), explode(col("msd")).as("h"))
+    val inter = ex.as("a")
+      .join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val sz = msd.select(col("doc_id"), size(col("msd")).as("n"))
+    val icol = col("i").cast("double")
+    val truth = inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (icol / ((col("na") + col("nb")).cast("double") - icol)).as("jac"))
+    val cands = candidatePairsFromSigs(
+      ms.select(col("doc_id"), signature(col("ms")).as("sig")))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    truth
+      .join(cands, Seq("doc_a", "doc_b"), "left")
+      .select(
+        least(floor(col("jac") * lit(10.0)), lit(9L)).cast("long").as("bucket"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("hit")).as("n_caught"))
+      .select(col("bucket"), col("n_pairs"), col("n_caught"),
+        (col("n_caught").cast("double") / col("n_pairs").cast("double")).as("recall"))
+  }
+
   private def candidatePairsFromSigs(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(
       col("doc_id"), col("sig"),

@@ -77,6 +77,19 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  // ---- E2m ---------------------------------------------------------------
+  test("lshScurve: identical docs land in bucket 9 fully caught; disjoint docs make no pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // jaccard 1.0 with doc 1
+      (3L, "one two three four five six")          // shares no shingle
+    ).toDF("doc_id", "text")
+    val got = MinHash.lshScurve(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // zero-jaccard pairs don't exist by construction -> exactly one bucket
+    assert(got == Seq((9L, 1L, 1L, 1.0)))
+  }
+
   // ---- E5r ---------------------------------------------------------------
   test("lidClassify recovers the label on a corpus with real trigram signal") {
     // two 'languages' with disjoint trigram inventories; held-out-style

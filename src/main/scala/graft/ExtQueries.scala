@@ -1135,6 +1135,41 @@ object ExtQueries {
        |FROM h GROUP BY ahash""".stripMargin
   }
 
+  // ---- E4j: scene-cut detection over the frame sequence --------------------
+  // Shot-boundary detection on the REAL animated-GIF payload
+  // ([[graft.functions.GifSceneCuts]]): frame f is a cut when the
+  // BIGINT sum of absolute pixel diffs against frame f−1 exceeds the
+  // threshold — decode, per-frame compare, per-row, shuffle-free.
+  // The oracle replays every frame's pixels arithmetically and the
+  // same integer test; cut lists compare as joined strings (the
+  // harness hashes scalar columns).
+  private val SceneCutThr = 4096L
+  def e4SceneCuts(s: SparkSession, dir: String): DataFrame = {
+    val seed = TextOps.md5Int32(md5(col("text")))
+    val cuts = Multimodal.sceneCuts(
+      Multimodal.synthVideo(seed, VidW, VidH, VidFrames), SceneCutThr)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), cuts.as("cuts"))
+      .select(col("doc_id"),
+        size(col("cuts")).cast("long").as("n_cuts"),
+        array_join(transform(col("cuts"), f => f.cast("string")), ",").as("cut_frames"))
+  }
+  // lazy: interpolates VidW/VidH/VidFrames declared LATER in this
+  // file — a strict val would capture their pre-init zeros
+  lazy val e4jSql: String = {
+    import graft.functions.ImageCodec.{MixA, MixB, P => IP}
+    val n = VidW * VidH
+    val px = s"(((seed + f) * (((i + 1) * $MixA + $MixB) % $IP)) % $IP) % 256"
+    s"""WITH seeds AS (SELECT doc_id, ${duckMd5Int("md5(text)")} AS seed FROM documents),
+       |fr AS (SELECT doc_id, [[$px for i in range(0, $n)] for f in range(0, $VidFrames)] AS fs FROM seeds),
+       |ct AS (SELECT doc_id, [CAST(f AS BIGINT) for f in range(1, $VidFrames)
+       |    if list_sum(list_transform(range(1, $n + 1), i -> abs(fs[f + 1][i] - fs[f][i]))) > $SceneCutThr] AS cuts
+       |  FROM fr)
+       |SELECT doc_id, CAST(len(cuts) AS BIGINT) AS n_cuts,
+       |  coalesce(array_to_string(list_transform(cuts, f -> CAST(f AS VARCHAR)), ','), '') AS cut_frames
+       |FROM ct""".stripMargin
+  }
+
   // ---- E4e: real audio (PCM WAV) parse → sample stats ----------------------
   // The audio twin of e4_decode_stats: synthesize a RIFF/WAVE 16-bit
   // PCM payload per row from a text-derived seed, PARSE the bytes
@@ -2645,7 +2680,8 @@ object ExtQueries {
     "e3_hard_negatives" -> (e3HardNegatives _),
     "e6_data_card" -> (e6DataCard _),
     "e5_lid_model" -> (e5LidModel _),
-    "e2_lsh_scurve" -> (e2LshScurve _)
+    "e2_lsh_scurve" -> (e2LshScurve _),
+    "e4_scene_cuts" -> (e4SceneCuts _)
   )
 
   val sql: Map[String, String] = Map(
@@ -2724,6 +2760,7 @@ object ExtQueries {
     "e3_hard_negatives" -> e3lSql,
     "e6_data_card" -> e6dSql,
     "e5_lid_model" -> e5rSql,
-    "e2_lsh_scurve" -> e2mSql
+    "e2_lsh_scurve" -> e2mSql,
+    "e4_scene_cuts" -> e4jSql
   )
 }

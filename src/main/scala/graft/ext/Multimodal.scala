@@ -109,6 +109,16 @@ object Multimodal {
       ColumnBridge.expression(blob)))
   }
 
+  /** REAL scene-cut detection: animated-GIF payload → ascending cut
+    * frame indexes under the pixel-difference shot-boundary test
+    * ([[graft.functions.GifSceneCuts]]); malformed → null.
+    */
+  def sceneCuts(blob: Column, threshold: Long): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.GifSceneCuts(
+      ColumnBridge.expression(blob), threshold))
+  }
+
   /** Text → binary payload (the testdata has no real blobs; any
     * binary column behaves identically downstream).
     */

@@ -125,6 +125,54 @@ object VideoCodec {
         }
       } finally reader.dispose()
     } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Scene-change detection over a decoded frame sequence: frame f
+    * (f ≥ 1) is a CUT when Σ_i |p_f[i] − p_{f−1}[i]| > `threshold` —
+    * the classic pixel-difference shot-boundary test, kept entirely
+    * in BIGINT so the oracle's arithmetic replay is exact. Returns
+    * the cut frame indexes (ascending); null for undecodable
+    * payloads.
+    */
+  def sceneCutIndexes(bytes: Array[Byte], threshold: Long): Any =
+    try {
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        reader.setInput(new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes)))
+        val n = reader.getNumImages(true)
+        if (n <= 0) null
+        else {
+          var prev: Array[Long] = null
+          val cuts = scala.collection.mutable.ArrayBuffer.empty[Any]
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            val w = img.getWidth
+            val h = img.getHeight
+            val cur = new Array[Long](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                cur(y * w + x) = (img.getRGB(x, y) & 0xFF).toLong
+                x += 1
+              }
+              y += 1
+            }
+            if (prev != null && prev.length == cur.length) {
+              var d = 0L
+              var i = 0
+              while (i < cur.length) {
+                d += math.abs(cur(i) - prev(i)); i += 1
+              }
+              if (d > threshold) cuts += f.toLong
+            }
+            prev = cur
+            f += 1
+          }
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(cuts.toArray)
+        }
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => null }
 }
 
 /** binary animated-GIF payload (nFrames deterministic grayscale
@@ -176,5 +224,29 @@ case class GifFrameStats(child: Expression)
     VideoCodec.frameSampleStats(input.asInstanceOf[Array[Byte]])
 
   override protected def withNewChildInternal(newChild: Expression): GifFrameStats =
+    copy(child = newChild)
+}
+
+/** Decode an animated-GIF payload and emit scene-cut frame indexes
+  * (pixel-difference shot-boundary test, BIGINT-exact); undecodable
+  * bytes → null.
+  */
+case class GifSceneCuts(child: Expression, threshold: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_gif_scene_cuts"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VideoCodec.sceneCutIndexes(input.asInstanceOf[Array[Byte]], threshold)
+
+  override protected def withNewChildInternal(newChild: Expression): GifSceneCuts =
     copy(child = newChild)
 }

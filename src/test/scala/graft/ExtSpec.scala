@@ -77,6 +77,22 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  // ---- E4j ---------------------------------------------------------------
+  test("sceneCuts matches the arithmetic shot-boundary test on decoded frames") {
+    import graft.functions.VideoCodec
+    val (w, h, nf, seed, thr) = (8, 6, 5, 12345L, 4096L)
+    val expected = (1 until nf).filter { f =>
+      (0 until w * h).map(i =>
+        math.abs(VideoCodec.pixel(seed, f, i) - VideoCodec.pixel(seed, f - 1, i)).toLong)
+        .sum > thr
+    }.map(_.toLong)
+    val got = Seq(Tuple1(seed)).toDF("seed")
+      .select(Multimodal.sceneCuts(
+        Multimodal.synthVideo($"seed", w, h, nf), thr).as("cuts"))
+      .as[Seq[Long]].collect().head
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   // ---- E2m ---------------------------------------------------------------
   test("lshScurve: identical docs land in bucket 9 fully caught; disjoint docs make no pair") {
     val docs = Seq(

@@ -2550,6 +2550,48 @@ object ExtQueries {
        |FROM documents GROUP BY source""".stripMargin
   }
 
+  // ---- E7i: token-budget epoch planner -------------------------------------
+  // The data-mixing arithmetic a training run is planned with: given
+  // per-source token inventories, permille mixture weights
+  // (MixRates), and a total token budget, how many tokens each
+  // source contributes and how many EPOCHS (repeat passes) of it
+  // that implies — epochs > 1 is the upsampling signal, << 1 means
+  // the source is subsampled. One partial+final aggregate; the
+  // budget share is exact integer arithmetic ((rate · B) div 1000),
+  // the epoch ratio one IEEE division.
+  private val TokenBudget = 1000000L
+  def e7TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val rate = MixRates.toSeq.sortBy(_._1).reverse
+      .foldRight(lit(MixDefault.toLong)) { case ((src, r), acc) =>
+        when(col("source") === src, lit(r.toLong)).otherwise(acc)
+      }
+    Tables.documents(s, dir)
+      .select(col("source"), TextOps.tokenCount(col("text")).cast("long").as("ntok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        rate.as("weight_permille"))
+      // SQL `div` = integral divide (long), matching the oracle's `//`
+      // (Column./ would promote to double division)
+      .withColumn("target_tokens", expr(s"(weight_permille * $TokenBudget) div 1000"))
+      .withColumn("epochs",
+        col("target_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+  val e7iSql: String = {
+    val rate = MixRates.toSeq.sortBy(_._1).reverse
+      .foldRight(MixDefault.toString) { case ((src, r), acc) =>
+        s"CASE WHEN source = '$src' THEN $r ELSE $acc END"
+      }
+    val tk = "string_split_regex(trim(text), '\\s+')"
+    s"""WITH agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len($tk)) AS BIGINT) AS n_tokens FROM documents GROUP BY source)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST($rate AS BIGINT) AS weight_permille,
+       |  CAST(($rate * $TokenBudget) // 1000 AS BIGINT) AS target_tokens,
+       |  CAST(CAST(($rate * $TokenBudget) // 1000 AS BIGINT) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
+       |FROM agg""".stripMargin
+  }
+
   // ---- E7h: curriculum phases (quality-tiered training order) --------------
   // Curriculum learning's data side: rank the corpus into phases by
   // quality score — phase 1 = top quartile (train on it first/most),
@@ -2681,7 +2723,8 @@ object ExtQueries {
     "e6_data_card" -> (e6DataCard _),
     "e5_lid_model" -> (e5LidModel _),
     "e2_lsh_scurve" -> (e2LshScurve _),
-    "e4_scene_cuts" -> (e4SceneCuts _)
+    "e4_scene_cuts" -> (e4SceneCuts _),
+    "e7_token_budget" -> (e7TokenBudget _)
   )
 
   val sql: Map[String, String] = Map(
@@ -2761,6 +2804,7 @@ object ExtQueries {
     "e6_data_card" -> e6dSql,
     "e5_lid_model" -> e5rSql,
     "e2_lsh_scurve" -> e2mSql,
-    "e4_scene_cuts" -> e4jSql
+    "e4_scene_cuts" -> e4jSql,
+    "e7_token_budget" -> e7iSql
   )
 }

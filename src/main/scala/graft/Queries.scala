@@ -1842,6 +1842,30 @@ object ParityQueries {
        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS chi2
        |FROM terms GROUP BY n1, n2""".stripMargin
 
+  // ---- A22: MAD outlier gate (robust per-group anomaly counts) -------------
+  // The robust twin of a mean/stddev rule: |x − median| > 3·MAD per
+  // event type, with both medians EXACT lower order statistics
+  // ([[graft.ops.Aggregates.madOutliers]] — identical total order
+  // (value, event_id) in both engines, no interpolation, so the
+  // flag boundary is bit-exact).
+  def a22MadOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Aggregates.madOutliers(
+      Tables.events(s, dir), "event_type", "value", "event_id")
+      .withColumnRenamed("g", "event_type")
+  val a22Sql =
+    s"""WITH b AS (SELECT event_type AS g, value AS v, event_id AS id
+       |  FROM events WHERE value IS NOT NULL),
+       |m1 AS (SELECT g, v AS med FROM (
+       |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, id) AS rn,
+       |    count(*) OVER (PARTITION BY g) AS n FROM b) t WHERE rn = (n + 1) // 2),
+       |d AS (SELECT b.g, b.v, b.id, m1.med, abs(b.v - m1.med) AS dv FROM b JOIN m1 USING (g)),
+       |m2 AS (SELECT g, dv AS mad FROM (
+       |  SELECT g, dv, row_number() OVER (PARTITION BY g ORDER BY dv, id) AS rn,
+       |    count(*) OVER (PARTITION BY g) AS n FROM d) t WHERE rn = (n + 1) // 2)
+       |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n, med, mad,
+       |  CAST(sum(CASE WHEN dv > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM d JOIN m2 USING (g) GROUP BY g, med, mad""".stripMargin
+
   // ---- S9: partitioned sink → partition-pruned scan ------------------------
   // The layout HALF of the scale story the roundtrip queries don't
   // cover: write events hive-partitioned by a low-cardinality column
@@ -2163,6 +2187,7 @@ object ParityQueries {
     "a18_heavy_hitters" -> (a18HeavyHitters _),
     "a19_ks_drift" -> (a19KsDrift _),
     "a21_chi_drift" -> (a21ChiDrift _),
+    "a22_mad_outliers" -> (a22MadOutliers _),
     "a20_benford" -> (a20Benford _),
     "s9_partitioned_prune" -> (s9PartitionedPrune _),
     "s10_zorder" -> (s10Zorder _),
@@ -2255,6 +2280,7 @@ object ParityQueries {
     "a18_heavy_hitters" -> a18Sql,
     "a19_ks_drift" -> a19Sql,
     "a21_chi_drift" -> a21Sql,
+    "a22_mad_outliers" -> a22Sql,
     "a20_benford" -> a20Sql,
     "s9_partitioned_prune" -> s9Sql,
     "s10_zorder" -> s10Sql,

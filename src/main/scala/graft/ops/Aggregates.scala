@@ -188,6 +188,52 @@ object Aggregates {
   }
 
   /** A3: scalar mean (dashboard_app/app.py:48). */
+  /** Robust outlier gate per group: median-absolute-deviation test
+    * |x − median| > k·MAD, the quality check that survives the heavy
+    * tails that break a mean/stddev rule. Both medians are EXACT
+    * LOWER order statistics (row (n+1) div 2 under the total order
+    * (value, id)) — actual data values, no interpolation — so every
+    * engine computes the identical median, deviation, and flag;
+    * k·MAD is one exact-input IEEE multiply.
+    *
+    * Output: (group, n, med, mad, n_outliers). Shape: two
+    * row_number windows partitioned by the group plus one broadcast
+    * of the per-group medians (group-cardinality-sized). An exact
+    * per-group order statistic serializes each group through one
+    * partition — for groups too hot for that, pre-aggregate to
+    * (group, value) counts or switch to the documented approximate
+    * percentile family; the gate's semantics are unchanged.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      k: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"), col(idCol).as("id"))
+    def lowerMedian(in: DataFrame, vc: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col(vc), col("id"))
+      val wc = Window.partitionBy(col("g"))
+      in.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .filter(col("rn") === expr("(n + 1) div 2")) // integral div — Column./ is double division
+        .select(col("g"), col(vc).as(out))
+    }
+    val med = lowerMedian(base, "v", "med")
+    val dev = base.join(broadcast(med), Seq("g"))
+      .withColumn("dv", abs(col("v") - col("med")))
+    val mad = lowerMedian(dev.select(col("g"), col("dv"), col("id")), "dv", "mad")
+    dev.join(broadcast(mad), Seq("g"))
+      .groupBy(col("g"), col("med"), col("mad"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("dv") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("g"), col("n"), col("med"), col("mad"), col("n_outliers"))
+  }
+
   def mean(df: DataFrame, column: String): DataFrame =
     df.agg(exactMean(col(column)).as(s"avg_$column"))
 

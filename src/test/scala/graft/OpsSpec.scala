@@ -419,6 +419,23 @@ class OpsSpec extends SparkSpec {
   }
 
   // ---- filter∘join ≡ join∘filter (Catalyst pushes the predicate) --------
+  test("madOutliers: exact lower medians, k*MAD flag, even groups included") {
+    // group A (odd n=5): values 1,2,3,4,100 -> med=3 (rank (5+1) div 2 = 3)
+    //   devs |v-3| = 2,1,0,1,97 -> sorted 0,1,1,2,97 -> mad=1 (rank 3)
+    //   outliers: dv > 3*1 -> only 97 -> 1
+    // group B (even n=4): values 10,20,30,40 -> med = rank (4+1) div 2 = 2 -> 20
+    //   devs 10,0,10,20 -> sorted 0,10,10,20 -> mad = rank 2 -> 10
+    //   outliers: dv > 30 -> none
+    val df = Seq(
+      ("A", 1.0, 1L), ("A", 2.0, 2L), ("A", 3.0, 3L), ("A", 4.0, 4L), ("A", 100.0, 5L),
+      ("B", 10.0, 6L), ("B", 20.0, 7L), ("B", 30.0, 8L), ("B", 40.0, 9L))
+      .toDF("grp", "v", "id")
+    val got = Aggregates.madOutliers(df, "grp", "v", "id")
+      .as[(String, Long, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 5L, 3.0, 1.0, 1L)))
+    assert(got("B") == (("B", 4L, 20.0, 10.0, 0L)))
+  }
+
   test("filter-then-join equals join-then-filter") {
     val l = (1 to 100).map(i => (i % 10, i)).toDF("k", "lv")
     val r = (0 to 9).map(i => (i, s"d$i")).toDF("k", "name")

@@ -248,6 +248,66 @@ object ExtQueries {
     s"""$ccCompCtes
        |SELECT doc_id, component, CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size FROM comp""".stripMargin
 
+  // ---- E2n: dedup impact report (before/after per source) -------------------
+  // What the keep-best near-dup dedup actually REMOVES, per source —
+  // the review artifact a curation team signs off on before a run:
+  // docs dropped (cluster members that are not the longest-doc
+  // representative) and characters removed. Composes the shared CC
+  // chain + rep pick with one per-source aggregate; the corpus joins
+  // the (small) dropped-id set broadcast-side at scale.
+  def e2DedupImpact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text")
+      .filter(col("jaccard_est") >= ClusterMinEst)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
+    val nodes = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id"))).distinct()
+    val comp = Dedup.connectedComponents(nodes, pairs)
+      .withColumnRenamed("id", "doc_id")
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val reps = comp
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"))
+    val dropped = comp.select(col("doc_id"))
+      .join(reps, Seq("doc_id"), "left_anti")
+      .withColumn("dropped", lit(1L))
+    docs
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"),
+        sum(col("n_chars")).as("chars_before"),
+        sum(when(col("dropped").isNotNull, col("n_chars")).otherwise(0L))
+          .as("chars_removed"))
+  }
+  val e2nSql: String = {
+    import MinHash.NumHashes
+    s"""${e2Ctes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(list_sum(list_transform(range(1, ${NumHashes + 1}), i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes.0 AS est
+       |  FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |edges AS (SELECT a, b FROM prs WHERE est >= $ClusterMinEst UNION ALL SELECT b, a FROM prs WHERE est >= $ClusterMinEst),
+       |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+       |reach(src, dst) AS (SELECT doc_id, doc_id FROM nodes UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+       |cj AS (SELECT c.doc_id, c.component, d.n_chars FROM comp c JOIN documents d USING (doc_id)),
+       |rep AS (SELECT doc_id FROM (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM cj) t WHERE rn = 1),
+       |drp AS (SELECT cj.doc_id FROM cj LEFT JOIN rep ON cj.doc_id = rep.doc_id WHERE rep.doc_id IS NULL)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN drp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_before,
+       |  CAST(sum(CASE WHEN drp.doc_id IS NOT NULL THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed
+       |FROM documents LEFT JOIN drp USING (doc_id) GROUP BY source""".stripMargin
+  }
+
   // ---- E2p: PageRank centrality over the near-dup graph ---------------------
   // Which documents are the CENTERS of near-duplicate neighborhoods?
   // Damped PageRank (fixed PrIters rounds, Dedup.pageRank) over the
@@ -1711,6 +1771,18 @@ object ExtQueries {
        |    row_number() OVER (PARTITION BY doc_id ORDER BY cos DESC, cand_lang) AS rn
        |  FROM sc) WHERE rn = 1""".stripMargin
 
+  // ---- E5s: LID agreement matrix -------------------------------------------
+  // The eval step of the trained LID: label vs prediction counts —
+  // measures the synthetic corpus's (weak) language signal as much as
+  // the model; the artifact a real deployment tracks per release.
+  def e5LidConfusion(s: SparkSession, dir: String): DataFrame =
+    e5LidModel(s, dir)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+  lazy val e5sSql: String =
+    s"""SELECT lang, lang_pred, count(*) AS n
+       |FROM ($e5rSql) c GROUP BY lang, lang_pred""".stripMargin
+
   // ---- E5c: quality scoring + language ID ----------------------------------
   def e5QualityLangid(s: SparkSession, dir: String): DataFrame = {
     val tk = TextOps.tokens(col("text"))
@@ -2724,7 +2796,9 @@ object ExtQueries {
     "e5_lid_model" -> (e5LidModel _),
     "e2_lsh_scurve" -> (e2LshScurve _),
     "e4_scene_cuts" -> (e4SceneCuts _),
-    "e7_token_budget" -> (e7TokenBudget _)
+    "e7_token_budget" -> (e7TokenBudget _),
+    "e2_dedup_impact" -> (e2DedupImpact _),
+    "e5_lid_confusion" -> (e5LidConfusion _)
   )
 
   val sql: Map[String, String] = Map(
@@ -2805,6 +2879,8 @@ object ExtQueries {
     "e5_lid_model" -> e5rSql,
     "e2_lsh_scurve" -> e2mSql,
     "e4_scene_cuts" -> e4jSql,
-    "e7_token_budget" -> e7iSql
+    "e7_token_budget" -> e7iSql,
+    "e2_dedup_impact" -> e2nSql,
+    "e5_lid_confusion" -> e5sSql
   )
 }

@@ -2372,9 +2372,9 @@ object ExtQueries {
       .select(col("query_id"), col("vec_id"), col("q_cos"), col("rk"))
   }
   private def sq8DuckCtes: String = {
-    val quant = "CASE WHEN mxs[i] = mns[i] THEN 0 ELSE CAST(least(floor(" +
+    val quant = "CASE WHEN mxs[i] = mns[i] THEN 0 ELSE CAST(greatest(least(floor(" +
       "((CAST(embedding[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)) / " +
-      "(CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE))) * 256.0), 255.0) AS INT) END"
+      "(CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE))) * 256.0), 255.0), 0.0) AS INT) END"
     val n2 = "CAST(list_sum(list_transform(codes, v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS BIGINT)"
     val qdot = "CAST(list_sum(list_transform(range(1, len(q.codes)+1), " +
       "i -> CAST(q.codes[i] AS BIGINT) * CAST(c.codes[i] AS BIGINT))) AS BIGINT)"
@@ -2507,8 +2507,9 @@ object ExtQueries {
        |    SELECT doc_id, len(tks) AS dl, unnest(tks) AS word FROM tkz) x
        |  GROUP BY doc_id, word),
        |dfm AS (SELECT word, count(*) AS df FROM tfm GROUP BY word),
-       |nn AS (SELECT count(*) AS n_docs FROM documents),
-       |ad AS (SELECT ${meanSql("len(tks)")} AS avgdl FROM tkz),
+       |dlf AS (SELECT doc_id, max(dl) AS dl FROM tfm GROUP BY doc_id),
+       |nn AS (SELECT count(*) AS n_docs FROM dlf),
+       |ad AS (SELECT ${meanSql("dl")} AS avgdl FROM dlf),
        |$qtCte,
        |bsc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
        |    CAST(CAST(sum(CAST(CAST(

@@ -99,6 +99,13 @@ object QualityModel {
     * Stateless per-row math after the broadcast, so the scored frame
     * may be a stream (stream-static join) — the train-offline /
     * score-online deployment shape.
+    *
+    * Degenerate-model behavior (r10 ADVICE): if the seed rule labeled
+    * the whole corpus one class, the missing class's centroid columns
+    * are NULL in the [[train]]ed row. A class with a NULL centroid is
+    * NEVER predicted — every row gets the surviving class — instead
+    * of the prior silent fall-through that could label everything as
+    * the ABSENT class when "lo" was the missing one.
     */
   def predict(labeled: DataFrame, model: DataFrame, idCol: String): DataFrame = {
     def d2(cls: String): org.apache.spark.sql.Column = {
@@ -111,6 +118,9 @@ object QualityModel {
     labeled
       .crossJoin(broadcast(model))
       .select(col(idCol), col("label_seed"),
-        when(d2("hi") <= d2("lo"), "hi").otherwise("lo").as("label_pred"))
+        when(d2("hi").isNull, "lo")
+          .when(d2("lo").isNull, "hi")
+          .when(d2("hi") <= d2("lo"), "hi")
+          .otherwise("lo").as("label_pred"))
   }
 }

@@ -62,7 +62,15 @@ object Retrieval {
       .groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("tf"))
 
-  /** [[bm25]] over a pre-built [[tokenFrequencies]] frame. */
+  /** [[bm25]] over a pre-built [[tokenFrequencies]] frame.
+    *
+    * Corpus statistics (N, avgdl) are derived from the documents
+    * PRESENT IN `tf` — a document contributing zero tokens (NULL
+    * text under a tokenizer that emits nothing) does not count
+    * toward N or avgdl. The DuckDB oracle mirrors derive both stats
+    * from the same tf base (r10 ADVICE), so engine/oracle parity
+    * does not depend on tokenizer edge behavior for NULL/empty text.
+    */
   def bm25FromTf(
       tf: DataFrame,
       idCol: String,

@@ -387,8 +387,12 @@ object Similarity {
         transform(col("g"), x => x.getField("mx")).as("mxs"))
 
   /** Quantize embeddings to int8 codes on a [[sq8Grid]]:
-    * q_i = min(floor(((x_i − mn_i) / (mx_i − mn_i)) · 256), 255),
-    * 0 where the dimension is constant. Every step is an exact or
+    * q_i = max(min(floor(((x_i − mn_i) / (mx_i − mn_i)) · 256), 255), 0),
+    * 0 where the dimension is constant. The two-sided clamp keeps the
+    * 1-byte-per-dim contract even for out-of-distribution queries
+    * quantized against a corpus-built grid (the train-offline /
+    * score-online shape): values outside [mn, mx] saturate instead of
+    * producing negative codes (r10 ADVICE). Every step is an exact or
     * correctly-rounded IEEE double op in a FIXED order (subtract,
     * divide, scale by a power of two, floor), so codes are
     * bit-identical across engines — the portability property that
@@ -401,7 +405,9 @@ object Similarity {
       val mn = element_at(col("mns"), i).cast("double")
       val mx = element_at(col("mxs"), i).cast("double")
       when(mx === mn, lit(0L))
-        .otherwise(least(floor((x - mn) / (mx - mn) * lit(256.0)), lit(255L)))
+        .otherwise(greatest(
+          least(floor((x - mn) / (mx - mn) * lit(256.0)), lit(255L)),
+          lit(0L)))
         .cast("int")
     })
     vectors

@@ -134,12 +134,12 @@ object Aggregates {
     * constant key (32 partial rows). `blockWidth` is the domain knob:
     * pick it so value-range / blockWidth ≈ thousands of blocks.
     *
-    * CALLER OBLIGATION: the per-value aggregate is eagerly persisted
-    * (MEMORY_AND_DISK) and stays cached behind the returned lazy frame
-    * — it cannot be released here without the three fan-out branches
-    * recomputing it. Library callers must `spark.catalog.clearCache()`
-    * (or unpersist via `getPersistentRDDs`) once the result is
-    * consumed; the Bench/Verify runners do this between queries.
+    * The per-value aggregate is eagerly persisted (MEMORY_AND_DISK)
+    * while the three fan-out branches run, then the single output row
+    * is materialized HERE and the cache released before returning —
+    * the same eager-row pattern as [[graft.ext.Dedup.triangleCount]]
+    * (r10 VERDICT #1): no persisted frame outlives the call, and the
+    * returned literal frame carries no lineage back to the corpus.
     */
   def ksDrift(
       df: DataFrame,
@@ -175,7 +175,7 @@ object Aggregates {
       .withColumn("_o2", coalesce(sum(col("_t2")).over(wBlk), lit(0L)))
       .select(col("_blk"), col("_o1"), col("_o2"))
     val totals = perVal.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-    intra.join(broadcast(offsets), Seq("_blk"))
+    val lazyResult = intra.join(broadcast(offsets), Seq("_blk"))
       .crossJoin(broadcast(totals))
       .select(col("n1"), col("n2"),
         abs(col("n2") * (col("_i1") + col("_o1")) -
@@ -185,9 +185,24 @@ object Aggregates {
       .select(col("n1"), col("n2"), col("ks_num"),
         (col("ks_num").cast("double") /
           (col("n1") * col("n2")).cast("double")).as("ks_stat"))
+    // Materialize the 1-row statistic eagerly so perVal can be
+    // unpersisted here instead of leaking until the runner's
+    // clearCache — same eager-row release as triangleCount.
+    val rows = lazyResult.limit(2).collect()
+    perVal.unpersist(blocking = false)
+    val one = df.sparkSession.range(1)
+    rows.headOption match {
+      case Some(row) => one.select(
+        lit(row.getLong(0)).as("n1"),
+        lit(row.getLong(1)).as("n2"),
+        lit(row.getLong(2)).as("ks_num"),
+        lit(row.getDouble(3)).as("ks_stat"))
+      case None => one.filter(lit(false)).select(
+        lit(0L).as("n1"), lit(0L).as("n2"),
+        lit(0L).as("ks_num"), lit(0.0).as("ks_stat"))
+    }
   }
 
-  /** A3: scalar mean (dashboard_app/app.py:48). */
   /** Robust outlier gate per group: median-absolute-deviation test
     * |x − median| > k·MAD, the quality check that survives the heavy
     * tails that break a mean/stddev rule. Both medians are EXACT
@@ -234,6 +249,7 @@ object Aggregates {
       .select(col("g"), col("n"), col("med"), col("mad"), col("n_outliers"))
   }
 
+  /** A3: scalar mean (dashboard_app/app.py:48). */
   def mean(df: DataFrame, column: String): DataFrame =
     df.agg(exactMean(col(column)).as(s"avg_$column"))
 

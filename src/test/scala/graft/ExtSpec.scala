@@ -77,6 +77,19 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("centroidClassify on a single-class corpus never predicts the absent class") {
+    // Every doc is pure stopwords -> seed rule labels ALL "hi"; the
+    // "lo" centroid is NULL in the trained row. The r10 ADVICE bug:
+    // NULL-distance fall-through labeled everything the ABSENT class.
+    val docs = Seq(
+      (1L, "the a of and is to the a of and"),
+      (2L, "the the the of of of is is is to")).toDF("doc_id", "text")
+    val got = QualityModel.centroidClassify(docs, "doc_id", "text", TextOps.enMarkers)
+      .as[(Long, String, String)].collect()
+    assert(got.length == 2)
+    assert(got.forall(r => r._2 == "hi" && r._3 == "hi"), got.mkString(","))
+  }
+
   // ---- E4j ---------------------------------------------------------------
   test("sceneCuts matches the arithmetic shot-boundary test on decoded frames") {
     import graft.functions.VideoCodec

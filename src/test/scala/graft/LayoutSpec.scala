@@ -135,6 +135,16 @@ class LayoutSpec extends SparkSpec {
     assert(stat == refNum.toDouble / (n1.toDouble * n2.toDouble))
   }
 
+  test("ksDrift releases its internal cache before returning (r10 VERDICT)") {
+    spark.catalog.clearCache()
+    val df = ((1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("b", i.toDouble + 1.5))).toDF("t", "v")
+    val out = graft.ops.Aggregates.ksDrift(df, "t", "v", "a", "b", blockWidth = 10.0)
+    assert(out.count() == 1)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked: ${spark.sparkContext.getPersistentRDDs.keySet}")
+  }
+
   test("chiSquareDrift: zero on proportional counts, positive on shift, matches naive") {
     // b is exactly 2x a in every bucket -> D_b = c1*n2 - c2*n1 = 0 -> chi2 == 0.0
     val prop = ((1 to 60).map(i => ("a", i.toDouble)) ++

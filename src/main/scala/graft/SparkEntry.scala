@@ -19,11 +19,13 @@ object SparkEntry {
     * and §2.8 (LLM-data extensions E1–E5).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.all ++ ExtQueries.all ++ PipelineQueries.all ++ TpchQueries.all
+    ParityQueries.all ++ ExtQueries.all ++ PipelineQueries.all ++ TpchQueries.all ++
+      StreamQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ParityQueries.sql ++ ExtQueries.sql ++ PipelineQueries.sql ++ TpchQueries.sql
+    ParityQueries.sql ++ ExtQueries.sql ++ PipelineQueries.sql ++ TpchQueries.sql ++
+      StreamQueries.sql
 }

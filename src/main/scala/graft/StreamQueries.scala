@@ -1,0 +1,246 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.ext.{QualityModel, TextOps}
+import graft.ops.Sink
+import graft.streaming.{CorpusStream, EventStream}
+
+/** Driver-visible (oracle-paired) queries that execute through the
+  * STREAMING tier — closing the r10 gap where ~10 streaming operators
+  * were MemoryStream-spec'd against their batch twins but invisible
+  * to the driver's correctness gate.
+  *
+  * Each query here drives a real Structured Streaming query over a
+  * FILE source (no driver-side data collection: the corpus is staged
+  * to a scratch directory with one distributed write and streamed
+  * back), lands the completed sink via the idempotent `foreachBatch`
+  * parquet recipe ([[EventStream.writeBatchIdempotent]]), and returns
+  * the sink table — which must hash-match the SAME DuckDB oracle SQL
+  * as its batch twin (`w1_window_agg`, `w5_funnel`, `j5_asof_join`,
+  * `e5_quality_classifier`).
+  *
+  * Tail flushing: append-mode stateful operators only emit a window /
+  * state once the watermark passes it, and a finite input's last
+  * events never see a later watermark. Each drive therefore appends
+  * sentinel rows (far-future event time, impossible key) to the
+  * scratch source and re-drains: the sentinels advance the watermark
+  * past every pending timeout/window, and are excluded from the
+  * returned frame by key. Three rounds, because the watermark used by
+  * batch N is the one computed at the END of batch N-1, and a
+  * two-stateful-operator chain (stream-stream join → windowed agg)
+  * propagates it one batch later again.
+  *
+  * 100 TB note: the STAGING step exists only to make a bounded
+  * source replayable under the driver's gate; a deployment points
+  * `readStream` at the live landing path and never stages. The
+  * per-query plans are exactly the spec'd streaming operators —
+  * state-store-backed, watermark-bounded, broadcast-static joined.
+  */
+object StreamQueries {
+
+  /** Unique per-invocation scratch dirs: Bench's min-of-2 protocol
+    * re-runs each query in one JVM, and a reused checkpoint would
+    * resume from the prior run's offsets instead of re-executing.
+    */
+  private val nonce = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def fresh(tag: String): String =
+    Sink.scratchDir(s"${tag}_${nonce.incrementAndGet()}")
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    q.processAllAvailable()
+
+  /** Append one tiny sentinel frame to a streaming source dir and
+    * drain — one watermark-advancing round.
+    */
+  private def advance(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      sentinel: DataFrame, dir: String): Unit = {
+    sentinel.coalesce(1).write.mode("append").parquet(dir)
+    drain(q)
+  }
+
+  private def microsTs(us: Long) = {
+    val sec = Math.floorDiv(us, 1000000L)
+    val ts = new Timestamp(sec * 1000L)
+    ts.setNanos(((us - sec * 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  // ---- W1s: watermarked tumbling-window stats ----------------------------
+  // [[EventStream.windowedStats]] over a file-sourced events stream;
+  // same oracle as the batch w1_window_agg (identical count + exact
+  // decimal mean per hour bucket). Sentinel windows sit strictly
+  // after the real data's max event time, so `bucket <= max(ts)`
+  // excludes them (a real bucket's START is never past the max).
+  def w1WindowStream(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("ts"), col("value"))
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val in = fresh("w1s_in"); val out = fresh("w1s_out"); val ck = fresh("w1s_ck")
+    ev.write.mode("overwrite").parquet(in)
+    val stream = s.readStream.schema(ev.schema).parquet(in)
+    val q = EventStream.windowedStats(stream, lateness = "0 seconds")
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      drain(q)
+      import s.implicits._
+      (1 to 3).foreach { i =>
+        advance(q,
+          Seq((microsTs(maxUs + i * 3600L * 1000000L), 0.0)).toDF("ts", "value"), in)
+      }
+    } finally q.stop()
+    s.read.parquet(out)
+      .filter(col("bucket") <= timestamp_micros(lit(maxUs)))
+      .select(col("bucket"), col("n"), col("avg_value"))
+  }
+
+  // ---- W5s: ordered-stage funnel via flatMapGroupsWithState --------------
+  // [[EventStream.funnel]], same oracle as batch w5_funnel. The whole
+  // corpus arrives as ONE micro-batch (file source, no
+  // maxFilesPerTrigger), where the per-user event-time-ordered fold
+  // is exactly the batch stage rule; every funnel then emits via
+  // EventTimeTimeout once the sentinels push the watermark past
+  // last-activity + horizon. Sentinel rows use an unknown event type,
+  // which creates no state and emits nothing.
+  def w5FunnelStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").cast("string").as("user_id"), col("event_type"), col("ts"))
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val in = fresh("w5s_in"); val out = fresh("w5s_out"); val ck = fresh("w5s_ck")
+    ev.write.mode("overwrite").parquet(in)
+    val horizonMs = 3600L * 1000L
+    val stream = s.readStream.schema(ev.schema).parquet(in)
+      .as[(String, String, Timestamp)]
+    val q = EventStream.funnel(stream, horizonMs)
+      .writeStream
+      .foreachBatch((b: Dataset[EventStream.Funnel], id: Long) =>
+        EventStream.writeBatchIdempotent(b.toDF(), id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      drain(q)
+      (1 to 3).foreach { i =>
+        advance(q,
+          Seq(("-1", "noop",
+            microsTs(maxUs + horizonMs * 1000L + i * 3600L * 1000000L)))
+            .toDF("user_id", "event_type", "ts"), in)
+      }
+    } finally q.stop()
+    s.read.parquet(out)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("t1_us"), col("t2_us"), col("t3_us"), col("stage"))
+  }
+
+  // ---- J5s: stream-stream as-of enrichment -------------------------------
+  // [[EventStream.asofEnrich]] (range join + max_by window collapse),
+  // same oracle as batch j5_asof_join. The batch operator's lookback
+  // is unbounded; a streaming operator's lookback bound IS its state
+  // bound, so parity sets the horizon to the full event-time span of
+  // the table — semantically unbounded for this input. A deployment
+  // picks the business horizon instead and the state store holds only
+  // that window. Clicks are pre-aggregated to unique (user, ts)
+  // batch-side (the same contract as the batch operator; an in-stream
+  // pre-aggregation before a stream-stream join is not a supported
+  // stateful chain). Sentinels carry user -1 / -2 (left / right, never
+  // matching) and are filtered from the sink by key.
+  def j5AsofStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("click_value"))
+    val span = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx")).head()
+    val (minUs, maxUs) = (span.getLong(0), span.getLong(1))
+    val horizonSec = (maxUs - minUs) / 1000000L + 86400L
+    val inP = fresh("j5s_p"); val inC = fresh("j5s_c")
+    val out = fresh("j5s_out"); val ck = fresh("j5s_ck")
+    purchases.write.mode("overwrite").parquet(inP)
+    clicks.write.mode("overwrite").parquet(inC)
+    val pStream = s.readStream.schema(purchases.schema).parquet(inP)
+    val cStream = s.readStream.schema(clicks.schema).parquet(inC)
+    val q = EventStream.asofEnrich(
+      pStream, "ts", "user_id",
+      cStream, "c_ts", "c_user",
+      Seq("click_value"),
+      horizon = s"$horizonSec seconds", lateness = "0 seconds")
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      drain(q)
+      (1 to 3).foreach { i =>
+        val us = maxUs + (horizonSec + i * 3600L) * 1000000L
+        // both sides must advance: the global watermark is the MIN of
+        // the per-source watermarks
+        Seq((-1L, microsTs(us), -1L, 0.0))
+          .toDF("user_id", "ts", "event_id", "value")
+          .coalesce(1).write.mode("append").parquet(inP)
+        Seq((-2L, microsTs(us), 0.0))
+          .toDF("c_user", "c_ts", "click_value")
+          .coalesce(1).write.mode("append").parquet(inC)
+        drain(q)
+      }
+    } finally q.stop()
+    s.read.parquet(out)
+      .filter(col("user_id") >= 0L)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"), col("click_value"))
+  }
+
+  // ---- E5s: train-offline / score-online quality model -------------------
+  // [[CorpusStream.scoreStream]]: the centroid model is trained on the
+  // batch corpus, then a documents STREAM is scored per micro-batch by
+  // the stateless featurize → broadcast-predict chain. Same oracle as
+  // batch e5_quality_classifier. No watermark, no sentinels: a
+  // stateless append query emits every batch immediately.
+  def e5QualityStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val model = QualityModel.train(
+      QualityModel.featurize(docs, "doc_id", "text", TextOps.enMarkers))
+    val in = fresh("e5s_in"); val out = fresh("e5s_out"); val ck = fresh("e5s_ck")
+    docs.write.mode("overwrite").parquet(in)
+    val stream = s.readStream.schema(docs.schema).parquet(in)
+    val q = CorpusStream.scoreStream(stream, "doc_id", "text", TextOps.enMarkers, model)
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try drain(q) finally q.stop()
+    s.read.parquet(out).select(col("doc_id"), col("label_seed"), col("label_pred"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_window_stream" -> (w1WindowStream _),
+    "w5_funnel_stream" -> (w5FunnelStream _),
+    "j5_asof_stream" -> (j5AsofStream _),
+    "e5_quality_stream" -> (e5QualityStream _))
+
+  /** Streaming queries reuse their batch twins' oracle SQL verbatim —
+    * that equality is the whole point of the pairing.
+    */
+  val sql: Map[String, String] = Map(
+    "w1_window_stream" -> ParityQueries.w1Sql,
+    "w5_funnel_stream" -> ParityQueries.w5Sql,
+    "j5_asof_stream" -> ParityQueries.j5Sql,
+    "e5_quality_stream" -> ExtQueries.e5oSql)
+}

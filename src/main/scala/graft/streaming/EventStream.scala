@@ -63,6 +63,23 @@ object EventStream {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("bucket"), col("n"))
 
+  /** Exact epoch micros from a `java.sql.Timestamp`. `getTime` alone
+    * truncates to millis — the events fixture carries real
+    * sub-millisecond components, so stage timestamps folded through
+    * millis silently diverge from the batch `unix_micros` twins
+    * (caught by the r11 oracle-pairing of the streaming tier).
+    */
+  private[streaming] def epochMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** The inverse of [[epochMicros]]: a Timestamp with full micros. */
+  private[streaming] def microsTimestamp(us: Long): Timestamp = {
+    val sec = Math.floorDiv(us, 1000000L)
+    val ts = new Timestamp(sec * 1000L)
+    ts.setNanos(((us - sec * 1000000L) * 1000L).toInt)
+    ts
+  }
+
   /** Per-key running state for [[runningCounts]]. */
   case class KeyCount(key: String, n: Long)
 
@@ -283,27 +300,31 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: String, rows: Iterator[(String, Timestamp)], state: GroupState[SessionState]) =>
+          // state carries epoch MICROS (not getTime millis): the
+          // events fixture has sub-millisecond components, and session
+          // boundaries must round-trip them exactly (r11).
+          val gapUs = gapMs * 1000L
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
+            Iterator.single(Session(user, microsTimestamp(s.start), microsTimestamp(s.last), s.n))
           } else {
-            val times = rows.map(_._2.getTime).toSeq.sorted
+            val times = rows.map(r => epochMicros(r._2)).toSeq.sorted
             var closed = List.empty[Session]
             var cur = state.getOption
             times.foreach { t =>
               cur = cur match {
                 case None => Some(SessionState(t, t, 1L))
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
                 case Some(s) =>
-                  closed ::= Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  closed ::= Session(user, microsTimestamp(s.start), microsTimestamp(s.last), s.n)
                   Some(SessionState(t, t, 1L))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              state.setTimeoutTimestamp(s.last / 1000L + gapMs)
             }
             closed.reverseIterator
           }
@@ -364,7 +385,7 @@ object EventStream {
           } else {
             var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
             var maxUs = Long.MinValue
-            rows.map { case (_, tpe, t) => (tpe, t.getTime * 1000L) }
+            rows.map { case (_, tpe, t) => (tpe, epochMicros(t)) }
               .toSeq.sortBy(_._2).foreach { case (tpe, t) =>
                 maxUs = math.max(maxUs, t)
                 tpe match {

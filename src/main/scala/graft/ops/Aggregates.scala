@@ -148,6 +148,38 @@ object Aggregates {
       typeA: String,
       typeB: String,
       blockWidth: Double): DataFrame = {
+    val (lazyResult, perVal) =
+      ksDriftPlan(df, typeCol, valueCol, typeA, typeB, blockWidth)
+    // Materialize the 1-row statistic eagerly so perVal can be
+    // unpersisted here instead of leaking until the runner's
+    // clearCache — same eager-row release as triangleCount.
+    val rows = lazyResult.limit(2).collect()
+    perVal.unpersist(blocking = false)
+    val one = df.sparkSession.range(1)
+    rows.headOption match {
+      case Some(row) => one.select(
+        lit(row.getLong(0)).as("n1"),
+        lit(row.getLong(1)).as("n2"),
+        lit(row.getLong(2)).as("ks_num"),
+        lit(row.getDouble(3)).as("ks_stat"))
+      case None => one.filter(lit(false)).select(
+        lit(0L).as("n1"), lit(0L).as("n2"),
+        lit(0L).as("ks_num"), lit(0.0).as("ks_stat"))
+    }
+  }
+
+  /** The lazy plan behind [[ksDrift]] plus its persisted per-value
+    * frame, exposed for plan-shape guards (the public operator
+    * materializes eagerly, so its returned frame is a literal).
+    * Callers own unpersisting the second element.
+    */
+  private[graft] def ksDriftPlan(
+      df: DataFrame,
+      typeCol: String,
+      valueCol: String,
+      typeA: String,
+      typeB: String,
+      blockWidth: Double): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // Eagerly persist the corpus-collapsing per-value aggregate: intra,
     // offsets AND totals all fan out from it, so without the persist
@@ -185,22 +217,7 @@ object Aggregates {
       .select(col("n1"), col("n2"), col("ks_num"),
         (col("ks_num").cast("double") /
           (col("n1") * col("n2")).cast("double")).as("ks_stat"))
-    // Materialize the 1-row statistic eagerly so perVal can be
-    // unpersisted here instead of leaking until the runner's
-    // clearCache — same eager-row release as triangleCount.
-    val rows = lazyResult.limit(2).collect()
-    perVal.unpersist(blocking = false)
-    val one = df.sparkSession.range(1)
-    rows.headOption match {
-      case Some(row) => one.select(
-        lit(row.getLong(0)).as("n1"),
-        lit(row.getLong(1)).as("n2"),
-        lit(row.getLong(2)).as("ks_num"),
-        lit(row.getDouble(3)).as("ks_stat"))
-      case None => one.filter(lit(false)).select(
-        lit(0L).as("n1"), lit(0L).as("n2"),
-        lit(0L).as("ks_num"), lit(0.0).as("ks_stat"))
-    }
+    (lazyResult, perVal)
   }
 
   /** Robust outlier gate per group: median-absolute-deviation test

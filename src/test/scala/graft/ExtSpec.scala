@@ -77,6 +77,26 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("AnnIndex incremental law: append(delta) equals full re-assignment of base ∪ delta") {
+    import graft.ext.{AnnIndex, Similarity}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") % 7 =!= 3)
+    val delta = emb.filter(col("vec_id") % 7 === 3)
+    val ix = graft.ops.Sink.scratchDir("ext_ivf_inc")
+    AnnIndex.writeIvf(base, 8, 2, ix)
+    AnnIndex.appendIvf(delta, ix)
+    val viaIndex = spark.read.parquet(s"$ix/cells")
+      .select(col("vec_id"), col("cid").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val rebuilt = Similarity.assignToCentroid(
+      emb, spark.read.parquet(s"$ix/centroids")
+        .select(col("cid").as("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("cid"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaIndex == rebuilt)
+    assert(viaIndex.map(_._1).size == emb.count())
+  }
+
   test("centroidClassify on a single-class corpus never predicts the absent class") {
     // Every doc is pure stopwords -> seed rule labels ALL "hi"; the
     // "lo" centroid is NULL in the trained row. The r10 ADVICE bug:

@@ -281,7 +281,13 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("a19_ks_drift: ECDF windows are block-partitioned; offsets broadcast back") {
-    val p = planOf("a19_ks_drift")
+    // the public operator materializes its 1-row result eagerly (so it
+    // can release its cache before returning) — the plan under guard
+    // is the internal lazy one
+    val (lazyFrame, perVal) = graft.ops.Aggregates.ksDriftPlan(
+      Tables.events(spark, dir), "event_type", "value", "click", "purchase", 8.0)
+    val p = try lazyFrame.queryExecution.executedPlan.toString
+      finally perVal.unpersist(blocking = false)
     // the distinct-value-domain window must carry the block key — a
     // bare [v ASC] partition spec would be the serial single-task ECDF
     assert(p.contains("windowspecdefinition(_blk"), p)
@@ -460,5 +466,21 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_sum"), p)
+  }
+
+  test("AnnIndex.probeIvf: the probe reads saved artifacts, learns nothing") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val ix = graft.ops.Sink.scratchDir("pg_ivf_ix")
+    graft.ext.AnnIndex.writeIvf(emb, 8, 2, ix)
+    val probe = graft.ext.AnnIndex.probeIvf(emb.filter(col("vec_id") < 8), ix, 3)
+    val p = probe.queryExecution.executedPlan.toString
+    // reads the persisted posting lists + centroids...
+    assert(p.contains("cells"), p)
+    assert(p.contains("centroids"), p)
+    // ...and contains NO k-means machinery: no per-dimension explode
+    // (the update step's posexplode) and no decimal mean aggregation.
+    assert(!p.toLowerCase.contains("posexplode"), p)
+    assert(!p.contains("exactMean") && !p.contains("avg("), p)
   }
 }

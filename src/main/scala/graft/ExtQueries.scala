@@ -2391,6 +2391,29 @@ object ExtQueries {
        |  CAST(sum(CASE WHEN n_corpus > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
        |FROM wd JOIN cnt USING (wh) GROUP BY doc_id""".stripMargin
 
+  // ---- E1e: MAXIMAL duplicated spans (any-length substring dedup) -----------
+  // The Lee et al. 2022 completion of the E1 family: e1_span_dedup
+  // counts duplicated fixed-k windows; this merges consecutive
+  // duplicated windows into maximal spans with 1-based start offsets
+  // and true token lengths ([[Dedup.maximalDupSpans]] for the
+  // operator and its suffix-array-approximation contract). The
+  // oracle replays the positioned window comprehension, the
+  // dup-hash semi-reduction, and the gaps-and-islands run merge.
+  def e1SpanMaximal(s: SparkSession, dir: String): DataFrame =
+    Dedup.maximalDupSpans(Tables.documents(s, dir), "doc_id", "text", SpanLen)
+  val e1eSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') tk FROM documents),
+       |wd AS (SELECT doc_id, s.pos AS pos, s.wh AS wh FROM (
+       |  SELECT doc_id, unnest([{'pos': i, 'wh': md5(array_to_string(tk[i:i+${SpanLen - 1}], ' '))}
+       |    for i in range(1, len(tk) - ${SpanLen - 2})]) AS s FROM t) x),
+       |dup AS (SELECT wh FROM wd GROUP BY wh HAVING count(*) > 1),
+       |isl AS (SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |  FROM wd JOIN dup USING (wh))
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) - min(pos) + $SpanLen AS BIGINT) AS span_len
+       |FROM isl GROUP BY doc_id, g""".stripMargin
+
   // ---- E5n: bigram-LM predictability (the perplexity-filter shape) ----------
   // Train the n-gram model ON the corpus, score every doc BY it —
   // add-one-smoothed bigram probabilities are ratios of integers
@@ -2893,7 +2916,8 @@ object ExtQueries {
     "e3_ivf_saved" -> (e3IvfSaved _),
     "e3_sq8_saved" -> (e3Sq8Saved _),
     "e3_pq_saved" -> (e3PqSaved _),
-    "e3_ivf_incremental" -> (e3IvfIncremental _)
+    "e3_ivf_incremental" -> (e3IvfIncremental _),
+    "e1_span_maximal" -> (e1SpanMaximal _)
   )
 
   val sql: Map[String, String] = Map(
@@ -2982,6 +3006,7 @@ object ExtQueries {
     "e3_ivf_saved" -> e3fSql,
     "e3_sq8_saved" -> e3hSql,
     "e3_pq_saved" -> e3kSql,
-    "e3_ivf_incremental" -> e3nSql
+    "e3_ivf_incremental" -> e3nSql,
+    "e1_span_maximal" -> e1eSql
   )
 }

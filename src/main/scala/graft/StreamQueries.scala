@@ -178,7 +178,12 @@ object StreamQueries {
       pStream, "ts", "user_id",
       cStream, "c_ts", "c_user",
       Seq("click_value"),
-      horizon = s"$horizonSec seconds", lateness = "0 seconds")
+      horizon = s"$horizonSec seconds", lateness = "0 seconds",
+      // the window is only the watermark carrier for the max_by
+      // collapse — any length gives identical results; coarse windows
+      // mean fewer state-store entries (the fixture spans ~1 month:
+      // ~30 windows instead of ~720)
+      windowLen = "1 day")
       .writeStream
       .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
         EventStream.writeBatchIdempotent(b, id, out))

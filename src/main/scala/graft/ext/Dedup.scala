@@ -445,6 +445,49 @@ object Dedup {
     * partial-combine (one row per distinct window out). No all-pairs
     * join, no position-level shuffle: positions collapse map-side.
     */
+  /** MAXIMAL duplicated spans — the any-length extension of
+    * [[duplicatedSpans]] (which only flags and counts fixed-k
+    * windows): each maximal run of consecutive duplicated k-token
+    * windows inside a document is one duplicated span of
+    * `run + k − 1` tokens, reported as (id, span_start, span_len)
+    * with 1-based token offsets. This is the bounded-window
+    * distributed approximation of the suffix-array algorithm of Lee
+    * et al. 2022 (arXiv:2107.06499, "Deduplicating Training Data
+    * Makes Language Models Better"): a duplicated substring of
+    * length L ≥ k appears as exactly L − k + 1 consecutive
+    * duplicated windows, so reported spans match the suffix-array
+    * maximal spans to window granularity; substrings shorter than k
+    * are below the detection floor (the k knob, same trade the paper
+    * tunes with its minimum match length of 50 tokens).
+    *
+    * Scale shape: window explode is scan-bound; duplicated-window
+    * detection is the [[duplicatedSpans]] hash pre-agg (md5 keys,
+    * one (hash, count>1) row per distinct window) joined back
+    * LEFT-SEMI on the hash — position rows shuffle once, keyed by
+    * window hash, multiplicity 1 (the semi-join never multiplies).
+    * The run-merge ("gaps and islands": pos − row_number per doc) is
+    * one window partitioned by doc id — per-doc serialization, fine
+    * at any corpus size because no doc outgrows one partition.
+    */
+  def maximalDupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = df
+      .select(col(idCol),
+        posexplode(MinHash.shingles(TextOps.tokens(col(textCol)), k)).as(Seq("__p", "__w")))
+      .select(col(idCol), (col("__p") + 1).cast("long").as("__pos"),
+        md5(col("__w")).as("__wh"))
+    val dupHashes = pos.groupBy(col("__wh")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select(col("__wh"))
+    val dupPos = pos.join(dupHashes, Seq("__wh"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    dupPos
+      .withColumn("__isl", col("__pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) - min(col("__pos")) + k).as("span_len"))
+      .select(col(idCol), col("span_start"), col("span_len"))
+  }
+
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val perDoc = df
       .select(col(idCol),

@@ -77,6 +77,25 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("maximalDupSpans merges consecutive duplicated windows into maximal spans") {
+    import graft.ext.Dedup
+    // k=3. Docs 1 and 2 share the 5-token run "a b c d e" (at offsets
+    // 1 and 3 resp.) -> 3 consecutive dup windows -> one span of
+    // 3 + 3 - 1 = 5 tokens in each doc. Doc 3 shares nothing.
+    val docs = Seq(
+      (1L, "a b c d e x y"),
+      (2L, "p q a b c d e"),
+      (3L, "m n o r s t u")).toDF("doc_id", "text")
+    val got = Dedup.maximalDupSpans(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 5L), (2L, 3L, 5L)), got.toString)
+    // a doc duplicated VERBATIM is one full-length span in both copies
+    val twice = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got2 = Dedup.maximalDupSpans(twice, "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == Set((1L, 1L, 4L), (2L, 1L, 4L)), got2.toString)
+  }
+
   test("AnnIndex incremental law: append(delta) equals full re-assignment of base ∪ delta") {
     import graft.ext.{AnnIndex, Similarity}
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

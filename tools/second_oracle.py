@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""Second INDEPENDENT oracle (r10 VERDICT #8): recompute a handful of
+decimal-heavy queries in pure Python (pandas + decimal/int arithmetic,
+no SQL engine) and compare bit-exactly against the Spark Verify dump.
+
+The driver's gate compares Spark vs DuckDB; both engines could in
+principle agree on a wrong rounding. This replays the arithmetic
+contract from first principles:
+
+  exactMean(c)  = float(sum(Decimal(repr(v)).quantize(1e-10, HALF_UP)))
+                  / count(non-null v)      -- Spark: sum(cast(c as
+                  DECIMAL(28,10))).cast(double) / count(c); the repr()
+                  round-trip IS Spark's Double.toString conversion.
+  a15           = exact decimal(18,2)x(10,0) product sums, double out.
+  a19           = BIGINT KS numerator: max |n2*C1 - n1*C2| over the
+                  pooled value order -- pure int arithmetic.
+
+Usage: python3 tools/second_oracle.py <verify_out_dir> <sf_dir> [out_json]
+"""
+import json
+import sys
+from decimal import Decimal, ROUND_HALF_UP, getcontext
+
+import pandas as pd
+
+getcontext().prec = 60
+Q10 = Decimal(1).scaleb(-10)
+
+
+def dec10(v) -> Decimal:
+    return Decimal(repr(float(v))).quantize(Q10, rounding=ROUND_HALF_UP)
+
+
+def exact_mean(values) -> float:
+    vals = [v for v in values if pd.notna(v)]
+    if not vals:
+        return None
+    return float(sum(dec10(v) for v in vals)) / len(vals)
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[ns]")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def a3_mean(sf):
+    li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_discount"])
+    return pd.DataFrame({"avg_l_discount": [exact_mean(li["l_discount"])]})
+
+
+def a4_group_mean(sf):
+    li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    li = li[li["l_returnflag"].notna()]
+    rows = [(g, exact_mean(s)) for g, s in li.groupby("l_returnflag")["l_quantity"]]
+    return pd.DataFrame(rows, columns=["l_returnflag", "avg_l_quantity"])
+
+
+def a13_typed_mean(sf):
+    # ExactCentsMean: sum of round(v*100) cents as int, / (100*count).
+    # math.floor(x+0.5) == Java Math.round == half-up (prices positive).
+    import math
+    o = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_totalprice"])
+    vals = [v for v in o["o_totalprice"] if pd.notna(v)]
+    cents = sum(int(math.floor(float(v) * 100.0 + 0.5)) for v in vals)
+    return pd.DataFrame({"mean_price": [float(cents) / (100.0 * len(vals))]})
+
+
+def a15_weighted_avg(sf):
+    li = pd.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    rows = []
+    for g, grp in li.groupby("l_returnflag"):
+        num = Decimal(0)
+        den = Decimal(0)
+        for p, q in zip(grp["l_extendedprice"], grp["l_quantity"]):
+            if pd.isna(p) or pd.isna(q):
+                continue
+            dp = Decimal(repr(float(p))).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+            dq = Decimal(repr(float(q))).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+            num += dp * dq
+        for q in grp["l_quantity"]:
+            if pd.notna(q):
+                den += Decimal(repr(float(q))).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        rows.append((g, float(num) / float(den)))
+    return pd.DataFrame(rows, columns=["l_returnflag", "wavg_price"])
+
+
+def w1_window_agg(sf):
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["ts", "value"])
+    ev = ev[ev["ts"].notna()]
+    bucket = pd.to_datetime(ev["ts"]).dt.floor("h")
+    rows = []
+    for b, grp in ev.groupby(bucket):
+        rows.append((b, len(grp), exact_mean(grp["value"])))
+    return pd.DataFrame(rows, columns=["bucket", "n", "avg_value"])
+
+
+def a19_ks_drift(sf):
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_type", "value"])
+    a = sorted(ev[(ev.event_type == "click") & ev.value.notna()]["value"])
+    b = sorted(ev[(ev.event_type == "purchase") & ev.value.notna()]["value"])
+    n1, n2 = len(a), len(b)
+    num = 0
+    for x in sorted(set(a) | set(b)):
+        c1 = sum(1 for v in a if v <= x)
+        c2 = sum(1 for v in b if v <= x)
+        num = max(num, abs(n2 * c1 - n1 * c2))
+    return pd.DataFrame({
+        "n1": [n1], "n2": [n2], "ks_num": [num],
+        "ks_stat": [float(num) / (float(n1) * float(n2))]})
+
+
+QUERIES = {
+    "a3_mean": a3_mean,
+    "a4_group_mean": a4_group_mean,
+    "a13_typed_mean": a13_typed_mean,
+    "a15_weighted_avg": a15_weighted_avg,
+    "w1_window_agg": w1_window_agg,
+    "a19_ks_drift": a19_ks_drift,
+}
+
+
+def main(out_dir, sf_dir, out_json=None):
+    results = {}
+    n_fail = 0
+    for name, fn in sorted(QUERIES.items()):
+        rec = {"err": None, "match": False, "rows": None}
+        try:
+            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
+            want = canon(fn(sf_dir))
+            rec["rows"] = int(len(got))
+            assert list(got.columns) == list(want.columns), \
+                f"cols {list(got.columns)} vs {list(want.columns)}"
+            assert len(got) == len(want), f"rows {len(got)} vs {len(want)}"
+            pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+            rec["match"] = True
+            print(f"{name:24s} PASS rows={len(got)} (independent replay, bit-exact)")
+        except Exception as e:
+            rec["err"] = str(e).split("\n")[0][:300]
+            n_fail += 1
+            print(f"{name:24s} FAIL {rec['err']}")
+        results[name] = rec
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+    print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None))

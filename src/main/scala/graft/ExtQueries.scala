@@ -956,7 +956,14 @@ object ExtQueries {
     * e3_pq_adc: subspace i ends with `s{i}c1` (the learned codebook)
     * and `s{i}a2` (each vector's code, column `cid`).
     */
-  private lazy val pqSqlChains: String = {
+  private lazy val pqSqlChains: String = pqChains("")
+
+  /** `baseFilter` restricts the frames the per-subspace codebooks are
+    * TRAINED from (the incremental-index oracle trains on the base
+    * subset only); the final code assignment always covers the full
+    * table — exactly what write-on-base + append-delta produces.
+    */
+  private def pqChains(baseFilter: String): String = {
     def fold(c: String) = duckFold(
       s"list_transform(range(1, len($c)+1), i -> CAST($c[i] AS DOUBLE) * CAST($c[i] AS DOUBLE))")
     val mexpr = s"CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS $AvgDec)) AS VARCHAR) AS DOUBLE) / COUNT(v)"
@@ -976,10 +983,13 @@ object ExtQueries {
     (0 until PqM).map { i =>
       val (lo, hi) = (i * PqSubDim + 1, (i + 1) * PqSubDim)
       val p = s"s$i"
+      val (trainCte, trainSrc) =
+        if (baseFilter.isEmpty) ("", s"${p}e")
+        else (s"${p}b AS (SELECT * FROM ${p}e WHERE $baseFilter),\n", s"${p}b")
       s"""${p}e AS (SELECT vec_id, embedding, ${fold("embedding")} AS n2 FROM (
          |  SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings) z$i),
-         |${p}c0 AS (SELECT vec_id AS cid, embedding AS cent, n2 AS cn2 FROM ${p}e WHERE vec_id < $PqK),
-         |${assign(s"${p}e", s"${p}c0", s"${p}a1")},
+         |$trainCte${p}c0 AS (SELECT vec_id AS cid, embedding AS cent, n2 AS cn2 FROM $trainSrc WHERE vec_id < $PqK),
+         |${assign(trainSrc, s"${p}c0", s"${p}a1")},
          |${update(s"${p}a1", s"${p}c1")},
          |${assign(s"${p}e", s"${p}c1", s"${p}a2")}""".stripMargin
     }.mkString(",\n")
@@ -1029,6 +1039,11 @@ object ExtQueries {
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS BIGINT) AS rk
        |  FROM sc) WHERE rk <= $AnnK""".stripMargin
   }
+  /** e3kSql with codebooks trained on the base subset only — the
+    * PQ-incremental oracle (same LUT/scoring tail, swapped chains).
+    */
+  lazy val e3qSql: String =
+    e3kSql.replace(pqSqlChains, pqChains("vec_id % 7 <> 3"))
 
   // ---- E3m: persisted-index probes (build once / probe many) ---------------
   // The index lifecycle a production ANN deployment actually runs
@@ -1085,6 +1100,33 @@ object ExtQueries {
     AnnIndex.probeIvf(emb.filter(col("vec_id") < AnnQueries), ix, AnnK)
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
   }
+  // ---- E3o/E3q: incremental SQ8 / PQ ingestion over saved indexes ----------
+  // Same base/delta split and same claim as e3_ivf_incremental:
+  // quantization (SQ8) and codebook assignment (PQ) are per-vector
+  // given the saved model, so append ≡ full re-encode on the
+  // base-trained model. Oracles train grid/codebooks on the base
+  // subset only and encode the full table.
+  def e3Sq8Incremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val ix = annScratch("sq8inc")
+    AnnIndex.writeSq8(emb.filter(col("vec_id") % 7 =!= 3), ix)
+    AnnIndex.appendSq8(emb.filter(col("vec_id") % 7 === 3), ix)
+    AnnIndex.probeSq8(emb.filter(col("vec_id") < AnnQueries), ix, AnnK)
+      .select(col("query_id"), col("vec_id"), col("q_cos"), col("rk"))
+  }
+  lazy val e3oSql: String =
+    s"""WITH ${sq8DuckCtes("vec_id % 7 <> 3")}
+       |SELECT query_id, vec_id, q_cos, rk FROM sk""".stripMargin
+
+  def e3PqIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val ix = annScratch("pqinc")
+    AnnIndex.writePq(emb.filter(col("vec_id") % 7 =!= 3), PqM, PqSubDim, PqK, PqIters, ix)
+    AnnIndex.appendPq(emb.filter(col("vec_id") % 7 === 3), PqM, PqSubDim, ix)
+    AnnIndex.probePq(emb.filter(col("vec_id") < AnnQueries), PqM, PqSubDim, ix, AnnK)
+      .select(col("query_id"), col("vec_id"), col("adc"), col("rk"))
+  }
+
   val e3nSql: String = {
     val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
     val centN2 = duckFold("list_transform(range(1, len(cent)+1), i -> CAST(cent[i] AS DOUBLE) * CAST(cent[i] AS DOUBLE))")
@@ -1802,28 +1844,59 @@ object ExtQueries {
     * before the lazily-evaluated result is consumed.
     */
   def lidClassify(docs: DataFrame): DataFrame = {
+    val dt = graft.ops.Sink.cachedEager(lidTriCounts(docs))
+    lidScoreDt(dt, lidProfilesFromDt(dt))
+  }
+
+  /** The corpus-collapsing (doc, tri) pre-aggregate every LID stage
+    * derives from — built UNCACHED; callers persist when they fan it
+    * out to multiple consumers.
+    */
+  private def lidTriCounts(docs: DataFrame): DataFrame = {
     val trigrams = TextOps.let1(expr(s"substr(lower(text), 1, $TrigramPrefix)")) { p =>
       transform(
         sequence(lit(1), greatest(length(p) - 2, lit(0))),
         i => substring(p, i, lit(3)))
     }
-    val dt = graft.ops.Sink.cachedEager(docs
+    docs
       .select(col("doc_id"), col("lang"), explode(trigrams).as("tri"))
       .groupBy(col("doc_id"), col("tri"))
-      .agg(count(lit(1)).as("c"), max(col("lang")).as("lang")))
-    // textcat-style truncation: each language's profile keeps its
-    // LidTopTri most frequent trigrams — the model becomes
-    // |langs| · LidTopTri rows, small enough to BROADCAST, so the
-    // scoring join never shuffles the corpus-sized (doc, tri) frame.
-    // Local sf0.1 timing is stage-overhead-bound either way (~4.5 s
-    // min-of-2, stall-noise dominated); the broadcast shape is what
-    // survives 100 TB. Doc norms stay full-vector — the standard
-    // asymmetric-truncation cosine.
-    val prof = Ranking.topKPerGroup(
+      .agg(count(lit(1)).as("c"), max(col("lang")).as("lang"))
+  }
+
+  // textcat-style truncation: each language's profile keeps its
+  // LidTopTri most frequent trigrams — the model becomes
+  // |langs| · LidTopTri rows, small enough to BROADCAST, so the
+  // scoring join never shuffles the corpus-sized (doc, tri) frame.
+  // Local sf0.1 timing is stage-overhead-bound either way (~4.5 s
+  // min-of-2, stall-noise dominated); the broadcast shape is what
+  // survives 100 TB. Doc norms stay full-vector — the standard
+  // asymmetric-truncation cosine.
+  private def lidProfilesFromDt(dt: DataFrame): DataFrame =
+    Ranking.topKPerGroup(
       dt.groupBy(col("lang").as("cand_lang"), col("tri"))
         .agg(sum(col("c")).as("p")),
       Seq("cand_lang"), Seq(col("p").desc, col("tri").asc), LidTopTri)
       .drop("rk")
+
+  /** Train-only half: the broadcastable (cand_lang, tri, p) profile
+    * frame — the LID MODEL ARTIFACT a deployment persists once and
+    * scores against many times (all counts BIGINT: parquet
+    * round-trips them exactly, so a saved model scores
+    * bit-identically to an in-query one).
+    */
+  def lidProfiles(docs: DataFrame): DataFrame =
+    lidProfilesFromDt(lidTriCounts(docs))
+
+  /** Score-only half against a (possibly read-back) profile frame —
+    * the score-online shape: one corpus trigram pass (persisted: doc
+    * norms + the scoring join both derive from it), model broadcast,
+    * profile norms recomputed from the model (|langs| rows).
+    */
+  def lidScoreWith(docs: DataFrame, prof: DataFrame): DataFrame =
+    lidScoreDt(graft.ops.Sink.cachedEager(lidTriCounts(docs)), prof)
+
+  private def lidScoreDt(dt: DataFrame, prof: DataFrame): DataFrame = {
     val profN2 = prof.groupBy(col("cand_lang"))
       .agg(sum(col("p") * col("p")).as("n2p"))
     val docN2 = dt.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("n2d"))
@@ -1840,6 +1913,19 @@ object ExtQueries {
     Ranking.topKPerGroup(
       scored, Seq("doc_id"), Seq(col("cos").desc, col("cand_lang").asc), 1)
       .select(col("doc_id"), col("lang"), col("cand_lang").as("lang_pred"))
+  }
+
+  // ---- E5r2: LID scoring against a SAVED model ------------------------------
+  // The train-offline / score-online lifecycle for the trained LID
+  // (the r10 VERDICT's "another natural saved artifact"): profiles
+  // persist as parquet, the registered query scores the corpus
+  // against the READ-BACK model. Bit-identical to e5_lid_model, so
+  // it reuses that oracle.
+  def e5LidSaved(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ix = annScratch("lid")
+    lidProfiles(docs).write.mode("overwrite").parquet(s"$ix/profiles")
+    lidScoreWith(docs, s.read.parquet(s"$ix/profiles"))
   }
   val e5rSql: String =
     s"""WITH tris AS (SELECT doc_id, lang, unnest([substr(p, i, 3) for i in range(1, greatest(len(p) - 2, 0) + 1)]) AS tri
@@ -2484,16 +2570,21 @@ object ExtQueries {
     Similarity.sq8TopK(emb.filter(col("vec_id") < AnnQueries), emb, AnnK)
       .select(col("query_id"), col("vec_id"), col("q_cos"), col("rk"))
   }
-  private def sq8DuckCtes: String = {
+  /** `gridFilter` restricts the frame the quantization grid is
+    * LEARNED from (the incremental-index oracle trains on the base
+    * subset only); codes/probe always cover the full table.
+    */
+  private def sq8DuckCtes(gridFilter: String = ""): String = {
     val quant = "CASE WHEN mxs[i] = mns[i] THEN 0 ELSE CAST(greatest(least(floor(" +
       "((CAST(embedding[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)) / " +
       "(CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE))) * 256.0), 255.0), 0.0) AS INT) END"
     val n2 = "CAST(list_sum(list_transform(codes, v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS BIGINT)"
     val qdot = "CAST(list_sum(list_transform(range(1, len(q.codes)+1), " +
       "i -> CAST(q.codes[i] AS BIGINT) * CAST(c.codes[i] AS BIGINT))) AS BIGINT)"
+    val gridWhere = if (gridFilter.isEmpty) "" else s" WHERE $gridFilter"
     s"""s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM (
        |    SELECT unnest(range(1, len(embedding)+1)) AS dim, unnest(embedding) AS v
-       |    FROM embeddings) x GROUP BY dim),
+       |    FROM embeddings$gridWhere) x GROUP BY dim),
        |g AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM s),
        |cd AS (SELECT vec_id,
        |    list_transform(range(1, len(embedding)+1), i -> $quant) AS codes
@@ -2508,7 +2599,7 @@ object ExtQueries {
        |  FROM sq) WHERE rk <= $AnnK)""".stripMargin
   }
   val e3hSql: String =
-    s"""WITH $sq8DuckCtes
+    s"""WITH ${sq8DuckCtes()}
        |SELECT query_id, vec_id, q_cos, rk FROM sk""".stripMargin
 
   // ---- E3i: SQ8 recall@k vs the exact float baseline -----------------------
@@ -2534,7 +2625,7 @@ object ExtQueries {
   }
   val e3iSql: String = {
     val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
-    s"""WITH $sq8DuckCtes,
+    s"""WITH ${sq8DuckCtes()},
        |e AS (SELECT vec_id, embedding, $n2 AS fn2 FROM embeddings),
        |exs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
        |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.fn2) * sqrt(c.fn2)) AS cos_sim
@@ -2917,7 +3008,10 @@ object ExtQueries {
     "e3_sq8_saved" -> (e3Sq8Saved _),
     "e3_pq_saved" -> (e3PqSaved _),
     "e3_ivf_incremental" -> (e3IvfIncremental _),
-    "e1_span_maximal" -> (e1SpanMaximal _)
+    "e1_span_maximal" -> (e1SpanMaximal _),
+    "e5_lid_saved" -> (e5LidSaved _),
+    "e3_sq8_incremental" -> (e3Sq8Incremental _),
+    "e3_pq_incremental" -> (e3PqIncremental _)
   )
 
   val sql: Map[String, String] = Map(
@@ -3007,6 +3101,9 @@ object ExtQueries {
     "e3_sq8_saved" -> e3hSql,
     "e3_pq_saved" -> e3kSql,
     "e3_ivf_incremental" -> e3nSql,
-    "e1_span_maximal" -> e1eSql
+    "e1_span_maximal" -> e1eSql,
+    "e5_lid_saved" -> e5rSql,
+    "e3_sq8_incremental" -> e3oSql,
+    "e3_pq_incremental" -> e3qSql
   )
 }

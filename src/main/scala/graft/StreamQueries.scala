@@ -210,6 +210,80 @@ object StreamQueries {
       .select(col("user_id"), col("ts"), col("event_id"), col("value"), col("click_value"))
   }
 
+  // ---- W3s: native streaming sessionization ------------------------------
+  // [[EventStream.sessionStats]] (session_window + watermark), same
+  // oracle as the batch w3_session_window (the SQL gaps-and-islands
+  // replay). The avg_value the operator also computes is dropped to
+  // match the batch twin's columns; sentinel users (-1) do open
+  // sessions of their own — earlier sentinels' sessions close as
+  // later ones advance the watermark — and are filtered by key.
+  def w3SessionStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("value"))
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val in = fresh("w3s_in"); val out = fresh("w3s_out"); val ck = fresh("w3s_ck")
+    ev.write.mode("overwrite").parquet(in)
+    val stream = s.readStream.schema(ev.schema).parquet(in)
+    val q = EventStream.sessionStats(stream, gap = "30 minutes", lateness = "0 seconds")
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      drain(q)
+      (1 to 3).foreach { i =>
+        advance(q,
+          Seq((-1L, microsTs(maxUs + i * 7200L * 1000000L), 0.0))
+            .toDF("user_id", "ts", "value"), in)
+      }
+    } finally q.stop()
+    s.read.parquet(out)
+      .filter(col("user_id") >= 0L)
+      .select(col("user_id"), col("session_start").as("sess_start"),
+        col("session_end").as("sess_end"), col("n_events"))
+  }
+
+  // ---- A19s: streaming drift histogram -----------------------------------
+  // [[EventStream.driftHistogram]]: per 6-hour event-time window and
+  // population, the value distribution as fixed-width bucket counts —
+  // the streaming half of the batch a19 KS gate (a downstream
+  // consumer compares adjacent windows' histograms). Oracle is the
+  // direct SQL aggregation; both engines' 6-hour buckets are
+  // epoch-aligned. Sentinels must pass the operator's population
+  // filter (the filter sits before the watermark), so they are
+  // far-future 'click' rows, excluded by the window bound.
+  def a19DriftStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select(col("ts"), col("event_type"), col("value"))
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val in = fresh("a19s_in"); val out = fresh("a19s_out"); val ck = fresh("a19s_ck")
+    ev.write.mode("overwrite").parquet(in)
+    val stream = s.readStream.schema(ev.schema).parquet(in)
+    val q = EventStream.driftHistogram(stream, "click", "purchase", bucketWidth = 8.0,
+      lateness = "0 seconds")
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      drain(q)
+      (1 to 3).foreach { i =>
+        advance(q,
+          Seq((microsTs(maxUs + i * 21600L * 1000000L), "click", 1.0))
+            .toDF("ts", "event_type", "value"), in)
+      }
+    } finally q.stop()
+    s.read.parquet(out)
+      .filter(col("win_start") <= timestamp_micros(lit(maxUs)))
+      .select(col("win_start"), col("event_type"), col("bucket"), col("n"))
+  }
+
   // ---- E5s: train-offline / score-online quality model -------------------
   // [[CorpusStream.scoreStream]]: the centroid model is trained on the
   // batch corpus, then a documents STREAM is scored per micro-batch by
@@ -236,16 +310,30 @@ object StreamQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_window_stream" -> (w1WindowStream _),
+    "w3_session_stream" -> (w3SessionStream _),
     "w5_funnel_stream" -> (w5FunnelStream _),
     "j5_asof_stream" -> (j5AsofStream _),
+    "a19_drift_stream" -> (a19DriftStream _),
     "e5_quality_stream" -> (e5QualityStream _))
+
+  /** The 6-hour drift histogram, aggregated directly in SQL (both
+    * engines' tumbling buckets are epoch-aligned).
+    */
+  val a19sSql: String =
+    """SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start, event_type,
+      |  CAST(floor(value / 8.0) AS BIGINT) AS bucket, count(*) AS n
+      |FROM events
+      |WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+      |GROUP BY 1, 2, 3""".stripMargin
 
   /** Streaming queries reuse their batch twins' oracle SQL verbatim —
     * that equality is the whole point of the pairing.
     */
   val sql: Map[String, String] = Map(
     "w1_window_stream" -> ParityQueries.w1Sql,
+    "w3_session_stream" -> ParityQueries.w3Sql,
     "w5_funnel_stream" -> ParityQueries.w5Sql,
     "j5_asof_stream" -> ParityQueries.j5Sql,
+    "a19_drift_stream" -> a19sSql,
     "e5_quality_stream" -> ExtQueries.e5oSql)
 }

@@ -113,6 +113,18 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$indexDir/codes")
   }
 
+  /** Incrementally ingest a delta batch into a saved SQ8 index:
+    * quantize against the SAVED grid (the standing codes are never
+    * re-read) and append. Same independence argument as
+    * [[appendIvf]]: quantization is per-vector given a fixed grid, so
+    * append ≡ full re-encode of base ∪ delta on that grid.
+    * Out-of-grid delta values saturate (the two-sided clamp).
+    */
+  def appendSq8(delta: DataFrame, indexDir: String): Unit =
+    Similarity.sq8Codes(delta, readSq8Grid(delta.sparkSession, indexDir))
+      .select(col("vec_id"), col("codes"), col("qn2"))
+      .write.mode("append").parquet(s"$indexDir/codes")
+
   /** Probe the saved SQ8 index: quantize queries on the SAVED grid
     * (out-of-range values saturate — the two-sided [[Similarity.sq8Codes]]
     * clamp), broadcast them, and rank by the exact integer code
@@ -166,6 +178,23 @@ object AnnIndex {
         .select(col("vec_id"), col("cid").as(s"code_$i"))
     }.reduce(_.join(_, Seq("vec_id")))
       .write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** Incrementally ingest a delta batch into a saved PQ index:
+    * encode each subspace against the SAVED codebooks and append the
+    * code rows — per-vector independent given fixed codebooks, so
+    * append ≡ full re-encode of base ∪ delta.
+    */
+  def appendPq(delta: DataFrame, m: Int, subDim: Int, indexDir: String): Unit = {
+    val books = delta.sparkSession.read.parquet(s"$indexDir/codebooks")
+    (0 until m).map { i =>
+      Similarity.assignToCentroid(
+        subspace(delta, i, subDim),
+        books.filter(col("sub") === i)
+          .select(col("cid").as("vec_id"), col("cent").as("embedding")))
+        .select(col("vec_id"), col("cid").as(s"code_$i"))
+    }.reduce(_.join(_, Seq("vec_id")))
+      .write.mode("append").parquet(s"$indexDir/codes")
   }
 
   /** Probe the saved PQ index (asymmetric distance): per subspace,

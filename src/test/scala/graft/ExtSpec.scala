@@ -116,6 +116,42 @@ class ExtSpec extends SparkSpec {
     assert(viaIndex.map(_._1).size == emb.count())
   }
 
+  test("AnnIndex incremental laws: appendSq8/appendPq equal full re-encode on the saved model") {
+    import graft.ext.{AnnIndex, Similarity}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") % 7 =!= 3)
+    val delta = emb.filter(col("vec_id") % 7 === 3)
+    val sq8Ix = graft.ops.Sink.scratchDir("ext_sq8_inc")
+    AnnIndex.writeSq8(base, sq8Ix)
+    AnnIndex.appendSq8(delta, sq8Ix)
+    val viaSq8 = spark.read.parquet(s"$sq8Ix/codes")
+      .select(col("vec_id"), col("qn2")).as[(Long, Long)].collect().toSet
+    val rebuiltSq8 = Similarity
+      .sq8Codes(emb, spark.read.parquet(s"$sq8Ix/grid"))
+      .select(col("vec_id"), col("qn2")).as[(Long, Long)].collect().toSet
+    assert(viaSq8 == rebuiltSq8)
+    assert(viaSq8.size == emb.count())
+
+    val pqIx = graft.ops.Sink.scratchDir("ext_pq_inc")
+    AnnIndex.writePq(base, 4, 16, 4, 1, pqIx)
+    AnnIndex.appendPq(delta, 4, 16, pqIx)
+    val viaPq = spark.read.parquet(s"$pqIx/codes")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaPq.size == emb.count())
+    // delta rows carry codes from the SAVED (base-trained) codebooks:
+    // re-encode the delta against the saved books and compare
+    val books = spark.read.parquet(s"$pqIx/codebooks")
+    val reEnc = (0 until 4).map { i =>
+      Similarity.assignToCentroid(
+        delta.select(col("vec_id"), expr(s"slice(embedding, ${i * 16 + 1}, 16)").as("embedding")),
+        books.filter(col("sub") === i)
+          .select(col("cid").as("vec_id"), col("cent").as("embedding")))
+        .select(col("vec_id"), col("cid").as(s"code_$i"))
+    }.reduce(_.join(_, Seq("vec_id")))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(reEnc.subsetOf(viaPq))
+  }
+
   test("centroidClassify on a single-class corpus never predicts the absent class") {
     // Every doc is pure stopwords -> seed rule labels ALL "hi"; the
     // "lo" centroid is NULL in the trained row. The r10 ADVICE bug:

@@ -192,7 +192,7 @@ object StreamQueries {
       .start()
     try {
       drain(q)
-      (1 to 3).foreach { i =>
+      (1 to 2).foreach { i =>
         val us = maxUs + (horizonSec + i * 3600L) * 1000000L
         // both sides must advance: the global watermark is the MIN of
         // the per-source watermarks

@@ -1127,6 +1127,36 @@ object ExtQueries {
       .select(col("query_id"), col("vec_id"), col("adc"), col("rk"))
   }
 
+  // ---- E3p: STREAMING IVF ingestion ----------------------------------------
+  // The live form of e3_ivf_incremental: the delta arrives as a
+  // STREAM (file source over a staged scratch copy), and every
+  // micro-batch assigns against the SAVED centroids and appends its
+  // posting rows via foreachBatch — the continuously-fed index a
+  // production ANN service runs. Probing the index afterwards must
+  // equal the batch incremental result, so it shares e3nSql. Each
+  // invocation uses fresh scratch dirs, so a replayed batch cannot
+  // occur in-harness; a deployment makes the append idempotent with
+  // the writeBatchIdempotent partition-overwrite recipe.
+  def e3IvfStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val emb = Tables.embeddings(s, dir)
+    val ix = annScratch("ivfstr")
+    AnnIndex.writeIvf(emb.filter(col("vec_id") % 7 =!= 3), KmK, KmIters, ix)
+    val delta = emb.filter(col("vec_id") % 7 === 3)
+    val in = annScratch("ivfstr_in"); val ck = annScratch("ivfstr_ck")
+    delta.write.mode("overwrite").parquet(in)
+    val q = s.readStream.schema(delta.schema).parquet(in)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        AnnIndex.appendIvf(b, ix))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    AnnIndex.probeIvf(emb.filter(col("vec_id") < AnnQueries), ix, AnnK)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+
   val e3nSql: String = {
     val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
     val centN2 = duckFold("list_transform(range(1, len(cent)+1), i -> CAST(cent[i] AS DOUBLE) * CAST(cent[i] AS DOUBLE))")
@@ -3011,7 +3041,8 @@ object ExtQueries {
     "e1_span_maximal" -> (e1SpanMaximal _),
     "e5_lid_saved" -> (e5LidSaved _),
     "e3_sq8_incremental" -> (e3Sq8Incremental _),
-    "e3_pq_incremental" -> (e3PqIncremental _)
+    "e3_pq_incremental" -> (e3PqIncremental _),
+    "e3_ivf_stream" -> (e3IvfStream _)
   )
 
   val sql: Map[String, String] = Map(
@@ -3104,6 +3135,7 @@ object ExtQueries {
     "e1_span_maximal" -> e1eSql,
     "e5_lid_saved" -> e5rSql,
     "e3_sq8_incremental" -> e3oSql,
-    "e3_pq_incremental" -> e3qSql
+    "e3_pq_incremental" -> e3qSql,
+    "e3_ivf_stream" -> e3nSql
   )
 }

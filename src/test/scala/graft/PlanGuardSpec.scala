@@ -483,4 +483,33 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("posexplode"), p)
     assert(!p.contains("exactMean") && !p.contains("avg("), p)
   }
+
+  test("AnnIndex.probeSq8/probePq: probes read codes/model tables, never rebuild them") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 8)
+
+    val sq8Ix = graft.ops.Sink.scratchDir("pg_sq8_ix")
+    graft.ext.AnnIndex.writeSq8(emb, sq8Ix)
+    val pSq8 = graft.ext.AnnIndex.probeSq8(q, sq8Ix, 3)
+      .queryExecution.executedPlan.toString
+    // the corpus side is the saved code table; the grid scan feeds
+    // only the QUERY quantization — no per-dimension explode (the
+    // grid build's posexplode) may appear
+    assert(pSq8.contains("codes"), pSq8)
+    assert(pSq8.contains("grid"), pSq8)
+    assert(!pSq8.toLowerCase.contains("posexplode"), pSq8)
+
+    val pqIx = graft.ops.Sink.scratchDir("pg_pq_ix")
+    graft.ext.AnnIndex.writePq(emb, 4, 16, 4, 1, pqIx)
+    val pPq = graft.ext.AnnIndex.probePq(q, 4, 16, pqIx, 3)
+      .queryExecution.executedPlan.toString
+    assert(pPq.contains("codebooks"), pPq)
+    assert(pPq.contains("codes"), pPq)
+    // no codebook learning (posexplode/decimal means), and the code
+    // table flows through BROADCAST joins only
+    assert(!pPq.toLowerCase.contains("posexplode"), pPq)
+    assert(pPq.contains("BroadcastHashJoin"), pPq)
+    assert(!pPq.contains("SortMergeJoin"), pPq)
+  }
 }

@@ -1921,7 +1921,11 @@ object ExtQueries {
   /** Score-only half against a (possibly read-back) profile frame —
     * the score-online shape: one corpus trigram pass (persisted: doc
     * norms + the scoring join both derive from it), model broadcast,
-    * profile norms recomputed from the model (|langs| rows).
+    * profile norms recomputed from the model (|langs| rows). Same
+    * caller obligation as [[lidClassify]]: the persisted (doc, tri)
+    * frame is released by the runners' per-query clearCache; library
+    * callers release it via `spark.catalog.clearCache()` once the
+    * lazy result is consumed.
     */
   def lidScoreWith(docs: DataFrame, prof: DataFrame): DataFrame =
     lidScoreDt(graft.ops.Sink.cachedEager(lidTriCounts(docs)), prof)

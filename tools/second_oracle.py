@@ -118,6 +118,49 @@ def a19_ks_drift(sf):
         "ks_stat": [float(num) / (float(n1) * float(n2))]})
 
 
+def w5_funnel(sf):
+    # full independent replay of the ordered-stage funnel state machine
+    # in exact epoch micros (pure integer arithmetic)
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "event_type", "ts"])
+    ev = ev[ev["event_type"].isin(["view", "click", "purchase"])]
+    us = ev["ts"].astype("int64") // 1000  # ns -> us
+    rows = []
+    for uid, grp in ev.assign(us=us).groupby("user_id"):
+        views = sorted(grp[grp.event_type == "view"]["us"])
+        if not views:
+            continue
+        t1 = views[0]
+        clicks = sorted(v for v in grp[grp.event_type == "click"]["us"] if v > t1)
+        t2 = clicks[0] if clicks else None
+        t3 = None
+        if t2 is not None:
+            purch = sorted(v for v in grp[grp.event_type == "purchase"]["us"] if v > t2)
+            t3 = purch[0] if purch else None
+        stage = 1 + (1 if t2 is not None else 0) + (1 if t3 is not None else 0)
+        rows.append((uid, t1, t2, t3, stage))
+    df = pd.DataFrame(rows, columns=["user_id", "t1_us", "t2_us", "t3_us", "stage"])
+    return df
+
+
+def a20_benford(sf):
+    # leading-digit counts (integers) + per-row IEEE chi terms
+    P = [0.30102999566398120, 0.17609125905568124, 0.12493873660829993,
+         0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+         0.05799194697768673, 0.05115252244738129, 0.04575749056067514]
+    import math
+    o = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_totalprice"])
+    vals = [v for v in o["o_totalprice"] if pd.notna(v) and v >= 1.0]
+    digits = [int(str(int(math.floor(v)))[0]) for v in vals]
+    n_total = len(digits)
+    rows = []
+    for d in sorted(set(digits)):
+        n_obs = digits.count(d)
+        p = P[d - 1] if 1 <= d <= 9 else 0.0
+        exp = n_total * p
+        rows.append((d, n_obs, exp, (n_obs - exp) * (n_obs - exp) / exp))
+    return pd.DataFrame(rows, columns=["digit", "n_obs", "expected", "chi_term"])
+
+
 QUERIES = {
     "a3_mean": a3_mean,
     "a4_group_mean": a4_group_mean,
@@ -125,6 +168,8 @@ QUERIES = {
     "a15_weighted_avg": a15_weighted_avg,
     "w1_window_agg": w1_window_agg,
     "a19_ks_drift": a19_ks_drift,
+    "w5_funnel": w5_funnel,
+    "a20_benford": a20_benford,
 }
 
 

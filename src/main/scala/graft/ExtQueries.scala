@@ -1956,10 +1956,14 @@ object ExtQueries {
   // against the READ-BACK model. Bit-identical to e5_lid_model, so
   // it reuses that oracle.
   def e5LidSaved(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // Train and score share ONE persisted (doc, tri) pass: profiles
+    // derive from the cached frame, round-trip through parquet, and
+    // the read-back model scores the same frame — the full saved-model
+    // lifecycle without re-tokenizing the corpus for the probe half.
+    val dt = graft.ops.Sink.cachedEager(lidTriCounts(Tables.documents(s, dir)))
     val ix = annScratch("lid")
-    lidProfiles(docs).write.mode("overwrite").parquet(s"$ix/profiles")
-    lidScoreWith(docs, s.read.parquet(s"$ix/profiles"))
+    lidProfilesFromDt(dt).write.mode("overwrite").parquet(s"$ix/profiles")
+    lidScoreDt(dt, s.read.parquet(s"$ix/profiles"))
   }
   val e5rSql: String =
     s"""WITH tris AS (SELECT doc_id, lang, unnest([substr(p, i, 3) for i in range(1, greatest(len(p) - 2, 0) + 1)]) AS tri

@@ -1866,6 +1866,61 @@ object ParityQueries {
        |  CAST(sum(CASE WHEN dv > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
        |FROM d JOIN m2 USING (g) GROUP BY g, med, mad""".stripMargin
 
+  // ---- A23: Count-Min Sketch heavy-key frequency estimation ----------------
+  // Fixed-size frequency sketch vs exact truth for the top-20 part
+  // keys ([[graft.ops.Aggregates.cmsHeavyHitters]]). depth=4 rows ×
+  // width=256 counters over 2 000 distinct keys forces real
+  // collisions, so the estimate-vs-truth gap the CMS bound promises
+  // (cms_n ≥ true_n, overshoot ≤ collisions) is visible in the
+  // output and replayed hash-exactly by the oracle (same md5 bucket
+  // math on both engines).
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+  private val CmsTopK = 20
+  def a23CmsFrequency(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Aggregates.cmsHeavyHitters(
+      Tables.lineitem(s, dir), "l_partkey", CmsDepth, CmsWidth, CmsTopK)
+  val a23Sql = {
+    def md5i(e: String) = s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+    val bkt = md5i("'cms' || CAST(i AS VARCHAR) || '_' || CAST(l_partkey AS VARCHAR)")
+    s"""WITH hs AS (SELECT l_partkey, i, $bkt % $CmsWidth AS b
+       |  FROM lineitem CROSS JOIN (SELECT unnest(range($CmsDepth)) AS i)),
+       |sk AS (SELECT i AS h, b, count(*) AS c FROM hs GROUP BY 1, 2),
+       |top AS (SELECT l_partkey, true_n FROM (
+       |  SELECT l_partkey, count(*) AS true_n,
+       |    row_number() OVER (ORDER BY count(*) DESC, l_partkey) AS rk
+       |  FROM lineitem GROUP BY l_partkey) t WHERE rk <= $CmsTopK),
+       |pr AS (SELECT t.l_partkey, t.true_n, i AS h,
+       |    ${md5i("'cms' || CAST(i AS VARCHAR) || '_' || CAST(t.l_partkey AS VARCHAR)")} % $CmsWidth AS b
+       |  FROM top t CROSS JOIN (SELECT unnest(range($CmsDepth)) AS i))
+       |SELECT pr.l_partkey, pr.true_n, CAST(min(sk.c) AS BIGINT) AS cms_n
+       |FROM pr JOIN sk USING (h, b)
+       |GROUP BY pr.l_partkey, pr.true_n""".stripMargin
+  }
+
+  // ---- A24: CUSUM drift over daily revenue ---------------------------------
+  // Sequential change detection beside the distributional gates
+  // (A19 KS, A21 chi-square): accumulated positive deviation of
+  // daily order revenue from the period mean, integer-cents exact
+  // ([[graft.ops.Aggregates.cusumDrift]] — closed-form prefix-sum
+  // CUSUM, no sequential fold).
+  def a24CusumDrift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Aggregates.cusumDrift(
+      Tables.orders(s, dir), "o_orderdate", "o_totalprice")
+  val a24Sql =
+    s"""WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+       |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS r
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT count(*) AS n, SUM(r) AS t FROM d),
+       |z AS (SELECT day, r * n - t.t AS z, t.t FROM d CROSS JOIN t),
+       |c AS (SELECT day, t,
+       |    SUM(z) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+       |  FROM z),
+       |s AS (SELECT day, t,
+       |    cs - MIN(cs) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cents
+       |  FROM c)
+       |SELECT day, CAST(s_cents AS BIGINT) AS s_cents, s_cents * 2 > t AS drift FROM s""".stripMargin
+
   // ---- S9: partitioned sink → partition-pruned scan ------------------------
   // The layout HALF of the scale story the roundtrip queries don't
   // cover: write events hive-partitioned by a low-cardinality column
@@ -2188,6 +2243,8 @@ object ParityQueries {
     "a19_ks_drift" -> (a19KsDrift _),
     "a21_chi_drift" -> (a21ChiDrift _),
     "a22_mad_outliers" -> (a22MadOutliers _),
+    "a23_cms_frequency" -> (a23CmsFrequency _),
+    "a24_cusum_drift" -> (a24CusumDrift _),
     "a20_benford" -> (a20Benford _),
     "s9_partitioned_prune" -> (s9PartitionedPrune _),
     "s10_zorder" -> (s10Zorder _),
@@ -2281,6 +2338,8 @@ object ParityQueries {
     "a19_ks_drift" -> a19Sql,
     "a21_chi_drift" -> a21Sql,
     "a22_mad_outliers" -> a22Sql,
+    "a23_cms_frequency" -> a23Sql,
+    "a24_cusum_drift" -> a24Sql,
     "a20_benford" -> a20Sql,
     "s9_partitioned_prune" -> s9Sql,
     "s10_zorder" -> s10Sql,

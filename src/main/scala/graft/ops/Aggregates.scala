@@ -266,6 +266,83 @@ object Aggregates {
       .select(col("g"), col("n"), col("med"), col("mad"), col("n_outliers"))
   }
 
+  /** A23: Count-Min Sketch frequency estimation (Cormode &
+    * Muthukrishnan, J. Algorithms 55(1), 2005) with a truth
+    * comparison for the top-k heavy keys.
+    *
+    * The sketch is the fixed-size frequency structure a 100 TB
+    * pipeline keeps when per-key state is unaffordable: `depth`
+    * hash rows × `width` counters. Built as one `groupBy(h, b)`
+    * count — the explode multiplies rows ×depth map-side, but
+    * partial aggregation collapses each partition to ≤ depth×width
+    * rows BEFORE the shuffle, so shuffled bytes are bounded by the
+    * sketch size × partitions, never by key cardinality. The probe
+    * side broadcasts the (depth×width)-row sketch and takes the
+    * row-min over the key's `depth` counters; CMS guarantees
+    * `cms_n >= true_n` (collisions only ever inflate), which the
+    * spec asserts. Hashes are md5-derived (same bytes in the DuckDB
+    * oracle), so estimates are bit-identical cross-engine. Top-k
+    * truth uses a total order (count desc, key asc) through
+    * `TakeOrderedAndProject` — no global window.
+    */
+  def cmsHeavyHitters(
+      df: DataFrame,
+      key: String,
+      depth: Int,
+      width: Int,
+      k: Int): DataFrame = {
+    def bucket(i: Int): Column =
+      graft.ext.TextOps.md5Int32(
+        concat(lit(s"cms${i}_"), col(key).cast("string"))) % width
+    def hashRows: Column = explode(array(
+      (0 until depth).map(i => struct(lit(i).as("h"), bucket(i).as("b"))): _*))
+    val sketch = df.select(hashRows.as("p"))
+      .groupBy(col("p.h").as("h"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val topTrue = df.groupBy(col(key))
+      .agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col(key).asc)
+      .limit(k)
+    topTrue.select(col(key), col("true_n"), hashRows.as("p"))
+      .select(col(key), col("true_n"), col("p.h").as("h"), col("p.b").as("b"))
+      .join(broadcast(sketch), Seq("h", "b"))
+      .groupBy(col(key), col("true_n"))
+      .agg(min(col("c")).as("cms_n"))
+  }
+
+  /** A24: one-sided CUSUM drift detection over a daily series (Page,
+    * Biometrika 1954). Uses the closed form S_t = C_t − min_{j≤t} C_j
+    * with C = prefix sum of the centered series, so the recursive
+    * max(0, …) never materializes — two window passes instead of a
+    * sequential fold.
+    *
+    * Exactness: the series is integer CENTS (the input doubles are
+    * 2-dp by contract; ×100 + round is exact), centering multiplies
+    * by n instead of dividing by it (z_d = n·r_d − T), and every
+    * prefix stays BIGINT — bit-identical to the oracle with no
+    * float drift. Overflow headroom: |C| ≤ days² · max daily cents,
+    * ~1e16 at a century of 1e9-cent days, 200× under Long.
+    *
+    * Scale: the windows run over the DAY-aggregated frame (one row
+    * per day — bounded by calendar time, ~36 500 rows/century), not
+    * the raw table; raw rows see only one partial+final agg shuffle.
+    * `drift` flags days where the accumulated positive deviation
+    * exceeds half the total (2·S > T), division-free.
+    */
+  def cusumDrift(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(date_trunc("DAY", col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("r"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("r")).as("t"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .select(col("day"), (col("r") * col("n") - col("t")).as("z"), col("t"))
+      .withColumn("cs", sum(col("z")).over(w))
+      .withColumn("s_cents", col("cs") - min(col("cs")).over(w))
+      .select(col("day"), col("s_cents"), (col("s_cents") * 2 > col("t")).as("drift"))
+  }
+
   /** A3: scalar mean (dashboard_app/app.py:48). */
   def mean(df: DataFrame, column: String): DataFrame =
     df.agg(exactMean(col(column)).as(s"avg_$column"))

@@ -436,6 +436,43 @@ class OpsSpec extends SparkSpec {
     assert(got("B") == (("B", 4L, 20.0, 10.0, 0L)))
   }
 
+  test("cmsHeavyHitters: estimate dominates truth; equality when width swallows keys") {
+    // 60 keys over width=16 forces collisions: every estimate must be
+    // >= its true count (CMS never undercounts), and with so few
+    // buckets at least one key must be inflated by a cohabitant.
+    val df = (1 to 600).map(i => Tuple1(i % 60)).toDF("k")
+    val got = Aggregates.cmsHeavyHitters(df, "k", depth = 2, width = 16, k = 60)
+      .as[(Int, Long, Long)].collect()
+    assert(got.length == 60)
+    assert(got.forall { case (_, t, e) => e >= t })
+    assert(got.exists { case (_, t, e) => e > t })
+    // wide sketch (no collisions possible to matter): exact for all
+    val exact = Aggregates.cmsHeavyHitters(df, "k", depth = 4, width = 4096, k = 60)
+      .as[(Int, Long, Long)].collect()
+    assert(exact.forall { case (_, t, e) => e == t })
+  }
+
+  test("cusumDrift: closed form equals the sequential fold; resets after dips") {
+    import java.sql.Timestamp
+    // daily cents 100,100,700,100 -> n=4, T=1000 (dollars 1,1,7,1)
+    // z = 4r-T = -600,-600,1800,-600; C = -600,-1200,600,0
+    // S = C - runMin = 0, 0, 1800, 1200; drift: 2S>T -> F,F,T,T
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-01 05:00:00"), 1.00),
+      (Timestamp.valueOf("2024-01-02 05:00:00"), 1.00),
+      (Timestamp.valueOf("2024-01-03 05:00:00"), 7.00),
+      (Timestamp.valueOf("2024-01-04 05:00:00"), 1.00))
+      .toDF("ts", "amt")
+    val got = Aggregates.cusumDrift(df, "ts", "amt")
+      .orderBy("day").as[(Timestamp, Long, Boolean)].collect()
+    assert(got.map(_._2).toSeq == Seq(0L, 0L, 1800L, 1200L))
+    assert(got.map(_._3).toSeq == Seq(false, false, true, true))
+    // closed form == recursive definition S_t = max(0, S_{t-1} + z_t)
+    val z = Seq(-600L, -600L, 1800L, -600L)
+    val rec = z.scanLeft(0L)((s, x) => math.max(0L, s + x)).tail
+    assert(got.map(_._2).toSeq == rec)
+  }
+
   test("filter-then-join equals join-then-filter") {
     val l = (1 to 100).map(i => (i % 10, i)).toDF("k", "lv")
     val r = (0 to 9).map(i => (i, s"d$i")).toDF("k", "name")

@@ -1664,6 +1664,23 @@ object ExtQueries {
        |SELECT doc_id, source, n_chars FROM documents
        |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin
 
+  // ---- E8c: Bloom-prefiltered decontamination ------------------------------
+  // Same corpus/benchmark split and SAME ORACLE as e8_decontaminated:
+  // the Bloom mask ([[CorpusPipeline.bloomDecontaminated]]) is a
+  // prefilter with no false negatives, so the result is bit-identical
+  // — what changes is the plan: corpus shingles meet an 8 KiB
+  // broadcast bitmask first, and only survivors reach the exact
+  // shingle join. The shape that holds when the benchmark shingle
+  // set itself is too big to broadcast.
+  def e8BloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    CorpusPipeline.bloomDecontaminated(
+      docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 20 === 0),
+      minOverlap = ContamMinOverlap)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   // ---- E5a: BPE-ish regex token counts (vs whitespace tokens) --------------
   // ---- E5t: BPE tokenizer TRAINING (Sennrich et al., ACL 2016) -------------
   // Learn the merge table itself, distributed: one corpus-sized pass
@@ -2986,6 +3003,7 @@ object ExtQueries {
     "e5_pack" -> (e5Pack _),
     "e8_contamination" -> (e8Contamination _),
     "e8_decontaminated" -> (e8Decontaminated _),
+    "e8_bloom_prefilter" -> (e8BloomPrefilter _),
     "e3_cosine_topk" -> (e3CosineTopK _),
     "e3_ann_bucketed" -> (e3AnnBucketed _),
     "e3_ann_recall" -> (e3AnnRecall _),
@@ -3086,6 +3104,7 @@ object ExtQueries {
     "e5_pack" -> e5iSql,
     "e8_contamination" -> e8Sql,
     "e8_decontaminated" -> e8bSql,
+    "e8_bloom_prefilter" -> e8bSql,
     "e3_cosine_topk" -> e3Sql,
     "e3_ann_bucketed" -> e3bSql,
     "e3_ann_recall" -> e3dSql,

@@ -1921,6 +1921,30 @@ object ParityQueries {
        |  FROM c)
        |SELECT day, CAST(s_cents AS BIGINT) AS s_cents, s_cents * 2 > t AS drift FROM s""".stripMargin
 
+  // ---- S14: SCD2 dimension history from the event feed ---------------------
+  // Type-2 history of each user's event_type "state"
+  // ([[graft.ops.Relational.scd2History]]): run-collapse on change,
+  // validity intervals from successor timestamps, open current row.
+  // Sliced to a deterministic user subset so the history (not just
+  // its aggregate) is the oracle-compared artifact.
+  def s14Scd2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Relational.scd2History(
+      Tables.events(s, dir).filter(col("user_id") % 10 === 0),
+      "user_id", "event_type", "ts", "event_id")
+  val s14Sql =
+    """WITH f AS (SELECT user_id, event_type, ts, event_id FROM events WHERE user_id % 10 = 0),
+      |o AS (SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM f),
+      |chg AS (SELECT user_id, event_type, ts, event_id FROM o
+      |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |    TIMESTAMP '2199-12-31 00:00:00') AS valid_to,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM chg""".stripMargin
+
   // ---- S9: partitioned sink → partition-pruned scan ------------------------
   // The layout HALF of the scale story the roundtrip queries don't
   // cover: write events hive-partitioned by a low-cardinality column
@@ -2250,6 +2274,7 @@ object ParityQueries {
     "s10_zorder" -> (s10Zorder _),
     "s11_table_checksum" -> (s11TableChecksum _),
     "s12_compact" -> (s12Compact _),
+    "s14_scd2" -> (s14Scd2 _),
     "j10_dpp" -> (j10Dpp _),
     "w7_twap" -> (w7Twap _),
     "w8_interval_merge" -> (w8IntervalMerge _),
@@ -2345,6 +2370,7 @@ object ParityQueries {
     "s10_zorder" -> s10Sql,
     "s11_table_checksum" -> s11Sql,
     "s12_compact" -> s12Sql,
+    "s14_scd2" -> s14Sql,
     "j10_dpp" -> j10Sql,
     "w7_twap" -> w7Sql,
     "w8_interval_merge" -> w8Sql,

@@ -308,13 +308,53 @@ object StreamQueries {
     s.read.parquet(out).select(col("doc_id"), col("label_seed"), col("label_pred"))
   }
 
+  // ---- W9s: streaming exact dedup ----------------------------------------
+  // [[EventStream.streamingDedup]] (`dropDuplicatesWithinWatermark`)
+  // under the gate: the staged source is the events table UNION a
+  // deterministic ~20% duplicate slice (md5-selected), so a dedup
+  // regression double-counts and flips the hash. Duplicates are
+  // FULL-ROW identical, which makes "first arrival wins" order-free —
+  // any winner is the same row, so the result is deterministic
+  // across partition races. The returned frame aggregates the
+  // deduped sink per event type (counts + integer-cents sums); the
+  // oracle is the same aggregate over the PLAIN events table —
+  // exactly what a correct dedup must restore. Stateless-emission
+  // append (rows leave in their arrival batch), so no sentinel
+  // rounds; the watermark only bounds key state.
+  def w9DedupStream(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val dup = ev.filter(
+      graft.ext.TextOps.md5Int32(concat(lit("dup_"), col("event_id").cast("string"))) % 5 === 0)
+    val in = fresh("w9s_in"); val out = fresh("w9s_out"); val ck = fresh("w9s_ck")
+    ev.unionByName(dup).write.mode("overwrite").parquet(in)
+    val stream = s.readStream.schema(ev.schema).parquet(in)
+    val q = EventStream.streamingDedup(stream, Seq("event_id"), lateness = "1 hour")
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try drain(q) finally q.stop()
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+  }
+  val w9sSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+      |FROM events GROUP BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_window_stream" -> (w1WindowStream _),
     "w3_session_stream" -> (w3SessionStream _),
     "w5_funnel_stream" -> (w5FunnelStream _),
     "j5_asof_stream" -> (j5AsofStream _),
     "a19_drift_stream" -> (a19DriftStream _),
-    "e5_quality_stream" -> (e5QualityStream _))
+    "e5_quality_stream" -> (e5QualityStream _),
+    "w9_dedup_stream" -> (w9DedupStream _))
 
   /** The 6-hour drift histogram, aggregated directly in SQL (both
     * engines' tumbling buckets are epoch-aligned).
@@ -335,5 +375,6 @@ object StreamQueries {
     "w5_funnel_stream" -> ParityQueries.w5Sql,
     "j5_asof_stream" -> ParityQueries.j5Sql,
     "a19_drift_stream" -> a19sSql,
-    "e5_quality_stream" -> ExtQueries.e5oSql)
+    "e5_quality_stream" -> ExtQueries.e5oSql,
+    "w9_dedup_stream" -> w9sSql)
 }

@@ -59,6 +59,74 @@ object CorpusPipeline {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Bloom-prefiltered decontamination — EXACT same result as
+    * [[contaminated]]-then-anti-join, reached through a fixed-size
+    * filter (Bloom, CACM 13(7) 1970) instead of joining every corpus
+    * shingle against the full benchmark shingle set.
+    *
+    * Why this exists at 100 TB: [[contaminated]] equi-joins the
+    * corpus's exploded (doc, shingle) stream with the benchmark
+    * shingle set — fine when that set broadcasts, but a large
+    * benchmark suite's distinct shingles can reach GBs. The Bloom
+    * mask is `bits` BITS regardless of benchmark size (2^16 bits =
+    * 8 KiB here): each benchmark shingle sets `hashes` md5-derived
+    * bits; a corpus shingle survives the prefilter only if ALL its
+    * bits are set. No false negatives (every true overlap passes),
+    * so the exact verify join behind it sees a candidate stream cut
+    * to true matches + the Bloom false-positive rate, and the final
+    * result is bit-identical to the unfiltered operator (the law
+    * spec asserts this; the registered query reuses e8b's oracle).
+    *
+    * The mask is built DISTRIBUTED (per-word `bit_or` over ≤
+    * bits/64 rows) and only then collected — driver-local by
+    * construction, bounded by the mask size (1 024 longs), never by
+    * benchmark or corpus cardinality. The membership test is a
+    * per-row expression on the exploded shingle stream: array-index
+    * into the broadcast literal mask + bit test, codegen'd, zero
+    * extra shuffles before the (now small) exact join.
+    */
+  def bloomDecontaminated(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      shingleLen: Int = 3,
+      minOverlap: Int = 5,
+      bits: Int = 1 << 16,
+      hashes: Int = 4): DataFrame = {
+    require(bits % 64 == 0, s"bits must be a multiple of 64, got $bits")
+    def shingles(df: DataFrame) =
+      array_distinct(MinHash.shingleHashesFromTokens(
+        TextOps.tokens(df(textCol)), shingleLen))
+    def pos(i: Int, sh: org.apache.spark.sql.Column) =
+      TextOps.md5Int32(concat(lit(s"bl${i}_"), sh.cast("string"))) % bits
+    val benchSh = benchmark
+      .select(explode(shingles(benchmark)).as("sh")).distinct()
+    val words = benchSh
+      .select(explode(array((0 until hashes).map(i => pos(i, col("sh"))): _*)).as("p"))
+      .groupBy((col("p") / 64).cast("long").as("w"))
+      .agg(bit_or(call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")))
+        .as("m"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val mask = Array.tabulate(bits / 64)(i => words.getOrElse(i, 0L))
+    val maskLit = typedLit(mask.toSeq)
+    val pass = (0 until hashes).map { i =>
+      TextOps.let1(pos(i, col("sh"))) { p =>
+        element_at(maskLit, ((p / 64) + 1).cast("int"))
+          .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int"))) =!= 0
+      }
+    }.reduce(_ && _)
+    val contaminatedIds = docs
+      .select(docs(idCol).as("doc_id"), explode(shingles(docs)).as("sh"))
+      .filter(pass)
+      .join(benchSh, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col("doc_id"))
+    docs.join(contaminatedIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+  }
+
   def clean(
       docs: DataFrame,
       minTokens: Int = 5,

@@ -110,4 +110,55 @@ object Relational {
       .filter(col("__rn") === 1)
       .drop("__rn", "__prec")
   }
+
+  /** S14: type-2 slowly-changing-dimension history (Kimball) built
+    * from a change feed — the warehouse twin of [[upsert]]'s SCD1
+    * overwrite. Consecutive rows where the tracked attribute did not
+    * change are collapsed (a feed row is not a version; a CHANGE is),
+    * then each surviving version gets `[valid_from, valid_to)` from
+    * its own and its successor's timestamps, open-ended + flagged on
+    * the current one.
+    *
+    * Determinism: the per-key order is (ts, tieCol) with `tieCol`
+    * unique, so equal-timestamp feeds collapse identically on any
+    * engine/partitioning. Null attributes compare null-safely (null
+    * → value IS a change, null → null is not).
+    *
+    * The current version's open interval uses the Kimball
+    * far-future-date convention rather than NULL ([[Scd2OpenEnd]] =
+    * 2199-12-31: nanosecond epoch-64 representations overflow past
+    * 2262, so a 9999 sentinel would not survive every downstream
+    * engine): `valid_to` stays non-null and interval predicates
+    * (`BETWEEN valid_from AND valid_to`) need no null branch.
+    *
+    * Scale: two window passes, both partitioned by the dimension key
+    * — one shuffle total (the second window reuses the first's
+    * hash-partitioning; no global window anywhere). The feed's
+    * payload columns never move: only (key, attr, ts, tie) do.
+    */
+  /** Open-interval end for the current SCD2 version (see
+    * [[scd2History]]).
+    */
+  val Scd2OpenEnd = "2199-12-31 00:00:00"
+
+  def scd2History(
+      df: DataFrame,
+      key: String,
+      attr: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieCol))
+    df.select(col(key), col(attr), col(tsCol), col(tieCol))
+      .withColumn("__prev", lag(col(attr), 1).over(wOrd))
+      .withColumn("__first", row_number().over(wOrd) === 1)
+      .filter(col("__first") || !(col("__prev") <=> col(attr)))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("__next", lead(col(tsCol), 1).over(wOrd))
+      .withColumn("is_current", col("__next").isNull)
+      .withColumn("valid_to",
+        coalesce(col("__next"), lit(Scd2OpenEnd).cast("timestamp")))
+      .select(col(key), col(attr), col("valid_from"), col("valid_to"),
+        col("is_current"))
+  }
 }

@@ -674,6 +674,30 @@ class ExtSpec extends SparkSpec {
     assert(df.select("split").distinct().count() >= 2) // nontrivial assignment
   }
 
+  test("bloomDecontaminated is bit-identical to the unfiltered anti-join") {
+    // no false negatives by construction: the Bloom prefilter may
+    // only ADD candidates (false positives), which the exact verify
+    // join removes — so survivors must match the plain operator on
+    // real data, and a tiny 64-bit mask (worst-case FP rate) must
+    // STILL be exact.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val plain = {
+      val bad = CorpusPipeline.contaminated(corpus, "doc_id", "text", bench)
+        .select(col("doc_id"))
+      corpus.join(bad, Seq("doc_id"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val bloom = CorpusPipeline.bloomDecontaminated(corpus, "doc_id", "text", bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom == plain)
+    val saturated = CorpusPipeline.bloomDecontaminated(
+      corpus, "doc_id", "text", bench, bits = 64, hashes = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(saturated == plain)
+  }
+
   test("redactPii masks emails and phones with typed placeholders and counts") {
     val df = Seq(
       (1L, "mail bob.smith+x@ex-corp.io or call 555-1234 today"),

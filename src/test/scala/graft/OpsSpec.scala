@@ -436,6 +436,31 @@ class OpsSpec extends SparkSpec {
     assert(got("B") == (("B", 4L, 20.0, 10.0, 0L)))
   }
 
+  test("scd2History collapses runs, closes intervals on change, flags the open row") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // key 1: A,A,B,A -> versions A[t1,t3) B[t3,t4) A[t4,open)
+    // key 2: single null attr -> one open version with null value
+    val feed = Seq(
+      (1L, Option("A"), ts("2024-01-01 00:00:00"), 1L),
+      (1L, Option("A"), ts("2024-01-02 00:00:00"), 2L),
+      (1L, Option("B"), ts("2024-01-03 00:00:00"), 3L),
+      (1L, Option("A"), ts("2024-01-04 00:00:00"), 4L),
+      (2L, None: Option[String], ts("2024-01-01 00:00:00"), 5L))
+      .toDF("k", "v", "ts", "id")
+    val got = Relational.scd2History(feed, "k", "v", "ts", "id")
+      .orderBy("k", "valid_from")
+      .as[(Long, Option[String], Timestamp, Timestamp, Boolean)].collect().toSeq
+    val open = ts(Relational.Scd2OpenEnd)
+    assert(got == Seq(
+      (1L, Some("A"), ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"), false),
+      (1L, Some("B"), ts("2024-01-03 00:00:00"), ts("2024-01-04 00:00:00"), false),
+      (1L, Some("A"), ts("2024-01-04 00:00:00"), open, true),
+      (2L, None, ts("2024-01-01 00:00:00"), open, true)))
+    // each key has exactly one current row and contiguous intervals
+    assert(got.filter(_._5).map(_._1).toSet == Set(1L, 2L))
+  }
+
   test("cmsHeavyHitters: estimate dominates truth; equality when width swallows keys") {
     // 60 keys over width=16 forces collisions: every estimate must be
     // >= its true count (CMS never undercounts), and with so few

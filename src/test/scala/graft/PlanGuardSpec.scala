@@ -512,4 +512,38 @@ class PlanGuardSpec extends SparkSpec {
     assert(pPq.contains("BroadcastHashJoin"), pPq)
     assert(!pPq.contains("SortMergeJoin"), pPq)
   }
+
+  test("a23_cms_frequency: sketch probe is broadcast; sketch agg keeps the partial split") {
+    val p = planOf("a23_cms_frequency")
+    // the depth×width sketch broadcasts into the probe join — the
+    // heavy-key side never shuffles against it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p) // map-side combine bounds the sketch shuffle
+    assert(p.contains("TakeOrderedAndProject"), p) // top-k truth, no global sort
+  }
+
+  test("a24_cusum_drift: windows run over the day-aggregated frame only") {
+    val p = planOf("a24_cusum_drift")
+    // raw orders see one partial+final agg; the single-partition
+    // window exchange moves only the ~#days rows
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s14_scd2: both window passes share one hash partitioning on the key") {
+    val p = planOf("s14_scd2")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 key exchange, got $exchanges\n$p")
+  }
+
+  test("e8_bloom_prefilter: mask bit-test filters the shingle stream before the exact join") {
+    val p = planOf("e8_bloom_prefilter")
+    // the literal mask membership test appears as a per-row filter
+    // (element_at + bitwise AND on the exploded shingles), and the
+    // final screen is an anti join — never a nested loop
+    assert(p.contains("element_at"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

@@ -2978,6 +2978,106 @@ object ExtQueries {
        |SELECT doc_id, source, CAST(unnest(range(1, rate // 1000 + CASE WHEN b < rate % 1000 THEN 1 ELSE 0 END + 1)) AS BIGINT) AS copy_idx
        |FROM c""".stripMargin
 
+  // ---- E2m: asymmetric CONTAINMENT pairs (the quotation shape) -------------
+  // Jaccard-symmetric dedup misses a short doc pasted whole into a
+  // much longer one (J ≈ |A|/|B| stays tiny); Broder's containment
+  // C(A→B) = |A∩B|/|A| flags it at ≈ 1. [[MinHash.containmentPairs]]
+  // for the operator and its candidate-bounded shared-shingle-join
+  // shape. The oracle replays the distinct shingle-hash sets, the
+  // intersection-by-equi-join, and the identical double divisions.
+  private val ContainTau = 0.5
+  def e2Containment(s: SparkSession, dir: String): DataFrame =
+    MinHash.containmentPairs(Tables.documents(s, dir), "doc_id", "text", 3, ContainTau)
+  val e2ctSql: String =
+    s"""$e2Ctes,
+       |msd AS (SELECT doc_id, list_distinct(ms) AS msd FROM hashed),
+       |exd AS (SELECT doc_id, unnest(msd) AS h FROM msd),
+       |iw AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM exd a JOIN exd b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, CAST(len(msd) AS BIGINT) AS n FROM msd)
+       |SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       |  CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a,
+       |  CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b
+       |FROM iw JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE greatest(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE),
+       |               CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= $ContainTau""".stripMargin
+
+  // ---- E3y: mutual k-NN graph over the whole corpus ------------------------
+  // The reciprocal-neighbor edge list semantic clustering builds on
+  // ([[Similarity.mutualKnnGraph]] for the operator and its
+  // one-bucket-shuffle + canonical-key-groupBy shape). The oracle
+  // replays the bucketed directed top-k and the count-both-directions
+  // reciprocity test.
+  def e3KnnGraph(s: SparkSession, dir: String): DataFrame =
+    Similarity.mutualKnnGraph(Tables.embeddings(s, dir), AnnBits, AnnK)
+  val e3ySql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val bucket = s"array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END for i in range(1, ${AnnBits + 1})], '')"
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2, $bucket AS bucket FROM embeddings),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+       |knn AS (SELECT query_id, vec_id, cos_sim FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM scored) WHERE rk <= $AnnK)
+       |SELECT least(query_id, vec_id) AS id_a, greatest(query_id, vec_id) AS id_b,
+       |  max(cos_sim) AS cos_sim
+       |FROM knn GROUP BY 1, 2 HAVING count(*) = 2""".stripMargin
+  }
+
+  // ---- E7j: deterministic per-epoch shuffle order --------------------------
+  // The training-loader permutation: a DIFFERENT uniform order each
+  // epoch, the SAME order on every re-run ([[Sampling.epochShuffle]]
+  // for the operator and its two-phase block-rank shape — the naive
+  // one-window-per-epoch form serializes the whole corpus through one
+  // task). The oracle computes each epoch's rank with a plain window
+  // over the identical md5 draw — two different algorithms that must
+  // agree on every position.
+  private val ShuffleEpochs = 2
+  def e7EpochShuffle(s: SparkSession, dir: String): DataFrame =
+    Sampling.epochShuffle(
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id", ShuffleEpochs)
+      .select(col("epoch"), col("position"), col("doc_id"))
+  val e7jSql: String =
+    s"""WITH ep AS (SELECT unnest(range($ShuffleEpochs)) AS epoch),
+       |d AS (SELECT epoch, doc_id,
+       |    ${duckMd5Int("'epoch' || CAST(epoch AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)")} AS draw
+       |  FROM documents CROSS JOIN ep)
+       |SELECT epoch,
+       |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY draw, doc_id) AS BIGINT) AS position,
+       |  doc_id
+       |FROM d""".stripMargin
+
+  // ---- E5y: vocabulary coverage by min-frequency cutoff --------------------
+  // The tokenizer-design statistic: for each candidate min-frequency
+  // cutoff, how many word types survive and what fraction of all
+  // token OCCURRENCES they cover (word2vec's min_count / a BPE
+  // vocab-floor decision is read straight off this table). Cutoff
+  // thresholds — not top-N ranks — keep the computation rank-free:
+  // one corpus pass to word counts (map-side combined), then ONE
+  // conditional aggregation over the vocabulary-sized frame with no
+  // window anywhere, so nothing serializes through a single task at
+  // any corpus size. Integer sums only; the coverage division is one
+  // exact-rounded double op, bit-identical across engines.
+  private val VocabCutoffs = Seq(1, 2, 3, 5, 10, 20, 50)
+  def e5VocabCoverage(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabCoverage(Tables.documents(s, dir), "text", VocabCutoffs)
+  val e5ySql: String = {
+    val cuts = VocabCutoffs.mkString("[", ", ", "]")
+    s"""WITH f AS (SELECT word, count(*) AS n FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
+       |  GROUP BY word),
+       |t AS (SELECT sum(n) AS tot FROM f),
+       |c AS (SELECT unnest($cuts) AS min_freq)
+       |SELECT CAST(min_freq AS BIGINT) AS min_freq,
+       |  CAST(sum(CASE WHEN n >= min_freq THEN 1 ELSE 0 END) AS BIGINT) AS n_types,
+       |  CAST(sum(CASE WHEN n >= min_freq THEN n ELSE 0 END) AS BIGINT) AS n_occ,
+       |  CAST(sum(CASE WHEN n >= min_freq THEN n ELSE 0 END) AS DOUBLE) / CAST(tot AS DOUBLE) AS occ_coverage
+       |FROM f CROSS JOIN c CROSS JOIN t
+       |GROUP BY min_freq, tot""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_dedup_exact" -> (e1DedupExact _),
     "e1_passage_dedup" -> (e1PassageDedup _),
@@ -3068,7 +3168,11 @@ object ExtQueries {
     "e5_lid_saved" -> (e5LidSaved _),
     "e3_sq8_incremental" -> (e3Sq8Incremental _),
     "e3_pq_incremental" -> (e3PqIncremental _),
-    "e3_ivf_stream" -> (e3IvfStream _)
+    "e3_ivf_stream" -> (e3IvfStream _),
+    "e2_containment" -> (e2Containment _),
+    "e3_knn_graph" -> (e3KnnGraph _),
+    "e7_epoch_shuffle" -> (e7EpochShuffle _),
+    "e5_vocab_coverage" -> (e5VocabCoverage _)
   )
 
   val sql: Map[String, String] = Map(
@@ -3163,6 +3267,10 @@ object ExtQueries {
     "e5_lid_saved" -> e5rSql,
     "e3_sq8_incremental" -> e3oSql,
     "e3_pq_incremental" -> e3qSql,
-    "e3_ivf_stream" -> e3nSql
+    "e3_ivf_stream" -> e3nSql,
+    "e2_containment" -> e2ctSql,
+    "e3_knn_graph" -> e3ySql,
+    "e7_epoch_shuffle" -> e7jSql,
+    "e5_vocab_coverage" -> e5ySql
   )
 }

@@ -1945,6 +1945,69 @@ object ParityQueries {
       |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
       |FROM chg""".stripMargin
 
+  // ---- S16: ANALYZE-style per-column statistics ------------------------------
+  // The stats a cost-based optimizer (and any data-quality dashboard)
+  // feeds on: per column, row count, null count, exact NDV, and
+  // min/max — the ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS
+  // surface as a first-class query. ONE corpus pass: a single agg
+  // carries every column's counters (the multi-distinct agg plans as
+  // one Expand + partial/final aggregate — rows × #distinct-columns
+  // map-side, collapsing to ONE row before any network move), then a
+  // row-per-column inline() unpivot of that 1-row frame. At 100 TB
+  // the exact NDVs are the expensive half — a production sweep swaps
+  // them for approx_count_distinct (the a2 HLL discipline) without
+  // touching the plan shape; exact here so the oracle can check
+  // values, not estimates. min/max render through the s11 discipline:
+  // integers, strings, and epoch-micros only — double→string
+  // formatting is engine-specific and never enters a compared value.
+  def s16StatsCollect(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    // (name, canonical TYPED value) per profiled column — min/max run
+    // on the typed value (numeric order), then render to string
+    val cols: Seq[(String, Column)] = Seq(
+      "o_orderkey" -> col("o_orderkey"),
+      "o_custkey" -> col("o_custkey"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice" -> floor(col("o_totalprice") * 100).cast("long"),
+      "o_orderdate" -> unix_micros(col("o_orderdate").cast("timestamp")),
+      "o_orderpriority" -> col("o_orderpriority"))
+    val aggs =
+      count(lit(1)).as("n_rows") +:
+        cols.flatMap { case (n, c) =>
+          Seq(
+            sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls_$n"),
+            countDistinct(c).as(s"ndv_$n"),
+            min(c).cast("string").as(s"min_$n"),
+            max(c).cast("string").as(s"max_$n"))
+        }
+    o.agg(aggs.head, aggs.tail: _*)
+      .select(inline(array(cols.map { case (n, _) =>
+        struct(
+          lit(n).as("col_name"),
+          col("n_rows"),
+          col(s"nulls_$n").as("n_nulls"),
+          col(s"ndv_$n").as("ndv"),
+          col(s"min_$n").as("min_repr"),
+          col(s"max_$n").as("max_repr"))
+      }: _*)))
+  }
+  val s16Sql: String = {
+    val reprs = Seq(
+      "o_orderkey" -> "o_orderkey",
+      "o_custkey" -> "o_custkey",
+      "o_orderstatus" -> "o_orderstatus",
+      "o_totalprice" -> "CAST(floor(o_totalprice * 100) AS BIGINT)",
+      "o_orderdate" -> "epoch_us(o_orderdate)",
+      "o_orderpriority" -> "o_orderpriority")
+    reprs.map { case (n, r) =>
+      s"""SELECT '$n' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $r IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $r) AS BIGINT) AS ndv,
+         |  CAST(min($r) AS VARCHAR) AS min_repr,
+         |  CAST(max($r) AS VARCHAR) AS max_repr FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   // ---- S9: partitioned sink → partition-pruned scan ------------------------
   // The layout HALF of the scale story the roundtrip queries don't
   // cover: write events hive-partitioned by a low-cardinality column
@@ -2275,6 +2338,7 @@ object ParityQueries {
     "s11_table_checksum" -> (s11TableChecksum _),
     "s12_compact" -> (s12Compact _),
     "s14_scd2" -> (s14Scd2 _),
+    "s16_stats_collect" -> (s16StatsCollect _),
     "j10_dpp" -> (j10Dpp _),
     "w7_twap" -> (w7Twap _),
     "w8_interval_merge" -> (w8IntervalMerge _),
@@ -2371,6 +2435,7 @@ object ParityQueries {
     "s11_table_checksum" -> s11Sql,
     "s12_compact" -> s12Sql,
     "s14_scd2" -> s14Sql,
+    "s16_stats_collect" -> s16Sql,
     "j10_dpp" -> j10Sql,
     "w7_twap" -> w7Sql,
     "w8_interval_merge" -> w8Sql,

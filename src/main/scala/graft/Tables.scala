@@ -19,10 +19,19 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads
-    * under `spark.sql.legacy.parquet.nanosAsLong=true` (as a long of
-    * nanos). Convert to a proper TimestampType here — lossless: the
-    * generator's values carry no sub-microsecond component.
+  /** `events.ts` normalizes to TimestampType whatever the parquet
+    * generation wrote:
+    *
+    *  - TIMESTAMP(NANOS) (early rounds): Spark only reads it under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`, as a long of
+    *    nanos — convert back (lossless: the generator's values carry
+    *    no sub-microsecond component).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (current rounds):
+    *    reads as TIMESTAMP_NTZ since Spark 3.4 — cast to
+    *    TimestampType (identical micros under the engine's fixed UTC
+    *    session zone). Without this, every `unix_micros(ts)` call and
+    *    every streaming watermark on `ts` fails type-check: both
+    *    accept only TIMESTAMP.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     val raw = load(spark, d, "events")
@@ -30,6 +39,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -293,6 +293,48 @@ object MinHash {
         (col("n_caught").cast("double") / col("n_pairs").cast("double")).as("recall"))
   }
 
+  /** Asymmetric CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over the
+    * docs' distinct shingle-hash sets. Jaccard misses the classic
+    * quotation shape — a short doc pasted whole into a much longer
+    * one has |A∩B| ≈ |A| but |A∪B| ≈ |B|, so J = |A|/|B| can sit
+    * far below any near-dup threshold while C(A→B) ≈ 1 (Broder 1997
+    * distinguishes resemblance from containment for exactly this
+    * case). Emits every candidate pair whose LARGER directional
+    * containment clears `tau`, with both directions reported so the
+    * caller can tell "A inside B" from "B inside A".
+    *
+    * Scale shape: candidates come from the shared-shingle equi-join
+    * on the exploded distinct-hash table — work is bounded per
+    * shingle hash (hot shingles spread by AQE skew split), never
+    * all-pairs; intersection sizes fall out of the join's group-by
+    * count, so no pair's shingle sets are ever materialized side by
+    * side. One corpus scan, one explode, one self-equi-join, two
+    * doc-sized broadcastable size joins.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, tau: Double = 0.5): DataFrame = {
+    val msd = docs
+      .select(col(idCol).as("doc_id"),
+        array_distinct(
+          shingleHashesFromTokens(TextOps.tokens(col(textCol)), shingleLen)).as("msd"))
+      .filter(size(col("msd")) > 0)
+    val ex = msd.select(col("doc_id"), explode(col("msd")).as("h"))
+    val inter = ex.as("a")
+      .join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sz = msd.select(col("doc_id"), size(col("msd")).cast("long").as("n"))
+    val icol = col("n_common").cast("double")
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        (icol / col("n_a").cast("double")).as("cont_a"),
+        (icol / col("n_b").cast("double")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= tau)
+  }
+
   private def candidatePairsFromSigs(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(
       col("doc_id"), col("sig"),

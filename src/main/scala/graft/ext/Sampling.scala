@@ -94,4 +94,60 @@ object Sampling {
       .topKPerGroup(drawn, Seq(groupCol), Seq(col("_draw").asc, col(idCol).asc), k)
       .drop("_draw")
   }
+
+  /** Deterministic PER-EPOCH shuffle order: for each epoch e, every
+    * row gets `position` = its rank under the md5 draw
+    * `md5(\"epoch<e>_\" || id)` (ties → id). Training loaders need a
+    * DIFFERENT uniform permutation of the corpus each epoch, and the
+    * same permutation on every re-run / from any worker — which a
+    * `rand()` shuffle cannot give. Output: one row per (epoch, row)
+    * with (epoch, position, id-columns).
+    *
+    * Scale shape: the obvious `row_number() OVER (PARTITION BY epoch
+    * ORDER BY draw)` serializes each epoch through ONE task — at
+    * 100 TB that is the whole corpus through one thread, per epoch.
+    * Instead the draw's uniformity is the partitioner: rows bucket by
+    * the draw's high bits into `nBlocks` order-respecting blocks
+    * (block = draw >> shift is monotone in draw), rank within
+    * (epoch, block) by a bounded window, add the exclusive
+    * prefix-sum of per-block counts (an nBlocks-sized frame,
+    * broadcast back) — the [[graft.ext.Packing]] two-phase discipline
+    * applied to rank instead of running token sums.
+    */
+  def epochShuffle(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      epochs: Int,
+      nBlocks: Int = 64): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(epochs > 0 && nBlocks > 0)
+    // md5Int32 is uniform on [0, 2^32); 2^32 / nBlocks keeps blocks
+    // balanced for any power-of-two nBlocks (64 here → ~1.6% of the
+    // epoch per window task; raise nBlocks with the corpus).
+    val blockW = (1L << 32) / nBlocks
+    val drawn = df
+      .crossJoin(broadcast(
+        df.sparkSession.range(0, epochs).select(col("id").as("epoch"))))
+      .withColumn("_draw",
+        TextOps.md5Int32(
+          concat(lit("epoch"), col("epoch").cast("string"), lit("_"),
+            col(idCol).cast("string"))))
+      .withColumn("_blk", floor(col("_draw") / lit(blockW)).cast("long"))
+    val wIntra = Window.partitionBy(col("epoch"), col("_blk"))
+      .orderBy(col("_draw"), col(idCol))
+    val offsets = drawn.groupBy(col("epoch"), col("_blk"))
+      .agg(count(lit(1)).as("_blk_n"))
+      .withColumn("_blk_off",
+        coalesce(
+          sum(col("_blk_n")).over(
+            Window.partitionBy(col("epoch")).orderBy(col("_blk"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("epoch"), col("_blk"), col("_blk_off"))
+    drawn
+      .withColumn("_intra", row_number().over(wIntra).cast("long"))
+      .join(broadcast(offsets), Seq("epoch", "_blk"))
+      .withColumn("position", col("_intra") + col("_blk_off"))
+      .drop("_draw", "_blk", "_intra", "_blk_off")
+  }
 }

@@ -446,4 +446,37 @@ object Similarity {
       Seq(col("q_cos").desc, col("vec_id").asc), k)
       .withColumn("rk", col("rk").cast("long"))
   }
+
+  /** MUTUAL k-NN graph over the whole corpus: the undirected edge
+    * (a, b) exists iff b is in a's bucketed top-k AND a is in b's —
+    * the reciprocal-neighbor graph that semantic clustering and
+    * diversity pruning build on (mutual edges are far more precise
+    * than one-directional ones: a hub vector appears in many top-k
+    * lists but reciprocates few). Output `(id_a, id_b, cos_sim)`
+    * with id_a < id_b.
+    *
+    * Scale shape: the directed k-NN lists come from [[bucketedTopK]]
+    * with the corpus on BOTH sides — one shuffle on the LSH bucket
+    * key, per-bucket scoring, per-vector top-k, never all-pairs. The
+    * directed list (≤ k·n rows) is persisted eagerly and consumed by
+    * both sides of the reciprocity join, so scoring runs once; the
+    * reciprocity test itself is a canonical-key `groupBy` counting
+    * directions — cosine is bit-exact symmetric (same per-index fold
+    * both ways), so `max(cos)` of a 2-row group is THE edge score,
+    * and no join back to the embeddings is needed.
+    */
+  def mutualKnnGraph(vectors: DataFrame, nBits: Int, k: Int): DataFrame = {
+    val knn = graft.ops.Sink.cachedEager(
+      bucketedTopK(vectors, vectors, nBits, k)
+        .select(col("query_id"), col("vec_id"), col("cos_sim")))
+    knn
+      .select(
+        least(col("query_id"), col("vec_id")).as("id_a"),
+        greatest(col("query_id"), col("vec_id")).as("id_b"),
+        col("cos_sim"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_dir"), max(col("cos_sim")).as("cos_sim"))
+      .filter(col("n_dir") === 2)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
 }

@@ -207,4 +207,38 @@ object TextOps {
     */
   def piiCount(text: Column, re: String): Column =
     regexp_count(text, lit(re)).cast("long")
+
+  /** Vocabulary coverage by MIN-FREQUENCY cutoff: for each candidate
+    * cutoff, the surviving type count, the token occurrences those
+    * types cover, and the coverage fraction — the table a tokenizer's
+    * min_count / vocab-floor decision is read from. Cutoffs (not
+    * top-N ranks) keep it rank-free: one corpus pass to word counts
+    * (map-side combined), one conditional aggregation over the
+    * vocabulary-sized frame, NO window anywhere — nothing serializes
+    * through a single task at any corpus size. Integer sums only; the
+    * coverage division is one exact-rounded double op.
+    */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      cutoffs: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(cutoffs.nonEmpty)
+    val freq = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val aggs =
+      sum(col("n")).as("tot") +:
+        cutoffs.flatMap { c =>
+          Seq(
+            sum(when(col("n") >= c, 1L).otherwise(0L)).as(s"types_$c"),
+            sum(when(col("n") >= c, col("n")).otherwise(0L)).as(s"occ_$c"))
+        }
+    freq.agg(aggs.head, aggs.tail: _*)
+      .select(inline(array(cutoffs.map { c =>
+        struct(
+          lit(c.toLong).as("min_freq"),
+          col(s"types_$c").as("n_types"),
+          col(s"occ_$c").as("n_occ"),
+          (col(s"occ_$c").cast("double") / col("tot").cast("double"))
+            .as("occ_coverage"))
+      }: _*)))
+  }
 }

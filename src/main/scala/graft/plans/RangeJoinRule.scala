@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule: rewrite point-in-interval theta-joins into the
   * binned equi-join [[graft.ops.RangeJoin]] builds by hand — the (c)
@@ -83,8 +83,21 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     * session-timezone expression needed, which an optimizer-introduced
     * expression could not resolve late; floor — not truncation — keeps
     * the bin mapping monotonic across the epoch).
+    *
+    * TIMESTAMP_NTZ (what a parquet timestamp WITHOUT isAdjustedToUTC
+    * reads as since Spark 3.4) goes through an explicit
+    * session-zone Cast first: UnixSeconds only accepts TIMESTAMP, and
+    * an optimizer-introduced Cast must carry its timezone or the plan
+    * turns unresolved. The wall→instant mapping is non-decreasing, so
+    * bin(lo) <= bin(pt) <= bin(hi) still holds for every matching
+    * pair and the rewrite stays exactly row-preserving (the original
+    * range predicate is re-applied after the bin equi-join).
     */
-  private def toUnixSeconds(ts: Expression): Expression = UnixSeconds(ts)
+  private def toUnixSeconds(ts: Expression): Expression = ts.dataType match {
+    case TimestampNTZType =>
+      UnixSeconds(Cast(ts, TimestampType, Some(conf.sessionLocalTimeZone)))
+    case _ => UnixSeconds(ts)
+  }
 
   /** Some((pt, lo, hi, pointIsOnLeft)) when the WHOLE condition is the
     * canonical range shape over timestamp attributes split across the
@@ -95,7 +108,9 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       left: LogicalPlan,
       right: LogicalPlan): Option[(Attribute, Attribute, Attribute, Boolean)] = {
     def tsAttr(e: Expression): Option[Attribute] = e match {
-      case a: Attribute if a.dataType == TimestampType => Some(a)
+      case a: Attribute
+          if a.dataType == TimestampType || a.dataType == TimestampNTZType =>
+        Some(a)
       case _ => None
     }
     // normalize a comparison to (smaller, larger)

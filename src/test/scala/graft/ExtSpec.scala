@@ -712,4 +712,80 @@ class ExtSpec extends SparkSpec {
     assert(df(1L) == (("mail [EMAIL] or call [PHONE] today", 1L, 1L)))
     assert(df(2L) == (("no contact info at all", 0L, 0L)))
   }
+
+  test("containmentPairs flags a short doc pasted into a long one; Jaccard would not") {
+    // doc 1 = 5 tokens (3 distinct 3-shingles), fully contained in doc 2
+    // (10 tokens, 8 distinct shingles); doc 3 shares nothing.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "z y x a b c d e w v"),
+      (3L, "p q r s t u")).toDF("id", "body")
+    val out = MinHash.containmentPairs(docs, "id", "body", 3, 0.5)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val (a, b, common, na, nb, ca, cb) = out.head
+    assert((a, b, common, na, nb) == ((1L, 2L, 3L, 3L, 8L)))
+    assert(ca == 1.0) // doc 1 fully inside doc 2
+    assert(cb == 3.0 / 8.0)
+    // the symmetric Jaccard of the same pair sits BELOW the threshold
+    assert(common.toDouble / (na + nb - common) < 0.5)
+  }
+
+  test("mutualKnnGraph equals reciprocated directed top-k and is canonical") {
+    val vecs = (0L until 16L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d * 0.9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val directed = Similarity.bucketedTopK(vecs, vecs, 3, 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val expected = directed.collect {
+      case (q, v) if q < v && directed.contains((v, q)) => (q, v)
+    }
+    val got = Similarity.mutualKnnGraph(vecs, 3, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.forall { case (a, b) => a < b })
+    assert(got.nonEmpty) // fixture sanity: some edge reciprocates
+  }
+
+  test("epochShuffle: each epoch is a full permutation, epochs differ, law vs serial window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 200L).toDF("doc_id")
+    // tiny blocks force the two-phase path across many blocks
+    val out = Sampling.epochShuffle(df, "doc_id", 2, nBlocks = 8)
+      .select("epoch", "position", "doc_id")
+      .as[(Long, Long, Long)].collect()
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    byEpoch.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to 200L)) // exact permutation
+    }
+    val ord0 = byEpoch(0L).sortBy(_._2).map(_._3).toSeq
+    val ord1 = byEpoch(1L).sortBy(_._2).map(_._3).toSeq
+    assert(ord0 != ord1) // epochs shuffle differently
+    // law: two-phase block rank == the naive one-window-per-epoch rank
+    val serial = df
+      .crossJoin(broadcast(spark.range(0, 2).select(col("id").as("epoch"))))
+      .withColumn("draw", TextOps.md5Int32(
+        concat(lit("epoch"), col("epoch").cast("string"), lit("_"),
+          col("doc_id").cast("string"))))
+      .withColumn("position",
+        row_number().over(
+          Window.partitionBy(col("epoch")).orderBy(col("draw"), col("doc_id")))
+          .cast("long"))
+      .select("epoch", "position", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.toSet == serial)
+  }
+
+  test("vocabCoverage: hand-checked cutoff table, rank-free") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("id", "body")
+    val got = TextOps.vocabCoverage(docs, "body", Seq(1, 2, 3, 5))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // freq: a=3, b=1, c=1; total occurrences = 5
+    assert(got(1L) == ((3L, 5L, 1.0)))
+    assert(got(2L) == ((1L, 3L, 0.6)))
+    assert(got(3L) == ((1L, 3L, 0.6)))
+    assert(got(5L) == ((0L, 0L, 0.0)))
+  }
 }

@@ -3026,6 +3026,64 @@ object ExtQueries {
        |FROM knn GROUP BY 1, 2 HAVING count(*) = 2""".stripMargin
   }
 
+  // ---- E2n: communities on the mutual k-NN graph (weighted LPA) ------------
+  // The composition the two new graph pieces exist for: mutual-kNN
+  // edges over the embedding corpus ([[Similarity.mutualKnnGraph]])
+  // → deterministic synchronous label propagation
+  // ([[Dedup.labelPropagation]], 3 rounds) → (vector, community,
+  // size). Unlike connected components (which would merge everything
+  // LSH-reachable), LPA keeps only internally-dense groups together —
+  // the cluster structure SemDeDup-style pruning and diversity
+  // sampling consume. The oracle unrolls the same 3 synchronous
+  // rounds as plain SQL stages over the identically-derived edge
+  // list — different algorithm encodings that must agree on every
+  // label (decimal-summed weights make the argmax order-independent).
+  private val LpaIters = 3
+  def e2KnnCommunities(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val edges = Similarity.mutualKnnGraph(emb, AnnBits, AnnK)
+    val labels = Dedup.labelPropagation(
+      emb.select(col("vec_id")), "vec_id", edges, "id_a", "id_b", "cos_sim", LpaIters)
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id").as("vec_id"), col("label").as("community"),
+        col("community_size"))
+  }
+  val e2kcSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val bucket = s"array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END for i in range(1, ${AnnBits + 1})], '')"
+    val w = s"CAST(CAST(cos_sim AS VARCHAR) AS $AvgDec)"
+    val rounds = (1 to LpaIters).map { i =>
+      s"""c$i AS (SELECT e.src AS id, l.label, sum(e.w) AS ws
+         |  FROM ed e JOIN l${i - 1} l ON e.dst = l.id GROUP BY 1, 2),
+         |b$i AS (SELECT id, label FROM (
+         |  SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY ws DESC, label) AS rk
+         |  FROM c$i) WHERE rk = 1),
+         |l$i AS (SELECT v.id, coalesce(b.label, v.id) AS label
+         |  FROM l0 v LEFT JOIN b$i b USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2, $bucket AS bucket FROM embeddings),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+       |knn AS (SELECT query_id, vec_id, cos_sim FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM scored) WHERE rk <= $AnnK),
+       |me AS (SELECT least(query_id, vec_id) AS id_a, greatest(query_id, vec_id) AS id_b,
+       |    max(cos_sim) AS cos_sim
+       |  FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
+       |ed AS (SELECT id_a AS src, id_b AS dst, $w AS w FROM me
+       |  UNION ALL SELECT id_b AS src, id_a AS dst, $w AS w FROM me),
+       |l0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings),
+       |$rounds,
+       |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+       |  FROM l$LpaIters GROUP BY label)
+       |SELECT l.id AS vec_id, l.label AS community, sz.community_size
+       |FROM l$LpaIters l JOIN sz USING (label)""".stripMargin
+  }
+
   // ---- E7j: deterministic per-epoch shuffle order --------------------------
   // The training-loader permutation: a DIFFERENT uniform order each
   // epoch, the SAME order on every re-run ([[Sampling.epochShuffle]]
@@ -3170,6 +3228,7 @@ object ExtQueries {
     "e3_pq_incremental" -> (e3PqIncremental _),
     "e3_ivf_stream" -> (e3IvfStream _),
     "e2_containment" -> (e2Containment _),
+    "e2_knn_communities" -> (e2KnnCommunities _),
     "e3_knn_graph" -> (e3KnnGraph _),
     "e7_epoch_shuffle" -> (e7EpochShuffle _),
     "e5_vocab_coverage" -> (e5VocabCoverage _)
@@ -3269,6 +3328,7 @@ object ExtQueries {
     "e3_pq_incremental" -> e3qSql,
     "e3_ivf_stream" -> e3nSql,
     "e2_containment" -> e2ctSql,
+    "e2_knn_communities" -> e2kcSql,
     "e3_knn_graph" -> e3ySql,
     "e7_epoch_shuffle" -> e7jSql,
     "e5_vocab_coverage" -> e5ySql

@@ -2128,6 +2128,36 @@ object ParityQueries {
   val s12Sql =
     "SELECT event_id, user_id, value, event_type FROM events"
 
+  // ---- S17: schema evolution across parquet generations ----------------------
+  // The lake-operational read path every long-lived table hits: an old
+  // producer wrote files WITHOUT a column, a new producer adds it, and
+  // one read must union both generations with the missing column
+  // null-filled (`mergeSchema` — Spark unions the footers per file
+  // group). Generations are split by an o_orderkey parity, so the
+  // oracle can reconstruct the exact expected frame from the
+  // un-evolved truth table: priority present on odd keys, NULL on
+  // even. At 100 TB one evolves the schema in a catalog instead of
+  // paying mergeSchema's footer sweep per read — but the read-side
+  // union-by-name semantics this verifies are identical.
+  def s17SchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val base = Sink.scratchDir(s"schema_evo_${math.abs(dir.hashCode)}")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$base/gen1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$base/gen2")
+    s.read.option("mergeSchema", "true").parquet(s"$base/gen1", s"$base/gen2")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+  }
+  val s17Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE NULL END AS o_orderpriority
+      |FROM orders""".stripMargin
+
   // ---- J10: dynamic partition pruning ---------------------------------------
   // The RUNTIME half of the partition-pruning story (s9 is the static
   // half): the fact side is hive-partitioned on event_type, but which
@@ -2339,6 +2369,7 @@ object ParityQueries {
     "s12_compact" -> (s12Compact _),
     "s14_scd2" -> (s14Scd2 _),
     "s16_stats_collect" -> (s16StatsCollect _),
+    "s17_schema_merge" -> (s17SchemaMerge _),
     "j10_dpp" -> (j10Dpp _),
     "w7_twap" -> (w7Twap _),
     "w8_interval_merge" -> (w8IntervalMerge _),
@@ -2436,6 +2467,7 @@ object ParityQueries {
     "s12_compact" -> s12Sql,
     "s14_scd2" -> s14Sql,
     "s16_stats_collect" -> s16Sql,
+    "s17_schema_merge" -> s17Sql,
     "j10_dpp" -> j10Sql,
     "w7_twap" -> w7Sql,
     "w8_interval_merge" -> w8Sql,

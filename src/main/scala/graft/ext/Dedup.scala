@@ -387,6 +387,52 @@ object Dedup {
     pr
   }
 
+  /** Synchronous WEIGHTED label propagation (Raghavan et al. 2007,
+    * arXiv:0709.2938) for community detection — the step past
+    * connected components: CC merges everything reachable, LPA
+    * splits a connected graph into internally-dense communities,
+    * which is what a similarity graph (mutual k-NN edges) needs.
+    * Made fully deterministic — the published algorithm's random
+    * order/tie-breaks would never verify cross-engine — by (a) a
+    * FIXED iteration count of synchronous rounds, (b) label₀(v) = v,
+    * (c) next label = argmax over neighbor labels of the edge-weight
+    * sum, ties → smallest label, (d) isolated vertices keep their
+    * own label. Weights route through DECIMAL(28,10) (the
+    * exact-aggregation discipline): decimal sums are
+    * order-independent, so the argmax never depends on float
+    * summation order or partitioning.
+    *
+    * Scale shape: per round ONE edge-keyed equi-join (labels into the
+    * symmetrized edge list), one (vertex, label) partial+final
+    * decimal agg, one per-vertex top-1 (bounded window) — O(|E|) per
+    * round, the standard distributed LPA. Edges are cached once and
+    * reused every round; nothing all-pairs, no driver-side state.
+    */
+  def labelPropagation(nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String, wCol: String,
+      iters: Int): DataFrame = {
+    val exact = org.apache.spark.sql.types.DecimalType(28, 10)
+    val und = edges.select(
+      col(aCol).as("src"), col(bCol).as("dst"), col(wCol).cast(exact).as("w"))
+      .unionByName(edges.select(
+        col(bCol).as("src"), col(aCol).as("dst"), col(wCol).cast(exact).as("w")))
+    val eds = graft.ops.Sink.cachedEager(und)
+    val ids = nodes.select(col(idCol).as("id"))
+    var labels = ids.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val contrib = labels
+        .join(eds, labels("id") === eds("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(sum(col("w")).as("ws"))
+      val best = graft.ops.Ranking.topKPerGroup(
+        contrib, Seq("src"), Seq(col("ws").desc, col("label").asc), 1)
+        .select(col("src").as("id"), col("label").as("next_label"))
+      labels = ids.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("next_label"), col("id")).as("label"))
+    }
+    labels
+  }
+
   /** Deterministic dedup: keep the first row per key group by
     * `orderCol` ascending, and report the group size. Deterministic
     * ONLY when `orderCol` is unique within each key group (like a

@@ -777,6 +777,22 @@ class ExtSpec extends SparkSpec {
     assert(out.toSet == serial)
   }
 
+  test("labelPropagation splits two triangles joined by a weak bridge; CC would not") {
+    val nodes = (1L to 7L).toDF("id") // 7 is isolated
+    val edges = Seq(
+      (1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0),
+      (4L, 5L, 1.0), (5L, 6L, 1.0), (4L, 6L, 1.0),
+      (3L, 4L, 0.1)).toDF("a", "b", "w")
+    val got = Dedup.labelPropagation(nodes, "id", edges, "a", "b", "w", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+    // contrast: connected components merges the bridge into ONE group
+    val cc = Dedup.connectedComponents(nodes, edges.select(col("a"), col("b")))
+      .as[(Long, Long)].collect().toMap
+    assert(cc.filterKeys(_ <= 6L).values.toSet.size == 1)
+  }
+
   test("vocabCoverage: hand-checked cutoff table, rank-free") {
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("id", "body")
     val got = TextOps.vocabCoverage(docs, "body", Seq(1, 2, 3, 5))

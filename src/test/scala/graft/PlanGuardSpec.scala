@@ -75,6 +75,39 @@ class PlanGuardSpec extends SparkSpec {
       spark.experimental.extraOptimizations.filterNot(_ eq graft.plans.RangeJoinRule)
   }
 
+  test("e3_knn_graph: scoring stays inside LSH buckets; no all-pairs join") {
+    val p = planOf("e3_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // directed top-k prunes before the reciprocity shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("e7_epoch_shuffle: no global window — every rank partition is block-bounded") {
+    val df = SparkEntry.queries("e7_epoch_shuffle")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // a partitionBy-less window would plan a SinglePartition exchange
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // the block-offset frame joins back as a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("s16_stats_collect: one orders scan feeds every column's stats") {
+    val df = SparkEntry.queries("s16_stats_collect")(spark, dir)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected 1 scan, got ${scans.size}")
+  }
+
+  test("e2_knn_communities: LPA rounds are equi-joins + aggs, never nested loops") {
+    val p = planOf("e2_knn_communities")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("s9_partitioned_prune: the scan reads 2 of 5 partition directories") {
     val df = SparkEntry.queries("s9_partitioned_prune")(spark, dir)
     // AQE wraps the plan in a leaf AdaptiveSparkPlanExec — unwrap to

@@ -123,7 +123,11 @@ def w5_funnel(sf):
     # in exact epoch micros (pure integer arithmetic)
     ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "event_type", "ts"])
     ev = ev[ev["event_type"].isin(["view", "click", "purchase"])]
-    us = ev["ts"].astype("int64") // 1000  # ns -> us
+    # normalize to epoch MICROS whatever unit the parquet generation
+    # stored (TIMESTAMP(NANOS) loads as datetime64[ns], the current
+    # TIMESTAMP(MICROS) as datetime64[us] -- a fixed //1000 would be
+    # wrong for one of them)
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
     rows = []
     for uid, grp in ev.assign(us=us).groupby("user_id"):
         views = sorted(grp[grp.event_type == "view"]["us"])
@@ -161,6 +165,61 @@ def a20_benford(sf):
     return pd.DataFrame(rows, columns=["digit", "n_obs", "expected", "chi_term"])
 
 
+def e5_vocab_coverage(sf):
+    # pure int counting + one exact-rounded IEEE division per cutoff
+    import re
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    freq = {}
+    for t in d["text"]:
+        for w in re.split(r"\s+", str(t).strip()):
+            freq[w] = freq.get(w, 0) + 1
+    tot = sum(freq.values())
+    rows = []
+    for c in [1, 2, 3, 5, 10, 20, 50]:
+        n_types = sum(1 for n in freq.values() if n >= c)
+        n_occ = sum(n for n in freq.values() if n >= c)
+        rows.append((c, n_types, n_occ, float(n_occ) / float(tot)))
+    return pd.DataFrame(
+        rows, columns=["min_freq", "n_types", "n_occ", "occ_coverage"])
+
+
+def e7_epoch_shuffle(sf):
+    # md5 draw + (draw, id) rank per epoch -- pure hashlib + sort
+    import hashlib
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+    rows = []
+    for epoch in (0, 1):
+        drawn = sorted(
+            (int(hashlib.md5(f"epoch{epoch}_{i}".encode()).hexdigest()[:8], 16), i)
+            for i in d["doc_id"])
+        rows.extend(
+            (epoch, pos + 1, i) for pos, (_, i) in enumerate(drawn))
+    return pd.DataFrame(rows, columns=["epoch", "position", "doc_id"])
+
+
+def s16_stats_collect(sf):
+    # per-column counters in pure int/str arithmetic
+    import math
+    o = pd.read_parquet(f"{sf}/orders.parquet")
+    reprs = {
+        "o_orderkey": [int(v) for v in o["o_orderkey"] if pd.notna(v)],
+        "o_custkey": [int(v) for v in o["o_custkey"] if pd.notna(v)],
+        "o_orderstatus": [s for s in o["o_orderstatus"] if pd.notna(s)],
+        "o_totalprice": [int(math.floor(float(v) * 100))
+                         for v in o["o_totalprice"] if pd.notna(v)],
+        "o_orderdate": [int(v) for v in
+                        o["o_orderdate"].astype("datetime64[us]").astype("int64")],
+        "o_orderpriority": [s for s in o["o_orderpriority"] if pd.notna(s)],
+    }
+    n_rows = len(o)
+    rows = [
+        (name, n_rows, n_rows - len(vals), len(set(vals)),
+         str(min(vals)), str(max(vals)))
+        for name, vals in reprs.items()]
+    return pd.DataFrame(rows, columns=[
+        "col_name", "n_rows", "n_nulls", "ndv", "min_repr", "max_repr"])
+
+
 QUERIES = {
     "a3_mean": a3_mean,
     "a4_group_mean": a4_group_mean,
@@ -170,6 +229,9 @@ QUERIES = {
     "a19_ks_drift": a19_ks_drift,
     "w5_funnel": w5_funnel,
     "a20_benford": a20_benford,
+    "e5_vocab_coverage": e5_vocab_coverage,
+    "e7_epoch_shuffle": e7_epoch_shuffle,
+    "s16_stats_collect": s16_stats_collect,
 }
 
 

@@ -3084,6 +3084,47 @@ object ExtQueries {
        |FROM l$LpaIters l JOIN sz USING (label)""".stripMargin
   }
 
+  // ---- E3z: k-center farthest-point-first diversity selection --------------
+  // Gonzalez's greedy 2-approximation as a query: the selection ORDER
+  // and the per-step coverage radius are the artifact
+  // ([[Similarity.kcenterSelect]] for the operator and its
+  // one-pass-per-round broadcast shape). The oracle unrolls the same
+  // k−1 greedy rounds as chained SQL stages — every distance is the
+  // identical fixed-order IEEE expression, so argmax picks, running
+  // mins, and radii must match bit for bit.
+  private val KcenterK = 6
+  def e3Kcenter(s: SparkSession, dir: String): DataFrame =
+    Similarity.kcenterSelect(Tables.embeddings(s, dir), KcenterK)
+  val e3kcSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    def dist(p: String, c: String) =
+      s"1.0 - ${duckDot(s"$p.embedding", s"$c.embedding")} / (sqrt($p.n2) * sqrt($c.n2))"
+    val rounds = (2 to KcenterK).map { i =>
+      val selSet = "SELECT id FROM s1" +
+        (2 until i).map(j => s" UNION ALL SELECT vec_id FROM c$j").mkString
+      val m =
+        if (i == 2)
+          s"""m1 AS (SELECT p.vec_id, ${dist("p", "c")} AS md
+             |  FROM e p JOIN e c ON c.vec_id = (SELECT id FROM s1))""".stripMargin
+        else
+          s"""m${i - 1} AS (SELECT m${i - 2}.vec_id, least(m${i - 2}.md, ${dist("p", "c")}) AS md
+             |  FROM m${i - 2} JOIN e p ON p.vec_id = m${i - 2}.vec_id
+             |  JOIN e c ON c.vec_id = (SELECT vec_id FROM c${i - 1}))""".stripMargin
+      val c =
+        s"""c$i AS (SELECT vec_id, md FROM m${i - 1}
+           |  WHERE vec_id NOT IN ($selSet) ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+      s"$m,\n$c"
+    }.mkString(",\n")
+    val out = (2 to KcenterK)
+      .map(i => s"UNION ALL SELECT CAST($i AS BIGINT), vec_id, md FROM c$i")
+      .mkString("\n")
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2 FROM embeddings),
+       |s1 AS (SELECT min(vec_id) AS id FROM e),
+       |$rounds
+       |SELECT CAST(1 AS BIGINT) AS sel_order, id AS vec_id, 0.0 AS dist_at_selection FROM s1
+       |$out""".stripMargin
+  }
+
   // ---- E7j: deterministic per-epoch shuffle order --------------------------
   // The training-loader permutation: a DIFFERENT uniform order each
   // epoch, the SAME order on every re-run ([[Sampling.epochShuffle]]
@@ -3229,6 +3270,7 @@ object ExtQueries {
     "e3_ivf_stream" -> (e3IvfStream _),
     "e2_containment" -> (e2Containment _),
     "e2_knn_communities" -> (e2KnnCommunities _),
+    "e3_kcenter" -> (e3Kcenter _),
     "e3_knn_graph" -> (e3KnnGraph _),
     "e7_epoch_shuffle" -> (e7EpochShuffle _),
     "e5_vocab_coverage" -> (e5VocabCoverage _)
@@ -3329,6 +3371,7 @@ object ExtQueries {
     "e3_ivf_stream" -> e3nSql,
     "e2_containment" -> e2ctSql,
     "e2_knn_communities" -> e2kcSql,
+    "e3_kcenter" -> e3kcSql,
     "e3_knn_graph" -> e3ySql,
     "e7_epoch_shuffle" -> e7jSql,
     "e5_vocab_coverage" -> e5ySql

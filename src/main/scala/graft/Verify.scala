@@ -52,7 +52,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
+    // ALWAYS dump the FULL oracle map: a subset run that filtered the
+    // map too once clobbered a full dump's oracle_sql.json in place,
+    // silently degrading 200+ queries to rows-only in the comparison
+    // tool (which treats a missing SQL entry as "no oracle exists").
+    // The file is tiny; completeness costs nothing and composes with
+    // incremental re-dumps into the same outDir.
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

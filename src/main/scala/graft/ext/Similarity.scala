@@ -447,6 +447,61 @@ object Similarity {
       .withColumn("rk", col("rk").cast("long"))
   }
 
+  /** k-center / farthest-point-first selection (Gonzalez 1985): the
+    * greedy 2-approximation to the k-center coreset — pick the lowest
+    * id as seed, then k−1 times pick the point FARTHEST (cosine
+    * distance, ties → lowest id) from everything selected so far.
+    * The diversity-exemplar primitive (eval-set seeding, kmeans++-style
+    * initialization, coverage auditing): the i-th selection's distance
+    * is the exact coverage radius of the first i−1 centers.
+    *
+    * Scale shape: the algorithm is inherently k-sequential; what must
+    * NOT grow is per-round work. Each round makes ONE corpus pass
+    * against a BROADCAST 1-row frame (the newest center), folds it
+    * into a running per-point min-distance (localCheckpoint'd so
+    * round i's plan is a flat scan, not i chained joins — the CC loop
+    * discipline), and selects via orderBy+limit(1), which fuses to
+    * TakeOrderedAndProject. k passes, each fully parallel, nothing
+    * driver-side except the k-row center frame.
+    *
+    * Output: (sel_order 1..k, vec_id, dist_at_selection) — 0.0 for
+    * the seed.
+    */
+  def kcenterSelect(vectors: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val base = graft.ops.Sink.cachedEager(vectors.select(
+      col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2")))
+    var centers = base.orderBy(col("vec_id").asc).limit(1)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("n2").as("c_n2"), lit(1L).as("sel_order"),
+        lit(0.0).as("dist_at_selection"))
+      .localCheckpoint()
+    var mins: DataFrame = null
+    for (i <- 2 to k) {
+      val newc = centers.filter(col("sel_order") === (i - 1))
+        .select(col("c_emb").as("nc_emb"), col("c_n2").as("nc_n2"))
+      val d = base.crossJoin(broadcast(newc))
+        .select(col("vec_id"),
+          (lit(1.0) - cosineFrom(
+            dot(col("embedding"), col("nc_emb")), col("n2"), col("nc_n2")))
+            .as("d"))
+      mins = (if (mins == null) d.select(col("vec_id"), col("d").as("md"))
+              else mins.join(d, Seq("vec_id"))
+                .select(col("vec_id"), least(col("md"), col("d")).as("md")))
+        .localCheckpoint()
+      val next = mins
+        .join(centers.select(col("cid").as("vec_id")), Seq("vec_id"), "left_anti")
+        .orderBy(col("md").desc, col("vec_id").asc).limit(1)
+        .join(base, Seq("vec_id"))
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+          col("n2").as("c_n2"), lit(i.toLong).as("sel_order"),
+          col("md").as("dist_at_selection"))
+      centers = centers.unionByName(next).localCheckpoint()
+    }
+    centers.select(col("sel_order"), col("cid").as("vec_id"),
+      col("dist_at_selection"))
+  }
+
   /** MUTUAL k-NN graph over the whole corpus: the undirected edge
     * (a, b) exists iff b is in a's bucketed top-k AND a is in b's —
     * the reciprocal-neighbor graph that semantic clustering and

@@ -793,6 +793,24 @@ class ExtSpec extends SparkSpec {
     assert(cc.filterKeys(_ <= 6L).values.toSet.size == 1)
   }
 
+  test("kcenterSelect: seed then farthest-first, radii non-increasing") {
+    def pad(xs: Double*) = (xs ++ Seq.fill(8 - xs.size)(0.0)).map(_.toFloat).toArray
+    val vecs = Seq(
+      (1L, pad(1.0, 0.0)),    // seed (lowest id)
+      (2L, pad(1.0, 0.01)),   // near the seed
+      (3L, pad(0.0, 1.0)),    // orthogonal: dist 1
+      (4L, pad(-1.0, 0.0))    // antipodal: dist 2
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kcenterSelect(vecs, 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 4L, 3L)) // seed, antipode, orthogonal
+    assert(got.head._3 == 0.0)
+    assert(got(1)._3 > 1.9 && got(2)._3 > 0.9 && got(2)._3 <= got(1)._3)
+    // coverage radii never increase as centers are added
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
+  }
+
   test("vocabCoverage: hand-checked cutoff table, rank-free") {
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("id", "body")
     val got = TextOps.vocabCoverage(docs, "body", Seq(1, 2, 3, 5))

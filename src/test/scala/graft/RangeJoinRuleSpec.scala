@@ -71,6 +71,30 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("rule fires on TIMESTAMP_NTZ attributes (the parquet-without-UTC read type)") {
+    // round-11 regression: a parquet generation stored TIMESTAMP(MICROS)
+    // without isAdjustedToUTC, Spark read it as TIMESTAMP_NTZ, and the
+    // rule silently stopped firing (tsAttr matched TimestampType only)
+    val (points, intervals) = mkData(13)
+    val pNtz = points.withColumn("ts", to_timestamp_ntz(col("ts")))
+    val iNtz = intervals
+      .withColumn("lo", to_timestamp_ntz(col("lo")))
+      .withColumn("hi", to_timestamp_ntz(col("hi")))
+    def q = pNtz.join(iNtz, col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("iid", "pid")
+    val naive = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(naive.nonEmpty)
+    val (rewritten, plan) = withRule {
+      val df = q
+      (df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(rewritten == naive)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"rule did not fire on NTZ timestamps:\n$plan")
+    assert(plan.contains("Generate"), s"expected the bin explode:\n$plan")
+  }
+
   test("rule does not fire on joins outside the canonical shape") {
     val (points, intervals) = mkData(33)
     withRule {

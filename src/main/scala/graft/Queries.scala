@@ -2158,6 +2158,53 @@ object ParityQueries {
       |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE NULL END AS o_orderpriority
       |FROM orders""".stripMargin
 
+  // ---- S18: bucketed tables — the shuffle-free co-located join ---------------
+  // The third leg of the layout story (s9 prunes directories, s10
+  // orders within files): BUCKETING pre-shuffles a table ONCE at
+  // write into N hash buckets of the join key, so every later join
+  // or aggregation on that key reads co-located buckets and skips
+  // the exchange entirely — at 100 TB the difference between one
+  // shuffle per write and one shuffle per QUERY. Both fact tables
+  // are bucketed 8-way on the order key (sortBy makes the
+  // sort-merge's sort a no-op too); the hint pins SMJ so the
+  // plan-shape evidence (SortMergeJoin with ZERO shuffle under it —
+  // PlanGuardSpec) doesn't flip to broadcast at toy scale. The
+  // oracle only ever sees the plain parquet truth, so bucket-write
+  // round-trip corruption (row loss, hash-vs-range mixups) diverges
+  // the hash; cents-integer sums keep the aggregate portable.
+  def s18BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode).toString
+    val lt = s"li_bkt_$tag"
+    val ot = s"ord_bkt_$tag"
+    // a fresh JVM's in-memory catalog has forgotten these managed
+    // tables, but their warehouse directories survive the process —
+    // reclaim the locations or CREATE fails (LOCATION_ALREADY_EXISTS)
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    Seq(lt, ot).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      Sink.clearLocalPath(s"$wh/$t")
+    }
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+    s.table(lt).hint("merge")
+      .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * 100)).cast("long").as("cents"))
+  }
+  val s18Sql =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_custkey""".stripMargin
+
   // ---- J10: dynamic partition pruning ---------------------------------------
   // The RUNTIME half of the partition-pruning story (s9 is the static
   // half): the fact side is hive-partitioned on event_type, but which
@@ -2370,6 +2417,7 @@ object ParityQueries {
     "s14_scd2" -> (s14Scd2 _),
     "s16_stats_collect" -> (s16StatsCollect _),
     "s17_schema_merge" -> (s17SchemaMerge _),
+    "s18_bucketed_join" -> (s18BucketedJoin _),
     "j10_dpp" -> (j10Dpp _),
     "w7_twap" -> (w7Twap _),
     "w8_interval_merge" -> (w8IntervalMerge _),
@@ -2468,6 +2516,7 @@ object ParityQueries {
     "s14_scd2" -> s14Sql,
     "s16_stats_collect" -> s16Sql,
     "s17_schema_merge" -> s17Sql,
+    "s18_bucketed_join" -> s18Sql,
     "j10_dpp" -> j10Sql,
     "w7_twap" -> w7Sql,
     "w8_interval_merge" -> w8Sql,

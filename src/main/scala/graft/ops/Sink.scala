@@ -167,4 +167,14 @@ object Sink {
     f.delete()
     ()
   }
+
+  /** Remove a local path tree (no-op if absent). For reclaiming a
+    * MANAGED-table location before `saveAsTable` from a fresh
+    * session: the in-memory catalog forgets tables across JVMs but
+    * the warehouse directory persists, and CREATE fails on
+    * LOCATION_ALREADY_EXISTS — `mode(overwrite)` cannot drop a table
+    * the catalog has never heard of.
+    */
+  def clearLocalPath(path: String): Unit =
+    deleteRecursively(new java.io.File(path.stripPrefix("file:")))
 }

@@ -108,6 +108,22 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s18_bucketed_join: sort-merge join with ZERO shuffle beneath it (bucket co-location)") {
+    val df = SparkEntry.queries("s18_bucketed_join")(spark, dir)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    val smj = plan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.getOrElse(fail(s"no SortMergeJoin in plan:\n$plan"))
+    val shufflesUnderJoin = smj.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shufflesUnderJoin.isEmpty,
+      s"bucketed join must not re-shuffle its inputs:\n$smj")
+  }
+
   test("s9_partitioned_prune: the scan reads 2 of 5 partition directories") {
     val df = SparkEntry.queries("s9_partitioned_prune")(spark, dir)
     // AQE wraps the plan in a leaf AdaptiveSparkPlanExec — unwrap to

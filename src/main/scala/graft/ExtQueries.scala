@@ -2579,6 +2579,54 @@ object ExtQueries {
        |  CAST(CAST(sum(cd) AS VARCHAR) AS DOUBLE) / CAST(sum(n_occ) AS DOUBLE) AS mean_p
        |FROM sc GROUP BY doc_id""".stripMargin
 
+  // ---- E5bo: trigram stupid-backoff held-out scoring -----------------------
+  // The Brants et al. 2007 web-scale LM score in its train/score
+  // split ([[LanguageModel.stupidBackoffScore]] for the operator and
+  // why the split matters — self-scoring never backs off). Docs with
+  // id % 10 == 0 play the held-out candidates (the e2_incremental
+  // convention); the oracle replays the count tables, the identical
+  // backoff CASE chain (same division-then-0.4-multiplications
+  // order), and the decimal-summed means.
+  def e5BackoffScore(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.stupidBackoffScore(
+      Tables.documents(s, dir), "doc_id", "text", col("doc_id") % 10 === 0)
+  val e5boSql: String =
+    s"""WITH t AS (SELECT doc_id, doc_id % 10 = 0 AS ho,
+       |    string_split_regex(trim(text), '\\s+') tk FROM documents),
+       |c1 AS (SELECT w, count(*) AS c1 FROM (
+       |  SELECT unnest(tk) AS w FROM t WHERE NOT ho) GROUP BY w),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM (
+       |  SELECT g.w1 AS w1, g.w2 AS w2 FROM (
+       |    SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]} for i in range(1, len(tk))]) AS g
+       |    FROM t WHERE NOT ho) x) GROUP BY w1, w2),
+       |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM (
+       |  SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM (
+       |    SELECT unnest([{'w1': tk[i], 'w2': tk[i+1], 'w3': tk[i+2]} for i in range(1, len(tk)-1)]) AS g
+       |    FROM t WHERE NOT ho) x) GROUP BY w1, w2, w3),
+       |tt AS (SELECT sum(c1) AS t FROM c1),
+       |hd AS (SELECT doc_id, w1, w2, w3, count(*) AS n_occ FROM (
+       |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM (
+       |    SELECT doc_id, unnest([{'w1': tk[i], 'w2': tk[i+1], 'w3': tk[i+2]} for i in range(1, len(tk)-1)]) AS g
+       |    FROM t WHERE ho) x) GROUP BY doc_id, w1, w2, w3),
+       |sc AS (SELECT doc_id, n_occ,
+       |    CASE WHEN coalesce(c3.c3, 0) > 0
+       |           THEN CAST(c3.c3 AS DOUBLE) / CAST(b12.c2 AS DOUBLE)
+       |         WHEN coalesce(b23.c2, 0) > 0
+       |           THEN 0.4 * (CAST(b23.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+       |         ELSE 0.4 * (0.4 * (CAST(coalesce(u3.c1, 0) AS DOUBLE) / CAST(tt.t AS DOUBLE)))
+       |    END AS sv
+       |  FROM hd
+       |  LEFT JOIN c3 ON hd.w1 = c3.w1 AND hd.w2 = c3.w2 AND hd.w3 = c3.w3
+       |  LEFT JOIN c2 b12 ON hd.w1 = b12.w1 AND hd.w2 = b12.w2
+       |  LEFT JOIN c2 b23 ON hd.w2 = b23.w1 AND hd.w3 = b23.w2
+       |  LEFT JOIN c1 u2 ON hd.w2 = u2.w
+       |  LEFT JOIN c1 u3 ON hd.w3 = u3.w
+       |  CROSS JOIN tt)
+       |SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_trigrams,
+       |  CAST(CAST(sum(CAST(CAST(CAST(n_occ AS DOUBLE) * sv AS VARCHAR) AS $AvgDec)) AS VARCHAR) AS DOUBLE)
+       |    / CAST(sum(n_occ) AS DOUBLE) AS mean_s
+       |FROM sc GROUP BY doc_id""".stripMargin
+
   // ---- E5o: learned quality classifier (nearest-centroid) ------------------
   // The fastText-filter shape: pseudo-label a seed rule, train a
   // model (per-class feature centroids via DECIMAL(28,10) means),
@@ -3271,6 +3319,7 @@ object ExtQueries {
     "e2_containment" -> (e2Containment _),
     "e2_knn_communities" -> (e2KnnCommunities _),
     "e3_kcenter" -> (e3Kcenter _),
+    "e5_backoff_score" -> (e5BackoffScore _),
     "e3_knn_graph" -> (e3KnnGraph _),
     "e7_epoch_shuffle" -> (e7EpochShuffle _),
     "e5_vocab_coverage" -> (e5VocabCoverage _)
@@ -3372,6 +3421,7 @@ object ExtQueries {
     "e2_containment" -> e2ctSql,
     "e2_knn_communities" -> e2kcSql,
     "e3_kcenter" -> e3kcSql,
+    "e5_backoff_score" -> e5boSql,
     "e3_knn_graph" -> e3ySql,
     "e7_epoch_shuffle" -> e7jSql,
     "e5_vocab_coverage" -> e5ySql

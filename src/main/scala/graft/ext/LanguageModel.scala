@@ -77,4 +77,89 @@ object LanguageModel {
       .select(col(idCol), col("n_bigrams"),
         (col("sdec").cast("double") / col("n_bigrams").cast("double")).as("mean_p"))
   }
+
+  /** Trigram STUPID BACKOFF scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") of a HELD-OUT slice by
+    * a model trained on the rest — the web-scale LM recipe (no
+    * normalized smoothing, just score s = c3/c2, backing off to
+    * 0.4·(c2/c1), then 0.4·0.4·(c1/T)) in the train/score split where
+    * backoff actually fires (a corpus scored on itself has every
+    * trigram seen, so the backoff chain would be dead code — this is
+    * also the Moore-Lewis-style data-selection shape: rank candidate
+    * docs by an in-domain model's score). Every branch is a ratio of
+    * BIGINT train counts through one correctly-rounded IEEE division
+    * and at most two fixed-order multiplications by the literal 0.4 —
+    * bit-identical cross-engine; per-doc occurrence-weighted means go
+    * through DECIMAL(28,10) as always.
+    *
+    * 100 TB shape: tokenization runs ONCE into an eagerly-persisted
+    * (id, heldout, tokens) frame feeding all four n-gram derivations;
+    * every count table pre-aggregates map-side to one row per n-gram
+    * before any join; the held-out side pre-aggregates to (doc,
+    * trigram, n_occ) so a Zipf-hot trigram joins once per containing
+    * doc, never per occurrence; T arrives as a broadcast 1-row frame.
+    * The count joins are key-equi on the n-gram — build sides one row
+    * per key. No all-pairs, no driver state.
+    *
+    * Output: (id, n_trigrams, mean_s) for held-out docs with ≥ 3
+    * tokens.
+    */
+  def stupidBackoffScore(df: DataFrame, idCol: String, textCol: String,
+      heldout: org.apache.spark.sql.Column): DataFrame = {
+    // n-gram structs from a token array; sequence(1,0) is DESCENDING,
+    // so the < n case is guarded explicitly (the MinHash.shingles rule)
+    def grams(n: Int)(tk: org.apache.spark.sql.Column) =
+      TextOps.let1(tk) { tkv =>
+        when(size(tkv) < n,
+          array().cast(s"array<struct<${(1 to n).map(j => s"w$j:string").mkString(",")}>>"))
+          .otherwise(transform(
+            sequence(lit(1), size(tkv) - (n - 1)),
+            i => struct((0 until n).map(j =>
+              element_at(tkv, i + j).as(s"w${j + 1}")): _*)))
+      }
+    val toks = graft.ops.Sink.cachedEager(df.select(
+      col(idCol).as("doc_id"), heldout.as("ho"),
+      TextOps.tokens(col(textCol)).as("tk")))
+    val train = toks.filter(!col("ho"))
+    val c1 = train.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val c2 = train.select(explode(grams(2)(col("tk"))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c3 = train.select(explode(grams(3)(col("tk"))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    val tot = c1.agg(sum(col("c1")).as("t"))
+    val hd = toks.filter(col("ho"))
+      .select(col("doc_id"), explode(grams(3)(col("tk"))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n_occ"))
+    val joined = hd
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2.select(col("w1"), col("w2"), col("c2").as("c2_12")),
+        Seq("w1", "w2"), "left")
+      .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c2_23")), Seq("w2", "w3"), "left")
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1_2")), Seq("w2"), "left")
+      .join(c1.select(col("w").as("w3"), col("c1").as("c1_3")), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+    // branch guards mirror the backoff chain; c3>0 ⇒ c2_12>0 and
+    // c2_23>0 ⇒ c1_2>0 by containment, so no division sees zero
+    val s =
+      when(coalesce(col("c3"), lit(0L)) > 0,
+        col("c3").cast("double") / col("c2_12").cast("double"))
+        .when(coalesce(col("c2_23"), lit(0L)) > 0,
+          lit(0.4) * (col("c2_23").cast("double") / col("c1_2").cast("double")))
+        .otherwise(lit(0.4) * (lit(0.4) *
+          (coalesce(col("c1_3"), lit(0L)).cast("double") / col("t").cast("double"))))
+    joined
+      .select(col("doc_id"), col("n_occ"),
+        (col("n_occ").cast("double") * s).cast(Dec).as("cd"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).as("n_trigrams"), sum(col("cd")).as("sdec"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (col("sdec").cast("double") / col("n_trigrams").cast("double")).as("mean_s"))
+  }
 }

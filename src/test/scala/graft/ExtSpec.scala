@@ -793,6 +793,20 @@ class ExtSpec extends SparkSpec {
     assert(cc.filterKeys(_ <= 6L).values.toSet.size == 1)
   }
 
+  test("stupidBackoffScore: all three backoff branches, hand-derived") {
+    // train "a b c a b c": c3(abc)=2, c2(ab)=c2(bc)=2, c1(b)=2, T=6
+    val docs = Seq(
+      (1L, "a b c a b c"), // train
+      (2L, "a b c x"),     // (a,b,c): direct 2/2=1.0; (b,c,x): full backoff to c1(x)=0 -> 0
+      (3L, "x b c z")      // (x,b,c): bigram backoff 0.4*(c2(bc)/c1(b))=0.4; (b,c,z): 0
+    ).toDF("id", "body")
+    val got = LanguageModel.stupidBackoffScore(docs, "id", "body", col("id") >= 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(2L, 3L)) // train docs are never scored
+    assert(got(2L) == ((2L, 0.5)))    // (1.0 + 0.0) / 2
+    assert(got(3L) == ((2L, 0.2)))    // (0.4 + 0.0) / 2
+  }
+
   test("kcenterSelect: seed then farthest-first, radii non-increasing") {
     def pad(xs: Double*) = (xs ++ Seq.fill(8 - xs.size)(0.0)).map(_.toFloat).toArray
     val vecs = Seq(

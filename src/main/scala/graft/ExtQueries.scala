@@ -2627,6 +2627,75 @@ object ExtQueries {
        |    / CAST(sum(n_occ) AS DOUBLE) AS mean_s
        |FROM sc GROUP BY doc_id""".stripMargin
 
+  // ---- E5ds: Moore-Lewis-style domain selection ----------------------------
+  // Cross-entropy-difference data selection (Moore & Lewis 2010) on
+  // the log-free surrogate: the same held-out candidates scored by an
+  // IN-DOMAIN backoff model (trained on the English train slice) and
+  // by the GENERAL model (all train docs); the contrast ratio ranks
+  // candidates by domain fit. Two [[LanguageModel.stupidBackoffScore]]
+  // passes joined on doc_id; the oracle replays both model chains from
+  // one shared tokenization via a parameterized CTE builder.
+  def e5DomainSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ho = col("doc_id") % 10 === 0
+    val sIn = LanguageModel
+      .stupidBackoffScore(docs, "doc_id", "text", ho, col("lang") === "en")
+      .select(col("doc_id"), col("n_trigrams"), col("mean_s").as("s_in"))
+    val sGen = LanguageModel.stupidBackoffScore(docs, "doc_id", "text", ho)
+      .select(col("doc_id"), col("mean_s").as("s_gen"))
+    sIn.join(sGen, Seq("doc_id"))
+      .select(col("doc_id"), col("n_trigrams"), col("s_in"), col("s_gen"),
+        when(col("s_gen") > 0, col("s_in") / col("s_gen"))
+          .otherwise(lit(null).cast("double")).as("ml_ratio"))
+  }
+  /** One stupid-backoff model chain as prefixed CTEs over the shared
+    * `t` (tokenized docs) and `hd` (held-out per-doc trigram counts):
+    * emits `<p>c1/c2/c3/tt/sc/doc`, `<p>doc` = (doc_id, n_trigrams,
+    * mean_s).
+    */
+  private def backoffChainSql(p: String, trainCond: String): String =
+    s"""${p}c1 AS (SELECT w, count(*) AS c1 FROM (
+       |  SELECT unnest(tk) AS w FROM t WHERE NOT ho AND $trainCond) GROUP BY w),
+       |${p}c2 AS (SELECT w1, w2, count(*) AS c2 FROM (
+       |  SELECT g.w1 AS w1, g.w2 AS w2 FROM (
+       |    SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]} for i in range(1, len(tk))]) AS g
+       |    FROM t WHERE NOT ho AND $trainCond) x) GROUP BY w1, w2),
+       |${p}c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM (
+       |  SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM (
+       |    SELECT unnest([{'w1': tk[i], 'w2': tk[i+1], 'w3': tk[i+2]} for i in range(1, len(tk)-1)]) AS g
+       |    FROM t WHERE NOT ho AND $trainCond) x) GROUP BY w1, w2, w3),
+       |${p}tt AS (SELECT sum(c1) AS t FROM ${p}c1),
+       |${p}sc AS (SELECT doc_id, n_occ,
+       |    CASE WHEN coalesce(c3.c3, 0) > 0
+       |           THEN CAST(c3.c3 AS DOUBLE) / CAST(b12.c2 AS DOUBLE)
+       |         WHEN coalesce(b23.c2, 0) > 0
+       |           THEN 0.4 * (CAST(b23.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+       |         ELSE 0.4 * (0.4 * (CAST(coalesce(u3.c1, 0) AS DOUBLE) / CAST(${p}tt.t AS DOUBLE)))
+       |    END AS sv
+       |  FROM hd
+       |  LEFT JOIN ${p}c3 c3 ON hd.w1 = c3.w1 AND hd.w2 = c3.w2 AND hd.w3 = c3.w3
+       |  LEFT JOIN ${p}c2 b12 ON hd.w1 = b12.w1 AND hd.w2 = b12.w2
+       |  LEFT JOIN ${p}c2 b23 ON hd.w2 = b23.w1 AND hd.w3 = b23.w2
+       |  LEFT JOIN ${p}c1 u2 ON hd.w2 = u2.w
+       |  LEFT JOIN ${p}c1 u3 ON hd.w3 = u3.w
+       |  CROSS JOIN ${p}tt),
+       |${p}doc AS (SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_trigrams,
+       |  CAST(CAST(sum(CAST(CAST(CAST(n_occ AS DOUBLE) * sv AS VARCHAR) AS $AvgDec)) AS VARCHAR) AS DOUBLE)
+       |    / CAST(sum(n_occ) AS DOUBLE) AS mean_s
+       |FROM ${p}sc GROUP BY doc_id)""".stripMargin
+  val e5dsSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, doc_id % 10 = 0 AS ho,
+       |    string_split_regex(trim(text), '\\s+') tk FROM documents),
+       |hd AS (SELECT doc_id, w1, w2, w3, count(*) AS n_occ FROM (
+       |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM (
+       |    SELECT doc_id, unnest([{'w1': tk[i], 'w2': tk[i+1], 'w3': tk[i+2]} for i in range(1, len(tk)-1)]) AS g
+       |    FROM t WHERE ho) x) GROUP BY doc_id, w1, w2, w3),
+       |${backoffChainSql("in_", "lang = 'en'")},
+       |${backoffChainSql("gn_", "TRUE")}
+       |SELECT i.doc_id, i.n_trigrams, i.mean_s AS s_in, g.mean_s AS s_gen,
+       |  CASE WHEN g.mean_s > 0 THEN i.mean_s / g.mean_s END AS ml_ratio
+       |FROM in_doc i JOIN gn_doc g USING (doc_id)""".stripMargin
+
   // ---- E5o: learned quality classifier (nearest-centroid) ------------------
   // The fastText-filter shape: pseudo-label a seed rule, train a
   // model (per-class feature centroids via DECIMAL(28,10) means),
@@ -3320,6 +3389,7 @@ object ExtQueries {
     "e2_knn_communities" -> (e2KnnCommunities _),
     "e3_kcenter" -> (e3Kcenter _),
     "e5_backoff_score" -> (e5BackoffScore _),
+    "e5_domain_select" -> (e5DomainSelect _),
     "e3_knn_graph" -> (e3KnnGraph _),
     "e7_epoch_shuffle" -> (e7EpochShuffle _),
     "e5_vocab_coverage" -> (e5VocabCoverage _)
@@ -3422,6 +3492,7 @@ object ExtQueries {
     "e2_knn_communities" -> e2kcSql,
     "e3_kcenter" -> e3kcSql,
     "e5_backoff_score" -> e5boSql,
+    "e5_domain_select" -> e5dsSql,
     "e3_knn_graph" -> e3ySql,
     "e7_epoch_shuffle" -> e7jSql,
     "e5_vocab_coverage" -> e5ySql

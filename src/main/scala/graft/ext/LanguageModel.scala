@@ -105,7 +105,18 @@ object LanguageModel {
     * tokens.
     */
   def stupidBackoffScore(df: DataFrame, idCol: String, textCol: String,
-      heldout: org.apache.spark.sql.Column): DataFrame = {
+      heldout: org.apache.spark.sql.Column): DataFrame =
+    stupidBackoffScore(df, idCol, textCol, heldout, null)
+
+  /** As above with an explicit TRAIN slice predicate (over the input
+    * columns; null → train on everything not held out). The two-model
+    * form is what Moore–Lewis (2010) cross-entropy-difference data
+    * selection runs: score the same held-out candidates by an
+    * IN-DOMAIN model and a general one, rank by the contrast.
+    */
+  def stupidBackoffScore(df: DataFrame, idCol: String, textCol: String,
+      heldout: org.apache.spark.sql.Column,
+      trainPred: org.apache.spark.sql.Column): DataFrame = {
     // n-gram structs from a token array; sequence(1,0) is DESCENDING,
     // so the < n case is guarded explicitly (the MinHash.shingles rule)
     def grams(n: Int)(tk: org.apache.spark.sql.Column) =
@@ -119,8 +130,9 @@ object LanguageModel {
       }
     val toks = graft.ops.Sink.cachedEager(df.select(
       col(idCol).as("doc_id"), heldout.as("ho"),
+      (if (trainPred == null) lit(true) else trainPred).as("tp"),
       TextOps.tokens(col(textCol)).as("tk")))
-    val train = toks.filter(!col("ho"))
+    val train = toks.filter(!col("ho") && col("tp"))
     val c1 = train.select(explode(col("tk")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val c2 = train.select(explode(grams(2)(col("tk"))).as("g"))

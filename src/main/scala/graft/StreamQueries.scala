@@ -51,6 +51,46 @@ object StreamQueries {
   private def fresh(tag: String): String =
     Sink.scratchDir(s"${tag}_${nonce.incrementAndGet()}")
 
+  /** The events slice every event-sourced gate query streams from,
+    * staged ONCE per (JVM, sfDir) and shared: r11's bench showed each
+    * of the 6 event-sourced streaming queries paying its own staging
+    * write of the same table (a fixed ~1-2 s × 6 inside the 64.5 s
+    * tier). Queries now project/filter IN-STREAM (a stateless select
+    * before the watermark — plan-identical state shapes) instead of
+    * staging per-query slices.
+    *
+    * Sentinels appended by one query are harmless to every other by
+    * construction — far-future event times (excluded by each query's
+    * window/bucket bound), negative keys (excluded by key filters),
+    * event types that create no state ("noop" fails population
+    * filters; a view-less "click"/"purchase" opens no funnel) — and a
+    * re-run that reads older sentinels merely starts with an
+    * already-advanced watermark after its first batch, which cannot
+    * drop real data: the watermark during batch 1 is still the
+    * initial one (0), so every real row is admitted before any
+    * sentinel takes effect.
+    */
+  private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value")
+  private def sharedEventsStage(s: SparkSession, dir: String): String = {
+    val tag = "evshare_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    stageCache.computeIfAbsent(dir, _ => {
+      val p = Sink.scratchDir(tag)
+      Tables.events(s, dir).select(eventCols.map(col): _*)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+  }
+  private def eventsStageSchema(s: SparkSession, dir: String) =
+    Tables.events(s, dir).select(eventCols.map(col): _*).schema
+
+  /** One full-schema sentinel row for the shared stage. */
+  private def stageSentinel(s: SparkSession, us: Long, eventType: String): DataFrame = {
+    import s.implicits._
+    Seq((-1L, microsTs(us), -1L, eventType, 0.0))
+      .toDF(eventCols: _*)
+  }
+
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     q.processAllAvailable()
 
@@ -78,11 +118,12 @@ object StreamQueries {
   // after the real data's max event time, so `bucket <= max(ts)`
   // excludes them (a real bucket's START is never past the max).
   def w1WindowStream(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("ts"), col("value"))
-    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val in = fresh("w1s_in"); val out = fresh("w1s_out"); val ck = fresh("w1s_ck")
-    ev.write.mode("overwrite").parquet(in)
-    val stream = s.readStream.schema(ev.schema).parquet(in)
+    val maxUs = Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val in = sharedEventsStage(s, dir)
+    val out = fresh("w1s_out"); val ck = fresh("w1s_ck")
+    val stream = s.readStream.schema(eventsStageSchema(s, dir)).parquet(in)
+      .select(col("ts"), col("value"))
     val q = EventStream.windowedStats(stream, lateness = "0 seconds")
       .writeStream
       .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -92,10 +133,8 @@ object StreamQueries {
       .start()
     try {
       drain(q)
-      import s.implicits._
       (1 to 3).foreach { i =>
-        advance(q,
-          Seq((microsTs(maxUs + i * 3600L * 1000000L), 0.0)).toDF("ts", "value"), in)
+        advance(q, stageSentinel(s, maxUs + i * 3600L * 1000000L, "noop"), in)
       }
     } finally q.stop()
     s.read.parquet(out)
@@ -113,14 +152,18 @@ object StreamQueries {
   // which creates no state and emits nothing.
   def w5FunnelStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir)
+    val maxUs = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val in = sharedEventsStage(s, dir)
+    val out = fresh("w5s_out"); val ck = fresh("w5s_ck")
+    val horizonMs = 3600L * 1000L
+    // the type filter sits BEFORE the watermark, so w5's sentinels are
+    // far-future view-less "click" rows (user -1): they pass the
+    // filter (advancing the watermark) but open no funnel state
+    val stream = s.readStream.schema(eventsStageSchema(s, dir)).parquet(in)
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id").cast("string").as("user_id"), col("event_type"), col("ts"))
-    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val in = fresh("w5s_in"); val out = fresh("w5s_out"); val ck = fresh("w5s_ck")
-    ev.write.mode("overwrite").parquet(in)
-    val horizonMs = 3600L * 1000L
-    val stream = s.readStream.schema(ev.schema).parquet(in)
       .as[(String, String, Timestamp)]
     val q = EventStream.funnel(stream, horizonMs)
       .writeStream
@@ -133,9 +176,7 @@ object StreamQueries {
       drain(q)
       (1 to 3).foreach { i =>
         advance(q,
-          Seq(("-1", "noop",
-            microsTs(maxUs + horizonMs * 1000L + i * 3600L * 1000000L)))
-            .toDF("user_id", "event_type", "ts"), in)
+          stageSentinel(s, maxUs + horizonMs * 1000L + i * 3600L * 1000000L, "click"), in)
       }
     } finally q.stop()
     s.read.parquet(out)
@@ -158,8 +199,6 @@ object StreamQueries {
   def j5AsofStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     val clicks = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("value")).as("click_value"))
@@ -168,11 +207,18 @@ object StreamQueries {
       min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx")).head()
     val (minUs, maxUs) = (span.getLong(0), span.getLong(1))
     val horizonSec = (maxUs - minUs) / 1000000L + 86400L
-    val inP = fresh("j5s_p"); val inC = fresh("j5s_c")
+    // left side streams from the shared stage, filtered to purchases
+    // IN-STREAM (the filter precedes the watermark, so the left
+    // sentinels are far-future "purchase" rows with user -1); the
+    // click side keeps its own stage — it is a batch-side
+    // pre-aggregation (unique (user, ts)), which an in-stream agg
+    // before a stream-stream join cannot express
+    val inP = sharedEventsStage(s, dir); val inC = fresh("j5s_c")
     val out = fresh("j5s_out"); val ck = fresh("j5s_ck")
-    purchases.write.mode("overwrite").parquet(inP)
     clicks.write.mode("overwrite").parquet(inC)
-    val pStream = s.readStream.schema(purchases.schema).parquet(inP)
+    val pStream = s.readStream.schema(eventsStageSchema(s, dir)).parquet(inP)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     val cStream = s.readStream.schema(clicks.schema).parquet(inC)
     val q = EventStream.asofEnrich(
       pStream, "ts", "user_id",
@@ -196,8 +242,7 @@ object StreamQueries {
         val us = maxUs + (horizonSec + i * 3600L) * 1000000L
         // both sides must advance: the global watermark is the MIN of
         // the per-source watermarks
-        Seq((-1L, microsTs(us), -1L, 0.0))
-          .toDF("user_id", "ts", "event_id", "value")
+        stageSentinel(s, us, "purchase")
           .coalesce(1).write.mode("append").parquet(inP)
         Seq((-2L, microsTs(us), 0.0))
           .toDF("c_user", "c_ts", "click_value")
@@ -219,13 +264,13 @@ object StreamQueries {
   // later ones advance the watermark — and are filtered by key.
   def w3SessionStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir)
+    val maxUs = Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val in = sharedEventsStage(s, dir)
+    val out = fresh("w3s_out"); val ck = fresh("w3s_ck")
+    val stream = s.readStream.schema(eventsStageSchema(s, dir)).parquet(in)
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"), col("ts"), col("value"))
-    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val in = fresh("w3s_in"); val out = fresh("w3s_out"); val ck = fresh("w3s_ck")
-    ev.write.mode("overwrite").parquet(in)
-    val stream = s.readStream.schema(ev.schema).parquet(in)
     val q = EventStream.sessionStats(stream, gap = "30 minutes", lateness = "0 seconds")
       .writeStream
       .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -236,9 +281,7 @@ object StreamQueries {
     try {
       drain(q)
       (1 to 3).foreach { i =>
-        advance(q,
-          Seq((-1L, microsTs(maxUs + i * 7200L * 1000000L), 0.0))
-            .toDF("user_id", "ts", "value"), in)
+        advance(q, stageSentinel(s, maxUs + i * 7200L * 1000000L, "noop"), in)
       }
     } finally q.stop()
     s.read.parquet(out)
@@ -258,11 +301,12 @@ object StreamQueries {
   // far-future 'click' rows, excluded by the window bound.
   def a19DriftStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir).select(col("ts"), col("event_type"), col("value"))
-    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val in = fresh("a19s_in"); val out = fresh("a19s_out"); val ck = fresh("a19s_ck")
-    ev.write.mode("overwrite").parquet(in)
-    val stream = s.readStream.schema(ev.schema).parquet(in)
+    val maxUs = Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val in = sharedEventsStage(s, dir)
+    val out = fresh("a19s_out"); val ck = fresh("a19s_ck")
+    val stream = s.readStream.schema(eventsStageSchema(s, dir)).parquet(in)
+      .select(col("ts"), col("event_type"), col("value"))
     val q = EventStream.driftHistogram(stream, "click", "purchase", bucketWidth = 8.0,
       lateness = "0 seconds")
       .writeStream
@@ -274,9 +318,7 @@ object StreamQueries {
     try {
       drain(q)
       (1 to 3).foreach { i =>
-        advance(q,
-          Seq((microsTs(maxUs + i * 21600L * 1000000L), "click", 1.0))
-            .toDF("ts", "event_type", "value"), in)
+        advance(q, stageSentinel(s, maxUs + i * 21600L * 1000000L, "click"), in)
       }
     } finally q.stop()
     s.read.parquet(out)
@@ -321,15 +363,44 @@ object StreamQueries {
   // exactly what a correct dedup must restore. Stateless-emission
   // append (rows leave in their arrival batch), so no sentinel
   // rounds; the watermark only bounds key state.
-  def w9DedupStream(s: SparkSession, dir: String): DataFrame = {
+  //
+  // Determinism under micro-batch splits (r11 gate flake): with a
+  // short lateness, any multi-batch split of the staged source lets
+  // the watermark advance between batches — a later-batch duplicate
+  // whose original's state was evicted is re-admitted (overcount),
+  // and a later-batch original older than watermark − lateness is
+  // dropped as late (undercount). Both belts: (a) lateness covers
+  // the staged data's FULL event-time span (+1 day), so no state is
+  // evicted and no row is late no matter how the source splits, and
+  // (b) the source is staged as ONE file so the default
+  // file-source trigger delivers one batch anyway. (a) alone makes
+  // the result invariant even under forced maxFilesPerTrigger=1 —
+  // the StreamSpec "forced multi-batch" law asserts exactly that.
+  // A deployment keeps the business lateness; state there is bounded
+  // by arrival-rate × horizon, which is the operator's whole point.
+  def w9DedupStream(s: SparkSession, dir: String): DataFrame =
+    w9DedupStreamImpl(s, dir, forcedSplit = false)
+
+  private[graft] def w9DedupStreamImpl(
+      s: SparkSession, dir: String, forcedSplit: Boolean): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     val dup = ev.filter(
       graft.ext.TextOps.md5Int32(concat(lit("dup_"), col("event_id").cast("string"))) % 5 === 0)
+    val span = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx")).head()
+    val latenessSec = (span.getLong(1) - span.getLong(0)) / 1000000L + 86400L
     val in = fresh("w9s_in"); val out = fresh("w9s_out"); val ck = fresh("w9s_ck")
-    ev.unionByName(dup).write.mode("overwrite").parquet(in)
-    val stream = s.readStream.schema(ev.schema).parquet(in)
-    val q = EventStream.streamingDedup(stream, Seq("event_id"), lateness = "1 hour")
+    val staged = ev.unionByName(dup)
+    // gate path: ONE file → one micro-batch; forced path: 8 files
+    // drip-fed one per trigger, to prove lateness alone suffices
+    (if (forcedSplit) staged.repartition(8) else staged.coalesce(1))
+      .write.mode("overwrite").parquet(in)
+    val reader = s.readStream.schema(ev.schema)
+    val stream = (if (forcedSplit) reader.option("maxFilesPerTrigger", 1) else reader)
+      .parquet(in)
+    val q = EventStream.streamingDedup(stream, Seq("event_id"),
+      lateness = s"$latenessSec seconds")
       .writeStream
       .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
         EventStream.writeBatchIdempotent(b, id, out))

@@ -372,6 +372,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("w9 gate query is batch-split-invariant: forced maxFilesPerTrigger=1 equals the batch oracle") {
+    // r11 gate flake: the old 1-hour lateness made w9's result depend
+    // on the staged source arriving in ONE micro-batch. The fix sets
+    // lateness to the full event-time span; this law drives the SAME
+    // gate query with the source split into 8 files drip-fed one per
+    // trigger (8 micro-batches, watermark advancing between each) and
+    // asserts the result still equals the batch oracle aggregate.
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamQueries.w9DedupStreamImpl(spark, dir, forcedSplit = true)
+      .as[(String, Long, Long)].collect().toSet
+    val expected = Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.round($"value" * 100).cast("long")).as("sum_cents"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected, s"forced-split streaming dedup $got vs batch $expected")
+  }
+
   test("CorpusStream.admitBatch: near-dup admission across batches; replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus_stream")

@@ -10,6 +10,7 @@ hash over the value matrix with columns sorted by name and rows sorted
 by all columns. Exact equality for non-floats; floats compared both
 exactly and with rel-tol report so we can see how close we are.
 """
+import argparse
 import json
 import sys
 
@@ -32,7 +33,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main(out_dir: str, sf_dir: str) -> int:
+def main(out_dir: str, sf_dir: str, subset: bool = False) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -44,7 +45,7 @@ def main(out_dir: str, sf_dir: str) -> int:
     # a crashed query writes no dir — that is a FAIL, not a silent skip
     # (pass --subset for a partial dump: only dumped queries are checked,
     # since the oracle map is always complete after the Verify fix)
-    names = set(have) if "--subset" in sys.argv else (set(sqls) | set(have))
+    names = set(have) if subset else (set(sqls) | set(have))
     for name in sorted(names):
         if name not in have:
             print(f"{name:28s} FAIL missing output (query crashed?)")
@@ -94,4 +95,15 @@ def main(out_dir: str, sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # argparse (not positional sys.argv peeking): passing --subset
+    # before the positionals must not shift which args are read as
+    # out_dir/sf_dir, and a typo'd flag must be an error, not a
+    # silent gate-semantics change
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("out_dir", help="graft.Verify output dir")
+    ap.add_argument("sf_dir", help="parquet tables dir (e.g. /root/testdata/sf0.01)")
+    ap.add_argument("--subset", action="store_true",
+                    help="partial dump: check only the dumped queries; "
+                         "missing outputs are not failures")
+    a = ap.parse_args()
+    sys.exit(main(a.out_dir, a.sf_dir, a.subset))

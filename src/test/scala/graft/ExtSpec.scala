@@ -96,6 +96,40 @@ class ExtSpec extends SparkSpec {
     assert(got2 == Set((1L, 1L, 4L), (2L, 1L, 4L)), got2.toString)
   }
 
+  test("band-index laws: saved probe equals in-query pairs; append equals full rebuild") {
+    import graft.ext.MinHash
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // probe(write(all)) ≡ candidatePairs(all)
+    val ix = graft.ops.Sink.scratchDir("ext_bands")
+    MinHash.writeBands(docs, "doc_id", "text", ix)
+    val probed = MinHash.probeBands(spark, ix)
+      .as[(Long, Long, Double)].collect().toSet
+    val inQuery = MinHash.candidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probed == inQuery)
+    assert(probed.nonEmpty)
+    // write(base) + append(delta) ≡ write(base ∪ delta): signatures
+    // are per-doc independent, so the band tables hold the same rows
+    val incIx = graft.ops.Sink.scratchDir("ext_bands_inc")
+    MinHash.writeBands(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", incIx)
+    MinHash.appendBands(docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", incIx)
+    val viaAppend = spark.read.parquet(s"$incIx/bands")
+      .select(col("doc_id"), col("bidx"), col("bkey"))
+      .as[(Long, Int, String)].collect().toSet
+    val viaFull = spark.read.parquet(s"$ix/bands")
+      .select(col("doc_id"), col("bidx"), col("bkey"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(viaAppend == viaFull)
+    // and the incremental probe equals the in-query incremental operator
+    val probedInc = MinHash.probeBandsIncremental(
+      spark, incIx, col("doc_id") % 10 === 0)
+      .as[(Long, Long, Double)].collect().toSet
+    val inQueryInc = MinHash.candidatePairsIncremental(
+      docs, col("doc_id") % 10 === 0, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probedInc == inQueryInc)
+  }
+
   test("AnnIndex incremental law: append(delta) equals full re-assignment of base ∪ delta") {
     import graft.ext.{AnnIndex, Similarity}
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -517,6 +517,21 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("MinHash.probeBands: the probe scans the saved band table, recomputes nothing") {
+    val docs = Tables.documents(spark, dir)
+    val ix = graft.ops.Sink.scratchDir("pg_bands_ix")
+    graft.ext.MinHash.writeBands(docs, "doc_id", "text", ix)
+    val p = graft.ext.MinHash.probeBands(spark, ix)
+      .queryExecution.executedPlan.toString
+    // both self-join sides read the persisted band rows...
+    assert(p.contains("bands"), p)
+    // ...and the plan contains NO shingle/signature machinery: no
+    // band explode, no tokenizer split, no minhash signature expr
+    assert(!p.toLowerCase.contains("posexplode"), p)
+    assert(!p.toLowerCase.contains("split("), p)
+    assert(!p.toLowerCase.contains("minhash"), p)
+  }
+
   test("AnnIndex.probeIvf: the probe reads saved artifacts, learns nothing") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, dir)

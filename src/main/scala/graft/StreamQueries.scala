@@ -255,6 +255,74 @@ object StreamQueries {
       .select(col("user_id"), col("ts"), col("event_id"), col("value"), col("click_value"))
   }
 
+  // ---- J5b: BOUNDED-horizon stream-stream as-of ---------------------------
+  // The deployment shape of [[j5AsofStream]] (r11 VERDICT Missing
+  // #2): a business freshness horizon (30 minutes) ≪ the event-time
+  // span, so the join's state store holds only one horizon window of
+  // right rows per key — state ∝ horizon × arrival rate, NOT the
+  // stream. Bounded lookback changes the SEMANTICS from "latest click
+  // ever" to "latest click within the horizon, else null" — which is
+  // exactly the batch as-of-with-staleness-tolerance operator
+  // (j12_asof_tolerance), so the oracle is that query's correlated
+  // subquery with the same bound. All real data still arrives in the
+  // first micro-batch (watermark 0 admits everything), so the gate
+  // result is deterministic; the horizon only bounds which matches
+  // COUNT, not which rows are seen.
+  private val BoundedHorizonSec = 1800L
+  def j5AsofBoundedStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("click_value"))
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val inP = sharedEventsStage(s, dir); val inC = fresh("j5b_c")
+    val out = fresh("j5b_out"); val ck = fresh("j5b_ck")
+    clicks.write.mode("overwrite").parquet(inC)
+    val pStream = s.readStream.schema(eventsStageSchema(s, dir)).parquet(inP)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val cStream = s.readStream.schema(clicks.schema).parquet(inC)
+    val q = EventStream.asofEnrich(
+      pStream, "ts", "user_id",
+      cStream, "c_ts", "c_user",
+      Seq("click_value"),
+      horizon = s"$BoundedHorizonSec seconds", lateness = "0 seconds",
+      windowLen = "1 day")
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      drain(q)
+      (1 to 2).foreach { i =>
+        // sentinels must clear the last real 1-day window END plus
+        // the (zero) lateness: maxUs + 2 days + i hours does
+        val us = maxUs + (2L * 86400L + i * 3600L) * 1000000L
+        stageSentinel(s, us, "purchase")
+          .coalesce(1).write.mode("append").parquet(inP)
+        Seq((-2L, microsTs(us), 0.0))
+          .toDF("c_user", "c_ts", "click_value")
+          .coalesce(1).write.mode("append").parquet(inC)
+        drain(q)
+      }
+    } finally q.stop()
+    s.read.parquet(out)
+      .filter(col("user_id") >= 0L)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"), col("click_value"))
+  }
+  val j5bSql: String =
+    s"""WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id, ts, max(value) AS click_value FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+       |SELECT p.user_id, p.ts, p.event_id, p.value,
+       |  (SELECT c.click_value FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+       |     AND epoch_us(p.ts) - epoch_us(c.ts) <= ${BoundedHorizonSec * 1000000L}
+       |   ORDER BY c.ts DESC LIMIT 1) AS click_value
+       |FROM p""".stripMargin
+
   // ---- W3s: native streaming sessionization ------------------------------
   // [[EventStream.sessionStats]] (session_window + watermark), same
   // oracle as the batch w3_session_window (the SQL gaps-and-islands
@@ -423,6 +491,7 @@ object StreamQueries {
     "w3_session_stream" -> (w3SessionStream _),
     "w5_funnel_stream" -> (w5FunnelStream _),
     "j5_asof_stream" -> (j5AsofStream _),
+    "j5_asof_bounded_stream" -> (j5AsofBoundedStream _),
     "a19_drift_stream" -> (a19DriftStream _),
     "e5_quality_stream" -> (e5QualityStream _),
     "w9_dedup_stream" -> (w9DedupStream _))
@@ -445,6 +514,7 @@ object StreamQueries {
     "w3_session_stream" -> ParityQueries.w3Sql,
     "w5_funnel_stream" -> ParityQueries.w5Sql,
     "j5_asof_stream" -> ParityQueries.j5Sql,
+    "j5_asof_bounded_stream" -> j5bSql,
     "a19_drift_stream" -> a19sSql,
     "e5_quality_stream" -> ExtQueries.e5oSql,
     "w9_dedup_stream" -> w9sSql)

@@ -392,6 +392,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, s"forced-split streaming dedup $got vs batch $expected")
   }
 
+  test("asofEnrich bounded horizon: a stale match degrades to null (tolerance semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    // u1's only click is 45 min before the purchase — within an
+    // unbounded as-of's reach but OUTSIDE the 30-min horizon, so the
+    // bounded operator must emit the purchase with a NULL click
+    // (exactly the batch j12 tolerance rule, which is why
+    // j5_asof_bounded_stream can use that oracle construction)
+    val pIn = MemoryStream[(Timestamp, String, Long)]
+    val cIn = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStream.asofEnrich(
+      pIn.toDF().toDF("p_ts", "p_user", "p_id"), "p_ts", "p_user",
+      cIn.toDF().toDF("c_ts", "c_user", "c_value"), "c_ts", "c_user",
+      Seq("c_value"), horizon = "30 minutes", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("asof_bounded_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      cIn.addData((ts("09:30"), "u1", 7.0), (ts("10:50"), "u2", 9.0))
+      pIn.addData(
+        (ts("10:15"), "u1", 201L), // click 45 min old -> stale -> null
+        (ts("11:00"), "u2", 202L)) // click 10 min old -> fresh -> 9.0
+      q.processAllAvailable()
+      pIn.addData((ts("14:00"), "w", -1L))
+      cIn.addData((ts("14:00"), "w", -1.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_bounded_out")
+        .filter($"p_id" =!= -1L)
+        .select("p_id", "c_value").as[(Long, Option[Double])].collect().toSet
+      assert(got == Set((201L, None), (202L, Some(9.0))), got.toString)
+    } finally q.stop()
+  }
+
   test("CorpusStream.admitBatch: near-dup admission across batches; replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus_stream")

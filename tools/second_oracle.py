@@ -208,7 +208,8 @@ def s16_stats_collect(sf):
         "o_totalprice": [int(math.floor(float(v) * 100))
                          for v in o["o_totalprice"] if pd.notna(v)],
         "o_orderdate": [int(v) for v in
-                        o["o_orderdate"].astype("datetime64[us]").astype("int64")],
+                        o["o_orderdate"][o["o_orderdate"].notna()]
+                        .astype("datetime64[us]").astype("int64")],
         "o_orderpriority": [s for s in o["o_orderpriority"] if pd.notna(s)],
     }
     n_rows = len(o)
@@ -218,6 +219,143 @@ def s16_stats_collect(sf):
         for name, vals in reprs.items()]
     return pd.DataFrame(rows, columns=[
         "col_name", "n_rows", "n_nulls", "ndv", "min_repr", "max_repr"])
+
+
+def _dot(a, b):
+    # the engine's FloatDotProduct: sequential index-order fold of
+    # float32->double products -- IEEE-reproducible in pure Python
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def e3_kcenter(sf, k=6):
+    # Gonzalez farthest-point-first replay: same seed (lowest id),
+    # same 1 - dot/(sqrt*sqrt) distance expression, same running-min
+    # fold, same (dist desc, id asc) argmax -- no SQL engine involved
+    import math
+    e = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    e = e[e["embedding"].notna()].sort_values("vec_id")
+    ids = [int(v) for v in e["vec_id"]]
+    emb = {int(v): list(a) for v, a in zip(e["vec_id"], e["embedding"])}
+    n2 = {i: _dot(emb[i], emb[i]) for i in ids}
+    seed = min(ids)
+    selected = [(1, seed, 0.0)]
+    chosen = {seed}
+    md = {}
+    for order in range(2, k + 1):
+        c = selected[-1][1]
+        cn2 = n2[c]
+        for i in ids:
+            d = 1.0 - _dot(emb[i], emb[c]) / (math.sqrt(n2[i]) * math.sqrt(cn2))
+            md[i] = d if i not in md else min(md[i], d)
+        cand = [(md[i], i) for i in ids if i not in chosen]
+        best = max(cand, key=lambda t: (t[0], -t[1]))
+        selected.append((order, best[1], best[0]))
+        chosen.add(best[1])
+    return pd.DataFrame(
+        selected, columns=["sel_order", "vec_id", "dist_at_selection"])
+
+
+def _mutual_knn_edges(sf, n_bits=6, k=3):
+    # sign-bit bucketed directed top-k, then reciprocal-pair edges
+    import math
+    e = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    e = e[e["embedding"].notna()]
+    emb = {int(v): list(a) for v, a in zip(e["vec_id"], e["embedding"])}
+    n2 = {i: _dot(v, v) for i, v in emb.items()}
+    buckets = {}
+    for i, v in emb.items():
+        key = "".join("1" if float(v[j]) >= 0 else "0" for j in range(n_bits))
+        buckets.setdefault(key, []).append(i)
+    directed = {}
+    for members in buckets.values():
+        for q in members:
+            scored = [
+                (_dot(emb[q], emb[c]) / (math.sqrt(n2[q]) * math.sqrt(n2[c])), c)
+                for c in members if c != q]
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            for cos, c in scored[:k]:
+                directed[(q, c)] = cos
+    edges = {}
+    for (q, c), cos in directed.items():
+        key = (min(q, c), max(q, c))
+        n, mx = edges.get(key, (0, None))
+        edges[key] = (n + 1, cos if mx is None else max(mx, cos))
+    return (sorted(emb), {k_: mx for k_, (n, mx) in edges.items() if n == 2})
+
+
+def e2_knn_communities(sf, iters=3):
+    # weighted synchronous label propagation with DECIMAL(28,10)
+    # edge-weight sums (order-free argmax), replayed edge by edge
+    ids, edges = _mutual_knn_edges(sf)
+    und = []
+    for (a, b), cos in edges.items():
+        w = dec10(cos)
+        und.append((a, b, w))
+        und.append((b, a, w))
+    label = {i: i for i in ids}
+    for _ in range(iters):
+        ws = {}
+        for src, dst, w in und:
+            key = (src, label[dst])
+            ws[key] = ws.get(key, Decimal(0)) + w
+        best = {}
+        for (src, lab), s in ws.items():
+            cur = best.get(src)
+            if cur is None or (s, -lab) > (cur[0], -cur[1]):
+                best[src] = (s, lab)
+        label = {i: (best[i][1] if i in best else i) for i in ids}
+    sizes = {}
+    for lab in label.values():
+        sizes[lab] = sizes.get(lab, 0) + 1
+    return pd.DataFrame(
+        [(i, label[i], sizes[label[i]]) for i in ids],
+        columns=["vec_id", "community", "community_size"])
+
+
+def e5_backoff_score(sf):
+    # trigram stupid backoff (Brants 2007): integer count tables from
+    # the train slice, the identical CASE chain of IEEE divisions and
+    # 0.4 multiplications, and DECIMAL(28,10)-summed per-doc means
+    import re
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    toks = {int(i): re.split(r"\s+", str(t).strip())
+            for i, t in zip(d["doc_id"], d["text"])}
+    c1, c2, c3, t_total = {}, {}, {}, 0
+    for i, tk in toks.items():
+        if i % 10 == 0:
+            continue  # held out
+        t_total += len(tk)
+        for w in tk:
+            c1[w] = c1.get(w, 0) + 1
+        for a, b in zip(tk, tk[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+        for a, b, c in zip(tk, tk[1:], tk[2:]):
+            c3[(a, b, c)] = c3.get((a, b, c), 0) + 1
+    rows = []
+    for i, tk in toks.items():
+        if i % 10 != 0:
+            continue
+        n_occ = {}
+        for g in zip(tk, tk[1:], tk[2:]):
+            n_occ[g] = n_occ.get(g, 0) + 1
+        if not n_occ:
+            continue
+        n_tri = 0
+        sdec = Decimal(0)
+        for (w1, w2, w3), n in n_occ.items():
+            if c3.get((w1, w2, w3), 0) > 0:
+                s = float(c3[(w1, w2, w3)]) / float(c2[(w1, w2)])
+            elif c2.get((w2, w3), 0) > 0:
+                s = 0.4 * (float(c2[(w2, w3)]) / float(c1[w2]))
+            else:
+                s = 0.4 * (0.4 * (float(c1.get(w3, 0)) / float(t_total)))
+            n_tri += n
+            sdec += dec10(float(n) * s)
+        rows.append((i, n_tri, float(sdec) / float(n_tri)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_trigrams", "mean_s"])
 
 
 QUERIES = {
@@ -232,6 +370,9 @@ QUERIES = {
     "e5_vocab_coverage": e5_vocab_coverage,
     "e7_epoch_shuffle": e7_epoch_shuffle,
     "s16_stats_collect": s16_stats_collect,
+    "e3_kcenter": e3_kcenter,
+    "e2_knn_communities": e2_knn_communities,
+    "e5_backoff_score": e5_backoff_score,
 }
 
 

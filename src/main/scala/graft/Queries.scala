@@ -2173,16 +2173,22 @@ object ParityQueries {
   // round-trip corruption (row loss, hash-vs-range mixups) diverges
   // the hash; cents-integer sums keep the aggregate portable.
   def s18BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val tag = math.abs(dir.hashCode).toString
+    // PID-qualified like Sink.scratchDir: two concurrent runners over
+    // the same sf dir (Bench + Verify) share spark.sql.warehouse.dir,
+    // and a dir-hash-only tag would let them drop/delete each other's
+    // table directories mid-query
+    val tag = s"${math.abs(dir.hashCode)}_${ProcessHandle.current.pid}"
     val lt = s"li_bkt_$tag"
     val ot = s"ord_bkt_$tag"
     // a fresh JVM's in-memory catalog has forgotten these managed
     // tables, but their warehouse directories survive the process —
-    // reclaim the locations or CREATE fails (LOCATION_ALREADY_EXISTS)
+    // reclaim the locations or CREATE fails (LOCATION_ALREADY_EXISTS);
+    // registering cleanup also reclaims the disk at JVM exit
     val wh = s.conf.get("spark.sql.warehouse.dir")
     Seq(lt, ot).foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $t")
       Sink.clearLocalPath(s"$wh/$t")
+      Sink.cleanupAtExit(s"$wh/$t")
     }
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_extendedprice"))

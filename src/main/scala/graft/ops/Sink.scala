@@ -177,4 +177,16 @@ object Sink {
     */
   def clearLocalPath(path: String): Unit =
     deleteRecursively(new java.io.File(path.stripPrefix("file:")))
+
+  /** Register a local path for recursive deletion at JVM exit — the
+    * [[scratchDir]] shutdown-hook mechanism for paths whose location
+    * is dictated by something else (e.g. a managed table's warehouse
+    * directory). Idempotent per path.
+    */
+  def cleanupAtExit(path: String): Unit = {
+    val p = path.stripPrefix("file:")
+    if (scratchRegistered.putIfAbsent(p, java.lang.Boolean.TRUE) == null)
+      sys.addShutdownHook(deleteRecursively(new java.io.File(p)))
+    ()
+  }
 }

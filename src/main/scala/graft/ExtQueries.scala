@@ -1124,6 +1124,25 @@ object ExtQueries {
     AnnIndex.probeIvf(emb.filter(col("vec_id") < AnnQueries), ix, AnnK)
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
   }
+  // ---- E3c: saved-index compaction (the maintenance op) --------------------
+  // Each append leaves one small file per touched cell directory; the
+  // compaction rewrites the posting lists clustered one-file-per-cell
+  // and swaps the directory in ([[AnnIndex.compactIvf]] — the s12
+  // recipe applied to the index artifact). Run on the SAME
+  // base+append lineage as e3_ivf_incremental and probed after the
+  // swap, so the shared oracle certifies compaction changed nothing:
+  // any row lost, duplicated, or re-celled by the rewrite diverges
+  // the hash.
+  def e3IvfCompacted(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val ix = annScratch("ivfcomp")
+    AnnIndex.writeIvf(emb.filter(col("vec_id") % 7 =!= 3), KmK, KmIters, ix)
+    AnnIndex.appendIvf(emb.filter(col("vec_id") % 7 === 3), ix)
+    AnnIndex.compactIvf(s, ix)
+    AnnIndex.probeIvf(emb.filter(col("vec_id") < AnnQueries), ix, AnnK)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+
   // ---- E3o/E3q: incremental SQ8 / PQ ingestion over saved indexes ----------
   // Same base/delta split and same claim as e3_ivf_incremental:
   // quantization (SQ8) and codebook assignment (PQ) are per-vector
@@ -3406,6 +3425,7 @@ object ExtQueries {
     "e3_sq8_saved" -> (e3Sq8Saved _),
     "e3_pq_saved" -> (e3PqSaved _),
     "e3_ivf_incremental" -> (e3IvfIncremental _),
+    "e3_ivf_compacted" -> (e3IvfCompacted _),
     "e1_span_maximal" -> (e1SpanMaximal _),
     "e5_lid_saved" -> (e5LidSaved _),
     "e3_sq8_incremental" -> (e3Sq8Incremental _),
@@ -3513,6 +3533,8 @@ object ExtQueries {
     "e3_sq8_saved" -> e3hSql,
     "e3_pq_saved" -> e3kSql,
     "e3_ivf_incremental" -> e3nSql,
+    // compaction must be invisible to results — same lineage, same oracle
+    "e3_ivf_compacted" -> e3nSql,
     "e1_span_maximal" -> e1eSql,
     "e5_lid_saved" -> e5rSql,
     "e3_sq8_incremental" -> e3oSql,

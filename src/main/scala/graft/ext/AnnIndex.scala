@@ -89,6 +89,43 @@ object AnnIndex {
       .withColumn("rk", col("rk").cast("long"))
   }
 
+  /** Compact the IVF posting lists after a run of appends: every
+    * [[appendIvf]] adds one small file per touched cell directory —
+    * the s12 small-file accumulation applied to the index artifact.
+    * Rewrites the cells table clustered on cid (hash repartition on
+    * the cell id → exactly one file per cell) into a sibling
+    * directory, then swaps it in. Row content is unchanged by
+    * construction, so probe results are identical — the law ExtSpec
+    * asserts alongside the file-count drop. The local-fs rename here
+    * is the single-process analogue of what a 100 TB deployment does
+    * with a metastore/table-format pointer flip (rewrite-then-swap,
+    * never in-place).
+    */
+  def compactIvf(spark: SparkSession, indexDir: String): Unit = {
+    val tmp = s"$indexDir/cells_compacting"
+    spark.read.parquet(s"$indexDir/cells")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    swapIn(indexDir, "cells", tmp)
+  }
+
+  /** Compact a flat codes table (SQ8/PQ) to `targetFiles` files —
+    * same rewrite-then-swap recipe, no partition clustering needed.
+    */
+  def compactCodes(spark: SparkSession, indexDir: String, targetFiles: Int = 4): Unit = {
+    val tmp = s"$indexDir/codes_compacting"
+    spark.read.parquet(s"$indexDir/codes").coalesce(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    swapIn(indexDir, "codes", tmp)
+  }
+
+  private def swapIn(indexDir: String, name: String, tmp: String): Unit = {
+    graft.ops.Sink.clearLocalPath(s"$indexDir/$name")
+    val ok = new java.io.File(tmp.stripPrefix("file:"))
+      .renameTo(new java.io.File(s"$indexDir/$name".stripPrefix("file:")))
+    require(ok, s"compaction swap failed for $indexDir/$name")
+  }
+
   private def readCentroids(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/centroids")
       .select(col("cid").as("vec_id"), col("embedding"))

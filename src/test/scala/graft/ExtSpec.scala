@@ -150,6 +150,46 @@ class ExtSpec extends SparkSpec {
     assert(viaIndex.map(_._1).size == emb.count())
   }
 
+  test("AnnIndex compaction law: probe results unchanged, file count drops") {
+    import graft.ext.AnnIndex
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val c = Option(f.listFiles).map(_.toSeq).getOrElse(Nil)
+        c.filter(_.isFile) ++ c.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ix = graft.ops.Sink.scratchDir("ext_ivf_comp")
+    AnnIndex.writeIvf(emb.filter(col("vec_id") % 7 =!= 3), 8, 2, ix)
+    // several small appends — each adds a file per touched cell
+    (0 until 3).foreach { r =>
+      AnnIndex.appendIvf(emb.filter(col("vec_id") % 7 === 3 && col("vec_id") % 3 === r), ix)
+    }
+    val before = AnnIndex.probeIvf(emb.filter(col("vec_id") < 8), ix, 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val filesBefore = parquetFiles(s"$ix/cells")
+    AnnIndex.compactIvf(spark, ix)
+    val after = AnnIndex.probeIvf(emb.filter(col("vec_id") < 8), ix, 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(after == before)
+    assert(before.nonEmpty)
+    val filesAfter = parquetFiles(s"$ix/cells")
+    assert(filesAfter < filesBefore, s"$filesAfter vs $filesBefore")
+
+    // flat codes table (SQ8): same law through compactCodes
+    val sq8Ix = graft.ops.Sink.scratchDir("ext_sq8_comp")
+    AnnIndex.writeSq8(emb.filter(col("vec_id") % 7 =!= 3), sq8Ix)
+    AnnIndex.appendSq8(emb.filter(col("vec_id") % 7 === 3), sq8Ix)
+    val b2 = AnnIndex.probeSq8(emb.filter(col("vec_id") < 8), sq8Ix, 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    AnnIndex.compactCodes(spark, sq8Ix, targetFiles = 2)
+    val a2 = AnnIndex.probeSq8(emb.filter(col("vec_id") < 8), sq8Ix, 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(a2 == b2)
+    assert(parquetFiles(s"$sq8Ix/codes") <= 2)
+  }
+
   test("AnnIndex incremental laws: appendSq8/appendPq equal full re-encode on the saved model") {
     import graft.ext.{AnnIndex, Similarity}
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -192,6 +192,21 @@ object ExtQueries {
     MinHash.probeBandsIncremental(s, ix, col("doc_id") % 10 === 0)
   }
 
+  // ---- E2sc: band-index compaction (the maintenance op) --------------------
+  // [[MinHash.compactBands]] on the SAME base+append lineage as
+  // e2_neardup_ingest, probed after the swap with the shared oracle —
+  // the e3_ivf_compacted claim for the E2 artifact: any band row
+  // lost, duplicated, or re-partitioned by the rewrite diverges the
+  // hash.
+  def e2BandsCompacted(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ix = annScratch("bandscomp")
+    MinHash.writeBands(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", ix)
+    MinHash.appendBands(docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", ix)
+    MinHash.compactBands(s, ix)
+    MinHash.probeBandsIncremental(s, ix, col("doc_id") % 10 === 0)
+  }
+
   // ---- E2m: empirical banding S-curve --------------------------------------
   // Per true-Jaccard decile, the fraction of pairs the banding
   // catches — the measured 1−(1−j^r)^b ([[MinHash.lshScurve]] for the
@@ -3344,6 +3359,7 @@ object ExtQueries {
     "e2_incremental" -> (e2Incremental _),
     "e2_neardup_saved" -> (e2NeardupSaved _),
     "e2_neardup_ingest" -> (e2NeardupIngest _),
+    "e2_bands_compacted" -> (e2BandsCompacted _),
     "e2_ngram_jaccard" -> (e2NgramJaccard _),
     "e2_simhash_pairs" -> (e2SimhashPairs _),
     "e2_dedup_clusters" -> (e2DedupClusters _),
@@ -3450,6 +3466,7 @@ object ExtQueries {
     // in-query operators' oracles verbatim — the equality IS the claim
     "e2_neardup_saved" -> e2Sql,
     "e2_neardup_ingest" -> e2iSql,
+    "e2_bands_compacted" -> e2iSql,
     "e2_ngram_jaccard" -> e2bSql,
     "e2_simhash_pairs" -> e2dSql,
     "e2_dedup_clusters" -> e2eSql,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.ext.{QualityModel, TextOps}
-import graft.ops.Sink
+import graft.ops.{Aggregates, Sink}
 import graft.streaming.{CorpusStream, EventStream}
 
 /** Driver-visible (oracle-paired) queries that execute through the
@@ -418,6 +418,50 @@ object StreamQueries {
     s.read.parquet(out).select(col("doc_id"), col("label_seed"), col("label_pred"))
   }
 
+  // ---- E8s: streaming Bloom-gated decontamination ------------------------
+  // Train-offline / score-online for corpus hygiene: the benchmark
+  // Bloom mask and distinct-shingle frame are built ONCE batch-side
+  // ([[graft.ext.CorpusPipeline.buildBenchmarkBloom]] — the 8 KiB
+  // mask is a broadcast literal, the shingle frame staged to parquet
+  // so no per-batch rebuild), then each documents micro-batch is
+  // prefiltered + exact-verified inside foreachBatch
+  // ([[graft.ext.CorpusPipeline.bloomDecontaminatedWith]]). A doc's
+  // verdict depends only on its own text and the fixed benchmark
+  // artifacts, so the result is batch-split-invariant by
+  // construction (law-tested under maxFilesPerTrigger=1) and the
+  // query reuses the batch e8_bloom_prefilter oracle verbatim. No
+  // watermark, no sentinels: wholly stateless per batch.
+  def e8DecontamStream(s: SparkSession, dir: String): DataFrame =
+    e8DecontamStreamImpl(s, dir, forcedSplit = false)
+
+  private[graft] def e8DecontamStreamImpl(
+      s: SparkSession, dir: String, forcedSplit: Boolean): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val benchmark = docs.filter(col("doc_id") % 20 === 0)
+    val (benchSh, mask) = graft.ext.CorpusPipeline.buildBenchmarkBloom(benchmark, "text")
+    val benchDir = fresh("e8s_bench"); val in = fresh("e8s_in")
+    val out = fresh("e8s_out"); val ck = fresh("e8s_ck")
+    benchSh.write.mode("overwrite").parquet(benchDir)
+    (if (forcedSplit) corpus.repartition(8) else corpus)
+      .write.mode("overwrite").parquet(in)
+    val reader = s.readStream.schema(corpus.schema)
+    val stream = (if (forcedSplit) reader.option("maxFilesPerTrigger", 1) else reader)
+      .parquet(in)
+    val q = stream.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val clean = graft.ext.CorpusPipeline.bloomDecontaminatedWith(
+          b.toDF(), "doc_id", "text", b.sparkSession.read.parquet(benchDir), mask)
+        EventStream.writeBatchIdempotent(
+          clean.select(col("doc_id"), col("source"), col("n_chars")), id, out)
+      }
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try drain(q) finally q.stop()
+    s.read.parquet(out).select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   // ---- W9s: streaming exact dedup ----------------------------------------
   // [[EventStream.streamingDedup]] (`dropDuplicatesWithinWatermark`)
   // under the gate: the staged source is the events table UNION a
@@ -486,6 +530,167 @@ object StreamQueries {
       |  SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---- A23s: streaming Count-Min Sketch ----------------------------------
+  // [[EventStream.cmsWindowSketch]] under the gate: the stream lands
+  // per-6-hour-window CMS counter grids; the query then SUMS the
+  // landed grids into the global sketch (counters merge by addition)
+  // and probes it for the top-20 heavy users exactly as the batch
+  // a23 does ([[Aggregates.cmsProbe]]). depth=4 × width=32 over the
+  // ~150-user fixture forces real collisions, so the CMS bound
+  // (cms_n ≥ true_n) is visible and the oracle replays the same md5
+  // bucket math bit-exactly. Determinism under micro-batch splits:
+  // lateness covers the full event-time span (+1 day), so no row is
+  // ever late and no window closes before the sentinel rounds — the
+  // result is invariant to how the file source batches (the
+  // forced-multi-batch law in StreamingSpec asserts equality with
+  // the batch operator under maxFilesPerTrigger=1). Sentinels
+  // ("noop", user −1) do enter far-future windows; the win_start ≤
+  // max(ts) bound excludes them before the merge.
+  private val CmsStreamDepth = 4
+  private val CmsStreamWidth = 32
+  private val CmsStreamTopK = 20
+  def a23CmsStream(s: SparkSession, dir: String): DataFrame =
+    a23CmsStreamImpl(s, dir, forcedSplit = false)
+
+  private[graft] def a23CmsStreamImpl(
+      s: SparkSession, dir: String, forcedSplit: Boolean): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val span = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx")).head()
+    val (minUs, maxUs) = (span.getLong(0), span.getLong(1))
+    val latenessSec = (maxUs - minUs) / 1000000L + 86400L
+    val in =
+      if (forcedSplit) {
+        val p = fresh("a23s_in")
+        ev.select(eventCols.map(col): _*).repartition(8)
+          .write.mode("overwrite").parquet(p)
+        p
+      } else sharedEventsStage(s, dir)
+    val out = fresh("a23s_out"); val ck = fresh("a23s_ck")
+    val reader = s.readStream.schema(eventsStageSchema(s, dir))
+    val stream = (if (forcedSplit) reader.option("maxFilesPerTrigger", 1) else reader)
+      .parquet(in)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("ts"), col("user_id"))
+    val q = EventStream.cmsWindowSketch(stream, "user_id",
+      CmsStreamDepth, CmsStreamWidth,
+      lateness = s"$latenessSec seconds", windowLen = "6 hours")
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      drain(q)
+      (1 to 3).foreach { i =>
+        advance(q,
+          stageSentinel(s, maxUs + (latenessSec + i * 21600L) * 1000000L, "noop"), in)
+      }
+    } finally q.stop()
+    val sketch = s.read.parquet(out)
+      .filter(col("win_start") <= timestamp_micros(lit(maxUs)))
+      .groupBy(col("h"), col("b"))
+      .agg(sum(col("c")).as("c"))
+    Aggregates.cmsProbe(ev, "user_id", sketch,
+      CmsStreamDepth, CmsStreamWidth, CmsStreamTopK)
+  }
+  val a23sSql: String = {
+    def md5i(e: String) = s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+    val d = CmsStreamDepth; val w = CmsStreamWidth; val k = CmsStreamTopK
+    s"""WITH src AS (SELECT user_id FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       |hs AS (SELECT user_id, i,
+       |    ${md5i("'cms' || CAST(i AS VARCHAR) || '_' || CAST(user_id AS VARCHAR)")} % $w AS b
+       |  FROM src CROSS JOIN (SELECT unnest(range($d)) AS i)),
+       |sk AS (SELECT i AS h, b, count(*) AS c FROM hs GROUP BY 1, 2),
+       |top AS (SELECT user_id, true_n FROM (
+       |  SELECT user_id, count(*) AS true_n,
+       |    row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
+       |  FROM src GROUP BY user_id) t WHERE rk <= $k),
+       |pr AS (SELECT t.user_id, t.true_n, i AS h,
+       |    ${md5i("'cms' || CAST(i AS VARCHAR) || '_' || CAST(t.user_id AS VARCHAR)")} % $w AS b
+       |  FROM top t CROSS JOIN (SELECT unnest(range($d)) AS i))
+       |SELECT pr.user_id, pr.true_n, CAST(min(sk.c) AS BIGINT) AS cms_n
+       |FROM pr JOIN sk USING (h, b)
+       |GROUP BY pr.user_id, pr.true_n""".stripMargin
+  }
+
+  // ---- A24s: streaming CUSUM drift ---------------------------------------
+  // [[EventStream.dailyCents]] under the gate: the stream maintains
+  // the watermarked 1-day purchase-revenue pre-aggregate (the only
+  // state a streaming CUSUM needs — open day windows); the
+  // sequential CUSUM scan ([[Aggregates.cusumFinish]]) then runs
+  // over the LANDED daily series — one row per calendar day, so its
+  // cost never grows with stream rate. Same closed-form
+  // integer-cents math as batch a24, here over the events table's
+  // purchase stream. The in-stream filter precedes the watermark, so
+  // sentinels are far-future "purchase" rows (value 0.0, user −1);
+  // their days start strictly after max(ts) and the day ≤ max(ts)
+  // bound drops them before the scan. Full-span lateness makes the
+  // landed series invariant to micro-batch splits (law-tested under
+  // maxFilesPerTrigger=1).
+  def a24CusumStream(s: SparkSession, dir: String): DataFrame =
+    a24CusumStreamImpl(s, dir, forcedSplit = false)
+
+  private[graft] def a24CusumStreamImpl(
+      s: SparkSession, dir: String, forcedSplit: Boolean): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" &&
+        col("value").isNotNull && col("ts").isNotNull)
+    val span = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx")).head()
+    val (minUs, maxUs) = (span.getLong(0), span.getLong(1))
+    val latenessSec = (maxUs - minUs) / 1000000L + 86400L
+    val in =
+      if (forcedSplit) {
+        val p = fresh("a24s_in")
+        Tables.events(s, dir).select(eventCols.map(col): _*).repartition(8)
+          .write.mode("overwrite").parquet(p)
+        p
+      } else sharedEventsStage(s, dir)
+    val out = fresh("a24s_out"); val ck = fresh("a24s_ck")
+    val reader = s.readStream.schema(eventsStageSchema(s, dir))
+    val stream = (if (forcedSplit) reader.option("maxFilesPerTrigger", 1) else reader)
+      .parquet(in)
+      .filter(col("event_type") === "purchase" &&
+        col("value").isNotNull && col("ts").isNotNull)
+      .select(col("ts"), col("value"))
+    val q = EventStream.dailyCents(stream, "value", lateness = s"$latenessSec seconds")
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      drain(q)
+      (1 to 3).foreach { i =>
+        advance(q,
+          stageSentinel(s, maxUs + (latenessSec + i * 86400L) * 1000000L, "purchase"), in)
+      }
+    } finally q.stop()
+    val daily = s.read.parquet(out)
+      .filter(col("day") <= timestamp_micros(lit(maxUs)))
+      .select(col("day"), col("r"))
+    Aggregates.cusumFinish(daily)
+  }
+  val a24sSql: String =
+    """WITH d AS (SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+      |    SUM(CAST(round(value * 100) AS BIGINT)) AS r
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND value IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1),
+      |t AS (SELECT count(*) AS n, SUM(r) AS t FROM d),
+      |z AS (SELECT day, r * n - t.t AS z, t.t FROM d CROSS JOIN t),
+      |c AS (SELECT day, t,
+      |    SUM(z) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      |  FROM z),
+      |s AS (SELECT day, t,
+      |    cs - MIN(cs) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cents
+      |  FROM c)
+      |SELECT day, CAST(s_cents AS BIGINT) AS s_cents, s_cents * 2 > t AS drift FROM s""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_window_stream" -> (w1WindowStream _),
     "w3_session_stream" -> (w3SessionStream _),
@@ -493,7 +698,10 @@ object StreamQueries {
     "j5_asof_stream" -> (j5AsofStream _),
     "j5_asof_bounded_stream" -> (j5AsofBoundedStream _),
     "a19_drift_stream" -> (a19DriftStream _),
+    "a23_cms_stream" -> (a23CmsStream _),
+    "a24_cusum_stream" -> (a24CusumStream _),
     "e5_quality_stream" -> (e5QualityStream _),
+    "e8_decontam_stream" -> (e8DecontamStream _),
     "w9_dedup_stream" -> (w9DedupStream _))
 
   /** The 6-hour drift histogram, aggregated directly in SQL (both
@@ -516,6 +724,9 @@ object StreamQueries {
     "j5_asof_stream" -> ParityQueries.j5Sql,
     "j5_asof_bounded_stream" -> j5bSql,
     "a19_drift_stream" -> a19sSql,
+    "a23_cms_stream" -> a23sSql,
+    "a24_cusum_stream" -> a24sSql,
     "e5_quality_stream" -> ExtQueries.e5oSql,
+    "e8_decontam_stream" -> ExtQueries.e8bSql,
     "w9_dedup_stream" -> w9sSql)
 }

@@ -119,7 +119,7 @@ object AnnIndex {
     swapIn(indexDir, "codes", tmp)
   }
 
-  private def swapIn(indexDir: String, name: String, tmp: String): Unit = {
+  private[ext] def swapIn(indexDir: String, name: String, tmp: String): Unit = {
     graft.ops.Sink.clearLocalPath(s"$indexDir/$name")
     val ok = new java.io.File(tmp.stripPrefix("file:"))
       .renameTo(new java.io.File(s"$indexDir/$name".stripPrefix("file:")))

@@ -94,30 +94,77 @@ object CorpusPipeline {
       minOverlap: Int = 5,
       bits: Int = 1 << 16,
       hashes: Int = 4): DataFrame = {
+    val (benchSh, mask) =
+      buildBenchmarkBloom(benchmark, textCol, shingleLen, bits, hashes)
+    bloomDecontaminatedWith(docs, idCol, textCol, benchSh, mask,
+      shingleLen, minOverlap, bits, hashes)
+  }
+
+  private def bloomShingles(df: DataFrame, textCol: String, shingleLen: Int) =
+    array_distinct(MinHash.shingleHashesFromTokens(
+      TextOps.tokens(df(textCol)), shingleLen))
+
+  private def bloomPos(i: Int, sh: org.apache.spark.sql.Column, bits: Int) =
+    TextOps.md5Int32(concat(lit(s"bl${i}_"), sh.cast("string"))) % bits
+
+  /** The build half of [[bloomDecontaminated]], exposed so a
+    * STREAMING scorer can construct the benchmark artifacts ONCE and
+    * apply them per micro-batch (train-offline / score-online — the
+    * e5 quality-model shape): the distinct benchmark shingle frame
+    * (for the exact verify join) and the `bits`-bit mask as a
+    * 1 024-long driver array, built distributed via per-word
+    * `bit_or` and only then collected (bounded by mask size, never
+    * benchmark cardinality).
+    */
+  def buildBenchmarkBloom(
+      benchmark: DataFrame,
+      textCol: String,
+      shingleLen: Int = 3,
+      bits: Int = 1 << 16,
+      hashes: Int = 4): (DataFrame, Array[Long]) = {
     require(bits % 64 == 0, s"bits must be a multiple of 64, got $bits")
-    def shingles(df: DataFrame) =
-      array_distinct(MinHash.shingleHashesFromTokens(
-        TextOps.tokens(df(textCol)), shingleLen))
-    def pos(i: Int, sh: org.apache.spark.sql.Column) =
-      TextOps.md5Int32(concat(lit(s"bl${i}_"), sh.cast("string"))) % bits
     val benchSh = benchmark
-      .select(explode(shingles(benchmark)).as("sh")).distinct()
+      .select(explode(bloomShingles(benchmark, textCol, shingleLen)).as("sh"))
+      .distinct()
     val words = benchSh
-      .select(explode(array((0 until hashes).map(i => pos(i, col("sh"))): _*)).as("p"))
+      .select(explode(array(
+        (0 until hashes).map(i => bloomPos(i, col("sh"), bits)): _*)).as("p"))
       .groupBy((col("p") / 64).cast("long").as("w"))
       .agg(bit_or(call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")))
         .as("m"))
       .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-    val mask = Array.tabulate(bits / 64)(i => words.getOrElse(i, 0L))
+    (benchSh, Array.tabulate(bits / 64)(i => words.getOrElse(i, 0L)))
+  }
+
+  /** The apply half of [[bloomDecontaminated]]: Bloom-prefilter the
+    * doc shingle stream against the broadcast literal mask, exact
+    * verify the survivors against the benchmark shingle frame, drop
+    * docs reaching `minOverlap`. Per-doc independent — each doc's
+    * verdict depends only on its own text and the (fixed) benchmark
+    * artifacts — which is what makes the streaming twin
+    * batch-split-invariant by construction.
+    */
+  def bloomDecontaminatedWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchSh: DataFrame,
+      mask: Array[Long],
+      shingleLen: Int = 3,
+      minOverlap: Int = 5,
+      bits: Int = 1 << 16,
+      hashes: Int = 4): DataFrame = {
+    require(bits % 64 == 0, s"bits must be a multiple of 64, got $bits")
     val maskLit = typedLit(mask.toSeq)
     val pass = (0 until hashes).map { i =>
-      TextOps.let1(pos(i, col("sh"))) { p =>
+      TextOps.let1(bloomPos(i, col("sh"), bits)) { p =>
         element_at(maskLit, ((p / 64) + 1).cast("int"))
           .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int"))) =!= 0
       }
     }.reduce(_ && _)
     val contaminatedIds = docs
-      .select(docs(idCol).as("doc_id"), explode(shingles(docs)).as("sh"))
+      .select(docs(idCol).as("doc_id"),
+        explode(bloomShingles(docs, textCol, shingleLen)).as("sh"))
       .filter(pass)
       .join(benchSh, Seq("sh"))
       .groupBy(col("doc_id"))

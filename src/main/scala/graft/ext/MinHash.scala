@@ -393,6 +393,27 @@ object MinHash {
       .write.mode("append").partitionBy("bidx").parquet(s"$indexDir/bands")
   }
 
+  /** Compact a saved band index after appends ([[AnnIndex.compactIvf]]'s
+    * rewrite-then-swap recipe applied to E2): each [[appendBands]]
+    * leaves one small file per touched `bidx` partition plus a sigs
+    * fragment; the compaction rewrites the band table clustered
+    * one-file-per-band-partition and the flat sigs table to
+    * `targetFiles`, then swaps each directory in. Row content is
+    * unchanged by construction, so probe results are identical — the
+    * law ExtSpec asserts alongside the file-count drop.
+    */
+  def compactBands(spark: SparkSession, indexDir: String, targetFiles: Int = 4): Unit = {
+    val bandsTmp = s"$indexDir/bands_compacting"
+    spark.read.parquet(s"$indexDir/bands")
+      .repartition(col("bidx"))
+      .write.mode("overwrite").partitionBy("bidx").parquet(bandsTmp)
+    AnnIndex.swapIn(indexDir, "bands", bandsTmp)
+    val sigsTmp = s"$indexDir/sigs_compacting"
+    spark.read.parquet(s"$indexDir/sigs").coalesce(targetFiles)
+      .write.mode("overwrite").parquet(sigsTmp)
+    AnnIndex.swapIn(indexDir, "sigs", sigsTmp)
+  }
+
   /** All candidate pairs over the SAVED band table — the same output
     * as [[candidatePairs]], with zero tokenize/shingle/signature work
     * in the plan: both self-join sides are scans of the artifact

@@ -291,19 +291,43 @@ object Aggregates {
       depth: Int,
       width: Int,
       k: Int): DataFrame = {
+    val sketch = df.select(cmsHashRows(key, depth, width).as("p"))
+      .groupBy(col("p.h").as("h"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    cmsProbe(df, key, sketch, depth, width, k)
+  }
+
+  /** The (h, b) hash-row explode shared by the batch sketch build and
+    * the streaming windowed partials ([[graft.streaming.EventStream
+    * .cmsWindowSketch]]) — same md5 bucket math, so per-window
+    * counters summed across windows equal the batch sketch exactly
+    * (CMS counters are plain counts; windowing partitions rows).
+    */
+  private[graft] def cmsHashRows(key: String, depth: Int, width: Int): Column = {
     def bucket(i: Int): Column =
       graft.ext.TextOps.md5Int32(
         concat(lit(s"cms${i}_"), col(key).cast("string"))) % width
-    def hashRows: Column = explode(array(
+    explode(array(
       (0 until depth).map(i => struct(lit(i).as("h"), bucket(i).as("b"))): _*))
-    val sketch = df.select(hashRows.as("p"))
-      .groupBy(col("p.h").as("h"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Probe a built sketch (`h`, `b`, `c`) for the top-k heavy keys of
+    * `df`: broadcast the (depth×width)-row sketch, row-min over each
+    * key's depth counters. Shared by the batch query and the
+    * streaming-merged sketch.
+    */
+  private[graft] def cmsProbe(
+      df: DataFrame,
+      key: String,
+      sketch: DataFrame,
+      depth: Int,
+      width: Int,
+      k: Int): DataFrame = {
     val topTrue = df.groupBy(col(key))
       .agg(count(lit(1)).as("true_n"))
       .orderBy(col("true_n").desc, col(key).asc)
       .limit(k)
-    topTrue.select(col(key), col("true_n"), hashRows.as("p"))
+    topTrue.select(col(key), col("true_n"), cmsHashRows(key, depth, width).as("p"))
       .select(col(key), col("true_n"), col("p.h").as("h"), col("p.b").as("b"))
       .join(broadcast(sketch), Seq("h", "b"))
       .groupBy(col(key), col("true_n"))
@@ -329,10 +353,19 @@ object Aggregates {
     * `drift` flags days where the accumulated positive deviation
     * exceeds half the total (2·S > T), division-free.
     */
-  def cusumDrift(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+  def cusumDrift(df: DataFrame, tsCol: String, valueCol: String): DataFrame =
+    cusumFinish(df.groupBy(date_trunc("DAY", col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("r")))
+
+  /** The CUSUM scan over an already-built daily-cents series
+    * (`day`, `r`) — split from [[cusumDrift]] so the streaming twin
+    * can maintain the daily pre-aggregate incrementally (watermarked
+    * 1-day windows, [[graft.streaming.EventStream.dailyCents]]) and
+    * run only this bounded, calendar-sized scan at query time. The
+    * window passes see one row per day, never the raw table.
+    */
+  private[graft] def cusumFinish(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = df.groupBy(date_trunc("DAY", col(tsCol)).as("day"))
-      .agg(sum(round(col(valueCol) * 100).cast("long")).as("r"))
     val tot = daily.agg(count(lit(1)).as("n"), sum(col("r")).as("t"))
     val w = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -63,6 +63,50 @@ object EventStream {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("bucket"), col("n"))
 
+  /** Windowed Count-Min Sketch partials — the streaming form of the
+    * batch `a23_cms_frequency` sketch build. Per event-time window,
+    * the (h, b) counter grid (same md5 bucket math as the batch op,
+    * via [[Aggregates.cmsHashRows]]). CMS counters are plain counts,
+    * so they MERGE by addition: summing the landed per-window grids
+    * over any window range reconstructs that range's exact sketch —
+    * the natural streaming state for a frequency monitor (state per
+    * open window is ≤ depth×width counters, never key cardinality,
+    * and the watermark evicts closed windows).
+    */
+  def cmsWindowSketch(
+      events: DataFrame,
+      key: String,
+      depth: Int,
+      width: Int,
+      lateness: String = "2 hours",
+      windowLen: String = "6 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .select(col("ts"), Aggregates.cmsHashRows(key, depth, width).as("p"))
+      .groupBy(window(col("ts"), windowLen).as("w"),
+        col("p.h").as("h"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("win_start"), col("h"), col("b"), col("c"))
+
+  /** Watermarked daily integer-cents totals — the streaming half of
+    * the batch `a24_cusum_drift` gate: the stream maintains the
+    * 1-day pre-aggregate (state = open windows only); the sequential
+    * CUSUM scan then runs over the landed, calendar-bounded daily
+    * series ([[Aggregates.cusumFinish]]) — one row per day, so the
+    * scan's cost is fixed no matter the stream rate. Cents are
+    * rounded per ROW before summing (2-dp inputs by contract), so
+    * the daily totals are exact longs, bit-equal to the batch agg.
+    */
+  def dailyCents(
+      events: DataFrame,
+      valueCol: String,
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("r"))
+      .select(col("w.start").as("day"), col("r"))
+
   /** Exact epoch micros from a `java.sql.Timestamp`. `getTime` alone
     * truncates to millis — the events fixture carries real
     * sub-millisecond components, so stage timestamps folded through

@@ -188,6 +188,27 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(a2 == b2)
     assert(parquetFiles(s"$sq8Ix/codes") <= 2)
+
+    // E2 band index: same law through MinHash.compactBands
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bIx = graft.ops.Sink.scratchDir("ext_bands_comp")
+    graft.ext.MinHash.writeBands(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", bIx)
+    // several small appends — each adds a file per touched band partition
+    (0 until 3).foreach { r =>
+      graft.ext.MinHash.appendBands(
+        docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 3 === r),
+        "doc_id", "text", bIx)
+    }
+    val b3 = graft.ext.MinHash.probeBands(spark, bIx)
+      .as[(Long, Long, Double)].collect().toSet
+    val bandFilesBefore = parquetFiles(s"$bIx/bands")
+    graft.ext.MinHash.compactBands(spark, bIx, targetFiles = 2)
+    val a3 = graft.ext.MinHash.probeBands(spark, bIx)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a3 == b3)
+    assert(b3.nonEmpty)
+    assert(parquetFiles(s"$bIx/bands") < bandFilesBefore)
+    assert(parquetFiles(s"$bIx/sigs") <= 2)
   }
 
   test("AnnIndex incremental laws: appendSq8/appendPq equal full re-encode on the saved model") {

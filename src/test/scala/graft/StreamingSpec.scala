@@ -392,6 +392,53 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, s"forced-split streaming dedup $got vs batch $expected")
   }
 
+  test("a23 streaming CMS is batch-split-invariant and equals the batch sketch") {
+    // Per-window counter grids summed across windows must reconstruct
+    // the batch sketch EXACTLY (counters are plain counts, windowing
+    // partitions rows) — even when the source is drip-fed one file
+    // per trigger, because full-span lateness admits every row.
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamQueries.a23CmsStreamImpl(spark, dir, forcedSplit = true)
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = graft.ops.Aggregates.cmsHeavyHitters(
+      Tables.events(spark, dir)
+        .filter($"ts".isNotNull && $"user_id".isNotNull),
+      "user_id", 4, 32, 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected, s"forced-split streaming CMS $got vs batch $expected")
+    // the CMS guarantee the sketch exists to provide
+    got.foreach { case (_, trueN, cmsN) => assert(cmsN >= trueN) }
+  }
+
+  test("a24 streaming CUSUM is batch-split-invariant and equals the batch scan") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamQueries.a24CusumStreamImpl(spark, dir, forcedSplit = true)
+      .as[(java.sql.Timestamp, Long, Boolean)].collect().toSet
+    val expected = graft.ops.Aggregates.cusumDrift(
+      Tables.events(spark, dir)
+        .filter($"event_type" === "purchase" && $"value".isNotNull && $"ts".isNotNull),
+      "ts", "value")
+      .as[(java.sql.Timestamp, Long, Boolean)].collect().toSet
+    assert(got == expected, s"forced-split streaming CUSUM $got vs batch $expected")
+  }
+
+  test("e8 streaming decontamination is batch-split-invariant and equals the batch operator") {
+    // per-doc verdicts depend only on the doc's own text + the fixed
+    // benchmark artifacts, so drip-feeding the corpus one file per
+    // trigger must not change the surviving set
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamQueries.e8DecontamStreamImpl(spark, dir, forcedSplit = true)
+      .as[(Long, String, Long)].collect().toSet
+    val docs = Tables.documents(spark, dir)
+    val expected = graft.ext.CorpusPipeline.bloomDecontaminated(
+      docs.filter($"doc_id" % 20 =!= 0), "doc_id", "text",
+      docs.filter($"doc_id" % 20 === 0))
+      .select($"doc_id", $"source", $"n_chars")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("asofEnrich bounded horizon: a stale match degrades to null (tolerance semantics)") {
     implicit val sqlCtx = spark.sqlContext
     // u1's only click is 45 min before the purchase — within an

@@ -358,6 +358,55 @@ def e5_backoff_score(sf):
     return pd.DataFrame(rows, columns=["doc_id", "n_trigrams", "mean_s"])
 
 
+def e3_kmeans(sf, k=8, iters=2):
+    # Lloyd replay (Similarity.kmeans): init = k lowest-id vectors;
+    # assign by cosine argmax (ties -> lowest cid) with the engine's
+    # sequential float32->double dot fold; update = per-dim
+    # DECIMAL(28,10) exact mean, rounded back to float32. No SQL
+    # engine involved -- the DuckDB oracle replays the same unrolled
+    # chain, so this breaks the correlated-structure risk.
+    import math
+    import struct
+    e = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    e = e[e["embedding"].notna()]
+    emb = {int(v): [float(x) for x in a] for v, a in zip(e["vec_id"], e["embedding"])}
+    ids = sorted(emb)
+    n2 = {i: _dot(emb[i], emb[i]) for i in ids}
+
+    def to_f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    def assign(cents):
+        # cents: {cid: (vec, cn2)}; returns {vec_id: (cid, cos)}
+        out = {}
+        for i in ids:
+            best = None
+            for cid in sorted(cents):
+                cv, cn2 = cents[cid]
+                cos = _dot(emb[i], cv) / (math.sqrt(n2[i]) * math.sqrt(cn2))
+                if best is None or (cos, -cid) > (best[1], -best[0]):
+                    best = (cid, cos)
+            out[i] = best
+        return out
+
+    cents = {i: (emb[i], n2[i]) for i in ids if i < k}
+    for _ in range(iters):
+        a = assign(cents)
+        members = {}
+        for i, (cid, _) in a.items():
+            members.setdefault(cid, []).append(i)
+        cents = {}
+        for cid, ms in members.items():
+            dims = len(emb[ms[0]])
+            cv = [to_f32(float(sum(dec10(emb[i][d]) for i in ms)) / len(ms))
+                  for d in range(dims)]
+            cents[cid] = (cv, _dot(cv, cv))
+    a = assign(cents)
+    return pd.DataFrame(
+        [(i, a[i][0], a[i][1]) for i in ids],
+        columns=["vec_id", "cluster", "cent_cos"])
+
+
 QUERIES = {
     "a3_mean": a3_mean,
     "a4_group_mean": a4_group_mean,
@@ -373,6 +422,7 @@ QUERIES = {
     "e3_kcenter": e3_kcenter,
     "e2_knn_communities": e2_knn_communities,
     "e5_backoff_score": e5_backoff_score,
+    "e3_kmeans": e3_kmeans,
 }
 
 

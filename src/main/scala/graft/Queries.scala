@@ -1352,6 +1352,25 @@ object ParityQueries {
        |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  // ---- P9: leak-free leave-one-out target encoding -------------------------
+  // The categorical→numeric feature transform before model fitting
+  // ([[graft.ops.Aggregates.targetEncodeLoo]]): each event's type is
+  // encoded as the mean value of every OTHER event of that type —
+  // (Σ_g − v)/(n_g − 1) — so no row sees its own label. One
+  // category-cardinality aggregation broadcast back over the corpus;
+  // exact decimal numerators, singleton categories dropped.
+  def p9TargetEncode(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Aggregates.targetEncodeLoo(
+      Tables.events(s, dir), "event_id", "event_type", "value")
+  val p9Sql: String =
+    s"""WITH b AS (SELECT event_id, event_type, CAST(value AS $AvgDec) AS vd
+       |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+       |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_g, SUM(vd) AS s_g
+       |  FROM b GROUP BY 1)
+       |SELECT b.event_id, b.event_type,
+       |  CAST(CAST(s_g - vd AS VARCHAR) AS DOUBLE) / (n_g - 1) AS loo_mean
+       |FROM b JOIN g USING (event_type) WHERE n_g > 1""".stripMargin
+
   // ---- A10: correlation via explicit decimal moments ----------------------
   // Native `corr` accumulates co-moments in floats (order-dependent
   // across engines), so this computes Pearson r from DECIMAL sums —
@@ -2348,6 +2367,7 @@ object ParityQueries {
     "p6_drop" -> (p6Drop _),
     "p7_winsorize" -> (p7Winsorize _),
     "p8_profile" -> (p8Profile _),
+    "p9_target_encode" -> (p9TargetEncode _),
     "j1_join_inner" -> (j1Join _),
     "j1_join_3way" -> (j1Join3Way _),
     "j2_left_join" -> (j2LeftJoin _),
@@ -2447,6 +2467,7 @@ object ParityQueries {
     "p6_drop" -> p6Sql,
     "p7_winsorize" -> p7Sql,
     "p8_profile" -> p8Sql,
+    "p9_target_encode" -> p9Sql,
     "j1_join_inner" -> j1Sql,
     "j1_join_3way" -> j1bSql,
     "j2_left_join" -> j2Sql,

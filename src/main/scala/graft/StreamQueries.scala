@@ -184,6 +184,56 @@ object StreamQueries {
         col("t1_us"), col("t2_us"), col("t3_us"), col("stage"))
   }
 
+  // ---- W4s: hopping-window stats -----------------------------------------
+  // [[EventStream.hoppingStats]], same oracle as batch
+  // w4_hopping_window (each event in 4 overlapping 1-hour windows
+  // sliding by 15 minutes). Full-span lateness makes the landed
+  // windows invariant to micro-batch splits (law-tested under
+  // maxFilesPerTrigger=1); a real window's START is never past the
+  // max event time, so `bucket <= max(ts)` excludes the sentinel
+  // windows exactly as in w1.
+  def w4HoppingStream(s: SparkSession, dir: String): DataFrame =
+    w4HoppingStreamImpl(s, dir, forcedSplit = false)
+
+  private[graft] def w4HoppingStreamImpl(
+      s: SparkSession, dir: String, forcedSplit: Boolean): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+    val span = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx")).head()
+    val (minUs, maxUs) = (span.getLong(0), span.getLong(1))
+    val latenessSec = (maxUs - minUs) / 1000000L + 86400L
+    val in =
+      if (forcedSplit) {
+        val p = fresh("w4s_in")
+        ev.select(eventCols.map(col): _*).repartition(8)
+          .write.mode("overwrite").parquet(p)
+        p
+      } else sharedEventsStage(s, dir)
+    val out = fresh("w4s_out"); val ck = fresh("w4s_ck")
+    val reader = s.readStream.schema(eventsStageSchema(s, dir))
+    val stream = (if (forcedSplit) reader.option("maxFilesPerTrigger", 1) else reader)
+      .parquet(in)
+      .filter(col("ts").isNotNull)
+      .select(col("ts"), col("value"))
+    val q = EventStream.hoppingStats(stream, lateness = s"$latenessSec seconds")
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      drain(q)
+      (1 to 3).foreach { i =>
+        advance(q,
+          stageSentinel(s, maxUs + (latenessSec + i * 3600L) * 1000000L, "noop"), in)
+      }
+    } finally q.stop()
+    s.read.parquet(out)
+      .filter(col("bucket") <= timestamp_micros(lit(maxUs)))
+      .select(col("bucket"), col("n"), col("avg_value"))
+  }
+
   // ---- J5s: stream-stream as-of enrichment -------------------------------
   // [[EventStream.asofEnrich]] (range join + max_by window collapse),
   // same oracle as batch j5_asof_join. The batch operator's lookback
@@ -694,6 +744,7 @@ object StreamQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_window_stream" -> (w1WindowStream _),
     "w3_session_stream" -> (w3SessionStream _),
+    "w4_hopping_stream" -> (w4HoppingStream _),
     "w5_funnel_stream" -> (w5FunnelStream _),
     "j5_asof_stream" -> (j5AsofStream _),
     "j5_asof_bounded_stream" -> (j5AsofBoundedStream _),
@@ -720,6 +771,7 @@ object StreamQueries {
   val sql: Map[String, String] = Map(
     "w1_window_stream" -> ParityQueries.w1Sql,
     "w3_session_stream" -> ParityQueries.w3Sql,
+    "w4_hopping_stream" -> ParityQueries.w4Sql,
     "w5_funnel_stream" -> ParityQueries.w5Sql,
     "j5_asof_stream" -> ParityQueries.j5Sql,
     "j5_asof_bounded_stream" -> j5bSql,

@@ -376,6 +376,37 @@ object Aggregates {
       .select(col("day"), col("s_cents"), (col("s_cents") * 2 > col("t")).as("drift"))
   }
 
+  /** P9: leak-free leave-one-out target encoding — the categorical →
+    * numeric feature transform a training pipeline applies before
+    * fitting: each row's category is replaced by the mean target of
+    * all OTHER rows in its category, `(Σ_g − v) / (n_g − 1)`, so a
+    * row never sees its own label (the leakage K-fold/LOO encoding
+    * exists to prevent). Exact decimal numerators make the encoding
+    * shuffle-order-invariant and oracle-replayable; singleton
+    * categories are dropped (no leave-one-out mean exists).
+    *
+    * Scale shape: ONE aggregation to a category-cardinality frame,
+    * broadcast back over the corpus — the corpus never shuffles. If
+    * category cardinality outgrows broadcast, the join key is
+    * already the aggregation key: one co-partitioned shuffle, still
+    * never all-pairs.
+    */
+  def targetEncodeLoo(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      targetCol: String): DataFrame = {
+    val base = df
+      .filter(col(targetCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(idCol), col(keyCol), col(targetCol).cast(Exact).as("__v"))
+    val g = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_g"), sum(col("__v")).as("__s"))
+      .filter(col("n_g") > 1)
+    base.join(broadcast(g), Seq(keyCol))
+      .select(col(idCol), col(keyCol),
+        ((col("__s") - col("__v")).cast("double") / (col("n_g") - 1)).as("loo_mean"))
+  }
+
   /** A3: scalar mean (dashboard_app/app.py:48). */
   def mean(df: DataFrame, column: String): DataFrame =
     df.agg(exactMean(col(column)).as(s"avg_$column"))

@@ -63,6 +63,24 @@ object EventStream {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("bucket"), col("n"))
 
+  /** Hopping (sliding) window stats — the streaming twin of the batch
+    * `w4_hopping_window` query: each event lands in windowLen/slide
+    * overlapping windows (the engine's `window(ts, len, slide)`
+    * expands rows exactly like the batch plan), aggregated with the
+    * same count + exact decimal mean. State per open window only;
+    * watermark finalizes and evicts as for tumbling windows.
+    */
+  def hoppingStats(
+      events: DataFrame,
+      lateness: String = "2 hours",
+      windowLen: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"))
+      .agg(count(lit(1)).as("n"), Aggregates.exactMean(col("value")).as("avg_value"))
+      .select(col("w.start").as("bucket"), col("n"), col("avg_value"))
+
   /** Windowed Count-Min Sketch partials — the streaming form of the
     * batch `a23_cms_frequency` sketch build. Per event-time window,
     * the (h, b) counter grid (same md5 bucket math as the batch op,

@@ -506,4 +506,22 @@ class OpsSpec extends SparkSpec {
     assert(a.collect().toSet == b.collect().toSet)
     assert(a.count() == 50)
   }
+
+  test("targetEncodeLoo: each row gets the mean of the OTHERS; singletons and nulls drop") {
+    val df = Seq(
+      (1L, "a", Some(1.0)), (2L, "a", Some(2.0)), (3L, "a", Some(6.0)),
+      (4L, "b", Some(10.0)), (5L, "b", Some(20.0)),
+      (6L, "c", Some(7.0)),          // singleton category: no LOO mean
+      (7L, "a", None),               // null target: excluded everywhere
+      (8L, null.asInstanceOf[String], Some(5.0))) // null key: excluded
+      .toDF("id", "k", "v")
+    val got = Aggregates.targetEncodeLoo(df, "id", "k", "v")
+      .as[(Long, String, Double)].collect()
+      .map { case (id, _, m) => id -> m }.toMap
+    // a: sum 9 → row1 (9-1)/2=4, row2 (9-2)/2=3.5, row3 (9-6)/2=1.5
+    assert(got == Map(1L -> 4.0, 2L -> 3.5, 3L -> 1.5, 4L -> 20.0, 5L -> 10.0))
+    // leakage check: no encoding equals the plain group mean that
+    // includes the row's own label
+    assert(!got.values.exists(v => v == 3.0 || v == 15.0))
+  }
 }

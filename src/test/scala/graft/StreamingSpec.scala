@@ -439,6 +439,60 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("w4 streaming hopping windows are batch-split-invariant and equal the batch query") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamQueries.w4HoppingStreamImpl(spark, dir, forcedSplit = true)
+      .as[(java.sql.Timestamp, Long, Double)].collect().toSet
+    val expected = ParityQueries.all("w4_hopping_window")(spark, dir)
+      .as[(java.sql.Timestamp, Long, Double)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("recovery law: a NEW query restarted from the checkpoint resumes state exactly-once") {
+    // The Structured Streaming recovery contract, driven end to end:
+    // phase 1 processes half the source under query Q1 and STOPS;
+    // phase 2 appends the rest — including byte-identical duplicates
+    // of phase-1 rows — and drives a BRAND-NEW query Q2 from the same
+    // checkpoint + sink. Q2 must (a) not re-emit phase-1 rows (offset
+    // recovery) and (b) still drop phase-2 arrivals whose keys were
+    // first seen in phase 1 (STATE recovery — the dedup state store
+    // survives the restart). The final sink must equal the batch
+    // dedup of everything, proving exactly-once through a restart.
+    import org.apache.spark.sql.functions.{col, unix_micros, min => fmin, max => fmax}
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val span = ev.agg(fmin(unix_micros(col("ts"))), fmax(unix_micros(col("ts")))).head()
+    val lateness = s"${(span.getLong(1) - span.getLong(0)) / 1000000L + 86400L} seconds"
+    val in = graft.ops.Sink.scratchDir("rec_in")
+    val out = graft.ops.Sink.scratchDir("rec_out")
+    val ck = graft.ops.Sink.scratchDir("rec_ck")
+    val phase1 = ev.filter(col("event_id") % 2 === 0)
+    val phase2 = ev.filter(col("event_id") % 2 === 1)
+      .unionByName(phase1.filter(col("event_id") % 4 === 0)) // phase-1 dupes
+    phase1.coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val q = graft.streaming.EventStream.streamingDedup(
+        spark.readStream.schema(ev.schema).parquet(in), Seq("event_id"), lateness)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.streaming.EventStream.writeBatchIdempotent(b, id, out))
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()                                   // Q1: phase 1 only
+    phase2.coalesce(1).write.mode("append").parquet(in)
+    runOnce()                                   // Q2: fresh query, same checkpoint
+    val got = spark.read.parquet(out).select("event_id")
+      .as[Long].collect().sorted.toSeq
+    val expected = ev.select("event_id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(got == expected)
+  }
+
   test("asofEnrich bounded horizon: a stale match degrades to null (tolerance semantics)") {
     implicit val sqlCtx = spark.sqlContext
     // u1's only click is 45 min before the purchase — within an

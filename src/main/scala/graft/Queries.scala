@@ -1940,6 +1940,29 @@ object ParityQueries {
        |  FROM c)
        |SELECT day, CAST(s_cents AS BIGINT) AS s_cents, s_cents * 2 > t AS drift FROM s""".stripMargin
 
+  // ---- A25: KMV distinct-count sketch vs exact truth -----------------------
+  // The k smallest md5 hash values of l_partkey estimate its NDV
+  // ([[graft.ops.Aggregates.kmvDistinct]]): k=256 over ~2 000
+  // distinct keys gives a real (visible-error) estimate the oracle
+  // replays bit-exactly — the engine-portable cardinality sketch
+  // (native HLL internals can never be oracle-paired).
+  private val KmvK = 256
+  def a25KmvDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Aggregates.kmvDistinct(Tables.lineitem(s, dir), "l_partkey", KmvK)
+  val a25Sql: String = {
+    val h = "CAST(('0x' || substr(md5('kmv_' || CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT)"
+    s"""WITH h AS (SELECT DISTINCT $h AS h FROM lineitem WHERE l_partkey IS NOT NULL),
+       |km AS (SELECT max(h) AS h_k, CAST(count(*) AS BIGINT) AS n_min
+       |  FROM (SELECT h FROM h ORDER BY h LIMIT $KmvK)),
+       |t AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS true_ndv
+       |  FROM lineitem WHERE l_partkey IS NOT NULL)
+       |SELECT CAST($KmvK AS BIGINT) AS k, h_k,
+       |  CASE WHEN n_min < $KmvK THEN CAST(n_min AS DOUBLE)
+       |       ELSE ${(KmvK - 1).toDouble} * 4294967296.0 / h_k END AS est_ndv,
+       |  true_ndv
+       |FROM km CROSS JOIN t""".stripMargin
+  }
+
   // ---- S14: SCD2 dimension history from the event feed ---------------------
   // Type-2 history of each user's event_type "state"
   // ([[graft.ops.Relational.scd2History]]): run-collapse on change,
@@ -2435,6 +2458,7 @@ object ParityQueries {
     "a22_mad_outliers" -> (a22MadOutliers _),
     "a23_cms_frequency" -> (a23CmsFrequency _),
     "a24_cusum_drift" -> (a24CusumDrift _),
+    "a25_kmv_distinct" -> (a25KmvDistinct _),
     "a20_benford" -> (a20Benford _),
     "s9_partitioned_prune" -> (s9PartitionedPrune _),
     "s10_zorder" -> (s10Zorder _),
@@ -2535,6 +2559,7 @@ object ParityQueries {
     "a22_mad_outliers" -> a22Sql,
     "a23_cms_frequency" -> a23Sql,
     "a24_cusum_drift" -> a24Sql,
+    "a25_kmv_distinct" -> a25Sql,
     "a20_benford" -> a20Sql,
     "s9_partitioned_prune" -> s9Sql,
     "s10_zorder" -> s10Sql,

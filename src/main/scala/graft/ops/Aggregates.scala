@@ -376,6 +376,40 @@ object Aggregates {
       .select(col("day"), col("s_cents"), (col("s_cents") * 2 > col("t")).as("drift"))
   }
 
+  /** A25: KMV (k-minimum values) distinct-count sketch (Bar-Yossef et
+    * al., RANDOM 2002) vs exact truth — the cardinality member of the
+    * sketch family beside CMS (frequency) and Bloom (membership). The
+    * sketch is the k smallest distinct md5 hash values of the key: if
+    * k uniform draws on [0, M) have k-th minimum h_k, the population
+    * is ≈ (k−1)·M/h_k. md5-derived hashes make the estimate
+    * bit-identical cross-engine (no engine-private HLL internals —
+    * the reason this is the oracle-pairable cardinality sketch).
+    *
+    * Scale shape: the distinct-hash frame reduces map-side; the k
+    * smallest flow through TakeOrderedAndProject (per-partition top-k
+    * then k-sized merge — never a global sort). The sketch MERGES:
+    * min-k of a union is the min-k of the per-split min-k's, so
+    * per-partition/per-day sketches roll up without rescanning.
+    * Fewer than k distinct hashes ⇒ the sketch IS the population
+    * (exact fallback).
+    */
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val m = 4294967296.0 // md5Int32 hash space, 2^32
+    val hs = df.filter(col(keyCol).isNotNull)
+      .select(graft.ext.TextOps.md5Int32(
+        concat(lit("kmv_"), col(keyCol).cast("string"))).as("h"))
+      .distinct()
+    val sketch = hs.orderBy(col("h")).limit(k)
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("n_min"))
+    val truth = df.filter(col(keyCol).isNotNull)
+      .agg(count_distinct(col(keyCol)).as("true_ndv"))
+    sketch.crossJoin(broadcast(truth))
+      .select(lit(k.toLong).as("k"), col("h_k"),
+        when(col("n_min") < k, col("n_min").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(m) / col("h_k")).as("est_ndv"),
+        col("true_ndv"))
+  }
+
   /** P9: leak-free leave-one-out target encoding — the categorical →
     * numeric feature transform a training pipeline applies before
     * fitting: each row's category is replaced by the mean target of

@@ -524,4 +524,31 @@ class OpsSpec extends SparkSpec {
     // includes the row's own label
     assert(!got.values.exists(v => v == 3.0 || v == 15.0))
   }
+
+  test("kmvDistinct: estimate within KMV error bounds; sketch merges across splits") {
+    val n = 5000
+    val df = (1 to 20000).map(i => i % n).toDF("key")
+    val row = Aggregates.kmvDistinct(df, "key", 256).head()
+    val (est, tru) = (row.getAs[Double]("est_ndv"), row.getAs[Long]("true_ndv"))
+    assert(tru == n)
+    // KMV relative stderr is ~1/sqrt(k-2) ≈ 6.3% at k=256; 4 sigma
+    assert(math.abs(est - tru) / tru < 0.25, s"est=$est true=$tru")
+
+    // merge law: min-k over the union == min-k of the per-split min-k's
+    val hash = graft.ext.TextOps.md5Int32(concat(lit("kmv_"), col("key").cast("string")))
+    def minK(d: org.apache.spark.sql.DataFrame) =
+      d.select(hash.as("h")).distinct().orderBy(col("h")).limit(256)
+    val split1 = df.filter(col("key") % 2 === 0)
+    val split2 = df.filter(col("key") % 2 =!= 0)
+    val merged = minK(split1).union(minK(split2))
+      .distinct().orderBy(col("h")).limit(256)
+      .as[Long].collect().toSeq
+    val direct = minK(df).as[Long].collect().toSeq
+    assert(merged == direct)
+
+    // exact fallback: fewer distincts than k => the sketch IS the count
+    val small = (1 to 100).map(i => i % 10).toDF("key")
+    val r2 = Aggregates.kmvDistinct(small, "key", 256).head()
+    assert(r2.getAs[Double]("est_ndv") == 10.0 && r2.getAs[Long]("true_ndv") == 10L)
+  }
 }

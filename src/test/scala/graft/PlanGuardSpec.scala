@@ -610,4 +610,17 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("p9_target_encode: category frame broadcasts; the corpus never shuffles") {
+    val p = planOf("p9_target_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), p) // the category agg combines map-side
+  }
+
+  test("a25_kmv_distinct: min-k fuses to TakeOrderedAndProject, never a global sort") {
+    val p = planOf("a25_kmv_distinct")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!"Exchange rangepartitioning".r.findFirstIn(p).isDefined, p)
+  }
 }

@@ -407,6 +407,80 @@ def e3_kmeans(sf, k=8, iters=2):
         columns=["vec_id", "cluster", "cent_cos"])
 
 
+def _minhash_band_pairs(sf, shingle_len=3):
+    # full pure-Python replay of the MinHash/LSH front end
+    # (MinHash.scala): whitespace tokens, md5 token hashes mod P,
+    # position-weighted window hashes, 12 affine-permutation minima,
+    # 4x3 band keys, bucket pairs, signature-agreement Jaccard
+    import hashlib
+    import re
+    P = 1000000007
+    H, BANDS, RPB = 12, 4, 3
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+    def a_const(i):
+        a = ((2 * i + 1) * 1103515245 + 12345) % P
+        return a if a != 0 else 1
+
+    def b_const(i):
+        return (i * 2654435761 + 1013904223) % P
+
+    mix = [((j + 1) * 999999937 + 17) % P for j in range(shingle_len)]
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    sigs = {}
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = re.split(r"\s+", str(t).strip())
+        th = [md5i(tok) % P for tok in toks]
+        if len(th) < shingle_len:
+            continue
+        ms = [sum(th[k + j] * mix[j] % P for j in range(shingle_len)) % P
+              for k in range(len(th) - shingle_len + 1)]
+        sigs[int(i)] = [min((a_const(h) * m + b_const(h)) % P for m in ms)
+                        for h in range(H)]
+    buckets = {}
+    for i, sig in sigs.items():
+        for b in range(BANDS):
+            key = (b, "_".join(str(v) for v in sig[b * RPB:(b + 1) * RPB]))
+            buckets.setdefault(key, []).append(i)
+    pairs = {}
+    for members in buckets.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                k = (ms[x], ms[y])
+                if k not in pairs:
+                    sa, sb = sigs[k[0]], sigs[k[1]]
+                    pairs[k] = sum(1 for p, q in zip(sa, sb) if p == q) / float(H)
+    return ([int(v) for v in d["doc_id"]], pairs)
+
+
+def e2_pagerank(sf, iters=3, min_est=0.5):
+    # damped PageRank over the near-dup candidate graph, replayed with
+    # the engine's arithmetic contract: double contribution division,
+    # DECIMAL(28,10) per-target sums, double teleport+damp combine
+    ids, pairs = _minhash_band_pairs(sf)
+    und = []
+    for (a, b), est in pairs.items():
+        if est >= min_est:
+            und.append((a, b))
+            und.append((b, a))
+    deg = {}
+    for src, _ in und:
+        deg[src] = deg.get(src, 0) + 1
+    n = len(ids)
+    pr = {i: 1.0 / n for i in ids}
+    for _ in range(iters):
+        sums = {}
+        for src, dst in und:
+            cd = dec10(pr[src] / float(deg[src]))
+            sums[dst] = sums.get(dst, Decimal(0)) + cd
+        pr = {i: 0.15 / n + (0.85 * float(sums[i]) if i in sums else 0.0)
+              for i in ids}
+    return pd.DataFrame(sorted(pr.items()), columns=["doc_id", "pr"])
+
+
 QUERIES = {
     "a3_mean": a3_mean,
     "a4_group_mean": a4_group_mean,
@@ -423,6 +497,7 @@ QUERIES = {
     "e2_knn_communities": e2_knn_communities,
     "e5_backoff_score": e5_backoff_score,
     "e3_kmeans": e3_kmeans,
+    "e2_pagerank": e2_pagerank,
 }
 
 

@@ -1940,6 +1940,49 @@ object ParityQueries {
        |  FROM c)
        |SELECT day, CAST(s_cents AS BIGINT) AS s_cents, s_cents * 2 > t AS drift FROM s""".stripMargin
 
+  // ---- P10: declarative data-quality expectations --------------------------
+  // The Deequ-shaped intake contract ([[graft.ops.Cleanse
+  // .expectations]]): five named constraints over orders evaluated in
+  // one aggregation pass, emitted as the verdict report a pipeline
+  // gates its load on. The uniqueness check is EXPECTED to pass and
+  // the rest to pass/fail on the data as-is — the report itself is
+  // the oracle-compared artifact, so a silently drifting metric or
+  // flipped verdict diverges the hash.
+  def p10Expectations(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cleanse.expectations(Tables.orders(s, dir), Seq(
+      graft.ops.Cleanse.Complete("o_custkey", 0.95),
+      graft.ops.Cleanse.Complete("o_totalprice", 0.99),
+      graft.ops.Cleanse.Unique("o_orderkey"),
+      graft.ops.Cleanse.InRange("o_totalprice", 0.0, 1000000.0),
+      graft.ops.Cleanse.InSet("o_orderstatus", Seq("F", "O", "P"))))
+  val p10Sql: String =
+    """SELECT 'complete' AS check, 'o_custkey' AS column_name,
+      |  CAST(count(o_custkey) AS DOUBLE) / count(*) AS metric,
+      |  0.95 AS threshold,
+      |  CAST(count(o_custkey) AS DOUBLE) / count(*) >= 0.95 AS passed FROM orders
+      |UNION ALL
+      |SELECT 'complete', 'o_totalprice',
+      |  CAST(count(o_totalprice) AS DOUBLE) / count(*), 0.99,
+      |  CAST(count(o_totalprice) AS DOUBLE) / count(*) >= 0.99 FROM orders
+      |UNION ALL
+      |SELECT 'unique', 'o_orderkey',
+      |  CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS DOUBLE), 0.0,
+      |  count(o_orderkey) = count(DISTINCT o_orderkey) FROM orders
+      |UNION ALL
+      |SELECT 'in_range[0.0,1000000.0]', 'o_totalprice',
+      |  CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+      |    AND (o_totalprice < 0.0 OR o_totalprice > 1000000.0) THEN 1 ELSE 0 END) AS DOUBLE),
+      |  0.0,
+      |  SUM(CASE WHEN o_totalprice IS NOT NULL
+      |    AND (o_totalprice < 0.0 OR o_totalprice > 1000000.0) THEN 1 ELSE 0 END) = 0 FROM orders
+      |UNION ALL
+      |SELECT 'in_set', 'o_orderstatus',
+      |  CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+      |    AND o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS DOUBLE),
+      |  0.0,
+      |  SUM(CASE WHEN o_orderstatus IS NOT NULL
+      |    AND o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) = 0 FROM orders""".stripMargin
+
   // ---- A25: KMV distinct-count sketch vs exact truth -----------------------
   // The k smallest md5 hash values of l_partkey estimate its NDV
   // ([[graft.ops.Aggregates.kmvDistinct]]): k=256 over ~2 000
@@ -2391,6 +2434,7 @@ object ParityQueries {
     "p7_winsorize" -> (p7Winsorize _),
     "p8_profile" -> (p8Profile _),
     "p9_target_encode" -> (p9TargetEncode _),
+    "p10_expectations" -> (p10Expectations _),
     "j1_join_inner" -> (j1Join _),
     "j1_join_3way" -> (j1Join3Way _),
     "j2_left_join" -> (j2LeftJoin _),
@@ -2492,6 +2536,7 @@ object ParityQueries {
     "p7_winsorize" -> p7Sql,
     "p8_profile" -> p8Sql,
     "p9_target_encode" -> p9Sql,
+    "p10_expectations" -> p10Sql,
     "j1_join_inner" -> j1Sql,
     "j1_join_3way" -> j1bSql,
     "j2_left_join" -> j2Sql,

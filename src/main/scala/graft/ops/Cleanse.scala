@@ -74,4 +74,59 @@ object Cleanse {
     }
     onerow.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }
+
+  /** P10: declarative data-quality expectations (the Deequ-shaped
+    * intake contract): a list of named constraints evaluated in ONE
+    * aggregation pass over the table, emitted as a verdict report
+    * (check, column, metric, threshold, passed) — the artifact a
+    * pipeline gates a load on.
+    */
+  sealed trait Expectation { def column: String }
+  /** Non-null ratio of `column` must reach `minRatio`. */
+  final case class Complete(column: String, minRatio: Double) extends Expectation
+  /** `column`'s non-null values must be distinct (ndv == count). */
+  final case class Unique(column: String) extends Expectation
+  /** All non-null values of numeric `column` within [lo, hi]. */
+  final case class InRange(column: String, lo: Double, hi: Double) extends Expectation
+  /** All non-null values of `column` drawn from `allowed`. */
+  final case class InSet(column: String, allowed: Seq[String]) extends Expectation
+
+  /** Evaluate `checks` over `df`. Metrics: Complete → the non-null
+    * ratio; Unique → duplicate count; InRange/InSet → violation
+    * count. One agg (plus the Expand a Unique's exact distinct
+    * introduces — swap `countDistinct` for `approx_count_distinct`
+    * at 100 TB exactly as [[profileApprox]] does for [[profile]]);
+    * the report explodes from the 1-row frame, so the table is
+    * scanned once no matter how many constraints.
+    */
+  def expectations(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+    val aggs = checks.zipWithIndex.flatMap { case (e, i) =>
+      e match {
+        case Complete(c, _) => Seq(
+          (count(col(c)).cast("double") / count(lit(1))).as(s"__m_$i"))
+        case Unique(c) => Seq(
+          (count(col(c)) - countDistinct(col(c))).cast("double").as(s"__m_$i"))
+        case InRange(c, lo, hi) => Seq(
+          sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L)
+            .otherwise(0L)).cast("double").as(s"__m_$i"))
+        case InSet(c, allowed) => Seq(
+          sum(when(col(c).isNotNull && !col(c).isin(allowed: _*), 1L)
+            .otherwise(0L)).cast("double").as(s"__m_$i"))
+      }
+    }
+    val onerow = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = checks.zipWithIndex.map { case (e, i) =>
+      val (name, threshold, passed) = e match {
+        case Complete(_, r) => ("complete", r, col(s"__m_$i") >= r)
+        case Unique(_)      => ("unique", 0.0, col(s"__m_$i") === 0.0)
+        case InRange(_, lo, hi) => (s"in_range[$lo,$hi]", 0.0, col(s"__m_$i") === 0.0)
+        case InSet(_, _)    => ("in_set", 0.0, col(s"__m_$i") === 0.0)
+      }
+      struct(
+        lit(name).as("check"), lit(e.column).as("column_name"),
+        col(s"__m_$i").as("metric"), lit(threshold).as("threshold"),
+        passed.as("passed"))
+    }
+    onerow.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
+  }
 }

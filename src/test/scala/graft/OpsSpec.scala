@@ -551,4 +551,25 @@ class OpsSpec extends SparkSpec {
     val r2 = Aggregates.kmvDistinct(small, "key", 256).head()
     assert(r2.getAs[Double]("est_ndv") == 10.0 && r2.getAs[Long]("true_ndv") == 10L)
   }
+
+  test("expectations: each constraint kind passes and fails on the right fixtures") {
+    import Cleanse._
+    val df = Seq(
+      (1L, Some(10.0), "F"), (2L, Some(20.0), "O"),
+      (2L, Some(-5.0), "X"), (4L, None, "F"))
+      .toDF("id", "v", "st")
+    val got = expectations(df, Seq(
+      Complete("v", 0.80),            // 3/4 = 0.75 -> FAIL
+      Complete("st", 1.0),            // 4/4 -> PASS
+      Unique("id"),                   // id 2 duplicated -> FAIL, metric 1
+      InRange("v", 0.0, 100.0),       // -5.0 violates -> FAIL, metric 1
+      InSet("st", Seq("F", "O"))))    // "X" violates -> FAIL, metric 1
+      .as[(String, String, Double, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._5)).toMap
+    assert(got(("complete", "v")) == ((0.75, false)))
+    assert(got(("complete", "st")) == ((1.0, true)))
+    assert(got(("unique", "id")) == ((1.0, false)))
+    assert(got(("in_range[0.0,100.0]", "v")) == ((1.0, false)))
+    assert(got(("in_set", "st")) == ((1.0, false)))
+  }
 }

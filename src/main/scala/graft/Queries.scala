@@ -2370,6 +2370,28 @@ object ParityQueries {
       |  CAST(CAST(vw AS VARCHAR) AS DOUBLE) / CAST(w_total AS DOUBLE) AS twap,
       |  w_total FROM g""".stripMargin
 
+  // ---- W10: OHLC bar downsampling ------------------------------------------
+  // The candlestick resample ([[graft.ops.Aggregates.ohlc]]): per
+  // 6-hour bucket the open/high/low/close of the event value stream,
+  // endpoints deterministic under duplicate timestamps (min value at
+  // the earliest ts / max value at the latest — the tie rule
+  // arg_min/arg_max leaves unspecified on both engines).
+  def w10Ohlc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Aggregates.ohlc(Tables.events(s, dir), "ts", "value", "6 hours")
+  val w10Sql: String =
+    """WITH b AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket,
+      |    epoch_us(ts) AS tu, value AS v
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |sp AS (SELECT bucket, min(tu) AS mn, max(tu) AS mx,
+      |    min(v) AS low, max(v) AS high, CAST(count(*) AS BIGINT) AS n
+      |  FROM b GROUP BY 1),
+      |op AS (SELECT b.bucket, min(b.v) AS open
+      |  FROM b JOIN sp USING (bucket) WHERE b.tu = sp.mn GROUP BY 1),
+      |cl AS (SELECT b.bucket, max(b.v) AS close
+      |  FROM b JOIN sp USING (bucket) WHERE b.tu = sp.mx GROUP BY 1)
+      |SELECT bucket, open, high, low, close, n
+      |FROM sp JOIN op USING (bucket) JOIN cl USING (bucket)""".stripMargin
+
   // ---- W8: interval union (merge overlapping time ranges) ------------------
   // The "union of busy spans" primitive (ad sessions, maintenance
   // windows, GPU occupancy): each event opens an interval
@@ -2514,6 +2536,7 @@ object ParityQueries {
     "s18_bucketed_join" -> (s18BucketedJoin _),
     "j10_dpp" -> (j10Dpp _),
     "w7_twap" -> (w7Twap _),
+    "w10_ohlc" -> (w10Ohlc _),
     "w8_interval_merge" -> (w8IntervalMerge _),
     "o13_pareto" -> (o13Pareto _),
     "o14_transitions" -> (o14Transitions _),
@@ -2616,6 +2639,7 @@ object ParityQueries {
     "s18_bucketed_join" -> s18Sql,
     "j10_dpp" -> j10Sql,
     "w7_twap" -> w7Sql,
+    "w10_ohlc" -> w10Sql,
     "w8_interval_merge" -> w8Sql,
     "o13_pareto" -> o13Sql,
     "o14_transitions" -> o14Sql,

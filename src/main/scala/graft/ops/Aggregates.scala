@@ -376,6 +376,39 @@ object Aggregates {
       .select(col("day"), col("s_cents"), (col("s_cents") * 2 > col("t")).as("drift"))
   }
 
+  /** W10: OHLC downsampling — the bar-chart resample every time-series
+    * store ships (open/high/low/close + count per bucket), with
+    * DETERMINISTIC endpoints: open is the min value AMONG the rows at
+    * the bucket's earliest timestamp (close symmetric at the latest),
+    * so duplicate-timestamp data cannot flip the result between runs
+    * or engines — the tie rule native `min_by`/`arg_min` leaves
+    * unspecified.
+    *
+    * Scale shape: one partial+final agg to the bucket-cardinality
+    * span frame (calendar-bounded), broadcast back twice to pick the
+    * endpoint rows — the raw table is scanned, never shuffled on
+    * anything but the bucket key, and every join key is the agg key.
+    */
+  def ohlc(df: DataFrame, tsCol: String, valueCol: String, bucketLen: String): DataFrame = {
+    val base = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(window(col(tsCol), bucketLen)("start").as("bucket"),
+        unix_micros(col(tsCol)).as("tu"), col(valueCol).as("v"))
+    val spans = base.groupBy(col("bucket"))
+      .agg(min(col("tu")).as("mn"), max(col("tu")).as("mx"),
+        min(col("v")).as("low"), max(col("v")).as("high"),
+        count(lit(1)).as("n"))
+    val open = base.join(broadcast(spans.select(col("bucket"), col("mn"))), Seq("bucket"))
+      .filter(col("tu") === col("mn"))
+      .groupBy(col("bucket")).agg(min(col("v")).as("open"))
+    val close = base.join(broadcast(spans.select(col("bucket"), col("mx"))), Seq("bucket"))
+      .filter(col("tu") === col("mx"))
+      .groupBy(col("bucket")).agg(max(col("v")).as("close"))
+    spans.join(open, Seq("bucket")).join(close, Seq("bucket"))
+      .select(col("bucket"), col("open"), col("high"), col("low"),
+        col("close"), col("n"))
+  }
+
   /** A25: KMV (k-minimum values) distinct-count sketch (Bar-Yossef et
     * al., RANDOM 2002) vs exact truth — the cardinality member of the
     * sketch family beside CMS (frequency) and Bloom (membership). The

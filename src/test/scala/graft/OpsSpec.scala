@@ -552,6 +552,19 @@ class OpsSpec extends SparkSpec {
     assert(r2.getAs[Double]("est_ndv") == 10.0 && r2.getAs[Long]("true_ndv") == 10L)
   }
 
+  test("ohlc: deterministic endpoints under duplicate timestamps") {
+    val df = Seq(
+      ("2024-01-01 00:10:00", 5.0), ("2024-01-01 00:10:00", 3.0), // tied open
+      ("2024-01-01 02:00:00", 1.0),
+      ("2024-01-01 05:50:00", 7.0), ("2024-01-01 05:50:00", 9.0)) // tied close
+      .toDF("s", "v").select(to_timestamp(col("s")).as("ts"), col("v"))
+    val r = Aggregates.ohlc(df, "ts", "v", "6 hours").head()
+    assert(r.getAs[Double]("open") == 3.0)   // min value at earliest ts
+    assert(r.getAs[Double]("close") == 9.0)  // max value at latest ts
+    assert(r.getAs[Double]("high") == 9.0 && r.getAs[Double]("low") == 1.0)
+    assert(r.getAs[Long]("n") == 5L)
+  }
+
   test("expectations: each constraint kind passes and fails on the right fixtures") {
     import Cleanse._
     val df = Seq(

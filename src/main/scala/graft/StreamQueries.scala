@@ -234,6 +234,58 @@ object StreamQueries {
       .select(col("bucket"), col("n"), col("avg_value"))
   }
 
+  // ---- W10s: streaming OHLC bars ------------------------------------------
+  // [[EventStream.ohlcWindows]], same oracle as batch w10_ohlc. The
+  // endpoint tie rule (min value at earliest ts / max at latest) is
+  // associative as a struct min/max, so the incremental state merge
+  // IS the batch semantics — no endpoint join anywhere. Full-span
+  // lateness ⇒ batch-split-invariant (law-tested under forced
+  // maxFilesPerTrigger=1); sentinel windows excluded by the bucket
+  // bound as in w1/w4.
+  def w10OhlcStream(s: SparkSession, dir: String): DataFrame =
+    w10OhlcStreamImpl(s, dir, forcedSplit = false)
+
+  private[graft] def w10OhlcStreamImpl(
+      s: SparkSession, dir: String, forcedSplit: Boolean): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+    val span = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx")).head()
+    val (minUs, maxUs) = (span.getLong(0), span.getLong(1))
+    val latenessSec = (maxUs - minUs) / 1000000L + 86400L
+    val in =
+      if (forcedSplit) {
+        val p = fresh("w10s_in")
+        ev.select(eventCols.map(col): _*).repartition(8)
+          .write.mode("overwrite").parquet(p)
+        p
+      } else sharedEventsStage(s, dir)
+    val out = fresh("w10s_out"); val ck = fresh("w10s_ck")
+    val reader = s.readStream.schema(eventsStageSchema(s, dir))
+    val stream = (if (forcedSplit) reader.option("maxFilesPerTrigger", 1) else reader)
+      .parquet(in)
+      .filter(col("ts").isNotNull)
+      .select(col("ts"), col("value"))
+    val q = EventStream.ohlcWindows(stream, "value", lateness = s"$latenessSec seconds")
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      drain(q)
+      (1 to 3).foreach { i =>
+        advance(q,
+          stageSentinel(s, maxUs + (latenessSec + i * 21600L) * 1000000L, "noop"), in)
+      }
+    } finally q.stop()
+    s.read.parquet(out)
+      .filter(col("bucket") <= timestamp_micros(lit(maxUs)))
+      .select(col("bucket"), col("open"), col("high"), col("low"),
+        col("close"), col("n"))
+  }
+
   // ---- J5s: stream-stream as-of enrichment -------------------------------
   // [[EventStream.asofEnrich]] (range join + max_by window collapse),
   // same oracle as batch j5_asof_join. The batch operator's lookback
@@ -745,6 +797,7 @@ object StreamQueries {
     "w1_window_stream" -> (w1WindowStream _),
     "w3_session_stream" -> (w3SessionStream _),
     "w4_hopping_stream" -> (w4HoppingStream _),
+    "w10_ohlc_stream" -> (w10OhlcStream _),
     "w5_funnel_stream" -> (w5FunnelStream _),
     "j5_asof_stream" -> (j5AsofStream _),
     "j5_asof_bounded_stream" -> (j5AsofBoundedStream _),
@@ -772,6 +825,7 @@ object StreamQueries {
     "w1_window_stream" -> ParityQueries.w1Sql,
     "w3_session_stream" -> ParityQueries.w3Sql,
     "w4_hopping_stream" -> ParityQueries.w4Sql,
+    "w10_ohlc_stream" -> ParityQueries.w10Sql,
     "w5_funnel_stream" -> ParityQueries.w5Sql,
     "j5_asof_stream" -> ParityQueries.j5Sql,
     "j5_asof_bounded_stream" -> j5bSql,

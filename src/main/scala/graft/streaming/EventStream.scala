@@ -81,6 +81,34 @@ object EventStream {
       .agg(count(lit(1)).as("n"), Aggregates.exactMean(col("value")).as("avg_value"))
       .select(col("w.start").as("bucket"), col("n"), col("avg_value"))
 
+  /** Streaming OHLC bars — the streaming twin of the batch `w10_ohlc`
+    * query. The endpoint picks are ASSOCIATIVE here: `min(struct(tu,
+    * v))` under lexicographic struct ordering is exactly "earliest
+    * timestamp, ties → smallest value" (max symmetric), so the
+    * windowed aggregation's incremental merge reproduces the batch
+    * operator's deterministic tie rule with no join at all — one
+    * watermarked agg, state = one (min,max,low,high,n) tuple per
+    * open window.
+    */
+  def ohlcWindows(
+      events: DataFrame,
+      valueCol: String,
+      lateness: String = "2 hours",
+      windowLen: String = "6 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .filter(col(valueCol).isNotNull)
+      .select(col("ts"), unix_micros(col("ts")).as("tu"), col(valueCol).as("v"))
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(
+        min(struct(col("tu"), col("v"))).as("o"),
+        max(struct(col("tu"), col("v"))).as("c"),
+        min(col("v")).as("low"), max(col("v")).as("high"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"),
+        col("o.v").as("open"), col("high"), col("low"),
+        col("c.v").as("close"), col("n"))
+
   /** Windowed Count-Min Sketch partials — the streaming form of the
     * batch `a23_cms_frequency` sketch build. Per event-time window,
     * the (h, b) counter grid (same md5 bucket math as the batch op,

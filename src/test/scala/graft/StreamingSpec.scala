@@ -449,6 +449,18 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("w10 streaming OHLC is batch-split-invariant and equals the batch query") {
+    // the struct-min/max endpoint rule must merge associatively
+    // across micro-batches to the same bars the batch joins produce
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamQueries.w10OhlcStreamImpl(spark, dir, forcedSplit = true)
+      .as[(java.sql.Timestamp, Double, Double, Double, Double, Long)].collect().toSet
+    val expected = ParityQueries.all("w10_ohlc")(spark, dir)
+      .as[(java.sql.Timestamp, Double, Double, Double, Double, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("recovery law: a NEW query restarted from the checkpoint resumes state exactly-once") {
     // The Structured Streaming recovery contract, driven end to end:
     // phase 1 processes half the source under query Q1 and STOPS;

@@ -3300,6 +3300,112 @@ object ExtQueries {
        |$out""".stripMargin
   }
 
+  // ---- E2p: multi-source BFS hop distances on the mutual k-NN graph --------
+  // Graph DISTANCE beside reachability (connected components) and
+  // density grouping (LPA): every vector's minimum hop count from a
+  // deterministic seed set, over the same mutual-kNN edges e2n
+  // consumes ([[Dedup.bfsHops]] for the level-synchronous
+  // frontier-join shape — round r joins |frontier| · degree, never
+  // the whole reached set). The per-row "distance from known
+  // contamination / known quality" feature audits and curriculum
+  // schedules consume. The oracle unrolls the same rounds by
+  // expanding the ENTIRE reached set each round and min-grouping —
+  // a different (quadratic-in-rounds) encoding that must agree on
+  // every hop count; unreached vertices are absent on both sides.
+  private val BfsSeedMod = 50
+  private val BfsMaxHops = 4
+  def e2BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Dedup.bfsHops(
+      emb.filter(col("vec_id") % BfsSeedMod === 0).select(col("vec_id")),
+      "vec_id",
+      Similarity.mutualKnnGraph(emb, AnnBits, AnnK), "id_a", "id_b",
+      BfsMaxHops)
+      .select(col("id").as("vec_id"), col("hops"))
+  }
+  val e2bfSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val bucket = s"array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END for i in range(1, ${AnnBits + 1})], '')"
+    val rounds = (1 to BfsMaxHops).map { i =>
+      s"""r$i AS (SELECT id, min(hops) AS hops FROM (
+         |  SELECT id, hops FROM r${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS id, r.hops + 1 AS hops FROM ed e JOIN r${i - 1} r ON e.src = r.id
+         |) GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2, $bucket AS bucket FROM embeddings),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+       |knn AS (SELECT query_id, vec_id, cos_sim FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM scored) WHERE rk <= $AnnK),
+       |me AS (SELECT least(query_id, vec_id) AS id_a, greatest(query_id, vec_id) AS id_b
+       |  FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM me
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM me),
+       |r0 AS (SELECT vec_id AS id, CAST(0 AS BIGINT) AS hops FROM embeddings
+       |  WHERE vec_id % $BfsSeedMod = 0),
+       |$rounds
+       |SELECT id AS vec_id, hops FROM r$BfsMaxHops""".stripMargin
+  }
+
+  // ---- E3aa: retrieval evaluation (first-relevant rank / MRR) --------------
+  // The eval loop that grades every retrieval stack in this file
+  // (brute/IVF/SQ8/PQ/hybrid): queries are a deterministic corpus
+  // slice, relevance is label agreement, and each query reports the
+  // rank of its first relevant hit in the exact cosine top-k plus the
+  // scaled reciprocal rank 2520/rank (2520 = lcm(1..10) = lcm of all
+  // possible top-MrrK ranks, so
+  // every per-query contribution is an exact BIGINT — summing and
+  // dividing by 2520·|Q| downstream yields MRR@k with no float
+  // accumulation). Per-query rows (not just the mean) are the
+  // artifact: the hash compare then pins every rank. Scale: the
+  // ranking subplan is the audited e3 broadcast top-k; labels join
+  // broadcast; misses survive via left join as rank NULL / rr 0.
+  private val MrrQueryMod = 10
+  private val MrrK = 10
+  def e3MrrEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val qs = emb.filter(col("vec_id") % MrrQueryMod === 0)
+    val topk = Similarity.cosineTopK(qs, emb, MrrK)
+    val rel = topk
+      .join(broadcast(lbl.select(col("vec_id").as("query_id"), col("label").as("q_label"))),
+        Seq("query_id"))
+      .join(broadcast(lbl.select(col("vec_id"), col("label").as("c_label"))),
+        Seq("vec_id"))
+      .filter(col("c_label") === col("q_label"))
+      .groupBy(col("query_id"))
+      .agg(min(col("rk")).as("first_rel_rank"))
+    // rel is |Q| rows (one per query with a hit) — broadcast it; the
+    // post-agg frame has no stats, so AQE alone would SortMergeJoin
+    qs.select(col("vec_id").as("query_id"))
+      .join(broadcast(rel), Seq("query_id"), "left")
+      .select(col("query_id"), col("first_rel_rank"),
+        coalesce((lit(2520.0) / col("first_rel_rank")).cast("long"), lit(0L))
+          .as("rr_x2520"))
+  }
+  val e3mrSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    s"""WITH e AS (SELECT vec_id, label, embedding, $n2 AS n2 FROM embeddings),
+       |scored AS (SELECT q.vec_id AS query_id, q.label AS q_label,
+       |    c.vec_id AS vec_id, c.label AS c_label,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM e q JOIN e c ON q.vec_id % $MrrQueryMod = 0 AND c.vec_id <> q.vec_id),
+       |topk AS (SELECT query_id, q_label, vec_id, c_label, rk FROM (
+       |  SELECT query_id, q_label, vec_id, c_label,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= $MrrK),
+       |rel AS (SELECT query_id, min(rk) AS first_rel_rank
+       |  FROM topk WHERE c_label = q_label GROUP BY query_id)
+       |SELECT q.query_id, rel.first_rel_rank,
+       |  coalesce(CAST(2520.0 / rel.first_rel_rank AS BIGINT), CAST(0 AS BIGINT)) AS rr_x2520
+       |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % $MrrQueryMod = 0) q
+       |LEFT JOIN rel USING (query_id)""".stripMargin
+  }
+
   // ---- E7j: deterministic per-epoch shuffle order --------------------------
   // The training-loader permutation: a DIFFERENT uniform order each
   // epoch, the SAME order on every re-run ([[Sampling.epochShuffle]]
@@ -3453,6 +3559,8 @@ object ExtQueries {
     "e5_backoff_score" -> (e5BackoffScore _),
     "e5_domain_select" -> (e5DomainSelect _),
     "e3_knn_graph" -> (e3KnnGraph _),
+    "e2_bfs_hops" -> (e2BfsHops _),
+    "e3_mrr_eval" -> (e3MrrEval _),
     "e7_epoch_shuffle" -> (e7EpochShuffle _),
     "e5_vocab_coverage" -> (e5VocabCoverage _)
   )
@@ -3563,6 +3671,8 @@ object ExtQueries {
     "e5_backoff_score" -> e5boSql,
     "e5_domain_select" -> e5dsSql,
     "e3_knn_graph" -> e3ySql,
+    "e2_bfs_hops" -> e2bfSql,
+    "e3_mrr_eval" -> e3mrSql,
     "e7_epoch_shuffle" -> e7jSql,
     "e5_vocab_coverage" -> e5ySql
   )

@@ -2006,6 +2006,199 @@ object ParityQueries {
        |FROM km CROSS JOIN t""".stripMargin
   }
 
+  // ---- S19: incremental materialized-rollup maintenance --------------------
+  // The refresh shape a 100 TB fact table forces ([[graft.ops
+  // .Materialize]]): the standing daily rollup is MATERIALIZED (here:
+  // written to scratch parquet and read back — a real storage
+  // round-trip, not a cached lineage), and a new slice lands by
+  // aggregating ONLY that slice and merging mergeable partial states
+  // (count/sum add, min/max reduce) into the stored table. History is
+  // never rescanned: the refresh cost is O(|delta|) + O(|rollup
+  // keys|), independent of fact-table size. All metrics BIGINT
+  // (cents-scaled), so merge ≡ full recompute bit-for-bit — and the
+  // oracle IS the full recompute, making the maintenance law itself
+  // the driver-gated artifact.
+  private[graft] val S19Cutoff = "2001-01-01"
+  def s19RollupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.orders(s, dir).select(
+      date_trunc("DAY", col("o_orderdate")).as("day"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val cut = lit(S19Cutoff).cast("timestamp")
+    val stored = Sink.scratchDir("s19_rollup") + "/daily"
+    Materialize.rollup(facts.filter(col("day") < cut), "day", col("cents"))
+      .write.mode("overwrite").parquet(stored)
+    val base = s.read.parquet(stored)
+    val delta = Materialize.rollup(facts.filter(col("day") >= cut), "day", col("cents"))
+    Materialize.merge(base, delta, "day")
+  }
+  val s19Sql =
+    """SELECT date_trunc('day', o_orderdate) AS day,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_m,
+      |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_m,
+      |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_m
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---- S20: snapshot (time-travel) read over the SCD2 history --------------
+  // The consumption side of s14: the dimension AS OF a fixed instant
+  // ([[graft.ops.Relational.snapshotAt]]) — one covering version row
+  // per key, keys born later absent. A pure interval filter pushed at
+  // the history scan: no join, no window, no second shuffle beyond
+  // what building the history itself cost.
+  private val S20At = "2024-01-20 00:00:00"
+  def s20SnapshotRead(s: SparkSession, dir: String): DataFrame =
+    Relational.snapshotAt(
+      Relational.scd2History(
+        Tables.events(s, dir).filter(col("user_id") % 10 === 0),
+        "user_id", "event_type", "ts", "event_id"),
+      S20At)
+  val s20Sql =
+    s"""WITH f AS (SELECT user_id, event_type, ts, event_id FROM events WHERE user_id % 10 = 0),
+       |o AS (SELECT user_id, event_type, ts, event_id,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM f),
+       |chg AS (SELECT user_id, event_type, ts, event_id FROM o
+       |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+       |hist AS (SELECT user_id, event_type, ts AS valid_from,
+       |    coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |      TIMESTAMP '2199-12-31 00:00:00') AS valid_to,
+       |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+       |  FROM chg)
+       |SELECT user_id, event_type, valid_from, valid_to, is_current FROM hist
+       |WHERE valid_from <= TIMESTAMP '$S20At' AND TIMESTAMP '$S20At' < valid_to""".stripMargin
+
+  // ---- P11: equal-frequency (quartile) feature binning ---------------------
+  // The discretization primitive feature pipelines apply before
+  // one-hot/WoE encoding: bin edges from ONE exact-percentile
+  // aggregate over integer cents (quartile fractions are dyadic, so
+  // interpolated edges are bit-exact across engines — the o6
+  // discipline; decile fractions would NOT be), broadcast back as a
+  // 1-row frame, per-row bin = 1 + #(edges strictly below). Never a
+  // global ntile window (which would serialize the table through one
+  // task): an agg pass plus a map-side comparison — at 100 TB swap
+  // the exact percentile for approx_percentile, same two-pass shape.
+  // Ties sit in the LOWER bin on both engines by the strict->
+  // construction, so bin populations are deterministic even with
+  // repeated edge values.
+  def p11QuantileBin(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val edges = cents.agg(
+      expr("percentile(cents, 0.25)").as("e1"),
+      expr("percentile(cents, 0.5)").as("e2"),
+      expr("percentile(cents, 0.75)").as("e3"))
+    cents.crossJoin(broadcast(edges))
+      .select(col("cents"),
+        (lit(1L) + (col("cents") > col("e1")).cast("long")
+          + (col("cents") > col("e2")).cast("long")
+          + (col("cents") > col("e3")).cast("long")).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+  }
+  val p11Sql =
+    """WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |e AS (SELECT quantile_cont(cents, 0.25) AS e1, quantile_cont(cents, 0.5) AS e2,
+      |    quantile_cont(cents, 0.75) AS e3 FROM c)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |  min(cents) AS min_cents, max(cents) AS max_cents
+      |FROM (SELECT cents,
+      |    1 + CAST(cents > e1 AS BIGINT) + CAST(cents > e2 AS BIGINT)
+      |      + CAST(cents > e3 AS BIGINT) AS bin
+      |  FROM c CROSS JOIN e)
+      |GROUP BY bin""".stripMargin
+
+  // ---- W11: run-length streak detection (gaps-and-islands) -----------------
+  // Per-user maximal strictly-increasing runs of `value` in event
+  // order — the MATCH_RECOGNIZE-lite sequence pattern (monitoring
+  // escalations, engagement streaks) as two window passes over ONE
+  // user_id shuffle: a lag comparison flags run breaks, a running sum
+  // of breaks numbers the islands, then per-run lengths aggregate to
+  // per-user longest streak and the count of streaks spanning >= 3
+  // rows. Doubles are only COMPARED (never summed), so floats cannot
+  // drift the result; all outputs BIGINT.
+  private val W11MinRun = 3
+  def w11Streaks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("brk",
+        when(col("value") > lag(col("value"), 1).over(wOrd), lit(0L)).otherwise(lit(1L)))
+      .withColumn("run_id", sum(col("brk")).over(wOrd))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        sum(when(col("len") >= W11MinRun, 1L).otherwise(0L)).as("n_long_streaks"))
+  }
+  val w11Sql =
+    s"""WITH b AS (SELECT user_id, ts, event_id,
+       |    CASE WHEN value > lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      THEN 0 ELSE 1 END AS brk
+       |  FROM events),
+       |r AS (SELECT user_id,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+       |  FROM b),
+       |lens AS (SELECT user_id, run_id, CAST(count(*) AS BIGINT) AS len
+       |  FROM r GROUP BY 1, 2)
+       |SELECT user_id, max(len) AS longest_streak,
+       |  CAST(sum(CASE WHEN len >= $W11MinRun THEN 1 ELSE 0 END) AS BIGINT) AS n_long_streaks
+       |FROM lens GROUP BY user_id""".stripMargin
+
+  // ---- A26: correlation matrix in one pass ---------------------------------
+  // a10's decimal-moment Pearson generalized to every pair of four
+  // lineitem measures in ONE aggregation (the s16 discipline: a
+  // single partial+final agg carries all 14 accumulators — 4 sums +
+  // 10 upper-triangle co-moments — then a row-per-pair inline()
+  // unpivot of the 1-row frame computes each r with the identical
+  // fixed double expression). Corpus scanned once however many pairs;
+  // the alternative — one corr() job per pair — rescans per pair and
+  // accumulates in floats.
+  private val A26Cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  def a26CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val mom = (a: Column, b: Column) =>
+      sum(a.cast(MomDec) * b.cast(MomDec)).cast("double")
+    val pairs = for {
+      i <- A26Cols.indices; j <- A26Cols.indices if i < j
+    } yield (A26Cols(i), A26Cols(j))
+    val aggs =
+      count(lit(1)).cast("double").as("n") +:
+        (A26Cols.map(c => Aggregates.exactSum(col(c)).as(s"s_$c")) ++
+          A26Cols.map(c => mom(col(c), col(c)).as(s"m_${c}_$c")) ++
+          pairs.map { case (a, b) => mom(col(a), col(b)).as(s"m_${a}_$b") })
+    def corrOf(a: String, b: String): Column =
+      (col("n") * col(s"m_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+        (sqrt(col("n") * col(s"m_${a}_$a") - col(s"s_$a") * col(s"s_$a")) *
+          sqrt(col("n") * col(s"m_${b}_$b") - col(s"s_$b") * col(s"s_$b")))
+    Tables.lineitem(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(inline(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_x"), lit(b).as("col_y"), corrOf(a, b).as("corr"))
+      }: _*)))
+  }
+  val a26Sql: String = {
+    def es(e: String) = s"CAST(CAST(SUM(CAST($e AS $AvgDec)) AS VARCHAR) AS DOUBLE)"
+    def mm(a: String, b: String) =
+      s"CAST(CAST(SUM(CAST($a AS DECIMAL(8,2)) * CAST($b AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE)"
+    val pairs = for {
+      i <- A26Cols.indices; j <- A26Cols.indices if i < j
+    } yield (A26Cols(i), A26Cols(j))
+    val moms =
+      (A26Cols.map(c => s"${mm(c, c)} AS m_${c}_$c") ++
+        pairs.map { case (a, b) => s"${mm(a, b)} AS m_${a}_$b" } ++
+        A26Cols.map(c => s"${es(c)} AS s_$c")).mkString(", ")
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y,
+         |  (n * m_${a}_$b - s_$a * s_$b) /
+         |  (sqrt(n * m_${a}_$a - s_$a * s_$a) * sqrt(n * m_${b}_$b - s_$b * s_$b)) AS corr
+         |FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n, $moms FROM lineitem)\n$rows"
+  }
+
   // ---- S14: SCD2 dimension history from the event feed ---------------------
   // Type-2 history of each user's event_type "state"
   // ([[graft.ops.Relational.scd2History]]): run-collapse on change,
@@ -2531,6 +2724,11 @@ object ParityQueries {
     "s11_table_checksum" -> (s11TableChecksum _),
     "s12_compact" -> (s12Compact _),
     "s14_scd2" -> (s14Scd2 _),
+    "s19_rollup_incremental" -> (s19RollupIncremental _),
+    "s20_snapshot_read" -> (s20SnapshotRead _),
+    "p11_quantile_bin" -> (p11QuantileBin _),
+    "w11_streaks" -> (w11Streaks _),
+    "a26_corr_matrix" -> (a26CorrMatrix _),
     "s16_stats_collect" -> (s16StatsCollect _),
     "s17_schema_merge" -> (s17SchemaMerge _),
     "s18_bucketed_join" -> (s18BucketedJoin _),
@@ -2634,6 +2832,11 @@ object ParityQueries {
     "s11_table_checksum" -> s11Sql,
     "s12_compact" -> s12Sql,
     "s14_scd2" -> s14Sql,
+    "s19_rollup_incremental" -> s19Sql,
+    "s20_snapshot_read" -> s20Sql,
+    "p11_quantile_bin" -> p11Sql,
+    "w11_streaks" -> w11Sql,
+    "a26_corr_matrix" -> a26Sql,
     "s16_stats_collect" -> s16Sql,
     "s17_schema_merge" -> s17Sql,
     "s18_bucketed_join" -> s18Sql,

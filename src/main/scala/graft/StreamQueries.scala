@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.ext.{QualityModel, TextOps}
-import graft.ops.{Aggregates, Sink}
+import graft.ops.{Aggregates, Materialize, Sink}
 import graft.streaming.{CorpusStream, EventStream}
 
 /** Driver-visible (oracle-paired) queries that execute through the
@@ -793,6 +793,44 @@ object StreamQueries {
       |  FROM c)
       |SELECT day, CAST(s_cents AS BIGINT) AS s_cents, s_cents * 2 > t AS drift FROM s""".stripMargin
 
+  // ---- S19s: STREAMING incremental rollup maintenance ----------------------
+  // The live form of s19_rollup_incremental: the delta slice arrives
+  // as a file-source STREAM under FORCED one-file micro-batches
+  // (maxFilesPerTrigger=1, so the gate itself proves batch-split
+  // invariance — no sentinel machinery needed: the merge law makes
+  // ANY batching land on the same rollup), and every micro-batch
+  // aggregates just its rows and [[graft.ops.Materialize.refreshInto]]s
+  // the stored table (read → merge → rewrite-then-swap). The final
+  // artifact must hash-match the batch twin's full-recompute oracle.
+  // Fresh scratch + checkpoint per invocation means a replayed batch
+  // cannot occur in-harness; a deployment makes the refresh
+  // exactly-once by recording the last-merged batchId inside the
+  // artifact and skipping replays (the transactional-table pattern) —
+  // count/sum merges are NOT idempotent on their own.
+  def s19RollupStream(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.orders(s, dir).select(
+      date_trunc("DAY", col("o_orderdate")).as("day"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val cut = lit(ParityQueries.S19Cutoff).cast("timestamp")
+    val stored = fresh("s19str_roll") + "/daily"
+    Materialize.rollup(facts.filter(col("day") < cut), "day", col("cents"))
+      .write.mode("overwrite").parquet(stored)
+    val delta = facts.filter(col("day") >= cut)
+    val in = fresh("s19str_in"); val ck = fresh("s19str_ck")
+    delta.write.mode("overwrite").parquet(in)
+    val q = s.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Materialize.refreshInto(
+          s, stored, Materialize.rollup(b.toDF(), "day", col("cents")), "day"))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(stored)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_window_stream" -> (w1WindowStream _),
     "w3_session_stream" -> (w3SessionStream _),
@@ -806,6 +844,7 @@ object StreamQueries {
     "a24_cusum_stream" -> (a24CusumStream _),
     "e5_quality_stream" -> (e5QualityStream _),
     "e8_decontam_stream" -> (e8DecontamStream _),
+    "s19_rollup_stream" -> (s19RollupStream _),
     "w9_dedup_stream" -> (w9DedupStream _))
 
   /** The 6-hour drift histogram, aggregated directly in SQL (both
@@ -834,5 +873,6 @@ object StreamQueries {
     "a24_cusum_stream" -> a24sSql,
     "e5_quality_stream" -> ExtQueries.e5oSql,
     "e8_decontam_stream" -> ExtQueries.e8bSql,
+    "s19_rollup_stream" -> ParityQueries.s19Sql,
     "w9_dedup_stream" -> w9sSql)
 }

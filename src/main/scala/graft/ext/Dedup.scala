@@ -433,6 +433,54 @@ object Dedup {
     labels
   }
 
+  /** Multi-source BFS hop distances over an undirected edge list:
+    * every vertex reachable from `seeds` within `maxHops` hops gets
+    * its minimum hop count (seeds at 0). The graph-distance primitive
+    * next to [[connectedComponents]] (reachability without distance)
+    * and [[labelPropagation]] (density-aware grouping): "how far is
+    * this document from a known-contaminated / known-high-quality
+    * seed set" is a per-row feature contamination audits and
+    * curriculum schedules consume.
+    *
+    * Scale shape: the expansion joins the FRONTIER (vertices first
+    * reached last round) against the edge list — not the whole
+    * reached set — so round r's join cost is |frontier_r| · avg
+    * degree, the textbook level-synchronous BFS. Each round is one
+    * co-partitioned equi-join on the edge source plus a min-reduce;
+    * loop state is eagerly persisted (and the superseded generation
+    * unpersisted) so the lineage never re-expands earlier rounds.
+    * `maxHops` bounds rounds; an unreached vertex is absent from the
+    * output rather than carrying an infinity sentinel.
+    */
+  def bfsHops(
+      seeds: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxHops: Int): DataFrame = {
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    val eds = graft.ops.Sink.cachedEager(und)
+    var reached = graft.ops.Sink.cachedEager(
+      seeds.select(col(idCol).as("id")).distinct()
+        .select(col("id"), lit(0L).as("hops")))
+    var frontier = reached
+    for (r <- 1 to maxHops) {
+      val next = frontier.join(eds, frontier("id") === eds("src"))
+        .select(col("dst").as("id"), lit(r.toLong).as("hops"))
+        .join(reached.select(col("id").as("seen")),
+          col("id") === col("seen"), "left_anti")
+        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+      val nextP = graft.ops.Sink.cachedEager(next)
+      val merged = graft.ops.Sink.cachedEager(reached.unionByName(nextP))
+      reached.unpersist()
+      frontier.unpersist()
+      reached = merged
+      frontier = nextP
+    }
+    eds.unpersist()
+    reached
+  }
+
   /** Deterministic dedup: keep the first row per key group by
     * `orderCol` ascending, and report the group size. Deterministic
     * ONLY when `orderCol` is unique within each key group (like a

@@ -161,4 +161,22 @@ object Relational {
       .select(col(key), col(attr), col("valid_from"), col("valid_to"),
         col("is_current"))
   }
+
+  /** Time-travel read over an SCD2 history ([[scd2History]] output):
+    * the dimension AS OF instant `at` is the one version row per key
+    * whose validity interval covers it — `valid_from <= at <
+    * valid_to` (half-open, so a version that starts exactly at `at`
+    * wins over the one it closed). Keys first seen after `at` simply
+    * have no covering row and drop out, which is the correct
+    * snapshot semantic.
+    *
+    * Scale: a pure filter over the history — pushed to the history
+    * table's scan, no join, no window. With the history partitioned
+    * by month(valid_from) the scan also prunes to intervals that
+    * could cover `at`.
+    */
+  def snapshotAt(history: DataFrame, at: String): DataFrame = {
+    val t = lit(at).cast("timestamp")
+    history.filter(col("valid_from") <= t && t < col("valid_to"))
+  }
 }

@@ -920,6 +920,22 @@ class ExtSpec extends SparkSpec {
     assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
   }
 
+  test("bfsHops: min hop wins across seeds; unreached vertices absent; hop cap holds") {
+    // path 1-2-3-4-5-6-7 plus isolated 9; seeds 1 and 5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (9L, 9L))
+      .toDF("a", "b").filter(col("a") =!= col("b")) // drop the self loop
+    val seeds = Seq(1L, 5L).toDF("id")
+    val got = Dedup.bfsHops(seeds, "id", edges, "a", "b", 2)
+      .as[(Long, Long)].collect().toMap
+    // vertex 3 is 2 hops from BOTH seeds; vertex 4 takes the min side (1 from 5)
+    assert(got == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 6L -> 1L,
+      3L -> 2L, 7L -> 2L))
+    // cap 1 stops the frontier after one ring
+    val one = Dedup.bfsHops(seeds, "id", edges, "a", "b", 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 6L -> 1L))
+  }
+
   test("vocabCoverage: hand-checked cutoff table, rank-free") {
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("id", "body")
     val got = TextOps.vocabCoverage(docs, "body", Seq(1, 2, 3, 5))

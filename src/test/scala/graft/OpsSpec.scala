@@ -585,4 +585,43 @@ class OpsSpec extends SparkSpec {
     assert(got(("in_range[0.0,100.0]", "v")) == ((1.0, false)))
     assert(got(("in_set", "st")) == ((1.0, false)))
   }
+
+  test("Materialize: merge of split rollups equals the full recompute, any split") {
+    val facts = (1 to 500).map(i => (s"day${i % 13}", (i * 37 % 1000).toLong))
+      .toDF("day", "m")
+    val full = Materialize.rollup(facts, "day", col("m"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    for (mod <- Seq(2, 3, 7)) {
+      val a = facts.filter(col("m") % mod === 0)
+      val b = facts.filter(col("m") % mod =!= 0)
+      val merged = Materialize.merge(
+        Materialize.rollup(a, "day", col("m")),
+        Materialize.rollup(b, "day", col("m")), "day")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(merged == full, s"mod=$mod")
+    }
+    // delta with keys absent from the base appends them unchanged
+    val aOnly = Materialize.rollup(facts.filter(col("day") === "day1"), "day", col("m"))
+    val bOnly = Materialize.rollup(facts.filter(col("day") === "day2"), "day", col("m"))
+    val app = Materialize.merge(aOnly, bOnly, "day")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(app == full.filter(r => r._1 == "day1" || r._1 == "day2"))
+  }
+
+  test("snapshotAt picks the covering version; keys born later are absent") {
+    val hist = Seq(
+      (1L, "a", "2024-01-01 00:00:00", "2024-01-10 00:00:00", false),
+      (1L, "b", "2024-01-10 00:00:00", "2199-12-31 00:00:00", true),
+      (2L, "x", "2024-01-20 00:00:00", "2199-12-31 00:00:00", true))
+      .toDF("k", "attr", "f", "t", "is_current")
+      .select(col("k"), col("attr"), to_timestamp(col("f")).as("valid_from"),
+        to_timestamp(col("t")).as("valid_to"), col("is_current"))
+    def snap(at: String) = Relational.snapshotAt(hist, at)
+      .as[(Long, String, java.sql.Timestamp, java.sql.Timestamp, Boolean)]
+      .collect().map(r => r._1 -> r._2).toMap
+    assert(snap("2024-01-05 00:00:00") == Map(1L -> "a")) // key 2 not born yet
+    // boundary: a version starting exactly at T wins over the one it closed
+    assert(snap("2024-01-10 00:00:00") == Map(1L -> "b"))
+    assert(snap("2024-01-25 00:00:00") == Map(1L -> "b", 2L -> "x"))
+  }
 }

@@ -623,4 +623,45 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!"Exchange rangepartitioning".r.findFirstIn(p).isDefined, p)
   }
+
+  test("s19_rollup_incremental: refresh reads the stored rollup; facts scanned once") {
+    val p = planOf("s19_rollup_incremental")
+    // the merged plan's base side is the materialized parquet artifact,
+    // so the orders fact table appears in exactly ONE scan (the delta
+    // slice) — a second scan would mean the refresh rescans history
+    val factScans = "orders.parquet".r.findAllIn(p).length
+    assert(factScans == 1, s"expected 1 fact scan, got $factScans\n$p")
+    assert(p.contains("s19_rollup"), p) // the stored-rollup scan
+    assert(p.contains("partial_sum"), p) // merge keeps map-side combine
+  }
+
+  test("p11_quantile_bin: no global window; edges broadcast into the row pass") {
+    val p = planOf("p11_quantile_bin")
+    // equal-frequency binning must NOT plan a global ntile window
+    // (single-partition sort of the corpus); it is an aggregate for
+    // the edges + a broadcast join back over the rows
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!"Exchange rangepartitioning".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("w11_streaks: both window passes share one user_id exchange") {
+    val p = planOf("w11_streaks")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 key exchange, got $exchanges\n$p")
+  }
+
+  test("a26_corr_matrix: every pair's moments ride ONE scan/agg of the fact table") {
+    val p = planOf("a26_corr_matrix")
+    val factScans = "lineitem.parquet".r.findAllIn(p).length
+    assert(factScans == 1, s"expected 1 fact scan, got $factScans\n$p")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("e3_mrr_eval: ranking + label joins all broadcast; no shuffle join") {
+    val p = planOf("e3_mrr_eval")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p) // top-k prunes map-side
+  }
 }

@@ -461,6 +461,18 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("s19 streaming rollup maintenance equals the batch refresh and the full recompute") {
+    // the merge law makes ANY micro-batching land on the same stored
+    // rollup; the registered query already forces maxFilesPerTrigger=1
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamQueries.s19RollupStream(spark, dir)
+      .as[(java.sql.Timestamp, Long, Long, Long, Long)].collect().toSet
+    val batch = ParityQueries.all("s19_rollup_incremental")(spark, dir)
+      .as[(java.sql.Timestamp, Long, Long, Long, Long)].collect().toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("recovery law: a NEW query restarted from the checkpoint resumes state exactly-once") {
     // The Structured Streaming recovery contract, driven end to end:
     // phase 1 processes half the source under query Q1 and STOPS;

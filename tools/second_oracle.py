@@ -481,6 +481,122 @@ def e2_pagerank(sf, iters=3, min_est=0.5):
     return pd.DataFrame(sorted(pr.items()), columns=["doc_id", "pr"])
 
 
+def s19_rollup_incremental(sf):
+    # incremental-maintenance law replayed as the full recompute in
+    # pure int arithmetic: day-truncated key, BIGINT cents metrics
+    import math
+    o = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    day = pd.to_datetime(o["o_orderdate"]).dt.floor("D")
+    cents = [int(math.floor(float(v) * 100)) for v in o["o_totalprice"]]
+    rows = {}
+    for d, c in zip(day, cents):
+        n, s_, mn, mx = rows.get(d, (0, 0, None, None))
+        rows[d] = (n + 1, s_ + c,
+                   c if mn is None else min(mn, c),
+                   c if mx is None else max(mx, c))
+    return pd.DataFrame(
+        [(d, n, s_, mn, mx) for d, (n, s_, mn, mx) in rows.items()],
+        columns=["day", "n", "sum_m", "min_m", "max_m"])
+
+
+def w11_streaks(sf, min_run=3):
+    # gaps-and-islands run detection as a sequential per-user scan
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+    out = []
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        longest = cur = 0
+        n_long = 0
+        prev = None
+        for v in g["value"]:
+            if prev is not None and float(v) > float(prev):
+                cur += 1
+            else:
+                if cur >= min_run:
+                    n_long += 1
+                longest = max(longest, cur)
+                cur = 1
+            prev = v
+        if cur >= min_run:
+            n_long += 1
+        longest = max(longest, cur)
+        out.append((int(uid), longest, n_long))
+    return pd.DataFrame(out, columns=["user_id", "longest_streak", "n_long_streaks"])
+
+
+def p11_quantile_bin(sf):
+    # quantile_cont edges replayed: pos = p*(n-1); on quartile
+    # fractions every step is dyadic-exact over integer cents
+    import math
+    o = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_totalprice"])
+    cents = sorted(int(math.floor(float(v) * 100)) for v in o["o_totalprice"])
+    n = len(cents)
+
+    def q(p):
+        pos = p * (n - 1)
+        lo = math.floor(pos)
+        frac = pos - lo
+        return cents[lo] + (cents[min(lo + 1, n - 1)] - cents[lo]) * frac
+    e1, e2, e3 = q(0.25), q(0.5), q(0.75)
+    rows = {}
+    for c in cents:
+        b = 1 + (c > e1) + (c > e2) + (c > e3)
+        cnt, mn, mx = rows.get(b, (0, None, None))
+        rows[b] = (cnt + 1, c if mn is None else min(mn, c),
+                   c if mx is None else max(mx, c))
+    return pd.DataFrame(
+        [(b, cnt, mn, mx) for b, (cnt, mn, mx) in sorted(rows.items())],
+        columns=["bin", "n", "min_cents", "max_cents"])
+
+
+def e2_bfs_hops(sf, seed_mod=50, max_hops=4):
+    # textbook queue BFS over the reciprocal-kNN edges — a third
+    # encoding beside Spark's frontier joins and DuckDB's unrolled
+    # whole-set min-regrouping
+    ids, edges = _mutual_knn_edges(sf)
+    adj = {}
+    for (a, b) in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    hops = {i: 0 for i in ids if i % seed_mod == 0}
+    frontier = sorted(hops)
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in hops:
+                    hops[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    return pd.DataFrame(sorted(hops.items()), columns=["vec_id", "hops"])
+
+
+def e3_mrr_eval(sf, query_mod=10, k=10):
+    # exact cosine ranking (the engine's fold order via _dot) and
+    # integer lcm-scaled reciprocal ranks
+    import math
+    e = pd.read_parquet(f"{sf}/embeddings.parquet")
+    emb = {int(v): list(a) for v, a in zip(e["vec_id"], e["embedding"])}
+    lbl = {int(v): int(l) for v, l in zip(e["vec_id"], e["label"])}
+    n2 = {i: _dot(v, v) for i, v in emb.items()}
+    out = []
+    for q in sorted(emb):
+        if q % query_mod != 0:
+            continue
+        scored = sorted(
+            ((_dot(emb[q], emb[c]) / (math.sqrt(n2[q]) * math.sqrt(n2[c])), c)
+             for c in emb if c != q),
+            key=lambda t: (-t[0], t[1]))[:k]
+        first = None
+        for rk, (_, c) in enumerate(scored, start=1):
+            if lbl[c] == lbl[q]:
+                first = rk
+                break
+        out.append((q, first, 0 if first is None else 2520 // first))
+    return pd.DataFrame(out, columns=["query_id", "first_rel_rank", "rr_x2520"])
+
+
 QUERIES = {
     "a3_mean": a3_mean,
     "a4_group_mean": a4_group_mean,
@@ -498,6 +614,11 @@ QUERIES = {
     "e5_backoff_score": e5_backoff_score,
     "e3_kmeans": e3_kmeans,
     "e2_pagerank": e2_pagerank,
+    "s19_rollup_incremental": s19_rollup_incremental,
+    "w11_streaks": w11_streaks,
+    "p11_quantile_bin": p11_quantile_bin,
+    "e2_bfs_hops": e2_bfs_hops,
+    "e3_mrr_eval": e3_mrr_eval,
 }
 
 

@@ -2039,6 +2039,45 @@ object ParityQueries {
       |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_m
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ---- S21: incremental NDV maintenance via mergeable KMV sketches ---------
+  // The stat s19's scaladoc rules OUT of the count/sum/min/max merge
+  // law — distinct customers per month — maintained incrementally
+  // anyway by swapping exact NDV for its mergeable sketch
+  // ([[graft.ops.Materialize.ndvSketch]]): the stored rollup keeps
+  // the k smallest distinct key hashes per month (a ≤ k-element
+  // array column), a delta slice merges in O(k) per key, and the
+  // estimator finishes bit-exactly on both engines (a25's md5 + min-k
+  // discipline, per group). Same storage round-trip as s19; the
+  // oracle is the full per-month recompute.
+  private val S21K = 64
+  def s21RollupNdv(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.orders(s, dir).select(
+      date_trunc("MONTH", col("o_orderdate")).as("month"), col("o_custkey"))
+    val cut = lit(S19Cutoff).cast("timestamp")
+    val stored = Sink.scratchDir("s21_ndv") + "/monthly"
+    Materialize.ndvSketch(
+      facts.filter(col("month") < cut), "month", "o_custkey", S21K)
+      .write.mode("overwrite").parquet(stored)
+    val delta = Materialize.ndvSketch(
+      facts.filter(col("month") >= cut), "month", "o_custkey", S21K)
+    Materialize.ndvEstimate(
+      Materialize.mergeNdv(s.read.parquet(stored), delta, "month", S21K),
+      "month", S21K)
+  }
+  val s21Sql =
+    s"""WITH hs AS (SELECT DISTINCT date_trunc('month', o_orderdate) AS month,
+       |    CAST(('0x' || substr(md5('kmv_' || CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+       |  FROM orders WHERE o_custkey IS NOT NULL),
+       |mk AS (SELECT month, h FROM (
+       |  SELECT month, h, row_number() OVER (PARTITION BY month ORDER BY h) AS rk FROM hs)
+       |  WHERE rk <= $S21K),
+       |s AS (SELECT month, CAST(count(*) AS BIGINT) AS n_min, max(h) AS h_k
+       |  FROM mk GROUP BY month)
+       |SELECT month, n_min, h_k,
+       |  CASE WHEN n_min < $S21K THEN CAST(n_min AS DOUBLE)
+       |       ELSE ${(S21K - 1).toDouble} * 4294967296.0 / h_k END AS est_ndv
+       |FROM s""".stripMargin
+
   // ---- S20: snapshot (time-travel) read over the SCD2 history --------------
   // The consumption side of s14: the dimension AS OF a fixed instant
   // ([[graft.ops.Relational.snapshotAt]]) — one covering version row
@@ -2147,6 +2186,69 @@ object ParityQueries {
        |SELECT user_id, max(len) AS longest_streak,
        |  CAST(sum(CASE WHEN len >= $W11MinRun THEN 1 ELSE 0 END) AS BIGINT) AS n_long_streaks
        |FROM lens GROUP BY user_id""".stripMargin
+
+  // ---- P12: composed training-feature matrix -------------------------------
+  // The assembly step after the individual transforms: one frame per
+  // training row (order) carrying a leak-free LOO-encoded categorical
+  // (p9's discipline on o_orderpriority vs the money target), the
+  // quartile price bin (p11's broadcast-edge discipline), and two
+  // customer-history features (order count + days since previous
+  // order). Composition cost: the category and edge frames are 1-row/
+  // k-row broadcasts; BOTH history features ride ONE custkey window
+  // exchange (count over the unordered frame, lag over the ordered
+  // one — same hash partitioning); the fact table is scanned once per
+  // branch and never shuffled except that single window exchange.
+  def p12FeatureMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_orderdate"),
+      col("o_totalprice").cast("decimal(28,10)").as("vd"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val g = b.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_g"), sum(col("vd")).as("s_g"))
+    val edges = b.agg(
+      expr("percentile(cents, 0.25)").as("e1"),
+      expr("percentile(cents, 0.5)").as("e2"),
+      expr("percentile(cents, 0.75)").as("e3"))
+    val wCust = Window.partitionBy(col("o_custkey"))
+    val wOrd = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    b.join(broadcast(g), Seq("o_orderpriority"), "left")
+      .crossJoin(broadcast(edges))
+      .select(
+        col("o_orderkey"),
+        when(col("n_g") > 1,
+          (col("s_g") - col("vd")).cast("string").cast("double") / (col("n_g") - 1))
+          .as("prio_loo"),
+        (lit(1L) + (col("cents") > col("e1")).cast("long")
+          + (col("cents") > col("e2")).cast("long")
+          + (col("cents") > col("e3")).cast("long")).as("price_bin"),
+        when(col("o_custkey").isNotNull, count(lit(1)).over(wCust))
+          .as("n_orders_cust"),
+        when(col("o_custkey").isNotNull,
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(wOrd)))
+          .cast("long").as("days_since_prev"))
+  }
+  val p12Sql =
+    """WITH b AS (SELECT o_orderkey, o_custkey, o_orderpriority, o_orderdate,
+      |    CAST(o_totalprice AS DECIMAL(28,10)) AS vd,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |g AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_g, SUM(vd) AS s_g
+      |  FROM b GROUP BY 1),
+      |e AS (SELECT quantile_cont(cents, 0.25) AS e1, quantile_cont(cents, 0.5) AS e2,
+      |    quantile_cont(cents, 0.75) AS e3 FROM b)
+      |SELECT o_orderkey,
+      |  CASE WHEN n_g > 1
+      |    THEN CAST(CAST(s_g - vd AS VARCHAR) AS DOUBLE) / (n_g - 1) END AS prio_loo,
+      |  1 + CAST(cents > e1 AS BIGINT) + CAST(cents > e2 AS BIGINT)
+      |    + CAST(cents > e3 AS BIGINT) AS price_bin,
+      |  CASE WHEN o_custkey IS NOT NULL
+      |    THEN CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) END AS n_orders_cust,
+      |  CASE WHEN o_custkey IS NOT NULL
+      |    THEN date_diff('day',
+      |      lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |      o_orderdate) END AS days_since_prev
+      |FROM b LEFT JOIN g USING (o_orderpriority) CROSS JOIN e""".stripMargin
 
   // ---- A26: correlation matrix in one pass ---------------------------------
   // a10's decimal-moment Pearson generalized to every pair of four
@@ -2725,8 +2827,10 @@ object ParityQueries {
     "s12_compact" -> (s12Compact _),
     "s14_scd2" -> (s14Scd2 _),
     "s19_rollup_incremental" -> (s19RollupIncremental _),
+    "s21_rollup_ndv" -> (s21RollupNdv _),
     "s20_snapshot_read" -> (s20SnapshotRead _),
     "p11_quantile_bin" -> (p11QuantileBin _),
+    "p12_feature_matrix" -> (p12FeatureMatrix _),
     "w11_streaks" -> (w11Streaks _),
     "a26_corr_matrix" -> (a26CorrMatrix _),
     "s16_stats_collect" -> (s16StatsCollect _),
@@ -2833,8 +2937,10 @@ object ParityQueries {
     "s12_compact" -> s12Sql,
     "s14_scd2" -> s14Sql,
     "s19_rollup_incremental" -> s19Sql,
+    "s21_rollup_ndv" -> s21Sql,
     "s20_snapshot_read" -> s20Sql,
     "p11_quantile_bin" -> p11Sql,
+    "p12_feature_matrix" -> p12Sql,
     "w11_streaks" -> w11Sql,
     "a26_corr_matrix" -> a26Sql,
     "s16_stats_collect" -> s16Sql,

@@ -55,6 +55,59 @@ object Materialize {
         min(col("min_m")).as("min_m"),
         max(col("max_m")).as("max_m"))
 
+  /** Per-key KMV distinct-count sketch: the k smallest DISTINCT md5
+    * hashes of `idCol`, kept as a sorted array column — the mergeable
+    * NDV statistic a materialized rollup maintains incrementally
+    * where exact `count_distinct` cannot (min-k of a union is the
+    * min-k of the concatenated sketches; an exact NDV needs the full
+    * key set). Same hash + estimator as [[Aggregates.kmvDistinct]],
+    * so the DuckDB oracle replays estimates bit-exactly.
+    *
+    * Scale shape: the (key, hash) frame reduces map-side via
+    * distinct; per-key min-k goes through the rank-window
+    * (WindowGroupLimit prunes to k rows per key BEFORE the exchange);
+    * the sketch column is ≤ k BIGINTs per key however large the
+    * slice.
+    */
+  def ndvSketch(df: DataFrame, keyCol: String, idCol: String, k: Int): DataFrame =
+    minK(
+      df.filter(col(idCol).isNotNull)
+        .select(col(keyCol),
+          graft.ext.TextOps.md5Int32(
+            concat(lit("kmv_"), col(idCol).cast("string"))).as("h"))
+        .distinct(),
+      keyCol, k)
+
+  /** Merge two NDV sketch tables ([[ndvSketch]] schema): explode,
+    * distinct (the same key in both slices yields the same hash),
+    * re-take min-k. Work is bounded by 2k hashes per key — never the
+    * underlying key population.
+    */
+  def mergeNdv(base: DataFrame, delta: DataFrame, keyCol: String, k: Int): DataFrame =
+    minK(
+      base.unionByName(delta)
+        .select(col(keyCol), explode(col("hs")).as("h"))
+        .distinct(),
+      keyCol, k)
+
+  private def minK(hs: DataFrame, keyCol: String, k: Int): DataFrame =
+    Ranking.topKPerGroup(hs, Seq(keyCol), Seq(col("h").asc), k)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+
+  /** Finish an NDV sketch into per-key estimates (the
+    * [[Aggregates.kmvDistinct]] estimator: exact below k, else
+    * (k−1)·2³²/h_k).
+    */
+  def ndvEstimate(sketch: DataFrame, keyCol: String, k: Int): DataFrame =
+    sketch.select(col(keyCol),
+      size(col("hs")).cast("long").as("n_min"),
+      element_at(col("hs"), -1).as("h_k"))
+      .select(col(keyCol), col("n_min"), col("h_k"),
+        when(col("n_min") < k, col("n_min").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / col("h_k"))
+          .as("est_ndv"))
+
   /** In-place refresh of a STORED rollup: read it, [[merge]] a delta
     * rollup in, rewrite to a sibling directory, swap (the
     * rewrite-then-swap recipe index compaction uses — at warehouse

@@ -608,6 +608,33 @@ class OpsSpec extends SparkSpec {
     assert(app == full.filter(r => r._1 == "day1" || r._1 == "day2"))
   }
 
+  test("ndvSketch: merge of split sketches equals the full sketch; estimator exact below k") {
+    val facts = (1 to 400).map(i => (s"g${i % 4}", (i * 13 % 97).toLong))
+      .toDF("g", "id")
+    val k = 16
+    val full = Materialize.ndvSketch(facts, "g", "id", k)
+      .as[(String, Seq[Long])].collect().toMap
+    // any split merges back to the full sketch — including overlapping
+    // ids on both sides (same id => same hash, deduped in the merge)
+    for (mod <- Seq(2, 5)) {
+      val a = Materialize.ndvSketch(facts.filter(col("id") % mod === 0), "g", "id", k)
+      val b = Materialize.ndvSketch(facts.filter(col("id") % 2 =!= 1 || col("id") % mod =!= 0), "g", "id", k)
+      val c = Materialize.ndvSketch(facts.filter(col("id") % mod =!= 0), "g", "id", k)
+      val merged = Materialize.mergeNdv(a, c, "g", k)
+        .as[(String, Seq[Long])].collect().toMap
+      assert(merged == full, s"mod=$mod")
+      val overlapped = Materialize.mergeNdv(a, b, "g", k) // b overlaps a's evens
+      assert(Materialize.mergeNdv(overlapped, c, "g", k)
+        .as[(String, Seq[Long])].collect().toMap == full)
+    }
+    // below k distinct ids the estimate IS the exact count
+    val small = Seq(("x", 1L), ("x", 2L), ("x", 2L), ("y", 9L)).toDF("g", "id")
+    val est = Materialize.ndvEstimate(
+      Materialize.ndvSketch(small, "g", "id", k), "g", k)
+      .select(col("g"), col("est_ndv")).as[(String, Double)].collect().toMap
+    assert(est == Map("x" -> 2.0, "y" -> 1.0))
+  }
+
   test("snapshotAt picks the covering version; keys born later are absent") {
     val hist = Seq(
       (1L, "a", "2024-01-01 00:00:00", "2024-01-10 00:00:00", false),

@@ -658,6 +658,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("s21_rollup_ndv: per-key min-k prunes map-side; merge never sorts globally") {
+    val p = planOf("s21_rollup_ndv")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!"Exchange rangepartitioning".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("s21_ndv"), p) // the stored-sketch scan is in-plan
+  }
+
+  test("p12_feature_matrix: one custkey exchange carries both history features") {
+    val p = planOf("p12_feature_matrix")
+    assert(!p.contains("SortMergeJoin"), p) // category + edge frames broadcast
+    val custEx = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).length
+    assert(custEx == 1, s"expected 1 custkey exchange, got $custEx\n$p")
+  }
+
   test("e3_mrr_eval: ranking + label joins all broadcast; no shuffle join") {
     val p = planOf("e3_mrr_eval")
     assert(!p.contains("SortMergeJoin"), p)

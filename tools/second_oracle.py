@@ -572,6 +572,27 @@ def e2_bfs_hops(sf, seed_mod=50, max_hops=4):
     return pd.DataFrame(sorted(hops.items()), columns=["vec_id", "hops"])
 
 
+def s21_rollup_ndv(sf, k=64):
+    # per-month KMV sketch replayed with hashlib directly (no engine
+    # md5): min-k of distinct 32-bit hash prefixes + the estimator
+    import hashlib
+    import math
+    o = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderdate", "o_custkey"])
+    o = o[o["o_custkey"].notna()]
+    month = pd.to_datetime(o["o_orderdate"]).values.astype("datetime64[M]")
+    hs = {}
+    for m, ck in zip(month, o["o_custkey"]):
+        h = int(hashlib.md5(f"kmv_{int(ck)}".encode()).hexdigest()[:8], 16)
+        hs.setdefault(m, set()).add(h)
+    rows = []
+    for m, s_ in sorted(hs.items()):
+        mk = sorted(s_)[:k]
+        n_min, h_k = len(mk), mk[-1]
+        est = float(n_min) if n_min < k else (k - 1) * 4294967296.0 / h_k
+        rows.append((pd.Timestamp(m), n_min, h_k, est))
+    return pd.DataFrame(rows, columns=["month", "n_min", "h_k", "est_ndv"])
+
+
 def e3_mrr_eval(sf, query_mod=10, k=10):
     # exact cosine ranking (the engine's fold order via _dot) and
     # integer lcm-scaled reciprocal ranks
@@ -619,6 +640,7 @@ QUERIES = {
     "p11_quantile_bin": p11_quantile_bin,
     "e2_bfs_hops": e2_bfs_hops,
     "e3_mrr_eval": e3_mrr_eval,
+    "s21_rollup_ndv": s21_rollup_ndv,
 }
 
 

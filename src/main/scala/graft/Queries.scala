@@ -2301,6 +2301,127 @@ object ParityQueries {
     s"WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n, $moms FROM lineitem)\n$rows"
   }
 
+  // ---- A27: lag-1 autocorrelation per event type ---------------------------
+  // The serial-dependence stat behind seasonality checks and
+  // sessionization heuristics: Pearson r between consecutive values
+  // of each user's event sequence, grouped by event type. Pairing is
+  // one lag window per (user, type); the correlation reuses a10's
+  // fixed-expression discipline, but the moments accumulate as
+  // BIGINT cents products (a24's round(value*100) bridge — the
+  // (8,2)-decimal factor trick needs terminating-2-decimal inputs,
+  // which event values are not). BIGINT sums are exact to 2^63 and
+  // the final double casts are exact to 2^53 — at corpus scales past
+  // ~1e9 pair-rows the product sums should widen to DECIMAL(38,0),
+  // same shape. One user-shuffle for the lag, partial+final agg after.
+  def a27Autocorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"),
+        lag(round(col("value") * 100).cast("long"), 1).over(w).as("p"))
+      .filter(col("p").isNotNull)
+    pairs.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("c")).as("sc"), sum(col("p")).as("sp"),
+        sum(col("c") * col("p")).as("scp"),
+        sum(col("c") * col("c")).as("scc"),
+        sum(col("p") * col("p")).as("spp"))
+      .select(col("event_type"), col("n_pairs"),
+        ((col("n_pairs") * col("scp") - col("sc") * col("sp")).cast("double") /
+          (sqrt((col("n_pairs") * col("scc") - col("sc") * col("sc")).cast("double")) *
+            sqrt((col("n_pairs") * col("spp") - col("sp") * col("sp")).cast("double"))))
+          .as("autocorr_lag1"))
+  }
+  val a27Sql =
+    """WITH pr AS (SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS c,
+      |    lag(CAST(round(value * 100) AS BIGINT)) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS p
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    sum(c) AS sc, sum(p) AS sp, sum(c * p) AS scp,
+      |    sum(c * c) AS scc, sum(p * p) AS spp
+      |  FROM pr WHERE p IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, n_pairs,
+      |  CAST(n_pairs * scp - sc * sp AS DOUBLE) /
+      |  (sqrt(CAST(n_pairs * scc - sc * sc AS DOUBLE)) *
+      |   sqrt(CAST(n_pairs * spp - sp * sp AS DOUBLE))) AS autocorr_lag1
+      |FROM m""".stripMargin
+
+  // ---- J13: interpolation alignment join -----------------------------------
+  // The step past as-of: each click is aligned to its user's purchase
+  // series by LINEAR INTERPOLATION between the bracketing purchases —
+  // pandas merge_asof + interpolate as one declarative plan (sensor
+  // fusion, price marking at trade time). Shape is the j5 union
+  // trick doubled: purchases ∪ clicks sort once per user; a
+  // carry-forward window (last ignoreNulls) brings the previous
+  // purchase's (value, micros), a carry-backward frame (first
+  // ignoreNulls over CURRENT..FOLLOWING) the next one's — four
+  // window columns, two frames, ONE user_id exchange, no join at
+  // all. At-same-instant purchases sort BEFORE the click (is_q
+  // tiebreak), so the "previous" bracket includes them and the lerp
+  // collapses to that exact value (t = t0); boundary clicks with a
+  // missing bracket yield null. The lerp runs in one fixed double
+  // expression over exact micros diffs, identical in the oracle.
+  def j13InterpJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+    val u = ev.filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value").as("v"),
+        lit(0).as("is_q"))
+      .unionByName(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(null).cast("double").as("v"), lit(1).as("is_q")))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_q"), col("event_id"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val vts = when(col("v").isNotNull, unix_micros(col("ts")))
+    val w = u.select(col("user_id"), col("ts"), col("event_id"), col("is_q"),
+      last(col("v"), ignoreNulls = true).over(back).as("pv"),
+      last(vts, ignoreNulls = true).over(back).as("pt"),
+      first(col("v"), ignoreNulls = true).over(fwd).as("nv"),
+      first(vts, ignoreNulls = true).over(fwd).as("nt"))
+    w.filter(col("is_q") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("pt").isNotNull && col("nt").isNotNull,
+          col("pv") + (col("nv") - col("pv")) *
+            ((unix_micros(col("ts")) - col("pt")).cast("double") /
+              (col("nt") - col("pt")).cast("double")))
+          .as("v_interp"))
+  }
+  val j13Sql =
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id, value AS v, 0 AS is_q FROM events
+      |  WHERE event_type = 'purchase' AND value IS NOT NULL AND ts IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, NULL AS v, 1 AS is_q FROM events
+      |  WHERE event_type = 'click' AND ts IS NOT NULL),
+      |w AS (SELECT user_id, ts, event_id, is_q,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts, is_q, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, is_q, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts, is_q, event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, is_q, event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      |  FROM u)
+      |SELECT event_id, user_id, ts,
+      |  CASE WHEN pt IS NOT NULL AND nt IS NOT NULL
+      |    THEN pv + (nv - pv) * (CAST(epoch_us(ts) - pt AS DOUBLE)
+      |                           / CAST(nt - pt AS DOUBLE)) END AS v_interp
+      |FROM w WHERE is_q = 1""".stripMargin
+
   // ---- S14: SCD2 dimension history from the event feed ---------------------
   // Type-2 history of each user's event_type "state"
   // ([[graft.ops.Relational.scd2History]]): run-collapse on change,
@@ -2833,6 +2954,8 @@ object ParityQueries {
     "p12_feature_matrix" -> (p12FeatureMatrix _),
     "w11_streaks" -> (w11Streaks _),
     "a26_corr_matrix" -> (a26CorrMatrix _),
+    "a27_autocorr" -> (a27Autocorr _),
+    "j13_interp_join" -> (j13InterpJoin _),
     "s16_stats_collect" -> (s16StatsCollect _),
     "s17_schema_merge" -> (s17SchemaMerge _),
     "s18_bucketed_join" -> (s18BucketedJoin _),
@@ -2943,6 +3066,8 @@ object ParityQueries {
     "p12_feature_matrix" -> p12Sql,
     "w11_streaks" -> w11Sql,
     "a26_corr_matrix" -> a26Sql,
+    "a27_autocorr" -> a27Sql,
+    "j13_interp_join" -> j13Sql,
     "s16_stats_collect" -> s16Sql,
     "s17_schema_merge" -> s17Sql,
     "s18_bucketed_join" -> s18Sql,

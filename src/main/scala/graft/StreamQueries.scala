@@ -817,7 +817,11 @@ object StreamQueries {
       .write.mode("overwrite").parquet(stored)
     val delta = facts.filter(col("day") >= cut)
     val in = fresh("s19str_in"); val ck = fresh("s19str_ck")
-    delta.write.mode("overwrite").parquet(in)
+    // 4 staged files → exactly 4 forced micro-batches: enough to prove
+    // split invariance without paying one rollup rewrite per core
+    // (staging is gate-only; a deployment's refresh cadence is its
+    // trigger interval, not its file count)
+    delta.coalesce(4).write.mode("overwrite").parquet(in)
     val q = s.readStream.schema(delta.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
       .writeStream

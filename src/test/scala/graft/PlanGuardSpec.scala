@@ -672,6 +672,19 @@ class PlanGuardSpec extends SparkSpec {
     assert(custEx == 1, s"expected 1 custkey exchange, got $custEx\n$p")
   }
 
+  test("j13_interp_join: alignment is pure windows over one exchange — no join operator") {
+    val p = planOf("j13_interp_join")
+    assert(!p.contains("Join"), p) // the union trick replaces the join entirely
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 user exchange, got $exchanges\n$p")
+  }
+
+  test("a27_autocorr: moments combine map-side after the single lag window") {
+    val p = planOf("a27_autocorr")
+    assert(p.contains("partial_sum"), p)
+    assert(!"Exchange rangepartitioning".r.findFirstIn(p).isDefined, p)
+  }
+
   test("e3_mrr_eval: ranking + label joins all broadcast; no shuffle join") {
     val p = planOf("e3_mrr_eval")
     assert(!p.contains("SortMergeJoin"), p)

@@ -618,6 +618,73 @@ def e3_mrr_eval(sf, query_mod=10, k=10):
     return pd.DataFrame(out, columns=["query_id", "first_rel_rank", "rr_x2520"])
 
 
+def a27_autocorr(sf):
+    # lag-1 pairs per (user, type) in pure int cents; one float formula
+    import math
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "event_type", "ts", "event_id", "value"])
+    ev = ev[ev["value"].notna() & ev["ts"].notna()]
+    moments = {}
+    for (_, et), grp in ev.groupby(["user_id", "event_type"]):
+        g = grp.sort_values(["ts", "event_id"])
+        cents = [int(round_half_up(float(v) * 100)) for v in g["value"]]
+        n, sc, sp, scp, scc, spp = moments.get(et, (0, 0, 0, 0, 0, 0))
+        for prev, cur in zip(cents, cents[1:]):
+            n += 1
+            sc += cur
+            sp += prev
+            scp += cur * prev
+            scc += cur * cur
+            spp += prev * prev
+        moments[et] = (n, sc, sp, scp, scc, spp)
+    rows = [
+        (et, n, float(n * scp - sc * sp)
+         / (math.sqrt(float(n * scc - sc * sc)) * math.sqrt(float(n * spp - sp * sp))))
+        for et, (n, sc, sp, scp, scc, spp) in moments.items()]
+    return pd.DataFrame(rows, columns=["event_type", "n_pairs", "autocorr_lag1"])
+
+
+def round_half_up(x):
+    # Spark round(double) = HALF_UP on the SHORTEST-DECIMAL repr
+    # (BigDecimal.valueOf) — replay exactly that; Python round() is
+    # banker's and floor(x+0.5) mis-rounds 0.49999999999999994
+    return int(Decimal(repr(float(x))).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def j13_interp_join(sf):
+    # sequential two-scan bracket carry + the identical lerp expression
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "event_type", "ts", "event_id", "value"])
+    ev = ev[ev["ts"].notna()]
+    out = []
+    for _, grp in ev[ev["event_type"].isin(["purchase", "click"])].groupby("user_id"):
+        rows = []
+        for _, r in grp.iterrows():
+            if r["event_type"] == "purchase" and pd.notna(r["value"]):
+                rows.append((r["ts"], 0, int(r["event_id"]), float(r["value"])))
+            elif r["event_type"] == "click":
+                rows.append((r["ts"], 1, int(r["event_id"]), None))
+        rows.sort(key=lambda t: (t[0], t[1], t[2]))
+        us = [int(pd.Timestamp(t).value // 1000) for t, _, _, _ in rows]
+        prevs, pv = [], (None, None)
+        for (t, q, eid, v), u in zip(rows, us):
+            if v is not None:
+                pv = (v, u)
+            prevs.append(pv)
+        nxts, nv = [None] * len(rows), (None, None)
+        for i in range(len(rows) - 1, -1, -1):
+            if rows[i][3] is not None:
+                nv = (rows[i][3], us[i])
+            nxts[i] = nv
+        for (t, q, eid, v), u, (pvv, pt), (nvv, nt) in zip(rows, us, prevs, nxts):
+            if q == 1:
+                interp = None
+                if pt is not None and nt is not None:
+                    interp = pvv + (nvv - pvv) * (float(u - pt) / float(nt - pt))
+                out.append((eid, int(grp["user_id"].iloc[0]), t, interp))
+    return pd.DataFrame(out, columns=["event_id", "user_id", "ts", "v_interp"])
+
+
 QUERIES = {
     "a3_mean": a3_mean,
     "a4_group_mean": a4_group_mean,
@@ -641,6 +708,8 @@ QUERIES = {
     "e2_bfs_hops": e2_bfs_hops,
     "e3_mrr_eval": e3_mrr_eval,
     "s21_rollup_ndv": s21_rollup_ndv,
+    "a27_autocorr": a27_autocorr,
+    "j13_interp_join": j13_interp_join,
 }
 
 

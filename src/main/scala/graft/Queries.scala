@@ -2712,6 +2712,200 @@ object ParityQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_custkey""".stripMargin
 
+  // ---- S22: zone-map (min/max manifest) file skipping ------------------------
+  // The FOURTH leg of the layout story (s9 prunes partition DIRS, s10
+  // orders rows WITHIN files, s18 co-locates joins): a standing
+  // per-file min/max MANIFEST — the Delta/Iceberg "data skipping"
+  // structure — lets a range predicate select files from METADATA
+  // alone, never touching the data. Build: range-partition orders by
+  // o_orderdate into 8 date-clustered files, derive one manifest row
+  // per file (`_metadata.file_path` + min/max/count of the clustering
+  // column) and persist the manifest as the artifact. Probe:
+  // overlap-filter the MANIFEST — the only thing ever collected, and
+  // it is file-count-sized (at 100 TB with 1 GiB files that is ~1e5
+  // metadata rows, not data) — then scan ONLY the candidate files
+  // with the residual predicate re-applied (zone maps are a
+  // may-contain filter, not an exact one). LayoutSpec pins the skip
+  // evidence (candidates ≪ total files); the oracle sees only the
+  // plain truth table, so any skip unsoundness — a pruned file that
+  // actually held a matching row — diverges rows+hash.
+  def s22ZonemapSkip(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode)
+    val data = Sink.scratchDir(s"zm_data_$tag")
+    val man = Sink.scratchDir(s"zm_manifest_$tag")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode("overwrite").parquet(data)
+    s.read.parquet(data)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col("o_orderdate")).as("zmin"), max(col("o_orderdate")).as("zmax"),
+        count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(man)
+    val (lo, hi) = (lit("1996-01-01"), lit("1996-07-01"))
+    // interval-overlap test against the manifest: keep a file unless
+    // it provably cannot contain a match
+    val files = s.read.parquet(man)
+      .filter(col("zmax") >= lo && col("zmin") < hi)
+      .select(col("file")).collect().map(_.getString(0))
+    s.read.parquet(files.toIndexedSeq: _*)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+  }
+  val s22Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin
+
+  // ---- S23: snapshot diff — CDC between two table versions -------------------
+  // The change-data-capture primitive every incremental consumer needs
+  // when the upstream publishes full snapshots: diff version N against
+  // N+1 into an I/U/D changelog. Shape: ONE full-outer join keyed on
+  // the primary key — both sides shuffle once on o_orderkey (zero
+  // shuffles if the snapshots are bucket-laid-out on the key, s18),
+  // change detection is a per-row comparison, nothing global. At
+  // 100 TB the wide-column compare collapses to comparing one
+  // precomputed row hash per side (s11's canonical-repr checksum);
+  // here the payload is two columns so the direct compare IS the
+  // cheap form. Versions are derived deterministically from the truth
+  // table (v1 drops %97 keys = later inserts; v2 drops %101 keys =
+  // deletes, and bumps %89 prices = updates) so the DuckDB oracle
+  // replays the whole construction exactly.
+  def s23SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val v1 = o.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey").as("ck1"), col("cents").as("c1"))
+    val v2 = o.filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey").as("ck2"),
+        when(col("o_orderkey") % 89 === 0, col("cents") + 100)
+          .otherwise(col("cents")).as("c2"))
+    v1.join(v2, Seq("o_orderkey"), "full_outer")
+      .filter(col("c1").isNull || col("c2").isNull ||
+        col("c1") =!= col("c2") || col("ck1") =!= col("ck2"))
+      .select(col("o_orderkey"),
+        when(col("c1").isNull, lit("I"))
+          .when(col("c2").isNull, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("c1").as("old_cents"), col("c2").as("new_cents"))
+  }
+  val s23Sql =
+    """WITH o AS (SELECT o_orderkey, o_custkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |v1 AS (SELECT o_orderkey, o_custkey AS ck1, cents AS c1
+      |       FROM o WHERE o_orderkey % 97 <> 0),
+      |v2 AS (SELECT o_orderkey, o_custkey AS ck2,
+      |         CASE WHEN o_orderkey % 89 = 0 THEN cents + 100 ELSE cents END AS c2
+      |       FROM o WHERE o_orderkey % 101 <> 0)
+      |SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+      |  CASE WHEN c1 IS NULL THEN 'I' WHEN c2 IS NULL THEN 'D' ELSE 'U' END AS op,
+      |  c1 AS old_cents, c2 AS new_cents
+      |FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+      |WHERE c1 IS NULL OR c2 IS NULL OR c1 <> c2 OR ck1 <> ck2""".stripMargin
+
+  // ---- J14: runtime Bloom-filter join (row-level runtime pruning) ------------
+  // The ROW-level sibling of j10's dynamic partition pruning: when the
+  // dimension side carries a selective non-partition predicate,
+  // Catalyst's InjectRuntimeFilter builds a Bloom filter over the dim
+  // join keys (bloom_filter_agg on a one-row subplan) and pushes
+  // might_contain(l_orderkey) into the FACT scan — at 100 TB the
+  // difference between shuffling the whole fact table into the join
+  // and shuffling only the ~selectivity fraction that can possibly
+  // match. Broadcast is disabled for this query (a broadcast join
+  // already prunes at the probe; the runtime filter exists precisely
+  // for the shuffle-join regime a 100 TB fact side forces), and the
+  // application-side size threshold is dropped to 0 because the toy
+  // fixture can't reach the 10 GiB production default. Confs are
+  // restored after the join MATERIALIZES into scratch (the roundtrip
+  // makes the plan execute under the intended confs — a lazily
+  // returned frame would re-optimize after restore); PlanGuardSpec
+  // asserts the executed plan carries the bloom probe. The oracle is
+  // the plain join — Bloom false positives only forward extra rows to
+  // the exact join, never change the result.
+  /** The join body of [[j14BloomJoin]], exposed so PlanGuardSpec can
+    * assert the bloom probe on the exact registered shape (the
+    * registered query returns a scratch read-back, which hides the
+    * executed join plan).
+    */
+  private[graft] def j14JoinPlan(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * 100)).cast("long").as("cents"))
+  }
+
+  private[graft] val j14Confs = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+
+  /** Run `body` with `confs` set, restoring the prior values after. */
+  private[graft] def withConfs[T](
+      s: SparkSession, confs: Seq[(String, String)])(body: => T): T = {
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  def j14BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val out = Sink.scratchDir(s"bloom_join_${math.abs(dir.hashCode)}")
+    withConfs(s, j14Confs) {
+      j14JoinPlan(s, dir).write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+  val j14Sql =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_custkey""".stripMargin
+
+  // ---- J15: join size / skew profile (plan WITHOUT running the join) ---------
+  // The diagnostic that decides BETWEEN j4's salting, AQE skew splits,
+  // or doing nothing: per-key join contribution |L_k|·|R_k| computed
+  // from the two sides' key histograms — two partial-agg'd counts and
+  // one histogram-to-histogram join (key-cardinality-sized, NEVER the
+  // join output) — then rolled into a log2-bucketed skew histogram:
+  // (bucket, #keys, output rows from those keys). The whole profile
+  // costs two scans + one small shuffle regardless of how explosive
+  // the real join would be; floor(log2)+1 is length(bin(x)) in BOTH
+  // engines, so the bucketing is integer-exact (a double log2 at a
+  // power-of-two boundary is not).
+  def j15JoinSizeProfile(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("lc"))
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("rc"))
+    l.join(r, Seq("k"))
+      .select((col("lc") * col("rc")).as("contrib"))
+      .groupBy(length(bin(col("contrib"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("contrib")).as("rows_in_bucket"))
+  }
+  val j15Sql =
+    """WITH l AS (SELECT user_id AS k, count(*) AS lc FROM events
+      |           WHERE user_id IS NOT NULL GROUP BY 1),
+      |r AS (SELECT o_custkey AS k, count(*) AS rc FROM orders GROUP BY 1),
+      |p AS (SELECT lc * rc AS contrib FROM l JOIN r USING (k))
+      |SELECT CAST(length(bin(contrib)) AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(contrib) AS BIGINT) AS rows_in_bucket
+      |FROM p GROUP BY 1""".stripMargin
+
   // ---- J10: dynamic partition pruning ---------------------------------------
   // The RUNTIME half of the partition-pruning story (s9 is the static
   // half): the fact side is hive-partitioned on event_type, but which
@@ -2959,6 +3153,10 @@ object ParityQueries {
     "s16_stats_collect" -> (s16StatsCollect _),
     "s17_schema_merge" -> (s17SchemaMerge _),
     "s18_bucketed_join" -> (s18BucketedJoin _),
+    "s22_zonemap_skip" -> (s22ZonemapSkip _),
+    "s23_snapshot_diff" -> (s23SnapshotDiff _),
+    "j14_bloom_join" -> (j14BloomJoin _),
+    "j15_join_size_profile" -> (j15JoinSizeProfile _),
     "j10_dpp" -> (j10Dpp _),
     "w7_twap" -> (w7Twap _),
     "w10_ohlc" -> (w10Ohlc _),
@@ -3071,6 +3269,10 @@ object ParityQueries {
     "s16_stats_collect" -> s16Sql,
     "s17_schema_merge" -> s17Sql,
     "s18_bucketed_join" -> s18Sql,
+    "s22_zonemap_skip" -> s22Sql,
+    "s23_snapshot_diff" -> s23Sql,
+    "j14_bloom_join" -> j14Sql,
+    "j15_join_size_profile" -> j15Sql,
     "j10_dpp" -> j10Sql,
     "w7_twap" -> w7Sql,
     "w10_ohlc" -> w10Sql,

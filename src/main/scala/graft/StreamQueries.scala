@@ -835,6 +835,55 @@ object StreamQueries {
     s.read.parquet(stored)
   }
 
+  // ---- S24s: STREAMING zone-map manifest maintenance -----------------------
+  // The ingest side of s22_zonemap_skip: at 100 TB the per-file
+  // min/max manifest is never REBUILT by rescanning the lake — each
+  // landing file contributes its one metadata row as it arrives.
+  // Here the 8 date-clustered files arrive under FORCED one-file
+  // micro-batches (maxFilesPerTrigger=1), each batch reduces ONLY its
+  // own rows to (file, zmin, zmax, n_rows) via `_metadata.file_path`,
+  // and appends them to the standing manifest (idempotent per-batchId
+  // partition write). Per-file stats are independent of batching by
+  // construction, so the incrementally-built manifest is bit-identical
+  // to s22's batch-built one — and the registered result is the same
+  // metadata-pruned probe, sharing s22's oracle verbatim: any
+  // incremental-maintenance unsoundness (missed file, wrong bounds
+  // pruning a matching file) diverges rows+hash.
+  def s24ManifestStream(s: SparkSession, dir: String): DataFrame = {
+    val data = fresh("s24_data")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode("overwrite").parquet(data)
+    val man = fresh("s24_man"); val ck = fresh("s24_ck")
+    val schema = s.read.parquet(data).schema
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(data)
+      .select(col("_metadata.file_path").as("file"), col("o_orderdate"))
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(
+          b.groupBy(col("file")).agg(
+            min(col("o_orderdate")).as("zmin"),
+            max(col("o_orderdate")).as("zmax"),
+            count(lit(1)).as("n_rows")),
+          id, man))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val (lo, hi) = (lit("1996-01-01"), lit("1996-07-01"))
+    val files = s.read.parquet(man)
+      .filter(col("zmax") >= lo && col("zmin") < hi)
+      .select(col("file")).collect().map(_.getString(0))
+    s.read.parquet(files.toIndexedSeq: _*)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_window_stream" -> (w1WindowStream _),
     "w3_session_stream" -> (w3SessionStream _),
@@ -849,6 +898,7 @@ object StreamQueries {
     "e5_quality_stream" -> (e5QualityStream _),
     "e8_decontam_stream" -> (e8DecontamStream _),
     "s19_rollup_stream" -> (s19RollupStream _),
+    "s24_manifest_stream" -> (s24ManifestStream _),
     "w9_dedup_stream" -> (w9DedupStream _))
 
   /** The 6-hour drift histogram, aggregated directly in SQL (both
@@ -878,5 +928,6 @@ object StreamQueries {
     "e5_quality_stream" -> ExtQueries.e5oSql,
     "e8_decontam_stream" -> ExtQueries.e8bSql,
     "s19_rollup_stream" -> ParityQueries.s19Sql,
+    "s24_manifest_stream" -> ParityQueries.s22Sql,
     "w9_dedup_stream" -> w9sSql)
 }

@@ -173,4 +173,27 @@ class LayoutSpec extends SparkSpec {
     // naive double sum vs the engine's decimal-exact sum: tolerance
     assert(math.abs(chi2 - ref) / ref < 1e-12, s"$chi2 vs $ref")
   }
+
+  test("s22 zone-map: manifest prunes most files; pruned scan is exactly the filtered truth") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("s22_zonemap_skip")(spark, dir)
+    // the query staged layout + manifest under this JVM's scratch dirs
+    val man = spark.read.parquet(
+      Sink.scratchDir(s"zm_manifest_${math.abs(dir.hashCode)}"))
+    val total = man.count()
+    val cand = man
+      .filter(col("zmax") >= lit("1996-01-01") && col("zmin") < lit("1996-07-01"))
+      .count()
+    // 8 date-range files over ~7 years: a 6-month predicate overlaps 1-2
+    assert(total == 8, s"total=$total")
+    assert(cand >= 1 && cand <= 2, s"candidates=$cand of $total — skipping broken")
+    // skip soundness: the pruned scan equals the full-scan filter
+    val truth = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-07-01"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    assert(out.count() == truth.count())
+    assert(out.except(truth).isEmpty && truth.except(out).isEmpty)
+  }
 }

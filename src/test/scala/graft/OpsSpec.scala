@@ -651,4 +651,27 @@ class OpsSpec extends SparkSpec {
     assert(snap("2024-01-10 00:00:00") == Map(1L -> "b"))
     assert(snap("2024-01-25 00:00:00") == Map(1L -> "b", 2L -> "x"))
   }
+
+  test("s23 snapshot diff: I/U/D counts match the version construction exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("s23_snapshot_diff")(spark, dir).cache()
+    try {
+      val k = Tables.orders(spark, dir).select(col("o_orderkey"))
+      val nI = k.filter(col("o_orderkey") % 97 === 0 &&
+        col("o_orderkey") % 101 =!= 0).count()
+      val nD = k.filter(col("o_orderkey") % 101 === 0 &&
+        col("o_orderkey") % 97 =!= 0).count()
+      val nU = k.filter(col("o_orderkey") % 89 === 0 &&
+        col("o_orderkey") % 97 =!= 0 && col("o_orderkey") % 101 =!= 0).count()
+      assert(nI > 0 && nD > 0 && nU > 0) // the fixture exercises all three ops
+      val got = out.groupBy(col("op")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("I" -> nI, "D" -> nD, "U" -> nU), got.toString)
+      // updates carry both sides; inserts/deletes exactly one
+      assert(out.filter(col("op") === "U" &&
+        (col("old_cents").isNull || col("new_cents").isNull)).isEmpty)
+      assert(out.filter(col("op") === "I" && col("old_cents").isNotNull).isEmpty)
+      assert(out.filter(col("op") === "D" && col("new_cents").isNotNull).isEmpty)
+    } finally { out.unpersist(); () }
+  }
 }

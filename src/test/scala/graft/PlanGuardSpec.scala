@@ -691,4 +691,28 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("WindowGroupLimit"), p) // top-k prunes map-side
   }
+
+  test("j14_bloom_join: the registered join shape carries the runtime bloom probe") {
+    // the registered query materializes to scratch under these confs;
+    // guard the same join body's executed plan directly
+    val p = ParityQueries.withConfs(spark, ParityQueries.j14Confs) {
+      ParityQueries.j14JoinPlan(spark, dir).queryExecution.executedPlan.toString
+    }
+    assert(p.contains("bloom_filter_agg"), p) // creation side: dim keys
+    assert(p.contains("might_contain"), p) // application side: fact pre-filter
+    // and the conf window must not leak: broadcast threshold restored
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
+  }
+
+  test("j15_join_size_profile: histogram-to-histogram join, never the join output") {
+    val p = planOf("j15_join_size_profile")
+    // both sides pre-reduce map-side (partial_count under each scan)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the contrib product consumes the two AGGREGATES' outputs — the
+    // join operands are the key histograms, not the fact tables
+    assert("\\(lc#\\d+L? \\* rc#\\d+L?\\)".r.findFirstIn(p).isDefined, p)
+    // key-cardinality-sized build side broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

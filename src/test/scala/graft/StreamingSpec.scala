@@ -587,4 +587,16 @@ class StreamingSpec extends SparkSpec {
       assert(indexed == Seq(1L, 2L, 4L))
     } finally q.stop()
   }
+  test("s24 manifest stream: forced-split incremental manifest yields the exact filtered truth") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("s24_manifest_stream")(spark, dir)
+    val truth = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= org.apache.spark.sql.functions.lit("1996-01-01") &&
+        col("o_orderdate") < org.apache.spark.sql.functions.lit("1996-07-01"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    assert(out.count() == truth.count())
+    assert(out.except(truth).isEmpty && truth.except(out).isEmpty)
+  }
 }

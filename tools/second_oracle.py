@@ -685,6 +685,82 @@ def j13_interp_join(sf):
     return pd.DataFrame(out, columns=["event_id", "user_id", "ts", "v_interp"])
 
 
+def s22_zonemap_skip(sf):
+    # the pruned scan must equal the plain filtered truth — replay the
+    # filter only (zone-map soundness is exactly "skipping changed
+    # nothing"); shared verbatim by the streaming manifest twin
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    d = pd.to_datetime(o["o_orderdate"])
+    m = (d >= pd.Timestamp("1996-01-01")) & (d < pd.Timestamp("1996-07-01"))
+    return o[m].reset_index(drop=True)
+
+
+def s23_snapshot_diff(sf):
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    o = o.assign(cents=[int(math.floor(float(v) * 100)) for v in o["o_totalprice"]])
+    v1 = o[o["o_orderkey"] % 97 != 0][["o_orderkey", "o_custkey", "cents"]]
+    v2 = o[o["o_orderkey"] % 101 != 0][["o_orderkey", "o_custkey", "cents"]].copy()
+    v2["cents"] = [c + 100 if k % 89 == 0 else c
+                   for k, c in zip(v2["o_orderkey"], v2["cents"])]
+    m = v1.merge(v2, on="o_orderkey", how="outer", suffixes=("_1", "_2"))
+    rows = []
+    for r in m.itertuples():
+        if pd.isna(r.cents_1):
+            rows.append((int(r.o_orderkey), "I", None, int(r.cents_2)))
+        elif pd.isna(r.cents_2):
+            rows.append((int(r.o_orderkey), "D", int(r.cents_1), None))
+        elif int(r.cents_1) != int(r.cents_2) or \
+                int(r.o_custkey_1) != int(r.o_custkey_2):
+            rows.append((int(r.o_orderkey), "U", int(r.cents_1), int(r.cents_2)))
+    out = pd.DataFrame(rows, columns=["o_orderkey", "op", "old_cents", "new_cents"])
+    # nullable long columns read back as float64; cents < 2^53 are exact
+    return out.astype({"old_cents": "float64", "new_cents": "float64"})
+
+
+def j14_bloom_join(sf):
+    # the bloom filter may only PRUNE non-matching probe rows — the
+    # result is the plain selective join, replayed here
+    import math
+    li = pd.read_parquet(
+        f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"])
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+    o = o[o["o_orderpriority"] == "1-URGENT"]
+    li = li.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in li["l_extendedprice"]])
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    g = (m.groupby("o_custkey")
+         .agg(n_items=("cents", "size"), cents=("cents", "sum")).reset_index())
+    return g[["o_custkey", "n_items", "cents"]]
+
+
+def j15_join_size_profile(sf):
+    # per-key |L_k|*|R_k| contributions bucketed by bit_length — the
+    # same integer-exact floor(log2)+1 both engines compute as
+    # length(bin(x))
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id"])
+    ev = ev[ev["user_id"].notna()]
+    o = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_custkey"])
+    lc = ev.groupby("user_id").size()
+    rc = o.groupby("o_custkey").size()
+    buckets = {}
+    for k, l in lc.items():
+        if k in rc.index:
+            contrib = int(l) * int(rc[k])
+            b = contrib.bit_length()
+            nk, rows = buckets.get(b, (0, 0))
+            buckets[b] = (nk + 1, rows + contrib)
+    return pd.DataFrame(
+        [(b, n, r) for b, (n, r) in buckets.items()],
+        columns=["bucket", "n_keys", "rows_in_bucket"])
+
+
 QUERIES = {
     "a3_mean": a3_mean,
     "a4_group_mean": a4_group_mean,
@@ -710,6 +786,11 @@ QUERIES = {
     "s21_rollup_ndv": s21_rollup_ndv,
     "a27_autocorr": a27_autocorr,
     "j13_interp_join": j13_interp_join,
+    "s22_zonemap_skip": s22_zonemap_skip,
+    "s24_manifest_stream": s22_zonemap_skip,
+    "s23_snapshot_diff": s23_snapshot_diff,
+    "j14_bloom_join": j14_bloom_join,
+    "j15_join_size_profile": j15_join_size_profile,
 }
 
 

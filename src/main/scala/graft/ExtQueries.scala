@@ -3351,6 +3351,59 @@ object ExtQueries {
        |SELECT id AS vec_id, hops FROM r$BfsMaxHops""".stripMargin
   }
 
+  // ---- E2q: hop-bounded WEIGHTED shortest paths on the same graph ----------
+  // The metric companion to e2_bfs_hops: minimum total edge COST from
+  // the seed set within 4 relaxation rounds ([[Dedup.ssspBounded]] —
+  // Bellman–Ford truncated at R edges, frontier-only relaxation).
+  // Edge weight is the integer micro-dissimilarity
+  // floor((1 − cos_sim)·1e6) + 1, so path sums are exact BIGINTs on
+  // both engines (double path sums would order-drift); the cos_sim
+  // doubles themselves are already proven identical cross-engine by
+  // every kNN oracle in this file. The oracle unrolls the rounds by
+  // re-relaxing the ENTIRE distance table each round — the quadratic
+  // encoding — and must agree on every distance; with positive
+  // weights the hop bound is the operator's contract (distance using
+  // ≤ R edges), not an approximation.
+  private val SsspRounds = 4
+  def e2SsspWeighted(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val edges = Similarity.mutualKnnGraph(emb, AnnBits, AnnK)
+      .select(col("id_a"), col("id_b"),
+        (floor((lit(1.0) - col("cos_sim")) * 1000000).cast("long") + 1L).as("w"))
+    Dedup.ssspBounded(
+      emb.filter(col("vec_id") % BfsSeedMod === 0).select(col("vec_id")),
+      "vec_id", edges, "id_a", "id_b", "w", SsspRounds)
+      .select(col("id").as("vec_id"), col("d").as("dist"))
+  }
+  val e2qSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val bucket = s"array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END for i in range(1, ${AnnBits + 1})], '')"
+    val rounds = (1 to SsspRounds).map { i =>
+      s"""r$i AS (SELECT id, min(d) AS d FROM (
+         |  SELECT id, d FROM r${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS id, r.d + e.w AS d FROM ed e JOIN r${i - 1} r ON e.src = r.id
+         |) GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2, $bucket AS bucket FROM embeddings),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+       |knn AS (SELECT query_id, vec_id, cos_sim FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM scored) WHERE rk <= $AnnK),
+       |me AS (SELECT least(query_id, vec_id) AS id_a, greatest(query_id, vec_id) AS id_b,
+       |    CAST(floor((1.0 - max(cos_sim)) * 1000000) AS BIGINT) + 1 AS w
+       |  FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
+       |ed AS (SELECT id_a AS src, id_b AS dst, w FROM me
+       |  UNION ALL SELECT id_b AS src, id_a AS dst, w FROM me),
+       |r0 AS (SELECT vec_id AS id, CAST(0 AS BIGINT) AS d FROM embeddings
+       |  WHERE vec_id % $BfsSeedMod = 0),
+       |$rounds
+       |SELECT id AS vec_id, d AS dist FROM r$SsspRounds""".stripMargin
+  }
+
   // ---- E3aa: retrieval evaluation (first-relevant rank / MRR) --------------
   // The eval loop that grades every retrieval stack in this file
   // (brute/IVF/SQ8/PQ/hybrid): queries are a deterministic corpus
@@ -3560,6 +3613,7 @@ object ExtQueries {
     "e5_domain_select" -> (e5DomainSelect _),
     "e3_knn_graph" -> (e3KnnGraph _),
     "e2_bfs_hops" -> (e2BfsHops _),
+    "e2_sssp_weighted" -> (e2SsspWeighted _),
     "e3_mrr_eval" -> (e3MrrEval _),
     "e7_epoch_shuffle" -> (e7EpochShuffle _),
     "e5_vocab_coverage" -> (e5VocabCoverage _)
@@ -3672,6 +3726,7 @@ object ExtQueries {
     "e5_domain_select" -> e5dsSql,
     "e3_knn_graph" -> e3ySql,
     "e2_bfs_hops" -> e2bfSql,
+    "e2_sssp_weighted" -> e2qSql,
     "e3_mrr_eval" -> e3mrSql,
     "e7_epoch_shuffle" -> e7jSql,
     "e5_vocab_coverage" -> e5ySql

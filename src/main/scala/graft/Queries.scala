@@ -1983,6 +1983,69 @@ object ParityQueries {
       |  SUM(CASE WHEN o_orderstatus IS NOT NULL
       |    AND o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) = 0 FROM orders""".stripMargin
 
+  // ---- P13: cross-table referential-integrity audit --------------------------
+  // The OTHER half of the intake contract p10 can't see: single-table
+  // expectations never catch a fact row pointing at a missing
+  // dimension key. One report row per declared relationship —
+  // (child rows, orphan rows, distinct orphan keys) — each check a
+  // LEFT-ANTI join against the parent's DISTINCT keys: the parent
+  // side semi-reduces to key cardinality before it broadcasts (or
+  // shuffles, for a billion-key parent), counts partial-agg
+  // map-side, and the orphan ROWS are never materialized — at 100 TB
+  // each relationship costs one fact scan + one key-sized build, and
+  // the checks are independent jobs that interleave. The five real
+  // relationships are expected-clean (the all-zero row IS the
+  // verdict); the sixth audits a deterministically CORRUPTED parent
+  // (customer minus %13 keys — simulated partial dim loss) so the
+  // detector's non-zero path is oracle-locked too.
+  def p13RefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def check(rel: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val childK = child.select(col(key)).filter(col(key).isNotNull)
+      val orphans = childK
+        .join(parent.select(col(pkey).as(key)).distinct(), Seq(key), "left_anti")
+      childK.agg(count(lit(1)).as("n_child")).crossJoin(
+        orphans.agg(count(lit(1)).as("n_orphans"),
+          countDistinct(col(key)).as("n_orphan_keys")))
+        .select(lit(rel).as("relationship"),
+          col("n_child"), col("n_orphans"), col("n_orphan_keys"))
+    }
+    val (li, o, c) = (Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.customer(s, dir))
+    val n = Tables.nation(s, dir)
+    Seq(
+      check("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+      check("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+      check("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+      check("supplier.s_nationkey->nation",
+        Tables.supplier(s, dir), "s_nationkey", n, "n_nationkey"),
+      check("nation.n_regionkey->region",
+        n, "n_regionkey", Tables.region(s, dir), "r_regionkey"),
+      check("orders.o_custkey->customer[corrupted]",
+        o, "o_custkey", c.filter(col("c_custkey") % 13 =!= 0), "c_custkey"))
+      .reduce(_ union _)
+  }
+  val p13Sql: String = {
+    def rel(name: String, child: String, key: String,
+        parent: String, pkey: String, parentWhere: String = ""): String =
+      s"""SELECT '$name' AS relationship,
+         |  CAST(count(*) AS BIGINT) AS n_child,
+         |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM $parent p
+         |      WHERE p.$pkey = c.$key $parentWhere) THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+         |  CAST(count(DISTINCT CASE WHEN NOT EXISTS (SELECT 1 FROM $parent p
+         |      WHERE p.$pkey = c.$key $parentWhere) THEN c.$key END) AS BIGINT) AS n_orphan_keys
+         |FROM $child c WHERE c.$key IS NOT NULL""".stripMargin
+    Seq(
+      rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      rel("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      rel("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      rel("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      rel("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      rel("orders.o_custkey->customer[corrupted]", "orders", "o_custkey",
+        "customer", "c_custkey", "AND p.c_custkey % 13 <> 0"))
+      .mkString("\nUNION ALL\n")
+  }
+
   // ---- A25: KMV distinct-count sketch vs exact truth -----------------------
   // The k smallest md5 hash values of l_partkey estimate its NDV
   // ([[graft.ops.Aggregates.kmvDistinct]]): k=256 over ~2 000
@@ -3157,6 +3220,7 @@ object ParityQueries {
     "s23_snapshot_diff" -> (s23SnapshotDiff _),
     "j14_bloom_join" -> (j14BloomJoin _),
     "j15_join_size_profile" -> (j15JoinSizeProfile _),
+    "p13_ref_integrity" -> (p13RefIntegrity _),
     "j10_dpp" -> (j10Dpp _),
     "w7_twap" -> (w7Twap _),
     "w10_ohlc" -> (w10Ohlc _),
@@ -3273,6 +3337,7 @@ object ParityQueries {
     "s23_snapshot_diff" -> s23Sql,
     "j14_bloom_join" -> j14Sql,
     "j15_join_size_profile" -> j15Sql,
+    "p13_ref_integrity" -> p13Sql,
     "j10_dpp" -> j10Sql,
     "w7_twap" -> w7Sql,
     "w10_ohlc" -> w10Sql,

@@ -481,6 +481,58 @@ object Dedup {
     reached
   }
 
+  /** Hop-bounded single-source-shortest-paths over a weighted
+    * undirected edge list: minimum total edge weight from any seed
+    * using at most `maxRounds` edges (the Bellman–Ford truncation —
+    * with positive weights the bound is the operator's contract, not
+    * an approximation knob, and it makes the semantics exactly
+    * unrollable by a SQL oracle).
+    *
+    * Scale shape mirrors [[bfsHops]]: each round relaxes only the
+    * FRONTIER (vertices whose distance improved last round) against
+    * the edge list — cost |frontier_r| · avg degree, one
+    * co-partitioned equi-join + min-reduce per round; the
+    * distance-table merge is a min-group on the vertex id. Weights
+    * must be non-negative integers (BIGINT path sums stay exact
+    * cross-engine; double path sums would not). Loop state is
+    * eagerly persisted and superseded generations unpersisted.
+    */
+  def ssspBounded(
+      seeds: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String, wCol: String,
+      maxRounds: Int): DataFrame = {
+    val und = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"), col(wCol).as("w"))
+      .unionByName(
+        edges.select(col(bCol).as("src"), col(aCol).as("dst"), col(wCol).as("w")))
+      .distinct()
+    val eds = graft.ops.Sink.cachedEager(und)
+    var dist = graft.ops.Sink.cachedEager(
+      seeds.select(col(idCol).as("id")).distinct()
+        .select(col("id"), lit(0L).as("d")))
+    var frontier = dist
+    for (_ <- 1 to maxRounds) {
+      val relaxed = frontier.join(eds, frontier("id") === eds("src"))
+        .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+      val improved = relaxed
+        .join(dist.select(col("id").as("oid"), col("d").as("od")),
+          relaxed("id") === col("oid"), "left")
+        .filter(col("od").isNull || col("d") < col("od"))
+        .select(col("id"), col("d"))
+      val improvedP = graft.ops.Sink.cachedEager(improved)
+      val merged = graft.ops.Sink.cachedEager(
+        dist.unionByName(improvedP)
+          .groupBy(col("id")).agg(min(col("d")).as("d")))
+      dist.unpersist()
+      frontier.unpersist()
+      dist = merged
+      frontier = improvedP
+    }
+    eds.unpersist()
+    dist
+  }
+
   /** Deterministic dedup: keep the first row per key group by
     * `orderCol` ascending, and report the group size. Deterministic
     * ONLY when `orderCol` is unique within each key group (like a

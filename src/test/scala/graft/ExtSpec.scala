@@ -936,6 +936,22 @@ class ExtSpec extends SparkSpec {
     assert(one == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 6L -> 1L))
   }
 
+  test("ssspBounded: cheaper multi-hop path beats direct edge; hop bound flips the answer") {
+    // 1-2 (1), 2-3 (1), 1-3 (5), 3-4 (1): two-hop route to 3 costs 2,
+    // the direct edge 5
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 1L))
+      .toDF("a", "b", "w")
+    val seeds = Seq(1L).toDF("id")
+    val got = Dedup.ssspBounded(seeds, "id", edges, "a", "b", "w", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), got.toString)
+    // with only ONE relaxation round the direct (expensive) edge is the
+    // best ≤1-edge path — the hop bound is semantics, not a cutoff
+    val one = Dedup.ssspBounded(seeds, "id", edges, "a", "b", "w", 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 5L), one.toString)
+  }
+
   test("vocabCoverage: hand-checked cutoff table, rank-free") {
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("id", "body")
     val got = TextOps.vocabCoverage(docs, "body", Seq(1, 2, 3, 5))

@@ -674,4 +674,19 @@ class OpsSpec extends SparkSpec {
       assert(out.filter(col("op") === "D" && col("new_cents").isNotNull).isEmpty)
     } finally { out.unpersist(); () }
   }
+
+  test("p13 referential integrity: clean relationships report zero; the corrupted parent does not") {
+    val rows = SparkEntry.queries("p13_ref_integrity")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val m = rows.map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m.size == 6)
+    m.foreach { case (rel, (nChild, nOrphans, nKeys)) =>
+      assert(nChild > 0, rel)
+      if (rel.endsWith("[corrupted]"))
+        // ~1/13 of custkeys removed from the parent -> real orphans
+        assert(nOrphans > 0 && nKeys > 0 && nOrphans >= nKeys, rel)
+      else assert(nOrphans == 0 && nKeys == 0, s"$rel should be clean")
+    }
+  }
 }

@@ -715,4 +715,13 @@ class PlanGuardSpec extends SparkSpec {
     // key-cardinality-sized build side broadcasts
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("p13_ref_integrity: every check is an anti join against DISTINCT parent keys") {
+    val p = planOf("p13_ref_integrity")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p) // parents broadcast at this scale
+    // the parent side semi-reduces before the join: distinct = HashAggregate
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p) // 1-row scalar joins are BNLJ
+  }
 }

@@ -761,6 +761,56 @@ def j15_join_size_profile(sf):
         columns=["bucket", "n_keys", "rows_in_bucket"])
 
 
+def e2_sssp_weighted(sf, seed_mod=50, rounds=4):
+    # synchronous Bellman-Ford truncated at `rounds` edges, integer
+    # micro-dissimilarity weights — a THIRD encoding beside Spark's
+    # frontier relaxation and DuckDB's whole-table re-relaxation
+    import math
+    ids, edges = _mutual_knn_edges(sf)
+    adj = {}
+    for (a, b), cos in edges.items():
+        w = int(math.floor((1.0 - cos) * 1000000)) + 1
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    dist = {i: 0 for i in ids if i % seed_mod == 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for i, d in dist.items():  # read OLD dist only: synchronous rounds
+            for j, w in adj.get(i, []):
+                if j not in nxt or d + w < nxt[j]:
+                    nxt[j] = d + w
+        dist = nxt
+    return pd.DataFrame(sorted(dist.items()), columns=["vec_id", "dist"])
+
+
+def p13_ref_integrity(sf):
+    def one(name, child, key, parent, pkey, pfilter=None):
+        c = pd.read_parquet(f"{sf}/{child}.parquet", columns=[key])
+        keys = [int(v) for v in c[key] if pd.notna(v)]
+        p = pd.read_parquet(f"{sf}/{parent}.parquet", columns=[pkey])
+        pk = {int(v) for v in p[pkey] if pd.notna(v)}
+        if pfilter:
+            pk = {v for v in pk if pfilter(v)}
+        orphans = [v for v in keys if v not in pk]
+        return (name, len(keys), len(orphans), len(set(orphans)))
+    rows = [
+        one("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+        one("orders.o_custkey->customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+        one("customer.c_nationkey->nation", "customer", "c_nationkey",
+            "nation", "n_nationkey"),
+        one("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+            "nation", "n_nationkey"),
+        one("nation.n_regionkey->region", "nation", "n_regionkey",
+            "region", "r_regionkey"),
+        one("orders.o_custkey->customer[corrupted]", "orders", "o_custkey",
+            "customer", "c_custkey", lambda v: v % 13 != 0),
+    ]
+    return pd.DataFrame(
+        rows, columns=["relationship", "n_child", "n_orphans", "n_orphan_keys"])
+
+
 QUERIES = {
     "a3_mean": a3_mean,
     "a4_group_mean": a4_group_mean,
@@ -791,6 +841,8 @@ QUERIES = {
     "s23_snapshot_diff": s23_snapshot_diff,
     "j14_bloom_join": j14_bloom_join,
     "j15_join_size_profile": j15_join_size_profile,
+    "e2_sssp_weighted": e2_sssp_weighted,
+    "p13_ref_integrity": p13_ref_integrity,
 }
 
 

@@ -2212,6 +2212,71 @@ object ParityQueries {
       |  FROM c CROSS JOIN e)
       |GROUP BY bin""".stripMargin
 
+  // ---- O15: RFM customer segmentation ---------------------------------------
+  // The classic warehouse scoring op: per customer, Recency (days
+  // since last order, against the corpus max as the anchor),
+  // Frequency (order count), Monetary (cents sum), each
+  // quartile-scored 1–4 and composed into the 3-digit segment code
+  // (recency inverted: 4 = most recent). Shape: ONE grouped pass
+  // builds the per-customer frame, one 9-percentile aggregation
+  // broadcasts the edges (p11's dyadic-quartile argument makes the
+  // interpolated edges bit-exact on integers), scoring is a per-row
+  // broadcast compare — no windows, no joins on the fact table, and
+  // the per-customer rows ARE the hashed artifact so every score is
+  // pinned. At 100 TB the percentile pass swaps to approx_percentile
+  // with the same two-pass shape.
+  def o15RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_ts"),
+        count(lit(1)).as("f"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("m_cents"))
+    val anchored = per.crossJoin(broadcast(per.agg(max(col("last_ts")).as("anchor"))))
+      .select(col("o_custkey"),
+        datediff(col("anchor"), col("last_ts")).cast("long").as("r_days"),
+        col("f"), col("m_cents"))
+    val edges = anchored.agg(
+      expr("percentile(r_days, 0.25)").as("r1"),
+      expr("percentile(r_days, 0.5)").as("r2"),
+      expr("percentile(r_days, 0.75)").as("r3"),
+      expr("percentile(f, 0.25)").as("f1"),
+      expr("percentile(f, 0.5)").as("f2"),
+      expr("percentile(f, 0.75)").as("f3"),
+      expr("percentile(m_cents, 0.25)").as("m1"),
+      expr("percentile(m_cents, 0.5)").as("m2"),
+      expr("percentile(m_cents, 0.75)").as("m3"))
+    def score(c: Column, e1: Column, e2: Column, e3: Column): Column =
+      lit(1L) + (c > e1).cast("long") + (c > e2).cast("long") + (c > e3).cast("long")
+    anchored.crossJoin(broadcast(edges))
+      .select(col("o_custkey"), col("r_days"), col("f"), col("m_cents"),
+        ((lit(5L) - score(col("r_days"), col("r1"), col("r2"), col("r3"))) * 100 +
+          score(col("f"), col("f1"), col("f2"), col("f3")) * 10 +
+          score(col("m_cents"), col("m1"), col("m2"), col("m3"))).as("segment"))
+  }
+  val o15Sql =
+    """WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_ts,
+      |    CAST(count(*) AS BIGINT) AS f,
+      |    SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS m_cents
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT o_custkey,
+      |    CAST(date_diff('day', CAST(last_ts AS DATE), CAST(a.anchor AS DATE)) AS BIGINT) AS r_days,
+      |    f, m_cents
+      |  FROM per CROSS JOIN (SELECT max(last_ts) AS anchor FROM per) a),
+      |e AS (SELECT
+      |    quantile_cont(r_days, 0.25) AS r1, quantile_cont(r_days, 0.5) AS r2,
+      |    quantile_cont(r_days, 0.75) AS r3,
+      |    quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2,
+      |    quantile_cont(f, 0.75) AS f3,
+      |    quantile_cont(m_cents, 0.25) AS m1, quantile_cont(m_cents, 0.5) AS m2,
+      |    quantile_cont(m_cents, 0.75) AS m3 FROM r)
+      |SELECT o_custkey, r_days, f, m_cents,
+      |  (5 - (1 + CAST(r_days > r1 AS BIGINT) + CAST(r_days > r2 AS BIGINT)
+      |      + CAST(r_days > r3 AS BIGINT))) * 100
+      |  + (1 + CAST(f > f1 AS BIGINT) + CAST(f > f2 AS BIGINT)
+      |      + CAST(f > f3 AS BIGINT)) * 10
+      |  + (1 + CAST(m_cents > m1 AS BIGINT) + CAST(m_cents > m2 AS BIGINT)
+      |      + CAST(m_cents > m3 AS BIGINT)) AS segment
+      |FROM r CROSS JOIN e""".stripMargin
+
   // ---- W11: run-length streak detection (gaps-and-islands) -----------------
   // Per-user maximal strictly-increasing runs of `value` in event
   // order — the MATCH_RECOGNIZE-lite sequence pattern (monitoring
@@ -3221,6 +3286,7 @@ object ParityQueries {
     "j14_bloom_join" -> (j14BloomJoin _),
     "j15_join_size_profile" -> (j15JoinSizeProfile _),
     "p13_ref_integrity" -> (p13RefIntegrity _),
+    "o15_rfm_segments" -> (o15RfmSegments _),
     "j10_dpp" -> (j10Dpp _),
     "w7_twap" -> (w7Twap _),
     "w10_ohlc" -> (w10Ohlc _),
@@ -3338,6 +3404,7 @@ object ParityQueries {
     "j14_bloom_join" -> j14Sql,
     "j15_join_size_profile" -> j15Sql,
     "p13_ref_integrity" -> p13Sql,
+    "o15_rfm_segments" -> o15Sql,
     "j10_dpp" -> j10Sql,
     "w7_twap" -> w7Sql,
     "w10_ohlc" -> w10Sql,

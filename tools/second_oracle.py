@@ -811,6 +811,46 @@ def p13_ref_integrity(sf):
         rows, columns=["relationship", "n_child", "n_orphans", "n_orphan_keys"])
 
 
+def o15_rfm_segments(sf):
+    # per-customer RFM from first principles: integer metrics, p11's
+    # dyadic quantile_cont edges, score compares in exact arithmetic
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    per = {}
+    for ck, dt, pr in zip(o["o_custkey"], pd.to_datetime(o["o_orderdate"]),
+                          o["o_totalprice"]):
+        last, f, m = per.get(int(ck), (None, 0, 0))
+        d = dt.normalize()
+        per[int(ck)] = (d if last is None or d > last else last,
+                        f + 1, m + int(math.floor(float(pr) * 100)))
+    anchor = max(last for last, _, _ in per.values())
+    rows = {ck: ((anchor - last).days, f, m) for ck, (last, f, m) in per.items()}
+
+    def q(vals, p):
+        v = sorted(vals)
+        pos = p * (len(v) - 1)
+        lo = math.floor(pos)
+        frac = pos - lo
+        return v[lo] + (v[min(lo + 1, len(v) - 1)] - v[lo]) * frac
+    rd = [r for r, _, _ in rows.values()]
+    fs = [f for _, f, _ in rows.values()]
+    ms = [m for _, _, m in rows.values()]
+    r1, r2, r3 = q(rd, 0.25), q(rd, 0.5), q(rd, 0.75)
+    f1, f2, f3 = q(fs, 0.25), q(fs, 0.5), q(fs, 0.75)
+    m1, m2, m3 = q(ms, 0.25), q(ms, 0.5), q(ms, 0.75)
+
+    def score(x, e1, e2, e3):
+        return 1 + (x > e1) + (x > e2) + (x > e3)
+    out = [(ck, r, f, m,
+            (5 - score(r, r1, r2, r3)) * 100 + score(f, f1, f2, f3) * 10 +
+            score(m, m1, m2, m3))
+           for ck, (r, f, m) in sorted(rows.items())]
+    return pd.DataFrame(
+        out, columns=["o_custkey", "r_days", "f", "m_cents", "segment"])
+
+
 QUERIES = {
     "a3_mean": a3_mean,
     "a4_group_mean": a4_group_mean,
@@ -843,6 +883,7 @@ QUERIES = {
     "j15_join_size_profile": j15_join_size_profile,
     "e2_sssp_weighted": e2_sssp_weighted,
     "p13_ref_integrity": p13_ref_integrity,
+    "o15_rfm_segments": o15_rfm_segments,
 }
 
 

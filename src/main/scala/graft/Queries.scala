@@ -2218,14 +2218,25 @@ object ParityQueries {
   // Frequency (order count), Monetary (cents sum), each
   // quartile-scored 1–4 and composed into the 3-digit segment code
   // (recency inverted: 4 = most recent). Shape: ONE grouped pass
-  // builds the per-customer frame, one 9-percentile aggregation
-  // broadcasts the edges (p11's dyadic-quartile argument makes the
-  // interpolated edges bit-exact on integers), scoring is a per-row
-  // broadcast compare — no windows, no joins on the fact table, and
-  // the per-customer rows ARE the hashed artifact so every score is
-  // pinned. At 100 TB the percentile pass swaps to approx_percentile
-  // with the same two-pass shape.
+  // builds the per-customer frame; the quartile edges are EXACT
+  // bracketing order statistics gathered from the distinct-value CDF
+  // (cumulative counts over the grouped values), broadcast as one
+  // row; scoring is a per-row broadcast compare — no joins on the
+  // fact table, and the per-customer rows ARE the hashed artifact so
+  // every score is pinned.
+  //
+  // No float anywhere (r12 driver flake): the continuous quartile at
+  // fraction p/4 over n sorted integers sits at position p·(n−1)/4 =
+  // k + q/4 with k = (p·(n−1)) div 4, q = (p·(n−1)) mod 4, and
+  // v > edge ⟺ 4·v > (4−q)·x[k] + q·x[k+1] — pure BIGINT arithmetic
+  // mirrored verbatim in the oracle SQL, immune to any percentile
+  // interpolation detail in either engine. x[k] is read off the CDF
+  // as the value whose cumulative range covers rank k (the window
+  // runs over DISTINCT values — bounded by value cardinality, not
+  // rows). At 100 TB the edge pass swaps to approx_percentile with
+  // the same two-pass shape.
   def o15RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val per = Tables.orders(s, dir).groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_ts"),
         count(lit(1)).as("f"),
@@ -2234,48 +2245,74 @@ object ParityQueries {
       .select(col("o_custkey"),
         datediff(col("anchor"), col("last_ts")).cast("long").as("r_days"),
         col("f"), col("m_cents"))
-    val edges = anchored.agg(
-      expr("percentile(r_days, 0.25)").as("r1"),
-      expr("percentile(r_days, 0.5)").as("r2"),
-      expr("percentile(r_days, 0.75)").as("r3"),
-      expr("percentile(f, 0.25)").as("f1"),
-      expr("percentile(f, 0.5)").as("f2"),
-      expr("percentile(f, 0.75)").as("f3"),
-      expr("percentile(m_cents, 0.25)").as("m1"),
-      expr("percentile(m_cents, 0.5)").as("m2"),
-      expr("percentile(m_cents, 0.75)").as("m3"))
-    def score(c: Column, e1: Column, e2: Column, e3: Column): Column =
-      lit(1L) + (c > e1).cast("long") + (c > e2).cast("long") + (c > e3).cast("long")
+    val nDf = anchored.agg(count(lit(1)).as("n"))
+    // one 1-row frame per metric holding x[k] and x[k+1] for the
+    // three quartile ranks, via the cumulative-count CDF
+    def edgeStats(metric: String, pfx: String): DataFrame = {
+      val cum = anchored.groupBy(col(metric).as("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("hi", sum(col("c")).over(Window.orderBy(col("v"))))
+        .withColumn("lo", col("hi") - col("c"))
+        .crossJoin(broadcast(nDf))
+      val aggs = for { p <- 1 to 3; d <- 0 to 1 } yield {
+        val k = expr(s"((n - 1) * $p) div 4") + lit(d.toLong)
+        max(when(col("lo") <= k && k < col("hi"), col("v"))).as(s"${pfx}_x$p$d")
+      }
+      cum.agg(aggs.head, aggs.tail: _*)
+    }
+    val edges = edgeStats("r_days", "r").crossJoin(edgeStats("f", "f"))
+      .crossJoin(edgeStats("m_cents", "m")).crossJoin(nDf)
+    def score(v: Column, pfx: String): Column =
+      lit(1L) + (1 to 3).map { p =>
+        val q = expr(s"((n - 1) * $p) % 4")
+        val xk = col(s"${pfx}_x${p}0")
+        val xk1 = coalesce(col(s"${pfx}_x${p}1"), xk)
+        (v * 4 > (lit(4L) - q) * xk + q * xk1).cast("long")
+      }.reduce(_ + _)
     anchored.crossJoin(broadcast(edges))
       .select(col("o_custkey"), col("r_days"), col("f"), col("m_cents"),
-        ((lit(5L) - score(col("r_days"), col("r1"), col("r2"), col("r3"))) * 100 +
-          score(col("f"), col("f1"), col("f2"), col("f3")) * 10 +
-          score(col("m_cents"), col("m1"), col("m2"), col("m3"))).as("segment"))
+        ((lit(5L) - score(col("r_days"), "r")) * 100 +
+          score(col("f"), "f") * 10 +
+          score(col("m_cents"), "m")).as("segment"))
   }
-  val o15Sql =
-    """WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_ts,
-      |    CAST(count(*) AS BIGINT) AS f,
-      |    SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS m_cents
-      |  FROM orders GROUP BY 1),
-      |r AS (SELECT o_custkey,
-      |    CAST(date_diff('day', CAST(last_ts AS DATE), CAST(a.anchor AS DATE)) AS BIGINT) AS r_days,
-      |    f, m_cents
-      |  FROM per CROSS JOIN (SELECT max(last_ts) AS anchor FROM per) a),
-      |e AS (SELECT
-      |    quantile_cont(r_days, 0.25) AS r1, quantile_cont(r_days, 0.5) AS r2,
-      |    quantile_cont(r_days, 0.75) AS r3,
-      |    quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2,
-      |    quantile_cont(f, 0.75) AS f3,
-      |    quantile_cont(m_cents, 0.25) AS m1, quantile_cont(m_cents, 0.5) AS m2,
-      |    quantile_cont(m_cents, 0.75) AS m3 FROM r)
-      |SELECT o_custkey, r_days, f, m_cents,
-      |  (5 - (1 + CAST(r_days > r1 AS BIGINT) + CAST(r_days > r2 AS BIGINT)
-      |      + CAST(r_days > r3 AS BIGINT))) * 100
-      |  + (1 + CAST(f > f1 AS BIGINT) + CAST(f > f2 AS BIGINT)
-      |      + CAST(f > f3 AS BIGINT)) * 10
-      |  + (1 + CAST(m_cents > m1 AS BIGINT) + CAST(m_cents > m2 AS BIGINT)
-      |      + CAST(m_cents > m3 AS BIGINT)) AS segment
-      |FROM r CROSS JOIN e""".stripMargin
+  val o15Sql: String = {
+    // the same rank arithmetic, generated so engine and oracle cannot
+    // drift: k = ((n-1)*p)//4, q = ((n-1)*p)%4, edge compare in BIGINT
+    def cdf(metric: String, pfx: String): String = {
+      val stats = (for { p <- 1 to 3; d <- 0 to 1 } yield
+        s"""max(CASE WHEN lo <= (((n - 1) * $p) // 4) + $d
+           |      AND (((n - 1) * $p) // 4) + $d < hi THEN v END) AS ${pfx}_x$p$d""".stripMargin)
+        .mkString(",\n    ")
+      s"""${pfx}cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS hi,
+         |    sum(c) OVER (ORDER BY v) - c AS lo
+         |  FROM (SELECT $metric AS v, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1)),
+         |${pfx}e AS (SELECT
+         |    $stats
+         |  FROM ${pfx}cum CROSS JOIN n)""".stripMargin
+    }
+    def score(v: String, pfx: String): String =
+      "1 + " + (1 to 3).map { p =>
+        s"""CAST(4 * $v > (4 - (((n - 1) * $p) % 4)) * ${pfx}_x${p}0
+           |      + (((n - 1) * $p) % 4) * COALESCE(${pfx}_x${p}1, ${pfx}_x${p}0) AS BIGINT)""".stripMargin
+      }.mkString(" + ")
+    s"""WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_ts,
+       |    CAST(count(*) AS BIGINT) AS f,
+       |    SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS m_cents
+       |  FROM orders GROUP BY 1),
+       |r AS (SELECT o_custkey,
+       |    CAST(date_diff('day', CAST(last_ts AS DATE), CAST(a.anchor AS DATE)) AS BIGINT) AS r_days,
+       |    f, m_cents
+       |  FROM per CROSS JOIN (SELECT max(last_ts) AS anchor FROM per) a),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+       |${cdf("r_days", "r")},
+       |${cdf("f", "f")},
+       |${cdf("m_cents", "m")}
+       |SELECT o_custkey, r_days, f, m_cents,
+       |  (5 - (${score("r_days", "r")})) * 100
+       |  + (${score("f", "f")}) * 10
+       |  + (${score("m_cents", "m")}) AS segment
+       |FROM r CROSS JOIN re CROSS JOIN fe CROSS JOIN me CROSS JOIN n""".stripMargin
+  }
 
   // ---- W11: run-length streak detection (gaps-and-islands) -----------------
   // Per-user maximal strictly-increasing runs of `value` in event
@@ -2872,21 +2909,16 @@ object ParityQueries {
       .agg(min(col("o_orderdate")).as("zmin"), max(col("o_orderdate")).as("zmax"),
         count(lit(1)).as("n_rows"))
       .write.mode("overwrite").parquet(man)
-    val (lo, hi) = (lit("1996-01-01"), lit("1996-07-01"))
-    // interval-overlap test against the manifest: keep a file unless
-    // it provably cannot contain a match
-    val files = s.read.parquet(man)
-      .filter(col("zmax") >= lo && col("zmin") < hi)
-      .select(col("file")).collect().map(_.getString(0))
-    s.read.parquet(files.toIndexedSeq: _*)
-      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        col("o_orderdate"))
+    // interval-overlap probe of the manifest (shared with s24 and
+    // LayoutSpec): keep a file unless it provably cannot match
+    Layout.zonemapProbe(s, man, s.read.parquet(data).schema,
+      "o_orderdate", Layout.ZonemapLo, Layout.ZonemapHi,
+      Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
   }
   val s22Sql =
-    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
-      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin
+    s"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '${Layout.ZonemapLo} 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '${Layout.ZonemapHi} 00:00:00'""".stripMargin
 
   // ---- S23: snapshot diff — CDC between two table versions -------------------
   // The change-data-capture primitive every incremental consumer needs
@@ -2977,7 +3009,15 @@ object ParityQueries {
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
 
-  /** Run `body` with `confs` set, restoring the prior values after. */
+  /** Run `body` with `confs` set, restoring the prior values after.
+    *
+    * NOT concurrency-isolated: the confs mutate the SHARED session,
+    * so any query planned on the same SparkSession during the window
+    * would silently pick them up (e.g. j14's disabled broadcast).
+    * Fine under the single-threaded Verify/Bench harnesses this repo
+    * drives; a concurrent caller must pass `s.newSession()` (shares
+    * the SparkContext, isolates the conf) instead.
+    */
   private[graft] def withConfs[T](
       s: SparkSession, confs: Seq[(String, String)])(body: => T): T = {
     val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }

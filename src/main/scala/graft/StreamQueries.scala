@@ -94,6 +94,37 @@ object StreamQueries {
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     q.processAllAvailable()
 
+  /** Driver-gate forensics (r12 verdict #2): when `graft.forensics.dir`
+    * is set (graft.Verify sets it to `<outDir>/.forensics`), persist
+    * per-batch evidence of a streaming sink as a small JSON next to
+    * the dump — batch ids, rows per batch, and per-batch id stats —
+    * so a red driver row can be autopsied instead of showing only an
+    * opaque hash flip. The collect is batch-count-sized (one row per
+    * micro-batch), and forensics must never fail the query itself.
+    */
+  private def sinkForensics(
+      s: SparkSession, name: String, out: String, idCol: Option[String]): Unit =
+    sys.props.get("graft.forensics.dir").foreach { d =>
+      try {
+        val sink = s.read.parquet(out)
+        val agg = idCol match {
+          case Some(c) => sink.groupBy(col("batch_id"))
+            .agg(count(lit(1)).as("rows"),
+              countDistinct(col(c)).as("distinct_ids"),
+              min(col(c)).as("min_id"), max(col(c)).as("max_id"))
+          case None => sink.groupBy(col("batch_id")).agg(count(lit(1)).as("rows"))
+        }
+        val rows = agg.orderBy(col("batch_id")).collect()
+        new java.io.File(d).mkdirs()
+        val cols = agg.columns.mkString("[\"", "\",\"", "\"]")
+        val body = rows.map(_.toSeq.mkString("[", ",", "]")).mkString("[", ",", "]")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$d/$name.json"),
+          s"""{"columns":$cols,"batches":$body}""")
+        ()
+      } catch { case _: Throwable => () }
+    }
+
   /** Append one tiny sentinel frame to a streaming source dir and
     * drain — one watermark-advancing round.
     */
@@ -571,12 +602,17 @@ object StreamQueries {
   // regression double-counts and flips the hash. Duplicates are
   // FULL-ROW identical, which makes "first arrival wins" order-free —
   // any winner is the same row, so the result is deterministic
-  // across partition races. The returned frame aggregates the
-  // deduped sink per event type (counts + integer-cents sums); the
-  // oracle is the same aggregate over the PLAIN events table —
-  // exactly what a correct dedup must restore. Stateless-emission
-  // append (rows leave in their arrival batch), so no sentinel
-  // rounds; the watermark only bounds key state.
+  // across partition races. The returned frame is the deduped row
+  // SET itself, keyed by event_id (r12 verdict: after two opaque
+  // hash-flips at the driver on the 5-row aggregate, the artifact is
+  // now the rows — a leaked duplicate or dropped original surfaces
+  // as rows_match=false with identifiable event_ids, not an
+  // undiagnosable hash). The oracle is the same projection of the
+  // PLAIN events table — exactly the set a correct dedup must
+  // restore. Stateless-emission append (rows leave in their arrival
+  // batch), so no sentinel rounds; the watermark only bounds key
+  // state. Per-batch sink forensics land next to the Verify dump
+  // ([[sinkForensics]]).
   //
   // Determinism under micro-batch splits (r11 gate flake): with a
   // short lateness, any multi-batch split of the staged source lets
@@ -622,15 +658,15 @@ object StreamQueries {
       .outputMode(OutputMode.Append)
       .start()
     try drain(q) finally q.stop()
+    sinkForensics(s, "w9_dedup_stream", out, Some("event_id"))
     s.read.parquet(out)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
   }
   val w9sSql: String =
-    """SELECT event_type, count(*) AS n,
-      |  SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
-      |FROM events GROUP BY event_type""".stripMargin
+    """SELECT event_id, event_type,
+      |  CAST(round(value * 100) AS BIGINT) AS cents
+      |FROM events""".stripMargin
 
   // ---- A23s: streaming Count-Min Sketch ----------------------------------
   // [[EventStream.cmsWindowSketch]] under the gate: the stream lands
@@ -874,14 +910,13 @@ object StreamQueries {
       .outputMode(OutputMode.Append)
       .start()
     try q.processAllAvailable() finally q.stop()
-    val (lo, hi) = (lit("1996-01-01"), lit("1996-07-01"))
-    val files = s.read.parquet(man)
-      .filter(col("zmax") >= lo && col("zmin") < hi)
-      .select(col("file")).collect().map(_.getString(0))
-    s.read.parquet(files.toIndexedSeq: _*)
-      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        col("o_orderdate"))
+    sinkForensics(s, "s24_manifest_stream", man, None)
+    // shared probe (Layout.zonemapProbe): overlap-filter the manifest,
+    // pruned re-read with the residual predicate — one home for the
+    // skip-soundness contract with s22 and LayoutSpec
+    graft.ops.Layout.zonemapProbe(s, man, schema,
+      "o_orderdate", graft.ops.Layout.ZonemapLo, graft.ops.Layout.ZonemapHi,
+      Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -27,6 +27,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // streaming queries persist per-batch sink forensics here (batch
+    // ids / row counts / id stats) so a red driver row is diagnosable;
+    // dot-named so compare tools globbing <outDir>/* never mistake it
+    // for a query dump
+    sys.props("graft.forensics.dir") = s"$outDir/.forensics"
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       // coalesce(1) is a VERIFY-ONLY convenience (one file per query for
       // the DuckDB compare) — never copy it into a production sink: it

@@ -478,6 +478,9 @@ object Dedup {
       frontier = nextP
     }
     eds.unpersist()
+    // the final round's frontier is dead state (reached is the return
+    // value) — without this each invocation strands one cached frame
+    if (frontier ne reached) frontier.unpersist()
     reached
   }
 
@@ -530,6 +533,8 @@ object Dedup {
       frontier = improvedP
     }
     eds.unpersist()
+    // same dead-frontier release as [[bfsHops]]
+    if (frontier ne dist) frontier.unpersist()
     dist
   }
 

@@ -79,4 +79,38 @@ object Layout {
       .write.mode("overwrite").parquet(outPath)
     spark.read.parquet(outPath)
   }
+
+  /** The zone-map probe window shared by the batch (s22) and
+    * streaming (s24) manifest queries and LayoutSpec — the skip-
+    * soundness contract lives in ONE place (r12 ADVICE: the
+    * duplicated blocks could drift).
+    */
+  val ZonemapLo = "1996-01-01"
+  val ZonemapHi = "1996-07-01"
+
+  /** Probe a per-file min/max manifest (`file`, `zmin`, `zmax`, …):
+    * overlap-filter the MANIFEST — the only thing collected, and it
+    * is file-count-sized — then scan ONLY the candidate files with
+    * the residual predicate re-applied (zone maps are a may-contain
+    * filter, not an exact one). An empty candidate list returns an
+    * empty frame on `dataSchema` rather than handing `spark.read` a
+    * zero-path list (which throws "unable to infer schema").
+    */
+  def zonemapProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      manifestPath: String,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      zCol: String, lo: String, hi: String,
+      projected: Seq[String]): DataFrame = {
+    val files = spark.read.parquet(manifestPath)
+      .filter(col("zmax") >= lit(lo) && col("zmin") < lit(hi))
+      .select(col("file")).collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(zCol) >= lit(lo) && col(zCol) < lit(hi))
+      .select(projected.map(col): _*)
+  }
 }

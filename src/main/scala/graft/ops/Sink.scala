@@ -146,15 +146,35 @@ object Sink {
     p
   }
 
-  /** PID-qualified scratch directory for round-trip queries:
+  /** Per-JVM random token appended to every scratch path. PID alone
+    * is NOT collision-free across runs: Linux defaults pid_max to
+    * 32768, shutdown hooks never fire on a hard kill (OOM), and a
+    * later JVM that drew a recycled PID would inherit the dead run's
+    * scratch trees at byte-identical paths — for a streaming query
+    * that means a stale CHECKPOINT whose committed batch 0 silently
+    * shifts the fresh data to batch 1 on top of stale batch-0 output
+    * (doubled aggregates, rows_match still true — the w9 driver-flake
+    * signature). The token makes cross-JVM collision probabilistic-
+    * zero while staying stable within a JVM (shared stages and
+    * bucketed tables rely on path stability per process).
+    */
+  private val jvmToken: String =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
+
+  /** PID+token-qualified scratch directory for round-trip queries:
     * concurrent runners (Bench + Verify over the same sf dir) write to
     * distinct paths, and a JVM shutdown hook deletes each dir so
-    * repeated runs do not accumulate in the system tmpdir.
+    * repeated runs do not accumulate in the system tmpdir. Any
+    * leftover tree at the path (possible only under PID reuse after a
+    * hard kill, pre-token) is removed eagerly on first issue.
     */
   def scratchDir(tag: String): String = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_${tag}_${ProcessHandle.current.pid}"
-    if (scratchRegistered.putIfAbsent(path, java.lang.Boolean.TRUE) == null)
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_${tag}_${ProcessHandle.current.pid}_$jvmToken"
+    if (scratchRegistered.putIfAbsent(path, java.lang.Boolean.TRUE) == null) {
+      deleteRecursively(new java.io.File(path))
       sys.addShutdownHook(deleteRecursively(new java.io.File(path)))
+    }
     path
   }
 

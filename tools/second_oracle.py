@@ -812,8 +812,11 @@ def p13_ref_integrity(sf):
 
 
 def o15_rfm_segments(sf):
-    # per-customer RFM from first principles: integer metrics, p11's
-    # dyadic quantile_cont edges, score compares in exact arithmetic
+    # per-customer RFM from first principles: integer metrics, exact
+    # bracketing order statistics (k = (p*(n-1))//4, q = (p*(n-1))%4),
+    # score compares in pure-integer scale-by-4 arithmetic — the same
+    # rank rule the engine and the DuckDB oracle now share (r12 flake
+    # fix: no interpolated doubles anywhere)
     import math
     o = pd.read_parquet(
         f"{sf}/orders.parquet",
@@ -827,25 +830,24 @@ def o15_rfm_segments(sf):
                         f + 1, m + int(math.floor(float(pr) * 100)))
     anchor = max(last for last, _, _ in per.values())
     rows = {ck: ((anchor - last).days, f, m) for ck, (last, f, m) in per.items()}
+    n = len(rows)
 
-    def q(vals, p):
+    def edges(vals):
         v = sorted(vals)
-        pos = p * (len(v) - 1)
-        lo = math.floor(pos)
-        frac = pos - lo
-        return v[lo] + (v[min(lo + 1, len(v) - 1)] - v[lo]) * frac
+        out = []
+        for p in (1, 2, 3):
+            k, q = divmod(p * (n - 1), 4)
+            out.append((v[k], v[min(k + 1, n - 1)], q))
+        return out
     rd = [r for r, _, _ in rows.values()]
     fs = [f for _, f, _ in rows.values()]
     ms = [m for _, _, m in rows.values()]
-    r1, r2, r3 = q(rd, 0.25), q(rd, 0.5), q(rd, 0.75)
-    f1, f2, f3 = q(fs, 0.25), q(fs, 0.5), q(fs, 0.75)
-    m1, m2, m3 = q(ms, 0.25), q(ms, 0.5), q(ms, 0.75)
+    re_, fe, me = edges(rd), edges(fs), edges(ms)
 
-    def score(x, e1, e2, e3):
-        return 1 + (x > e1) + (x > e2) + (x > e3)
+    def score(x, es):
+        return 1 + sum(4 * x > (4 - q) * xk + q * xk1 for xk, xk1, q in es)
     out = [(ck, r, f, m,
-            (5 - score(r, r1, r2, r3)) * 100 + score(f, f1, f2, f3) * 10 +
-            score(m, m1, m2, m3))
+            (5 - score(r, re_)) * 100 + score(f, fe) * 10 + score(m, me))
            for ck, (r, f, m) in sorted(rows.items())]
     return pd.DataFrame(
         out, columns=["o_custkey", "r_days", "f", "m_cents", "segment"])

@@ -3179,12 +3179,48 @@ object ExtQueries {
 
   // ---- E3y: mutual k-NN graph over the whole corpus ------------------------
   // The reciprocal-neighbor edge list semantic clustering builds on
-  // ([[Similarity.mutualKnnGraph]] for the operator and its
-  // one-bucket-shuffle + canonical-key-groupBy shape). The oracle
-  // replays the bucketed directed top-k and the count-both-directions
-  // reciprocity test.
+  // ([[Similarity.mutualKnnGraph]] for the operator's semantics,
+  // [[Similarity.writeKnnGraph]] for the saved-artifact form). The
+  // graph is the expensive standing structure of this family, so it
+  // is built ONCE per (JVM, sf-dir) and PROBED by every consumer —
+  // this query is the build+probe entry; e2_knn_communities,
+  // e2_bfs_hops and e2_sssp_weighted are pure edge-table probes (r12
+  // verdict #3: three in-query rebuilds of the same graph was the
+  // wrong lifecycle at any scale). The oracle replays the bucketed
+  // directed top-k and the count-both-directions reciprocity test.
+  private val knnGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def knnGraphDir(s: SparkSession, dir: String): String =
+    knnGraphCache.computeIfAbsent(dir, _ => {
+      val ix = graft.ops.Sink.scratchDir(s"knn_graph_${math.abs(dir.hashCode)}")
+      Similarity.writeKnnGraph(Tables.embeddings(s, dir), AnnBits, AnnK, ix)
+      ix
+    })
+
   def e3KnnGraph(s: SparkSession, dir: String): DataFrame =
-    Similarity.mutualKnnGraph(Tables.embeddings(s, dir), AnnBits, AnnK)
+    Similarity.probeKnnGraph(s, knnGraphDir(s, dir))
+
+  // ---- E3y2/E3y3: graph ingest + maintenance, driver-gated -----------------
+  // The append law as a gate query: build on a deterministic ~91%
+  // slice, ingest the rest via [[Similarity.appendKnnGraph]] (exact
+  // by top-k mergeability), probe — the oracle is the SAME full-graph
+  // SQL as e3_knn_graph, so any divergence from rebuild-on-everything
+  // flips rows+hash. Compaction rewrites the shared artifact
+  // clustered and probes it — row content unchanged by construction,
+  // same oracle.
+  def e3KnnAppended(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val ix = annScratch("knng_app")
+    Similarity.writeKnnGraph(emb.filter(col("vec_id") % 11 =!= 5), AnnBits, AnnK, ix)
+    Similarity.appendKnnGraph(emb.filter(col("vec_id") % 11 === 5), AnnBits, AnnK, ix)
+    Similarity.probeKnnGraph(s, ix)
+  }
+
+  def e3KnnCompacted(s: SparkSession, dir: String): DataFrame = {
+    val ix = knnGraphDir(s, dir)
+    Similarity.compactKnnGraph(s, ix)
+    Similarity.probeKnnGraph(s, ix)
+  }
   val e3ySql: String = {
     val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
     val bucket = s"array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END for i in range(1, ${AnnBits + 1})], '')"
@@ -3216,7 +3252,7 @@ object ExtQueries {
   private val LpaIters = 3
   def e2KnnCommunities(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val edges = Similarity.mutualKnnGraph(emb, AnnBits, AnnK)
+    val edges = Similarity.probeKnnGraph(s, knnGraphDir(s, dir))
     val labels = Dedup.labelPropagation(
       emb.select(col("vec_id")), "vec_id", edges, "id_a", "id_b", "cos_sim", LpaIters)
     val sizes = labels.groupBy(col("label"))
@@ -3319,7 +3355,7 @@ object ExtQueries {
     Dedup.bfsHops(
       emb.filter(col("vec_id") % BfsSeedMod === 0).select(col("vec_id")),
       "vec_id",
-      Similarity.mutualKnnGraph(emb, AnnBits, AnnK), "id_a", "id_b",
+      Similarity.probeKnnGraph(s, knnGraphDir(s, dir)), "id_a", "id_b",
       BfsMaxHops)
       .select(col("id").as("vec_id"), col("hops"))
   }
@@ -3367,7 +3403,7 @@ object ExtQueries {
   private val SsspRounds = 4
   def e2SsspWeighted(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val edges = Similarity.mutualKnnGraph(emb, AnnBits, AnnK)
+    val edges = Similarity.probeKnnGraph(s, knnGraphDir(s, dir))
       .select(col("id_a"), col("id_b"),
         (floor((lit(1.0) - col("cos_sim")) * 1000000).cast("long") + 1L).as("w"))
     Dedup.ssspBounded(
@@ -3612,6 +3648,8 @@ object ExtQueries {
     "e5_backoff_score" -> (e5BackoffScore _),
     "e5_domain_select" -> (e5DomainSelect _),
     "e3_knn_graph" -> (e3KnnGraph _),
+    "e3_knn_appended" -> (e3KnnAppended _),
+    "e3_knn_compacted" -> (e3KnnCompacted _),
     "e2_bfs_hops" -> (e2BfsHops _),
     "e2_sssp_weighted" -> (e2SsspWeighted _),
     "e3_mrr_eval" -> (e3MrrEval _),
@@ -3725,6 +3763,8 @@ object ExtQueries {
     "e5_backoff_score" -> e5boSql,
     "e5_domain_select" -> e5dsSql,
     "e3_knn_graph" -> e3ySql,
+    "e3_knn_appended" -> e3ySql,
+    "e3_knn_compacted" -> e3ySql,
     "e2_bfs_hops" -> e2bfSql,
     "e2_sssp_weighted" -> e2qSql,
     "e3_mrr_eval" -> e3mrSql,

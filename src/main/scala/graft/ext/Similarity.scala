@@ -524,6 +524,14 @@ object Similarity {
     val knn = graft.ops.Sink.cachedEager(
       bucketedTopK(vectors, vectors, nBits, k)
         .select(col("query_id"), col("vec_id"), col("cos_sim")))
+    mutualEdgesFromKnn(knn)
+  }
+
+  /** Reciprocity reduction shared by [[mutualKnnGraph]] and the saved
+    * graph lifecycle: canonical-key groupBy counting directions over
+    * a DIRECTED top-k list.
+    */
+  private def mutualEdgesFromKnn(knn: DataFrame): DataFrame =
     knn
       .select(
         least(col("query_id"), col("vec_id")).as("id_a"),
@@ -533,5 +541,136 @@ object Similarity {
       .agg(count(lit(1)).as("n_dir"), max(col("cos_sim")).as("cos_sim"))
       .filter(col("n_dir") === 2)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
+
+  // ---- Saved mutual-kNN graph lifecycle (r12 verdict #3) -------------------
+  // At 100 TB the kNN graph is exactly the expensive standing
+  // structure you build ONCE and probe many times — the argument that
+  // motivated AnnIndex and MinHash.writeBands. Layout under indexDir:
+  //   vecs/  (vec_id, embedding, n2, bucket)  partitioned by bucket
+  //   knn/   directed top-k lists (query_id, vec_id, cos_sim, rk)
+  //   edges/ mutual edge list (id_a, id_b, cos_sim)
+  // Probes scan edges/ alone — zero embedding-side recompute. The
+  // append path is EXACT (append ≡ rebuild, the law ExtSpec asserts)
+  // because per-query top-k lists are mergeable: a base vector's
+  // top-k over base ∪ delta equals top-k(saved top-k ∪ its scores
+  // against delta), and only base vectors sharing an LSH bucket with
+  // the delta can gain a neighbor — the bucket-partitioned vecs/
+  // bounds that rescoring to the touched partitions, never a base ×
+  // base rescan.
+
+  /** Prepared form every lifecycle step shares: id, embedding, and
+    * the PERSISTED n2/bucket (probes and appends then reuse the exact
+    * doubles the graph was built from — the AnnIndex discipline).
+    */
+  private def prepareVecs(vectors: DataFrame, nBits: Int): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"),
+      signBucket(col("embedding"), nBits).as("bucket"))
+
+  /** Directed per-query top-k from prepared frames — the same score
+    * expression, bucket join, and (cos desc, id asc) total order as
+    * [[bucketedTopK]], reading n2/bucket from the artifact instead of
+    * recomputing them.
+    */
+  /** Raw bucket-joined scores from prepared frames (no ranking). */
+  private def scoredPairs(queries: DataFrame, corpus: DataFrame): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("n2").as("q_n2"), col("bucket"))
+    val c = corpus.select(col("vec_id"),
+      col("embedding").as("c_emb"), col("n2").as("c_n2"), col("bucket"))
+    c.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineFrom(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2"))
+          .as("cos_sim"))
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    Ranking.topKPerGroup(
+      scored, Seq("query_id"),
+      Seq(col("cos_sim").desc, col("vec_id").asc), k)
+      .withColumn("rk", col("rk").cast("long"))
+
+  private def directedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    rankTopK(scoredPairs(queries, corpus), k)
+
+  /** Build and persist the mutual-kNN graph artifact. */
+  def writeKnnGraph(vectors: DataFrame, nBits: Int, k: Int, indexDir: String): Unit = {
+    val spark = vectors.sparkSession
+    prepareVecs(vectors, nBits)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/vecs")
+    val vecs = spark.read.parquet(s"$indexDir/vecs")
+    directedTopK(vecs, vecs, k)
+      .write.mode("overwrite").parquet(s"$indexDir/knn")
+    mutualEdgesFromKnn(spark.read.parquet(s"$indexDir/knn"))
+      .write.mode("overwrite").parquet(s"$indexDir/edges")
+  }
+
+  /** The standing edge table — a probe is a bare parquet scan. */
+  def probeKnnGraph(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/edges")
+
+  /** The saved directed lists (for diagnostics and the append law). */
+  def probeKnnLists(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/knn")
+
+  /** Incrementally ingest `delta` (ids disjoint from the base) into a
+    * saved graph — EXACT, by top-k mergeability:
+    *   1. delta lists: delta queries score against base ∪ delta
+    *      (bucket-joined — only same-bucket base partitions are read);
+    *   2. base lists: saved top-k rows union the base-vs-delta scores,
+    *      re-ranked — queries sharing no bucket with the delta are
+    *      re-ranked onto their own unchanged rows;
+    *   3. knn/ and edges/ swap in atomically; delta rows append to
+    *      vecs/ touched partitions only.
+    * Scoring cost is O(|delta| × bucket occupancy) both ways — the
+    * standing corpus is never re-scored against itself.
+    */
+  def appendKnnGraph(delta: DataFrame, nBits: Int, k: Int, indexDir: String): Unit = {
+    val spark = delta.sparkSession
+    prepareVecs(delta, nBits)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/vecs_delta")
+    val dPrep = spark.read.parquet(s"$indexDir/vecs_delta")
+    val base = spark.read.parquet(s"$indexDir/vecs")
+    val deltaLists = directedTopK(dPrep, base.unionByName(dPrep), k)
+    val baseVsDelta = scoredPairs(base, dPrep)
+    val savedLists = spark.read.parquet(s"$indexDir/knn")
+      .select(col("query_id"), col("vec_id"), col("cos_sim"))
+    val mergedBase = rankTopK(savedLists.unionByName(baseVsDelta), k)
+    val knnTmp = s"$indexDir/knn_appending"
+    mergedBase.unionByName(deltaLists)
+      .write.mode("overwrite").parquet(knnTmp)
+    AnnIndex.swapIn(indexDir, "knn", knnTmp)
+    val edgesTmp = s"$indexDir/edges_appending"
+    mutualEdgesFromKnn(spark.read.parquet(s"$indexDir/knn"))
+      .write.mode("overwrite").parquet(edgesTmp)
+    AnnIndex.swapIn(indexDir, "edges", edgesTmp)
+    spark.read.parquet(s"$indexDir/vecs_delta")
+      .write.mode("append").partitionBy("bucket").parquet(s"$indexDir/vecs")
+    graft.ops.Sink.clearLocalPath(s"$indexDir/vecs_delta")
+  }
+
+  /** Compact a saved graph after appends (AnnIndex.compactIvf's
+    * rewrite-then-swap recipe): vecs/ re-clustered one file per
+    * bucket partition, knn/ and edges/ to `targetFiles`. Row content
+    * is unchanged by construction, so probes are bit-identical — the
+    * law ExtSpec asserts alongside the file-count drop.
+    */
+  def compactKnnGraph(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, targetFiles: Int = 4): Unit = {
+    val vecsTmp = s"$indexDir/vecs_compacting"
+    spark.read.parquet(s"$indexDir/vecs")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(vecsTmp)
+    AnnIndex.swapIn(indexDir, "vecs", vecsTmp)
+    val knnTmp = s"$indexDir/knn_compacting"
+    spark.read.parquet(s"$indexDir/knn").coalesce(targetFiles)
+      .write.mode("overwrite").parquet(knnTmp)
+    AnnIndex.swapIn(indexDir, "knn", knnTmp)
+    val edgesTmp = s"$indexDir/edges_compacting"
+    spark.read.parquet(s"$indexDir/edges").coalesce(targetFiles)
+      .write.mode("overwrite").parquet(edgesTmp)
+    AnnIndex.swapIn(indexDir, "edges", edgesTmp)
   }
 }

@@ -130,6 +130,47 @@ class ExtSpec extends SparkSpec {
     assert(probedInc == inQueryInc)
   }
 
+  test("kNN-graph artifact laws: probe ≡ in-query graph; append ≡ rebuild; compaction probe-identical") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // probe(write(all)) ≡ mutualKnnGraph(all)
+    val ix = graft.ops.Sink.scratchDir("ext_knng")
+    Similarity.writeKnnGraph(emb, 6, 3, ix)
+    val probed = Similarity.probeKnnGraph(spark, ix)
+      .as[(Long, Long, Double)].collect().toSet
+    val inQuery = Similarity.mutualKnnGraph(emb, 6, 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probed == inQuery)
+    assert(probed.nonEmpty)
+    // the probe plan touches ONLY the artifact — no embedding-side
+    // recompute (no embeddings scan, no dot-product expression)
+    val plan = Similarity.probeKnnGraph(spark, ix)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings") && !plan.toLowerCase.contains("dot"), plan)
+    // write(base) + append(delta) ≡ write(base ∪ delta): exact by
+    // top-k mergeability — the saved lists and the edges both match
+    val incIx = graft.ops.Sink.scratchDir("ext_knng_inc")
+    Similarity.writeKnnGraph(emb.filter(col("vec_id") % 11 =!= 5), 6, 3, incIx)
+    Similarity.appendKnnGraph(emb.filter(col("vec_id") % 11 === 5), 6, 3, incIx)
+    val viaAppend = Similarity.probeKnnGraph(spark, incIx)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaAppend == probed)
+    val listsAppend = Similarity.probeKnnLists(spark, incIx)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val listsFull = Similarity.probeKnnLists(spark, ix)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(listsAppend == listsFull)
+    // compaction: probe bit-identical, edge files at the target
+    val filesBefore = parquetFiles(s"$incIx/edges")
+    Similarity.compactKnnGraph(spark, incIx, targetFiles = 2)
+    val afterCompact = Similarity.probeKnnGraph(spark, incIx)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(afterCompact == viaAppend)
+    assert(parquetFiles(s"$incIx/edges") <= math.max(filesBefore, 2))
+  }
+
   test("AnnIndex incremental law: append(delta) equals full re-assignment of base ∪ delta") {
     import graft.ext.{AnnIndex, Similarity}
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
@@ -150,15 +191,16 @@ class ExtSpec extends SparkSpec {
     assert(viaIndex.map(_._1).size == emb.count())
   }
 
+  private def parquetFiles(p: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val c = Option(f.listFiles).map(_.toSeq).getOrElse(Nil)
+      c.filter(_.isFile) ++ c.filter(_.isDirectory).flatMap(walk)
+    }
+    walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+  }
+
   test("AnnIndex compaction law: probe results unchanged, file count drops") {
     import graft.ext.AnnIndex
-    def parquetFiles(p: String): Int = {
-      def walk(f: java.io.File): Seq[java.io.File] = {
-        val c = Option(f.listFiles).map(_.toSeq).getOrElse(Nil)
-        c.filter(_.isFile) ++ c.filter(_.isDirectory).flatMap(walk)
-      }
-      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
-    }
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val ix = graft.ops.Sink.scratchDir("ext_ivf_comp")
     AnnIndex.writeIvf(emb.filter(col("vec_id") % 7 =!= 3), 8, 2, ix)

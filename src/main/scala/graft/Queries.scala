@@ -2904,14 +2904,41 @@ object ParityQueries {
       .repartitionByRange(8, col("o_orderdate"))
       .sortWithinPartitions(col("o_orderdate"))
       .write.mode("overwrite").parquet(data)
-    s.read.parquet(data)
-      .groupBy(col("_metadata.file_path").as("file"))
-      .agg(min(col("o_orderdate")).as("zmin"), max(col("o_orderdate")).as("zmax"),
-        count(lit(1)).as("n_rows"))
+    Layout.manifestRows(s, data, "o_orderdate")
       .write.mode("overwrite").parquet(man)
     // interval-overlap probe of the manifest (shared with s24 and
     // LayoutSpec): keep a file unless it provably cannot match
     Layout.zonemapProbe(s, man, s.read.parquet(data).schema,
+      "o_orderdate", Layout.ZonemapLo, Layout.ZonemapHi,
+      Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
+  }
+
+  // ---- S26: compaction refreshes the zone-map manifest -----------------------
+  // The metadata-layer closure of the skipping story (s22 builds the
+  // manifest, s24 maintains it per landing file): small-file
+  // compaction REWRITES data files, so the standing manifest must be
+  // refreshed from the rewritten bytes or every later probe is
+  // stale — missing files at best, silently unsound skipping at
+  // worst. [[Layout.compactWithManifest]] re-derives each compacted
+  // file's (min, max, count) honestly (merged files get their wider
+  // true ranges, never carried-over narrower ones), and the probe of
+  // the refreshed manifest shares s22's truth-table oracle — an
+  // unsound refresh diverges rows+hash. LayoutSpec additionally pins
+  // manifest rows ≡ recomputed stats and the file-count drop.
+  def s26ZonemapCompact(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode)
+    val data = Sink.scratchDir(s"zmc_data_$tag")
+    val cdata = Sink.scratchDir(s"zmc_cdata_$tag")
+    val man = Sink.scratchDir(s"zmc_man_$tag")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode("overwrite").parquet(data)
+    Layout.compactWithManifest(s, data, cdata, man,
+      targetFiles = 3, zCol = "o_orderdate")
+    Layout.zonemapProbe(s, man, s.read.parquet(cdata).schema,
       "o_orderdate", Layout.ZonemapLo, Layout.ZonemapHi,
       Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
   }
@@ -2934,25 +2961,46 @@ object ParityQueries {
   // table (v1 drops %97 keys = later inserts; v2 drops %101 keys =
   // deletes, and bumps %89 prices = updates) so the DuckDB oracle
   // replays the whole construction exactly.
-  def s23SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+  /** The two deterministic snapshot versions s23 diffs and s25
+    * applies against: v1 drops %97 keys (later inserts), v2 drops
+    * %101 keys (deletes) and bumps %89 prices (updates). Columns
+    * (o_orderkey, o_custkey, cents) on both.
+    */
+  private def cdcVersions(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
     val v1 = o.filter(col("o_orderkey") % 97 =!= 0)
-      .select(col("o_orderkey"), col("o_custkey").as("ck1"), col("cents").as("c1"))
     val v2 = o.filter(col("o_orderkey") % 101 =!= 0)
-      .select(col("o_orderkey"), col("o_custkey").as("ck2"),
+      .withColumn("cents",
         when(col("o_orderkey") % 89 === 0, col("cents") + 100)
-          .otherwise(col("cents")).as("c2"))
-    v1.join(v2, Seq("o_orderkey"), "full_outer")
+          .otherwise(col("cents")))
+    (v1, v2)
+  }
+
+  /** Full-image I/U/D diff of the two versions: key, op, and both row
+    * images — s23 projects the op/old/new view, s25 feeds the new
+    * image to [[Relational.cdcApply]].
+    */
+  private def cdcChangelog(s: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = cdcVersions(s, dir)
+    v1.select(col("o_orderkey"), col("o_custkey").as("ck1"), col("cents").as("c1"))
+      .join(
+        v2.select(col("o_orderkey"), col("o_custkey").as("ck2"), col("cents").as("c2")),
+        Seq("o_orderkey"), "full_outer")
       .filter(col("c1").isNull || col("c2").isNull ||
         col("c1") =!= col("c2") || col("ck1") =!= col("ck2"))
       .select(col("o_orderkey"),
         when(col("c1").isNull, lit("I"))
           .when(col("c2").isNull, lit("D"))
           .otherwise(lit("U")).as("op"),
-        col("c1").as("old_cents"), col("c2").as("new_cents"))
+        col("ck1"), col("c1"), col("ck2"), col("c2"))
   }
+
+  def s23SnapshotDiff(s: SparkSession, dir: String): DataFrame =
+    cdcChangelog(s, dir)
+      .select(col("o_orderkey"), col("op"),
+        col("c1").as("old_cents"), col("c2").as("new_cents"))
   val s23Sql =
     """WITH o AS (SELECT o_orderkey, o_custkey,
       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
@@ -2966,6 +3014,31 @@ object ParityQueries {
       |  c1 AS old_cents, c2 AS new_cents
       |FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
       |WHERE c1 IS NULL OR c2 IS NULL OR c1 <> c2 OR ck1 <> ck2""".stripMargin
+
+  // ---- S25: CDC apply — changelog merged onto the base snapshot --------------
+  // The consumer side s23 was missing (r12 verdict #4): the I/U/D
+  // changelog MERGEs onto the v1 base via [[Relational.cdcApply]]
+  // (union + one key-partitioned precedence window — never a second
+  // table-sized outer join; deletes drop after winning precedence),
+  // and the law that makes incremental CDC trustworthy is the oracle
+  // itself: base ⊕ changelog ≡ the v2 snapshot, bit for bit. At
+  // 100 TB this is the nightly pattern — apply the day's feed, never
+  // rewrite the table; with the base bucket-laid-out on the key
+  // (s18) even the merge shuffle disappears.
+  def s25CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val (v1, _) = cdcVersions(s, dir)
+    val feed = cdcChangelog(s, dir)
+      .select(col("o_orderkey"), col("op"),
+        coalesce(col("ck2"), col("ck1")).as("o_custkey"),
+        coalesce(col("c2"), col("c1")).as("cents"))
+    Relational.cdcApply(v1, feed, Seq("o_orderkey"), "op")
+  }
+  val s25Sql =
+    """WITH o AS (SELECT o_orderkey, o_custkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+      |SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 89 = 0 THEN cents + 100 ELSE cents END AS cents
+      |FROM o WHERE o_orderkey % 101 <> 0""".stripMargin
 
   // ---- J14: runtime Bloom-filter join (row-level runtime pruning) ------------
   // The ROW-level sibling of j10's dynamic partition pruning: when the
@@ -3323,6 +3396,8 @@ object ParityQueries {
     "s18_bucketed_join" -> (s18BucketedJoin _),
     "s22_zonemap_skip" -> (s22ZonemapSkip _),
     "s23_snapshot_diff" -> (s23SnapshotDiff _),
+    "s25_cdc_apply" -> (s25CdcApply _),
+    "s26_zonemap_compact" -> (s26ZonemapCompact _),
     "j14_bloom_join" -> (j14BloomJoin _),
     "j15_join_size_profile" -> (j15JoinSizeProfile _),
     "p13_ref_integrity" -> (p13RefIntegrity _),
@@ -3441,6 +3516,8 @@ object ParityQueries {
     "s18_bucketed_join" -> s18Sql,
     "s22_zonemap_skip" -> s22Sql,
     "s23_snapshot_diff" -> s23Sql,
+    "s25_cdc_apply" -> s25Sql,
+    "s26_zonemap_compact" -> s22Sql,
     "j14_bloom_join" -> j14Sql,
     "j15_join_size_profile" -> j15Sql,
     "p13_ref_integrity" -> p13Sql,

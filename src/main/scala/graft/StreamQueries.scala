@@ -30,10 +30,16 @@ import graft.streaming.{CorpusStream, EventStream}
   * sentinel rows (far-future event time, impossible key) to the
   * scratch source and re-drains: the sentinels advance the watermark
   * past every pending timeout/window, and are excluded from the
-  * returned frame by key. Three rounds, because the watermark used by
-  * batch N is the one computed at the END of batch N-1, and a
-  * two-stateful-operator chain (stream-stream join → windowed agg)
-  * propagates it one batch later again.
+  * returned frame by key. ONE round suffices for a single stateful
+  * operator (r12 verdict #6, down from a defensive three): the
+  * watermark recomputed at the END of the sentinel batch triggers a
+  * no-data micro-batch (`noDataMicroBatches`, on by default) whose
+  * whole purpose is to run eviction/timeout processing under the new
+  * watermark, and `processAllAvailable` waits for it — the
+  * forced-split + checkpoint-recovery laws and the driver gate pin
+  * the behavior. The two-stateful-operator as-of chains
+  * (stream-stream join → downstream state) keep their second round,
+  * because the join's output watermark propagates one batch later.
   *
   * 100 TB note: the STAGING step exists only to make a bounded
   * source replayable under the driver's gate; a deployment points
@@ -50,6 +56,13 @@ object StreamQueries {
   private val nonce = new java.util.concurrent.atomic.AtomicLong(0L)
   private def fresh(tag: String): String =
     Sink.scratchDir(s"${tag}_${nonce.incrementAndGet()}")
+
+  /** Watermark-advancing sentinel rounds per single-stateful-operator
+    * drive (see the tail-flushing note above: the post-sentinel
+    * no-data micro-batch performs the flush, so one round is the
+    * proven floor).
+    */
+  private val SentinelRounds = 1
 
   /** The events slice every event-sourced gate query streams from,
     * staged ONCE per (JVM, sfDir) and shared: r11's bench showed each
@@ -164,7 +177,7 @@ object StreamQueries {
       .start()
     try {
       drain(q)
-      (1 to 3).foreach { i =>
+      (1 to SentinelRounds).foreach { i =>
         advance(q, stageSentinel(s, maxUs + i * 3600L * 1000000L, "noop"), in)
       }
     } finally q.stop()
@@ -205,7 +218,7 @@ object StreamQueries {
       .start()
     try {
       drain(q)
-      (1 to 3).foreach { i =>
+      (1 to SentinelRounds).foreach { i =>
         advance(q,
           stageSentinel(s, maxUs + horizonMs * 1000L + i * 3600L * 1000000L, "click"), in)
       }
@@ -255,7 +268,7 @@ object StreamQueries {
       .start()
     try {
       drain(q)
-      (1 to 3).foreach { i =>
+      (1 to SentinelRounds).foreach { i =>
         advance(q,
           stageSentinel(s, maxUs + (latenessSec + i * 3600L) * 1000000L, "noop"), in)
       }
@@ -306,7 +319,7 @@ object StreamQueries {
       .start()
     try {
       drain(q)
-      (1 to 3).foreach { i =>
+      (1 to SentinelRounds).foreach { i =>
         advance(q,
           stageSentinel(s, maxUs + (latenessSec + i * 21600L) * 1000000L, "noop"), in)
       }
@@ -481,7 +494,7 @@ object StreamQueries {
       .start()
     try {
       drain(q)
-      (1 to 3).foreach { i =>
+      (1 to SentinelRounds).foreach { i =>
         advance(q, stageSentinel(s, maxUs + i * 7200L * 1000000L, "noop"), in)
       }
     } finally q.stop()
@@ -518,7 +531,7 @@ object StreamQueries {
       .start()
     try {
       drain(q)
-      (1 to 3).foreach { i =>
+      (1 to SentinelRounds).foreach { i =>
         advance(q, stageSentinel(s, maxUs + i * 21600L * 1000000L, "click"), in)
       }
     } finally q.stop()
@@ -722,7 +735,7 @@ object StreamQueries {
       .start()
     try {
       drain(q)
-      (1 to 3).foreach { i =>
+      (1 to SentinelRounds).foreach { i =>
         advance(q,
           stageSentinel(s, maxUs + (latenessSec + i * 21600L) * 1000000L, "noop"), in)
       }
@@ -803,7 +816,7 @@ object StreamQueries {
       .start()
     try {
       drain(q)
-      (1 to 3).foreach { i =>
+      (1 to SentinelRounds).foreach { i =>
         advance(q,
           stageSentinel(s, maxUs + (latenessSec + i * 86400L) * 1000000L, "purchase"), in)
       }

@@ -80,6 +80,38 @@ object Layout {
     spark.read.parquet(outPath)
   }
 
+  /** Per-file (min, max, count) zone-map manifest rows for a data
+    * directory — the derivation shared by the batch build (s22), the
+    * per-file streaming ingest (s24), and [[compactWithManifest]]'s
+    * refresh, so all three producers agree on the stats schema.
+    */
+  def manifestRows(
+      spark: org.apache.spark.sql.SparkSession,
+      dataPath: String, zCol: String): DataFrame =
+    spark.read.parquet(dataPath)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col(zCol)).as("zmin"), max(col(zCol)).as("zmax"),
+        count(lit(1)).as("n_rows"))
+
+  /** Compact the data files AND refresh the zone-map manifest — the
+    * metadata-layer loop the skipping story needs (r12 verdict
+    * stretch #7): [[compact]] alone leaves a manifest whose rows
+    * describe files that no longer exist, and a probe against stale
+    * rows is either broken (missing files) or silently unsound. The
+    * compacted files' stats are re-derived from the REWRITTEN bytes
+    * (not carried over), so merged files' wider min/max ranges are
+    * recorded honestly — skipping stays a sound may-contain filter.
+    */
+  def compactWithManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String, manifestOutPath: String,
+      targetFiles: Int, zCol: String): Unit = {
+    spark.read.parquet(inPath).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(outPath)
+    manifestRows(spark, outPath, zCol)
+      .write.mode("overwrite").parquet(manifestOutPath)
+  }
+
   /** The zone-map probe window shared by the batch (s22) and
     * streaming (s24) manifest queries and LayoutSpec — the skip-
     * soundness contract lives in ONE place (r12 ADVICE: the

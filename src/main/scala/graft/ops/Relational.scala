@@ -111,6 +111,33 @@ object Relational {
       .drop("__rn", "__prec")
   }
 
+  /** Apply an I/U/D changelog onto a base snapshot — [[upsert]]
+    * generalized with deletes, the consumer side of the CDC story
+    * (s23 produces the diff; this merges it). The changelog carries
+    * the NEW row image in the base's payload columns plus `opCol` ∈
+    * {I, U, D}; inserts and updates replace by key precedence,
+    * deletes win precedence and are then dropped. Same scale shape
+    * as [[upsert]]: union + ONE key-partitioned window — never a
+    * full-outer join of two table-sized sides, and with the base
+    * bucketed on the key even that shuffle disappears.
+    *
+    * Precondition: at most one changelog row per key (as in any
+    * MERGE feed).
+    */
+  def cdcApply(
+      base: DataFrame, changelog: DataFrame,
+      keys: Seq[String], opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prec").desc)
+    base.withColumn("__prec", lit(0))
+      .withColumn(opCol, lit(null).cast("string"))
+      .unionByName(changelog.withColumn("__prec", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 &&
+        (col(opCol).isNull || col(opCol) =!= "D"))
+      .drop("__rn", "__prec", opCol)
+  }
+
   /** S14: type-2 slowly-changing-dimension history (Kimball) built
     * from a change feed — the warehouse twin of [[upsert]]'s SCD1
     * overwrite. Consecutive rows where the tracked attribute did not

@@ -196,4 +196,28 @@ class LayoutSpec extends SparkSpec {
     assert(out.count() == truth.count())
     assert(out.except(truth).isEmpty && truth.except(out).isEmpty)
   }
+
+  test("s26 compaction refreshes the manifest: rows match recomputed stats, files drop, probe stays sound") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("s26_zonemap_compact")(spark, dir)
+    val tag = math.abs(dir.hashCode)
+    val cdata = Sink.scratchDir(s"zmc_cdata_$tag")
+    val man = Sink.scratchDir(s"zmc_man_$tag")
+    // refreshed manifest rows ≡ stats recomputed from the rewritten bytes
+    val saved = spark.read.parquet(man)
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    val recomputed = graft.ops.Layout.manifestRows(spark, cdata, "o_orderdate")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(saved == recomputed)
+    // compaction actually reduced the file count to the target
+    assert(saved.size <= 3 && saved.nonEmpty, s"files=${saved.size}")
+    // probe soundness against the refreshed manifest
+    val truth = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(graft.ops.Layout.ZonemapLo) &&
+        col("o_orderdate") < lit(graft.ops.Layout.ZonemapHi))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    assert(out.count() == truth.count())
+    assert(out.except(truth).isEmpty && truth.except(out).isEmpty)
+  }
 }

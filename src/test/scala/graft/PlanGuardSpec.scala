@@ -75,11 +75,21 @@ class PlanGuardSpec extends SparkSpec {
       spark.experimental.extraOptimizations.filterNot(_ eq graft.plans.RangeJoinRule)
   }
 
-  test("e3_knn_graph: scoring stays inside LSH buckets; no all-pairs join") {
+  test("e3_knn_graph: probe is a bare edge-table scan; build scores inside LSH buckets") {
+    // registered query = PROBE of the saved artifact: one parquet scan
+    // of edges/, zero joins/windows/exchanges, no embedding recompute
     val p = planOf("e3_knn_graph")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // directed top-k prunes before the reciprocity shuffle
-    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("FileScan parquet") && p.contains("/edges"), p)
+    assert(!p.contains("Exchange") && !p.contains("Window") && !p.contains("Join"), p)
+    // the BUILD (what writeKnnGraph executes) keeps the guarded shape:
+    // bucket-bounded scoring, directed top-k pruned before the
+    // reciprocity shuffle, never all-pairs
+    val build = graft.ext.Similarity
+      .mutualKnnGraph(Tables.embeddings(spark, dir), 6, 3)
+      .queryExecution.executedPlan.toString
+    assert(!build.contains("CartesianProduct") &&
+      !build.contains("BroadcastNestedLoopJoin"), build)
+    assert(build.contains("WindowGroupLimit"), build)
   }
 
   test("e7_epoch_shuffle: no global window — every rank partition is block-bounded") {

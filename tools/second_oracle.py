@@ -853,8 +853,59 @@ def o15_rfm_segments(sf):
         out, columns=["o_custkey", "r_days", "f", "m_cents", "segment"])
 
 
+def w9_dedup_stream(sf):
+    # replay the STREAMING gate's staged construction from first
+    # principles: events ∪ md5-selected ~20% duplicate slice → exact
+    # dedup by event_id → the (event_id, event_type, cents) row set
+    # the dropDuplicatesWithinWatermark plan must restore
+    import hashlib
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+    dup = ev[[md5i(f"dup_{int(i)}") % 5 == 0 for i in ev["event_id"]]]
+    staged = pd.concat([ev, dup])
+    dedup = staged.drop_duplicates(subset=["event_id"])
+    rows = [(int(i), t, round_half_up(float(v) * 100))
+            for i, t, v in zip(dedup["event_id"], dedup["event_type"],
+                               dedup["value"])]
+    return pd.DataFrame(rows, columns=["event_id", "event_type", "cents"])
+
+
+def s25_cdc_apply(sf):
+    # base ⊕ changelog ≡ v2: replay the version constructions and the
+    # merge in pure dict arithmetic (insert/update replace, delete
+    # drops), never consulting either engine's join
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    base = {}
+    v2 = {}
+    for k, ck, pr in zip(o["o_orderkey"], o["o_custkey"], o["o_totalprice"]):
+        k, ck = int(k), int(ck)
+        cents = int(math.floor(float(pr) * 100))
+        if k % 97 != 0:
+            base[k] = (ck, cents)
+        if k % 101 != 0:
+            v2[k] = (ck, cents + 100 if k % 89 == 0 else cents)
+    merged = dict(base)
+    for k in set(base) | set(v2):
+        if k not in v2:
+            merged.pop(k, None)          # D
+        elif k not in base or base[k] != v2[k]:
+            merged[k] = v2[k]            # I / U
+    rows = [(k, ck, c) for k, (ck, c) in sorted(merged.items())]
+    return pd.DataFrame(rows, columns=["o_orderkey", "o_custkey", "cents"])
+
+
 QUERIES = {
     "a3_mean": a3_mean,
+    "w9_dedup_stream": w9_dedup_stream,
+    "w1_window_stream": w1_window_agg,
+    "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,
     "a13_typed_mean": a13_typed_mean,
     "a15_weighted_avg": a15_weighted_avg,
@@ -880,6 +931,7 @@ QUERIES = {
     "j13_interp_join": j13_interp_join,
     "s22_zonemap_skip": s22_zonemap_skip,
     "s24_manifest_stream": s22_zonemap_skip,
+    "s26_zonemap_compact": s22_zonemap_skip,
     "s23_snapshot_diff": s23_snapshot_diff,
     "j14_bloom_join": j14_bloom_join,
     "j15_join_size_profile": j15_join_size_profile,

@@ -905,6 +905,8 @@ QUERIES = {
     "a3_mean": a3_mean,
     "w9_dedup_stream": w9_dedup_stream,
     "w1_window_stream": w1_window_agg,
+    "w5_funnel_stream": w5_funnel,
+    "s19_rollup_stream": s19_rollup_incremental,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,
     "a13_typed_mean": a13_typed_mean,

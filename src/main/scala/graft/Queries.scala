@@ -2947,6 +2947,93 @@ object ParityQueries {
        |WHERE o_orderdate >= TIMESTAMP '${Layout.ZonemapLo} 00:00:00'
        |  AND o_orderdate < TIMESTAMP '${Layout.ZonemapHi} 00:00:00'""".stripMargin
 
+  // ---- S27: file-level Bloom index — equality skipping off the layout key ----
+  // The FIFTH leg of the layout story, and the one zone maps cannot
+  // carry: the files below are date-clustered (s22's layout), so a
+  // point lookup on o_custkey finds every file's custkey min/max
+  // spanning the whole domain — min/max prunes NOTHING. A per-file
+  // Bloom bitmask over the key ([[Layout.bloomManifestRows]]) prunes
+  // from metadata alone: a customer's ~10 orders touch a handful of
+  // the date files, and every file missing a needed bit is PROVABLY
+  // key-free. The probed key is the table's min custkey — derived,
+  // not hardcoded, so the query is SF-invariant — and the oracle is
+  // the plain equality truth table: a single false negative (a pruned
+  // file that held a matching row) diverges rows+hash. LayoutSpec
+  // pins the no-false-negative law over every key and the skip
+  // evidence (candidates < total files).
+  def s27BloomSkip(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode)
+    val data = Sink.scratchDir(s"bf_data_$tag")
+    val man = Sink.scratchDir(s"bf_man_$tag")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode("overwrite").parquet(data)
+    Layout.bloomManifestRows(s, data, "o_custkey")
+      .write.mode("overwrite").parquet(man)
+    // probed key: min custkey (1-row metadata collect, SF-invariant)
+    val key = s.read.parquet(data)
+      .agg(min(col("o_custkey"))).collect()(0).getLong(0)
+    Layout.bloomProbe(s, man, s.read.parquet(data).schema,
+      "o_custkey", key,
+      Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
+  }
+  val s27Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+      |WHERE o_custkey = (SELECT min(o_custkey) FROM orders)""".stripMargin
+
+  // ---- S28: compound skipping — zone-map ∩ Bloom from metadata alone ---------
+  // The realistic 100 TB point-lookup carries BOTH predicate shapes
+  // ("this customer, this quarter"): the zone-map manifest prunes the
+  // date range (the layout key), the Bloom manifest prunes the
+  // customer equality (the non-layout key), and the candidate set is
+  // their INTERSECTION — each manifest is consulted independently,
+  // both are file-count-sized metadata, and soundness composes
+  // because each is individually false-negative-free. The probed key
+  // is the min custkey WITH an order inside the window (derived, so
+  // the result is non-empty at every SF); the oracle is the plain
+  // compound truth table.
+  def s28CompoundSkip(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode)
+    val data = Sink.scratchDir(s"cs_data_$tag")
+    val zman = Sink.scratchDir(s"cs_zman_$tag")
+    val bman = Sink.scratchDir(s"cs_bman_$tag")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode("overwrite").parquet(data)
+    Layout.manifestRows(s, data, "o_orderdate")
+      .write.mode("overwrite").parquet(zman)
+    Layout.bloomManifestRows(s, data, "o_custkey")
+      .write.mode("overwrite").parquet(bman)
+    val key = s.read.parquet(data)
+      .filter(col("o_orderdate") >= lit(Layout.ZonemapLo) &&
+        col("o_orderdate") < lit(Layout.ZonemapHi))
+      .agg(min(col("o_custkey"))).collect()(0).getLong(0)
+    val files =
+      Layout.zonemapCandidateFiles(s, zman, Layout.ZonemapLo, Layout.ZonemapHi)
+        .toSet.intersect(Layout.bloomCandidateFiles(s, bman, key).toSet)
+    Layout.readFilesOrEmpty(s, files.toIndexedSeq.sorted,
+        s.read.parquet(data).schema)
+      .filter(col("o_custkey") === lit(key) &&
+        col("o_orderdate") >= lit(Layout.ZonemapLo) &&
+        col("o_orderdate") < lit(Layout.ZonemapHi))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+  }
+  val s28Sql =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+       |WHERE o_custkey = (
+       |    SELECT min(o_custkey) FROM orders
+       |    WHERE o_orderdate >= TIMESTAMP '${Layout.ZonemapLo} 00:00:00'
+       |      AND o_orderdate < TIMESTAMP '${Layout.ZonemapHi} 00:00:00')
+       |  AND o_orderdate >= TIMESTAMP '${Layout.ZonemapLo} 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '${Layout.ZonemapHi} 00:00:00'""".stripMargin
+
   // ---- S23: snapshot diff — CDC between two table versions -------------------
   // The change-data-capture primitive every incremental consumer needs
   // when the upstream publishes full snapshots: diff version N against
@@ -3398,6 +3485,8 @@ object ParityQueries {
     "s23_snapshot_diff" -> (s23SnapshotDiff _),
     "s25_cdc_apply" -> (s25CdcApply _),
     "s26_zonemap_compact" -> (s26ZonemapCompact _),
+    "s27_bloom_skip" -> (s27BloomSkip _),
+    "s28_compound_skip" -> (s28CompoundSkip _),
     "j14_bloom_join" -> (j14BloomJoin _),
     "j15_join_size_profile" -> (j15JoinSizeProfile _),
     "p13_ref_integrity" -> (p13RefIntegrity _),
@@ -3518,6 +3607,8 @@ object ParityQueries {
     "s23_snapshot_diff" -> s23Sql,
     "s25_cdc_apply" -> s25Sql,
     "s26_zonemap_compact" -> s22Sql,
+    "s27_bloom_skip" -> s27Sql,
+    "s28_compound_skip" -> s28Sql,
     "j14_bloom_join" -> j14Sql,
     "j15_join_size_profile" -> j15Sql,
     "p13_ref_integrity" -> p13Sql,

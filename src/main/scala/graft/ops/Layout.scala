@@ -128,21 +128,129 @@ object Layout {
     * empty frame on `dataSchema` rather than handing `spark.read` a
     * zero-path list (which throws "unable to infer schema").
     */
+  /** The interval-overlap candidate set of a min/max manifest —
+    * file-count-sized, the only thing collected.
+    */
+  def zonemapCandidateFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      manifestPath: String, lo: String, hi: String): Seq[String] =
+    spark.read.parquet(manifestPath)
+      .filter(col("zmax") >= lit(lo) && col("zmin") < lit(hi))
+      .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
+
+  /** Scan an explicit candidate-file list, or produce an empty frame
+    * on `dataSchema` when the list is empty (`spark.read` throws
+    * "unable to infer schema" on a zero-path list).
+    */
+  def readFilesOrEmpty(
+      spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+    else spark.read.parquet(files: _*)
+
   def zonemapProbe(
       spark: org.apache.spark.sql.SparkSession,
       manifestPath: String,
       dataSchema: org.apache.spark.sql.types.StructType,
       zCol: String, lo: String, hi: String,
-      projected: Seq[String]): DataFrame = {
-    val files = spark.read.parquet(manifestPath)
-      .filter(col("zmax") >= lit(lo) && col("zmin") < lit(hi))
-      .select(col("file")).collect().map(_.getString(0))
-    val base =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
-      else spark.read.parquet(files.toIndexedSeq: _*)
-    base.filter(col(zCol) >= lit(lo) && col(zCol) < lit(hi))
+      projected: Seq[String]): DataFrame =
+    readFilesOrEmpty(spark, zonemapCandidateFiles(spark, manifestPath, lo, hi),
+      dataSchema)
+      .filter(col(zCol) >= lit(lo) && col(zCol) < lit(hi))
       .select(projected.map(col): _*)
+
+  // ---- File-level Bloom index: equality skipping on a NON-layout key -------
+  // Zone maps prune RANGE predicates on the clustering column and
+  // nothing else: a point lookup on a column the layout does not
+  // order by (every file's min/max spans the whole domain) scans all
+  // files. The standard lake answer (Delta/Iceberg file-level Bloom
+  // filters, Parquet column-index blooms) is a per-file Bloom bitmask
+  // over the key: k hash bits per value, OR-folded per file — at
+  // 100 TB that is (files × BloomWords) longs of metadata, probed
+  // entirely from the manifest. Absence of a needed bit PROVES the
+  // key is absent (no false negatives → pruning is sound and the
+  // probe's oracle is the plain filter); a false positive only costs
+  // one residual-filtered scan. Built from codegen'd builtins only:
+  // xxhash64 rows into bit positions, `bit_or` folds per (file,
+  // word) — the same distributed-bitmask idiom as E8's Bloom
+  // decontamination, lifted to the metadata layer.
+
+  /** Bitmask geometry: 1024 words × 64 = 65536 bits, 3 probes. At
+    * ~10k distinct keys per file the fill ratio is ≈ 0.37 and the
+    * per-file false-positive rate ≈ 5% — metadata stays file-count ×
+    * 8 KiB while pruning ~95% of non-containing files.
+    */
+  val BloomWords = 1024
+  val BloomK = 3
+
+  /** The k bit positions for one key expression — shared by build and
+    * probe so both sides hash identically (seed folded in as a second
+    * hashed column).
+    */
+  private def bloomPositions(key: Column): Seq[Column] =
+    (0 until BloomK).map { i =>
+      pmod(xxhash64(key.cast("bigint"), lit(i)), lit(BloomWords * 64L))
+    }
+
+  /** Per-file Bloom manifest rows (`file`, `word_idx`, `word`):
+    * explode each row's k positions, fold `bit_or` per (file, word).
+    * Rows exist only for words with at least one set bit, so an
+    * absent (file, word) row reads as an all-zero word.
+    */
+  def bloomManifestRows(
+      spark: org.apache.spark.sql.SparkSession,
+      dataPath: String, keyCol: String): DataFrame =
+    spark.read.parquet(dataPath)
+      .select(col("_metadata.file_path").as("file"),
+        explode(array(bloomPositions(col(keyCol)): _*)).as("p"))
+      .groupBy(col("file"), (col("p") / 64).cast("int").as("word_idx"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))"))
+        .as("word"))
+
+  /** Probe the Bloom manifest for `keyCol = keyValue`: compute the
+    * key's k bit positions with the SAME engine expressions that
+    * built the manifest (a k-sized collect off a 1-row frame — never
+    * a reimplementation of the hash on the driver), intersect the
+    * file sets whose stored word covers each needed word's bits, and
+    * scan only the surviving files with the equality re-applied (a
+    * Bloom is a may-contain filter). Only file-count-sized frames are
+    * ever collected.
+    */
+  /** The may-contain file set for `keyValue`: intersect, per needed
+    * word, the files whose stored word covers that word's needed bits
+    * (an absent (file, word) manifest row is an all-zero word, so the
+    * intersection join correctly drops the file). File-count-sized.
+    */
+  def bloomCandidateFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      manifestPath: String, keyValue: Long): Seq[String] = {
+    val posRow = spark.range(1)
+      .select(bloomPositions(lit(keyValue)).zipWithIndex.map {
+        case (c, i) => c.as(s"p$i")
+      }: _*).collect()(0)
+    val needByWord = (0 until BloomK).map(i => posRow.getLong(i))
+      .groupBy(p => (p / 64).toInt)
+      .map { case (w, ps) => w -> ps.map(p => 1L << (p % 64)).reduce(_ | _) }
+    val man = spark.read.parquet(manifestPath)
+    needByWord.toSeq.map { case (w, bits) =>
+      man.filter(col("word_idx") === lit(w) &&
+          col("word").bitwiseAND(lit(bits)) === lit(bits))
+        .select(col("file"))
+    }.reduce((a, b) => a.join(b, "file"))
+      .collect().map(_.getString(0)).toIndexedSeq
   }
+
+  def bloomProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      manifestPath: String,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      keyCol: String, keyValue: Long,
+      projected: Seq[String]): DataFrame =
+    readFilesOrEmpty(spark,
+      bloomCandidateFiles(spark, manifestPath, keyValue), dataSchema)
+      .filter(col(keyCol) === lit(keyValue))
+      .select(projected.map(col): _*)
 }

@@ -197,6 +197,89 @@ class LayoutSpec extends SparkSpec {
     assert(out.except(truth).isEmpty && truth.except(out).isEmpty)
   }
 
+  test("bloom manifest: no false negatives for ANY key; non-layout-key candidates stay few") {
+    // 1000 keys in 8 files, each key in EXACTLY one file (range-
+    // partitioned on the key itself) — so the true may-contain set is
+    // a singleton and every extra candidate is a Bloom false positive.
+    val df = (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val data = Sink.scratchDir("bloom_data")
+    val man = Sink.scratchDir("bloom_man")
+    df.repartitionByRange(8, col("id")).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(data)
+    Layout.bloomManifestRows(spark, data, "id")
+      .write.mode("overwrite").parquet(man)
+    val schema = spark.read.parquet(data).schema
+    // no false negatives: for sampled keys the probe result IS the truth
+    var candTotal = 0
+    for (k <- Seq(0L, 1L, 137L, 499L, 500L, 863L, 999L)) {
+      val got = Layout.bloomProbe(spark, man, schema, "id", k, Seq("id", "v"))
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((k, s"v$k")), s"key $k")
+      candTotal += Layout.bloomCandidateFiles(spark, man, k).size
+    }
+    // effectiveness: 7 singleton keys → ≥7 candidates, and with a ~5%
+    // per-file fp rate the expected total is ~7.5 of a 56-file ceiling
+    assert(candTotal >= 7 && candTotal <= 14, s"candidates=$candTotal")
+    // an absent key prunes (usually to zero) and returns empty
+    val absent = Layout.bloomProbe(spark, man, schema, "id", 10000000L,
+      Seq("id", "v"))
+    assert(absent.count() == 0L)
+    assert(Layout.bloomCandidateFiles(spark, man, 10000000L).size <= 2)
+  }
+
+  test("s27 bloom skip: equality truth table off a date layout, candidates < files") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("s27_bloom_skip")(spark, dir)
+    val tag = math.abs(dir.hashCode)
+    val man = Sink.scratchDir(s"bf_man_$tag")
+    val data = Sink.scratchDir(s"bf_data_$tag")
+    val key = spark.read.parquet(data)
+      .agg(min(col("o_custkey"))).collect()(0).getLong(0)
+    val truth = Tables.orders(spark, dir)
+      .filter(col("o_custkey") === lit(key))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    assert(out.count() == truth.count() && truth.count() > 0)
+    assert(out.except(truth).isEmpty && truth.except(out).isEmpty)
+    // the skip evidence zone maps cannot give: files are DATE-
+    // clustered, yet the custkey equality pruned below the full set
+    val cand = Layout.bloomCandidateFiles(spark, man, key).size
+    val trueFiles = spark.read.parquet(data)
+      .filter(col("o_custkey") === lit(key))
+      .select(input_file_name()).distinct().count()
+    assert(cand < 8, s"candidates=$cand of 8 — no pruning")
+    assert(cand >= trueFiles.toInt, s"cand=$cand < true containing files=$trueFiles")
+  }
+
+  test("s28 compound skip: candidate set is the manifest intersection; result is the compound truth") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("s28_compound_skip")(spark, dir)
+    val tag = math.abs(dir.hashCode)
+    val zman = Sink.scratchDir(s"cs_zman_$tag")
+    val bman = Sink.scratchDir(s"cs_bman_$tag")
+    val data = Sink.scratchDir(s"cs_data_$tag")
+    val key = spark.read.parquet(data)
+      .filter(col("o_orderdate") >= lit(Layout.ZonemapLo) &&
+        col("o_orderdate") < lit(Layout.ZonemapHi))
+      .agg(min(col("o_custkey"))).collect()(0).getLong(0)
+    val zc = Layout.zonemapCandidateFiles(spark, zman,
+      Layout.ZonemapLo, Layout.ZonemapHi).toSet
+    val bc = Layout.bloomCandidateFiles(spark, bman, key).toSet
+    val both = zc.intersect(bc)
+    // intersection prunes at least as hard as either leg, and the
+    // date leg alone already leaves ≤2 of 8 files (s22's guard)
+    assert(both.size <= zc.size && both.size <= bc.size)
+    assert(zc.size <= 2 && both.size <= 2, s"zc=${zc.size} both=${both.size}")
+    val truth = Tables.orders(spark, dir)
+      .filter(col("o_custkey") === lit(key) &&
+        col("o_orderdate") >= lit(Layout.ZonemapLo) &&
+        col("o_orderdate") < lit(Layout.ZonemapHi))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    assert(out.count() == truth.count() && truth.count() > 0)
+    assert(out.except(truth).isEmpty && truth.except(out).isEmpty)
+  }
+
   test("s26 compaction refreshes the manifest: rows match recomputed stats, files drop, probe stays sound") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("s26_zonemap_compact")(spark, dir)

@@ -874,6 +874,24 @@ def w9_dedup_stream(sf):
     return pd.DataFrame(rows, columns=["event_id", "event_type", "cents"])
 
 
+def s27_bloom_skip(sf):
+    # Bloom skipping is sound iff the probe result IS the plain
+    # equality truth table; replay that table from first principles.
+    od = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    return od[od["o_custkey"] == od["o_custkey"].min()].reset_index(drop=True)
+
+
+def s28_compound_skip(sf):
+    od = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-07-01")
+    win = od[(od["o_orderdate"] >= lo) & (od["o_orderdate"] < hi)]
+    return win[win["o_custkey"] == win["o_custkey"].min()].reset_index(drop=True)
+
+
 def s25_cdc_apply(sf):
     # base ⊕ changelog ≡ v2: replay the version constructions and the
     # merge in pure dict arithmetic (insert/update replace, delete
@@ -907,6 +925,8 @@ QUERIES = {
     "w1_window_stream": w1_window_agg,
     "w5_funnel_stream": w5_funnel,
     "s19_rollup_stream": s19_rollup_incremental,
+    "s27_bloom_skip": s27_bloom_skip,
+    "s28_compound_skip": s28_compound_skip,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,
     "a13_typed_mean": a13_typed_mean,

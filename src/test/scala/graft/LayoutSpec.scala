@@ -251,6 +251,40 @@ class LayoutSpec extends SparkSpec {
     assert(cand >= trueFiles.toInt, s"cand=$cand < true containing files=$trueFiles")
   }
 
+  test("bloom manifest is per-file: incremental build ≡ full rebuild; compaction must re-derive") {
+    // Per-file Bloom words depend only on that file's rows, so the
+    // manifest composes the same way the min/max manifest does (s24's
+    // batching-invariance argument): rows derived file-at-a-time union
+    // to exactly the whole-directory derivation — the property that
+    // lets a streaming ingest append ONLY its own landing file's rows.
+    val df = (0L until 400L).map(i => (i, i % 7)).toDF("id", "grp")
+    val data = Sink.scratchDir("bloom_inc_data")
+    df.repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(data)
+    val whole = Layout.bloomManifestRows(spark, data, "id")
+      .as[(String, Int, Long)].collect().toSet
+    val perFile = new java.io.File(data).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .flatMap(f => Layout.bloomManifestRows(spark, f.getAbsolutePath, "id")
+        .as[(String, Int, Long)].collect())
+      .toSet
+    assert(whole == perFile)
+    // compaction rewrites files: carried-over rows would reference
+    // dead paths AND wrong per-file bit sets — re-derivation from the
+    // rewritten bytes restores probe soundness for every key
+    val cdata = Sink.scratchDir("bloom_inc_cdata")
+    val cman = Sink.scratchDir("bloom_inc_cman")
+    Layout.compact(spark, data, cdata, 2)
+    Layout.bloomManifestRows(spark, cdata, "id")
+      .write.mode("overwrite").parquet(cman)
+    val schema = spark.read.parquet(cdata).schema
+    for (k <- Seq(0L, 211L, 399L)) {
+      val got = Layout.bloomProbe(spark, cman, schema, "id", k, Seq("id", "grp"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((k, k % 7)), s"key $k after compaction")
+    }
+  }
+
   test("s28 compound skip: candidate set is the manifest intersection; result is the compound truth") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("s28_compound_skip")(spark, dir)

@@ -407,6 +407,42 @@ def e3_kmeans(sf, k=8, iters=2):
         columns=["vec_id", "cluster", "cent_cos"])
 
 
+def e8_decontaminated(sf):
+    # Shingle-overlap decontamination replayed from first principles:
+    # same md5 token hashes and position-weighted 3-window shingles as
+    # the MinHash front end, benchmark = distinct shingles of the
+    # doc_id%20==0 slice, corpus doc contaminated iff its DISTINCT
+    # shingle overlap with the benchmark reaches 5; output is the
+    # surviving corpus (anti-join).
+    import hashlib
+    import re
+    P = 1000000007
+    mix = [((j + 1) * 999999937 + 17) % P for j in range(3)]
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+    d = pd.read_parquet(
+        f"{sf}/documents.parquet",
+        columns=["doc_id", "source", "n_chars", "text"])
+    sh = {}
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = re.split(r"\s+", str(t).strip())
+        th = [md5i(tok) % P for tok in toks]
+        sh[int(i)] = {
+            sum(th[k + j] * mix[j] % P for j in range(3)) % P
+            for k in range(len(th) - 2)
+        } if len(th) >= 3 else set()
+    bench = set()
+    for i in d["doc_id"]:
+        if int(i) % 20 == 0:
+            bench |= sh[int(i)]
+    corpus = d[d["doc_id"] % 20 != 0]
+    bad = {int(i) for i in corpus["doc_id"] if len(sh[int(i)] & bench) >= 5}
+    return (corpus[~corpus["doc_id"].isin(bad)][["doc_id", "source", "n_chars"]]
+            .reset_index(drop=True))
+
+
 def _minhash_band_pairs(sf, shingle_len=3):
     # full pure-Python replay of the MinHash/LSH front end
     # (MinHash.scala): whitespace tokens, md5 token hashes mod P,
@@ -927,6 +963,7 @@ QUERIES = {
     "s19_rollup_stream": s19_rollup_incremental,
     "s27_bloom_skip": s27_bloom_skip,
     "s28_compound_skip": s28_compound_skip,
+    "e8_decontaminated": e8_decontaminated,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,
     "a13_typed_mean": a13_typed_mean,

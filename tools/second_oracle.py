@@ -407,6 +407,63 @@ def e3_kmeans(sf, k=8, iters=2):
         columns=["vec_id", "cluster", "cent_cos"])
 
 
+def j5_asof_join(sf):
+    # Point-in-time lookup replayed as per-user binary search (a THIRD
+    # algorithm beside Spark's union+window / native merge pass and
+    # DuckDB's ASOF JOIN): latest click at-or-before each purchase.
+    import bisect
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value", "event_type"])
+    p = ev[ev["event_type"] == "purchase"][
+        ["user_id", "ts", "event_id", "value"]]
+    c = (ev[ev["event_type"] == "click"]
+         .groupby(["user_id", "ts"], as_index=False)["value"].max()
+         .sort_values(["user_id", "ts"]))
+    clicks = {}
+    for u, t, v in zip(c["user_id"], c["ts"], c["value"]):
+        clicks.setdefault(u, ([], []))
+        clicks[u][0].append(t)
+        clicks[u][1].append(v)
+    cv = []
+    for u, t in zip(p["user_id"], p["ts"]):
+        ts_list, vs = clicks.get(u, ([], []))
+        k = bisect.bisect_right(ts_list, t) - 1
+        cv.append(vs[k] if k >= 0 else None)
+    p = p.copy()
+    p["click_value"] = pd.to_numeric(pd.Series(cv, index=p.index))
+    return p.reset_index(drop=True)
+
+
+def j5_asof_bounded(sf):
+    # Bounded-horizon as-of (the scalable streaming shape): same
+    # binary-search lookup, but the carried click only counts within
+    # 1800 s of the purchase — staler matches degrade to null.
+    import bisect
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value", "event_type"])
+    p = ev[ev["event_type"] == "purchase"][
+        ["user_id", "ts", "event_id", "value"]]
+    c = (ev[ev["event_type"] == "click"]
+         .groupby(["user_id", "ts"], as_index=False)["value"].max()
+         .sort_values(["user_id", "ts"]))
+    clicks = {}
+    for u, t, v in zip(c["user_id"], c["ts"], c["value"]):
+        clicks.setdefault(u, ([], []))
+        clicks[u][0].append(t)
+        clicks[u][1].append(v)
+    horizon = pd.Timedelta(seconds=1800)
+    cv = []
+    for u, t in zip(p["user_id"], p["ts"]):
+        ts_list, vs = clicks.get(u, ([], []))
+        k = bisect.bisect_right(ts_list, t) - 1
+        cv.append(vs[k] if k >= 0 and t - ts_list[k] <= horizon else None)
+    p = p.copy()
+    p["click_value"] = pd.to_numeric(pd.Series(cv, index=p.index))
+    return p.reset_index(drop=True)
+
+
 def e8_decontaminated(sf):
     # Shingle-overlap decontamination replayed from first principles:
     # same md5 token hashes and position-weighted 3-window shingles as
@@ -964,6 +1021,10 @@ QUERIES = {
     "s27_bloom_skip": s27_bloom_skip,
     "s28_compound_skip": s28_compound_skip,
     "e8_decontaminated": e8_decontaminated,
+    "j5_asof_join": j5_asof_join,
+    "j5_asof_native": j5_asof_join,
+    "j5_asof_stream": j5_asof_join,
+    "j5_asof_bounded_stream": j5_asof_bounded,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,
     "a13_typed_mean": a13_typed_mean,

@@ -407,6 +407,98 @@ def e3_kmeans(sf, k=8, iters=2):
         columns=["vec_id", "cluster", "cent_cos"])
 
 
+def w6_retention(sf):
+    # cohort retention: day-floor, per-user min day, distinct
+    # (cohort, offset, user), cell counts — pure pandas group algebra
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    ev = ev[ev["ts"].notna()].copy()
+    ev["d"] = ev["ts"].dt.floor("D")
+    cohort = ev.groupby("user_id", as_index=False)["d"].min() \
+        .rename(columns={"d": "cohort_day"})
+    m = ev.merge(cohort, on="user_id")
+    m["day_offset"] = ((m["d"] - m["cohort_day"]).dt.days).astype("int64")
+    cells = m[["cohort_day", "day_offset", "user_id"]].drop_duplicates()
+    out = (cells.groupby(["cohort_day", "day_offset"], as_index=False)
+           .size().rename(columns={"size": "n_users"}))
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def w7_twap(sf):
+    # time-weighted average price: per-user lead gaps, exact
+    # DECIMAL(28,10) value×weight sums, one double division at the end
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["user_id", "ts", "event_id", "value"])
+    ev = ev[ev["ts"].notna()].sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for u, g in ev.groupby("user_id"):
+        tu = (g["ts"].astype("datetime64[us]").astype("int64")).tolist()
+        vals = g["value"].tolist()
+        vw, w_total, seen, any_val = Decimal(0), 0, False, False
+        for i in range(len(tu) - 1):
+            w_us = tu[i + 1] - tu[i]
+            w_total += w_us
+            seen = True
+            if pd.notna(vals[i]):
+                vw += dec10(vals[i]) * w_us
+                any_val = True
+        if seen:
+            rows.append((
+                u, float(vw) / float(w_total) if any_val else None, w_total))
+    return pd.DataFrame(rows, columns=["user_id", "twap", "w_total"])
+
+
+def w8_interval_merge(sf):
+    # gaps-and-islands union of [ts, ts + value s) spans per user:
+    # running max of prior ends decides island starts
+    import math
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["user_id", "ts", "event_id", "value"])
+    ev = ev[ev["ts"].notna() & ev["user_id"].notna() & ev["value"].notna()].copy()
+    ev["start_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["end_us"] = ev["start_us"] + ev["value"].map(
+        lambda v: int(math.floor(v * 1000000.0)))
+    ev = ev.sort_values(["user_id", "start_us", "end_us", "event_id"])
+    rows = []
+    for u, g in ev.groupby("user_id"):
+        max_end, iid = None, 0
+        cur = None  # (n, start, end)
+        for s0, e0 in zip(g["start_us"], g["end_us"]):
+            if max_end is None or s0 > max_end:
+                if cur is not None:
+                    rows.append((u, iid, cur[0], cur[1], cur[2]))
+                iid += 1
+                cur = [1, s0, e0]
+            else:
+                cur[0] += 1
+                cur[2] = max(cur[2], e0)
+            max_end = e0 if max_end is None else max(max_end, e0)
+        if cur is not None:
+            rows.append((u, iid, cur[0], cur[1], cur[2]))
+    return pd.DataFrame(
+        rows, columns=["user_id", "interval_id", "n_merged", "start_us", "end_us"])
+
+
+def w10_ohlc(sf):
+    # 6-hour OHLC bars with the deterministic endpoint tie rule
+    # (min value at earliest ts, max value at latest ts)
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["ts", "value"])
+    ev = ev[ev["ts"].notna() & ev["value"].notna()].copy()
+    ev["bucket"] = ev["ts"].dt.floor("6h")
+    ev["tu"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    rows = []
+    for b, g in ev.groupby("bucket"):
+        mn, mx = g["tu"].min(), g["tu"].max()
+        rows.append((
+            b,
+            g[g["tu"] == mn]["value"].min(),
+            g["value"].max(), g["value"].min(),
+            g[g["tu"] == mx]["value"].max(),
+            int(len(g))))
+    return pd.DataFrame(
+        rows, columns=["bucket", "open", "high", "low", "close", "n"])
+
+
 def j5_asof_join(sf):
     # Point-in-time lookup replayed as per-user binary search (a THIRD
     # algorithm beside Spark's union+window / native merge pass and
@@ -1025,6 +1117,11 @@ QUERIES = {
     "j5_asof_native": j5_asof_join,
     "j5_asof_stream": j5_asof_join,
     "j5_asof_bounded_stream": j5_asof_bounded,
+    "w6_retention": w6_retention,
+    "w7_twap": w7_twap,
+    "w8_interval_merge": w8_interval_merge,
+    "w10_ohlc": w10_ohlc,
+    "w10_ohlc_stream": w10_ohlc,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,
     "a13_typed_mean": a13_typed_mean,

@@ -592,6 +592,97 @@ def e8_decontaminated(sf):
             .reset_index(drop=True))
 
 
+def _md5i(s):
+    import hashlib
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def _split_of(doc_id):
+    b = _md5i(f"split_{int(doc_id)}") % 1000
+    return "train" if b < 800 else ("val" if b < 900 else "test")
+
+
+def e7_split(sf):
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+    return pd.DataFrame({
+        "doc_id": d["doc_id"],
+        "split": [_split_of(i) for i in d["doc_id"]]})
+
+
+def e6_full_prep(sf):
+    # The whole composed corpus-prep pipeline from first principles:
+    # quality gate (token count + marker-vote language ID), exact
+    # fingerprint dedup (min doc_id per md5), MinHash candidate pairs
+    # >= 0.5 restricted to survivors, union-find connected components
+    # keeping the min-id representative, shingle-overlap
+    # decontamination vs the doc_id%20==0 benchmark, md5 split.
+    import hashlib
+    import re
+    d = pd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    texts = {int(i): str(t) for i, t in zip(d["doc_id"], d["text"])}
+    en = {"the", "a", "of", "and", "is", "to"}
+    de = {"der", "die", "das", "und", "ist", "zu"}
+    fr = {"le", "la", "les", "et", "est", "de"}
+    gated = {}
+    for i, t in texts.items():
+        toks = re.split(r"\s+", t.strip())
+        ne, nd, nf = (sum(1 for x in toks if x in m) for m in (en, de, fr))
+        lang = "en" if (ne >= nd and ne >= nf) else ("de" if nd >= nf else "fr")
+        if len(toks) >= 5 and lang == "en":
+            gated[i] = (len(toks), lang,
+                        hashlib.md5(t.strip().lower().encode("utf-8")).hexdigest())
+    # exact dedup: min doc_id per fingerprint
+    by_fp = {}
+    for i in sorted(gated):
+        by_fp.setdefault(gated[i][2], i)
+    exact = set(by_fp.values())
+    # near-dup components among exact survivors (pairs est >= 0.5)
+    _, pairs = _minhash_band_pairs(sf)
+    parent = {i: i for i in exact}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b), est in pairs.items():
+        if est >= 0.5 and a in exact and b in exact:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    reps = {i for i in exact if find(i) == i}
+    # corpus slice, decontamination vs benchmark shingles
+    P = 1000000007
+    mix = [((j + 1) * 999999937 + 17) % P for j in range(3)]
+
+    def shingles(t):
+        toks = re.split(r"\s+", t.strip())
+        th = [_md5i(tok) % P for tok in toks]
+        return {
+            sum(th[k + j] * mix[j] % P for j in range(3)) % P
+            for k in range(len(th) - 2)
+        } if len(th) >= 3 else set()
+
+    bench = set()
+    for i, t in texts.items():
+        if i % 20 == 0:
+            bench |= shingles(t)
+    rows = []
+    for i in sorted(reps):
+        if i % 20 == 0:
+            continue
+        if len(shingles(texts[i]) & bench) >= 5:
+            continue
+        n_tokens, lang, _ = gated[i]
+        rows.append((i, n_tokens, lang, _split_of(i)))
+    out = pd.DataFrame(
+        rows, columns=["doc_id", "n_tokens", "lang_guess", "split"])
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out
+
+
 def _minhash_band_pairs(sf, shingle_len=3):
     # full pure-Python replay of the MinHash/LSH front end
     # (MinHash.scala): whitespace tokens, md5 token hashes mod P,
@@ -1122,6 +1213,8 @@ QUERIES = {
     "w8_interval_merge": w8_interval_merge,
     "w10_ohlc": w10_ohlc,
     "w10_ohlc_stream": w10_ohlc,
+    "e7_split": e7_split,
+    "e6_full_prep": e6_full_prep,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,
     "a13_typed_mean": a13_typed_mean,

@@ -592,6 +592,59 @@ def e8_decontaminated(sf):
             .reset_index(drop=True))
 
 
+def _cc_components(ids, pairs, min_est=0.5):
+    # union-find with min-id representatives over the est-filtered
+    # candidate graph
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b), est in pairs.items():
+        if est >= min_est and a in parent and b in parent:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in ids}
+
+
+def e2_dedup_clusters(sf):
+    ids, pairs = _minhash_band_pairs(sf)
+    comp = _cc_components(ids, pairs)
+    from collections import Counter
+    sizes = Counter(comp.values())
+    return pd.DataFrame(
+        [(i, comp[i], sizes[comp[i]]) for i in ids],
+        columns=["doc_id", "component", "cluster_size"])
+
+
+def e2_cluster_rep(sf):
+    # nodes are only docs that appear in an est>=0.5 pair; the
+    # representative is the longest doc (ties to min id)
+    ids, pairs = _minhash_band_pairs(sf)
+    nodes = set()
+    for (a, b), est in pairs.items():
+        if est >= 0.5:
+            nodes.add(a)
+            nodes.add(b)
+    comp = _cc_components(nodes, pairs)
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "n_chars"])
+    nch = {int(i): int(n) for i, n in zip(d["doc_id"], d["n_chars"])}
+    from collections import Counter
+    sizes = Counter(comp.values())
+    best = {}
+    for i in sorted(nodes):
+        c = comp[i]
+        if c not in best or nch[i] > nch[best[c]]:
+            best[c] = i
+    return pd.DataFrame(
+        [(c, r, nch[r], sizes[c]) for c, r in sorted(best.items())],
+        columns=["component", "rep_doc", "n_chars", "cluster_size"])
+
+
 def _md5i(s):
     import hashlib
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
@@ -1215,6 +1268,8 @@ QUERIES = {
     "w10_ohlc_stream": w10_ohlc,
     "e7_split": e7_split,
     "e6_full_prep": e6_full_prep,
+    "e2_dedup_clusters": e2_dedup_clusters,
+    "e2_cluster_rep": e2_cluster_rep,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,
     "a13_typed_mean": a13_typed_mean,

@@ -592,6 +592,40 @@ def e8_decontaminated(sf):
             .reset_index(drop=True))
 
 
+def e1_dedup_exact(sf):
+    d = pd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    g = d.groupby(["lang", "n_chars"])
+    out = g.agg(doc_id=("doc_id", "min"), group_size=("doc_id", "size")) \
+        .reset_index()[["doc_id", "lang", "n_chars", "group_size"]]
+    out["group_size"] = out["group_size"].astype("int64")
+    return out
+
+
+def e1_passage_dedup(sf):
+    # corpus-wide first-occurrence passage dedup (Lee et al.):
+    # non-overlapping 8-token windows, global (doc_id, idx) order,
+    # survivors reassemble per doc
+    import re
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"]) \
+        .sort_values("doc_id")
+    seen = set()
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = re.split(r"\s+", str(t).strip())
+        kept_texts, n_passages, n_kept = [], 0, 0
+        for idx in range(0, max(len(toks), 1), 8):
+            p = " ".join(toks[idx:idx + 8])
+            n_passages += 1
+            if p not in seen:
+                seen.add(p)
+                n_kept += 1
+                kept_texts.append(p)
+        rows.append((int(i), n_passages, n_kept, " ".join(kept_texts)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_passages", "n_kept", "clean_text"])
+
+
 def _cc_components(ids, pairs, min_est=0.5):
     # union-find with min-id representatives over the est-filtered
     # candidate graph
@@ -1270,6 +1304,8 @@ QUERIES = {
     "e6_full_prep": e6_full_prep,
     "e2_dedup_clusters": e2_dedup_clusters,
     "e2_cluster_rep": e2_cluster_rep,
+    "e1_dedup_exact": e1_dedup_exact,
+    "e1_passage_dedup": e1_passage_dedup,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,
     "a13_typed_mean": a13_typed_mean,

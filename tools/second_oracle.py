@@ -592,6 +592,56 @@ def e8_decontaminated(sf):
             .reset_index(drop=True))
 
 
+def _top5(counts, key_name, item_name):
+    # (key, item) -> n, ranked n desc / item asc, top 5 per key
+    rows = []
+    by_key = {}
+    for (k, it), n in counts.items():
+        by_key.setdefault(k, []).append((it, n))
+    for k in sorted(by_key):
+        ranked = sorted(by_key[k], key=lambda t: (-t[1], t[0]))[:5]
+        for rk, (it, n) in enumerate(ranked, start=1):
+            rows.append((k, it, n, rk))
+    return pd.DataFrame(rows, columns=[key_name, item_name, "n", "rk"])
+
+
+def e5_token_stats(sf):
+    import re
+    d = pd.read_parquet(
+        f"{sf}/documents.parquet",
+        columns=["lang", "source", "text", "n_chars"])
+    d = d.copy()
+    d["ntok"] = [len(re.split(r"\s+", str(t).strip())) for t in d["text"]]
+    rows = []
+    for (lang, src), g in d.groupby(["lang", "source"]):
+        rows.append((lang, src, int(len(g)), int(g["ntok"].sum()),
+                     exact_mean(g["n_chars"])))
+    return pd.DataFrame(
+        rows, columns=["lang", "source", "n_docs", "sum_tokens", "avg_chars"])
+
+
+def e5_word_freq(sf):
+    import re
+    from collections import Counter
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["lang", "text"])
+    counts = Counter()
+    for lang, t in zip(d["lang"], d["text"]):
+        for w in re.split(r"\s+", str(t).strip()):
+            counts[(lang, w)] += 1
+    return _top5(counts, "lang", "word")
+
+
+def e5_char_trigrams(sf):
+    from collections import Counter
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["lang", "text"])
+    counts = Counter()
+    for lang, t in zip(d["lang"], d["text"]):
+        p = str(t).lower()[:200]
+        for i in range(max(len(p) - 2, 0)):
+            counts[(lang, p[i:i + 3])] += 1
+    return _top5(counts, "lang", "tri")
+
+
 def e1_dedup_exact(sf):
     d = pd.read_parquet(
         f"{sf}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
@@ -1306,6 +1356,9 @@ QUERIES = {
     "e2_cluster_rep": e2_cluster_rep,
     "e1_dedup_exact": e1_dedup_exact,
     "e1_passage_dedup": e1_passage_dedup,
+    "e5_token_stats": e5_token_stats,
+    "e5_word_freq": e5_word_freq,
+    "e5_char_trigrams": e5_char_trigrams,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,
     "a13_typed_mean": a13_typed_mean,

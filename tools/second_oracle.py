@@ -592,6 +592,51 @@ def e8_decontaminated(sf):
             .reset_index(drop=True))
 
 
+def e5_fingerprint(sf):
+    # md5 content fingerprint + 32-bit SimHash bit votes over full
+    # 32-bit token hashes
+    import hashlib
+    import re
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        t = str(t)
+        fp = hashlib.md5(t.strip().lower().encode("utf-8")).hexdigest()
+        hs = [_md5i(tok) for tok in re.split(r"\s+", t.strip())]
+        sim = 0
+        for b in range(32):
+            vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if vote > 0:
+                sim |= 1 << b
+        rows.append((int(i), fp, sim))
+    return pd.DataFrame(rows, columns=["doc_id", "fp", "simhash"])
+
+
+def e5_repetition(sf):
+    # Gopher/C4 repetition signals: duplicate-window fractions over
+    # position-weighted token-hash windows + type-token ratio
+    import re
+    P = 1000000007
+    mixes = {n: [((j + 1) * 999999937 + 17) % P for j in range(n)]
+             for n in (2, 3)}
+
+    def dup_frac(hs, n):
+        mix = mixes[n]
+        w = [sum(hs[k + j] * mix[j] % P for j in range(n)) % P
+             for k in range(max(len(hs) - n + 1, 0))]
+        return 0.0 if not w else 1.0 - len(set(w)) / float(len(w))
+
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        hs = [_md5i(tok) % P for tok in re.split(r"\s+", str(t).strip())]
+        ttr = len(set(hs)) / float(len(hs)) if hs else None
+        rows.append((int(i), dup_frac(hs, 2), dup_frac(hs, 3), ttr))
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "dup_bigram_frac", "dup_trigram_frac", "ttr"])
+
+
 def _top5(counts, key_name, item_name):
     # (key, item) -> n, ranked n desc / item asc, top 5 per key
     rows = []
@@ -1359,6 +1404,8 @@ QUERIES = {
     "e5_token_stats": e5_token_stats,
     "e5_word_freq": e5_word_freq,
     "e5_char_trigrams": e5_char_trigrams,
+    "e5_fingerprint": e5_fingerprint,
+    "e5_repetition": e5_repetition,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,
     "a13_typed_mean": a13_typed_mean,

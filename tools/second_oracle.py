@@ -637,6 +637,37 @@ def e5_repetition(sf):
         columns=["doc_id", "dup_bigram_frac", "dup_trigram_frac", "ttr"])
 
 
+def e7_mixture_stats(sf):
+    # per-source md5-threshold keep rates (src0:100, src1:1000,
+    # src2:500, default 300 of 1000)
+    rates = {"src0": 100, "src1": 1000, "src2": 500}
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source"])
+    rows = []
+    for src, g in d.groupby("source"):
+        r = rates.get(src, 300)
+        kept = sum(1 for i in g["doc_id"]
+                   if _md5i(f"mix_{int(i)}") % 1000 < r)
+        rows.append((src, int(len(g)), kept))
+    return pd.DataFrame(rows, columns=["source", "n_total", "n_kept"])
+
+
+def e7_temperature(sf):
+    # T=2 temperature smoothing: integer threshold floor(sqrt(n_min /
+    # n_s) * 2^20) against md5-of-row-id mod 2^20
+    import math
+    scale = 1 << 20
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source"])
+    n = d.groupby("source").size().to_dict()
+    n_min = min(n.values())
+    rows = []
+    for src in sorted(n):
+        thresh = int(math.floor(math.sqrt(float(n_min) / float(n[src])) * scale))
+        kept = sum(1 for i in d[d["source"] == src]["doc_id"]
+                   if _md5i(f"temp_{int(i)}") % scale < thresh)
+        rows.append((src, int(n[src]), kept))
+    return pd.DataFrame(rows, columns=["source", "n_orig", "n_kept"])
+
+
 def _top5(counts, key_name, item_name):
     # (key, item) -> n, ranked n desc / item asc, top 5 per key
     rows = []
@@ -1406,6 +1437,8 @@ QUERIES = {
     "e5_char_trigrams": e5_char_trigrams,
     "e5_fingerprint": e5_fingerprint,
     "e5_repetition": e5_repetition,
+    "e7_mixture_stats": e7_mixture_stats,
+    "e7_temperature": e7_temperature,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,
     "a13_typed_mean": a13_typed_mean,

@@ -637,6 +637,46 @@ def e5_repetition(sf):
         columns=["doc_id", "dup_bigram_frac", "dup_trigram_frac", "ttr"])
 
 
+def a23_cms_frequency(sf):
+    # Count-Min Sketch replayed counter-by-counter: 4x256 md5 buckets,
+    # point estimate = min over rows, reported for the true top-20
+    from collections import Counter
+    depth, width, topk = 4, 256, 20
+    li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_partkey"])
+    true_n = Counter(int(k) for k in li["l_partkey"])
+    sketch = Counter()
+    bucket = {}
+    for k in true_n:
+        bucket[k] = [_md5i(f"cms{i}_{k}") % width for i in range(depth)]
+    for k, n in true_n.items():
+        for i in range(depth):
+            sketch[(i, bucket[k][i])] += n
+    top = sorted(true_n.items(), key=lambda t: (-t[1], t[0]))[:topk]
+    rows = [(k, n, min(sketch[(i, bucket[k][i])] for i in range(depth)))
+            for k, n in top]
+    return pd.DataFrame(rows, columns=["l_partkey", "true_n", "cms_n"])
+
+
+def a23_cms_stream(sf):
+    # streaming CMS twin: same sketch arithmetic over event user_ids
+    # (depth 4, width 32, top 20)
+    from collections import Counter
+    depth, width, topk = 4, 32, 20
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    ev = ev[ev["ts"].notna() & ev["user_id"].notna()]
+    true_n = Counter(int(k) for k in ev["user_id"])
+    bucket = {k: [_md5i(f"cms{i}_{k}") % width for i in range(depth)]
+              for k in true_n}
+    sketch = Counter()
+    for k, n in true_n.items():
+        for i in range(depth):
+            sketch[(i, bucket[k][i])] += n
+    top = sorted(true_n.items(), key=lambda t: (-t[1], t[0]))[:topk]
+    rows = [(k, n, min(sketch[(i, bucket[k][i])] for i in range(depth)))
+            for k, n in top]
+    return pd.DataFrame(rows, columns=["user_id", "true_n", "cms_n"])
+
+
 def e7_mixture_stats(sf):
     # per-source md5-threshold keep rates (src0:100, src1:1000,
     # src2:500, default 300 of 1000)
@@ -1439,6 +1479,8 @@ QUERIES = {
     "e5_repetition": e5_repetition,
     "e7_mixture_stats": e7_mixture_stats,
     "e7_temperature": e7_temperature,
+    "a23_cms_frequency": a23_cms_frequency,
+    "a23_cms_stream": a23_cms_stream,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,
     "a13_typed_mean": a13_typed_mean,

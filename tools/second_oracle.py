@@ -637,6 +637,70 @@ def e5_repetition(sf):
         columns=["doc_id", "dup_bigram_frac", "dup_trigram_frac", "ttr"])
 
 
+def a24_cusum_drift(sf):
+    # closed-form integer-cents CUSUM: z = r*n - T per day, running
+    # prefix sum minus running min, drift iff 2*s > T
+    od = pd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    od = od.copy()
+    od["day"] = od["o_orderdate"].dt.floor("D")
+    # Decimal round-half-even on the double cents (Spark/DuckDB round())
+    r = {}
+    for day, g in od.groupby("day"):
+        r[day] = sum(
+            int(Decimal(repr(float(v) * 100))
+                .quantize(Decimal(1), rounding=ROUND_HALF_UP))
+            for v in g["o_totalprice"])
+    days = sorted(r)
+    n, T = len(days), sum(r.values())
+    rows, cs, mn = [], 0, None
+    for d in days:
+        cs += r[d] * n - T
+        mn = cs if mn is None or cs < mn else mn
+        s = cs - mn
+        rows.append((d, s, s * 2 > T))
+    return pd.DataFrame(rows, columns=["day", "s_cents", "drift"])
+
+
+def a25_kmv_distinct(sf):
+    # KMV sketch: k smallest distinct md5 prefixes of l_partkey,
+    # estimator (k-1) * 2^32 / h_k
+    li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_partkey"])
+    keys = {int(k) for k in li["l_partkey"].dropna()}
+    hs = sorted({_md5i(f"kmv_{k}") for k in keys})
+    k = 256
+    mins = hs[:k]
+    h_k, n_min = mins[-1], len(mins)
+    est = float(n_min) if n_min < k else (k - 1) * 4294967296.0 / h_k
+    return pd.DataFrame(
+        [(k, h_k, est, len(keys))],
+        columns=["k", "h_k", "est_ndv", "true_ndv"])
+
+
+def a24_cusum_stream(sf):
+    # streaming CUSUM twin over purchase events' daily cents
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["ts", "value", "event_type"])
+    ev = ev[(ev["event_type"] == "purchase")
+            & ev["value"].notna() & ev["ts"].notna()].copy()
+    ev["day"] = ev["ts"].dt.floor("D")
+    r = {}
+    for day, g in ev.groupby("day"):
+        r[day] = sum(
+            int(Decimal(repr(float(v) * 100))
+                .quantize(Decimal(1), rounding=ROUND_HALF_UP))
+            for v in g["value"])
+    days = sorted(r)
+    n, T = len(days), sum(r.values())
+    rows, cs, mn = [], 0, None
+    for d in days:
+        cs += r[d] * n - T
+        mn = cs if mn is None or cs < mn else mn
+        s = cs - mn
+        rows.append((d, s, s * 2 > T))
+    return pd.DataFrame(rows, columns=["day", "s_cents", "drift"])
+
+
 def a23_cms_frequency(sf):
     # Count-Min Sketch replayed counter-by-counter: 4x256 md5 buckets,
     # point estimate = min over rows, reported for the true top-20
@@ -1481,6 +1545,9 @@ QUERIES = {
     "e7_temperature": e7_temperature,
     "a23_cms_frequency": a23_cms_frequency,
     "a23_cms_stream": a23_cms_stream,
+    "a24_cusum_drift": a24_cusum_drift,
+    "a24_cusum_stream": a24_cusum_stream,
+    "a25_kmv_distinct": a25_kmv_distinct,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,
     "a13_typed_mean": a13_typed_mean,

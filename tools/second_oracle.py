@@ -677,6 +677,35 @@ def a25_kmv_distinct(sf):
         columns=["k", "h_k", "est_ndv", "true_ndv"])
 
 
+def w3_session_window(sf):
+    # 30-minute-gap sessionization as a per-user sequential sweep:
+    # session start = first event, end = last event + 30 min
+    gap = 1800000000  # us
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["user_id", "ts", "event_id"])
+    ev = ev[ev["ts"].notna() & ev["user_id"].notna()].copy()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.sort_values(["user_id", "us", "event_id"])
+    rows = []
+    for u, g in ev.groupby("user_id"):
+        start, last, n = None, None, 0
+        for us in g["us"]:
+            if last is not None and us - last < gap:
+                n += 1
+            else:
+                if start is not None:
+                    rows.append((u, start, last + gap, n))
+                start, n = us, 1
+            last = us
+        if start is not None:
+            rows.append((u, start, last + gap, n))
+    out = pd.DataFrame(
+        rows, columns=["user_id", "sess_start", "sess_end", "n_events"])
+    out["sess_start"] = pd.to_datetime(out["sess_start"], unit="us")
+    out["sess_end"] = pd.to_datetime(out["sess_end"], unit="us")
+    return out
+
+
 def a24_cusum_stream(sf):
     # streaming CUSUM twin over purchase events' daily cents
     ev = pd.read_parquet(
@@ -1547,6 +1576,8 @@ QUERIES = {
     "a23_cms_stream": a23_cms_stream,
     "a24_cusum_drift": a24_cusum_drift,
     "a24_cusum_stream": a24_cusum_stream,
+    "w3_session_window": w3_session_window,
+    "w3_session_stream": w3_session_window,
     "a25_kmv_distinct": a25_kmv_distinct,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,

@@ -677,6 +677,39 @@ def a25_kmv_distinct(sf):
         columns=["k", "h_k", "est_ndv", "true_ndv"])
 
 
+def w4_hopping(sf):
+    # 1-hour windows hopping every 15 min: each event lands in 4
+    # buckets; counts + exact DECIMAL mean per bucket
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["ts", "value"])
+    ev = ev[ev["ts"].notna()].copy()
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    hop = 900000000
+    groups = {}
+    for u, v in zip(us, ev["value"]):
+        base = u // hop
+        for k in range(4):
+            groups.setdefault((base - k) * hop, []).append(v)
+    rows = [(pd.to_datetime(b, unit="us"), len(vs), exact_mean(vs))
+            for b, vs in sorted(groups.items())]
+    return pd.DataFrame(rows, columns=["bucket", "n", "avg_value"])
+
+
+def a19_drift_stream(sf):
+    # 6-hour drift histogram: epoch-aligned buckets, value binned at
+    # width 8
+    import math
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["ts", "event_type", "value"])
+    ev = ev[ev["event_type"].isin(["click", "purchase"])
+            & ev["value"].notna() & ev["ts"].notna()].copy()
+    ev["win_start"] = ev["ts"].dt.floor("6h")
+    ev["bucket"] = [int(math.floor(v / 8.0)) for v in ev["value"]]
+    out = (ev.groupby(["win_start", "event_type", "bucket"], as_index=False)
+           .size().rename(columns={"size": "n"}))
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def w3_session_window(sf):
     # 30-minute-gap sessionization as a per-user sequential sweep:
     # session start = first event, end = last event + 30 min
@@ -1578,6 +1611,10 @@ QUERIES = {
     "a24_cusum_stream": a24_cusum_stream,
     "w3_session_window": w3_session_window,
     "w3_session_stream": w3_session_window,
+    "w4_hopping_window": w4_hopping,
+    "w4_hopping_stream": w4_hopping,
+    "a19_drift_stream": a19_drift_stream,
+    "e8_decontam_stream": e8_decontaminated,
     "a25_kmv_distinct": a25_kmv_distinct,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,

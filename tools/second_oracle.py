@@ -677,6 +677,38 @@ def a25_kmv_distinct(sf):
         columns=["k", "h_k", "est_ndv", "true_ndv"])
 
 
+def e5_quality_classifier(sf):
+    # centroid quality classifier: per-doc (stopword frac, capped
+    # length, TTR) features, seed labels from the 0.5/0.5 rule, class
+    # centroids as exact DECIMAL means, nearest-centroid prediction
+    # with left-associated double distance sums
+    import re
+    stops = {"the", "a", "of", "and", "is", "to"}
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    feats = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        tk = re.split(r"\s+", str(t).strip())
+        f_stop = sum(1 for x in tk if x in stops) / float(len(tk))
+        f_len = min(len(tk) / 100.0, 1.0)
+        f_ttr = len(set(tk)) / float(len(tk))
+        seed = "hi" if f_stop * 0.5 + f_len * 0.5 >= 0.5 else "lo"
+        feats.append((int(i), f_stop, f_len, f_ttr, seed))
+    cents = {}
+    for cls in ("hi", "lo"):
+        rowsc = [f for f in feats if f[4] == cls]
+        cents[cls] = tuple(
+            float(sum(dec10(r[j]) for r in rowsc)) / len(rowsc)
+            for j in (1, 2, 3))
+    out = []
+    for i, fs, fl, ft, seed in feats:
+        def d2(cls):
+            c = cents[cls]
+            return ((fs - c[0]) * (fs - c[0]) + (fl - c[1]) * (fl - c[1])) \
+                + (ft - c[2]) * (ft - c[2])
+        out.append((i, seed, "hi" if d2("hi") <= d2("lo") else "lo"))
+    return pd.DataFrame(out, columns=["doc_id", "label_seed", "label_pred"])
+
+
 def w4_hopping(sf):
     # 1-hour windows hopping every 15 min: each event lands in 4
     # buckets; counts + exact DECIMAL mean per bucket
@@ -1615,6 +1647,8 @@ QUERIES = {
     "w4_hopping_stream": w4_hopping,
     "a19_drift_stream": a19_drift_stream,
     "e8_decontam_stream": e8_decontaminated,
+    "e5_quality_classifier": e5_quality_classifier,
+    "e5_quality_stream": e5_quality_classifier,
     "a25_kmv_distinct": a25_kmv_distinct,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,

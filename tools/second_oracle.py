@@ -677,6 +677,48 @@ def a25_kmv_distinct(sf):
         columns=["k", "h_k", "est_ndv", "true_ndv"])
 
 
+def a21_chi_drift(sf):
+    # bucketed two-sample chi-square with DECIMAL(28,10) term sums
+    import math
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev["event_type"].isin(["click", "purchase"]) & ev["value"].notna()]
+    from collections import Counter
+    c1, c2 = Counter(), Counter()
+    for et, v in zip(ev["event_type"], ev["value"]):
+        b = int(math.floor(v / 8.0))
+        (c1 if et == "click" else c2)[b] += 1
+    buckets = set(c1) | set(c2)
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    td = Decimal(0)
+    for b in buckets:
+        d = c1[b] * n2 - c2[b] * n1
+        td += dec10(float(d) * float(d) / float(c1[b] + c2[b]))
+    chi2 = float(td) / (float(n1) * float(n2))
+    return pd.DataFrame(
+        [(n1, n2, len(buckets), chi2)],
+        columns=["n1", "n2", "n_buckets", "chi2"])
+
+
+def a22_mad_outliers(sf):
+    # median/MAD outlier gate with the deterministic lower-median rule
+    # (rank (n+1)//2 under (value, event_id) order)
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["event_type", "value", "event_id"])
+    ev = ev[ev["value"].notna()]
+    rows = []
+    for g, grp in ev.groupby("event_type"):
+        vs = sorted(zip(grp["value"], grp["event_id"]))
+        n = len(vs)
+        med = vs[(n + 1) // 2 - 1][0]
+        dvs = sorted((abs(v - med), i) for v, i in vs)
+        mad = dvs[(n + 1) // 2 - 1][0]
+        n_out = sum(1 for dv, _ in dvs if dv > 3.0 * mad)
+        rows.append((g, n, med, mad, n_out))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "med", "mad", "n_outliers"])
+
+
 def e5_quality_classifier(sf):
     # centroid quality classifier: per-doc (stopword frac, capped
     # length, TTR) features, seed labels from the 0.5/0.5 rule, class
@@ -1649,6 +1691,8 @@ QUERIES = {
     "e8_decontam_stream": e8_decontaminated,
     "e5_quality_classifier": e5_quality_classifier,
     "e5_quality_stream": e5_quality_classifier,
+    "a21_chi_drift": a21_chi_drift,
+    "a22_mad_outliers": a22_mad_outliers,
     "a25_kmv_distinct": a25_kmv_distinct,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,

@@ -2967,6 +2967,29 @@ object ExtQueries {
        |  FROM bsc) WHERE rk <= $Bm25K""".stripMargin
   }
 
+  // ---- E5q2/E5q3: BM25 against a SAVED inverted index ----------------------
+  // The retrieval family's saved-artifact lifecycle ([[Bm25Index]]):
+  // postings + doc lengths persist once, the probe scores against the
+  // saved tables without touching document text, and an APPEND is a
+  // bare parquet append of the delta's mergeable rows — exact by
+  // construction because every BM25 statistic (df, N, avgdl) is
+  // recomputed from the merged tables at probe time. Both probes are
+  // bit-identical to e5_bm25, so they share its oracle; ExtSpec pins
+  // the append ≡ rebuild law and that the probe plan reads no text.
+  def e5Bm25Saved(s: SparkSession, dir: String): DataFrame = {
+    val ix = annScratch("bm25")
+    Bm25Index.write(Tables.documents(s, dir), "doc_id", "text", ix)
+    Bm25Index.probe(s, ix, TextOps.enMarkers, Bm25Terms, Bm25K)
+  }
+
+  def e5Bm25Appended(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ix = annScratch("bm25a")
+    Bm25Index.write(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", ix)
+    Bm25Index.append(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", ix)
+    Bm25Index.probe(s, ix, TextOps.enMarkers, Bm25Terms, Bm25K)
+  }
+
   // ---- E3j: hybrid dense+sparse retrieval (RRF fusion) ---------------------
   // "More like doc 0", both ways at once: dense = exact cosine top-20
   // over the embedding column, sparse = BM25 top-20 on doc 0's most
@@ -3622,6 +3645,8 @@ object ExtQueries {
     "e6_ppl_buckets" -> (e6PplBuckets _),
     "e5_classifier_confusion" -> (e5ClassifierConfusion _),
     "e5_bm25" -> (e5Bm25 _),
+    "e5_bm25_saved" -> (e5Bm25Saved _),
+    "e5_bm25_appended" -> (e5Bm25Appended _),
     "e3_hybrid_rrf" -> (e3HybridRrf _),
     "e3_pq_adc" -> (e3PqAdc _),
     "e3_hard_negatives" -> (e3HardNegatives _),
@@ -3734,6 +3759,8 @@ object ExtQueries {
     "e6_ppl_buckets" -> e6cSql,
     "e5_classifier_confusion" -> e5pSql,
     "e5_bm25" -> e5qSql,
+    "e5_bm25_saved" -> e5qSql,
+    "e5_bm25_appended" -> e5qSql,
     "e3_hybrid_rrf" -> e3jSql,
     "e3_pq_adc" -> e3kSql,
     "e3_hard_negatives" -> e3lSql,

@@ -74,8 +74,20 @@ object Retrieval {
   def bm25FromTf(
       tf: DataFrame,
       idCol: String,
+      queryTerms: DataFrame): DataFrame =
+    bm25FromTfWithDl(
+      tf, tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")), idCol, queryTerms)
+
+  /** [[bm25FromTf]] with the doc-length frame supplied by the caller
+    * (the saved-index probe reads it from [[Bm25Index]]'s `doclen`
+    * table instead of re-aggregating postings). `dlf` must hold one
+    * (idCol, dl) row per document with dl = Σ tf.
+    */
+  def bm25FromTfWithDl(
+      tf: DataFrame,
+      dlf: DataFrame,
+      idCol: String,
       queryTerms: DataFrame): DataFrame = {
-    val dlf = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val stats = dlf.agg(
       count(lit(1)).as("n_docs"), Aggregates.exactMean(col("dl")).as("avgdl"))
     val qt = broadcast(queryTerms.select(col("word")))

@@ -171,6 +171,39 @@ class ExtSpec extends SparkSpec {
     assert(parquetFiles(s"$incIx/edges") <= math.max(filesBefore, 2))
   }
 
+  test("BM25 index laws: probe ≡ in-query scoring; append ≡ rebuild; probe reads no text") {
+    import graft.ext.Bm25Index
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val ix = graft.ops.Sink.scratchDir("ext_bm25")
+    Bm25Index.write(docs, "doc_id", "text", ix)
+    val probed = Bm25Index.probe(spark, ix, graft.ext.TextOps.enMarkers, 5, 20)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val inQuery = ExtQueries.e5Bm25(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(probed == inQuery && probed.nonEmpty)
+    // the probe plan touches ONLY the index tables — no document
+    // scan, no tokenize/explode of text
+    val plan = Bm25Index.probe(spark, ix, graft.ext.TextOps.enMarkers, 5, 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents") && !plan.toLowerCase.contains("explode"),
+      plan)
+    // write(base) + append(delta) ≡ write(base ∪ delta): postings and
+    // doc lengths are unions of per-doc rows, stats recomputed at
+    // probe — so the appended index probes bit-identically
+    val incIx = graft.ops.Sink.scratchDir("ext_bm25_inc")
+    Bm25Index.write(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", incIx)
+    Bm25Index.append(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", incIx)
+    val viaAppend = Bm25Index.probe(spark, incIx, graft.ext.TextOps.enMarkers, 5, 20)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaAppend == probed)
+    val pAppend = spark.read.parquet(s"$incIx/postings")
+      .as[(Long, String, Long)].collect().toSet
+    val pFull = spark.read.parquet(s"$ix/postings")
+      .as[(Long, String, Long)].collect().toSet
+    assert(pAppend == pFull)
+  }
+
   test("AnnIndex incremental law: append(delta) equals full re-assignment of base ∪ delta") {
     import graft.ext.{AnnIndex, Similarity}
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -677,6 +677,44 @@ def a25_kmv_distinct(sf):
         columns=["k", "h_k", "est_ndv", "true_ndv"])
 
 
+def e5_bm25(sf):
+    # BM25 from first principles: tf/df/dl/avgdl counters, top-5
+    # highest-df non-stopword query terms, per-term double scores
+    # summed through DECIMAL(28,10)
+    import re
+    from collections import Counter
+    stops = {"the", "a", "of", "and", "is", "to"}
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    tf, dl = Counter(), {}
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = re.split(r"\s+", str(t).strip())
+        dl[int(i)] = len(toks)
+        for w in toks:
+            tf[(int(i), w)] += 1
+    df = Counter()
+    for (_, w) in tf:
+        df[w] += 1
+    qt = [w for w, _ in sorted(
+        ((w, n) for w, n in df.items() if w not in stops),
+        key=lambda t: (-t[1], t[0]))[:5]]
+    n_docs = len(dl)
+    avgdl = exact_mean(list(dl.values()))
+    scores, terms = {}, Counter()
+    for (i, w), f in tf.items():
+        if w not in qt:
+            continue
+        idf = ((n_docs - df[w]) + 0.5) / (df[w] + 0.5)
+        tfn = (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (dl[i] / avgdl)))
+        scores.setdefault(i, Decimal(0))
+        scores[i] += dec10(idf * tfn)
+        terms[i] += 1
+    ranked = sorted(((i, terms[i], float(s)) for i, s in scores.items()),
+                    key=lambda t: (-t[2], t[0]))[:20]
+    return pd.DataFrame(
+        [(i, n, s, rk) for rk, (i, n, s) in enumerate(ranked, start=1)],
+        columns=["doc_id", "n_terms", "score", "rk"])
+
+
 def a21_chi_drift(sf):
     # bucketed two-sample chi-square with DECIMAL(28,10) term sums
     import math
@@ -1693,6 +1731,9 @@ QUERIES = {
     "e5_quality_stream": e5_quality_classifier,
     "a21_chi_drift": a21_chi_drift,
     "a22_mad_outliers": a22_mad_outliers,
+    "e5_bm25": e5_bm25,
+    "e5_bm25_saved": e5_bm25,
+    "e5_bm25_appended": e5_bm25,
     "a25_kmv_distinct": a25_kmv_distinct,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,

@@ -677,6 +677,76 @@ def a25_kmv_distinct(sf):
         columns=["k", "h_k", "est_ndv", "true_ndv"])
 
 
+Q2 = Decimal(1).scaleb(-2)
+
+
+def _dec2(v):
+    return Decimal(repr(float(v))).quantize(Q2, rounding=ROUND_HALF_UP)
+
+
+def _moments(vals_a, vals_b):
+    # SUM(DECIMAL(8,2) * DECIMAL(8,2)) -> double, plus the
+    # DECIMAL(28,10) plain sums -> double
+    sxy = Decimal(0)
+    for a, b in zip(vals_a, vals_b):
+        sxy += _dec2(a) * _dec2(b)
+    return float(sxy)
+
+
+def a10_corr(sf):
+    li = pd.read_parquet(
+        f"{sf}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"])
+    import math
+    x, y = li["l_quantity"].tolist(), li["l_extendedprice"].tolist()
+    n = float(len(x))
+    sx = float(sum(dec10(v) for v in x))
+    sy = float(sum(dec10(v) for v in y))
+    sxy, sxx, syy = _moments(x, y), _moments(x, x), _moments(y, y)
+    corr = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    return pd.DataFrame([(corr,)], columns=["corr_qty_price"])
+
+
+def a14_group_regression(sf):
+    li = pd.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    rows = []
+    for g, grp in li.groupby("l_returnflag"):
+        x, y = grp["l_quantity"].tolist(), grp["l_extendedprice"].tolist()
+        n = float(len(x))
+        sx = float(sum(dec10(v) for v in x))
+        sy = float(sum(dec10(v) for v in y))
+        sxy, sxx = _moments(x, y), _moments(x, x)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        rows.append((g, int(n), slope, intercept))
+    return pd.DataFrame(
+        rows, columns=["l_returnflag", "n_rows", "slope", "intercept"])
+
+
+def a26_corr_matrix(sf):
+    import math
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=cols)
+    vals = {c: li[c].tolist() for c in cols}
+    n = float(len(li))
+    s = {c: float(sum(dec10(v) for v in vals[c])) for c in cols}
+    m = {}
+    for i, a in enumerate(cols):
+        m[(a, a)] = _moments(vals[a], vals[a])
+        for b in cols[i + 1:]:
+            m[(a, b)] = _moments(vals[a], vals[b])
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            corr = (n * m[(a, b)] - s[a] * s[b]) / (
+                math.sqrt(n * m[(a, a)] - s[a] * s[a]) *
+                math.sqrt(n * m[(b, b)] - s[b] * s[b]))
+            rows.append((a, b, corr))
+    return pd.DataFrame(rows, columns=["col_x", "col_y", "corr"])
+
+
 def e5_bm25(sf):
     # BM25 from first principles: tf/df/dl/avgdl counters, top-5
     # highest-df non-stopword query terms, per-term double scores
@@ -1734,6 +1804,9 @@ QUERIES = {
     "e5_bm25": e5_bm25,
     "e5_bm25_saved": e5_bm25,
     "e5_bm25_appended": e5_bm25,
+    "a10_corr": a10_corr,
+    "a14_group_regression": a14_group_regression,
+    "a26_corr_matrix": a26_corr_matrix,
     "a25_kmv_distinct": a25_kmv_distinct,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,

@@ -693,6 +693,75 @@ def _moments(vals_a, vals_b):
     return float(sxy)
 
 
+def _pipeline_etl(sf):
+    # the reference heart-failure ETL chain rebuilt in pandas: analog
+    # inputs, coerce-to-null, measure filter, dropna, inner join
+    od = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority",
+                 "o_totalprice", "o_orderdate"])
+    cu = pd.read_parquet(
+        f"{sf}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
+    r = pd.DataFrame({
+        "facility_id": [str(int(k)).zfill(6) for k in od["o_custkey"]],
+        "measure_name": od["o_orderpriority"].values,
+        "number_of_discharges": [
+            None if int(k) % 7 == 0 else float(int(k) % 50)
+            for k in od["o_orderkey"]],
+        "excess_readmission_ratio": [
+            None if int(k) % 11 == 0 else float(v)
+            for k, v in zip(od["o_orderkey"], od["o_totalprice"])],
+        "start_date": od["o_orderdate"].dt.strftime("%Y-%m-%d").values})
+    h = pd.DataFrame({
+        "facility_id": [str(int(k)).zfill(6) for k in cu["c_custkey"]],
+        "facility_name": cu["c_name"].values,
+        "city_town": [f"city_{int(n)}" for n in cu["c_nationkey"]],
+        "state": [None if int(k) % 13 == 0 else f"S{int(n) % 10}"
+                  for k, n in zip(cu["c_custkey"], cu["c_nationkey"])],
+        "hospital_type": cu["c_mktsegment"].values,
+        "hospital_ownership": [f"own{int(k) % 3}" for k in cu["c_custkey"]]})
+    etl = r[(r["measure_name"] == "1-URGENT")
+            & r["number_of_discharges"].notna()
+            & r["excess_readmission_ratio"].notna()].merge(h, on="facility_id")
+    return etl
+
+
+def pipeline_e2e(sf):
+    return _pipeline_etl(sf)[[
+        "facility_id", "measure_name", "number_of_discharges",
+        "excess_readmission_ratio", "start_date", "facility_name",
+        "city_town", "state", "hospital_type", "hospital_ownership"]]
+
+
+def pipeline_dashboard(sf):
+    etl = _pipeline_etl(sf)
+    rows = [("n_hospitals", "", float(etl["facility_id"].nunique())),
+            ("avg_ratio", "", exact_mean(etl["excess_readmission_ratio"]))]
+    st = etl[etl["state"].notna()]
+    for s, g in st.groupby("state"):
+        rows.append(("by_state", s, exact_mean(g["excess_readmission_ratio"])))
+    for o, g in etl.groupby("hospital_ownership"):
+        rows.append(("by_ownership", o,
+                     exact_mean(g["excess_readmission_ratio"])))
+    return pd.DataFrame(rows, columns=["which", "k", "metric"])
+
+
+def pipeline_topn(sf):
+    etl = _pipeline_etl(sf)
+    cols = ["facility_id", "facility_name", "state",
+            "excess_readmission_ratio"]
+    rows = []
+    recs = list(etl[cols].itertuples(index=False, name=None))
+    hi = sorted(recs, key=lambda t: (-t[3], t[0], t[1]))[:5]
+    lo = sorted(recs, key=lambda t: (t[3], t[0], t[1]))[:5]
+    for t in hi:
+        rows.append(("highest",) + t)
+    for t in lo:
+        rows.append(("lowest",) + t)
+    return pd.DataFrame(rows, columns=["which"] + cols)
+
+
 def a10_corr(sf):
     li = pd.read_parquet(
         f"{sf}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"])
@@ -1807,6 +1876,9 @@ QUERIES = {
     "a10_corr": a10_corr,
     "a14_group_regression": a14_group_regression,
     "a26_corr_matrix": a26_corr_matrix,
+    "pipeline_e2e": pipeline_e2e,
+    "pipeline_dashboard": pipeline_dashboard,
+    "pipeline_topn": pipeline_topn,
     "a25_kmv_distinct": a25_kmv_distinct,
     "s25_cdc_apply": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,

@@ -693,6 +693,23 @@ def _moments(vals_a, vals_b):
     return float(sxy)
 
 
+def p9_target_encode(sf):
+    # leave-one-out target encoding with exact DECIMAL(28,10) group
+    # sums: loo = (S_g - v_i) / (n_g - 1)
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "event_type", "value"])
+    ev = ev[ev["value"].notna() & ev["event_type"].notna()]
+    rows = []
+    for g, grp in ev.groupby("event_type"):
+        n = len(grp)
+        if n <= 1:
+            continue
+        s_g = sum(dec10(v) for v in grp["value"])
+        for i, v in zip(grp["event_id"], grp["value"]):
+            rows.append((int(i), g, float(s_g - dec10(v)) / (n - 1)))
+    return pd.DataFrame(rows, columns=["event_id", "event_type", "loo_mean"])
+
+
 def _pipeline_etl(sf):
     # the reference heart-failure ETL chain rebuilt in pandas: analog
     # inputs, coerce-to-null, measure filter, dropna, inner join
@@ -1876,6 +1893,7 @@ QUERIES = {
     "a10_corr": a10_corr,
     "a14_group_regression": a14_group_regression,
     "a26_corr_matrix": a26_corr_matrix,
+    "p9_target_encode": p9_target_encode,
     "pipeline_e2e": pipeline_e2e,
     "pipeline_dashboard": pipeline_dashboard,
     "pipeline_topn": pipeline_topn,

@@ -693,6 +693,36 @@ def _moments(vals_a, vals_b):
     return float(sxy)
 
 
+def e3_cosine_topk(sf):
+    # brute-force cosine top-k replayed with the exact left-fold
+    # arithmetic: float32 -> double per element, left-associated adds
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    vecs = {int(i): [float(x) for x in v]
+            for i, v in zip(emb["vec_id"], emb["embedding"])}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    import math
+    n2 = {i: fold_dot(v, v) for i, v in vecs.items()}
+    rows = []
+    for q in sorted(vecs):
+        if q >= 8:
+            continue
+        scored = sorted(
+            ((c, fold_dot(vecs[q], vecs[c]) /
+              (math.sqrt(n2[q]) * math.sqrt(n2[c])))
+             for c in vecs if c != q),
+            key=lambda t: (-t[1], t[0]))[:5]
+        for rk, (c, cs) in enumerate(scored, start=1):
+            rows.append((q, c, cs, rk))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
+
+
 def p9_target_encode(sf):
     # leave-one-out target encoding with exact DECIMAL(28,10) group
     # sums: loo = (S_g - v_i) / (n_g - 1)
@@ -1894,6 +1924,8 @@ QUERIES = {
     "a14_group_regression": a14_group_regression,
     "a26_corr_matrix": a26_corr_matrix,
     "p9_target_encode": p9_target_encode,
+    "e3_cosine_topk": e3_cosine_topk,
+    "e3_cosine_sql": e3_cosine_topk,
     "pipeline_e2e": pipeline_e2e,
     "pipeline_dashboard": pipeline_dashboard,
     "pipeline_topn": pipeline_topn,

@@ -693,6 +693,55 @@ def _moments(vals_a, vals_b):
     return float(sxy)
 
 
+def _simhashes(sf):
+    import re
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    sims = {}
+    for i, t in zip(d["doc_id"], d["text"]):
+        hs = [_md5i(tok) for tok in re.split(r"\s+", str(t).strip())]
+        sim = 0
+        for b in range(32):
+            if sum(1 if (h >> b) & 1 else -1 for h in hs) > 0:
+                sim |= 1 << b
+        sims[int(i)] = sim
+    return sims
+
+
+def e2_simhash_pairs(sf):
+    # all pairs within Hamming radius 3 of the 32-bit SimHash — the
+    # 4x8-bit chunk-bucket join is recall-complete at radius 3 by
+    # pigeonhole, so the truth set IS the radius ball
+    sims = _simhashes(sf)
+    ids = sorted(sims)
+    rows = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            h = bin(sims[a] ^ sims[b]).count("1")
+            if h <= 3:
+                rows.append((a, b, h))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+
+
+def e2_triangles(sf):
+    p = e2_simhash_pairs(sf)
+    adj = {}
+    edges = list(zip(p["doc_a"], p["doc_b"]))
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(len(adj[a] & adj[b]) for a, b in edges) // 3
+    return pd.DataFrame(
+        [(len(edges), tri)], columns=["n_edges", "n_triangles"])
+
+
+def e2_minhash_pairs(sf):
+    _, pairs = _minhash_band_pairs(sf)
+    return pd.DataFrame(
+        [(a, b, est) for (a, b), est in pairs.items()],
+        columns=["doc_a", "doc_b", "jaccard_est"])
+
+
 def e3_cosine_topk(sf):
     # brute-force cosine top-k replayed with the exact left-fold
     # arithmetic: float32 -> double per element, left-associated adds
@@ -1926,6 +1975,9 @@ QUERIES = {
     "p9_target_encode": p9_target_encode,
     "e3_cosine_topk": e3_cosine_topk,
     "e3_cosine_sql": e3_cosine_topk,
+    "e2_simhash_pairs": e2_simhash_pairs,
+    "e2_triangles": e2_triangles,
+    "e2_minhash_pairs": e2_minhash_pairs,
     "pipeline_e2e": pipeline_e2e,
     "pipeline_dashboard": pipeline_dashboard,
     "pipeline_topn": pipeline_topn,

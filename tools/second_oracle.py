@@ -693,6 +693,62 @@ def _moments(vals_a, vals_b):
     return float(sxy)
 
 
+def _shingle_sets(sf):
+    # distinct position-weighted 3-window shingle hashes per doc (the
+    # MinHash front end's msd lists)
+    import re
+    P = 1000000007
+    mix = [((j + 1) * 999999937 + 17) % P for j in range(3)]
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    out = {}
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = re.split(r"\s+", str(t).strip())
+        th = [_md5i(tok) % P for tok in toks]
+        out[int(i)] = {
+            sum(th[k + j] * mix[j] % P for j in range(3)) % P
+            for k in range(len(th) - 2)
+        } if len(th) >= 3 else set()
+    return out
+
+
+def e2_ngram_jaccard(sf):
+    # exact Jaccard over distinct shingle sets for the band-bucket
+    # candidate pairs
+    sh = _shingle_sets(sf)
+    _, pairs = _minhash_band_pairs(sf)
+    rows = []
+    for (a, b) in pairs:
+        inter = float(len(sh[a] & sh[b]))
+        rows.append((a, b, inter / (len(sh[a]) + len(sh[b]) - inter)))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+def e2_containment(sf):
+    # asymmetric containment over ALL pairs sharing >= 1 shingle
+    sh = {i: s for i, s in _shingle_sets(sf).items() if s}
+    inv = {}
+    for i, s in sh.items():
+        for h in s:
+            inv.setdefault(h, []).append(i)
+    from collections import Counter
+    common = Counter()
+    for members in inv.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                common[(ms[x], ms[y])] += 1
+    rows = []
+    for (a, b), nc in common.items():
+        na, nb = len(sh[a]), len(sh[b])
+        ca, cb = nc / float(na), nc / float(nb)
+        if max(ca, cb) >= 0.5:
+            rows.append((a, b, nc, na, nb, ca, cb))
+    return pd.DataFrame(
+        rows,
+        columns=["doc_a", "doc_b", "n_common", "n_a", "n_b",
+                 "cont_a", "cont_b"])
+
+
 def _simhashes(sf):
     import re
     d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -1978,6 +2034,8 @@ QUERIES = {
     "e2_simhash_pairs": e2_simhash_pairs,
     "e2_triangles": e2_triangles,
     "e2_minhash_pairs": e2_minhash_pairs,
+    "e2_ngram_jaccard": e2_ngram_jaccard,
+    "e2_containment": e2_containment,
     "pipeline_e2e": pipeline_e2e,
     "pipeline_dashboard": pipeline_dashboard,
     "pipeline_topn": pipeline_topn,

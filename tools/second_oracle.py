@@ -749,6 +749,61 @@ def e2_containment(sf):
                  "cont_a", "cont_b"])
 
 
+def e2_lev_verify(sf):
+    # exact Levenshtein DP over the band-candidate pairs
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, start=1):
+            cur = [i]
+            for j, cb in enumerate(b, start=1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    texts = {int(i): str(t) for i, t in zip(d["doc_id"], d["text"])}
+    _, pairs = _minhash_band_pairs(sf)
+    rows = []
+    for (a, b) in pairs:
+        lv = lev(texts[a], texts[b])
+        rows.append((a, b, lv,
+                     lv / float(max(len(texts[a]), len(texts[b])))))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "lev", "lev_norm"])
+
+
+def e2_dedup_impact(sf):
+    # per-source removal report: CC over est>=0.5 pairs, longest-doc
+    # representative kept, everything else dropped
+    ids, pairs = _minhash_band_pairs(sf)
+    nodes = set()
+    for (a, b), est in pairs.items():
+        if est >= 0.5:
+            nodes.add(a)
+            nodes.add(b)
+    comp = _cc_components(nodes, pairs)
+    d = pd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    nch = {int(i): int(n) for i, n in zip(d["doc_id"], d["n_chars"])}
+    best = {}
+    for i in sorted(nodes):
+        c = comp[i]
+        if c not in best or nch[i] > nch[best[c]]:
+            best[c] = i
+    dropped = nodes - set(best.values())
+    rows = []
+    for src, g in d.groupby("source"):
+        dr = [int(i) for i in g["doc_id"] if int(i) in dropped]
+        rows.append((src, int(len(g)), len(dr),
+                     int(g["n_chars"].sum()), sum(nch[i] for i in dr)))
+    return pd.DataFrame(
+        rows,
+        columns=["source", "n_docs", "n_dropped", "chars_before",
+                 "chars_removed"])
+
+
 def _simhashes(sf):
     import re
     d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -2036,6 +2091,8 @@ QUERIES = {
     "e2_minhash_pairs": e2_minhash_pairs,
     "e2_ngram_jaccard": e2_ngram_jaccard,
     "e2_containment": e2_containment,
+    "e2_lev_verify": e2_lev_verify,
+    "e2_dedup_impact": e2_dedup_impact,
     "pipeline_e2e": pipeline_e2e,
     "pipeline_dashboard": pipeline_dashboard,
     "pipeline_topn": pipeline_topn,

@@ -749,6 +749,64 @@ def e2_containment(sf):
                  "cont_a", "cont_b"])
 
 
+def e2_embed_neardup(sf):
+    # sign-bucket LSH pairs with cosine >= 0.35, exact fold arithmetic
+    import math
+    e = pd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    emb = {int(v): [float(x) for x in a]
+           for v, a in zip(e["vec_id"], e["embedding"])}
+    n2 = {i: _dot(v, v) for i, v in emb.items()}
+    buckets = {}
+    for i, v in emb.items():
+        key = "".join("1" if x >= 0 else "0" for x in v[:6]).ljust(6, "0")
+        buckets.setdefault(key, []).append(i)
+    rows = []
+    for members in buckets.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                a, b = ms[x], ms[y]
+                cos = _dot(emb[a], emb[b]) / (
+                    math.sqrt(n2[a]) * math.sqrt(n2[b]))
+                if cos >= 0.35:
+                    rows.append((a, b, cos))
+    return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"])
+
+
+def e2_semantic_dedup(sf):
+    # SemDeDup: kmeans clusters (the e3_kmeans replay chain), then
+    # within each cluster drop any vector with a cosine>=0.35 twin
+    # ranked before it (higher cent_cos, ties to lower id)
+    import math
+    km = e3_kmeans(sf)
+    e = pd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    emb = {int(v): [float(x) for x in a]
+           for v, a in zip(e["vec_id"], e["embedding"])}
+    n2 = {i: _dot(v, v) for i, v in emb.items()}
+    rows = []
+    info = {int(r.vec_id): (int(r.cluster), float(r.cent_cos))
+            for r in km.itertuples()}
+    by_cluster = {}
+    for i, (c, cc) in info.items():
+        by_cluster.setdefault(c, []).append(i)
+    for i, (c, cc) in sorted(info.items()):
+        removed = False
+        for u in by_cluster[c]:
+            if u == i:
+                continue
+            ucc = info[u][1]
+            if ucc < cc or (ucc == cc and u < i):
+                cos = _dot(emb[u], emb[i]) / (
+                    math.sqrt(n2[u]) * math.sqrt(n2[i]))
+                if cos >= 0.35:
+                    removed = True
+                    break
+        rows.append((i, c, cc, not removed))
+    return pd.DataFrame(rows, columns=["vec_id", "cluster", "cent_cos", "keep"])
+
+
 def e2_lev_verify(sf):
     # exact Levenshtein DP over the band-candidate pairs
     def lev(a, b):
@@ -2093,6 +2151,8 @@ QUERIES = {
     "e2_containment": e2_containment,
     "e2_lev_verify": e2_lev_verify,
     "e2_dedup_impact": e2_dedup_impact,
+    "e2_embed_neardup": e2_embed_neardup,
+    "e2_semantic_dedup": e2_semantic_dedup,
     "pipeline_e2e": pipeline_e2e,
     "pipeline_dashboard": pipeline_dashboard,
     "pipeline_topn": pipeline_topn,

@@ -749,6 +749,28 @@ def e2_containment(sf):
                  "cont_a", "cont_b"])
 
 
+def e5_pii_redact(sf):
+    # regex PII scrubbing over the deterministic contact fixture:
+    # emails first, then phones, with audit counts
+    import re
+    email = re.compile(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9-]+\.[a-zA-Z]{2,}")
+    phone = re.compile(r"[0-9]{3}-[0-9]{4}")
+    cu = pd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey"])
+    rows = []
+    for k in cu["c_custkey"]:
+        k = int(k)
+        if k % 2 == 0:
+            contact = f"reach user{k}@example.com re account"
+        else:
+            contact = f"call 555-{(k * 7) % 10000:04d} re account"
+        rows.append((
+            k,
+            phone.sub("[PHONE]", email.sub("[EMAIL]", contact)),
+            len(email.findall(contact)), len(phone.findall(contact))))
+    return pd.DataFrame(
+        rows, columns=["c_custkey", "redacted", "n_emails", "n_phones"])
+
+
 def e2_embed_neardup(sf):
     # sign-bucket LSH pairs with cosine >= 0.35, exact fold arithmetic
     import math
@@ -2153,6 +2175,7 @@ QUERIES = {
     "e2_dedup_impact": e2_dedup_impact,
     "e2_embed_neardup": e2_embed_neardup,
     "e2_semantic_dedup": e2_semantic_dedup,
+    "e5_pii_redact": e5_pii_redact,
     "pipeline_e2e": pipeline_e2e,
     "pipeline_dashboard": pipeline_dashboard,
     "pipeline_topn": pipeline_topn,

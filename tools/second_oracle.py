@@ -749,6 +749,15 @@ def e2_containment(sf):
                  "cont_a", "cont_b"])
 
 
+def e2_incremental(sf):
+    # incremental probe: band pairs where at least one side is a
+    # delta doc (doc_id % 10 == 0), normalized to doc_a < doc_b
+    _, pairs = _minhash_band_pairs(sf)
+    rows = [(a, b, est) for (a, b), est in pairs.items()
+            if a % 10 == 0 or b % 10 == 0]
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_est"])
+
+
 def e5_pii_redact(sf):
     # regex PII scrubbing over the deterministic contact fixture:
     # emails first, then phones, with audit counts
@@ -2176,6 +2185,10 @@ QUERIES = {
     "e2_embed_neardup": e2_embed_neardup,
     "e2_semantic_dedup": e2_semantic_dedup,
     "e5_pii_redact": e5_pii_redact,
+    "e2_neardup_saved": e2_minhash_pairs,
+    "e2_incremental": e2_incremental,
+    "e2_neardup_ingest": e2_incremental,
+    "e2_bands_compacted": e2_incremental,
     "pipeline_e2e": pipeline_e2e,
     "pipeline_dashboard": pipeline_dashboard,
     "pipeline_topn": pipeline_topn,

@@ -749,6 +749,39 @@ def e2_containment(sf):
                  "cont_a", "cont_b"])
 
 
+def e3_knn_graph(sf):
+    # mutual-kNN graph: sign-bucket candidates, per-query top-3 by
+    # (cos desc, id asc), reciprocity reduction to undirected edges
+    import math
+    from collections import Counter
+    e = pd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    emb = {int(v): [float(x) for x in a]
+           for v, a in zip(e["vec_id"], e["embedding"])}
+    n2 = {i: _dot(v, v) for i, v in emb.items()}
+    buckets = {}
+    for i, v in emb.items():
+        key = "".join("1" if x >= 0 else "0" for x in v[:6]).ljust(6, "0")
+        buckets.setdefault(key, []).append(i)
+    directed = []
+    for members in buckets.values():
+        for q in members:
+            scored = sorted(
+                ((c, _dot(emb[q], emb[c]) /
+                  (math.sqrt(n2[q]) * math.sqrt(n2[c])))
+                 for c in members if c != q),
+                key=lambda t: (-t[1], t[0]))[:3]
+            directed.extend((q, c, cs) for c, cs in scored)
+    dirs, cos = Counter(), {}
+    for q, c, cs in directed:
+        key = (min(q, c), max(q, c))
+        dirs[key] += 1
+        cos[key] = max(cos.get(key, cs), cs)
+    rows = [(a, b, cos[(a, b)]) for (a, b), n in sorted(dirs.items())
+            if n == 2]
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"])
+
+
 def e2_incremental(sf):
     # incremental probe: band pairs where at least one side is a
     # delta doc (doc_id % 10 == 0), normalized to doc_a < doc_b
@@ -2186,6 +2219,9 @@ QUERIES = {
     "e2_semantic_dedup": e2_semantic_dedup,
     "e5_pii_redact": e5_pii_redact,
     "e2_neardup_saved": e2_minhash_pairs,
+    "e3_knn_graph": e3_knn_graph,
+    "e3_knn_appended": e3_knn_graph,
+    "e3_knn_compacted": e3_knn_graph,
     "e2_incremental": e2_incremental,
     "e2_neardup_ingest": e2_incremental,
     "e2_bands_compacted": e2_incremental,

@@ -782,6 +782,33 @@ def e3_knn_graph(sf):
     return pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"])
 
 
+def e3_ann_bucketed(sf):
+    # directed sign-bucket top-3 for the first 32 query vectors
+    import math
+    e = pd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    emb = {int(v): [float(x) for x in a]
+           for v, a in zip(e["vec_id"], e["embedding"])}
+    n2 = {i: _dot(v, v) for i, v in emb.items()}
+    buckets = {}
+    for i, v in emb.items():
+        key = "".join("1" if x >= 0 else "0" for x in v[:6]).ljust(6, "0")
+        buckets.setdefault(key, []).append(i)
+    rows = []
+    for members in buckets.values():
+        for q in members:
+            if q >= 32:
+                continue
+            scored = sorted(
+                ((c, _dot(emb[q], emb[c]) /
+                  (math.sqrt(n2[q]) * math.sqrt(n2[c])))
+                 for c in members if c != q),
+                key=lambda t: (-t[1], t[0]))[:3]
+            for rk, (c, cs) in enumerate(scored, start=1):
+                rows.append((q, c, cs, rk))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
+
+
 def e2_incremental(sf):
     # incremental probe: band pairs where at least one side is a
     # delta doc (doc_id % 10 == 0), normalized to doc_a < doc_b
@@ -2220,6 +2247,7 @@ QUERIES = {
     "e5_pii_redact": e5_pii_redact,
     "e2_neardup_saved": e2_minhash_pairs,
     "e3_knn_graph": e3_knn_graph,
+    "e3_ann_bucketed": e3_ann_bucketed,
     "e3_knn_appended": e3_knn_graph,
     "e3_knn_compacted": e3_knn_graph,
     "e2_incremental": e2_incremental,

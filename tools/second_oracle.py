@@ -782,6 +782,30 @@ def e3_knn_graph(sf):
     return pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"])
 
 
+def s8_upsert(sf):
+    # SCD-1 merge: updates (urgent, price*1.1, 'U') and inserts
+    # (negated key from high-priority) win precedence over base rows
+    od = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderstatus", "o_orderpriority"])
+    best = {}
+    for k, c, p, st, pr in zip(od["o_orderkey"], od["o_custkey"],
+                               od["o_totalprice"], od["o_orderstatus"],
+                               od["o_orderpriority"]):
+        k, c, p = int(k), int(c), float(p)
+        if k not in best:
+            best[k] = (c, p, st)
+        if pr == "1-URGENT":
+            best[k] = (c, p * 1.1, "U")
+        elif pr == "2-HIGH":
+            best[-k] = (c, p, "N")
+    rows = [(k, c, p, st) for k, (c, p, st) in sorted(best.items())]
+    return pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice",
+                       "o_orderstatus"])
+
+
 def e3_ann_bucketed(sf):
     # directed sign-bucket top-3 for the first 32 query vectors
     import math
@@ -2248,6 +2272,7 @@ QUERIES = {
     "e2_neardup_saved": e2_minhash_pairs,
     "e3_knn_graph": e3_knn_graph,
     "e3_ann_bucketed": e3_ann_bucketed,
+    "s8_upsert": s8_upsert,
     "e3_knn_appended": e3_knn_graph,
     "e3_knn_compacted": e3_knn_graph,
     "e2_incremental": e2_incremental,

@@ -782,6 +782,42 @@ def e3_knn_graph(sf):
     return pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"])
 
 
+def e3_ivf_topk(sf):
+    # single-cell IVF: every vector assigned to its nearest of the 16
+    # lowest-id centroids (ties to lower cid), queries probe only
+    # their own cell
+    import math
+    e = pd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    emb = {int(v): [float(x) for x in a]
+           for v, a in zip(e["vec_id"], e["embedding"])}
+    n2 = {i: _dot(v, v) for i, v in emb.items()}
+    cents = {i: emb[i] for i in emb if i < 16}
+    cell = {}
+    for i, v in emb.items():
+        best = None
+        for cid in sorted(cents):
+            cos = _dot(v, cents[cid]) / (math.sqrt(n2[i]) * math.sqrt(n2[cid]))
+            if best is None or (cos, -cid) > (best[1], -best[0]):
+                best = (cid, cos)
+        cell[i] = best[0]
+    members = {}
+    for i, c in cell.items():
+        members.setdefault(c, []).append(i)
+    rows = []
+    for q in sorted(emb):
+        if q >= 32:
+            continue
+        scored = sorted(
+            ((c, _dot(emb[q], emb[c]) /
+              (math.sqrt(n2[q]) * math.sqrt(n2[c])))
+             for c in members[cell[q]] if c != q),
+            key=lambda t: (-t[1], t[0]))[:3]
+        for rk, (c, cs) in enumerate(scored, start=1):
+            rows.append((q, c, cs, rk))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
+
+
 def s8_upsert(sf):
     # SCD-1 merge: updates (urgent, price*1.1, 'U') and inserts
     # (negated key from high-priority) win precedence over base rows
@@ -2273,6 +2309,7 @@ QUERIES = {
     "e3_knn_graph": e3_knn_graph,
     "e3_ann_bucketed": e3_ann_bucketed,
     "s8_upsert": s8_upsert,
+    "e3_ivf_topk": e3_ivf_topk,
     "e3_knn_appended": e3_knn_graph,
     "e3_knn_compacted": e3_knn_graph,
     "e2_incremental": e2_incremental,

@@ -818,6 +818,44 @@ def e3_ivf_topk(sf):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def e3_sq8_topk(sf):
+    # SQ8 scalar quantization: per-dim min/max grid -> clamped int8
+    # codes -> exact BIGINT code dot products -> double cosine top-3
+    import math
+    e = pd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    emb = {int(v): [float(x) for x in a]
+           for v, a in zip(e["vec_id"], e["embedding"])}
+    dims = len(next(iter(emb.values())))
+    mns = [min(v[d] for v in emb.values()) for d in range(dims)]
+    mxs = [max(v[d] for v in emb.values()) for d in range(dims)]
+
+    def codes(v):
+        out = []
+        for d in range(dims):
+            if mxs[d] == mns[d]:
+                out.append(0)
+            else:
+                q = math.floor((v[d] - mns[d]) / (mxs[d] - mns[d]) * 256.0)
+                out.append(int(max(min(q, 255.0), 0.0)))
+        return out
+
+    cd = {i: codes(v) for i, v in emb.items()}
+    n2 = {i: sum(c * c for c in cs) for i, cs in cd.items()}
+    rows = []
+    for q in sorted(emb):
+        if q >= 32:
+            continue
+        scored = sorted(
+            ((c, sum(x * y for x, y in zip(cd[q], cd[c])) /
+              (math.sqrt(n2[q]) * math.sqrt(n2[c])))
+             for c in emb if c != q),
+            key=lambda t: (-t[1], t[0]))[:3]
+        for rk, (c, cs) in enumerate(scored, start=1):
+            rows.append((q, c, cs, rk))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "q_cos", "rk"])
+
+
 def s8_upsert(sf):
     # SCD-1 merge: updates (urgent, price*1.1, 'U') and inserts
     # (negated key from high-priority) win precedence over base rows
@@ -2310,6 +2348,7 @@ QUERIES = {
     "e3_ann_bucketed": e3_ann_bucketed,
     "s8_upsert": s8_upsert,
     "e3_ivf_topk": e3_ivf_topk,
+    "e3_sq8_topk": e3_sq8_topk,
     "e3_knn_appended": e3_knn_graph,
     "e3_knn_compacted": e3_knn_graph,
     "e2_incremental": e2_incremental,

@@ -818,6 +818,43 @@ def e3_ivf_topk(sf):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def e7_reservoir(sf):
+    # deterministic per-source reservoir: md5 draw order, top-5
+    d = pd.read_parquet(f"{sf}/documents.parquet",
+                        columns=["source", "doc_id"])
+    rows = []
+    for src, g in d.groupby("source"):
+        ranked = sorted(
+            ((_md5i(f"reservoir_{int(i)}"), int(i)) for i in g["doc_id"]))[:5]
+        for rk, (_, i) in enumerate(ranked, start=1):
+            rows.append((src, i, rk))
+    return pd.DataFrame(rows, columns=["source", "doc_id", "rk"])
+
+
+def e1_source_overlap(sf):
+    # cross-source shingle overlap: distinct (source, shingle) sets,
+    # pairwise intersection counts, Jaccard
+    sh = _shingle_sets(sf)
+    d = pd.read_parquet(f"{sf}/documents.parquet",
+                        columns=["doc_id", "source"])
+    by_src = {}
+    for i, src in zip(d["doc_id"], d["source"]):
+        by_src.setdefault(src, set()).update(sh[int(i)])
+    srcs = sorted(by_src)
+    rows = []
+    for x in range(len(srcs)):
+        for y in range(x + 1, len(srcs)):
+            a, b = srcs[x], srcs[y]
+            nc = len(by_src[a] & by_src[b])
+            if nc == 0:
+                continue
+            na, nb = len(by_src[a]), len(by_src[b])
+            rows.append((a, b, nc, na, nb, nc / float(na + nb - nc)))
+    return pd.DataFrame(
+        rows,
+        columns=["src_a", "src_b", "n_common", "n_a", "n_b", "jaccard"])
+
+
 def e3_sq8_topk(sf):
     # SQ8 scalar quantization: per-dim min/max grid -> clamped int8
     # codes -> exact BIGINT code dot products -> double cosine top-3
@@ -2349,6 +2386,8 @@ QUERIES = {
     "s8_upsert": s8_upsert,
     "e3_ivf_topk": e3_ivf_topk,
     "e3_sq8_topk": e3_sq8_topk,
+    "e7_reservoir": e7_reservoir,
+    "e1_source_overlap": e1_source_overlap,
     "e3_knn_appended": e3_knn_graph,
     "e3_knn_compacted": e3_knn_graph,
     "e2_incremental": e2_incremental,

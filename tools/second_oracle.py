@@ -818,6 +818,57 @@ def e3_ivf_topk(sf):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def _span_windows(sf, span=6):
+    import re
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    wins = {}
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = re.split(r"\s+", str(t).strip())
+        wins[int(i)] = [
+            (p + 1, " ".join(toks[p:p + span]))
+            for p in range(max(len(toks) - span + 1, 0))]
+    return wins
+
+
+def e1_span_dedup(sf):
+    # fixed-6-token window dedup stats: corpus-wide window counts,
+    # per-doc duplicated-window fraction
+    from collections import Counter
+    wins = _span_windows(sf)
+    corpus = Counter(w for ws in wins.values() for _, w in ws)
+    rows = []
+    for i in sorted(wins):
+        ws = wins[i]
+        if not ws:
+            continue
+        nd = sum(1 for _, w in ws if corpus[w] > 1)
+        rows.append((i, len(ws), nd, nd / float(len(ws))))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_windows", "n_dup", "dup_frac"])
+
+
+def e1_span_maximal(sf):
+    # maximal duplicated spans: consecutive duplicated windows merge
+    # into (start, true token length) islands
+    from collections import Counter
+    wins = _span_windows(sf)
+    corpus = Counter(w for ws in wins.values() for _, w in ws)
+    rows = []
+    for i in sorted(wins):
+        dup_pos = [p for p, w in wins[i] if corpus[w] > 1]
+        if not dup_pos:
+            continue
+        start = prev = dup_pos[0]
+        for p in dup_pos[1:]:
+            if p == prev + 1:
+                prev = p
+            else:
+                rows.append((i, start, prev - start + 6))
+                start = prev = p
+        rows.append((i, start, prev - start + 6))
+    return pd.DataFrame(rows, columns=["doc_id", "span_start", "span_len"])
+
+
 def e7_reservoir(sf):
     # deterministic per-source reservoir: md5 draw order, top-5
     d = pd.read_parquet(f"{sf}/documents.parquet",
@@ -2388,6 +2439,8 @@ QUERIES = {
     "e3_sq8_topk": e3_sq8_topk,
     "e7_reservoir": e7_reservoir,
     "e1_source_overlap": e1_source_overlap,
+    "e1_span_dedup": e1_span_dedup,
+    "e1_span_maximal": e1_span_maximal,
     "e3_knn_appended": e3_knn_graph,
     "e3_knn_compacted": e3_knn_graph,
     "e2_incremental": e2_incremental,

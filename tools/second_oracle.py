@@ -818,6 +818,58 @@ def e3_ivf_topk(sf):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def e6_corpus_clean(sf):
+    # the clean stage alone: gate -> fingerprint dedup -> component
+    # representatives, emitting (doc_id, fp, n_tokens, lang_guess)
+    import hashlib
+    import re
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    en = {"the", "a", "of", "and", "is", "to"}
+    de = {"der", "die", "das", "und", "ist", "zu"}
+    fr = {"le", "la", "les", "et", "est", "de"}
+    gated = {}
+    for i, t in zip(d["doc_id"], d["text"]):
+        t = str(t)
+        toks = re.split(r"\s+", t.strip())
+        ne, nd, nf = (sum(1 for x in toks if x in m) for m in (en, de, fr))
+        lang = "en" if (ne >= nd and ne >= nf) else ("de" if nd >= nf else "fr")
+        if len(toks) >= 5 and lang == "en":
+            gated[int(i)] = (
+                len(toks), lang,
+                hashlib.md5(t.strip().lower().encode("utf-8")).hexdigest())
+    by_fp = {}
+    for i in sorted(gated):
+        by_fp.setdefault(gated[i][2], i)
+    exact = set(by_fp.values())
+    _, pairs = _minhash_band_pairs(sf)
+    comp = _cc_components(exact, pairs)
+    rows = [(i, gated[i][2], gated[i][0], gated[i][1])
+            for i in sorted(exact) if comp[i] == i]
+    return pd.DataFrame(
+        rows, columns=["doc_id", "fp", "n_tokens", "lang_guess"])
+
+
+def e5_normalize(sf):
+    # NFC canonical composition over the combining-mark fixture
+    import unicodedata
+    cu = pd.read_parquet(f"{sf}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    acute, umlaut, cedilla = "́", "̈", "̧"
+    rows = []
+    for k, name in zip(cu["c_custkey"], cu["c_name"]):
+        k = int(k)
+        if k % 3 == 0:
+            s = f"resume{acute} for {name}"
+        elif k % 3 == 1:
+            s = f"plain ascii memo of {name}"
+        else:
+            s = f"Zu{umlaut}rich garc{cedilla}on café avec {name}"
+        n = unicodedata.normalize("NFC", s)
+        rows.append((k, n, len(s), len(n)))
+    return pd.DataFrame(
+        rows, columns=["c_custkey", "normalized", "n_cp_before", "n_cp_after"])
+
+
 def _span_windows(sf, span=6):
     import re
     d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -2441,6 +2493,8 @@ QUERIES = {
     "e1_source_overlap": e1_source_overlap,
     "e1_span_dedup": e1_span_dedup,
     "e1_span_maximal": e1_span_maximal,
+    "e6_corpus_clean": e6_corpus_clean,
+    "e5_normalize": e5_normalize,
     "e3_knn_appended": e3_knn_graph,
     "e3_knn_compacted": e3_knn_graph,
     "e2_incremental": e2_incremental,

@@ -818,6 +818,36 @@ def e3_ivf_topk(sf):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def e5_lm_score(sf):
+    # add-one-smoothed bigram predictability: occurrence-weighted
+    # DECIMAL(28,10) mean of p(w2|w1) per doc
+    import re
+    from collections import Counter
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    doc_bi, cb, vocab = {}, Counter(), set()
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = re.split(r"\s+", str(t).strip())
+        vocab.update(toks)
+        bgs = Counter(zip(toks, toks[1:]))
+        doc_bi[int(i)] = bgs
+        cb.update(bgs)
+    cl = Counter()
+    for (w1, _), n in cb.items():
+        cl[w1] += n
+    v = len(vocab)
+    rows = []
+    for i in sorted(doc_bi):
+        bgs = doc_bi[i]
+        if not bgs:
+            continue
+        n_total = sum(bgs.values())
+        s = Decimal(0)
+        for (w1, w2), n in bgs.items():
+            s += dec10(float(n) * ((cb[(w1, w2)] + 1.0) / (cl[w1] + float(v))))
+        rows.append((i, n_total, float(s) / float(n_total)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_bigrams", "mean_p"])
+
+
 def e6_corpus_clean(sf):
     # the clean stage alone: gate -> fingerprint dedup -> component
     # representatives, emitting (doc_id, fp, n_tokens, lang_guess)
@@ -2495,6 +2525,7 @@ QUERIES = {
     "e1_span_maximal": e1_span_maximal,
     "e6_corpus_clean": e6_corpus_clean,
     "e5_normalize": e5_normalize,
+    "e5_lm_score": e5_lm_score,
     "e3_knn_appended": e3_knn_graph,
     "e3_knn_compacted": e3_knn_graph,
     "e2_incremental": e2_incremental,

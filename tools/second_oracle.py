@@ -818,6 +818,30 @@ def e3_ivf_topk(sf):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def e5_tfidf(sf):
+    # integer tf-idf: score = tf * ((1e6 * N) // df), top-3 per doc
+    import re
+    from collections import Counter
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    tf = {}
+    df = Counter()
+    for i, t in zip(d["doc_id"], d["text"]):
+        c = Counter(re.split(r"\s+", str(t).strip()))
+        tf[int(i)] = c
+        df.update(c.keys())
+    n_docs = len(d)
+    rows = []
+    for i in sorted(tf):
+        scored = sorted(
+            ((w, f, df[w], f * ((1000000 * n_docs) // df[w]))
+             for w, f in tf[i].items()),
+            key=lambda t: (-t[3], t[0]))[:3]
+        for rk, (w, f, dfe, sc) in enumerate(scored, start=1):
+            rows.append((i, w, f, dfe, sc, rk))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "word", "tf", "df", "score", "rk"])
+
+
 def e5_lm_score(sf):
     # add-one-smoothed bigram predictability: occurrence-weighted
     # DECIMAL(28,10) mean of p(w2|w1) per doc
@@ -2526,6 +2550,7 @@ QUERIES = {
     "e6_corpus_clean": e6_corpus_clean,
     "e5_normalize": e5_normalize,
     "e5_lm_score": e5_lm_score,
+    "e5_tfidf": e5_tfidf,
     "e3_knn_appended": e3_knn_graph,
     "e3_knn_compacted": e3_knn_graph,
     "e2_incremental": e2_incremental,

@@ -818,6 +818,24 @@ def e3_ivf_topk(sf):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def e7_token_budget(sf):
+    # per-source token budgeting: permille weights -> integral target
+    # tokens -> epoch multipliers
+    import re
+    rates = {"src0": 100, "src1": 1000, "src2": 500}
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["source", "text"])
+    rows = []
+    for src, g in d.groupby("source"):
+        ntok = sum(len(re.split(r"\s+", str(t).strip())) for t in g["text"])
+        w = rates.get(src, 300)
+        target = (w * 1000000) // 1000
+        rows.append((src, int(len(g)), ntok, w, target,
+                     float(target) / float(ntok)))
+    return pd.DataFrame(
+        rows, columns=["source", "n_docs", "n_tokens", "weight_permille",
+                       "target_tokens", "epochs"])
+
+
 def e5_tfidf(sf):
     # integer tf-idf: score = tf * ((1e6 * N) // df), top-3 per doc
     import re
@@ -2551,6 +2569,7 @@ QUERIES = {
     "e5_normalize": e5_normalize,
     "e5_lm_score": e5_lm_score,
     "e5_tfidf": e5_tfidf,
+    "e7_token_budget": e7_token_budget,
     "e3_knn_appended": e3_knn_graph,
     "e3_knn_compacted": e3_knn_graph,
     "e2_incremental": e2_incremental,

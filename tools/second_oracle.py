@@ -818,6 +818,34 @@ def e3_ivf_topk(sf):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def e7_curriculum(sf):
+    # quality quartile phases: stopword/length quality score, linear-
+    # interpolated quartile thresholds, per-row phase assignment
+    import math
+    import re
+    stops = {"the", "a", "of", "and", "is", "to"}
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    qual = {}
+    for i, t in zip(d["doc_id"], d["text"]):
+        tk = re.split(r"\s+", str(t).strip())
+        q = (sum(1 for x in tk if x in stops) / float(len(tk))) * 0.5 \
+            + min(len(tk) / 100.0, 1.0) * 0.5
+        qual[int(i)] = q
+    qs = sorted(qual.values())
+    n = len(qs)
+
+    def pct(p):
+        pos = p * (n - 1)
+        k = int(math.floor(pos))
+        dlt = pos - k
+        return qs[k] + dlt * (qs[k + 1] - qs[k]) if dlt > 0 else qs[k]
+
+    t_hi, t_lo = pct(0.75), pct(0.25)
+    rows = [(i, q, 1 if q >= t_hi else (2 if q >= t_lo else 3))
+            for i, q in sorted(qual.items())]
+    return pd.DataFrame(rows, columns=["doc_id", "quality", "phase"])
+
+
 def e7_token_budget(sf):
     # per-source token budgeting: permille weights -> integral target
     # tokens -> epoch multipliers
@@ -2570,6 +2598,7 @@ QUERIES = {
     "e5_lm_score": e5_lm_score,
     "e5_tfidf": e5_tfidf,
     "e7_token_budget": e7_token_budget,
+    "e7_curriculum": e7_curriculum,
     "e3_knn_appended": e3_knn_graph,
     "e3_knn_compacted": e3_knn_graph,
     "e2_incremental": e2_incremental,

@@ -818,6 +818,16 @@ def e3_ivf_topk(sf):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def e7_cluster_split(sf):
+    # leakage-free splits: CC over the near-dup graph, split decided
+    # by md5 of the COMPONENT label so no cluster straddles splits
+    ids, pairs = _minhash_band_pairs(sf)
+    comp = _cc_components(ids, pairs)
+    return pd.DataFrame(
+        [(i, comp[i], _split_of(comp[i])) for i in ids],
+        columns=["doc_id", "component", "split"])
+
+
 def e7_curriculum(sf):
     # quality quartile phases: stopword/length quality score, linear-
     # interpolated quartile thresholds, per-row phase assignment
@@ -2599,6 +2609,7 @@ QUERIES = {
     "e5_tfidf": e5_tfidf,
     "e7_token_budget": e7_token_budget,
     "e7_curriculum": e7_curriculum,
+    "e7_cluster_split": e7_cluster_split,
     "e3_knn_appended": e3_knn_graph,
     "e3_knn_compacted": e3_knn_graph,
     "e2_incremental": e2_incremental,

@@ -818,6 +818,48 @@ def e3_ivf_topk(sf):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def e8_contamination(sf):
+    # the contamination REPORT: corpus docs with >= 5 distinct
+    # shingle overlaps against the doc_id%20==0 benchmark
+    sh = _shingle_sets(sf)
+    bench = set()
+    for i, s in sh.items():
+        if i % 20 == 0:
+            bench |= s
+    rows = [(i, len(s & bench)) for i, s in sorted(sh.items())
+            if i % 20 != 0 and len(s & bench) >= 5]
+    return pd.DataFrame(rows, columns=["doc_id", "n_overlap"])
+
+
+def e7_stratified(sf):
+    # equal-depth stratified sample: md5 draw order per source, top-20
+    d = pd.read_parquet(f"{sf}/documents.parquet",
+                        columns=["doc_id", "source"])
+    rows = []
+    for src, g in d.groupby("source"):
+        ranked = sorted(
+            ((_md5i(f"strat_{int(i)}"), int(i)) for i in g["doc_id"]))[:20]
+        for rk, (_, i) in enumerate(ranked, start=1):
+            rows.append((i, src, rk))
+    return pd.DataFrame(rows, columns=["doc_id", "source", "rk"])
+
+
+def e7_upsample(sf):
+    # fractional upsampling: whole copies + md5-decided extra copy
+    rates = {"src0": 2500, "src1": 500}
+    d = pd.read_parquet(f"{sf}/documents.parquet",
+                        columns=["doc_id", "source"])
+    rows = []
+    for i, src in zip(d["doc_id"], d["source"]):
+        i = int(i)
+        rate = rates.get(src, 1000)
+        copies = rate // 1000 + (
+            1 if _md5i(f"mix_{i}") % 1000 < rate % 1000 else 0)
+        for c in range(1, copies + 1):
+            rows.append((i, src, c))
+    return pd.DataFrame(rows, columns=["doc_id", "source", "copy_idx"])
+
+
 def e7_cluster_split(sf):
     # leakage-free splits: CC over the near-dup graph, split decided
     # by md5 of the COMPONENT label so no cluster straddles splits
@@ -2610,6 +2652,10 @@ QUERIES = {
     "e7_token_budget": e7_token_budget,
     "e7_curriculum": e7_curriculum,
     "e7_cluster_split": e7_cluster_split,
+    "e8_contamination": e8_contamination,
+    "e8_bloom_prefilter": e8_decontaminated,
+    "e7_stratified": e7_stratified,
+    "e7_upsample": e7_upsample,
     "e3_knn_appended": e3_knn_graph,
     "e3_knn_compacted": e3_knn_graph,
     "e2_incremental": e2_incremental,

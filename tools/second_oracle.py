@@ -818,6 +818,73 @@ def e3_ivf_topk(sf):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def _bpe_chain(sf, rounds=4):
+    # Sennrich BPE replay: word freqs, per-round weighted pair counts
+    # (overlaps included), total-order argmax, greedy left-to-right
+    # merge over every word's symbol list
+    import re
+    from collections import Counter
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    words = Counter()
+    for t in d["text"]:
+        for w in re.split(r"\s+", str(t).strip()):
+            if w:
+                words[w] += 1
+    syms = {w: list(w) for w in words}
+    merges = []
+    for r in range(1, rounds + 1):
+        pc = Counter()
+        for w, f in words.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (pa, pb), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, pa, pb, cnt))
+        for w in syms:
+            s = syms[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == pa and s[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+def e5_bpe_train(sf):
+    merges, _ = _bpe_chain(sf)
+    return pd.DataFrame(
+        merges, columns=["round", "sym_a", "sym_b", "pair_count"])
+
+
+def e5_bpe_apply(sf):
+    import re
+    _, syms = _bpe_chain(sf)
+    n_sym = {w: len(s) for w, s in syms.items()}
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = [w for w in re.split(r"\s+", str(t).strip()) if w]
+        if toks:
+            rows.append((int(i), len(toks), sum(n_sym[w] for w in toks)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_tokens", "n_bpe_sym"])
+
+
+def e5_bpe_tokens(sf):
+    import re
+    pat = re.compile(r"[a-z0-9]+|[^a-z0-9\s]")
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rows = [(int(i), len(pat.findall(str(t).lower())),
+             len(re.split(r"\s+", str(t).strip())))
+            for i, t in zip(d["doc_id"], d["text"])]
+    return pd.DataFrame(rows, columns=["doc_id", "n_bpe", "n_ws"])
+
+
 def e8_contamination(sf):
     # the contamination REPORT: corpus docs with >= 5 distinct
     # shingle overlaps against the doc_id%20==0 benchmark
@@ -2653,6 +2720,9 @@ QUERIES = {
     "e7_curriculum": e7_curriculum,
     "e7_cluster_split": e7_cluster_split,
     "e8_contamination": e8_contamination,
+    "e5_bpe_train": e5_bpe_train,
+    "e5_bpe_apply": e5_bpe_apply,
+    "e5_bpe_tokens": e5_bpe_tokens,
     "e8_bloom_prefilter": e8_decontaminated,
     "e7_stratified": e7_stratified,
     "e7_upsample": e7_upsample,

@@ -818,6 +818,55 @@ def e3_ivf_topk(sf):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def e5_lid_model(sf):
+    # textcat-style trained LID: 200-char-prefix trigram counts,
+    # per-language top-300 profiles, integer dot/norm sums, double
+    # cosine argmax (ties to first language)
+    import math
+    from collections import Counter
+    d = pd.read_parquet(f"{sf}/documents.parquet",
+                        columns=["doc_id", "lang", "text"])
+    dt = {}
+    lang_of = {}
+    for i, lg, t in zip(d["doc_id"], d["lang"], d["text"]):
+        p = str(t).lower()[:200]
+        c = Counter(p[k:k + 3] for k in range(max(len(p) - 2, 0)))
+        dt[int(i)] = c
+        lang_of[int(i)] = lg
+    prof_counts = {}
+    for i, c in dt.items():
+        lg = lang_of[i]
+        prof_counts.setdefault(lg, Counter()).update(c)
+    prof = {}
+    for lg, c in prof_counts.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:300]
+        prof[lg] = dict(top)
+    pn2 = {lg: sum(v * v for v in p.values()) for lg, p in prof.items()}
+    rows = []
+    for i in sorted(dt):
+        c = dt[i]
+        n2d = sum(v * v for v in c.values())
+        best = None
+        for lg in sorted(prof):
+            dp = sum(c[t] * p for t, p in prof[lg].items() if t in c)
+            if dp == 0 and not any(t in c for t in prof[lg]):
+                continue  # no shared trigram -> no dots row
+            cos = float(dp) / (math.sqrt(float(n2d)) * math.sqrt(float(pn2[lg])))
+            if best is None or cos > best[1]:
+                best = (lg, cos)  # ties keep the earlier (asc) language
+        if best is not None:
+            rows.append((i, lang_of[i], best[0]))
+    return pd.DataFrame(rows, columns=["doc_id", "lang", "lang_pred"])
+
+
+def e5_lid_confusion(sf):
+    m = e5_lid_model(sf)
+    out = (m.groupby(["lang", "lang_pred"], as_index=False)
+           .size().rename(columns={"size": "n"}))
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def _bpe_chain(sf, rounds=4):
     # Sennrich BPE replay: word freqs, per-round weighted pair counts
     # (overlaps included), total-order argmax, greedy left-to-right
@@ -2721,6 +2770,9 @@ QUERIES = {
     "e7_cluster_split": e7_cluster_split,
     "e8_contamination": e8_contamination,
     "e5_bpe_train": e5_bpe_train,
+    "e5_lid_model": e5_lid_model,
+    "e5_lid_saved": e5_lid_model,
+    "e5_lid_confusion": e5_lid_confusion,
     "e5_bpe_apply": e5_bpe_apply,
     "e5_bpe_tokens": e5_bpe_tokens,
     "e8_bloom_prefilter": e8_decontaminated,

@@ -818,6 +818,38 @@ def e3_ivf_topk(sf):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def e5_quality_langid(sf):
+    # per-doc quality/langid feature row: stopword ratio, punct ratio,
+    # composite quality, marker-vote language guess
+    import re
+    en = {"the", "a", "of", "and", "is", "to"}
+    de = {"der", "die", "das", "und", "ist", "zu"}
+    fr = {"le", "la", "les", "et", "est", "de"}
+    punct = set(".,!?;:")
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        t = str(t)
+        tk = re.split(r"\s+", t.strip())
+        ne, nd, nf = (sum(1 for x in tk if x in m) for m in (en, de, fr))
+        stop = ne / float(len(tk))
+        pr = sum(1 for ch in t if ch in punct) / float(len(t))
+        q = stop * 0.5 + min(len(tk) / 100.0, 1.0) * 0.5
+        lang = "en" if (ne >= nd and ne >= nf) else ("de" if nd >= nf else "fr")
+        rows.append((int(i), len(tk), stop, pr, q, lang))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_tokens", "stop_ratio", "punct_ratio",
+                       "quality", "lang_guess"])
+
+
+def e5_classifier_confusion(sf):
+    m = e5_quality_classifier(sf)
+    out = (m.groupby(["label_seed", "label_pred"], as_index=False)
+           .size().rename(columns={"size": "n"}))
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def e5_lid_model(sf):
     # textcat-style trained LID: 200-char-prefix trigram counts,
     # per-language top-300 profiles, integer dot/norm sums, double
@@ -2773,6 +2805,8 @@ QUERIES = {
     "e5_lid_model": e5_lid_model,
     "e5_lid_saved": e5_lid_model,
     "e5_lid_confusion": e5_lid_confusion,
+    "e5_quality_langid": e5_quality_langid,
+    "e5_classifier_confusion": e5_classifier_confusion,
     "e5_bpe_apply": e5_bpe_apply,
     "e5_bpe_tokens": e5_bpe_tokens,
     "e8_bloom_prefilter": e8_decontaminated,

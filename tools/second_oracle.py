@@ -818,6 +818,63 @@ def e3_ivf_topk(sf):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def e5_chunks(sf):
+    # overlapping 50-token chunks every 40 tokens
+    import re
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        tk = re.split(r"\s+", str(t).strip())
+        idx = 0
+        for s0 in range(0, max(len(tk), 1), 40):
+            chunk = tk[s0:s0 + 50]
+            rows.append((int(i), idx, " ".join(chunk), len(chunk)))
+            idx += 1
+    return pd.DataFrame(
+        rows, columns=["doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens"])
+
+
+def _tokens_before(sf):
+    import re
+    d = pd.read_parquet(f"{sf}/documents.parquet",
+                        columns=["doc_id", "source", "text"])
+    d = d.sort_values(["source", "doc_id"])
+    out = []
+    prev_src, run = None, 0
+    for i, src, t in zip(d["doc_id"], d["source"], d["text"]):
+        if src != prev_src:
+            prev_src, run = src, 0
+        ntok = len(re.split(r"\s+", str(t).strip()))
+        out.append((int(i), src, str(t), ntok, run))
+        run += ntok
+    return out
+
+
+def e5_pack(sf):
+    # greedy sequence packing: running token offsets per source decide
+    # (seq_id, offset) against the 2048-token sequence length
+    rows = [(i, src, ntok, tb // 2048, tb % 2048)
+            for i, src, _, ntok, tb in _tokens_before(sf)]
+    return pd.DataFrame(
+        rows, columns=["doc_id", "source", "ntok", "seq_id", "offset_in_seq"])
+
+
+def e5_pack_assemble(sf):
+    # physical assembly: member texts joined with <eos> in packing
+    # order, pinned by length + md5 fingerprint
+    import hashlib
+    groups = {}
+    for i, src, t, ntok, tb in _tokens_before(sf):
+        groups.setdefault((src, tb // 2048), []).append((i, t))
+    rows = []
+    for (src, sid), ms in sorted(groups.items()):
+        seq = " <eos> ".join(t for _, t in sorted(ms))
+        rows.append((src, sid, len(ms), len(seq),
+                     hashlib.md5(seq.encode("utf-8")).hexdigest()))
+    return pd.DataFrame(
+        rows, columns=["source", "seq_id", "n_docs", "n_chars", "fp"])
+
+
 def e5_quality_langid(sf):
     # per-doc quality/langid feature row: stopword ratio, punct ratio,
     # composite quality, marker-vote language guess
@@ -2806,6 +2863,9 @@ QUERIES = {
     "e5_lid_saved": e5_lid_model,
     "e5_lid_confusion": e5_lid_confusion,
     "e5_quality_langid": e5_quality_langid,
+    "e5_chunks": e5_chunks,
+    "e5_pack": e5_pack,
+    "e5_pack_assemble": e5_pack_assemble,
     "e5_classifier_confusion": e5_classifier_confusion,
     "e5_bpe_apply": e5_bpe_apply,
     "e5_bpe_tokens": e5_bpe_tokens,

@@ -358,6 +358,62 @@ def e5_backoff_score(sf):
     return pd.DataFrame(rows, columns=["doc_id", "n_trigrams", "mean_s"])
 
 
+def _backoff_means(toks, train_ids):
+    # held-out per-doc stupid-backoff means for a given train slice
+    c1, c2, c3, t_total = {}, {}, {}, 0
+    for i in train_ids:
+        tk = toks[i]
+        t_total += len(tk)
+        for w in tk:
+            c1[w] = c1.get(w, 0) + 1
+        for a, b in zip(tk, tk[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+        for a, b, c in zip(tk, tk[1:], tk[2:]):
+            c3[(a, b, c)] = c3.get((a, b, c), 0) + 1
+    out = {}
+    for i, tk in toks.items():
+        if i % 10 != 0:
+            continue
+        n_occ = {}
+        for g in zip(tk, tk[1:], tk[2:]):
+            n_occ[g] = n_occ.get(g, 0) + 1
+        if not n_occ:
+            continue
+        n_tri, sdec = 0, Decimal(0)
+        for (w1, w2, w3), n in n_occ.items():
+            if c3.get((w1, w2, w3), 0) > 0:
+                s = float(c3[(w1, w2, w3)]) / float(c2[(w1, w2)])
+            elif c2.get((w2, w3), 0) > 0:
+                s = 0.4 * (float(c2[(w2, w3)]) / float(c1[w2]))
+            else:
+                s = 0.4 * (0.4 * (float(c1.get(w3, 0)) / float(t_total)))
+            n_tri += n
+            sdec += dec10(float(n) * s)
+        out[i] = (n_tri, float(sdec) / float(n_tri))
+    return out
+
+
+def e5_domain_select(sf):
+    # Moore-Lewis selection: in-domain (English train slice) vs
+    # general backoff means, ratio where the general score is positive
+    import re
+    d = pd.read_parquet(f"{sf}/documents.parquet",
+                        columns=["doc_id", "lang", "text"])
+    toks = {int(i): re.split(r"\s+", str(t).strip())
+            for i, t in zip(d["doc_id"], d["text"])}
+    lang = {int(i): lg for i, lg in zip(d["doc_id"], d["lang"])}
+    train = [i for i in toks if i % 10 != 0]
+    s_in = _backoff_means(toks, [i for i in train if lang[i] == "en"])
+    s_gen = _backoff_means(toks, train)
+    rows = []
+    for i in sorted(set(s_in) & set(s_gen)):
+        nt, si = s_in[i]
+        _, sg = s_gen[i]
+        rows.append((i, nt, si, sg, si / sg if sg > 0 else None))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_trigrams", "s_in", "s_gen", "ml_ratio"])
+
+
 def e3_kmeans(sf, k=8, iters=2):
     # Lloyd replay (Similarity.kmeans): init = k lowest-id vectors;
     # assign by cosine argmax (ties -> lowest cid) with the engine's
@@ -2864,6 +2920,7 @@ QUERIES = {
     "e5_lid_confusion": e5_lid_confusion,
     "e5_quality_langid": e5_quality_langid,
     "e5_chunks": e5_chunks,
+    "e5_domain_select": e5_domain_select,
     "e5_pack": e5_pack,
     "e5_pack_assemble": e5_pack_assemble,
     "e5_classifier_confusion": e5_classifier_confusion,

@@ -393,6 +393,31 @@ def _backoff_means(toks, train_ids):
     return out
 
 
+def e5_bigram_rarity(sf):
+    # rare-bigram fraction: corpus bigram counts, per-doc rare share
+    # (corpus count <= 2)
+    import re
+    from collections import Counter
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    per_doc = {}
+    corpus = Counter()
+    for i, t in zip(d["doc_id"], d["text"]):
+        tk = re.split(r"\s+", str(t).strip())
+        c = Counter(f"{a} {b}" for a, b in zip(tk, tk[1:]))
+        per_doc[int(i)] = c
+        corpus.update(c)
+    rows = []
+    for i in sorted(per_doc):
+        c = per_doc[i]
+        if not c:
+            continue
+        n = sum(c.values())
+        nr = sum(v for bg, v in c.items() if corpus[bg] <= 2)
+        rows.append((i, n, nr, nr / float(n)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_bigrams", "n_rare", "rare_frac"])
+
+
 def e5_domain_select(sf):
     # Moore-Lewis selection: in-domain (English train slice) vs
     # general backoff means, ratio where the general score is positive
@@ -2921,6 +2946,7 @@ QUERIES = {
     "e5_quality_langid": e5_quality_langid,
     "e5_chunks": e5_chunks,
     "e5_domain_select": e5_domain_select,
+    "e5_bigram_rarity": e5_bigram_rarity,
     "e5_pack": e5_pack,
     "e5_pack_assemble": e5_pack_assemble,
     "e5_classifier_confusion": e5_classifier_confusion,

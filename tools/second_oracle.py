@@ -393,6 +393,31 @@ def _backoff_means(toks, train_ids):
     return out
 
 
+def e6_ppl_buckets(sf):
+    # perplexity tertiles per language: bigram predictability means,
+    # ntile(3) over (mean_p desc, doc_id asc)
+    lm = e5_lm_score(sf)
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "lang"])
+    lang = {int(i): lg for i, lg in zip(d["doc_id"], d["lang"])}
+    rows = []
+    by_lang = {}
+    for r in lm.itertuples():
+        by_lang.setdefault(lang[int(r.doc_id)], []).append(
+            (int(r.doc_id), float(r.mean_p)))
+    for lg in sorted(by_lang):
+        ranked = sorted(by_lang[lg], key=lambda t: (-t[1], t[0]))
+        n = len(ranked)
+        base, extra = divmod(n, 3)
+        sizes = [base + (1 if b < extra else 0) for b in range(3)]
+        pos = 0
+        for b, sz in enumerate(sizes, start=1):
+            for i, mp in ranked[pos:pos + sz]:
+                rows.append((i, lg, mp, b))
+            pos += sz
+    return pd.DataFrame(
+        rows, columns=["doc_id", "lang", "mean_p", "ppl_bucket"])
+
+
 def e5_bigram_rarity(sf):
     # rare-bigram fraction: corpus bigram counts, per-doc rare share
     # (corpus count <= 2)
@@ -2947,6 +2972,7 @@ QUERIES = {
     "e5_chunks": e5_chunks,
     "e5_domain_select": e5_domain_select,
     "e5_bigram_rarity": e5_bigram_rarity,
+    "e6_ppl_buckets": e6_ppl_buckets,
     "e5_pack": e5_pack,
     "e5_pack_assemble": e5_pack_assemble,
     "e5_classifier_confusion": e5_classifier_confusion,

@@ -393,6 +393,23 @@ def _backoff_means(toks, train_ids):
     return out
 
 
+def e2_chain_components(sf):
+    # consecutive-id chains of qualifying docs (>= 30 tokens):
+    # component = min id of the run, everyone else a singleton
+    import re
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    qual = {int(i) for i, t in zip(d["doc_id"], d["text"])
+            if len(re.split(r"\s+", str(t).strip())) >= 30}
+    comp = {}
+    for i in sorted(int(x) for x in d["doc_id"]):
+        if i in qual and (i - 1) in comp and (i - 1) in qual:
+            comp[i] = comp[i - 1]
+        else:
+            comp[i] = i
+    return pd.DataFrame(sorted(comp.items()),
+                        columns=["doc_id", "component"])
+
+
 def e6_ppl_buckets(sf):
     # perplexity tertiles per language: bigram predictability means,
     # ntile(3) over (mean_p desc, doc_id asc)
@@ -2973,6 +2990,7 @@ QUERIES = {
     "e5_domain_select": e5_domain_select,
     "e5_bigram_rarity": e5_bigram_rarity,
     "e6_ppl_buckets": e6_ppl_buckets,
+    "e2_chain_components": e2_chain_components,
     "e5_pack": e5_pack,
     "e5_pack_assemble": e5_pack_assemble,
     "e5_classifier_confusion": e5_classifier_confusion,

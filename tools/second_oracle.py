@@ -393,6 +393,39 @@ def _backoff_means(toks, train_ids):
     return out
 
 
+def e2_lsh_scurve(sf):
+    # LSH S-curve calibration: exact Jaccard over all shingle-sharing
+    # pairs, bucketed at width 0.1, recall = band-candidate fraction
+    import math
+    sh = {i: s for i, s in _shingle_sets(sf).items() if s}
+    inv = {}
+    for i, s in sh.items():
+        for h in s:
+            inv.setdefault(h, []).append(i)
+    pairs = set()
+    for members in inv.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                pairs.add((ms[x], ms[y]))
+    _, cand = _minhash_band_pairs(sf)
+    cand = set(cand)
+    from collections import Counter
+    n_pairs, n_caught = Counter(), Counter()
+    for (a, b) in pairs:
+        inter = len(sh[a] & sh[b])
+        jac = inter / float(len(sh[a]) + len(sh[b]) - inter)
+        bk = min(int(math.floor(jac * 10.0)), 9)
+        n_pairs[bk] += 1
+        if (a, b) in cand:
+            n_caught[bk] += 1
+    rows = [(bk, n_pairs[bk], n_caught[bk],
+             n_caught[bk] / float(n_pairs[bk]))
+            for bk in sorted(n_pairs)]
+    return pd.DataFrame(
+        rows, columns=["bucket", "n_pairs", "n_caught", "recall"])
+
+
 def e2_chain_components(sf):
     # consecutive-id chains of qualifying docs (>= 30 tokens):
     # component = min id of the run, everyone else a singleton
@@ -2991,6 +3024,7 @@ QUERIES = {
     "e5_bigram_rarity": e5_bigram_rarity,
     "e6_ppl_buckets": e6_ppl_buckets,
     "e2_chain_components": e2_chain_components,
+    "e2_lsh_scurve": e2_lsh_scurve,
     "e5_pack": e5_pack,
     "e5_pack_assemble": e5_pack_assemble,
     "e5_classifier_confusion": e5_classifier_confusion,

@@ -393,6 +393,24 @@ def _backoff_means(toks, train_ids):
     return out
 
 
+def e2_pagerank_rep(sf):
+    # per-cluster PageRank representative: CC labels + the pagerank
+    # replay, top-1 per component by (pr desc, id asc)
+    ids, pairs = _minhash_band_pairs(sf)
+    comp = _cc_components(ids, pairs)
+    pr = {int(r.doc_id): float(r.pr) for r in e2_pagerank(sf).itertuples()}
+    from collections import Counter
+    sizes = Counter(comp.values())
+    best = {}
+    for i in sorted(ids):
+        c = comp[i]
+        if c not in best or pr[i] > pr[best[c]]:
+            best[c] = i
+    rows = [(c, r, pr[r], sizes[c]) for c, r in sorted(best.items())]
+    return pd.DataFrame(
+        rows, columns=["component", "rep_doc_id", "rep_pr", "cluster_size"])
+
+
 def e2_lsh_scurve(sf):
     # LSH S-curve calibration: exact Jaccard over all shingle-sharing
     # pairs, bucketed at width 0.1, recall = band-candidate fraction
@@ -3025,6 +3043,7 @@ QUERIES = {
     "e6_ppl_buckets": e6_ppl_buckets,
     "e2_chain_components": e2_chain_components,
     "e2_lsh_scurve": e2_lsh_scurve,
+    "e2_pagerank_rep": e2_pagerank_rep,
     "e5_pack": e5_pack,
     "e5_pack_assemble": e5_pack_assemble,
     "e5_classifier_confusion": e5_classifier_confusion,

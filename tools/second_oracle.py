@@ -393,6 +393,56 @@ def _backoff_means(toks, train_ids):
     return out
 
 
+def e4_blob_meta(sf):
+    # blob metadata over the UTF-8 payloads: byte length, md5 digest,
+    # md5-derived fake feature
+    import hashlib
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        t = str(t)
+        dg = hashlib.md5(t.encode("utf-8")).hexdigest()
+        rows.append((int(i), len(t.encode("utf-8")), dg,
+                     (_md5i(f"{dg}_0") % 1000) / 1000.0))
+    return pd.DataFrame(rows, columns=["doc_id", "n_bytes", "digest", "feat0"])
+
+
+def e4_dim_stats(sf):
+    # per-dimension embedding stats with the exact DECIMAL mean over
+    # float-widened doubles
+    e = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["embedding"])
+    dims = len(e["embedding"].iloc[0])
+    cols = [[] for _ in range(dims)]
+    for v in e["embedding"]:
+        for d0 in range(dims):
+            cols[d0].append(float(v[d0]))
+    rows = [(d0 + 1, len(cols[d0]), exact_mean(cols[d0]),
+             min(cols[d0]), max(cols[d0])) for d0 in range(dims)]
+    return pd.DataFrame(
+        rows, columns=["dim", "n", "mean_v", "min_v", "max_v"])
+
+
+def e4_decode_stats(sf):
+    # the synthetic-PNG decode chain, replayed from the pixel FORMULA
+    # (the engine encodes + REALLY decodes; any codec corruption
+    # diverges): p_i = ((seed * (((i+1)*MixA + MixB) % P)) % P) % 256
+    import hashlib
+    P, MixA, MixB = 1000000007, 2654435761, 1013904223
+    n = 64
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        dg = hashlib.md5(str(t).encode("utf-8")).hexdigest()
+        seed = _md5i(dg)
+        px = [((seed * (((k + 1) * MixA + MixB) % P)) % P) % 256
+              for k in range(n)]
+        s = sum(px)
+        rows.append((int(i), 8, 8, s, min(px), max(px), s / 64.0))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "img_w", "img_h", "px_sum", "px_min",
+                       "px_max", "px_mean"])
+
+
 def e2_pagerank_rep(sf):
     # per-cluster PageRank representative: CC labels + the pagerank
     # replay, top-1 per component by (pr desc, id asc)
@@ -3044,6 +3094,9 @@ QUERIES = {
     "e2_chain_components": e2_chain_components,
     "e2_lsh_scurve": e2_lsh_scurve,
     "e2_pagerank_rep": e2_pagerank_rep,
+    "e4_blob_meta": e4_blob_meta,
+    "e4_dim_stats": e4_dim_stats,
+    "e4_decode_stats": e4_decode_stats,
     "e5_pack": e5_pack,
     "e5_pack_assemble": e5_pack_assemble,
     "e5_classifier_confusion": e5_classifier_confusion,

@@ -443,6 +443,110 @@ def e4_decode_stats(sf):
                        "px_max", "px_mean"])
 
 
+_IMG_P, _IMG_A, _IMG_B = 1000000007, 2654435761, 1013904223
+
+
+def _img_px(seed, i):
+    return ((seed * (((i + 1) * _IMG_A + _IMG_B) % _IMG_P)) % _IMG_P) % 256
+
+
+def _doc_seeds(sf):
+    import hashlib
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return [(int(i),
+             _md5i(hashlib.md5(str(t).encode("utf-8")).hexdigest()))
+            for i, t in zip(d["doc_id"], d["text"])]
+
+
+def e4_resize_stats(sf):
+    # nearest-neighbor 8x8 -> 4x4 resample replayed by source-index
+    # arithmetic over the pixel formula
+    rows = []
+    for i, seed in _doc_seeds(sf):
+        px = [_img_px(seed, ((k // 4) * 2) * 8 + (k % 4) * 2)
+              for k in range(16)]
+        s = sum(px)
+        rows.append((i, 4, 4, s, min(px), max(px), s / 16.0))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "img_w", "img_h", "px_sum", "px_min",
+                       "px_max", "px_mean"])
+
+
+def e4_image_dedup(sf):
+    # perceptual average-hash dedup: 16x16 asset per doc_id//5 group,
+    # 8x8 gather, integer-mean threshold, 64-bit two's-complement hash
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for i in d["doc_id"]:
+        i = int(i)
+        seed = i // 5
+        p = [_img_px(seed, ((j // 8) * 2) * 16 + (j % 8) * 2)
+             for j in range(64)]
+        mean = sum(p) // 64
+        h = sum(1 << j for j in range(64) if p[j] > mean)
+        if h >= 1 << 63:
+            h -= 1 << 64
+        groups[h].append(i)
+    rows = [(h, len(ms), min(ms)) for h, ms in sorted(groups.items())]
+    return pd.DataFrame(rows, columns=["ahash", "n_copies", "keep_doc"])
+
+
+def e4_scene_cuts(sf):
+    # GIF shot-boundary detection: per-frame pixel formula (seed+f),
+    # cut when the BIGINT abs-diff sum exceeds 4096
+    n = 8 * 6
+    rows = []
+    for i, seed in _doc_seeds(sf):
+        frames = [[_img_px(seed + f, k) for k in range(n)]
+                  for f in range(5)]
+        cuts = [f for f in range(1, 5)
+                if sum(abs(frames[f][k] - frames[f - 1][k])
+                       for k in range(n)) > 4096]
+        rows.append((i, len(cuts), ",".join(str(f) for f in cuts)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_cuts", "cut_frames"])
+
+
+def e4_audio_stats(sf):
+    # PCM WAV parse replayed from the sample formula: 16-bit signed
+    # samples, amplitude sum and peak
+    rows = []
+    for i, seed in _doc_seeds(sf):
+        sm = [((seed * (((k + 1) * _IMG_A + _IMG_B) % _IMG_P)) % _IMG_P)
+              % 65536 - 32768 for k in range(64)]
+        rows.append((i, 64, 8000, sum(sm), max(abs(x) for x in sm)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_samples", "sample_rate", "amp_sum",
+                       "amp_peak"])
+
+
+def e4_video_frames(sf):
+    # frame-sampling the animated GIF: middle frame's pixel stats
+    n = 8 * 6
+    rows = []
+    for i, seed in _doc_seeds(sf):
+        px = [_img_px(seed + 2, k) for k in range(n)]
+        rows.append((i, 5, 2, sum(px), min(px), max(px)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_frames", "frame_idx", "px_sum",
+                       "px_min", "px_max"])
+
+
+def e4_embedding_stats(sf):
+    # per-vector norms and fold means with the engine's left fold
+    import math
+    e = pd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"])
+    rows = []
+    for v, a, lb in zip(e["vec_id"], e["embedding"], e["label"]):
+        vals = [float(x) for x in a]
+        rows.append((int(v), len(vals), math.sqrt(_dot(vals, vals)),
+                     _dot(vals, [1.0] * len(vals)) / float(len(vals)),
+                     int(lb)))
+    return pd.DataFrame(
+        rows, columns=["vec_id", "dims", "l2_norm", "avg_val", "label"])
+
+
 def e2_pagerank_rep(sf):
     # per-cluster PageRank representative: CC labels + the pagerank
     # replay, top-1 per component by (pr desc, id asc)
@@ -3097,6 +3201,12 @@ QUERIES = {
     "e4_blob_meta": e4_blob_meta,
     "e4_dim_stats": e4_dim_stats,
     "e4_decode_stats": e4_decode_stats,
+    "e4_resize_stats": e4_resize_stats,
+    "e4_image_dedup": e4_image_dedup,
+    "e4_scene_cuts": e4_scene_cuts,
+    "e4_audio_stats": e4_audio_stats,
+    "e4_video_frames": e4_video_frames,
+    "e4_embedding_stats": e4_embedding_stats,
     "e5_pack": e5_pack,
     "e5_pack_assemble": e5_pack_assemble,
     "e5_classifier_confusion": e5_classifier_confusion,

@@ -443,6 +443,35 @@ def e4_decode_stats(sf):
                        "px_max", "px_mean"])
 
 
+def e6_data_card(sf):
+    # per-source corpus data card: docs/tokens/chars, language count,
+    # exact-dup fraction via fingerprints, exact DECIMAL quality mean
+    import hashlib
+    import re
+    stops = {"the", "a", "of", "and", "is", "to"}
+    d = pd.read_parquet(
+        f"{sf}/documents.parquet",
+        columns=["source", "lang", "n_chars", "text"])
+    rows = []
+    for src, g in d.groupby("source"):
+        fps, langs, ntok, qs = set(), set(), 0, []
+        nch = 0
+        for lg, nc, t in zip(g["lang"], g["n_chars"], g["text"]):
+            t = str(t)
+            tk = re.split(r"\s+", t.strip())
+            ntok += len(tk)
+            nch += int(nc)
+            langs.add(lg)
+            fps.add(hashlib.md5(t.strip().lower().encode("utf-8")).hexdigest())
+            qs.append((sum(1 for x in tk if x in stops) / float(len(tk))) * 0.5
+                      + min(len(tk) / 100.0, 1.0) * 0.5)
+        rows.append((src, int(len(g)), ntok, nch, len(langs),
+                     1.0 - len(fps) / float(len(g)), exact_mean(qs)))
+    return pd.DataFrame(
+        rows, columns=["source", "n_docs", "n_tokens", "n_chars",
+                       "n_langs", "dup_frac", "mean_quality"])
+
+
 _IMG_P, _IMG_A, _IMG_B = 1000000007, 2654435761, 1013904223
 
 
@@ -3207,6 +3236,7 @@ QUERIES = {
     "e4_audio_stats": e4_audio_stats,
     "e4_video_frames": e4_video_frames,
     "e4_embedding_stats": e4_embedding_stats,
+    "e6_data_card": e6_data_card,
     "e5_pack": e5_pack,
     "e5_pack_assemble": e5_pack_assemble,
     "e5_classifier_confusion": e5_classifier_confusion,

@@ -715,28 +715,31 @@ def e5_domain_select(sf):
         rows, columns=["doc_id", "n_trigrams", "s_in", "s_gen", "ml_ratio"])
 
 
-def e3_kmeans(sf, k=8, iters=2):
-    # Lloyd replay (Similarity.kmeans): init = k lowest-id vectors;
-    # assign by cosine argmax (ties -> lowest cid) with the engine's
-    # sequential float32->double dot fold; update = per-dim
-    # DECIMAL(28,10) exact mean, rounded back to float32. No SQL
-    # engine involved -- the DuckDB oracle replays the same unrolled
-    # chain, so this breaks the correlated-structure risk.
-    import math
+def _f32(x):
     import struct
-    e = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return struct.unpack("f", struct.pack("f", x))[0]
+
+
+def _kmeans_chain(sf, k=8, iters=2, train=None):
+    # Lloyd replay (Similarity.kmeans): init = k lowest-id TRAIN
+    # vectors; assign by cosine argmax (ties -> lowest cid) with the
+    # engine's sequential float32->double dot fold; update = per-dim
+    # DECIMAL(28,10) exact mean, rounded back to float32. The final
+    # assignment covers ALL vectors (the incremental-index oracles
+    # train on a base subset, then assign the whole table).
+    import math
+    e = pd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
     e = e[e["embedding"].notna()]
-    emb = {int(v): [float(x) for x in a] for v, a in zip(e["vec_id"], e["embedding"])}
+    emb = {int(v): [float(x) for x in a]
+           for v, a in zip(e["vec_id"], e["embedding"])}
     ids = sorted(emb)
     n2 = {i: _dot(emb[i], emb[i]) for i in ids}
+    tids = [i for i in ids if train is None or train(i)]
 
-    def to_f32(x):
-        return struct.unpack("f", struct.pack("f", x))[0]
-
-    def assign(cents):
-        # cents: {cid: (vec, cn2)}; returns {vec_id: (cid, cos)}
+    def assign(cents, over):
         out = {}
-        for i in ids:
+        for i in over:
             best = None
             for cid in sorted(cents):
                 cv, cn2 = cents[cid]
@@ -746,22 +749,58 @@ def e3_kmeans(sf, k=8, iters=2):
             out[i] = best
         return out
 
-    cents = {i: (emb[i], n2[i]) for i in ids if i < k}
+    cents = {i: (emb[i], n2[i]) for i in tids if i < k}
     for _ in range(iters):
-        a = assign(cents)
+        a = assign(cents, tids)
         members = {}
         for i, (cid, _) in a.items():
             members.setdefault(cid, []).append(i)
         cents = {}
         for cid, ms in members.items():
             dims = len(emb[ms[0]])
-            cv = [to_f32(float(sum(dec10(emb[i][d]) for i in ms)) / len(ms))
+            cv = [_f32(float(sum(dec10(emb[i][d]) for i in ms)) / len(ms))
                   for d in range(dims)]
             cents[cid] = (cv, _dot(cv, cv))
-    a = assign(cents)
+    return assign(cents, ids), emb, n2
+
+
+def _cell_probe(cells, emb, n2, n_queries=32, k=3):
+    # same-cell brute probe: per query top-k by (cos desc, id asc)
+    import math
+    members = {}
+    for i, c in cells.items():
+        members.setdefault(c, []).append(i)
+    rows = []
+    for q in sorted(emb):
+        if q >= n_queries:
+            continue
+        scored = sorted(
+            ((c, _dot(emb[q], emb[c]) /
+              (math.sqrt(n2[q]) * math.sqrt(n2[c])))
+             for c in members[cells[q]] if c != q),
+            key=lambda t: (-t[1], t[0]))[:k]
+        for rk, (c, cs) in enumerate(scored, start=1):
+            rows.append((q, c, cs, rk))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
+
+
+def e3_kmeans(sf):
+    a, _, _ = _kmeans_chain(sf)
     return pd.DataFrame(
-        [(i, a[i][0], a[i][1]) for i in ids],
+        [(i, a[i][0], a[i][1]) for i in sorted(a)],
         columns=["vec_id", "cluster", "cent_cos"])
+
+
+def e3_ivf_learned(sf):
+    a, emb, n2 = _kmeans_chain(sf)
+    return _cell_probe({i: c for i, (c, _) in a.items()}, emb, n2)
+
+
+def e3_ivf_incremental(sf):
+    # centroids trained on the vec_id%7!=3 base, final assignment over
+    # the full table, then the same cell probe
+    a, emb, n2 = _kmeans_chain(sf, train=lambda i: i % 7 != 3)
+    return _cell_probe({i: c for i, (c, _) in a.items()}, emb, n2)
 
 
 def w6_retention(sf):
@@ -3237,6 +3276,12 @@ QUERIES = {
     "e4_video_frames": e4_video_frames,
     "e4_embedding_stats": e4_embedding_stats,
     "e6_data_card": e6_data_card,
+    "e3_ivf_learned": e3_ivf_learned,
+    "e3_ivf_saved": e3_ivf_learned,
+    "e3_ivf_incremental": e3_ivf_incremental,
+    "e3_ivf_compacted": e3_ivf_incremental,
+    "e3_ivf_stream": e3_ivf_incremental,
+    "e3_sq8_saved": e3_sq8_topk,
     "e5_pack": e5_pack,
     "e5_pack_assemble": e5_pack_assemble,
     "e5_classifier_confusion": e5_classifier_confusion,

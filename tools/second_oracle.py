@@ -784,6 +784,133 @@ def _cell_probe(cells, emb, n2, n_queries=32, k=3):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def _load_emb(sf):
+    e = pd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    emb = {int(v): [float(x) for x in a]
+           for v, a in zip(e["vec_id"], e["embedding"])}
+    return emb, {i: _dot(v, v) for i, v in emb.items()}
+
+
+def _exact_topk(emb, n2, nq=32, k=3):
+    import math
+    out = {}
+    for q in sorted(emb):
+        if q >= nq:
+            continue
+        out[q] = [c for c, _ in sorted(
+            ((c, _dot(emb[q], emb[c]) /
+              (math.sqrt(n2[q]) * math.sqrt(n2[c])))
+             for c in emb if c != q),
+            key=lambda t: (-t[1], t[0]))[:k]]
+    return out
+
+
+def e3_ann_recall(sf):
+    # recall of the sign-bucket ANN against the exact top-3
+    emb, n2 = _load_emb(sf)
+    exact = _exact_topk(emb, n2)
+    ann = {}
+    for r in e3_ann_bucketed(sf).itertuples():
+        ann.setdefault(int(r.query_id), set()).add(int(r.vec_id))
+    rows = []
+    for q in sorted(exact):
+        hits = sum(1 for v in exact[q] if v in ann.get(q, set()))
+        rows.append((q, len(exact[q]), hits, hits / float(len(exact[q]))))
+    return pd.DataFrame(
+        rows, columns=["query_id", "n_exact", "n_hit", "recall"])
+
+
+def e3_sq8_recall(sf):
+    emb, n2 = _load_emb(sf)
+    exact = _exact_topk(emb, n2)
+    sq8 = {}
+    for r in e3_sq8_topk(sf).itertuples():
+        sq8.setdefault(int(r.query_id), set()).add(int(r.vec_id))
+    rows = []
+    for q in sorted(exact):
+        hits = sum(1 for v in exact[q] if v in sq8.get(q, set()))
+        rows.append((q, len(exact[q]), hits, hits / float(len(exact[q]))))
+    return pd.DataFrame(
+        rows, columns=["query_id", "n_exact", "n_hit", "recall"])
+
+
+def _ivf_fixed_cells(emb, n2, n_cent=16):
+    import math
+    cents = {i: emb[i] for i in emb if i < n_cent}
+
+    def rank_cells(i, np):
+        ranked = sorted(
+            ((cid, _dot(emb[i], cents[cid]) /
+              (math.sqrt(n2[i]) * math.sqrt(n2[cid])))
+             for cid in sorted(cents)),
+            key=lambda t: (-t[1], t[0]))
+        return [cid for cid, _ in ranked[:np]]
+
+    cell = {i: rank_cells(i, 1)[0] for i in emb}
+    return cell, rank_cells
+
+
+def e3_ivf_probe(sf, nprobe=3):
+    # multi-probe IVF: each query probes its 3 nearest cells
+    import math
+    emb, n2 = _load_emb(sf)
+    cell, rank_cells = _ivf_fixed_cells(emb, n2)
+    members = {}
+    for i, c in cell.items():
+        members.setdefault(c, []).append(i)
+    rows = []
+    for q in sorted(emb):
+        if q >= 32:
+            continue
+        cand = [c for cid in rank_cells(q, nprobe)
+                for c in members.get(cid, []) if c != q]
+        scored = sorted(
+            ((c, _dot(emb[q], emb[c]) /
+              (math.sqrt(n2[q]) * math.sqrt(n2[c]))) for c in cand),
+            key=lambda t: (-t[1], t[0]))[:3]
+        for rk, (c, cs) in enumerate(scored, start=1):
+            rows.append((q, c, cs, rk))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
+
+
+def e3_ivf_recall_probe(sf):
+    # aggregate recall of the single- and multi-probe IVF vs exact
+    emb, n2 = _load_emb(sf)
+    exact = _exact_topk(emb, n2)
+    rows = []
+    for np_ in (1, 3):
+        ann = {}
+        for r in e3_ivf_probe(sf, nprobe=np_).itertuples():
+            ann.setdefault(int(r.query_id), set()).add(int(r.vec_id))
+        n_exact = sum(len(v) for v in exact.values())
+        n_hit = sum(1 for q, vs in exact.items()
+                    for v in vs if v in ann.get(q, set()))
+        rows.append((np_, n_exact, n_hit, n_hit / float(n_exact)))
+    return pd.DataFrame(
+        rows, columns=["nprobe", "n_exact", "n_hit", "recall"])
+
+
+def e3_hard_negatives(sf):
+    # cross-cluster nearest neighbors: kmeans cells, candidates from
+    # a DIFFERENT cluster only, top-3
+    import math
+    a, emb, n2 = _kmeans_chain(sf)
+    cl = {i: c for i, (c, _) in a.items()}
+    rows = []
+    for q in sorted(emb):
+        if q >= 32:
+            continue
+        scored = sorted(
+            ((c, _dot(emb[q], emb[c]) /
+              (math.sqrt(n2[q]) * math.sqrt(n2[c])))
+             for c in emb if c != q and cl[c] != cl[q]),
+            key=lambda t: (-t[1], t[0]))[:3]
+        for rk, (c, cs) in enumerate(scored, start=1):
+            rows.append((q, c, cs, rk))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
+
+
 def e3_kmeans(sf):
     a, _, _ = _kmeans_chain(sf)
     return pd.DataFrame(
@@ -3282,6 +3409,11 @@ QUERIES = {
     "e3_ivf_compacted": e3_ivf_incremental,
     "e3_ivf_stream": e3_ivf_incremental,
     "e3_sq8_saved": e3_sq8_topk,
+    "e3_ann_recall": e3_ann_recall,
+    "e3_sq8_recall": e3_sq8_recall,
+    "e3_ivf_probe": e3_ivf_probe,
+    "e3_ivf_recall_probe": e3_ivf_recall_probe,
+    "e3_hard_negatives": e3_hard_negatives,
     "e5_pack": e5_pack,
     "e5_pack_assemble": e5_pack_assemble,
     "e5_classifier_confusion": e5_classifier_confusion,

@@ -720,22 +720,13 @@ def _f32(x):
     return struct.unpack("f", struct.pack("f", x))[0]
 
 
-def _kmeans_chain(sf, k=8, iters=2, train=None):
-    # Lloyd replay (Similarity.kmeans): init = k lowest-id TRAIN
-    # vectors; assign by cosine argmax (ties -> lowest cid) with the
-    # engine's sequential float32->double dot fold; update = per-dim
-    # DECIMAL(28,10) exact mean, rounded back to float32. The final
-    # assignment covers ALL vectors (the incremental-index oracles
-    # train on a base subset, then assign the whole table).
+def _lloyd(emb, n2, k, iters, tids):
+    # Lloyd core (Similarity.kmeans/kmeansCentroids): init = k
+    # lowest-id TRAIN vectors; assign by cosine argmax (ties -> lowest
+    # cid) with the engine's sequential float32->double dot fold;
+    # update = per-dim DECIMAL(28,10) exact mean, rounded back to
+    # float32. Returns the final all-vector assignment + centroids.
     import math
-    e = pd.read_parquet(f"{sf}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    e = e[e["embedding"].notna()]
-    emb = {int(v): [float(x) for x in a]
-           for v, a in zip(e["vec_id"], e["embedding"])}
-    ids = sorted(emb)
-    n2 = {i: _dot(emb[i], emb[i]) for i in ids}
-    tids = [i for i in ids if train is None or train(i)]
 
     def assign(cents, over):
         out = {}
@@ -761,7 +752,70 @@ def _kmeans_chain(sf, k=8, iters=2, train=None):
             cv = [_f32(float(sum(dec10(emb[i][d]) for i in ms)) / len(ms))
                   for d in range(dims)]
             cents[cid] = (cv, _dot(cv, cv))
-    return assign(cents, ids), emb, n2
+    return assign(cents, sorted(emb)), cents
+
+
+def _kmeans_chain(sf, k=8, iters=2, train=None):
+    emb, n2 = _load_emb(sf)
+    tids = [i for i in sorted(emb) if train is None or train(i)]
+    a, _ = _lloyd(emb, n2, k, iters, tids)
+    return a, emb, n2
+
+
+def _pq_parts(sf, train=None):
+    # per-subspace (16-dim slices) codebooks + codes: k=4, 1 iter
+    emb, _ = _load_emb(sf)
+    parts = []
+    for i in range(4):
+        sub = {v: emb[v][i * 16:(i + 1) * 16] for v in emb}
+        n2s = {v: _dot(s, s) for v, s in sub.items()}
+        tids = [v for v in sorted(sub) if train is None or train(v)]
+        a, cents = _lloyd(sub, n2s, 4, 1, tids)
+        parts.append((sub, {v: a[v][0] for v in sub}, cents))
+    return parts
+
+
+def e3_pq_codes(sf):
+    parts = _pq_parts(sf)
+    ids = sorted(parts[0][1])
+    rows = [tuple([v] + [parts[i][1][v] for i in range(4)]) for v in ids]
+    return pd.DataFrame(
+        rows, columns=["vec_id", "code_0", "code_1", "code_2", "code_3"])
+
+
+def _pq_adc(sf, train=None):
+    # asymmetric-distance scoring: fixed left-assoc sum of per-
+    # subspace query-centroid dots, top-3 by (adc desc, id asc)
+    parts = _pq_parts(sf, train)
+    ids = sorted(parts[0][1])
+    rows = []
+    for q in ids:
+        if q >= 32:
+            continue
+        scored = []
+        for c in ids:
+            if c == q:
+                continue
+            adc = 0.0
+            first = True
+            for i in range(4):
+                sub, codes, cents = parts[i]
+                p = _dot(sub[q], cents[codes[c]][0])
+                adc = p if first else adc + p
+                first = False
+            scored.append((c, adc))
+        top = sorted(scored, key=lambda t: (-t[1], t[0]))[:3]
+        for rk, (c, adc) in enumerate(top, start=1):
+            rows.append((q, c, adc, rk))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "adc", "rk"])
+
+
+def e3_pq_adc(sf):
+    return _pq_adc(sf)
+
+
+def e3_pq_incremental(sf):
+    return _pq_adc(sf, train=lambda v: v % 7 != 3)
 
 
 def _cell_probe(cells, emb, n2, n_queries=32, k=3):
@@ -909,6 +963,60 @@ def e3_hard_negatives(sf):
         for rk, (c, cs) in enumerate(scored, start=1):
             rows.append((q, c, cs, rk))
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
+
+
+def e3_hybrid_rrf(sf):
+    # dense cosine top-20 for vec 0 + BM25 top-20 on doc 0's most
+    # frequent non-stop terms, fused by reciprocal rank
+    import math
+    import re
+    from collections import Counter
+    emb, n2 = _load_emb(sf)
+    dense = sorted(
+        ((c, _dot(emb[0], emb[c]) / (math.sqrt(n2[0]) * math.sqrt(n2[c])))
+         for c in emb if c != 0),
+        key=lambda t: (-t[1], t[0]))[:20]
+    rk_a = {c: rk for rk, (c, _) in enumerate(dense, start=1)}
+    stops = {"the", "a", "of", "and", "is", "to"}
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    tf, dl = Counter(), {}
+    doc0 = None
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = re.split(r"\s+", str(t).strip())
+        dl[int(i)] = len(toks)
+        if int(i) == 0:
+            doc0 = toks
+        for w in toks:
+            tf[(int(i), w)] += 1
+    qtf = Counter(w for w in doc0 if w not in stops)
+    qt = [w for w, _ in sorted(qtf.items(), key=lambda t: (-t[1], t[0]))[:5]]
+    df = Counter()
+    for (_, w) in tf:
+        df[w] += 1
+    n_docs = len(dl)
+    avgdl = exact_mean(list(dl.values()))
+    scores, terms = {}, Counter()
+    for (i, w), f in tf.items():
+        if w not in qt:
+            continue
+        idf = ((n_docs - df[w]) + 0.5) / (df[w] + 0.5)
+        tfn = (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (dl[i] / avgdl)))
+        scores.setdefault(i, Decimal(0))
+        scores[i] += dec10(idf * tfn)
+        terms[i] += 1
+    sparse = sorted(((i, float(s)) for i, s in scores.items() if i != 0),
+                    key=lambda t: (-t[1], t[0]))[:20]
+    rk_b = {i: rk for rk, (i, _) in enumerate(sparse, start=1)}
+    fused = []
+    for i in set(rk_a) | set(rk_b):
+        rrf = (1.0 / (60.0 + float(rk_a[i])) if i in rk_a else 0.0) + \
+              (1.0 / (60.0 + float(rk_b[i])) if i in rk_b else 0.0)
+        fused.append((i, rk_a.get(i), rk_b.get(i), rrf))
+    top = sorted(fused, key=lambda t: (-t[3], t[0]))[:10]
+    rows = [(i, ra, rb, rrf, rk)
+            for rk, (i, ra, rb, rrf) in enumerate(top, start=1)]
+    return pd.DataFrame(
+        rows, columns=["doc_id", "rk_a", "rk_b", "rrf", "rk"])
 
 
 def e3_kmeans(sf):
@@ -1838,17 +1946,19 @@ def e1_source_overlap(sf):
         columns=["src_a", "src_b", "n_common", "n_a", "n_b", "jaccard"])
 
 
-def e3_sq8_topk(sf):
-    # SQ8 scalar quantization: per-dim min/max grid -> clamped int8
-    # codes -> exact BIGINT code dot products -> double cosine top-3
+def e3_sq8_topk(sf, train=None):
+    # SQ8 scalar quantization: per-dim min/max grid (learned on the
+    # train slice when given) -> clamped int8 codes -> exact BIGINT
+    # code dot products -> double cosine top-3
     import math
     e = pd.read_parquet(f"{sf}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
     emb = {int(v): [float(x) for x in a]
            for v, a in zip(e["vec_id"], e["embedding"])}
     dims = len(next(iter(emb.values())))
-    mns = [min(v[d] for v in emb.values()) for d in range(dims)]
-    mxs = [max(v[d] for v in emb.values()) for d in range(dims)]
+    grid = [v for i, v in emb.items() if train is None or train(i)]
+    mns = [min(v[d] for v in grid) for d in range(dims)]
+    mxs = [max(v[d] for v in grid) for d in range(dims)]
 
     def codes(v):
         out = []
@@ -3410,6 +3520,13 @@ QUERIES = {
     "e3_ivf_stream": e3_ivf_incremental,
     "e3_sq8_saved": e3_sq8_topk,
     "e3_ann_recall": e3_ann_recall,
+    "e3_pq_codes": e3_pq_codes,
+    "e3_hybrid_rrf": e3_hybrid_rrf,
+    "e3_pq_adc": e3_pq_adc,
+    "e3_pq_saved": e3_pq_adc,
+    "e3_pq_incremental": e3_pq_incremental,
+    "e3_sq8_incremental":
+        (lambda sf: e3_sq8_topk(sf, train=lambda i: i % 7 != 3)),
     "e3_sq8_recall": e3_sq8_recall,
     "e3_ivf_probe": e3_ivf_probe,
     "e3_ivf_recall_probe": e3_ivf_recall_probe,

@@ -2438,6 +2438,39 @@ def e5_bm25(sf):
         columns=["doc_id", "n_terms", "score", "rk"])
 
 
+def a18_heavy_hitters(sf):
+    # Misra-Gries gate: candidates can never exclude a true heavy
+    # hitter, so the exact-count filter IS the truth table
+    from collections import Counter
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id"])
+    counts = Counter(int(u) for u in ev["user_id"])
+    total = len(ev)
+    thr = total // 129
+    rows = [(u, c) for u, c in sorted(counts.items()) if c > thr]
+    return pd.DataFrame(rows, columns=["user_id", "cnt"])
+
+
+def a16_mode(sf):
+    # per-group mode with (count desc, value asc) tiebreak
+    from collections import Counter
+    li = pd.read_parquet(
+        f"{sf}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    rows = []
+    for g, grp in li.groupby("l_returnflag"):
+        c = Counter(float(v) for v in grp["l_quantity"])
+        v, n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append((g, v, n))
+    return pd.DataFrame(rows, columns=["l_returnflag", "mode_quantity", "n_rows"])
+
+
+def a11_histogram(sf):
+    import math
+    from collections import Counter
+    od = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_totalprice"])
+    c = Counter(int(math.floor(v / 25000.0)) for v in od["o_totalprice"])
+    return pd.DataFrame(sorted(c.items()), columns=["bucket", "n"])
+
+
 def a21_chi_drift(sf):
     # bucketed two-sample chi-square with DECIMAL(28,10) term sums
     import math
@@ -3453,6 +3486,9 @@ QUERIES = {
     "e5_quality_classifier": e5_quality_classifier,
     "e5_quality_stream": e5_quality_classifier,
     "a21_chi_drift": a21_chi_drift,
+    "a18_heavy_hitters": a18_heavy_hitters,
+    "a16_mode": a16_mode,
+    "a11_histogram": a11_histogram,
     "a22_mad_outliers": a22_mad_outliers,
     "e5_bm25": e5_bm25,
     "e5_bm25_saved": e5_bm25,

@@ -2438,6 +2438,40 @@ def e5_bm25(sf):
         columns=["doc_id", "n_terms", "score", "rk"])
 
 
+def s14_scd2(sf):
+    # SCD2 history: change rows per user under (ts, event_id) order,
+    # validity intervals via lead, open rows flagged current
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"])
+    ev = ev[ev["user_id"] % 10 == 0].sort_values(
+        ["user_id", "ts", "event_id"])
+    far = pd.Timestamp("2199-12-31")
+    rows = []
+    for u, g in ev.groupby("user_id"):
+        chg = []
+        prev = object()
+        for et, ts in zip(g["event_type"], g["ts"]):
+            if et != prev:
+                chg.append((et, ts))
+            prev = et
+        for j, (et, ts) in enumerate(chg):
+            nxt = chg[j + 1][1] if j + 1 < len(chg) else None
+            rows.append((u, et, ts, nxt if nxt is not None else far,
+                         nxt is None))
+    return pd.DataFrame(
+        rows, columns=["user_id", "event_type", "valid_from", "valid_to",
+                       "is_current"])
+
+
+def s20_snapshot_read(sf):
+    # time-travel read of the SCD2 history at a fixed instant
+    h = s14_scd2(sf)
+    at = pd.Timestamp("2024-01-20")
+    return h[(h["valid_from"] <= at) & (at < h["valid_to"])] \
+        .reset_index(drop=True)
+
+
 def a18_heavy_hitters(sf):
     # Misra-Gries gate: candidates can never exclude a true heavy
     # hitter, so the exact-count filter IS the truth table
@@ -3487,6 +3521,8 @@ QUERIES = {
     "e5_quality_stream": e5_quality_classifier,
     "a21_chi_drift": a21_chi_drift,
     "a18_heavy_hitters": a18_heavy_hitters,
+    "s14_scd2": s14_scd2,
+    "s20_snapshot_read": s20_snapshot_read,
     "a16_mode": a16_mode,
     "a11_histogram": a11_histogram,
     "a22_mad_outliers": a22_mad_outliers,

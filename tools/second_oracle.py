@@ -1722,13 +1722,7 @@ def e7_curriculum(sf):
     qs = sorted(qual.values())
     n = len(qs)
 
-    def pct(p):
-        pos = p * (n - 1)
-        k = int(math.floor(pos))
-        dlt = pos - k
-        return qs[k] + dlt * (qs[k + 1] - qs[k]) if dlt > 0 else qs[k]
-
-    t_hi, t_lo = pct(0.75), pct(0.25)
+    t_hi, t_lo = _pct_interp(qs, 0.75), _pct_interp(qs, 0.25)
     rows = [(i, q, 1 if q >= t_hi else (2 if q >= t_lo else 3))
             for i, q in sorted(qual.items())]
     return pd.DataFrame(rows, columns=["doc_id", "quality", "phase"])
@@ -2436,6 +2430,118 @@ def e5_bm25(sf):
     return pd.DataFrame(
         [(i, n, s, rk) for rk, (i, n, s) in enumerate(ranked, start=1)],
         columns=["doc_id", "n_terms", "score", "rk"])
+
+
+def _pct_interp(qs, p):
+    # Spark percentile / DuckDB quantile_cont: pos = p*(n-1), then the
+    # CONVEX form lo*(1-d) + hi*d (Spark's getPercentile — NOT
+    # lo + d*(hi-lo), which differs in IEEE arithmetic)
+    import math
+    pos = p * (len(qs) - 1)
+    k = int(math.floor(pos))
+    d = pos - k
+    return qs[k] * (1 - d) + qs[k + 1] * d if d > 0 else qs[k]
+
+
+def w2_sessionize(sf):
+    # manual gaps-and-islands sessionization (strict > 30 min gap):
+    # per-session event counts and durations
+    gap = 1800000000
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["user_id", "ts", "event_id"])
+    ev = ev[ev["ts"].notna() & ev["user_id"].notna()].copy()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.sort_values(["user_id", "us", "event_id"])
+    rows = []
+    for u, g in ev.groupby("user_id"):
+        sid, last = 0, None
+        start, n = None, 0
+        for us in g["us"]:
+            if last is None or us - last > gap:
+                if start is not None:
+                    rows.append((u, sid, n, last - start))
+                sid += 1
+                start, n = us, 1
+            else:
+                n += 1
+            last = us
+        if start is not None:
+            rows.append((u, sid, n, last - start))
+    return pd.DataFrame(
+        rows, columns=["user_id", "session_id", "n_events", "duration_us"])
+
+
+def o9_moving_median(sf):
+    # 5-row trailing window median per customer
+    od = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    od = od.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    rows = []
+    for u, g in od.groupby("o_custkey"):
+        vals = [float(v) for v in g["o_totalprice"]]
+        ks = [int(k) for k in g["o_orderkey"]]
+        for j in range(len(vals)):
+            w = sorted(vals[max(j - 4, 0):j + 1])
+            rows.append((ks[j], int(u), vals[j],
+                         _pct_interp(w, 0.5), len(w)))
+    return pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice",
+                       "med5", "n5"])
+
+
+def o11_ewma(sf):
+    # EWMA over the last 20 values: left fold s*0.5 + v*0.5 from 0.0
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+    ev = ev[ev["ts"].notna()].sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for u, g in ev.groupby("user_id"):
+        vals = list(g["value"])
+        eids = [int(x) for x in g["event_id"]]
+        for j in range(len(vals)):
+            s = 0.0
+            for v in vals[max(j - 19, 0):j + 1]:
+                s = s * 0.5 + v * 0.5
+            rows.append((u, eids[j], vals[j], s))
+    return pd.DataFrame(rows, columns=["user_id", "event_id", "value", "ewma"])
+
+
+def o13_pareto(sf):
+    # revenue concentration: DECIMAL(28,4) part revenues, cumulative
+    # share over (rev desc, partkey), top 100
+    Q4 = Decimal(1).scaleb(-4)
+    li = pd.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+    rev = {}
+    for k, p, dd in zip(li["l_partkey"], li["l_extendedprice"],
+                        li["l_discount"]):
+        term = Decimal(repr(float(p) * (1.0 - float(dd)))) \
+            .quantize(Q4, rounding=ROUND_HALF_UP)
+        rev[int(k)] = rev.get(int(k), Decimal(0)) + term
+    total = float(sum(rev.values()))
+    ranked = sorted(rev.items(), key=lambda t: (-t[1], t[0]))
+    rows, cum = [], Decimal(0)
+    for rk, (k, r) in enumerate(ranked[:100], start=1):
+        cum += r
+        rows.append((k, rk, float(cum) / total))
+    return pd.DataFrame(rows, columns=["l_partkey", "rk", "cum_share"])
+
+
+def p7_winsorize(sf):
+    # decile clipping with interpolated bounds
+    li = pd.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    qs = sorted(float(v) for v in li["l_quantity"])
+    lo, hi = _pct_interp(qs, 0.1), _pct_interp(qs, 0.9)
+    rows = [(int(k), int(ln), float(v), min(max(float(v), lo), hi))
+            for k, ln, v in zip(li["l_orderkey"], li["l_linenumber"],
+                                li["l_quantity"])]
+    return pd.DataFrame(
+        rows, columns=["l_orderkey", "l_linenumber", "l_quantity", "clipped"])
 
 
 def s14_scd2(sf):
@@ -3523,6 +3629,11 @@ QUERIES = {
     "a18_heavy_hitters": a18_heavy_hitters,
     "s14_scd2": s14_scd2,
     "s20_snapshot_read": s20_snapshot_read,
+    "w2_sessionize": w2_sessionize,
+    "o9_moving_median": o9_moving_median,
+    "o11_ewma": o11_ewma,
+    "o13_pareto": o13_pareto,
+    "p7_winsorize": p7_winsorize,
     "a16_mode": a16_mode,
     "a11_histogram": a11_histogram,
     "a22_mad_outliers": a22_mad_outliers,

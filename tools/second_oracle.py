@@ -2443,6 +2443,75 @@ def _pct_interp(qs, p):
     return qs[k] * (1 - d) + qs[k + 1] * d if d > 0 else qs[k]
 
 
+def o10_gap_fill(sf):
+    # month spine per customer with forward-filled totals
+    od = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    od = od.copy()
+    od["m"] = [(d.year, d.month) for d in od["o_orderdate"]]
+    monthly = {}
+    for (u, m), g in od.groupby(["o_custkey", "m"]):
+        monthly[(int(u), m)] = float(sum(dec10(v) for v in g["o_totalprice"]))
+    bounds = {}
+    for (u, m) in monthly:
+        lo, hi = bounds.get(u, (m, m))
+        bounds[u] = (min(lo, m), max(hi, m))
+
+    def next_month(m):
+        y, mo = m
+        return (y + 1, 1) if mo == 12 else (y, mo + 1)
+
+    rows = []
+    for u in sorted(bounds):
+        lo, hi = bounds[u]
+        filled, m = None, lo
+        while m <= hi:
+            mt = monthly.get((u, m))
+            if mt is not None:
+                filled = mt
+            rows.append((u, pd.Timestamp(m[0], m[1], 1), mt, filled))
+            m = next_month(m)
+    return pd.DataFrame(
+        rows, columns=["o_custkey", "m", "m_total", "filled_total"])
+
+
+def o12_cumulative_users(sf):
+    # first-touch attribution: per-user min hour, new users per hour,
+    # running total
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    ev = ev[ev["ts"].notna()].copy()
+    ev["h"] = ev["ts"].dt.floor("h")
+    first = ev.groupby("user_id")["h"].min()
+    from collections import Counter
+    daily = Counter(first)
+    rows, cum = [], 0
+    for d in sorted(daily):
+        cum += daily[d]
+        rows.append((d, daily[d], cum))
+    return pd.DataFrame(rows, columns=["d", "new_users", "cum_users"])
+
+
+def o14_transitions(sf):
+    # first-order Markov transition counts and per-state probabilities
+    from collections import Counter
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"])
+    ev = ev[ev["ts"].notna()].sort_values(["user_id", "ts", "event_id"])
+    pairs = Counter()
+    for _, g in ev.groupby("user_id"):
+        ets = list(g["event_type"])
+        for a, b in zip(ets, ets[1:]):
+            pairs[(a, b)] += 1
+    from_tot = Counter()
+    for (a, _), n in pairs.items():
+        from_tot[a] += n
+    rows = [(a, b, n, n / float(from_tot[a]))
+            for (a, b), n in sorted(pairs.items())]
+    return pd.DataFrame(rows, columns=["from_type", "to_type", "n", "p"])
+
+
 def w2_sessionize(sf):
     # manual gaps-and-islands sessionization (strict > 30 min gap):
     # per-session event counts and durations
@@ -3633,6 +3702,9 @@ QUERIES = {
     "o9_moving_median": o9_moving_median,
     "o11_ewma": o11_ewma,
     "o13_pareto": o13_pareto,
+    "o10_gap_fill": o10_gap_fill,
+    "o12_cumulative_users": o12_cumulative_users,
+    "o14_transitions": o14_transitions,
     "p7_winsorize": p7_winsorize,
     "a16_mode": a16_mode,
     "a11_histogram": a11_histogram,

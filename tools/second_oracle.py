@@ -2443,6 +2443,43 @@ def _pct_interp(qs, p):
     return qs[k] * (1 - d) + qs[k + 1] * d if d > 0 else qs[k]
 
 
+def a12_cube(sf):
+    # CUBE grouping sets with DECIMAL(28,2)-exact price sums
+    li = pd.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+    rows = []
+    for keys in (("l_returnflag", "l_linestatus"), ("l_returnflag",),
+                 ("l_linestatus",), ()):
+        if keys:
+            for k, g in li.groupby(list(keys)):
+                k = k if isinstance(k, tuple) else (k,)
+                d = dict(zip(keys, k))
+                rows.append((d.get("l_returnflag"), d.get("l_linestatus"),
+                             len(g),
+                             float(sum(_dec2(v) for v in g["l_extendedprice"]))))
+        else:
+            rows.append((None, None, len(li),
+                         float(sum(_dec2(v) for v in li["l_extendedprice"]))))
+    return pd.DataFrame(
+        rows, columns=["l_returnflag", "l_linestatus", "n", "sum_price"])
+
+
+def a17_grouping_id(sf):
+    # ROLLUP with GROUPING ids
+    li = pd.read_parquet(
+        f"{sf}/lineitem.parquet", columns=["l_returnflag", "l_linestatus"])
+    rows = []
+    for rf_ls, g in li.groupby(["l_returnflag", "l_linestatus"]):
+        rows.append((rf_ls[0], rf_ls[1], len(g), 0, 0))
+    for rf, g in li.groupby("l_returnflag"):
+        rows.append((rf, None, len(g), 1, 0))
+    rows.append((None, None, len(li), 3, 1))
+    return pd.DataFrame(
+        rows, columns=["l_returnflag", "l_linestatus", "n", "level_id",
+                       "flag_is_total"])
+
+
 def o10_gap_fill(sf):
     # month spine per customer with forward-filled totals
     od = pd.read_parquet(
@@ -3705,6 +3742,8 @@ QUERIES = {
     "o10_gap_fill": o10_gap_fill,
     "o12_cumulative_users": o12_cumulative_users,
     "o14_transitions": o14_transitions,
+    "a12_cube": a12_cube,
+    "a17_grouping_id": a17_grouping_id,
     "p7_winsorize": p7_winsorize,
     "a16_mode": a16_mode,
     "a11_histogram": a11_histogram,

@@ -2232,22 +2232,37 @@ object ParityQueries {
   // mirrored verbatim in the oracle SQL, immune to any percentile
   // interpolation detail in either engine. x[k] is read off the CDF
   // as the value whose cumulative range covers rank k (the window
-  // runs over DISTINCT values — bounded by value cardinality, not
-  // rows). At 100 TB the edge pass swaps to approx_percentile with
-  // the same two-pass shape.
-  def o15RfmSegments(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  // runs over DISTINCT values — for near-unique metrics such as
+  // m_cents that cardinality approaches the customer count, so at
+  // 100 TB the real fix is swapping the edge pass to
+  // approx_percentile with the same two-pass shape, which removes
+  // the single-partition CDF sort entirely).
+  //
+  // r13 driver-gate forensics: the query is bit-exact across Spark,
+  // DuckDB 1.0.0, and the pure-Python replay, yet the driver's box
+  // flips the hash. The companion gate queries below bisect WHERE a
+  // future flip lives: `o15_edges` (the entire intermediate rank
+  // state as one row — red ⇒ the driver's DuckDB evaluates the
+  // CDF/rank SQL differently), `o15_scores` (per-metric score split
+  // — names the diverging metric), `o15_rowhash` (the same 1500 rows
+  // reduced to per-row md5 strings — green-while-o15-red ⇒ the
+  // divergence is in the driver's hash canonicalization over int64
+  // columns, not in any computed value).
+  private def o15Anchored(s: SparkSession, dir: String): DataFrame = {
     val per = Tables.orders(s, dir).groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_ts"),
         count(lit(1)).as("f"),
         sum(floor(col("o_totalprice") * 100).cast("long")).as("m_cents"))
-    val anchored = per.crossJoin(broadcast(per.agg(max(col("last_ts")).as("anchor"))))
+    per.crossJoin(broadcast(per.agg(max(col("last_ts")).as("anchor"))))
       .select(col("o_custkey"),
         datediff(col("anchor"), col("last_ts")).cast("long").as("r_days"),
         col("f"), col("m_cents"))
+  }
+  // one 1-row frame holding n plus, per metric, x[k] and x[k+1] for
+  // the three quartile ranks, via the cumulative-count CDF
+  private def o15EdgeFrame(anchored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val nDf = anchored.agg(count(lit(1)).as("n"))
-    // one 1-row frame per metric holding x[k] and x[k+1] for the
-    // three quartile ranks, via the cumulative-count CDF
     def edgeStats(metric: String, pfx: String): DataFrame = {
       val cum = anchored.groupBy(col(metric).as("v"))
         .agg(count(lit(1)).as("c"))
@@ -2260,24 +2275,59 @@ object ParityQueries {
       }
       cum.agg(aggs.head, aggs.tail: _*)
     }
-    val edges = edgeStats("r_days", "r").crossJoin(edgeStats("f", "f"))
+    edgeStats("r_days", "r").crossJoin(edgeStats("f", "f"))
       .crossJoin(edgeStats("m_cents", "m")).crossJoin(nDf)
-    def score(v: Column, pfx: String): Column =
-      lit(1L) + (1 to 3).map { p =>
-        val q = expr(s"((n - 1) * $p) % 4")
-        val xk = col(s"${pfx}_x${p}0")
-        val xk1 = coalesce(col(s"${pfx}_x${p}1"), xk)
-        (v * 4 > (lit(4L) - q) * xk + q * xk1).cast("long")
-      }.reduce(_ + _)
-    anchored.crossJoin(broadcast(edges))
-      .select(col("o_custkey"), col("r_days"), col("f"), col("m_cents"),
-        ((lit(5L) - score(col("r_days"), "r")) * 100 +
-          score(col("f"), "f") * 10 +
-          score(col("m_cents"), "m")).as("segment"))
   }
-  val o15Sql: String = {
-    // the same rank arithmetic, generated so engine and oracle cannot
-    // drift: k = ((n-1)*p)//4, q = ((n-1)*p)%4, edge compare in BIGINT
+  // per-metric 1–4 quartile score against the broadcast edge row
+  private def o15Score(v: Column, pfx: String): Column =
+    lit(1L) + (1 to 3).map { p =>
+      val q = expr(s"((n - 1) * $p) % 4")
+      val xk = col(s"${pfx}_x${p}0")
+      val xk1 = coalesce(col(s"${pfx}_x${p}1"), xk)
+      (v * 4 > (lit(4L) - q) * xk + q * xk1).cast("long")
+    }.reduce(_ + _)
+  def o15RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val anchored = o15Anchored(s, dir)
+    anchored.crossJoin(broadcast(o15EdgeFrame(anchored)))
+      .select(col("o_custkey"), col("r_days"), col("f"), col("m_cents"),
+        ((lit(5L) - o15Score(col("r_days"), "r")) * 100 +
+          o15Score(col("f"), "f") * 10 +
+          o15Score(col("m_cents"), "m")).as("segment"))
+  }
+  /** Driver-gate instrument (r13 VERDICT Next #1a): the full
+    * intermediate rank state of o15 as ONE row — n and all 18
+    * bracketing order statistics. Red here localizes a driver flip
+    * to the CDF/rank SQL layer.
+    */
+  def o15Edges(s: SparkSession, dir: String): DataFrame =
+    o15EdgeFrame(o15Anchored(s, dir))
+  /** Driver-gate instrument (r13 VERDICT Next #1b): per-metric score
+    * split. Edges green + a red metric column here names which
+    * metric's compare diverges.
+    */
+  def o15Scores(s: SparkSession, dir: String): DataFrame = {
+    val anchored = o15Anchored(s, dir)
+    anchored.crossJoin(broadcast(o15EdgeFrame(anchored)))
+      .select(col("o_custkey"),
+        o15Score(col("r_days"), "r").as("r_score"),
+        o15Score(col("f"), "f").as("f_score"),
+        o15Score(col("m_cents"), "m").as("m_score"))
+  }
+  /** Driver-gate instrument (r13 VERDICT Next #1, the w9 recipe):
+    * the exact o15 rows reduced to per-row md5 strings. If this is
+    * green while o15 itself is red, every computed value agrees and
+    * the divergence sits in the driver's hash canonicalization over
+    * int64 columns — not in the query.
+    */
+  def o15RowHash(s: SparkSession, dir: String): DataFrame =
+    o15RfmSegments(s, dir).select(col("o_custkey"),
+      md5(concat_ws("|", col("o_custkey"), col("r_days"), col("f"),
+        col("m_cents"), col("segment"))).as("row_md5"))
+  // the same rank arithmetic, generated so engine and oracle cannot
+  // drift: k = ((n-1)*p)//4, q = ((n-1)*p)%4, edge compare in BIGINT.
+  // Shared WITH-block so the o15 family (main query + the three
+  // driver-localization companions) evaluates ONE set of CTEs.
+  private val o15SqlCtes: String = {
     def cdf(metric: String, pfx: String): String = {
       val stats = (for { p <- 1 to 3; d <- 0 to 1 } yield
         s"""max(CASE WHEN lo <= (((n - 1) * $p) // 4) + $d
@@ -2290,11 +2340,6 @@ object ParityQueries {
          |    $stats
          |  FROM ${pfx}cum CROSS JOIN n)""".stripMargin
     }
-    def score(v: String, pfx: String): String =
-      "1 + " + (1 to 3).map { p =>
-        s"""CAST(4 * $v > (4 - (((n - 1) * $p) % 4)) * ${pfx}_x${p}0
-           |      + (((n - 1) * $p) % 4) * COALESCE(${pfx}_x${p}1, ${pfx}_x${p}0) AS BIGINT)""".stripMargin
-      }.mkString(" + ")
     s"""WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_ts,
        |    CAST(count(*) AS BIGINT) AS f,
        |    SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS m_cents
@@ -2306,13 +2351,40 @@ object ParityQueries {
        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
        |${cdf("r_days", "r")},
        |${cdf("f", "f")},
-       |${cdf("m_cents", "m")}
-       |SELECT o_custkey, r_days, f, m_cents,
-       |  (5 - (${score("r_days", "r")})) * 100
-       |  + (${score("f", "f")}) * 10
-       |  + (${score("m_cents", "m")}) AS segment
-       |FROM r CROSS JOIN re CROSS JOIN fe CROSS JOIN me CROSS JOIN n""".stripMargin
+       |${cdf("m_cents", "m")}""".stripMargin
   }
+  private def o15ScoreSql(v: String, pfx: String): String =
+    "1 + " + (1 to 3).map { p =>
+      s"""CAST(4 * $v > (4 - (((n - 1) * $p) % 4)) * ${pfx}_x${p}0
+         |      + (((n - 1) * $p) % 4) * COALESCE(${pfx}_x${p}1, ${pfx}_x${p}0) AS BIGINT)""".stripMargin
+    }.mkString(" + ")
+  private val o15SegmentSelect: String =
+    s"""SELECT o_custkey, r_days, f, m_cents,
+       |  (5 - (${o15ScoreSql("r_days", "r")})) * 100
+       |  + (${o15ScoreSql("f", "f")}) * 10
+       |  + (${o15ScoreSql("m_cents", "m")}) AS segment
+       |FROM r CROSS JOIN re CROSS JOIN fe CROSS JOIN me CROSS JOIN n""".stripMargin
+  val o15Sql: String = s"$o15SqlCtes\n$o15SegmentSelect"
+  val o15EdgesSql: String = {
+    val cols = (for { pfx <- Seq("r", "f", "m"); p <- 1 to 3; d <- 0 to 1 }
+      yield s"${pfx}_x$p$d").mkString(", ")
+    s"""$o15SqlCtes
+       |SELECT n, $cols
+       |FROM re CROSS JOIN fe CROSS JOIN me CROSS JOIN n""".stripMargin
+  }
+  val o15ScoresSql: String =
+    s"""$o15SqlCtes
+       |SELECT o_custkey,
+       |  CAST(${o15ScoreSql("r_days", "r")} AS BIGINT) AS r_score,
+       |  CAST(${o15ScoreSql("f", "f")} AS BIGINT) AS f_score,
+       |  CAST(${o15ScoreSql("m_cents", "m")} AS BIGINT) AS m_score
+       |FROM r CROSS JOIN re CROSS JOIN fe CROSS JOIN me CROSS JOIN n""".stripMargin
+  val o15RowHashSql: String =
+    s"""$o15SqlCtes,
+       |base AS ($o15SegmentSelect)
+       |SELECT o_custkey,
+       |  md5(concat_ws('|', o_custkey, r_days, f, m_cents, segment)) AS row_md5
+       |FROM base""".stripMargin
 
   // ---- W11: run-length streak detection (gaps-and-islands) -----------------
   // Per-user maximal strictly-increasing runs of `value` in event
@@ -3491,6 +3563,9 @@ object ParityQueries {
     "j15_join_size_profile" -> (j15JoinSizeProfile _),
     "p13_ref_integrity" -> (p13RefIntegrity _),
     "o15_rfm_segments" -> (o15RfmSegments _),
+    "o15_edges" -> (o15Edges _),
+    "o15_scores" -> (o15Scores _),
+    "o15_rowhash" -> (o15RowHash _),
     "j10_dpp" -> (j10Dpp _),
     "w7_twap" -> (w7Twap _),
     "w10_ohlc" -> (w10Ohlc _),
@@ -3613,6 +3688,9 @@ object ParityQueries {
     "j15_join_size_profile" -> j15Sql,
     "p13_ref_integrity" -> p13Sql,
     "o15_rfm_segments" -> o15Sql,
+    "o15_edges" -> o15EdgesSql,
+    "o15_scores" -> o15ScoresSql,
+    "o15_rowhash" -> o15RowHashSql,
     "j10_dpp" -> j10Sql,
     "w7_twap" -> w7Sql,
     "w10_ohlc" -> w10Sql,

@@ -313,4 +313,35 @@ class SparkLawsSpec extends SparkSpec {
     assert(inc == expected)
     assert(inc.size < full.size) // base-only pairs exist and were skipped
   }
+
+  test("law: o15 companions are consistent with the segment artifact") {
+    // the r14 driver-localization instruments must agree with the
+    // main query by construction: segment digits == per-metric
+    // scores, the edge row brackets every score compare, and the
+    // per-row md5 is a bijection of the o15 rows
+    val dir = "/root/testdata/sf0.001"
+    val seg = SparkEntry.queries("o15_rfm_segments")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val scores = SparkEntry.queries("o15_scores")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(seg.size == scores.size)
+    seg.foreach { case (ck, _, _, _, code) =>
+      val (r, f, m) = scores(ck)
+      assert(Seq(r, f, m).forall(v => v >= 1 && v <= 4))
+      assert(code == (5 - r) * 100 + f * 10 + m)
+    }
+    val edges = SparkEntry.queries("o15_edges")(spark, dir).collect()
+    assert(edges.length == 1)
+    val e = edges.head
+    assert(e.getAs[Long]("n") == seg.size.toLong)
+    // bracketing stats are non-decreasing in p for each metric
+    for (pfx <- Seq("r", "f", "m"); p <- 1 to 2)
+      assert(e.getAs[Long](s"${pfx}_x${p}0") <= e.getAs[Long](s"${pfx}_x${p + 1}0"))
+    val hashes = SparkEntry.queries("o15_rowhash")(spark, dir)
+      .as[(Long, String)].collect()
+    assert(hashes.length == seg.size)
+    assert(hashes.map(_._2).distinct.length == seg.size) // no md5 collisions
+    assert(hashes.forall(_._2.matches("[0-9a-f]{32}")))
+  }
 }

@@ -3580,12 +3580,13 @@ def p13_ref_integrity(sf):
         rows, columns=["relationship", "n_child", "n_orphans", "n_orphan_keys"])
 
 
-def o15_rfm_segments(sf):
+def _o15_state(sf):
     # per-customer RFM from first principles: integer metrics, exact
     # bracketing order statistics (k = (p*(n-1))//4, q = (p*(n-1))%4),
     # score compares in pure-integer scale-by-4 arithmetic — the same
     # rank rule the engine and the DuckDB oracle now share (r12 flake
-    # fix: no interpolated doubles anywhere)
+    # fix: no interpolated doubles anywhere). Shared by the o15 family
+    # (main query + the three r14 driver-localization companions).
     import math
     o = pd.read_parquet(
         f"{sf}/orders.parquet",
@@ -3611,15 +3612,53 @@ def o15_rfm_segments(sf):
     rd = [r for r, _, _ in rows.values()]
     fs = [f for _, f, _ in rows.values()]
     ms = [m for _, _, m in rows.values()]
-    re_, fe, me = edges(rd), edges(fs), edges(ms)
+    return rows, n, edges(rd), edges(fs), edges(ms)
 
-    def score(x, es):
-        return 1 + sum(4 * x > (4 - q) * xk + q * xk1 for xk, xk1, q in es)
+
+def _o15_score(x, es):
+    return 1 + sum(4 * x > (4 - q) * xk + q * xk1 for xk, xk1, q in es)
+
+
+def o15_rfm_segments(sf):
+    rows, n, re_, fe, me = _o15_state(sf)
     out = [(ck, r, f, m,
-            (5 - score(r, re_)) * 100 + score(f, fe) * 10 + score(m, me))
+            (5 - _o15_score(r, re_)) * 100 + _o15_score(f, fe) * 10
+            + _o15_score(m, me))
            for ck, (r, f, m) in sorted(rows.items())]
     return pd.DataFrame(
         out, columns=["o_custkey", "r_days", "f", "m_cents", "segment"])
+
+
+def o15_edges(sf):
+    # the full intermediate rank state as one row: n + the 18
+    # bracketing order statistics the engine/oracle scoring reads
+    rows, n, re_, fe, me = _o15_state(sf)
+    rec, cols = [n], ["n"]
+    for pfx, es in (("r", re_), ("f", fe), ("m", me)):
+        for p, (xk, xk1, _q) in enumerate(es, start=1):
+            rec += [xk, xk1]
+            cols += [f"{pfx}_x{p}0", f"{pfx}_x{p}1"]
+    return pd.DataFrame([rec], columns=cols)
+
+
+def o15_scores(sf):
+    rows, n, re_, fe, me = _o15_state(sf)
+    out = [(ck, _o15_score(r, re_), _o15_score(f, fe), _o15_score(m, me))
+           for ck, (r, f, m) in sorted(rows.items())]
+    return pd.DataFrame(
+        out, columns=["o_custkey", "r_score", "f_score", "m_score"])
+
+
+def o15_rowhash(sf):
+    # the o15 rows reduced to per-row md5 strings (string-typed
+    # artifact sidesteps any int64 hash-canonicalization sensitivity)
+    import hashlib
+    base = o15_rfm_segments(sf)
+    out = [(int(ck),
+            hashlib.md5("|".join(str(int(v)) for v in
+                                 (ck, r, f, m, s)).encode()).hexdigest())
+           for ck, r, f, m, s in base.itertuples(index=False)]
+    return pd.DataFrame(out, columns=["o_custkey", "row_md5"])
 
 
 def w9_dedup_stream(sf):
@@ -3875,6 +3914,9 @@ QUERIES = {
     "e2_sssp_weighted": e2_sssp_weighted,
     "p13_ref_integrity": p13_ref_integrity,
     "o15_rfm_segments": o15_rfm_segments,
+    "o15_edges": o15_edges,
+    "o15_scores": o15_scores,
+    "o15_rowhash": o15_rowhash,
 }
 
 

@@ -1093,9 +1093,17 @@ object ExtQueries {
   // posexplode). Results are bit-identical to the build-in-query
   // operators, so each saved probe reuses that operator's oracle SQL
   // unchanged — the equality IS the claim under test.
-  private val annNonce = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def annScratch(tag: String): String =
-    graft.ops.Sink.scratchDir(s"annix_${tag}_${annNonce.incrementAndGet()}")
+  // One scratch dir per tag, CLEARED on every issue (r13 ADVICE):
+  // re-invocations under multi-iteration Bench reuse the same path
+  // instead of accumulating nonce-suffixed trees until JVM exit,
+  // and the eager clear keeps the per-invocation-freshness contract
+  // that streaming checkpoints need (a replayed batch cannot meet a
+  // stale checkpoint). Assumes the sequential harness, like swapIn.
+  private def annScratch(tag: String): String = {
+    val path = graft.ops.Sink.scratchDir(s"annix_$tag")
+    graft.ops.Sink.clearLocalPath(path)
+    path
+  }
 
   def e3IvfSaved(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -2990,6 +2998,21 @@ object ExtQueries {
     Bm25Index.probe(s, ix, TextOps.enMarkers, Bm25Terms, Bm25K)
   }
 
+  /** The full lifecycle in one gate row: build 60%, append two 20%
+    * deltas (fragmenting the postings partitions), COMPACT
+    * ([[Bm25Index.compact]] — rewrite-then-swap), probe. Shares
+    * e5_bm25's oracle: compaction must not move a single bit.
+    */
+  def e5Bm25Compacted(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ix = annScratch("bm25c")
+    Bm25Index.write(docs.filter(col("doc_id") % 5 >= 2), "doc_id", "text", ix)
+    Bm25Index.append(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", ix)
+    Bm25Index.append(docs.filter(col("doc_id") % 5 === 1), "doc_id", "text", ix)
+    Bm25Index.compact(s, ix)
+    Bm25Index.probe(s, ix, TextOps.enMarkers, Bm25Terms, Bm25K)
+  }
+
   // ---- E3j: hybrid dense+sparse retrieval (RRF fusion) ---------------------
   // "More like doc 0", both ways at once: dense = exact cosine top-20
   // over the embedding column, sparse = BM25 top-20 on doc 0's most
@@ -3647,6 +3670,7 @@ object ExtQueries {
     "e5_bm25" -> (e5Bm25 _),
     "e5_bm25_saved" -> (e5Bm25Saved _),
     "e5_bm25_appended" -> (e5Bm25Appended _),
+    "e5_bm25_compacted" -> (e5Bm25Compacted _),
     "e3_hybrid_rrf" -> (e3HybridRrf _),
     "e3_pq_adc" -> (e3PqAdc _),
     "e3_hard_negatives" -> (e3HardNegatives _),
@@ -3761,6 +3785,7 @@ object ExtQueries {
     "e5_bm25" -> e5qSql,
     "e5_bm25_saved" -> e5qSql,
     "e5_bm25_appended" -> e5qSql,
+    "e5_bm25_compacted" -> e5qSql,
     "e3_hybrid_rrf" -> e3jSql,
     "e3_pq_adc" -> e3kSql,
     "e3_hard_negatives" -> e3lSql,

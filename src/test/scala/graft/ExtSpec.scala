@@ -197,11 +197,35 @@ class ExtSpec extends SparkSpec {
     val viaAppend = Bm25Index.probe(spark, incIx, graft.ext.TextOps.enMarkers, 5, 20)
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(viaAppend == probed)
-    val pAppend = spark.read.parquet(s"$incIx/postings")
-      .as[(Long, String, Long)].collect().toSet
-    val pFull = spark.read.parquet(s"$ix/postings")
-      .as[(Long, String, Long)].collect().toSet
-    assert(pAppend == pFull)
+    def postingRows(p: String): Set[(Long, String, Long)] = spark.read.parquet(p)
+      .select("doc_id", "word", "tf").as[(Long, String, Long)].collect().toSet
+    val pFull = postingRows(s"$ix/postings")
+    assert(postingRows(s"$incIx/postings") == pFull)
+    // postings lay out in hash-of-word directory partitions, and the
+    // probe's scoring scan carries partition filters on wb — the
+    // pruning the layout exists for
+    assert(new java.io.File(s"$incIx/postings").listFiles()
+      .exists(_.getName.startsWith("wb=")))
+    val scorePlan = Bm25Index.probe(spark, incIx, graft.ext.TextOps.enMarkers, 5, 20)
+      .queryExecution.executedPlan.toString
+    assert(scorePlan.contains("wb") && scorePlan.contains("PartitionFilters"),
+      scorePlan)
+    // compaction (rewrite-then-swap): probe bit-identical, postings
+    // row set unchanged, file count at/below the appended layout's
+    def parquetFileCount(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p))
+    }
+    val filesBefore = parquetFileCount(s"$incIx/postings")
+    Bm25Index.compact(spark, incIx, targetFiles = 2)
+    val afterCompact = Bm25Index.probe(spark, incIx, graft.ext.TextOps.enMarkers, 5, 20)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(afterCompact == probed)
+    assert(postingRows(s"$incIx/postings") == pFull)
+    assert(parquetFileCount(s"$incIx/postings") <= filesBefore)
+    assert(parquetFileCount(s"$incIx/doclen") <= 2)
   }
 
   test("AnnIndex incremental law: append(delta) equals full re-assignment of base ∪ delta") {

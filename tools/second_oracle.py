@@ -3790,6 +3790,7 @@ QUERIES = {
     "e5_bm25": e5_bm25,
     "e5_bm25_saved": e5_bm25,
     "e5_bm25_appended": e5_bm25,
+    "e5_bm25_compacted": e5_bm25,
     "a10_corr": a10_corr,
     "a14_group_regression": a14_group_regression,
     "a26_corr_matrix": a26_corr_matrix,

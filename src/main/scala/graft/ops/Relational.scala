@@ -121,21 +121,44 @@ object Relational {
     * full-outer join of two table-sized sides, and with the base
     * bucketed on the key even that shuffle disappears.
     *
-    * Precondition: at most one changelog row per key (as in any
-    * MERGE feed).
+    * Preconditions (required, not just conventional): the key is
+    * unique within the BASE (it is a snapshot), and the changelog
+    * carries at most one op per key UNLESS `seqCol` is given — with
+    * a sequence column, multi-op feeds are applied deterministically
+    * (highest sequence wins, i.e. the key's final state; compacting
+    * a feed to its last op per key is exactly what MERGE semantics
+    * prescribe). The base must not already carry `opCol` (or
+    * `seqCol`) — both are changelog-owned and dropped from the
+    * output; internal working columns use collision-checked names.
     */
   def cdcApply(
       base: DataFrame, changelog: DataFrame,
-      keys: Seq[String], opCol: String = "op"): DataFrame = {
+      keys: Seq[String], opCol: String = "op",
+      seqCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prec").desc)
-    base.withColumn("__prec", lit(0))
-      .withColumn(opCol, lit(null).cast("string"))
-      .unionByName(changelog.withColumn("__prec", lit(1)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 &&
+    val prec = "__graft_cdc_prec"
+    val rn = "__graft_cdc_rn"
+    require(!base.columns.contains(opCol),
+      s"cdcApply: base must not carry the changelog op column '$opCol'")
+    seqCol.foreach(c => require(!base.columns.contains(c),
+      s"cdcApply: base must not carry the changelog sequence column '$c'"))
+    (base.columns ++ changelog.columns).foreach(c =>
+      require(c != prec && c != rn, s"cdcApply: reserved internal column '$c'"))
+    val ord = col(prec).desc +: seqCol.map(c => col(c).desc).toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val seqTyped = seqCol.map(c =>
+      c -> changelog.schema(c).dataType)
+    val basePrepped = seqTyped.foldLeft(
+      base.withColumn(prec, lit(0))
+        .withColumn(opCol, lit(null).cast("string"))) {
+      case (df, (c, t)) => df.withColumn(c, lit(null).cast(t))
+    }
+    basePrepped
+      .unionByName(changelog.withColumn(prec, lit(1)))
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1 &&
         (col(opCol).isNull || col(opCol) =!= "D"))
-      .drop("__rn", "__prec", opCol)
+      .drop(rn :: prec :: opCol :: seqCol.toList: _*)
   }
 
   /** S14: type-2 slowly-changing-dimension history (Kimball) built

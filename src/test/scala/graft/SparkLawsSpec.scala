@@ -213,6 +213,32 @@ class SparkLawsSpec extends SparkSpec {
     }
   }
 
+  test("law: cdcApply with a seq column applies multi-op feeds last-op-wins") {
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "n")
+    // key 1: U then D (net delete); key 2: U then U (last image wins);
+    // key 4: I then U (insert, then update the fresh row)
+    val feed = Seq(
+      (1L, "a2", 11, "U", 1L), (1L, "a3", 12, "D", 2L),
+      (2L, "b2", 21, "U", 1L), (2L, "b3", 22, "U", 2L),
+      (4L, "d", 40, "I", 1L), (4L, "d2", 41, "U", 2L)
+    ).toDF("k", "v", "n", "op", "seq")
+    val out = Relational.cdcApply(base, feed, Seq("k"), "op", Some("seq"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(out == Set((2L, "b3", 22), (3L, "c", 30), (4L, "d2", 41)))
+    // applying op-by-op in sequence order agrees (the MERGE law)
+    val stepwise = (1L to 2L).foldLeft(base) { (acc, s) =>
+      Relational.cdcApply(acc, feed.filter(col("seq") === s).drop("seq"), Seq("k"), "op")
+    }.as[(Long, String, Int)].collect().toSet
+    assert(stepwise == out)
+    // reserved/collision preconditions fire instead of clobbering
+    intercept[IllegalArgumentException] {
+      Relational.cdcApply(base.withColumn("op", lit("X")), feed, Seq("k"), "op")
+    }
+    intercept[IllegalArgumentException] {
+      Relational.cdcApply(base.withColumn("__graft_cdc_prec", lit(1)), feed, Seq("k"), "op")
+    }
+  }
+
   test("law: merged intervals are disjoint, ordered, and cover exactly the input union") {
     for (seed <- Seq(3, 11, 29)) {
       val r = new Random(seed)

@@ -38,8 +38,12 @@ import graft.streaming.{CorpusStream, EventStream}
   * watermark, and `processAllAvailable` waits for it — the
   * forced-split + checkpoint-recovery laws and the driver gate pin
   * the behavior. The two-stateful-operator as-of chains
-  * (stream-stream join → downstream state) keep their second round,
-  * because the join's output watermark propagates one batch later.
+  * (stream-stream join → downstream state) also need only ONE round
+  * (r13 VERDICT Next #2): operator watermarks are recomputed
+  * together at the batch boundary, so the no-data micro-batch runs
+  * the join's outer-row emission AND the downstream eviction in the
+  * same pass — the StreamingSpec asofEnrich laws pin this with a
+  * single far-future round.
   *
   * 100 TB note: the STAGING step exists only to make a bounded
   * source replayable under the driver's gate; a deployment points
@@ -135,7 +139,7 @@ object StreamQueries {
           java.nio.file.Paths.get(s"$d/$name.json"),
           s"""{"columns":$cols,"batches":$body}""")
         ()
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
 
   /** Append one tiny sentinel frame to a streaming source dir and
@@ -384,17 +388,25 @@ object StreamQueries {
       .start()
     try {
       drain(q)
-      (1 to 2).foreach { i =>
-        val us = maxUs + (horizonSec + i * 3600L) * 1000000L
-        // both sides must advance: the global watermark is the MIN of
-        // the per-source watermarks
-        stageSentinel(s, us, "purchase")
-          .coalesce(1).write.mode("append").parquet(inP)
-        Seq((-2L, microsTs(us), 0.0))
-          .toDF("c_user", "c_ts", "click_value")
-          .coalesce(1).write.mode("append").parquet(inC)
-        drain(q)
-      }
+      // ONE sentinel round flushes the whole two-operator chain
+      // (r13 VERDICT Next #2, extending the single-operator trim):
+      // the sentinel batch advances the global watermark, and the
+      // no-data micro-batch that follows runs BOTH operators under
+      // it in one pass — the join emits its held-back outer rows and
+      // the downstream windowed collapse, fed those rows in the same
+      // batch, evicts every real window (operator watermarks are
+      // recomputed together, so the join's output watermark has
+      // already propagated). The StreamingSpec asofEnrich laws drive
+      // the same chain with a single far-future round.
+      val us = maxUs + (horizonSec + 3600L) * 1000000L
+      // both sides must advance: the global watermark is the MIN of
+      // the per-source watermarks
+      stageSentinel(s, us, "purchase")
+        .coalesce(1).write.mode("append").parquet(inP)
+      Seq((-2L, microsTs(us), 0.0))
+        .toDF("c_user", "c_ts", "click_value")
+        .coalesce(1).write.mode("append").parquet(inC)
+      drain(q)
     } finally q.stop()
     s.read.parquet(out)
       .filter(col("user_id") >= 0L)
@@ -444,17 +456,17 @@ object StreamQueries {
       .start()
     try {
       drain(q)
-      (1 to 2).foreach { i =>
-        // sentinels must clear the last real 1-day window END plus
-        // the (zero) lateness: maxUs + 2 days + i hours does
-        val us = maxUs + (2L * 86400L + i * 3600L) * 1000000L
-        stageSentinel(s, us, "purchase")
-          .coalesce(1).write.mode("append").parquet(inP)
-        Seq((-2L, microsTs(us), 0.0))
-          .toDF("c_user", "c_ts", "click_value")
-          .coalesce(1).write.mode("append").parquet(inC)
-        drain(q)
-      }
+      // one sentinel round + the no-data micro-batch flush the
+      // two-operator chain (see j5AsofStream); the sentinel must
+      // clear the last real 1-day window END plus the (zero)
+      // lateness: maxUs + 2 days + 1 hour does
+      val us = maxUs + (2L * 86400L + 3600L) * 1000000L
+      stageSentinel(s, us, "purchase")
+        .coalesce(1).write.mode("append").parquet(inP)
+      Seq((-2L, microsTs(us), 0.0))
+        .toDF("c_user", "c_ts", "click_value")
+        .coalesce(1).write.mode("append").parquet(inC)
+      drain(q)
     } finally q.stop()
     s.read.parquet(out)
       .filter(col("user_id") >= 0L)

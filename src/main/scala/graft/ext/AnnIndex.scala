@@ -119,11 +119,26 @@ object AnnIndex {
     swapIn(indexDir, "codes", tmp)
   }
 
+  /** Swap `tmp` in as `<indexDir>/<name>` via two atomic renames:
+    * the live directory is renamed ASIDE first (never deleted while
+    * it is the only copy), then tmp renamed in; on a failed swap the
+    * aside copy is restored. A crash between the renames leaves the
+    * data recoverable at `<name>.replaced` instead of lost. Note the
+    * swap still moves paths under any concurrently-held lazy
+    * DataFrame of the old artifact — like `withConfs`, artifact
+    * maintenance assumes the sequential harness (re-probe after a
+    * swap; a 100 TB deployment gets this from its table format's
+    * snapshot isolation instead).
+    */
   private[ext] def swapIn(indexDir: String, name: String, tmp: String): Unit = {
-    graft.ops.Sink.clearLocalPath(s"$indexDir/$name")
-    val ok = new java.io.File(tmp.stripPrefix("file:"))
-      .renameTo(new java.io.File(s"$indexDir/$name".stripPrefix("file:")))
+    val dst = new java.io.File(s"$indexDir/$name".stripPrefix("file:"))
+    val aside = new java.io.File(dst.getParentFile, s"$name.replaced")
+    if (aside.exists()) graft.ops.Sink.clearLocalPath(aside.getPath)
+    if (dst.exists()) require(dst.renameTo(aside), s"swap-aside failed for $dst")
+    val ok = new java.io.File(tmp.stripPrefix("file:")).renameTo(dst)
+    if (!ok && aside.exists()) aside.renameTo(dst)
     require(ok, s"compaction swap failed for $indexDir/$name")
+    if (aside.exists()) graft.ops.Sink.clearLocalPath(aside.getPath)
   }
 
   private def readCentroids(spark: SparkSession, indexDir: String): DataFrame =

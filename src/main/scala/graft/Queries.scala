@@ -3268,6 +3268,75 @@ object ParityQueries {
     }
     s.read.parquet(out)
   }
+
+  // ---- J16: cost-based join reorder fed by persisted ANALYZE stats ---------
+  // The sixth planning leg (r13 VERDICT Next #6): s16 computes
+  // ANALYZE-style statistics as a QUERY RESULT; this one closes the
+  // loop by persisting real catalog statistics (`ANALYZE TABLE ...
+  // COMPUTE STATISTICS FOR ALL COLUMNS` — row counts + per-column
+  // NDV/min/max/null counts on catalog tables) and letting the
+  // cost-based optimizer CONSUME them: with CBO + join reorder
+  // enabled in a pinned-conf window (the j14 recipe), a 3-way join
+  // written worst-first — the two fact-sized tables joined before
+  // the 1-row-selective nation filter — is re-ordered by estimated
+  // cost so the selective dimension applies first. PlanGuardSpec
+  // proves the reorder by diffing the optimized join tree with and
+  // without statistics. At 100 TB the same leg is nightly ANALYZE on
+  // the warehouse catalog; the result itself is plain SQL, so the
+  // oracle checks values while the plan guard checks planning.
+  private[graft] def j16Tables(s: SparkSession, dir: String): (String, String, String) = {
+    // PID-qualified + build-once-per-JVM, the s18 catalog recipe
+    val tag = s"${math.abs(dir.hashCode)}_${ProcessHandle.current.pid}"
+    val (ot, ct, nt) = (s"cbo_ord_$tag", s"cbo_cust_$tag", s"cbo_nat_$tag")
+    if (!s.catalog.tableExists(ot)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      Seq(ot, ct, nt).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        Sink.clearLocalPath(s"$wh/$t")
+        Sink.cleanupAtExit(s"$wh/$t")
+      }
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").format("parquet").saveAsTable(ot)
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        .write.mode("overwrite").format("parquet").saveAsTable(ct)
+      Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").format("parquet").saveAsTable(nt)
+      Seq(ot, ct, nt).foreach(t =>
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+    }
+    (ot, ct, nt)
+  }
+  private[graft] val j16Confs = Seq(
+    "spark.sql.cbo.enabled" -> "true",
+    "spark.sql.cbo.joinReorder.enabled" -> "true")
+  private[graft] def j16JoinPlan(s: SparkSession, dir: String): DataFrame = {
+    val (ot, ct, nt) = j16Tables(s, dir)
+    // written WORST-FIRST on purpose: orders ⋈ customer (the two big
+    // sides) textually precedes the 1-row nation filter — the order
+    // a cost-blind planner executes as written
+    s.table(ot)
+      .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+      .join(s.table(nt).filter(col("n_name") === "NATION_7"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+  }
+  def j16CboReorder(s: SparkSession, dir: String): DataFrame = {
+    val out = Sink.scratchDir(s"cbo_reorder_${math.abs(dir.hashCode)}")
+    withConfs(s, j16Confs) {
+      j16JoinPlan(s, dir).write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+  val j16Sql =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_7'
+      |GROUP BY n_name""".stripMargin
   val j14Sql =
     """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_items,
       |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -3560,6 +3629,7 @@ object ParityQueries {
     "s27_bloom_skip" -> (s27BloomSkip _),
     "s28_compound_skip" -> (s28CompoundSkip _),
     "j14_bloom_join" -> (j14BloomJoin _),
+    "j16_cbo_reorder" -> (j16CboReorder _),
     "j15_join_size_profile" -> (j15JoinSizeProfile _),
     "p13_ref_integrity" -> (p13RefIntegrity _),
     "o15_rfm_segments" -> (o15RfmSegments _),
@@ -3685,6 +3755,7 @@ object ParityQueries {
     "s27_bloom_skip" -> s27Sql,
     "s28_compound_skip" -> s28Sql,
     "j14_bloom_join" -> j14Sql,
+    "j16_cbo_reorder" -> j16Sql,
     "j15_join_size_profile" -> j15Sql,
     "p13_ref_integrity" -> p13Sql,
     "o15_rfm_segments" -> o15Sql,

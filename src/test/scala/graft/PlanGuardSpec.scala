@@ -714,6 +714,38 @@ class PlanGuardSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
   }
 
+  test("j16_cbo_reorder: persisted ANALYZE stats drive a cost-based join reorder") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val (ot, ct, nt) = ParityQueries.j16Tables(spark, dir)
+    // catalog statistics really persisted: exact row counts, not
+    // scans (rowCount is only SURFACED in plan stats under CBO —
+    // reading it inside the conf window is itself part of the claim)
+    def rowCountOf(t: String): BigInt =
+      ParityQueries.withConfs(spark, ParityQueries.j16Confs) {
+        spark.table(t).queryExecution.optimizedPlan.stats.rowCount
+          .getOrElse(sys.error(s"no rowCount stat on $t"))
+      }
+    assert(rowCountOf(nt) == BigInt(25))
+    assert(rowCountOf(ct) == spark.table(ct).count())
+    // the bottom-most join's leaf tables, per conf regime
+    def bottomJoinLeaves(cbo: Boolean): Set[String] = {
+      val plan = (if (cbo) ParityQueries.withConfs(spark, ParityQueries.j16Confs) {
+        ParityQueries.j16JoinPlan(spark, dir).queryExecution.optimizedPlan
+      } else ParityQueries.j16JoinPlan(spark, dir).queryExecution.optimizedPlan)
+      val joins = plan.collect { case j: Join => j }
+      assert(joins.size == 2, plan)
+      // the innermost join is the one with no Join beneath it
+      val bottom = joins.find(j => j.children.forall(
+        _.collect { case jj: Join => jj }.isEmpty)).get
+      Set(ot, ct, nt).filter(t => bottom.toString.contains(t))
+    }
+    // cost-blind: executes as written — orders joins customer first
+    assert(bottomJoinLeaves(cbo = false) == Set(ot, ct))
+    // with stats + CBO join reorder: the 1-row-selective nation
+    // filter applies FIRST (customer ⋈ nation at the bottom)
+    assert(bottomJoinLeaves(cbo = true) == Set(ct, nt))
+  }
+
   test("j15_join_size_profile: histogram-to-histogram join, never the join output") {
     val p = planOf("j15_join_size_profile")
     // both sides pre-reduce map-side (partial_count under each scan)

@@ -3509,6 +3509,26 @@ def j14_bloom_join(sf):
     return g[["o_custkey", "n_items", "cents"]]
 
 
+def j16_cbo_reorder(sf):
+    # CBO may only change the JOIN ORDER — the result is the plain
+    # 3-way star join, replayed here
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    n = pd.read_parquet(
+        f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"])
+    n = n[n["n_name"] == "NATION_7"]
+    o = o.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in o["o_totalprice"]])
+    m = (o.merge(c, left_on="o_custkey", right_on="c_custkey")
+         .merge(n, left_on="c_nationkey", right_on="n_nationkey"))
+    g = (m.groupby("n_name")
+         .agg(n_orders=("cents", "size"), cents=("cents", "sum")).reset_index())
+    return g[["n_name", "n_orders", "cents"]]
+
+
 def j15_join_size_profile(sf):
     # per-key |L_k|*|R_k| contributions bucketed by bit_length — the
     # same integer-exact floor(log2)+1 both engines compute as
@@ -3911,6 +3931,7 @@ QUERIES = {
     "s26_zonemap_compact": s22_zonemap_skip,
     "s23_snapshot_diff": s23_snapshot_diff,
     "j14_bloom_join": j14_bloom_join,
+    "j16_cbo_reorder": j16_cbo_reorder,
     "j15_join_size_profile": j15_join_size_profile,
     "e2_sssp_weighted": e2_sssp_weighted,
     "p13_ref_integrity": p13_ref_integrity,

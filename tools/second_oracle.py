@@ -3747,7 +3747,470 @@ def s25_cdc_apply(sf):
     return pd.DataFrame(rows, columns=["o_orderkey", "o_custkey", "cents"])
 
 
+# ---- TPC-H q-tier replays (r13 VERDICT stretch #7) -------------------------
+# The 22 composed decision-support queries were the largest family
+# still DuckDB-only. Same contract as every replay above: pandas for
+# IO/joins, the money/mean arithmetic in exact Decimal/int — the
+# house disciplines are
+#   revenue  = float(sum(dec4(ext * (1.0 - disc))))   -- DECIMAL(28,4)
+#   base sum = float(sum(dec2(v)))                    -- DECIMAL(28,2)
+#   qty/avg  = float(sum(dec10(v))) [/ count]         -- DECIMAL(28,10)
+# with dec<k> = Decimal(repr(float(v))).quantize(1e-k, HALF_UP), the
+# Double.toString round-trip both engines share.
+
+Q4 = Decimal(1).scaleb(-4)
+Q2 = Decimal(1).scaleb(-2)
+
+
+def _dec(v, q):
+    return Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP)
+
+
+def _dsum(vals, q):
+    vals = [v for v in vals if pd.notna(v)]
+    if not vals:
+        return None
+    return sum((_dec(v, q) for v in vals), Decimal(0))
+
+
+def _fsum(vals, q):
+    d = _dsum(vals, q)
+    return None if d is None else float(d)
+
+
+def _t(sf, name, cols):
+    return pd.read_parquet(f"{sf}/{name}.parquet", columns=cols)
+
+
+def _disc(df):
+    return [float(e) * (1.0 - float(d))
+            for e, d in zip(df["l_extendedprice"], df["l_discount"])]
+
+
+def q1_pricing_summary(sf):
+    li = _t(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_shipdate"])
+    li = li[li["l_shipdate"] <= pd.Timestamp("1999-12-01")]
+    rows = []
+    for (rf, ls), g in li.groupby(["l_returnflag", "l_linestatus"]):
+        sq = _fsum(g["l_quantity"], Q10)
+        rows.append((rf, ls, sq, _fsum(g["l_extendedprice"], Q2),
+                     _fsum(_disc(g), Q4),
+                     sq / int(g["l_quantity"].notna().sum()),
+                     _fsum(g["l_discount"], Q10) / int(g["l_discount"].notna().sum()),
+                     len(g)))
+    return pd.DataFrame(rows, columns=[
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "avg_qty", "avg_disc", "count_order"])
+
+
+def q2_min_cost_supplier(sf):
+    li = _t(sf, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+    p = _t(sf, "part", ["p_partkey", "p_size", "p_type"])
+    keep = set(p[(p["p_size"].between(20, 30)) & (p["p_type"] == "STANDARD")]
+               ["p_partkey"].astype(int))
+    ps = (li[[int(k) in keep for k in li["l_partkey"]]]
+          .groupby(["l_partkey", "l_suppkey"])["l_extendedprice"]
+          .min().reset_index(name="cost"))
+    s = _t(sf, "supplier", ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
+    n = _t(sf, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    r = _t(sf, "region", ["r_regionkey", "r_name"])
+    eur = (s.merge(n, left_on="s_nationkey", right_on="n_nationkey")
+           .merge(r[r["r_name"] == "EUROPE"], left_on="n_regionkey",
+                  right_on="r_regionkey"))
+    m = ps.merge(eur, left_on="l_suppkey", right_on="s_suppkey")
+    m["min_cost"] = m.groupby("l_partkey")["cost"].transform("min")
+    m = m[m["cost"] == m["min_cost"]]
+    m = m.rename(columns={"l_partkey": "p_partkey"})
+    m = m.sort_values(["s_acctbal", "n_name", "s_name", "p_partkey"],
+                      ascending=[False, True, True, True]).head(100)
+    return m[["s_acctbal", "s_name", "n_name", "p_partkey", "cost"]
+             ].reset_index(drop=True)
+
+
+def q3_shipping_priority(sf):
+    li = _t(sf, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    c = _t(sf, "customer", ["c_custkey", "c_mktsegment"])
+    m = (li[li["l_shipdate"] > pd.Timestamp("1998-01-01")]
+         .merge(o[o["o_orderdate"] < pd.Timestamp("1998-01-01")],
+                left_on="l_orderkey", right_on="o_orderkey")
+         .merge(c[c["c_mktsegment"] == "BUILDING"],
+                left_on="o_custkey", right_on="c_custkey"))
+    rows = [(k, d, _fsum(_disc(g), Q4))
+            for (k, d), g in m.groupby(["l_orderkey", "o_orderdate"])]
+    out = pd.DataFrame(rows, columns=["l_orderkey", "o_orderdate", "revenue"])
+    return (out.sort_values(["revenue", "l_orderkey"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+def q4_priority_exists(sf):
+    o = _t(sf, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _t(sf, "lineitem", ["l_orderkey", "l_returnflag"])
+    returned = set(li[li["l_returnflag"] == "R"]["l_orderkey"].astype(int))
+    o = o[(o["o_orderdate"] >= pd.Timestamp("1996-07-01"))
+          & (o["o_orderdate"] < pd.Timestamp("1996-10-01"))
+          & pd.Series([int(k) in returned for k in o["o_orderkey"]],
+                      index=o.index)]
+    g = o.groupby("o_orderpriority").size().reset_index(name="order_count")
+    return g.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q5_local_supplier(sf):
+    c = _t(sf, "customer", ["c_custkey", "c_nationkey"])
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _t(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"])
+    s = _t(sf, "supplier", ["s_suppkey", "s_nationkey"])
+    n = _t(sf, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    r = _t(sf, "region", ["r_regionkey", "r_name"])
+    o = o[(o["o_orderdate"] >= pd.Timestamp("1997-01-01"))
+          & (o["o_orderdate"] < pd.Timestamp("1998-01-01"))]
+    m = (c.merge(o, left_on="c_custkey", right_on="o_custkey")
+         .merge(li, left_on="o_orderkey", right_on="l_orderkey")
+         .merge(s, left_on="l_suppkey", right_on="s_suppkey"))
+    m = m[m["c_nationkey"] == m["s_nationkey"]]
+    m = (m.merge(n, left_on="s_nationkey", right_on="n_nationkey")
+         .merge(r[r["r_name"] == "ASIA"], left_on="n_regionkey",
+                right_on="r_regionkey"))
+    rows = [(k, _fsum(_disc(g), Q4)) for k, g in m.groupby("n_name")]
+    out = pd.DataFrame(rows, columns=["n_name", "revenue"])
+    return (out.sort_values(["revenue", "n_name"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def q6_forecast_revenue(sf):
+    li = _t(sf, "lineitem", ["l_shipdate", "l_extendedprice", "l_discount",
+                             "l_quantity"])
+    li = li[(li["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1997-01-01"))
+            & (li["l_discount"] >= 0.05) & (li["l_discount"] <= 0.07)
+            & (li["l_quantity"] < 24)]
+    rev = _fsum([float(e) * float(d) for e, d in
+                 zip(li["l_extendedprice"], li["l_discount"])], Q4)
+    return pd.DataFrame({"revenue": [rev]})
+
+
+def q7_volume_shipping(sf):
+    na, nb = "NATION_1", "NATION_2"
+    li = _t(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+    li = li[(li["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1998-01-01"))].copy()
+    li["l_year"] = [int(t.year) for t in li["l_shipdate"]]
+    s = _t(sf, "supplier", ["s_suppkey", "s_nationkey"])
+    c = _t(sf, "customer", ["c_custkey", "c_nationkey"])
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey"])
+    n = _t(sf, "nation", ["n_nationkey", "n_name"])
+    m = (li.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(c, left_on="o_custkey", right_on="c_custkey")
+         .merge(n.rename(columns={"n_nationkey": "sk", "n_name": "supp_nation"}),
+                left_on="s_nationkey", right_on="sk")
+         .merge(n.rename(columns={"n_nationkey": "ck", "n_name": "cust_nation"}),
+                left_on="c_nationkey", right_on="ck"))
+    m = m[((m["supp_nation"] == na) & (m["cust_nation"] == nb))
+          | ((m["supp_nation"] == nb) & (m["cust_nation"] == na))]
+    rows = [(sn, cn, y, _fsum(_disc(g), Q4))
+            for (sn, cn, y), g in m.groupby(["supp_nation", "cust_nation",
+                                             "l_year"])]
+    return pd.DataFrame(rows, columns=["supp_nation", "cust_nation", "l_year",
+                                       "revenue"])
+
+
+def q8_market_share(sf):
+    li = _t(sf, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+    p = _t(sf, "part", ["p_partkey", "p_type"])
+    s = _t(sf, "supplier", ["s_suppkey", "s_nationkey"])
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    c = _t(sf, "customer", ["c_custkey", "c_nationkey"])
+    n = _t(sf, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    r = _t(sf, "region", ["r_regionkey", "r_name"])
+    o = o[(o["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+          & (o["o_orderdate"] < pd.Timestamp("1998-01-01"))]
+    m = (li.merge(p[p["p_type"] == "ECONOMY"], left_on="l_partkey",
+                  right_on="p_partkey")
+         .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(n.rename(columns={"n_nationkey": "sk", "n_name": "nation",
+                                  "n_regionkey": "sreg"}),
+                left_on="s_nationkey", right_on="sk")
+         .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(c, left_on="o_custkey", right_on="c_custkey")
+         .merge(n.rename(columns={"n_nationkey": "ck", "n_name": "cnat"}),
+                left_on="c_nationkey", right_on="ck")
+         .merge(r[r["r_name"] == "ASIA"], left_on="n_regionkey",
+                right_on="r_regionkey"))
+    m = m.copy()
+    m["o_year"] = [int(t.year) for t in m["o_orderdate"]]
+    rows = []
+    for y, g in m.groupby("o_year"):
+        num = _fsum(_disc(g[g["nation"] == "NATION_5"]), Q4)
+        den = _fsum(_disc(g), Q4)
+        rows.append((y, None if num is None else num / den))
+    return pd.DataFrame(rows, columns=["o_year", "mkt_share"])
+
+
+def q9_product_profit(sf):
+    li = _t(sf, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+    p = _t(sf, "part", ["p_partkey", "p_name"])
+    s = _t(sf, "supplier", ["s_suppkey", "s_nationkey"])
+    n = _t(sf, "nation", ["n_nationkey", "n_name"])
+    o = _t(sf, "orders", ["o_orderkey", "o_orderdate"])
+    m = (li.merge(p[[("gear" in str(x)) for x in p["p_name"]]],
+                  left_on="l_partkey", right_on="p_partkey")
+         .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(n, left_on="s_nationkey", right_on="n_nationkey")
+         .merge(o, left_on="l_orderkey", right_on="o_orderkey")).copy()
+    m["o_year"] = [int(t.year) for t in m["o_orderdate"]]
+    rows = [(nn, y, _fsum(_disc(g), Q4))
+            for (nn, y), g in m.groupby(["n_name", "o_year"])]
+    return pd.DataFrame(rows, columns=["nation", "o_year", "sum_profit"])
+
+
+def q10_returned_items(sf):
+    c = _t(sf, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _t(sf, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_returnflag"])
+    n = _t(sf, "nation", ["n_nationkey", "n_name"])
+    o = o[(o["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+          & (o["o_orderdate"] < pd.Timestamp("1996-04-01"))]
+    m = (c.merge(o, left_on="c_custkey", right_on="o_custkey")
+         .merge(li[li["l_returnflag"] == "R"], left_on="o_orderkey",
+                right_on="l_orderkey")
+         .merge(n, left_on="c_nationkey", right_on="n_nationkey"))
+    rows = [(ck, cn, _fsum(_disc(g), Q4), ab, nn)
+            for (ck, cn, ab, nn), g in m.groupby(["c_custkey", "c_name",
+                                                  "c_acctbal", "n_name"])]
+    out = pd.DataFrame(rows, columns=["c_custkey", "c_name", "revenue",
+                                      "c_acctbal", "n_name"])
+    return (out.sort_values(["revenue", "c_custkey"], ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+
+def q11_important_parts(sf):
+    li = _t(sf, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"])
+    s = _t(sf, "supplier", ["s_suppkey", "s_nationkey"])
+    n = _t(sf, "nation", ["n_nationkey", "n_name"])
+    m = (li.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(n[n["n_name"] == "NATION_1"], left_on="s_nationkey",
+                right_on="n_nationkey"))
+    vdec = {k: _dsum(_disc(g), Q4) for k, g in m.groupby("l_partkey")}
+    thr = float(sum(vdec.values(), Decimal(0))) * 0.001
+    rows = [(int(k), float(v)) for k, v in vdec.items() if float(v) > thr]
+    out = pd.DataFrame(rows, columns=["l_partkey", "value"])
+    return (out.sort_values(["value", "l_partkey"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def q12_late_shipments(sf):
+    li = _t(sf, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"])
+    o = _t(sf, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    m = li[(li["l_shipdate"] >= pd.Timestamp("1997-01-01"))
+           & (li["l_shipdate"] < pd.Timestamp("1998-01-01"))
+           ].merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    m = m[m["l_shipdate"] > m["o_orderdate"] + pd.Timedelta(days=60)]
+    hi = {"1-URGENT", "2-HIGH"}
+    rows = [(rf, int(sum(p in hi for p in g["o_orderpriority"])),
+             int(sum(p not in hi for p in g["o_orderpriority"])))
+            for rf, g in m.groupby("l_returnflag")]
+    return pd.DataFrame(rows, columns=["l_returnflag", "high_line_count",
+                                       "low_line_count"])
+
+
+def q13_cust_distribution(sf):
+    c = _t(sf, "customer", ["c_custkey"])
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
+    o = o[o["o_orderpriority"] != "4-NOT SPECIFIED"]
+    per = o.groupby("o_custkey").size().to_dict()
+    counts = [int(per.get(int(k), 0)) for k in c["c_custkey"]]
+    g = pd.Series(counts).value_counts().reset_index()
+    g.columns = ["c_count", "custdist"]
+    return (g.sort_values(["custdist", "c_count"], ascending=[False, False])
+            .reset_index(drop=True))
+
+
+def q14_promo_share(sf):
+    li = _t(sf, "lineitem", ["l_partkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+    p = _t(sf, "part", ["p_partkey", "p_type"])
+    li = li[(li["l_shipdate"] >= pd.Timestamp("1997-09-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1997-10-01"))]
+    m = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    num = _fsum(_disc(m[m["p_type"] == "PROMO"]), Q4)
+    den = _fsum(_disc(m), Q4)
+    return pd.DataFrame({"promo_revenue": [100.0 * num / den]})
+
+
+def q15_top_supplier(sf):
+    li = _t(sf, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+    li = li[(li["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1996-04-01"))]
+    rev = {int(k): _fsum(_disc(g), Q4) for k, g in li.groupby("l_suppkey")}
+    mx = max(rev.values())
+    s = _t(sf, "supplier", ["s_suppkey", "s_name"])
+    m = s[[rev.get(int(k)) == mx for k in s["s_suppkey"]]].copy()
+    m["total_revenue"] = mx
+    return (m[["s_suppkey", "s_name", "total_revenue"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+def q16_supplier_cnt(sf):
+    li = _t(sf, "lineitem", ["l_partkey", "l_suppkey"])
+    p = _t(sf, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+    s = _t(sf, "supplier", ["s_suppkey", "s_acctbal"])
+    bad = set(s[s["s_acctbal"] < 0]["s_suppkey"].astype(int))
+    p = p[(p["p_brand"] != "Brand#1") & (p["p_type"] != "PROMO")
+          & (p["p_size"].isin([1, 9, 14, 19, 23, 36, 45, 49]))]
+    m = li[[int(k) not in bad for k in li["l_suppkey"]]
+           ].merge(p, left_on="l_partkey", right_on="p_partkey")
+    g = (m.groupby(["p_brand", "p_type", "p_size"])["l_suppkey"]
+         .nunique().reset_index(name="supplier_cnt"))
+    return (g.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                          ascending=[False, True, True, True])
+            .reset_index(drop=True))
+
+
+def q17_small_qty_revenue(sf):
+    li = _t(sf, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    p = _t(sf, "part", ["p_partkey", "p_brand"])
+    thr = {int(k): 0.2 * (float(_dsum(g, Q10))
+                          / int(g.notna().sum()))
+           for k, g in li.groupby("l_partkey")["l_quantity"]}
+    m = li.merge(p[p["p_brand"] == "Brand#3"], left_on="l_partkey",
+                 right_on="p_partkey")
+    m = m[[float(q) < thr[int(k)]
+           for q, k in zip(m["l_quantity"], m["l_partkey"])]]
+    return pd.DataFrame(
+        {"avg_yearly": [_fsum(m["l_extendedprice"], Q2) / 7.0]})
+
+
+def q18_large_orders(sf):
+    li = _t(sf, "lineitem", ["l_orderkey", "l_quantity"])
+    big = {int(k): float(_dsum(g, Q10))
+           for k, g in li.groupby("l_orderkey")["l_quantity"]}
+    big = {k: v for k, v in big.items() if v > 250.0}
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                          "o_totalprice"])
+    c = _t(sf, "customer", ["c_custkey", "c_name"])
+    m = o[[int(k) in big for k in o["o_orderkey"]]
+          ].merge(c, left_on="o_custkey", right_on="c_custkey").copy()
+    m["sum_qty"] = [big[int(k)] for k in m["o_orderkey"]]
+    m = m.sort_values(["o_totalprice", "o_orderkey"],
+                      ascending=[False, True]).head(100)
+    return m[["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+              "o_totalprice", "sum_qty"]].reset_index(drop=True)
+
+
+def q19_disjunctive_rev(sf):
+    li = _t(sf, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice",
+                             "l_discount"])
+    p = _t(sf, "part", ["p_partkey", "p_brand", "p_size"])
+    m = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    keep = (((m["p_brand"] == "Brand#12") & m["p_size"].between(1, 15)
+             & m["l_quantity"].between(1, 11))
+            | ((m["p_brand"] == "Brand#23") & m["p_size"].between(1, 25)
+               & m["l_quantity"].between(10, 20))
+            | ((m["p_brand"] == "Brand#4") & m["p_size"].between(1, 35)
+               & m["l_quantity"].between(20, 30)))
+    return pd.DataFrame({"revenue": [_fsum(_disc(m[keep]), Q4)]})
+
+
+def q20_excess_suppliers(sf):
+    p = _t(sf, "part", ["p_partkey", "p_name"])
+    sp = set(p[[str(x).startswith("small") for x in p["p_name"]]]
+             ["p_partkey"].astype(int))
+    li = _t(sf, "lineitem", ["l_partkey", "l_suppkey", "l_quantity",
+                             "l_shipdate"])
+    li = li[[int(k) in sp for k in li["l_partkey"]]]
+    y95 = li[(li["l_shipdate"] >= pd.Timestamp("1995-01-01"))
+             & (li["l_shipdate"] < pd.Timestamp("1996-01-01"))]
+    y96 = li[(li["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+             & (li["l_shipdate"] < pd.Timestamp("1997-01-01"))]
+    avail = {k: _dsum(g, Q4)
+             for k, g in y95.groupby(["l_partkey", "l_suppkey"])["l_quantity"]}
+    shipped = {k: _dsum(g, Q4)
+               for k, g in y96.groupby(["l_partkey", "l_suppkey"])["l_quantity"]}
+    ok = {int(sk) for (pk, sk), av in avail.items()
+          if (pk, sk) in shipped and 2 * av > shipped[(pk, sk)]}
+    s = _t(sf, "supplier", ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
+    n = _t(sf, "nation", ["n_nationkey", "n_regionkey"])
+    r = _t(sf, "region", ["r_regionkey", "r_name"])
+    m = (s.merge(n, left_on="s_nationkey", right_on="n_nationkey")
+         .merge(r[r["r_name"] == "ASIA"], left_on="n_regionkey",
+                right_on="r_regionkey"))
+    m = m[[int(k) in ok for k in m["s_suppkey"]]]
+    return (m[["s_name", "s_acctbal"]].sort_values("s_name")
+            .reset_index(drop=True))
+
+
+def q21_lone_returner(sf):
+    li = _t(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+    o = _t(sf, "orders", ["o_orderkey", "o_orderstatus"])
+    s = _t(sf, "supplier", ["s_suppkey", "s_name"])
+    fo = set(o[o["o_orderstatus"] == "F"]["o_orderkey"].astype(int))
+    supps = {}
+    rsupps = {}
+    for k, sk, rf in zip(li["l_orderkey"], li["l_suppkey"], li["l_returnflag"]):
+        supps.setdefault(int(k), set()).add(int(sk))
+        if rf == "R":
+            rsupps.setdefault(int(k), set()).add(int(sk))
+    l1 = li[(li["l_returnflag"] == "R")
+            & pd.Series([int(k) in fo for k in li["l_orderkey"]],
+                        index=li.index)]
+    keep = [len(supps[int(k)] - {int(sk)}) > 0
+            and len(rsupps.get(int(k), set()) - {int(sk)}) == 0
+            for k, sk in zip(l1["l_orderkey"], l1["l_suppkey"])]
+    m = l1[keep].merge(s, left_on="l_suppkey", right_on="s_suppkey")
+    g = m.groupby("s_name").size().reset_index(name="numwait")
+    return (g.sort_values(["numwait", "s_name"], ascending=[False, True])
+            .head(100).reset_index(drop=True))
+
+
+def q22_dormant_value(sf):
+    c = _t(sf, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+    o = _t(sf, "orders", ["o_custkey", "o_orderdate"])
+    pos = c[c["c_acctbal"] > 0]["c_acctbal"]
+    thr = float(_dsum(pos, Q10)) / int(pos.notna().sum())
+    recent = set(o[o["o_orderdate"] >= pd.Timestamp("2000-06-01")]
+                 ["o_custkey"].astype(int))
+    m = c[(c["c_acctbal"] > thr)
+          & pd.Series([int(k) not in recent for k in c["c_custkey"]],
+                      index=c.index)]
+    rows = [(seg, len(g), _fsum(g["c_acctbal"], Q2))
+            for seg, g in m.groupby("c_mktsegment")]
+    out = pd.DataFrame(rows, columns=["c_mktsegment", "numcust", "totacctbal"])
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q4_priority_exists": q4_priority_exists,
+    "q5_local_supplier": q5_local_supplier,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q11_important_parts": q11_important_parts,
+    "q12_late_shipments": q12_late_shipments,
+    "q13_cust_distribution": q13_cust_distribution,
+    "q14_promo_share": q14_promo_share,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_cnt": q16_supplier_cnt,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_rev": q19_disjunctive_rev,
+    "q20_excess_suppliers": q20_excess_suppliers,
+    "q21_lone_returner": q21_lone_returner,
+    "q22_dormant_value": q22_dormant_value,
     "a3_mean": a3_mean,
     "w9_dedup_stream": w9_dedup_stream,
     "w1_window_stream": w1_window_agg,

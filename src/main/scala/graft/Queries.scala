@@ -3125,7 +3125,7 @@ object ParityQueries {
     * %101 keys (deletes) and bumps %89 prices (updates). Columns
     * (o_orderkey, o_custkey, cents) on both.
     */
-  private def cdcVersions(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def cdcVersions(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -3141,7 +3141,7 @@ object ParityQueries {
     * images — s23 projects the op/old/new view, s25 feeds the new
     * image to [[Relational.cdcApply]].
     */
-  private def cdcChangelog(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def cdcChangelog(s: SparkSession, dir: String): DataFrame = {
     val (v1, v2) = cdcVersions(s, dir)
     v1.select(col("o_orderkey"), col("o_custkey").as("ck1"), col("cents").as("c1"))
       .join(

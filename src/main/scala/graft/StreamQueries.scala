@@ -944,6 +944,56 @@ object StreamQueries {
       Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
   }
 
+  // ---- S29: STREAMING CDC apply — micro-batched MERGE onto a base ----------
+  // The consumer side of the CDC story in its DEPLOYMENT shape: the
+  // I/U/D changelog ARRIVES as a stream (4 staged files, forced
+  // one-file micro-batches) and each micro-batch MERGEs into the
+  // standing base table via [[graft.ParityQueries.cdcVersions]]'
+  // batch operator `Relational.cdcApply` inside `foreachBatch` —
+  // rewrite-then-pointer-swap per batch, the single-process analogue
+  // of a table format's MERGE + snapshot commit. The diff emits at
+  // most one op per key, so ops on distinct keys commute and the
+  // final state is invariant to how the feed splits into batches —
+  // the oracle is s25's v2 snapshot verbatim: any batching
+  // unsoundness (op applied twice, delete resurrected, batch-order
+  // sensitivity) diverges rows+hash. At 100 TB each micro-batch
+  // merge is the s25 shape (union + one key-partitioned precedence
+  // window over base ∪ delta — with the base bucket-laid on the key
+  // the shuffle disappears), and the rewrite becomes the table
+  // format's copy-on-write commit.
+  def s29CdcStream(s: SparkSession, dir: String): DataFrame =
+    s29CdcStreamImpl(s, dir, nFiles = 4)
+
+  private[graft] def s29CdcStreamImpl(
+      s: SparkSession, dir: String, nFiles: Int): DataFrame = {
+    val (v1, _) = ParityQueries.cdcVersions(s, dir)
+    val feed = ParityQueries.cdcChangelog(s, dir)
+      .select(col("o_orderkey"), col("op"),
+        coalesce(col("ck2"), col("ck1")).as("o_custkey"),
+        coalesce(col("c2"), col("c1")).as("cents"))
+    val in = fresh("s29_in"); val st = fresh("s29_st"); val ck = fresh("s29_ck")
+    feed.repartition(nFiles).write.mode("overwrite").parquet(in)
+    v1.write.mode("overwrite").parquet(s"$st/v0")
+    // driver-side pointer to the current state version; foreachBatch
+    // runs on the driver, so a plain var is the commit log
+    val current = new java.util.concurrent.atomic.AtomicReference[String](s"$st/v0")
+    val q = s.readStream.schema(s.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val next = s"$st/v${id + 1}"
+        graft.ops.Relational.cdcApply(
+          s.read.parquet(current.get()), b, Seq("o_orderkey"), "op")
+          .write.mode("overwrite").parquet(next)
+        current.set(next)
+      }
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(current.get())
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_window_stream" -> (w1WindowStream _),
     "w3_session_stream" -> (w3SessionStream _),
@@ -959,6 +1009,7 @@ object StreamQueries {
     "e8_decontam_stream" -> (e8DecontamStream _),
     "s19_rollup_stream" -> (s19RollupStream _),
     "s24_manifest_stream" -> (s24ManifestStream _),
+    "s29_cdc_stream" -> (s29CdcStream _),
     "w9_dedup_stream" -> (w9DedupStream _))
 
   /** The 6-hour drift histogram, aggregated directly in SQL (both
@@ -989,5 +1040,6 @@ object StreamQueries {
     "e8_decontam_stream" -> ExtQueries.e8bSql,
     "s19_rollup_stream" -> ParityQueries.s19Sql,
     "s24_manifest_stream" -> ParityQueries.s22Sql,
+    "s29_cdc_stream" -> ParityQueries.s25Sql,
     "w9_dedup_stream" -> w9sSql)
 }

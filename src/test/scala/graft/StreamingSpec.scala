@@ -597,4 +597,18 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == truth.count())
     assert(out.except(truth).isEmpty && truth.except(out).isEmpty)
   }
+
+  test("s29 streaming CDC apply is batch-split-invariant and equals the batch merge") {
+    // ops on distinct keys commute, so the micro-batched MERGE must
+    // reach the same final state whether the feed arrives as one
+    // batch or seven — and both must equal the one-shot batch apply
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select(col("o_orderkey"), col("o_custkey"), col("cents"))
+        .as[(Long, Long, Long)].collect().toSet
+    val batch = rows(SparkEntry.queries("s25_cdc_apply")(spark, dir))
+    assert(rows(StreamQueries.s29CdcStreamImpl(spark, dir, nFiles = 1)) == batch)
+    assert(rows(StreamQueries.s29CdcStreamImpl(spark, dir, nFiles = 7)) == batch)
+  }
 }

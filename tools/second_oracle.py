@@ -4366,6 +4366,7 @@ QUERIES = {
     "pipeline_topn": pipeline_topn,
     "a25_kmv_distinct": a25_kmv_distinct,
     "s25_cdc_apply": s25_cdc_apply,
+    "s29_cdc_stream": s25_cdc_apply,
     "a4_group_mean": a4_group_mean,
     "a13_typed_mean": a13_typed_mean,
     "a15_weighted_avg": a15_weighted_avg,

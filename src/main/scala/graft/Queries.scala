@@ -3269,6 +3269,84 @@ object ParityQueries {
     s.read.parquet(out)
   }
 
+  // ---- J17: AQE skew-join split (runtime re-plan) ---------------------------
+  // The seventh planning leg, and the RUNTIME one: j4 handles skew by
+  // construction (salting), j15 diagnoses it, this demonstrates the
+  // platform path — Adaptive Query Execution observing the actual
+  // shuffle sizes and SPLITTING oversized partitions at runtime. The
+  // join key is l_returnflag (3 values, sizes wildly uneven), the
+  // regime is a forced shuffle join (broadcast off — a 100 TB fact
+  // side forces exactly that), and the skew thresholds are scaled to
+  // the toy fixture the way j14 scales the bloom thresholds.
+  // PlanGuardSpec asserts the executed plan carries skewed
+  // AQEShuffleRead nodes; the oracle is the plain join semantics —
+  // partition splitting replays the other side's matching partition,
+  // never changes the result.
+  private[graft] val j17Confs = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+    // thresholds scaled to the fixture's COMPRESSED shuffle-block
+    // sizes (a few KB at sf0.001) the way j14 scales the bloom
+    // thresholds; production keeps the 256 MB default
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4096",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4096",
+    // the downstream per-(flag, status) aggregate could reuse the
+    // join's flag-partitioning, and AQE refuses a split that breaks a
+    // reusable partitioning unless forced — forcing is exactly the
+    // 100 TB trade: one extra exchange of the (small) aggregate input
+    // against a straggler task holding half the fact table
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+  private[graft] def j17JoinPlan(s: SparkSession, dir: String): DataFrame = {
+    // Both join inputs are STAGED as scratch tables first (build-once
+    // per JVM), for two structural reasons the toy fixture would
+    // otherwise hide: (a) skew splitting regroups MAP-side shuffle
+    // blocks, so a reduce partition fed by a single map task — all a
+    // one-file parquet scan produces — can never split regardless of
+    // size (the fact stage writes 16 files to emulate a production
+    // scan's many map tasks); (b) OptimizeSkewedJoin only matches a
+    // join whose children are sort-directly-over-shuffle — an
+    // aggregate between them (the dim built in-query) opts the join
+    // out, so the dim is materialized and re-scanned, which is what a
+    // real pipeline's dimension table is anyway.
+    val staged = Sink.scratchDir(s"aqe_skew_${math.abs(dir.hashCode)}")
+    val factP = s"$staged/fact"; val dimP = s"$staged/dim"
+    if (!new java.io.File(factP).exists()) {
+      val f0 = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      f0.repartition(16).write.mode("overwrite").parquet(factP)
+      f0.groupBy(col("l_returnflag"))
+        .agg(sum(col("cents")).as("flag_cents"))
+        .write.mode("overwrite").parquet(dimP)
+    }
+    val f = s.read.parquet(factP)
+    val d = s.read.parquet(dimP)
+    f.join(d, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("cents"),
+        max(col("flag_cents")).as("flag_cents"))
+  }
+  def j17AqeSkew(s: SparkSession, dir: String): DataFrame = {
+    val out = Sink.scratchDir(s"aqe_skew_${math.abs(dir.hashCode)}")
+    withConfs(s, j17Confs) {
+      j17JoinPlan(s, dir).write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+  val j17Sql =
+    """WITH f AS (SELECT l_returnflag, l_linestatus,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+      |d AS (SELECT l_returnflag, CAST(SUM(cents) AS BIGINT) AS flag_cents
+      |      FROM f GROUP BY 1)
+      |SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS cents, max(flag_cents) AS flag_cents
+      |FROM f JOIN d USING (l_returnflag)
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
   // ---- J16: cost-based join reorder fed by persisted ANALYZE stats ---------
   // The sixth planning leg (r13 VERDICT Next #6): s16 computes
   // ANALYZE-style statistics as a QUERY RESULT; this one closes the
@@ -3630,6 +3708,7 @@ object ParityQueries {
     "s28_compound_skip" -> (s28CompoundSkip _),
     "j14_bloom_join" -> (j14BloomJoin _),
     "j16_cbo_reorder" -> (j16CboReorder _),
+    "j17_aqe_skew" -> (j17AqeSkew _),
     "j15_join_size_profile" -> (j15JoinSizeProfile _),
     "p13_ref_integrity" -> (p13RefIntegrity _),
     "o15_rfm_segments" -> (o15RfmSegments _),
@@ -3756,6 +3835,7 @@ object ParityQueries {
     "s28_compound_skip" -> s28Sql,
     "j14_bloom_join" -> j14Sql,
     "j16_cbo_reorder" -> j16Sql,
+    "j17_aqe_skew" -> j17Sql,
     "j15_join_size_profile" -> j15Sql,
     "p13_ref_integrity" -> p13Sql,
     "o15_rfm_segments" -> o15Sql,

@@ -714,6 +714,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
   }
 
+  test("j17_aqe_skew: AQE splits the skewed shuffle partitions at runtime") {
+    // the executed (post-AQE) plan must carry skewed AQEShuffleRead
+    // nodes on the forced shuffle join — runtime re-plan observed,
+    // not just configured
+    val p = ParityQueries.withConfs(spark, ParityQueries.j17Confs) {
+      val d = ParityQueries.j17JoinPlan(spark, dir)
+      d.collect() // AQE finalizes this QueryExecution's physical plan
+      d.queryExecution.executedPlan.toString
+    }
+    assert(p.contains("AQEShuffleRead"), p)
+    assert(p.toLowerCase.contains("skewed"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("j16_cbo_reorder: persisted ANALYZE stats drive a cost-based join reorder") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val (ot, ct, nt) = ParityQueries.j16Tables(spark, dir)

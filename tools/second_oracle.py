@@ -3529,6 +3529,22 @@ def j16_cbo_reorder(sf):
     return g[["n_name", "n_orders", "cents"]]
 
 
+def j17_aqe_skew(sf):
+    # AQE skew splitting may only change task boundaries — the result
+    # is the plain flag-dimension join, replayed here
+    import math
+    li = pd.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+    li = li.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in li["l_extendedprice"]])
+    flag = li.groupby("l_returnflag")["cents"].sum().to_dict()
+    rows = [(rf, ls, len(g), int(g["cents"].sum()), int(flag[rf]))
+            for (rf, ls), g in li.groupby(["l_returnflag", "l_linestatus"])]
+    return pd.DataFrame(rows, columns=[
+        "l_returnflag", "l_linestatus", "n", "cents", "flag_cents"])
+
+
 def j15_join_size_profile(sf):
     # per-key |L_k|*|R_k| contributions bucketed by bit_length — the
     # same integer-exact floor(log2)+1 both engines compute as
@@ -4396,6 +4412,7 @@ QUERIES = {
     "s23_snapshot_diff": s23_snapshot_diff,
     "j14_bloom_join": j14_bloom_join,
     "j16_cbo_reorder": j16_cbo_reorder,
+    "j17_aqe_skew": j17_aqe_skew,
     "j15_join_size_profile": j15_join_size_profile,
     "e2_sssp_weighted": e2_sssp_weighted,
     "p13_ref_integrity": p13_ref_integrity,

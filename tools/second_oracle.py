@@ -3763,7 +3763,694 @@ def s25_cdc_apply(sf):
     return pd.DataFrame(rows, columns=["o_orderkey", "o_custkey", "cents"])
 
 
-# ---- TPC-H q-tier replays (r13 VERDICT stretch #7) -------------------------
+# ---- Full-registry closure replays (r14) -----------------------------------
+# The remaining 55 batch queries that had only the DuckDB opinion —
+# projections, joins, window/rank families, scalar-function toolkits,
+# format round-trips, set/bag ops, metadata/layout queries — so EVERY
+# registered query now carries the pure-Python third opinion.
+
+
+def p1_normalize_names(sf):
+    li = _t(sf, "lineitem", ["l_returnflag"])
+    g = li.groupby("l_returnflag").size().reset_index(name="n")
+    return g
+
+
+def p2_coerce_cast(sf):
+    import json as _json
+    ev = _t(sf, "events", ["event_id", "event_type", "props"])
+    rows = []
+    for i, et, pr in zip(ev["event_id"], ev["event_type"], ev["props"]):
+        k = None
+        if pd.notna(pr):
+            v = _json.loads(pr).get("k")
+            if v is not None:
+                try:
+                    k = float(v)
+                except ValueError:
+                    k = None
+        try:
+            et_num = float(et)
+        except (ValueError, TypeError):
+            et_num = None
+        rows.append((int(i), k, et_num))
+    return pd.DataFrame(rows, columns=["event_id", "k_val", "et_num"])
+
+
+def p3_null_drop(sf):
+    ev = _t(sf, "events", ["event_id", "event_type", "value"])
+    m = ev[(ev["event_type"].isna() | (ev["event_type"] != "error"))
+           & ev["value"].notna()]
+    return m[["event_id", "value"]].rename(columns={"value": "v"}).reset_index(drop=True)
+
+
+def p4_filter(sf):
+    li = _t(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity",
+                             "l_returnflag"])
+    return li[li["l_returnflag"] == "R"][
+        ["l_orderkey", "l_linenumber", "l_quantity"]].reset_index(drop=True)
+
+
+def p5_project(sf):
+    return _t(sf, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+
+def p6_drop(sf):
+    return _t(sf, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+
+
+def p8_profile(sf):
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                          "o_totalprice", "o_orderdate", "o_orderpriority"])
+    rows = [(c, len(o), int(o[c].isna().sum()), int(o[c].nunique()))
+            for c in o.columns]
+    return pd.DataFrame(rows, columns=["column_name", "n_rows", "n_nulls",
+                                       "n_distinct"])
+
+
+def p10_expectations(sf):
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                          "o_totalprice"])
+    n = len(o)
+    ck = int(o["o_custkey"].notna().sum())
+    tp = int(o["o_totalprice"].notna().sum())
+    ok_ = int(o["o_orderkey"].notna().sum())
+    okd = int(o["o_orderkey"].nunique())
+    oor = int(sum(1 for v in o["o_totalprice"]
+                  if pd.notna(v) and (v < 0.0 or v > 1000000.0)))
+    oos = int(sum(1 for v in o["o_orderstatus"]
+                  if pd.notna(v) and v not in ("F", "O", "P")))
+    rows = [
+        ("complete", "o_custkey", ck / n, 0.95, ck / n >= 0.95),
+        ("complete", "o_totalprice", tp / n, 0.99, tp / n >= 0.99),
+        ("unique", "o_orderkey", float(ok_ - okd), 0.0, ok_ == okd),
+        ("in_range[0.0,1000000.0]", "o_totalprice", float(oor), 0.0, oor == 0),
+        ("in_set", "o_orderstatus", float(oos), 0.0, oos == 0),
+    ]
+    return pd.DataFrame(rows, columns=["check", "column_name", "metric",
+                                       "threshold", "passed"])
+
+
+def p12_feature_matrix(sf):
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_orderpriority",
+                          "o_orderdate", "o_totalprice"])
+    import math
+    vd = {int(k): _dec(v, Q10) for k, v in zip(o["o_orderkey"], o["o_totalprice"])}
+    cents = {int(k): int(math.floor(float(v) * 100))
+             for k, v in zip(o["o_orderkey"], o["o_totalprice"])}
+    grp = {}
+    for k, p in zip(o["o_orderkey"], o["o_orderpriority"]):
+        g = grp.setdefault(p, [0, Decimal(0)])
+        g[0] += 1
+        g[1] += vd[int(k)]
+    edges = _qcont(sorted(cents.values()), (0.25, 0.5, 0.75))
+    ncust = o.groupby("o_custkey").size().to_dict()
+    prev = {}
+    for _, r in o.sort_values(["o_orderdate", "o_orderkey"]).iterrows():
+        ck = r["o_custkey"]
+        k = int(r["o_orderkey"])
+        if pd.notna(ck):
+            p = prev.get(int(ck))
+            prev[int(ck)] = (r["o_orderdate"], k, p[0] if p else None)
+    # second pass for lag: recompute sequentially
+    lag = {}
+    last = {}
+    for _, r in o.sort_values(["o_orderdate", "o_orderkey"]).iterrows():
+        ck = r["o_custkey"]
+        k = int(r["o_orderkey"])
+        if pd.notna(ck):
+            lag[k] = last.get(int(ck))
+            last[int(ck)] = r["o_orderdate"]
+    rows = []
+    for _, r in o.iterrows():
+        k = int(r["o_orderkey"])
+        ng, sg = grp[r["o_orderpriority"]]
+        loo = float(sg - vd[k]) / (ng - 1) if ng > 1 else None
+        pb = 1 + sum(cents[k] > e for e in edges)
+        ck = r["o_custkey"]
+        nc = int(ncust[ck]) if pd.notna(ck) else None
+        dsp = None
+        if pd.notna(ck) and lag.get(k) is not None:
+            dsp = int((r["o_orderdate"].normalize()
+                       - lag[k].normalize()).days)
+        rows.append((k, loo, pb, nc, dsp))
+    return pd.DataFrame(rows, columns=["o_orderkey", "prio_loo", "price_bin",
+                                       "n_orders_cust", "days_since_prev"])
+
+
+def _qcont(sorted_vals, ps):
+    # quantile_cont / Spark percentile: pos = p*(n-1), linear interp
+    out = []
+    n = len(sorted_vals)
+    for p in ps:
+        pos = p * (n - 1)
+        lo = int(pos)
+        frac = pos - lo
+        v = float(sorted_vals[lo])
+        if frac > 0:
+            v = v + (float(sorted_vals[lo + 1]) - v) * frac
+        out.append(v)
+    return out
+
+
+def a1_count(sf):
+    li = _t(sf, "lineitem", ["l_orderkey"])
+    return pd.DataFrame({"n": [len(li)]})
+
+
+def a2_count_distinct(sf):
+    o = _t(sf, "orders", ["o_custkey"])
+    return pd.DataFrame({"n_o_custkey": [int(o["o_custkey"].nunique())]})
+
+
+def a5_group_mean_sort(sf):
+    o = _t(sf, "orders", ["o_orderpriority", "o_totalprice"])
+    o = o[o["o_orderpriority"].notna()]
+    rows = [(g, exact_mean(s)) for g, s in
+            o.groupby("o_orderpriority")["o_totalprice"]]
+    return pd.DataFrame(rows, columns=["o_orderpriority", "avg_o_totalprice"])
+
+
+def a6_rollup(sf):
+    li = _t(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    rows = []
+    for (rf, ls), g in li.groupby(["l_returnflag", "l_linestatus"]):
+        rows.append((rf, ls, len(g), _fsum(g["l_quantity"], Q10)))
+    for rf, g in li.groupby("l_returnflag"):
+        rows.append((rf, None, len(g), _fsum(g["l_quantity"], Q10)))
+    rows.append((None, None, len(li), _fsum(li["l_quantity"], Q10)))
+    return pd.DataFrame(rows, columns=["l_returnflag", "l_linestatus", "n",
+                                       "sum_qty"])
+
+
+def a7_conditional_agg(sf):
+    li = _t(sf, "lineitem", ["l_returnflag", "l_extendedprice", "l_discount"])
+    ret = li["l_returnflag"] == "R"
+    return pd.DataFrame({
+        "n_returned": [int(ret.sum())],
+        "returned_value": [_fsum(
+            [float(e) if r else 0.0
+             for e, r in zip(li["l_extendedprice"], ret)], Q10)],
+        "n_discounted": [int((li["l_discount"] > 0.05).sum())]})
+
+
+def a8_pivot(sf):
+    li = _t(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    rows = []
+    for rf, g in li.groupby("l_returnflag"):
+        rows.append((rf,
+                     _fsum(g[g["l_linestatus"] == "F"]["l_quantity"], Q10),
+                     _fsum(g[g["l_linestatus"] == "O"]["l_quantity"], Q10)))
+    return pd.DataFrame(rows, columns=["l_returnflag", "qty_f", "qty_o"])
+
+
+def a9_above_avg(sf):
+    li = _t(sf, "lineitem", ["l_extendedprice"])
+    m = exact_mean(li["l_extendedprice"])
+    return pd.DataFrame({"n_above": [int((li["l_extendedprice"] > m).sum())]})
+
+
+def j1_join_inner(sf):
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    c = _t(sf, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    return m[["o_orderkey", "o_custkey", "o_totalprice", "c_name",
+              "c_mktsegment"]]
+
+
+def j1_join_3way(sf):
+    c = _t(sf, "customer", ["c_custkey", "c_nationkey"])
+    n = _t(sf, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    r = _t(sf, "region", ["r_regionkey", "r_name"])
+    m = (c.merge(n, left_on="c_nationkey", right_on="n_nationkey")
+         .merge(r, left_on="n_regionkey", right_on="r_regionkey"))
+    return m[["c_custkey", "n_name", "r_name"]]
+
+
+def j2_left_join(sf):
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    c = _t(sf, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    c = c[c["c_mktsegment"] == "BUILDING"][["c_custkey", "c_name"]]
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey", how="left")
+    return m[["o_custkey", "o_orderkey", "o_totalprice", "c_name"]]
+
+
+def j3_semi_anti(sf):
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey"])
+    c = _t(sf, "customer", ["c_custkey", "c_acctbal"])
+    rich = set(c[c["c_acctbal"] > 5000]["c_custkey"].astype(int))
+    inr = pd.Series([int(k) in rich for k in o["o_custkey"]], index=o.index)
+    semi = o[inr].assign(which="semi")
+    anti = o[~inr].assign(which="anti")
+    return pd.concat([semi, anti])[["which", "o_orderkey", "o_custkey"]
+                                   ].reset_index(drop=True)
+
+
+def j4_salted_join(sf):
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    c = _t(sf, "customer", ["c_custkey", "c_mktsegment"])
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    return m[["o_custkey", "o_orderkey", "o_totalprice", "c_mktsegment"]]
+
+
+def _range_join(sf, etype, mod, hours):
+    ev = _t(sf, "events", ["event_id", "ts", "event_type"])
+    iv = ev[(ev["event_type"] == etype) & (ev["event_id"] % mod == 0)]
+    ivs = [(int(i), t, t + pd.Timedelta(hours=hours))
+           for i, t in zip(iv["event_id"], iv["ts"])]
+    rows = []
+    for e_id, t, et in zip(ev["event_id"], ev["ts"], ev["event_type"]):
+        for iid, lo, hi in ivs:
+            if lo <= t <= hi:
+                rows.append((iid, int(e_id), et))
+    return pd.DataFrame(rows, columns=["interval_id", "event_id",
+                                       "event_type"])
+
+
+def j6_range_join(sf):
+    return _range_join(sf, "signup", 40, 6)
+
+
+def j8_range_auto(sf):
+    return _range_join(sf, "purchase", 50, 4)
+
+
+def j7_interval_overlap(sf):
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                          "o_orderpriority"])
+    o = o[o["o_custkey"] < 200]
+    wk = pd.Timedelta(days=7)
+    a = [(int(k), d, d + wk) for k, d in
+         zip(o[o["o_orderpriority"] == "1-URGENT"]["o_orderkey"],
+             o[o["o_orderpriority"] == "1-URGENT"]["o_orderdate"])]
+    b = [(int(k), d, d + wk) for k, d in
+         zip(o[o["o_orderpriority"] == "2-HIGH"]["o_orderkey"],
+             o[o["o_orderpriority"] == "2-HIGH"]["o_orderdate"])]
+    rows = [(ak, bk) for ak, alo, ahi in a for bk, blo, bhi in b
+            if alo <= bhi and blo <= ahi]
+    return pd.DataFrame(rows, columns=["a_key", "b_key"])
+
+
+def j9_basket_pairs(sf):
+    li = _t(sf, "lineitem", ["l_orderkey", "l_partkey"]).drop_duplicates()
+    from collections import Counter
+    cnt = Counter()
+    for _, g in li.groupby("l_orderkey"):
+        parts = sorted(int(p) for p in g["l_partkey"])
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                cnt[(parts[i], parts[j])] += 1
+    rows = sorted(((a, b, n) for (a, b), n in cnt.items()),
+                  key=lambda r: (-r[2], r[0], r[1]))[:50]
+    return pd.DataFrame(rows, columns=["p_a", "p_b", "n_orders"])
+
+
+def j10_dpp(sf):
+    ev = _t(sf, "events", ["event_type"])
+    g = ev.groupby("event_type").size()
+    odd = g[g % 2 == 1]
+    rows = [(t, int(n), int(n)) for t, n in odd.items()]
+    return pd.DataFrame(rows, columns=["event_type", "n", "n_type"])
+
+
+def j12_asof_tolerance(sf):
+    ev = _t(sf, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    clicks = {}
+    c = ev[ev["event_type"] == "click"]
+    for u, g in c.groupby("user_id"):
+        per = g.groupby("ts")["value"].max()
+        clicks[int(u)] = sorted(per.items())
+    import bisect
+    rows = []
+    p = ev[ev["event_type"] == "purchase"]
+    tol = pd.Timedelta(seconds=1800)
+    for u, t, i, v in zip(p["user_id"], p["ts"], p["event_id"], p["value"]):
+        cv = None
+        lst = clicks.get(int(u), [])
+        k = bisect.bisect_right([x[0] for x in lst], t) - 1
+        if k >= 0 and (t - lst[k][0]) <= tol:
+            cv = float(lst[k][1])
+        rows.append((int(u), t, int(i), float(v), cv))
+    return pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "value",
+                                       "click_value_tol"])
+
+
+def o1_sort_desc(sf):
+    return pd.read_parquet(f"{sf}/supplier.parquet")
+
+
+def o2_sort_asc(sf):
+    return pd.read_parquet(f"{sf}/customer.parquet")
+
+
+def o3_topk(sf):
+    li = _t(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    m = li.sort_values(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                       ascending=[False, True, True]).head(10)
+    return m[["l_orderkey", "l_linenumber", "l_extendedprice"]
+             ].reset_index(drop=True)
+
+
+def o4_topk_per_group(sf):
+    li = _t(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    rows = []
+    for k, g in li.groupby("l_orderkey"):
+        g = g.sort_values(["l_extendedprice", "l_linenumber"],
+                          ascending=[False, True])
+        for rk, (_, r) in enumerate(g.head(2).iterrows(), start=1):
+            rows.append((int(k), int(r["l_linenumber"]),
+                         float(r["l_extendedprice"]), rk))
+    return pd.DataFrame(rows, columns=["l_orderkey", "l_linenumber",
+                                       "l_extendedprice", "rk"])
+
+
+def o5_window_analytics(sf):
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice",
+                          "o_orderdate"])
+    rows = []
+    for ck, g in o.groupby("o_custkey"):
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        run = Decimal(0)
+        prevp = None
+        for _, r in g.iterrows():
+            run += _dec(r["o_totalprice"], Q10)
+            rows.append((int(r["o_orderkey"]), int(ck),
+                         float(r["o_totalprice"]), prevp, float(run)))
+            prevp = float(r["o_totalprice"])
+    return pd.DataFrame(rows, columns=["o_orderkey", "o_custkey",
+                                       "o_totalprice", "prev_price",
+                                       "run_total"])
+
+
+def o6_percentiles(sf):
+    li = _t(sf, "lineitem", ["l_returnflag", "l_quantity"])
+    rows = []
+    for rf, g in li.groupby("l_returnflag"):
+        q1, med, q3 = _qcont(sorted(float(v) for v in g["l_quantity"]),
+                             (0.25, 0.5, 0.75))
+        rows.append((rf, q1, med, q3))
+    return pd.DataFrame(rows, columns=["l_returnflag", "q1", "median", "q3"])
+
+
+def o7_rank_family(sf):
+    o = _t(sf, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    rows = []
+    for pr, g in o.groupby("o_orderpriority"):
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True])
+        n = len(g)
+        # SQL NTILE(4): first n%4 buckets get ceil(n/4) rows, rest floor
+        q, rem = divmod(n, 4)
+        boundary = rem * (q + 1)
+        # order key (price desc, orderkey) is a total order: rank ==
+        # dense_rank == row_number
+        for rk, (_, r) in enumerate(g.iterrows(), start=1):
+            if rk <= boundary:
+                ntl = (rk - 1) // (q + 1) + 1
+            else:
+                ntl = rem + (rk - 1 - boundary) // q + 1
+            rows.append((pr, int(r["o_orderkey"]), float(r["o_totalprice"]),
+                         rk, rk,
+                         (rk - 1) / (n - 1) if n > 1 else 0.0, rk / n, ntl))
+    return pd.DataFrame(rows, columns=["o_orderpriority", "o_orderkey",
+                                       "o_totalprice", "rnk", "drnk", "prnk",
+                                       "cd", "quartile"])
+
+
+def o8_window_frames(sf):
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice",
+                          "o_orderdate"])
+    rows = []
+    for ck, g in o.groupby("o_custkey"):
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        vals = [float(v) for v in g["o_totalprice"]]
+        keys = [int(k) for k in g["o_orderkey"]]
+        for i in range(len(vals)):
+            w3 = vals[max(0, i - 2):i + 1]
+            mov = float(sum(_dec(v, Q10) for v in w3)) / len(w3)
+            nxt = vals[i + 1] if i + 1 < len(vals) else None
+            rows.append((keys[i], int(ck), vals[i], mov, nxt, vals[0]))
+    return pd.DataFrame(rows, columns=["o_orderkey", "o_custkey",
+                                       "o_totalprice", "mov_avg3",
+                                       "next_price", "first_price"])
+
+
+def u1_set_ops(sf):
+    o = _t(sf, "orders", ["o_custkey", "o_orderpriority"])
+    u = set(o[o["o_orderpriority"] == "1-URGENT"]["o_custkey"].astype(int))
+    l = set(o[o["o_orderpriority"] == "5-LOW"]["o_custkey"].astype(int))
+    rows = ([("intersect", k) for k in u & l]
+            + [("except", k) for k in u - l]
+            + [("union", k) for k in u | l])
+    return pd.DataFrame(rows, columns=["which", "o_custkey"])
+
+
+def u2_bag_ops(sf):
+    from collections import Counter
+    o = _t(sf, "orders", ["o_custkey", "o_orderpriority"])
+    u = Counter(int(k) for k in
+                o[o["o_orderpriority"] == "1-URGENT"]["o_custkey"])
+    l = Counter(int(k) for k in
+                o[o["o_orderpriority"] == "5-LOW"]["o_custkey"])
+    rows = []
+    for k, n in u.items():
+        rows += [("except_all", k)] * max(0, n - l.get(k, 0))
+        rows += [("intersect_all", k)] * min(n, l.get(k, 0))
+    return pd.DataFrame(rows, columns=["which", "o_custkey"])
+
+
+# ---- Scalar-function toolkits (F-tier) --------------------------------------
+# Pure per-row string/date/JSON/math transforms; the replay IS the
+# function's published definition (1-based positions, truncating lpad,
+# HALF_UP decimal casts), recomputed from the parquet truth.
+
+
+def f1_string_funcs(sf):
+    c = _t(sf, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    rows = [(int(k), n.strip(), s.lower(), n.replace("#", "-"))
+            for k, n, s in zip(c["c_custkey"], c["c_name"], c["c_mktsegment"])]
+    return pd.DataFrame(rows, columns=["c_custkey", "name_trim",
+                                       "seg_lower", "name_repl"])
+
+
+def f2_f3_format(sf):
+    o = _t(sf, "orders", ["o_totalprice"])
+    n = len(o)
+    m = exact_mean(o["o_totalprice"])
+    d = Decimal(repr(m)).quantize(Decimal("0.001"), rounding=ROUND_HALF_UP)
+    return pd.DataFrame({"n_fmt": [f"{n:,}"], "avg_fmt": [f"{d:,.3f}"]})
+
+
+def f4_datetime(sf):
+    o = _t(sf, "orders", ["o_orderkey", "o_orderdate"])
+    dt = pd.to_datetime(o["o_orderdate"])
+    return pd.DataFrame({
+        "o_orderkey": o["o_orderkey"].astype("int64"),
+        "y": dt.dt.year.astype("int64"),
+        "m": dt.dt.month.astype("int64"),
+        "d": dt.dt.day.astype("int64"),
+        "ym": dt.dt.strftime("%Y-%m"),
+        "month_start": dt.values.astype("datetime64[M]"),
+    })
+
+
+def f5_json(sf):
+    import json as _json
+    ev = _t(sf, "events", ["event_id", "props"])
+    rows = []
+    for i, pr in zip(ev["event_id"], ev["props"]):
+        k = None
+        if pd.notna(pr):
+            try:
+                v = _json.loads(pr).get("k")
+                k = int(v) if v is not None else None
+            except (ValueError, TypeError):
+                k = None
+        rows.append((int(i), k))
+    return pd.DataFrame(rows, columns=["event_id", "k"])
+
+
+def f6_math_toolkit(sf):
+    import math
+    li = _t(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey",
+                             "l_quantity", "l_extendedprice"])
+    q = li["l_quantity"].astype(float)
+    e = li["l_extendedprice"].astype(float)
+    return pd.DataFrame({
+        "l_orderkey": li["l_orderkey"].astype("int64"),
+        "l_linenumber": li["l_linenumber"].astype("int64"),
+        "q_dev": (q - 25.0).abs(),
+        "q_sign": [math.copysign(1.0, v) if v != 0.0 else 0.0
+                   for v in (q - 25.0)],
+        "price_sqrt": [math.sqrt(v) for v in e],
+        "price_k_floor": [int(math.floor(v / 1000.0)) for v in e],
+        "price_k_ceil": [int(math.ceil(v / 1000.0)) for v in e],
+        "price_q": e * 0.25,
+        "part_mod": (li["l_partkey"] % 97).astype("int64"),
+    })
+
+
+def f7_string_toolkit(sf):
+    c = _t(sf, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    tr = str.maketrans("AEIOU", "aeiou")
+    rows = []
+    for k, n, s in zip(c["c_custkey"], c["c_name"], c["c_mktsegment"]):
+        rows.append((int(k), n[:8], n[:4], n[-3:] if len(n) >= 3 else n,
+                     s.rjust(12, ".")[:12] if len(s) <= 12 else s[:12],
+                     n.find("#") + 1, s.translate(tr), s[::-1], s * 2,
+                     len(n), s + "|" + n))
+    return pd.DataFrame(rows, columns=[
+        "c_custkey", "name8", "l4", "r3", "seg_pad", "hash_pos",
+        "seg_tr", "seg_rev", "seg2", "name_len", "joined"])
+
+
+def f8_null_toolkit(sf):
+    c = _t(sf, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    rows = []
+    for k, s, b in zip(c["c_custkey"], c["c_mktsegment"], c["c_acctbal"]):
+        seg = None if (pd.isna(s) or s == "BUILDING") else s
+        seg_red = seg if seg is not None else "(redacted)"
+        if pd.isna(b):
+            floor_b, cap_b, band = 0.0, 5000.0, "ok"
+        else:
+            b = float(b)
+            floor_b, cap_b = max(b, 0.0), min(b, 5000.0)
+            band = ("overdrawn" if b < 0 else "low" if b < 1000 else "ok")
+        rows.append((int(k), seg_red, floor_b, cap_b, band))
+    return pd.DataFrame(rows, columns=["c_custkey", "seg_red", "bal_floor",
+                                       "bal_cap", "bal_band"])
+
+
+# ---- Format round-trips and layout queries (S-tier) -------------------------
+# The Spark side writes CSV/JSON/ORC/XML/partitioned/bucketed files and
+# reads them back; the replay recomputes the EXPECTED result from the
+# parquet truth alone — so the parity law checked here is exactly the
+# driver's: any round-trip corruption diverges.
+
+
+def _lpad_key(series, width):
+    return [str(int(v)).rjust(width, "0") for v in series]
+
+
+def s1_csv_roundtrip(sf):
+    s = _t(sf, "supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+    return pd.DataFrame({
+        "supp_id": _lpad_key(s["s_suppkey"], 8), "s_name": s["s_name"],
+        "s_nationkey": s["s_nationkey"].astype("int64"),
+        "s_acctbal": s["s_acctbal"].astype(float)})
+
+
+def s2_json_roundtrip(sf):
+    n = _t(sf, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    return pd.DataFrame({
+        "nation_id": _lpad_key(n["n_nationkey"], 4), "n_name": n["n_name"],
+        "n_regionkey": n["n_regionkey"].astype("int64")})
+
+
+def s3_orc_roundtrip(sf):
+    p = _t(sf, "part", ["p_partkey", "p_name", "p_size", "p_retailprice"])
+    return pd.DataFrame({
+        "part_id": _lpad_key(p["p_partkey"], 9), "p_name": p["p_name"],
+        "p_size": p["p_size"].astype("int64"),
+        "p_retailprice": p["p_retailprice"].astype(float)})
+
+
+def s13_xml_roundtrip(sf):
+    s = _t(sf, "supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+    return pd.DataFrame({
+        "supp_id": _lpad_key(s["s_suppkey"], 7), "s_name": s["s_name"],
+        "s_nationkey": s["s_nationkey"].astype("int64"),
+        "s_acctbal": s["s_acctbal"].astype(float)})
+
+
+def s7_cached_fanout(sf):
+    li = _t(sf, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+    rows = []
+    for g, grp in li.groupby("l_returnflag"):
+        rows.append(("avg_qty", g, exact_mean(grp["l_quantity"])))
+        rows.append(("avg_disc", g, exact_mean(grp["l_discount"])))
+    return pd.DataFrame(rows, columns=["which", "l_returnflag", "metric"])
+
+
+def s9_partitioned_prune(sf):
+    ev = _t(sf, "events", ["event_id", "user_id", "value", "event_type"])
+    return ev[ev["event_type"].isin(["click", "purchase"])].reset_index(drop=True)
+
+
+def s10_zorder(sf):
+    import numpy as np
+    li = _t(sf, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def spread(x):
+        a = x & 65535
+        b = (a | (a << 8)) & 16711935
+        c = (b | (b << 4)) & 252645135
+        d = (c | (c << 2)) & 858993459
+        return (d | (d << 1)) & 1431655765
+
+    p = li["l_partkey"].to_numpy(dtype="int64")
+    s = li["l_suppkey"].to_numpy(dtype="int64")
+    z = spread(p) | (spread(s) << 1)
+    df = pd.DataFrame({"zbucket": z >> 16, "p": p, "s": s})
+    g = df.groupby("zbucket").agg(
+        n=("p", "size"), p_min=("p", "min"), p_max=("p", "max"),
+        s_min=("s", "min"), s_max=("s", "max")).reset_index()
+    return g
+
+
+def s11_table_checksum(sf):
+    import hashlib
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                          "o_totalprice", "o_orderdate", "o_orderpriority"])
+    epoch = pd.Timestamp("1970-01-01")
+    agg = {}
+    for k, ck, st, tp, dt, pr in zip(
+            o["o_orderkey"], o["o_custkey"], o["o_orderstatus"],
+            o["o_totalprice"], pd.to_datetime(o["o_orderdate"]),
+            o["o_orderpriority"]):
+        import math
+        us = int((dt - epoch).total_seconds()) * 1_000_000
+        repr_ = (f"{int(k)}|{int(ck)}|{st}|"
+                 f"{int(math.floor(float(tp) * 100))}|{us}|{pr}")
+        b = md5i(str(int(k))) % 64
+        n, c = agg.get(b, (0, 0))
+        agg[b] = (n + 1, c + md5i(repr_))
+    rows = [(b, n, c) for b, (n, c) in agg.items()]
+    return pd.DataFrame(rows, columns=["bucket", "n_rows", "checksum"])
+
+
+def s12_compact(sf):
+    return _t(sf, "events", ["event_id", "user_id", "value", "event_type"])
+
+
+def s17_schema_merge(sf):
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice",
+                          "o_orderpriority"])
+    pr = [p if int(k) % 2 == 1 else None
+          for k, p in zip(o["o_orderkey"], o["o_orderpriority"])]
+    return pd.DataFrame({
+        "o_orderkey": o["o_orderkey"].astype("int64"),
+        "o_custkey": o["o_custkey"].astype("int64"),
+        "o_totalprice": o["o_totalprice"].astype(float),
+        "o_orderpriority": pr})
+
+
+def s18_bucketed_join(sf):
+    import math
+    li = _t(sf, "lineitem", ["l_orderkey", "l_extendedprice"])
+    o = _t(sf, "orders", ["o_orderkey", "o_custkey"])
+    li = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    li["cents_i"] = [int(math.floor(float(v) * 100))
+                     for v in li["l_extendedprice"]]
+    g = li.groupby("o_custkey").agg(
+        n_items=("l_orderkey", "size"), cents=("cents_i", "sum")).reset_index()
+    return g
+
+
 # The 22 composed decision-support queries were the largest family
 # still DuckDB-only. Same contract as every replay above: pandas for
 # IO/joins, the money/mean arithmetic in exact Decimal/int — the
@@ -4420,6 +5107,62 @@ QUERIES = {
     "o15_edges": o15_edges,
     "o15_scores": o15_scores,
     "o15_rowhash": o15_rowhash,
+    # r14 full-registry closure: every remaining batch query
+    "p1_normalize_names": p1_normalize_names,
+    "p2_coerce_cast": p2_coerce_cast,
+    "p3_null_drop": p3_null_drop,
+    "p4_filter": p4_filter,
+    "p5_project": p5_project,
+    "p6_drop": p6_drop,
+    "p8_profile": p8_profile,
+    "p10_expectations": p10_expectations,
+    "p12_feature_matrix": p12_feature_matrix,
+    "a1_count": a1_count,
+    "a2_count_distinct": a2_count_distinct,
+    "a5_group_mean_sort": a5_group_mean_sort,
+    "a6_rollup": a6_rollup,
+    "a7_conditional_agg": a7_conditional_agg,
+    "a8_pivot": a8_pivot,
+    "a9_above_avg": a9_above_avg,
+    "j1_join_inner": j1_join_inner,
+    "j1_join_3way": j1_join_3way,
+    "j2_left_join": j2_left_join,
+    "j3_semi_anti": j3_semi_anti,
+    "j4_salted_join": j4_salted_join,
+    "j6_range_join": j6_range_join,
+    "j7_interval_overlap": j7_interval_overlap,
+    "j8_range_auto": j8_range_auto,
+    "j9_basket_pairs": j9_basket_pairs,
+    "j10_dpp": j10_dpp,
+    "j12_asof_tolerance": j12_asof_tolerance,
+    "o1_sort_desc": o1_sort_desc,
+    "o2_sort_asc": o2_sort_asc,
+    "o3_topk": o3_topk,
+    "o4_topk_per_group": o4_topk_per_group,
+    "o5_window_analytics": o5_window_analytics,
+    "o6_percentiles": o6_percentiles,
+    "o7_rank_family": o7_rank_family,
+    "o8_window_frames": o8_window_frames,
+    "u1_set_ops": u1_set_ops,
+    "u2_bag_ops": u2_bag_ops,
+    "f1_string_funcs": f1_string_funcs,
+    "f2_f3_format": f2_f3_format,
+    "f4_datetime": f4_datetime,
+    "f5_json": f5_json,
+    "f6_math_toolkit": f6_math_toolkit,
+    "f7_string_toolkit": f7_string_toolkit,
+    "f8_null_toolkit": f8_null_toolkit,
+    "s1_csv_roundtrip": s1_csv_roundtrip,
+    "s2_json_roundtrip": s2_json_roundtrip,
+    "s3_orc_roundtrip": s3_orc_roundtrip,
+    "s7_cached_fanout": s7_cached_fanout,
+    "s9_partitioned_prune": s9_partitioned_prune,
+    "s10_zorder": s10_zorder,
+    "s11_table_checksum": s11_table_checksum,
+    "s12_compact": s12_compact,
+    "s13_xml_roundtrip": s13_xml_roundtrip,
+    "s17_schema_merge": s17_schema_merge,
+    "s18_bucketed_join": s18_bucketed_join,
 }
 
 

@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-plan rewrite: point-in-interval theta-joins → binned
     // equi-join (graft.plans.RangeJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    // materialized-aggregate substitution: grouped fact aggregates
+    // answered from a registered rollup (graft.plans.MvRewriteRule;
+    // opt-in per session via spark.graft.mv.enabled)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
     // whole-operator tier: the native sort-merge AS-OF join
     // (graft.plans.AsOfJoinNode → AsOfJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

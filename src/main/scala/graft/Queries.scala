@@ -3415,6 +3415,73 @@ object ParityQueries {
       |JOIN nation ON c_nationkey = n_nationkey
       |WHERE n_name = 'NATION_7'
       |GROUP BY n_name""".stripMargin
+
+  // ---- S30: materialized-view rewrite (automatic rollup substitution) -------
+  // The CONSUMPTION half of the s19 story, and the eighth planning
+  // leg: s19 proves a stored rollup can be maintained in O(delta);
+  // this proves queries can be ANSWERED from it without anyone
+  // rewriting their code — graft.plans.MvRewriteRule (injected by
+  // GraftExtensions, opt-in via spark.graft.mv.enabled) matches a
+  // grouped fact aggregate against the registered MV definition and
+  // substitutes sum(n)/sum(sum_m)/min(min_m)/max(max_m) over the
+  // rollup scan. At 100 TB the fact scan disappears from the plan:
+  // the query below is written against `orders` verbatim, and the
+  // in-query require proves the OPTIMIZED plan reads only the MV
+  // (the fact relation is gone). AVG needs no aggregate rewrite —
+  // it derives after aggregation as two exact BIGINTs dividing,
+  // bit-identical in every engine. The MV artifact builds once per
+  // (JVM, sf-dir), the knn-graph lifecycle; refreshes would ride
+  // Materialize.refreshInto without re-registration (path identity).
+  private val s30Cents = floor(col("o_totalprice") * 100).cast("long")
+  private val s30MvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def s30MvDir(s: SparkSession, dir: String): String =
+    s30MvCache.computeIfAbsent(dir, _ => {
+      val path = Sink.scratchDir(s"mv_orders_${math.abs(dir.hashCode)}") + "/cust_cents"
+      graft.plans.MvCatalog.create(
+        s, s"orders_cust_cents_${math.abs(dir.hashCode)}",
+        Tables.orders(s, dir), col("o_custkey"), "o_custkey", s30Cents, path)
+      path
+    })
+
+  private[graft] def s30UserQuery(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(s30Cents).as("sum_cents"),
+        min(s30Cents).as("min_cents"),
+        max(s30Cents).as("max_cents"))
+      .withColumn("avg_cents",
+        col("sum_cents").cast("double") / col("n_orders").cast("double"))
+
+  def s30MvRewrite(s: SparkSession, dir: String): DataFrame = {
+    s30MvDir(s, dir)
+    withConfs(s, Seq(graft.plans.MvRewriteRule.EnabledKey -> "true")) {
+      val q = s30UserQuery(s, dir)
+      // Force optimization INSIDE the conf window (QueryExecution caches
+      // the optimized plan, so later execution reuses it), and make the
+      // gate row itself prove the substitution fired: a silently-dead
+      // rewrite must err the row, not quietly re-scan the fact table.
+      // Scan locations are checked structurally — a Relation's toString
+      // omits its path.
+      val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(scans.exists(_.contains("mv_orders")),
+        s"MV rewrite did not fire; plan scans: $scans")
+      require(!scans.exists(_.contains("orders.parquet")),
+        s"MV rewrite left a fact scan in the plan; scans: $scans")
+      q
+    }
+  }
+  val s30Sql =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS avg_cents
+      |FROM orders GROUP BY 1""".stripMargin
+
   val j14Sql =
     """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_items,
       |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -3709,6 +3776,7 @@ object ParityQueries {
     "j14_bloom_join" -> (j14BloomJoin _),
     "j16_cbo_reorder" -> (j16CboReorder _),
     "j17_aqe_skew" -> (j17AqeSkew _),
+    "s30_mv_rewrite" -> (s30MvRewrite _),
     "j15_join_size_profile" -> (j15JoinSizeProfile _),
     "p13_ref_integrity" -> (p13RefIntegrity _),
     "o15_rfm_segments" -> (o15RfmSegments _),
@@ -3836,6 +3904,7 @@ object ParityQueries {
     "j14_bloom_join" -> j14Sql,
     "j16_cbo_reorder" -> j16Sql,
     "j17_aqe_skew" -> j17Sql,
+    "s30_mv_rewrite" -> s30Sql,
     "j15_join_size_profile" -> j15Sql,
     "p13_ref_integrity" -> p13Sql,
     "o15_rfm_segments" -> o15Sql,

@@ -1,0 +1,311 @@
+package graft.plans
+
+import java.util.Locale
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+
+/** A registered materialized aggregate: the stored
+  * [[graft.ops.Materialize.rollup]] table (`key, n, sum_m, min_m,
+  * max_m`) plus enough of its DEFINITION to prove a query can be
+  * answered from it — the fact scan's file paths, and the key/metric
+  * expressions in name-normalized canonical form.
+  */
+private[graft] case class MvDef(
+    name: String,
+    factPaths: Set[String],
+    keyName: String,
+    keyCanon: Expression,
+    metricCanon: Expression,
+    mvPath: String,
+    mv: LogicalRelation)
+
+/** Registry of materialized aggregates for [[MvRewriteRule]].
+  *
+  * `create` materializes the rollup (one fact scan, paid once — the
+  * same bootstrap cost [[graft.ops.Materialize]] documents) and
+  * registers its definition; a standing MV is kept fresh by
+  * [[graft.ops.Materialize.refreshInto]] (delta-only, history never
+  * rescanned), so registration survives refreshes — the path is the
+  * identity, and the rewrite-then-swap refresh preserves it.
+  *
+  * JVM-global on purpose: like a metastore's MV catalog, definitions
+  * outlive any one query. The REWRITE stays opt-in per session
+  * ([[MvRewriteRule.EnabledKey]]), so registering an MV never changes
+  * another query's plan behind its back.
+  */
+object MvCatalog {
+
+  private val defs = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  /** Materialize `fact.groupBy(key).agg(count, sum, min, max of
+    * metric-as-long)` at `path` and register it for rewriting.
+    * The fact plan must be a bare file scan plus projections —
+    * a filtered or joined definition would make the whole-table
+    * equality the rewrite relies on unsound, so it is rejected here.
+    */
+  def create(
+      spark: SparkSession,
+      name: String,
+      fact: DataFrame,
+      key: Column,
+      keyName: String,
+      metric: Column,
+      path: String): Unit = {
+    // Drop any MV already registered AT THIS PATH before rebuilding:
+    // were it left registered and the build's own aggregate matched
+    // its definition, the rewrite would make the build READ the file
+    // it is about to overwrite.
+    defs.values.asScala.filter(_.mvPath == path).map(_.name).foreach(defs.remove)
+    graft.ops.Materialize
+      .rollup(fact.select(key.as(keyName), metric.as("__graft_mv_m")),
+        keyName, col("__graft_mv_m"))
+      .write.mode("overwrite").parquet(path)
+    register(spark, name, fact, key, keyName, metric, path)
+  }
+
+  /** Register an ALREADY-materialized rollup (e.g. one maintained
+    * incrementally by [[graft.ops.Materialize.refreshInto]]).
+    */
+  def register(
+      spark: SparkSession,
+      name: String,
+      fact: DataFrame,
+      key: Column,
+      keyName: String,
+      metric: Column,
+      path: String): Unit = {
+    // Capture the definition from the OPTIMIZED probe plan: constant
+    // folding / cast simplification have run, so the stored canonical
+    // forms meet the query-side expressions (seen mid-optimization by
+    // the rule, stable by the fixed point's second pass) on equal terms.
+    val probe = fact.select(key.as("__graft_mv_k"), metric.cast("long").as("__graft_mv_m"))
+    val opt = probe.queryExecution.optimizedPlan
+    val (aliases, filters, rel) = MvRewriteRule.decompose(opt).getOrElse(
+      throw new IllegalArgumentException(
+        s"MV '$name': fact must be a bare file scan (+ projections), got:\n$opt"))
+    require(filters.isEmpty,
+      s"MV '$name': a FILTERED fact definition cannot answer whole-table aggregates")
+    val paths = MvRewriteRule.relPaths(rel).getOrElse(
+      throw new IllegalArgumentException(s"MV '$name': fact scan is not a file relation"))
+    def defOf(n: String): Expression = {
+      val a = opt.output.find(_.name == n).getOrElse(
+        throw new IllegalStateException(s"MV '$name': probe lost column $n"))
+      aliases.getOrElse(a.exprId, a)
+    }
+    val mvRel = spark.read.parquet(path).queryExecution.analyzed
+      .collectFirst { case l: LogicalRelation => l }
+      .getOrElse(throw new IllegalStateException(s"MV '$name': $path is not a file scan"))
+    defs.put(name, MvDef(
+      name, paths, keyName,
+      MvRewriteRule.nameNorm(defOf("__graft_mv_k")),
+      MvRewriteRule.nameNorm(defOf("__graft_mv_m")),
+      path, mvRel))
+    ()
+  }
+
+  def unregister(name: String): Unit = { defs.remove(name); () }
+  def clear(): Unit = defs.clear()
+  def isEmpty: Boolean = defs.isEmpty
+  private[plans] def all: Iterable[MvDef] = defs.values.asScala
+}
+
+/** Optimizer rule: answer a grouped aggregate over the FACT table from
+  * a registered materialized rollup — the consumption half of the
+  * incremental-maintenance story ([[graft.ops.Materialize]] keeps the
+  * rollup fresh in O(delta); this rule makes every matching query pay
+  * O(|rollup keys|) instead of a full fact scan. At 100 TB that is the
+  * difference between a seconds dashboard query and a cluster-wide
+  * scan — the same exact-match + derivability rewrite tier warehouse
+  * engines ship (Calcite-style MV substitution), scoped to what the
+  * rollup's merge laws can PROVE:
+  *
+  *   count(1)           → sum(n)        (counts add across partials)
+  *   sum(metric)        → sum(sum_m)    (sums add)
+  *   min/max(metric)    → min/max(min_m/max_m)  (reduce)
+  *   group key          → rollup key column
+  *   filters ON THE KEY → pushed onto the rollup (a key predicate
+  *                        commutes with group-by; any other filter
+  *                        disqualifies the rewrite — it would need
+  *                        fact rows the rollup no longer has)
+  *
+  * Matching is deliberately conservative (a rewrite rule must never
+  * fire on a plan it cannot prove equal): the aggregate's child must
+  * decompose to projections/filters over the EXACT fact file scan the
+  * MV was defined on, the single grouping expression and every
+  * aggregate argument must be semantically identical (name-normalized
+  * canonical compare, so attribute ids don't matter) to the registered
+  * key/metric, and aggregates must be the four derivable functions,
+  * non-DISTINCT, unfiltered. Anything else leaves the plan untouched.
+  * AVG needs no case of its own: derive it AFTER aggregation as
+  * sum_cents/n — two exact BIGINTs dividing deterministically.
+  *
+  * Output attribute ids and positions are preserved (each rewritten
+  * aggregate re-uses the original alias's exprId), so parent operators
+  * never notice the substitution. Opt-in via session conf
+  * `spark.graft.mv.enabled` (default false): semantics are proven
+  * equal by law tests, but plan SHAPE changes only when asked for —
+  * the j14/j16 pinned-conf-window discipline.
+  */
+object MvRewriteRule extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.mv.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MvCatalog.isEmpty || conf.getConfString(EnabledKey, "false") != "true") plan
+    else plan.transform {
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+    }
+  }
+
+  private def rewrite(agg: Aggregate): Option[Aggregate] =
+    for {
+      (aliases, filters, rel) <- decompose(agg.child)
+      paths <- relPaths(rel)
+      // several MVs can share a fact table (different keys/metrics):
+      // try each until one proves the query, deterministically by name
+      out <- MvCatalog.all.filter(_.factPaths == paths).toSeq.sortBy(_.name)
+        .iterator.flatMap(mv => tryRewrite(agg, aliases, filters, mv).iterator)
+        .nextOption()
+    } yield out
+
+  private def tryRewrite(
+      agg: Aggregate,
+      aliases: Map[ExprId, Expression],
+      filters: Seq[Expression],
+      mv: MvDef): Option[Aggregate] = {
+    def isKey(e: Expression): Boolean =
+      nameNorm(inline(e, aliases)).semanticEquals(mv.keyCanon)
+    def isMetric(e: Expression): Boolean =
+      nameNorm(inline(e, aliases)).semanticEquals(mv.metricCanon)
+
+    if (agg.groupingExpressions.size != 1) return None
+    // groupBy(expr.as("x")) analyzes to an Alias in the grouping list;
+    // unwrap it for the match and remember its id — the aggregate's
+    // key OUTPUT is an AttributeReference to that alias.
+    val (gExpr, gId) = agg.groupingExpressions.head match {
+      case al: Alias => (al.child, Some(al.exprId))
+      case a: Attribute => (a: Expression, Some(a.exprId))
+      case e => (e, None)
+    }
+    if (!isKey(gExpr)) return None
+    def refsKey(a: AttributeReference): Boolean = gId.contains(a.exprId) || isKey(a)
+
+    // Fresh relation instance per rewrite: exprIds must not collide if
+    // two rewrites land in one query tree.
+    val mvRel = mv.mv.newInstance().asInstanceOf[LogicalRelation]
+    def mvAttr(n: String): Option[Attribute] =
+      mvRel.output.find(_.name.equalsIgnoreCase(n))
+    val rewritten = for {
+      kA <- mvAttr(mv.keyName)
+      nA <- mvAttr("n")
+      sumA <- mvAttr("sum_m")
+      minA <- mvAttr("min_m")
+      maxA <- mvAttr("max_m")
+    } yield {
+      // Filters: every occurrence of the key expression becomes the
+      // rollup's key column; anything still referencing a fact column
+      // afterwards disqualifies the rewrite.
+      val fRews = filters.map(_.transformUp {
+        case e if e.dataType == kA.dataType && isKey(e) => kA
+      })
+      if (fRews.exists(f => !f.references.subsetOf(AttributeSet(kA)))) return None
+
+      def derive(fn: AggregateFunction): Option[AggregateFunction] = fn match {
+        case Count(Seq(l: Literal)) if l.value != null => Some(Sum(nA))
+        case s: Sum if isMetric(s.child) => Some(Sum(sumA))
+        case m: Min if isMetric(m.child) => Some(Min(minA))
+        case m: Max if isMetric(m.child) => Some(Max(maxA))
+        case _ => None
+      }
+      val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+        case a: AttributeReference if refsKey(a) =>
+          Some(Alias(kA, a.name)(exprId = a.exprId))
+        case al @ Alias(ae: AggregateExpression, name)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          derive(ae.aggregateFunction)
+            .map(f => Alias(AggregateExpression(f, ae.mode, isDistinct = false), name)(
+              exprId = al.exprId))
+        case al @ Alias(a: AttributeReference, name) if refsKey(a) =>
+          Some(Alias(kA, name)(exprId = al.exprId))
+        case al @ Alias(other, name) if isKey(other) =>
+          Some(Alias(kA, name)(exprId = al.exprId))
+        case _ => None
+      }
+      if (mapped.exists(_.isEmpty)) return None
+      val newAggExprs = mapped.map(_.get)
+      // Paranoia: the substituted output must be type-identical —
+      // a dataType drift here would corrupt downstream codegen.
+      if (newAggExprs.map(_.dataType) != agg.aggregateExpressions.map(_.dataType))
+        return None
+      val child = fRews.foldLeft(mvRel: LogicalPlan)((p, f) => Filter(f, p))
+      Aggregate(Seq(kA), newAggExprs, child)
+    }
+    rewritten
+  }
+
+  /** Peel projections/filters/aliases off a plan down to its file
+    * scan, returning (alias-inline map to relation attributes,
+    * filters inlined to relation attributes, the relation). None if
+    * anything else (join, window, generate, …) sits in between.
+    */
+  private[plans] def decompose(p: LogicalPlan)
+      : Option[(Map[ExprId, Expression], Seq[Expression], LogicalRelation)] = p match {
+    case lr: LogicalRelation => Some((Map.empty, Nil, lr))
+    case SubqueryAlias(_, c) => decompose(c)
+    case Project(pl, c) =>
+      decompose(c).flatMap { case (m, fs, lr) =>
+        val ok = pl.forall {
+          case _: AttributeReference => true
+          case _: Alias => true
+          case _ => false
+        }
+        if (!ok) None
+        else {
+          val m2 = pl.collect { case a: Alias => a.exprId -> inline(a.child, m) }
+          Some((m ++ m2, fs, lr))
+        }
+      }
+    case Filter(cond, c) =>
+      decompose(c).map { case (m, fs, lr) => (m, fs :+ inline(cond, m), lr) }
+    case _ => None
+  }
+
+  private def inline(e: Expression, m: Map[ExprId, Expression]): Expression =
+    if (m.isEmpty) e
+    else e.transformUp {
+      case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+    }
+
+  /** All file-scan root paths in a plan — for plan guards asserting
+    * which tables a rewritten query actually reads.
+    */
+  def scanPaths(plan: LogicalPlan): Set[String] =
+    plan.collect { case lr: LogicalRelation => relPaths(lr).getOrElse(Set.empty) }
+      .flatten.toSet
+
+  private[graft] def relPaths(lr: LogicalRelation): Option[Set[String]] =
+    lr.relation match {
+      case h: HadoopFsRelation => Some(h.location.rootPaths.map(_.toString).toSet)
+      case _ => None
+    }
+
+  /** Canonical compare modulo attribute identity: expressions are
+    * equal when their trees match with attributes compared by
+    * lower-cased NAME only (exprIds zeroed, nullability erased) —
+    * the registration-time probe and the user query resolve the same
+    * parquet columns to different exprIds by construction.
+    */
+  private[plans] def nameNorm(e: Expression): Expression = e.transformUp {
+    case a: AttributeReference =>
+      AttributeReference(a.name.toLowerCase(Locale.ROOT), a.dataType, nullable = true)(
+        ExprId(0), Nil)
+  }
+}

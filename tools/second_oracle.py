@@ -3529,6 +3529,25 @@ def j16_cbo_reorder(sf):
     return g[["n_name", "n_orders", "cents"]]
 
 
+def s30_mv_rewrite(sf):
+    # The MV rewrite may only change WHICH table the plan scans — the
+    # result is the plain grouped aggregate over orders, replayed here
+    # from the fact parquet (so a stale/corrupt rollup artifact on the
+    # Spark side diverges three engines, not two)
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    o = o.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in o["o_totalprice"]])
+    g = (o.groupby("o_custkey")
+         .agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"),
+              min_cents=("cents", "min"), max_cents=("cents", "max"))
+         .reset_index())
+    g["avg_cents"] = [float(s) / float(n)
+                      for s, n in zip(g["sum_cents"], g["n_orders"])]
+    return g
+
+
 def j17_aqe_skew(sf):
     # AQE skew splitting may only change task boundaries — the result
     # is the plain flag-dimension join, replayed here
@@ -5100,6 +5119,7 @@ QUERIES = {
     "j14_bloom_join": j14_bloom_join,
     "j16_cbo_reorder": j16_cbo_reorder,
     "j17_aqe_skew": j17_aqe_skew,
+    "s30_mv_rewrite": s30_mv_rewrite,
     "j15_join_size_profile": j15_join_size_profile,
     "e2_sssp_weighted": e2_sssp_weighted,
     "p13_ref_integrity": p13_ref_integrity,

@@ -3457,21 +3457,26 @@ object ParityQueries {
 
   def s30MvRewrite(s: SparkSession, dir: String): DataFrame = {
     s30MvDir(s, dir)
+    val out = Sink.scratchDir(s"mv_rewrite_${math.abs(dir.hashCode)}")
+    // The j14/j16 recipe: EXECUTE inside the conf window. Returning the
+    // lazy frame instead would let the runner's own .write build a
+    // fresh QueryExecution after the window closed — correct values,
+    // but through the fact scan, and the gate would no longer exercise
+    // the rewritten plan end-to-end.
     withConfs(s, Seq(graft.plans.MvRewriteRule.EnabledKey -> "true")) {
       val q = s30UserQuery(s, dir)
-      // Force optimization INSIDE the conf window (QueryExecution caches
-      // the optimized plan, so later execution reuses it), and make the
-      // gate row itself prove the substitution fired: a silently-dead
-      // rewrite must err the row, not quietly re-scan the fact table.
-      // Scan locations are checked structurally — a Relation's toString
-      // omits its path.
+      // Make the gate row itself prove the substitution fired: a
+      // silently-dead rewrite must err the row, not quietly re-scan
+      // the fact table. Scan locations are checked structurally — a
+      // Relation's toString omits its path.
       val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
       require(scans.exists(_.contains("mv_orders")),
         s"MV rewrite did not fire; plan scans: $scans")
       require(!scans.exists(_.contains("orders.parquet")),
         s"MV rewrite left a fact scan in the plan; scans: $scans")
-      q
+      q.write.mode("overwrite").parquet(out)
     }
+    s.read.parquet(out)
   }
   val s30Sql =
     """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,

@@ -370,4 +370,48 @@ class SparkLawsSpec extends SparkSpec {
     assert(hashes.map(_._2).distinct.length == seg.size) // no md5 collisions
     assert(hashes.forall(_._2.matches("[0-9a-f]{32}")))
   }
+
+  test("law: MV rewrite equals the plain aggregate for random agg subsets and key filters") {
+    import graft.plans.{MvCatalog, MvRewriteRule}
+    // random fact written to parquet (the rewrite matches on scan
+    // paths, so the fact must be a real file relation)
+    val factDir = graft.ops.Sink.scratchDir("mv_law_fact")
+    val r0 = new Random(99)
+    Seq.fill(500)((r0.nextInt(25), r0.nextInt(100000).toLong))
+      .toDF("k", "m").write.mode("overwrite").parquet(factDir)
+    def fact = spark.read.parquet(factDir)
+    val mvPath = graft.ops.Sink.scratchDir("mv_law_rollup")
+    MvCatalog.create(spark, "law_mv", fact, col("k"), "k", col("m"), mvPath)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MvRewriteRule
+    try {
+      val allAggs = Seq(
+        "n" -> count(lit(1)), "s" -> sum(col("m")),
+        "mn" -> min(col("m")), "mx" -> max(col("m")))
+      for (seed <- 1 to 8) {
+        val r = new Random(seed)
+        val aggs = r.shuffle(allAggs).take(1 + r.nextInt(4))
+          .map { case (n, c) => c.as(n) }
+        val base =
+          if (r.nextBoolean()) fact.filter(col("k") % (2 + r.nextInt(5)) === r.nextInt(2))
+          else fact
+        def q = base.groupBy(col("k")).agg(aggs.head, aggs.tail: _*)
+        val plain = q.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+        val (rewritten, scans) = {
+          spark.conf.set(MvRewriteRule.EnabledKey, "true")
+          try {
+            val d = q
+            (d.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq,
+              MvRewriteRule.scanPaths(d.queryExecution.optimizedPlan))
+          } finally spark.conf.unset(MvRewriteRule.EnabledKey)
+        }
+        assert(scans.exists(_.contains("mv_law_rollup")), s"seed=$seed did not rewrite: $scans")
+        assert(rewritten == plain, s"seed=$seed")
+      }
+    } finally {
+      MvCatalog.unregister("law_mv")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq MvRewriteRule)
+    }
+  }
 }

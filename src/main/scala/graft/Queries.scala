@@ -3478,6 +3478,62 @@ object ParityQueries {
     }
     s.read.parquet(out)
   }
+  // ---- S31: incremental refresh ⊕ MV rewrite, end-to-end --------------------
+  // s19 proves the rollup refreshes in O(delta); s30 proves queries
+  // substitute a rollup; this row composes them: the DAY-keyed rollup
+  // is BUILT from the pre-cutoff slice only, REFRESHED in place with
+  // the post-cutoff delta (Materialize.refreshInto — rewrite-then-swap,
+  // history never rescanned), then REGISTERED, and the gate query is
+  // the plain full-table groupBy-day over `orders` — answered entirely
+  // from the refreshed artifact (fact scan proven gone). Registration
+  // survives refreshes by construction (the path is the identity and
+  // refreshInto swaps content under it), which this row exercises:
+  // the registered definition describes the FULL fact table, and the
+  // oracle (s19's full-recompute SQL, reused verbatim) only matches if
+  // base ⊕ delta ≡ whole-table rollup bit-for-bit. Day is a COMPUTED
+  // key (date_trunc), so this also gates expression-key matching in
+  // the rewrite. A distinct key from s30's custkey MV keeps the two
+  // registered MVs unambiguous on the shared fact scan.
+  private val s31Day = date_trunc("DAY", col("o_orderdate"))
+  private val s31MvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def s31MvDir(s: SparkSession, dir: String): String =
+    s31MvCache.computeIfAbsent(dir, _ => {
+      val stored = Sink.scratchDir(s"mv_daily_${math.abs(dir.hashCode)}") + "/daily"
+      val facts = Tables.orders(s, dir).select(
+        s31Day.as("day"), s30Cents.as("m"))
+      val cut = lit(S19Cutoff).cast("timestamp")
+      Materialize.rollup(facts.filter(col("day") < cut), "day", col("m"))
+        .write.mode("overwrite").parquet(stored)
+      Materialize.refreshInto(s, stored,
+        Materialize.rollup(facts.filter(col("day") >= cut), "day", col("m")), "day")
+      graft.plans.MvCatalog.register(
+        s, s"orders_daily_cents_${math.abs(dir.hashCode)}",
+        Tables.orders(s, dir), s31Day, "day", s30Cents, stored)
+      stored
+    })
+
+  def s31MvRefresh(s: SparkSession, dir: String): DataFrame = {
+    s31MvDir(s, dir)
+    val out = Sink.scratchDir(s"mv_refresh_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(graft.plans.MvRewriteRule.EnabledKey -> "true")) {
+      val q = Tables.orders(s, dir)
+        .groupBy(s31Day.as("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(s30Cents).as("sum_m"),
+          min(s30Cents).as("min_m"),
+          max(s30Cents).as("max_m"))
+      val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(scans.exists(_.contains("mv_daily")),
+        s"refresh-MV rewrite did not fire; plan scans: $scans")
+      require(!scans.exists(_.contains("orders.parquet")),
+        s"refresh-MV rewrite left a fact scan; scans: $scans")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
   val s30Sql =
     """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
       |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
@@ -3782,6 +3838,7 @@ object ParityQueries {
     "j16_cbo_reorder" -> (j16CboReorder _),
     "j17_aqe_skew" -> (j17AqeSkew _),
     "s30_mv_rewrite" -> (s30MvRewrite _),
+    "s31_mv_refresh" -> (s31MvRefresh _),
     "j15_join_size_profile" -> (j15JoinSizeProfile _),
     "p13_ref_integrity" -> (p13RefIntegrity _),
     "o15_rfm_segments" -> (o15RfmSegments _),
@@ -3910,6 +3967,7 @@ object ParityQueries {
     "j16_cbo_reorder" -> j16Sql,
     "j17_aqe_skew" -> j17Sql,
     "s30_mv_rewrite" -> s30Sql,
+    "s31_mv_refresh" -> s19Sql,
     "j15_join_size_profile" -> j15Sql,
     "p13_ref_integrity" -> p13Sql,
     "o15_rfm_segments" -> o15Sql,

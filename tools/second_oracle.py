@@ -5105,6 +5105,9 @@ QUERIES = {
     "e3_kmeans": e3_kmeans,
     "e2_pagerank": e2_pagerank,
     "s19_rollup_incremental": s19_rollup_incremental,
+    # s31 composes s19's refresh with the s30 rewrite; its result is
+    # the same whole-table day rollup s19's replay recomputes
+    "s31_mv_refresh": s19_rollup_incremental,
     "w11_streaks": w11_streaks,
     "p11_quantile_bin": p11_quantile_bin,
     "e2_bfs_hops": e2_bfs_hops,

@@ -346,7 +346,24 @@ object StreamQueries {
   // pre-aggregation before a stream-stream join is not a supported
   // stateful chain). Sentinels carry user -1 / -2 (left / right, never
   // matching) and are filtered from the sink by key.
-  def j5AsofStream(s: SparkSession, dir: String): DataFrame = {
+  // State-partition sizing for the as-of chain: the two stateful
+  // operators each keep one state store PER SHUFFLE PARTITION, and
+  // every micro-batch commits every store (delta file + rename per
+  // store per batch) — at gate scale that fixed commit fan-out, not
+  // the data, dominates the pair's cost. 8 partitions instead of the
+  // session's 32 quarters the per-batch commit count while the real
+  // work (one initial batch over the staged events) still spreads
+  // over 8 tasks. At 100 TB the SAME dial turns the other way:
+  // partitions scale with arrival rate × horizon so each store stays
+  // memory-resident — the point is that state-partition count is an
+  // explicit knob, independent of the batch session's shuffle width
+  // (split-invariance laws in StreamingSpec hold regardless).
+  private val asofConfs = Seq("spark.sql.shuffle.partitions" -> "8")
+
+  def j5AsofStream(s: SparkSession, dir: String): DataFrame =
+    ParityQueries.withConfs(s, asofConfs) { j5AsofStreamBody(s, dir) }
+
+  private def j5AsofStreamBody(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
@@ -427,7 +444,10 @@ object StreamQueries {
   // result is deterministic; the horizon only bounds which matches
   // COUNT, not which rows are seen.
   private val BoundedHorizonSec = 1800L
-  def j5AsofBoundedStream(s: SparkSession, dir: String): DataFrame = {
+  def j5AsofBoundedStream(s: SparkSession, dir: String): DataFrame =
+    ParityQueries.withConfs(s, asofConfs) { j5AsofBoundedStreamBody(s, dir) }
+
+  private def j5AsofBoundedStreamBody(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
     val clicks = ev.filter(col("event_type") === "click")

@@ -3710,7 +3710,12 @@ object ExtQueries {
     "e5_lid_saved" -> (e5LidSaved _),
     "e3_sq8_incremental" -> (e3Sq8Incremental _),
     "e3_pq_incremental" -> (e3PqIncremental _),
-    "e3_ivf_stream" -> (e3IvfStream _),
+    // runs under the streaming tier's 8-partition state window
+    // (StreamQueries.tuned rationale: commit fan-out ∝ stores)
+    "e3_ivf_stream" -> ((s: SparkSession, d: String) =>
+      ParityQueries.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+        e3IvfStream(s, d)
+      }),
     "e2_containment" -> (e2Containment _),
     "e2_knn_communities" -> (e2KnnCommunities _),
     "e3_kcenter" -> (e3Kcenter _),

@@ -1958,11 +1958,11 @@ object ParityQueries {
   val p10Sql: String =
     """SELECT 'complete' AS check, 'o_custkey' AS column_name,
       |  CAST(count(o_custkey) AS DOUBLE) / count(*) AS metric,
-      |  0.95 AS threshold,
+      |  CAST(0.95 AS DOUBLE) AS threshold,
       |  CAST(count(o_custkey) AS DOUBLE) / count(*) >= 0.95 AS passed FROM orders
       |UNION ALL
       |SELECT 'complete', 'o_totalprice',
-      |  CAST(count(o_totalprice) AS DOUBLE) / count(*), 0.99,
+      |  CAST(count(o_totalprice) AS DOUBLE) / count(*), CAST(0.99 AS DOUBLE),
       |  CAST(count(o_totalprice) AS DOUBLE) / count(*) >= 0.99 FROM orders
       |UNION ALL
       |SELECT 'unique', 'o_orderkey',
@@ -2329,9 +2329,16 @@ object ParityQueries {
   // driver-localization companions) evaluates ONE set of CTEs.
   private val o15SqlCtes: String = {
     def cdf(metric: String, pfx: String): String = {
+      // CAST(... AS BIGINT): for the m-metric, v derives from a
+      // SUM(BIGINT), which DuckDB types HUGEINT; its Python client
+      // maps HUGEINT -> float64, and the driver's render-then-hash
+      // protocol then sees `...109.0` vs Spark's int64 `...109` and
+      // flips (r14 VERDICT root cause — the registry's ONLY two
+      // HUGEINT-emitting oracle queries were exactly the two red
+      // rows). Values max ~7.4e8 at sf0.1, trivially in BIGINT range.
       val stats = (for { p <- 1 to 3; d <- 0 to 1 } yield
-        s"""max(CASE WHEN lo <= (((n - 1) * $p) // 4) + $d
-           |      AND (((n - 1) * $p) // 4) + $d < hi THEN v END) AS ${pfx}_x$p$d""".stripMargin)
+        s"""CAST(max(CASE WHEN lo <= (((n - 1) * $p) // 4) + $d
+           |      AND (((n - 1) * $p) // 4) + $d < hi THEN v END) AS BIGINT) AS ${pfx}_x$p$d""".stripMargin)
         .mkString(",\n    ")
       s"""${pfx}cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS hi,
          |    sum(c) OVER (ORDER BY v) - c AS lo
@@ -2342,7 +2349,7 @@ object ParityQueries {
     }
     s"""WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_ts,
        |    CAST(count(*) AS BIGINT) AS f,
-       |    SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS m_cents
+       |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
        |  FROM orders GROUP BY 1),
        |r AS (SELECT o_custkey,
        |    CAST(date_diff('day', CAST(last_ts AS DATE), CAST(a.anchor AS DATE)) AS BIGINT) AS r_days,

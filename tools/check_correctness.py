@@ -20,6 +20,29 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class for the oracle-vs-Spark guard.
+
+    The driver's render-then-hash protocol distinguishes int64 from
+    float64 (``737150109`` vs ``737150109.0``), so an oracle column
+    that DuckDB types HUGEINT (mapped to float64 by its Python
+    client) against a Spark BIGINT column flips the driver gate even
+    though this checker's normalized compare is value-identical — the
+    exact blindness that hid the o15 bug for three rounds (r14
+    VERDICT Next #2a). Guard on the int/float CLASS, not the width:
+    int32 vs int64 render identically, int vs float does not.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "other"
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes: ints -> int64, floats -> float64
@@ -60,10 +83,26 @@ def main(out_dir: str, sf_dir: str, subset: bool = False) -> int:
                 n_fail += 1
             continue
         try:
-            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
-            want = canon(con.execute(sqls[name]).df())
+            got_raw = pd.read_parquet(f"{out_dir}/{name}")
+            want_raw = con.execute(sqls[name]).df()
+            got = canon(got_raw)
+            want = canon(want_raw)
         except Exception as e:
             print(f"{name:28s} ERROR {e}")
+            n_fail += 1
+            continue
+        # pre-normalization dtype-CLASS guard (r14 VERDICT Next #2a):
+        # the driver hashes rendered values, so int-vs-float is a
+        # driver-visible divergence this checker's normalized compare
+        # would otherwise silently absorb.
+        dtype_bad = [
+            c for c in sorted(set(got_raw.columns) & set(want_raw.columns))
+            if dtype_class(got_raw[c]) != dtype_class(want_raw[c])]
+        if dtype_bad:
+            det = ", ".join(
+                f"{c}: spark={got_raw[c].dtype} oracle={want_raw[c].dtype}"
+                for c in dtype_bad)
+            print(f"{name:28s} FAIL dtype-class mismatch ({det})")
             n_fail += 1
             continue
         ok_cols = list(got.columns) == list(want.columns)

@@ -3541,6 +3541,92 @@ object ParityQueries {
     s.read.parquet(out)
   }
 
+  // ---- S33/S34: multi-key MV + lattice coarsening ---------------------------
+  // r14 VERDICT Next #4/#5: the common dashboard rollup is keyed on a
+  // TUPLE (day × custkey here), and the payoff of storing the finer
+  // grain is that ONE artifact answers the whole lattice below it —
+  // the exact-grain query (s33) AND every coarser group-by (s34's
+  // day-only cut, down to the global aggregate) — because all four
+  // kept statistics are mergeable, so re-aggregating rollup rows at a
+  // coarser grain is provably the fact aggregate. At 100 TB: one fact
+  // scan at build, O(|rollup|) for every query in the lattice after.
+  // s34 additionally filters on the NON-grouped key (a custkey
+  // predicate selects whole rollup groups, so it commutes with the
+  // coarser re-aggregation) — which also makes the gate row
+  // deterministic against s31's registered day-keyed MV on the same
+  // fact scan: that MV cannot answer a custkey filter, so the rule
+  // must prove and pick the tuple-keyed one.
+  private val s33MvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def s33MvDir(s: SparkSession, dir: String): String =
+    s33MvCache.computeIfAbsent(dir, _ => {
+      val path = Sink.scratchDir(s"mv_daycust_${math.abs(dir.hashCode)}") + "/day_cust"
+      graft.plans.MvCatalog.create(
+        s, s"orders_day_cust_${math.abs(dir.hashCode)}",
+        Tables.orders(s, dir),
+        Seq(s31Day -> "day", col("o_custkey") -> "o_custkey"), s30Cents, path)
+      path
+    })
+
+  def s33MvMultikey(s: SparkSession, dir: String): DataFrame = {
+    s33MvDir(s, dir)
+    val out = Sink.scratchDir(s"mv_multikey_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(graft.plans.MvRewriteRule.EnabledKey -> "true")) {
+      val q = Tables.orders(s, dir)
+        .groupBy(s31Day.as("day"), col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(s30Cents).as("sum_cents"),
+          min(s30Cents).as("min_cents"),
+          max(s30Cents).as("max_cents"))
+      val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(scans.exists(_.contains("mv_daycust")),
+        s"multi-key MV rewrite did not fire; plan scans: $scans")
+      require(!scans.exists(_.contains("orders.parquet")),
+        s"multi-key MV rewrite left a fact scan; scans: $scans")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
+  def s34MvCoarsen(s: SparkSession, dir: String): DataFrame = {
+    s33MvDir(s, dir)
+    val out = Sink.scratchDir(s"mv_coarsen_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(graft.plans.MvRewriteRule.EnabledKey -> "true")) {
+      val q = Tables.orders(s, dir)
+        .filter(col("o_custkey") % 2 === 0)
+        .groupBy(s31Day.as("day"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(s30Cents).as("sum_cents"),
+          min(s30Cents).as("min_cents"),
+          max(s30Cents).as("max_cents"))
+      val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(scans.exists(_.contains("mv_daycust")),
+        s"coarsening MV rewrite did not fire; plan scans: $scans")
+      require(!scans.exists(_.contains("orders.parquet")),
+        s"coarsening MV rewrite left a fact scan; scans: $scans")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
+  val s33Sql =
+    """SELECT date_trunc('day', o_orderdate) AS day, o_custkey,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  val s34Sql =
+    """SELECT date_trunc('day', o_orderdate) AS day,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM orders WHERE o_custkey % 2 = 0 GROUP BY 1""".stripMargin
+
   val s30Sql =
     """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
       |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
@@ -3846,6 +3932,8 @@ object ParityQueries {
     "j17_aqe_skew" -> (j17AqeSkew _),
     "s30_mv_rewrite" -> (s30MvRewrite _),
     "s31_mv_refresh" -> (s31MvRefresh _),
+    "s33_mv_multikey" -> (s33MvMultikey _),
+    "s34_mv_coarsen" -> (s34MvCoarsen _),
     "j15_join_size_profile" -> (j15JoinSizeProfile _),
     "p13_ref_integrity" -> (p13RefIntegrity _),
     "o15_rfm_segments" -> (o15RfmSegments _),
@@ -3975,6 +4063,8 @@ object ParityQueries {
     "j17_aqe_skew" -> j17Sql,
     "s30_mv_rewrite" -> s30Sql,
     "s31_mv_refresh" -> s19Sql,
+    "s33_mv_multikey" -> s33Sql,
+    "s34_mv_coarsen" -> s34Sql,
     "j15_join_size_profile" -> j15Sql,
     "p13_ref_integrity" -> p13Sql,
     "o15_rfm_segments" -> o15Sql,

@@ -30,8 +30,18 @@ object Materialize {
     * bootstrap; every later refresh aggregates a delta slice only.
     */
   def rollup(df: DataFrame, keyCol: String, metric: Column): DataFrame =
-    df.select(col(keyCol), metric.cast("long").as("m"))
-      .groupBy(col(keyCol))
+    rollup(df, Seq(keyCol), metric)
+
+  /** Multi-key variant: one rollup row per distinct key TUPLE. The
+    * statistics stay mergeable per tuple, so refresh/merge laws carry
+    * over unchanged; [[graft.plans.MvRewriteRule]] can additionally
+    * COARSEN a query grouping on any strict subset of the keys by
+    * re-aggregating these mergeable columns (the standard MV lattice
+    * step — O(|rollup|) instead of a fact scan).
+    */
+  def rollup(df: DataFrame, keyCols: Seq[String], metric: Column): DataFrame =
+    df.select(keyCols.map(col) :+ metric.cast("long").as("m"): _*)
+      .groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
         sum(col("m")).as("sum_m"),
@@ -47,8 +57,14 @@ object Materialize {
     * disappears.
     */
   def merge(base: DataFrame, delta: DataFrame, keyCol: String): DataFrame =
+    merge(base, delta, Seq(keyCol))
+
+  /** Multi-key merge: same per-statistic merge laws, keyed on the
+    * full tuple.
+    */
+  def merge(base: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame =
     base.unionByName(delta)
-      .groupBy(col(keyCol))
+      .groupBy(keyCols.map(col): _*)
       .agg(
         sum(col("n")).as("n"),
         sum(col("sum_m")).as("sum_m"),

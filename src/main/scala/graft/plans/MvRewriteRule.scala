@@ -12,17 +12,22 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.col
 
+/** One grouping key of a registered MV: its stored column name and
+  * its defining expression in name-normalized canonical form.
+  */
+private[graft] case class MvKey(name: String, canon: Expression)
+
 /** A registered materialized aggregate: the stored
-  * [[graft.ops.Materialize.rollup]] table (`key, n, sum_m, min_m,
+  * [[graft.ops.Materialize.rollup]] table (`key…, n, sum_m, min_m,
   * max_m`) plus enough of its DEFINITION to prove a query can be
   * answered from it — the fact scan's file paths, and the key/metric
-  * expressions in name-normalized canonical form.
+  * expressions in name-normalized canonical form. Keys are an ordered
+  * tuple; queries may group on any subset of them (coarsening).
   */
 private[graft] case class MvDef(
     name: String,
     factPaths: Set[String],
-    keyName: String,
-    keyCanon: Expression,
+    keys: Seq[MvKey],
     metricCanon: Expression,
     mvPath: String,
     mv: LogicalRelation)
@@ -58,6 +63,19 @@ object MvCatalog {
       key: Column,
       keyName: String,
       metric: Column,
+      path: String): Unit =
+    create(spark, name, fact, Seq(key -> keyName), metric, path)
+
+  /** Multi-key create: materialize `fact.groupBy(keys…).agg(count,
+    * sum, min, max of metric-as-long)` and register it. Queries may
+    * group on any subset of the keys (see [[MvRewriteRule]]).
+    */
+  def create(
+      spark: SparkSession,
+      name: String,
+      fact: DataFrame,
+      keys: Seq[(Column, String)],
+      metric: Column,
       path: String): Unit = {
     // Drop any MV already registered AT THIS PATH before rebuilding:
     // were it left registered and the build's own aggregate matched
@@ -65,10 +83,11 @@ object MvCatalog {
     // it is about to overwrite.
     defs.values.asScala.filter(_.mvPath == path).map(_.name).foreach(defs.remove)
     graft.ops.Materialize
-      .rollup(fact.select(key.as(keyName), metric.as("__graft_mv_m")),
-        keyName, col("__graft_mv_m"))
+      .rollup(
+        fact.select(keys.map { case (c, n) => c.as(n) } :+ metric.as("__graft_mv_m"): _*),
+        keys.map(_._2), col("__graft_mv_m"))
       .write.mode("overwrite").parquet(path)
-    register(spark, name, fact, key, keyName, metric, path)
+    register(spark, name, fact, keys, metric, path)
   }
 
   /** Register an ALREADY-materialized rollup (e.g. one maintained
@@ -81,12 +100,28 @@ object MvCatalog {
       key: Column,
       keyName: String,
       metric: Column,
+      path: String): Unit =
+    register(spark, name, fact, Seq(key -> keyName), metric, path)
+
+  /** Multi-key registration. Key order is the stored rollup's column
+    * order; matching is by canonical expression, so query-side
+    * grouping order is free.
+    */
+  def register(
+      spark: SparkSession,
+      name: String,
+      fact: DataFrame,
+      keys: Seq[(Column, String)],
+      metric: Column,
       path: String): Unit = {
+    require(keys.nonEmpty, s"MV '$name': at least one grouping key required")
     // Capture the definition from the OPTIMIZED probe plan: constant
     // folding / cast simplification have run, so the stored canonical
     // forms meet the query-side expressions (seen mid-optimization by
     // the rule, stable by the fixed point's second pass) on equal terms.
-    val probe = fact.select(key.as("__graft_mv_k"), metric.cast("long").as("__graft_mv_m"))
+    val probeCols = keys.zipWithIndex.map { case ((c, _), i) => c.as(s"__graft_mv_k$i") } :+
+      metric.cast("long").as("__graft_mv_m")
+    val probe = fact.select(probeCols: _*)
     val opt = probe.queryExecution.optimizedPlan
     val (aliases, filters, rel) = MvRewriteRule.decompose(opt).getOrElse(
       throw new IllegalArgumentException(
@@ -100,12 +135,14 @@ object MvCatalog {
         throw new IllegalStateException(s"MV '$name': probe lost column $n"))
       aliases.getOrElse(a.exprId, a)
     }
+    val keyDefs = keys.zipWithIndex.map { case ((_, n), i) =>
+      MvKey(n, MvRewriteRule.nameNorm(defOf(s"__graft_mv_k$i")))
+    }
     val mvRel = spark.read.parquet(path).queryExecution.analyzed
       .collectFirst { case l: LogicalRelation => l }
       .getOrElse(throw new IllegalStateException(s"MV '$name': $path is not a file scan"))
     defs.put(name, MvDef(
-      name, paths, keyName,
-      MvRewriteRule.nameNorm(defOf("__graft_mv_k")),
+      name, paths, keyDefs,
       MvRewriteRule.nameNorm(defOf("__graft_mv_m")),
       path, mvRel))
     ()
@@ -130,19 +167,27 @@ object MvCatalog {
   *   count(1)           → sum(n)        (counts add across partials)
   *   sum(metric)        → sum(sum_m)    (sums add)
   *   min/max(metric)    → min/max(min_m/max_m)  (reduce)
-  *   group key          → rollup key column
-  *   filters ON THE KEY → pushed onto the rollup (a key predicate
-  *                        commutes with group-by; any other filter
-  *                        disqualifies the rewrite — it would need
-  *                        fact rows the rollup no longer has)
+  *   group keys         → rollup key columns (any SUBSET of the
+  *                        registered key tuple, including none: a
+  *                        coarser group-by — or a global aggregate —
+  *                        re-aggregates the mergeable statistics, the
+  *                        standard MV lattice roll-up, exact because
+  *                        every kept statistic merges)
+  *   filters ON A KEY   → pushed onto the rollup (a key predicate
+  *                        selects whole rollup groups, so it commutes
+  *                        with the — possibly coarser — re-aggregation
+  *                        even for a key the query does not group on;
+  *                        any other filter disqualifies the rewrite —
+  *                        it would need fact rows the rollup no
+  *                        longer has)
   *
   * Matching is deliberately conservative (a rewrite rule must never
   * fire on a plan it cannot prove equal): the aggregate's child must
   * decompose to projections/filters over the EXACT fact file scan the
-  * MV was defined on, the single grouping expression and every
-  * aggregate argument must be semantically identical (name-normalized
-  * canonical compare, so attribute ids don't matter) to the registered
-  * key/metric, and aggregates must be the four derivable functions,
+  * MV was defined on, every grouping expression must match a DISTINCT
+  * registered key and every aggregate argument the registered metric
+  * (name-normalized canonical compare, so attribute ids don't
+  * matter), and aggregates must be the four derivable functions,
   * non-DISTINCT, unfiltered. Anything else leaves the plan untouched.
   * AVG needs no case of its own: derive it AFTER aggregation as
   * sum_cents/n — two exact BIGINTs dividing deterministically.
@@ -181,22 +226,35 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       aliases: Map[ExprId, Expression],
       filters: Seq[Expression],
       mv: MvDef): Option[Aggregate] = {
-    def isKey(e: Expression): Boolean =
-      nameNorm(inline(e, aliases)).semanticEquals(mv.keyCanon)
+    // Index of the registered key a query-side expression defines, if
+    // any (canonical compare modulo attribute identity).
+    def keyIdx(e: Expression): Option[Int] = {
+      val n = nameNorm(inline(e, aliases))
+      mv.keys.indexWhere(k => n.semanticEquals(k.canon)) match {
+        case -1 => None
+        case i => Some(i)
+      }
+    }
     def isMetric(e: Expression): Boolean =
       nameNorm(inline(e, aliases)).semanticEquals(mv.metricCanon)
 
-    if (agg.groupingExpressions.size != 1) return None
-    // groupBy(expr.as("x")) analyzes to an Alias in the grouping list;
-    // unwrap it for the match and remember its id — the aggregate's
-    // key OUTPUT is an AttributeReference to that alias.
-    val (gExpr, gId) = agg.groupingExpressions.head match {
-      case al: Alias => (al.child, Some(al.exprId))
-      case a: Attribute => (a: Expression, Some(a.exprId))
-      case e => (e, None)
+    // Every grouping expression must match a DISTINCT registered key.
+    // A strict subset (or none at all — a global aggregate) COARSENS:
+    // the rollup's statistics are mergeable, so re-aggregating them at
+    // the coarser grain is the standard MV lattice step and stays
+    // exact. groupBy(expr.as("x")) analyzes to an Alias in the
+    // grouping list; unwrap it for the match and remember its id — the
+    // aggregate's key OUTPUTS are AttributeReferences to those aliases.
+    val gMatched: Seq[(Option[Int], Option[ExprId])] = agg.groupingExpressions.map {
+      case al: Alias => (keyIdx(al.child), Some(al.exprId))
+      case a: Attribute => (keyIdx(a), Some(a.exprId))
+      case e => (keyIdx(e), None)
     }
-    if (!isKey(gExpr)) return None
-    def refsKey(a: AttributeReference): Boolean = gId.contains(a.exprId) || isKey(a)
+    if (gMatched.exists(_._1.isEmpty)) return None
+    val gIdx = gMatched.map(_._1.get)
+    if (gIdx.distinct.size != gIdx.size) return None
+    val idToIdx: Map[ExprId, Int] =
+      gMatched.collect { case (Some(i), Some(id)) => id -> i }.toMap
 
     // Fresh relation instance per rewrite: exprIds must not collide if
     // two rewrites land in one query tree.
@@ -204,19 +262,28 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     def mvAttr(n: String): Option[Attribute] =
       mvRel.output.find(_.name.equalsIgnoreCase(n))
     val rewritten = for {
-      kA <- mvAttr(mv.keyName)
+      kAs <- Some(mv.keys.map(k => mvAttr(k.name)))
+        .filter(_.forall(_.isDefined)).map(_.map(_.get))
       nA <- mvAttr("n")
       sumA <- mvAttr("sum_m")
       minA <- mvAttr("min_m")
       maxA <- mvAttr("max_m")
     } yield {
-      // Filters: every occurrence of the key expression becomes the
-      // rollup's key column; anything still referencing a fact column
-      // afterwards disqualifies the rewrite.
+      // An output attribute standing for a grouped key, by grouping
+      // alias id or by canonical match.
+      def attrKeyIdx(a: AttributeReference): Option[Int] =
+        idToIdx.get(a.exprId).orElse(keyIdx(a))
+      // Filters: every occurrence of ANY registered key expression
+      // becomes the rollup's key column — a key predicate selects
+      // whole rollup groups, so it commutes with the (possibly
+      // coarser) re-aggregation even when that key is not grouped on.
+      // Anything still referencing a fact column afterwards
+      // disqualifies the rewrite.
       val fRews = filters.map(_.transformUp {
-        case e if e.dataType == kA.dataType && isKey(e) => kA
+        case e if keyIdx(e).exists(i => e.dataType == kAs(i).dataType) =>
+          kAs(keyIdx(e).get)
       })
-      if (fRews.exists(f => !f.references.subsetOf(AttributeSet(kA)))) return None
+      if (fRews.exists(f => !f.references.subsetOf(AttributeSet(kAs)))) return None
 
       def derive(fn: AggregateFunction): Option[AggregateFunction] = fn match {
         case Count(Seq(l: Literal)) if l.value != null => Some(Sum(nA))
@@ -226,17 +293,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         case _ => None
       }
       val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
-        case a: AttributeReference if refsKey(a) =>
-          Some(Alias(kA, a.name)(exprId = a.exprId))
+        case a: AttributeReference if attrKeyIdx(a).isDefined =>
+          Some(Alias(kAs(attrKeyIdx(a).get), a.name)(exprId = a.exprId))
         case al @ Alias(ae: AggregateExpression, name)
             if !ae.isDistinct && ae.filter.isEmpty =>
           derive(ae.aggregateFunction)
             .map(f => Alias(AggregateExpression(f, ae.mode, isDistinct = false), name)(
               exprId = al.exprId))
-        case al @ Alias(a: AttributeReference, name) if refsKey(a) =>
-          Some(Alias(kA, name)(exprId = al.exprId))
-        case al @ Alias(other, name) if isKey(other) =>
-          Some(Alias(kA, name)(exprId = al.exprId))
+        case al @ Alias(a: AttributeReference, name) if attrKeyIdx(a).isDefined =>
+          Some(Alias(kAs(attrKeyIdx(a).get), name)(exprId = al.exprId))
+        case al @ Alias(other, name) if keyIdx(other).exists(i => gIdx.contains(i)) =>
+          Some(Alias(kAs(keyIdx(other).get), name)(exprId = al.exprId))
         case _ => None
       }
       if (mapped.exists(_.isEmpty)) return None
@@ -246,7 +313,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       if (newAggExprs.map(_.dataType) != agg.aggregateExpressions.map(_.dataType))
         return None
       val child = fRews.foldLeft(mvRel: LogicalPlan)((p, f) => Filter(f, p))
-      Aggregate(Seq(kA), newAggExprs, child)
+      Aggregate(gIdx.map(kAs), newAggExprs, child)
     }
     rewritten
   }

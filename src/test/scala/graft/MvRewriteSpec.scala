@@ -110,6 +110,101 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.unregister("test_orders_daily")
   }
 
+  // ---- multi-key + lattice coarsening (r14 VERDICT Next #4/#5) ----
+  private val day = date_trunc("DAY", col("o_orderdate"))
+
+  private def withTupleMv[T](body: String => T): T = {
+    val path = graft.ops.Sink.scratchDir("mv_tuple_test") + "/day_cust"
+    MvCatalog.create(spark, "test_orders_day_cust",
+      Tables.orders(spark, dir),
+      Seq(day -> "day", col("o_custkey") -> "o_custkey"), cents, path)
+    try body(path)
+    finally MvCatalog.unregister("test_orders_day_cust")
+  }
+
+  test("multi-key MV: exact-grain 2-key group-by rewrites bit-identically") {
+    withTupleMv { _ =>
+      def q: DataFrame = Tables.orders(spark, dir)
+        .groupBy(day.as("day"), col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+          min(cents).as("lo"), max(cents).as("hi"))
+      val plain = rows(q)
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(paths.exists(_.contains("mv_tuple_test")), paths)
+      assert(!paths.exists(_.contains("orders.parquet")), paths)
+      assert(rewritten == plain)
+    }
+  }
+
+  test("coarsening: group-by on a strict key subset re-aggregates the rollup") {
+    // day is NOT a key of any other MV registered in this suite (s30's
+    // is custkey-keyed), so only the tuple MV's coarsening can answer.
+    withTupleMv { _ =>
+      def q: DataFrame = Tables.orders(spark, dir)
+        .groupBy(day.as("day"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+          min(cents).as("lo"), max(cents).as("hi"))
+      val plain = rows(q)
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(paths.exists(_.contains("mv_tuple_test")), paths)
+      assert(!paths.exists(_.contains("orders.parquet")), paths)
+      assert(rewritten == plain)
+    }
+  }
+
+  test("coarsening: the GLOBAL aggregate (empty group-by) is the lattice bottom") {
+    withTupleMv { _ =>
+      def q: DataFrame = Tables.orders(spark, dir)
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+          min(cents).as("lo"), max(cents).as("hi"))
+      val plain = rows(q)
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      // ANY registered rollup over this fact can answer the lattice
+      // bottom (s30's custkey MV sorts before the tuple MV and wins
+      // when both are live) — the law is that the FACT scan is gone
+      // and the result is bit-identical, whichever rollup answered.
+      assert(!paths.exists(_.contains("orders.parquet")), paths)
+      assert(paths.nonEmpty, "expected a rollup scan in the plan")
+      assert(rewritten == plain)
+    }
+  }
+
+  test("coarsening: a filter on the NON-grouped key pushes onto the rollup") {
+    withTupleMv { _ =>
+      def q: DataFrame = Tables.orders(spark, dir)
+        .filter(col("o_custkey") % 3 === 1)
+        .groupBy(day.as("day"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"))
+      val plain = rows(q)
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(paths.exists(_.contains("mv_tuple_test")), paths)
+      assert(!paths.exists(_.contains("orders.parquet")), paths)
+      assert(rewritten == plain)
+    }
+  }
+
+  test("a group-by mixing a key with a NON-key column leaves the fact scan") {
+    withTupleMv { _ =>
+      val q = Tables.orders(spark, dir)
+        .groupBy(day.as("day"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"))
+      val paths = withMvRule { scans(q) }
+      assert(paths.exists(_.contains("orders.parquet")), paths)
+    }
+  }
+
+  test("multi-key rollup merge law: base ⊕ delta ≡ whole-table rollup") {
+    import graft.ops.Materialize
+    val facts = Tables.orders(spark, dir)
+      .select(day.as("day"), col("o_custkey"), cents.as("m"))
+    val keys = Seq("day", "o_custkey")
+    val base = Materialize.rollup(facts.filter(col("o_custkey") % 2 === 0), keys, col("m"))
+    val delta = Materialize.rollup(facts.filter(col("o_custkey") % 2 =!= 0), keys, col("m"))
+    val merged = rows(Materialize.merge(base, delta, keys))
+    val whole = rows(Materialize.rollup(facts, keys, col("m")))
+    assert(merged == whole)
+  }
+
   test("disabled conf leaves every plan untouched even with MVs registered") {
     mvReady()
     // rule attached but conf NOT set: EnabledKey defaults to false

@@ -124,6 +124,71 @@ object Materialize {
           .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / col("h_k"))
           .as("est_ndv"))
 
+  /** Per-key mergeable QUANTILE sketch (r14 VERDICT Next #7): the k
+    * rows with the smallest deterministic hash of their identity,
+    * kept as a (h, v)-sorted array column. Bottom-k-by-hash is a
+    * uniform without-replacement sample under a fixed total order
+    * (h, then v for hash ties), so it is the quantile analogue of
+    * [[ndvSketch]]'s KMV: min-k of a union is the min-k of the
+    * concatenated sketches (multiset semantics — no dedup anywhere,
+    * so delta-merge ≡ from-scratch rebuild bit-exactly), and the
+    * estimate is an order statistic read off the sample with the same
+    * pure-BIGINT rank arithmetic the exact-percentile queries use —
+    * deterministic, engine-independent, DuckDB-replayable. This fills
+    * the one stat family s19's scaladoc leaves out: exact percentiles
+    * are not mergeable, a fixed-size sampled sketch is. Rank accuracy
+    * is the standard sampling bound O(n/sqrt(k)) (law-tested).
+    *
+    * Scale shape mirrors [[ndvSketch]]: per-key min-k goes through
+    * the rank-window (WindowGroupLimit prunes to k rows per key
+    * BEFORE the exchange); the stored sketch is ≤ k (h, v) pairs per
+    * key however large the slice; a merge touches ≤ 2k rows per key,
+    * never the fact table.
+    */
+  def quantileSketch(
+      df: DataFrame, keyCol: String, idCol: String, valCol: String, k: Int): DataFrame =
+    minKQ(
+      df.filter(col(valCol).isNotNull && col(idCol).isNotNull)
+        .select(col(keyCol),
+          graft.ext.TextOps.md5Int32(
+            concat(lit("qsk_"), col(idCol).cast("string"))).as("h"),
+          col(valCol).cast("long").as("v")),
+      keyCol, k)
+
+  /** Merge two quantile sketch tables ([[quantileSketch]] schema):
+    * explode, re-take min-k under the same (h, v) order. No dedup —
+    * the sample is a multiset, and slices partition the fact rows, so
+    * merge ≡ rebuild exactly.
+    */
+  def mergeQuantile(base: DataFrame, delta: DataFrame, keyCol: String, k: Int): DataFrame =
+    minKQ(
+      base.unionByName(delta)
+        .select(col(keyCol), explode(col("qs")).as("e"))
+        .select(col(keyCol), col("e.h").as("h"), col("e.v").as("v")),
+      keyCol, k)
+
+  private def minKQ(hv: DataFrame, keyCol: String, k: Int): DataFrame =
+    Ranking.topKPerGroup(hv, Seq(keyCol), Seq(col("h").asc, col("v").asc), k)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("h"), col("v")))).as("qs"))
+
+  /** Finish a quantile sketch into per-key estimates: sample size and
+    * the lower (type-1) quartile order statistics at ranks
+    * ((n_s−1)·p) div 4 — all-BIGINT, no interpolation, so both
+    * engines agree bit-for-bit. Sampling error, not the estimator, is
+    * the accuracy dial (pick k for the rank bound you need).
+    */
+  def quantileEstimate(sketch: DataFrame, keyCol: String): DataFrame = {
+    def at(p: Int): Column =
+      element_at(col("vs"),
+        (expr(s"((size(vs) - 1) * $p) div 4") + lit(1)).cast("int"))
+    sketch
+      .withColumn("vs", sort_array(expr("transform(qs, x -> x.v)")))
+      .select(col(keyCol),
+        size(col("vs")).cast("long").as("n_s"),
+        at(1).as("est_p25"), at(2).as("est_p50"), at(3).as("est_p75"))
+  }
+
   /** In-place refresh of a STORED rollup: read it, [[merge]] a delta
     * rollup in, rewrite to a sibling directory, swap (the
     * rewrite-then-swap recipe index compaction uses — at warehouse

@@ -635,6 +635,50 @@ class OpsSpec extends SparkSpec {
     assert(est == Map("x" -> 2.0, "y" -> 1.0))
   }
 
+  test("quantileSketch: merge of split sketches equals the full sketch, any split") {
+    val facts = (1 to 600).map(i => (s"g${i % 5}", i.toLong, (i * 137 % 10007).toLong))
+      .toDF("g", "id", "v")
+    val k = 32
+    val full = Materialize.quantileSketch(facts, "g", "id", "v", k)
+      .as[(String, Seq[(Long, Long)])].collect().toMap
+    // disjoint splits partition the row multiset — min-k under the
+    // (h, v) order merges back to the full sketch bit-for-bit
+    for (mod <- Seq(2, 3, 7)) {
+      val a = Materialize.quantileSketch(facts.filter(col("id") % mod === 0), "g", "id", "v", k)
+      val b = Materialize.quantileSketch(facts.filter(col("id") % mod =!= 0), "g", "id", "v", k)
+      val merged = Materialize.mergeQuantile(a, b, "g", k)
+        .as[(String, Seq[(Long, Long)])].collect().toMap
+      assert(merged == full, s"mod=$mod")
+    }
+    // below k rows the sample IS the population and estimates are the
+    // exact type-1 quartiles
+    val small = Seq(("x", 1L, 10L), ("x", 2L, 20L), ("x", 3L, 30L),
+      ("x", 4L, 40L), ("x", 5L, 50L)).toDF("g", "id", "v")
+    val est = Materialize.quantileEstimate(
+      Materialize.quantileSketch(small, "g", "id", "v", k), "g")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(est("x") == ((5L, 20L, 30L, 40L)))
+  }
+
+  test("quantileSketch accuracy: sampled median's true rank within the sampling bound") {
+    // one key, n=1500, k=64: the estimate's TRUE rank position must
+    // sit within ±0.2 of 0.5 — loose vs the ~n/sqrt(k) expectation,
+    // deterministic because the hash is fixed.
+    val n = 1500
+    val k = 64
+    val facts = (1 to n).map(i => ("all", i.toLong, (i * 997 % 100003).toLong))
+      .toDF("g", "id", "v")
+    val Array((_, _, p25, p50, p75)) = Materialize.quantileEstimate(
+      Materialize.quantileSketch(facts, "g", "id", "v", k), "g")
+      .as[(String, Long, Long, Long, Long)].collect()
+    for ((est, target) <- Seq(p25 -> 0.25, p50 -> 0.5, p75 -> 0.75)) {
+      val pos = facts.filter(col("v") <= est).count().toDouble / n
+      assert(math.abs(pos - target) < 0.2,
+        s"sampled q$target at CDF position $pos")
+    }
+  }
+
   test("snapshotAt picks the covering version; keys born later are absent") {
     val hist = Seq(
       (1L, "a", "2024-01-01 00:00:00", "2024-01-10 00:00:00", false),

@@ -3548,6 +3548,68 @@ def s30_mv_rewrite(sf):
     return g
 
 
+def s33_mv_multikey(sf):
+    # multi-key MV substitution may only change WHICH table the plan
+    # scans — the result is the plain (day, custkey) grouped aggregate
+    # over the fact parquet
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderdate", "o_custkey", "o_totalprice"])
+    o = o.assign(
+        day=pd.to_datetime(o["o_orderdate"]).dt.floor("D"),
+        cents=[int(math.floor(float(v) * 100)) for v in o["o_totalprice"]])
+    return (o.groupby(["day", "o_custkey"])
+            .agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"),
+                 min_cents=("cents", "min"), max_cents=("cents", "max"))
+            .reset_index())
+
+
+def s34_mv_coarsen(sf):
+    # lattice coarsening: day-only group-by with the custkey predicate
+    # applied on FACT rows — if the rule's rollup-side pushdown +
+    # re-aggregation were unsound, this fact-side replay diverges
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderdate", "o_custkey", "o_totalprice"])
+    o = o[o["o_custkey"] % 2 == 0]
+    o = o.assign(
+        day=pd.to_datetime(o["o_orderdate"]).dt.floor("D"),
+        cents=[int(math.floor(float(v) * 100)) for v in o["o_totalprice"]])
+    return (o.groupby("day")
+            .agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"),
+                 min_cents=("cents", "min"), max_cents=("cents", "max"))
+            .reset_index())
+
+
+def s32_rollup_quantile(sf, k=64):
+    # per-month bottom-k-by-hash sample replayed with hashlib directly:
+    # min-k (h, v) pairs under the (h, v) total order, then type-1
+    # quartile order statistics of the sample — pure int arithmetic
+    import hashlib
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderdate", "o_orderkey", "o_totalprice"])
+    o = o[o["o_orderkey"].notna() & o["o_totalprice"].notna()]
+    month = pd.to_datetime(o["o_orderdate"]).values.astype("datetime64[M]")
+    hv = {}
+    for m, ok, tp in zip(month, o["o_orderkey"], o["o_totalprice"]):
+        h = int(hashlib.md5(f"qsk_{int(ok)}".encode()).hexdigest()[:8], 16)
+        hv.setdefault(m, []).append((h, int(math.floor(float(tp) * 100))))
+    rows = []
+    for m, pairs in sorted(hv.items()):
+        vs = sorted(v for _, v in sorted(pairs)[:k])
+        ns = len(vs)
+        rows.append((pd.Timestamp(m), ns,
+                     vs[((ns - 1) * 1) // 4],
+                     vs[((ns - 1) * 2) // 4],
+                     vs[((ns - 1) * 3) // 4]))
+    return pd.DataFrame(
+        rows, columns=["month", "n_s", "est_p25", "est_p50", "est_p75"])
+
+
 def j17_aqe_skew(sf):
     # AQE skew splitting may only change task boundaries — the result
     # is the plain flag-dimension join, replayed here
@@ -5123,6 +5185,9 @@ QUERIES = {
     "j16_cbo_reorder": j16_cbo_reorder,
     "j17_aqe_skew": j17_aqe_skew,
     "s30_mv_rewrite": s30_mv_rewrite,
+    "s32_rollup_quantile": s32_rollup_quantile,
+    "s33_mv_multikey": s33_mv_multikey,
+    "s34_mv_coarsen": s34_mv_coarsen,
     "j15_join_size_profile": j15_join_size_profile,
     "e2_sssp_weighted": e2_sssp_weighted,
     "p13_ref_integrity": p13_ref_integrity,

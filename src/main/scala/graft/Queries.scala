@@ -2097,6 +2097,7 @@ object ParityQueries {
   val s19Sql =
     """SELECT date_trunc('day', o_orderdate) AS day,
       |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS n_m,
       |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_m,
       |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_m,
       |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_m
@@ -3576,6 +3577,10 @@ object ParityQueries {
         .groupBy(s31Day.as("day"))
         .agg(
           count(lit(1)).as("n"),
+          // count(metric) — derives from the rollup's n_m column, so
+          // this row also gates the non-null-count derivation against
+          // a REFRESHED artifact
+          count(s30Cents).as("n_m"),
           sum(s30Cents).as("sum_m"),
           min(s30Cents).as("min_m"),
           max(s30Cents).as("max_m"))
@@ -3658,6 +3663,247 @@ object ParityQueries {
     }
     s.read.parquet(out)
   }
+
+  // ---- S35: MV rewrite of avg() and count(metric) ---------------------------
+  // The aggregate-algebra completion of s30: avg(metric) is NOT one
+  // mergeable statistic — it is the quotient of two (sum_m and the
+  // NON-NULL metric count n_m the rollup now stores; count(*) would
+  // be wrong exactly when the metric has nulls). MvRewriteRule
+  // substitutes ONE post-aggregation divide of the two exact BIGINTs
+  // (sum(sum_m)/sum(n_m), LEGACY divide so an all-null group stays
+  // NULL), and count(metric) → sum(n_m) directly. The query below is
+  // written against `orders` with plain avg()/count() calls — no
+  // manual sum/count decomposition — and the in-query require proves
+  // the fact scan left the optimized plan. Bit-exactness window:
+  // Average itself accumulates in a double, so rewritten ≡ plain
+  // (≡ the DuckDB AVG) while per-group cent sums stay below 2^53 —
+  // ~90 quadrillion dollars per group before a bit can drift.
+  def s35MvAvg(s: SparkSession, dir: String): DataFrame = {
+    s30MvDir(s, dir)
+    val out = Sink.scratchDir(s"mv_avg_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(graft.plans.MvRewriteRule.EnabledKey -> "true")) {
+      val q = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          avg(s30Cents).as("avg_cents"),
+          count(s30Cents).as("n_priced"),
+          sum(s30Cents).as("sum_cents"))
+      val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(scans.exists(_.contains("mv_orders")),
+        s"avg MV rewrite did not fire; plan scans: $scans")
+      require(!scans.exists(_.contains("orders.parquet")),
+        s"avg MV rewrite left a fact scan in the plan; scans: $scans")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
+  val s35Sql =
+    """SELECT o_custkey,
+      |  AVG(CAST(floor(o_totalprice * 100) AS BIGINT)) AS avg_cents,
+      |  CAST(count(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS n_priced,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---- S36: CDC-driven MV maintenance (updates + deletes, not just appends) -
+  // s19/s31 maintain the rollup under APPEND-ONLY deltas (merge of
+  // mergeable partials). Real warehouses also mutate: a CDC batch
+  // carries inserts, metric updates, KEY-MOVING updates, and deletes
+  // — and min/max are not differentiable under removal (deleting the
+  // current extremum needs the runner-up the rollup no longer has).
+  // [[graft.ops.Materialize.maintainKeys]] is the sound general
+  // recipe: recompute ONLY the key groups the changelog touches (on
+  // EITHER image — a key-move affects its old and its new day) from
+  // the post-image fact, pass every untouched group through from the
+  // stored rollup. The CDC batch here is confined to 1997 orders
+  // (insert: %13==3, delete: %17==5, price update: %19==7, re-date
+  // +7d: %23==11, classified in that precedence), so affected days
+  // are a strict slice of the key space — the in-query require
+  // proves the maintenance really was partial, and the oracle (the
+  // full post-image rollup) only matches if maintained ≡ rebuilt
+  // bit-for-bit.
+  def s36MvCdc(s: SparkSession, dir: String): DataFrame = {
+    val year = org.apache.spark.sql.functions.year(col("o_orderdate")) === 1997
+    val ins = year && col("o_orderkey") % 13 === 3
+    val del = year && !ins && col("o_orderkey") % 17 === 5
+    val upd = year && !ins && !del && col("o_orderkey") % 19 === 7
+    val mov = year && !ins && !del && !upd && col("o_orderkey") % 23 === 11
+    val facts = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      date_trunc("DAY", col("o_orderdate")).as("day"),
+      s30Cents.as("cents"),
+      ins.as("is_ins"), del.as("is_del"), upd.as("is_upd"), mov.as("is_mov"))
+    // stored rollup over the PRE-image (inserts absent, originals live)
+    val stored = Sink.scratchDir("s36_mv_cdc") + "/daily"
+    Materialize.rollup(facts.filter(!col("is_ins")), "day", col("cents"))
+      .write.mode("overwrite").parquet(stored)
+    // post-image fact: deletes gone, updates re-priced, moves re-dated
+    val post = facts.filter(!col("is_del")).select(
+      when(col("is_mov"), col("day") + expr("INTERVAL 7 DAYS"))
+        .otherwise(col("day")).as("day"),
+      when(col("is_upd"), col("cents") + col("o_orderkey") % 1000)
+        .otherwise(col("cents")).as("cents"))
+    // affected key tuples: both images of every changed row
+    val affected = facts.filter(col("is_ins") || col("is_del") || col("is_upd"))
+      .select(col("day"))
+      .unionByName(facts.filter(col("is_mov"))
+        .select(col("day"))
+        .unionByName(facts.filter(col("is_mov"))
+          .select((col("day") + expr("INTERVAL 7 DAYS")).as("day"))))
+      .distinct()
+    val affN = affected.count()
+    val allN = s.read.parquet(stored).count()
+    require(affN > 0 && affN.toDouble < 0.25 * allN,
+      s"CDC maintenance was not partial: $affN affected of $allN groups")
+    Materialize.maintainKeys(
+      s.read.parquet(stored), post, Seq("day"), col("cents"), affected)
+  }
+
+  val s36Sql =
+    """WITH f AS (
+      |  SELECT o_orderkey, date_trunc('day', o_orderdate) AS day,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    (year(o_orderdate) = 1997) AS yr
+      |  FROM orders),
+      |c AS (
+      |  SELECT day, cents,
+      |    (yr AND o_orderkey % 13 = 3) AS is_ins,
+      |    (yr AND o_orderkey % 13 <> 3 AND o_orderkey % 17 = 5) AS is_del,
+      |    (yr AND o_orderkey % 13 <> 3 AND o_orderkey % 17 <> 5
+      |        AND o_orderkey % 19 = 7) AS is_upd,
+      |    (yr AND o_orderkey % 13 <> 3 AND o_orderkey % 17 <> 5
+      |        AND o_orderkey % 19 <> 7 AND o_orderkey % 23 = 11) AS is_mov,
+      |    o_orderkey
+      |  FROM f),
+      |post AS (
+      |  SELECT CASE WHEN is_mov THEN day + INTERVAL 7 DAY ELSE day END AS day,
+      |    CASE WHEN is_upd THEN cents + o_orderkey % 1000 ELSE cents END AS cents
+      |  FROM c WHERE NOT is_del)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(cents) AS BIGINT) AS n_m,
+      |  CAST(sum(cents) AS BIGINT) AS sum_m,
+      |  CAST(min(cents) AS BIGINT) AS min_m,
+      |  CAST(max(cents) AS BIGINT) AS max_m
+      |FROM post GROUP BY 1""".stripMargin
+
+  // ---- S37/S38: JOINED materialized view (denormalized rollup) --------------
+  // The dashboard query that motivates MVs in the first place is
+  // rarely a single-table rollup — it is "revenue by dimension
+  // attribute": fact ⋈ dim ⋈ group-by. s37 registers a rollup
+  // materialized over orders INNER JOIN customer ON o_custkey =
+  // c_custkey, keyed by the DIM attribute c_nationkey, and the gate
+  // query is the plain join+aggregate written against both base
+  // tables — MvRewriteRule matches the whole join subtree (same two
+  // file scans, same key pair, either orientation, IsNotNull
+  // join-key constraints discarded as join-implied) and substitutes
+  // the rollup: BOTH scans and the join leave the plan, proven
+  // in-query. At 100 TB that is a fact-sized shuffle join replaced by
+  // an O(|nations|) scan. s38 proves the maintenance half: the join
+  // distributes over fact slices ((pre ∪ delta) ⋈ dim = (pre ⋈ dim)
+  // ∪ (delta ⋈ dim)), so a fact-append delta refreshes the joined
+  // rollup as rollup(delta ⋈ dim) merged in via refreshInto — the
+  // fact's history is never rescanned and the dim is joined only
+  // against the delta. Oracle: the full join aggregate, so
+  // maintained ≡ rebuilt or the row flips.
+  private val s37MvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def s37MvDir(s: SparkSession, dir: String): String =
+    s37MvCache.computeIfAbsent(dir, _ => {
+      val path = Sink.scratchDir(s"mv_joined_${math.abs(dir.hashCode)}") + "/nation_cents"
+      graft.plans.MvCatalog.createJoined(
+        s, s"orders_cust_nation_${math.abs(dir.hashCode)}",
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        col("o_custkey"), col("c_custkey"),
+        Seq(col("c_nationkey") -> "c_nationkey"), s30Cents, path)
+      path
+    })
+
+  def s37MvJoin(s: SparkSession, dir: String): DataFrame = {
+    s37MvDir(s, dir)
+    val out = Sink.scratchDir(s"mv_join_q_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(graft.plans.MvRewriteRule.EnabledKey -> "true")) {
+      val q = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(s30Cents).as("sum_cents"),
+          min(s30Cents).as("min_cents"),
+          max(s30Cents).as("max_cents"),
+          avg(s30Cents).as("avg_cents"))
+      val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(scans.exists(_.contains("mv_joined")),
+        s"joined MV rewrite did not fire; plan scans: $scans")
+      require(!scans.exists(p => p.contains("orders.parquet") || p.contains("customer.parquet")),
+        s"joined MV rewrite left a base scan in the plan; scans: $scans")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
+  val s37Sql =
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+      |  AVG(CAST(floor(o_totalprice * 100) AS BIGINT)) AS avg_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  private val s38MvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def s38MvDir(s: SparkSession, dir: String): String =
+    s38MvCache.computeIfAbsent(dir, _ => {
+      val stored = Sink.scratchDir(s"mv_joinedref_${math.abs(dir.hashCode)}") + "/nation_cents"
+      val cut = lit(S19Cutoff).cast("timestamp")
+      val dim = Tables.customer(s, dir)
+      def slice(pred: Column) = Tables.orders(s, dir).filter(pred)
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), s30Cents.as("m"))
+      Materialize.rollup(slice(col("o_orderdate") < cut), "c_mktsegment", col("m"))
+        .write.mode("overwrite").parquet(stored)
+      Materialize.refreshInto(s, stored,
+        Materialize.rollup(slice(col("o_orderdate") >= cut), "c_mktsegment", col("m")),
+        "c_mktsegment")
+      graft.plans.MvCatalog.registerJoined(
+        s, s"orders_cust_nation_ref_${math.abs(dir.hashCode)}",
+        Tables.orders(s, dir), dim,
+        col("o_custkey"), col("c_custkey"),
+        Seq(col("c_mktsegment") -> "c_mktsegment"), s30Cents, stored)
+      stored
+    })
+
+  def s38MvJoinRefresh(s: SparkSession, dir: String): DataFrame = {
+    s38MvDir(s, dir)
+    val out = Sink.scratchDir(s"mv_joinref_q_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(graft.plans.MvRewriteRule.EnabledKey -> "true")) {
+      val q = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(s30Cents).as("n_m"),
+          sum(s30Cents).as("sum_m"),
+          min(s30Cents).as("min_m"),
+          max(s30Cents).as("max_m"))
+      val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(scans.exists(_.contains("mv_joinedref")),
+        s"refreshed joined-MV rewrite did not fire; plan scans: $scans")
+      require(!scans.exists(p => p.contains("orders.parquet") || p.contains("customer.parquet")),
+        s"refreshed joined-MV rewrite left a base scan; scans: $scans")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
+  val s38Sql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS n_m,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_m,
+      |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_m,
+      |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_m
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
 
   val s33Sql =
     """SELECT date_trunc('day', o_orderdate) AS day, o_custkey,
@@ -3983,6 +4229,10 @@ object ParityQueries {
     "s31_mv_refresh" -> (s31MvRefresh _),
     "s33_mv_multikey" -> (s33MvMultikey _),
     "s34_mv_coarsen" -> (s34MvCoarsen _),
+    "s35_mv_avg" -> (s35MvAvg _),
+    "s36_mv_cdc" -> (s36MvCdc _),
+    "s37_mv_join" -> (s37MvJoin _),
+    "s38_mv_join_refresh" -> (s38MvJoinRefresh _),
     "j15_join_size_profile" -> (j15JoinSizeProfile _),
     "p13_ref_integrity" -> (p13RefIntegrity _),
     "o15_rfm_segments" -> (o15RfmSegments _),
@@ -4115,6 +4365,10 @@ object ParityQueries {
     "s31_mv_refresh" -> s19Sql,
     "s33_mv_multikey" -> s33Sql,
     "s34_mv_coarsen" -> s34Sql,
+    "s35_mv_avg" -> s35Sql,
+    "s36_mv_cdc" -> s36Sql,
+    "s37_mv_join" -> s37Sql,
+    "s38_mv_join_refresh" -> s38Sql,
     "j15_join_size_profile" -> j15Sql,
     "p13_ref_integrity" -> p13Sql,
     "o15_rfm_segments" -> o15Sql,

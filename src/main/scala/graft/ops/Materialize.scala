@@ -44,6 +44,12 @@ object Materialize {
       .groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
+        // non-null metric count, kept SEPARATELY from n: count(*) and
+        // count(metric) diverge exactly when the metric has nulls, and
+        // avg(metric) = sum_m / n_m (NOT / n) — storing both is what
+        // lets MvRewriteRule derive count(metric) and avg(metric)
+        // soundly without assuming metric non-nullability
+        count(col("m")).as("n_m"),
         sum(col("m")).as("sum_m"),
         min(col("m")).as("min_m"),
         max(col("m")).as("max_m"))
@@ -67,6 +73,7 @@ object Materialize {
       .groupBy(keyCols.map(col): _*)
       .agg(
         sum(col("n")).as("n"),
+        sum(col("n_m")).as("n_m"),
         sum(col("sum_m")).as("sum_m"),
         min(col("min_m")).as("min_m"),
         max(col("max_m")).as("max_m"))
@@ -187,6 +194,46 @@ object Materialize {
       .select(col(keyCol),
         size(col("vs")).cast("long").as("n_s"),
         at(1).as("est_p25"), at(2).as("est_p50"), at(3).as("est_p75"))
+  }
+
+  /** Maintain a rollup under GENERAL mutation — inserts, updates,
+    * deletes, including key-moving updates — from a CDC changelog,
+    * without rescanning unaffected history. count/sum are
+    * differentiable (apply +new −old), but min/max are NOT under
+    * deletes and downward updates (removing the current extremum
+    * needs the runner-up, which the rollup no longer has), so the
+    * sound general recipe is recompute-affected-groups: key groups
+    * the changelog touches are re-aggregated from the post-image
+    * fact restricted to those keys; every other group passes through
+    * from the stored rollup untouched.
+    *
+    *   out = stored ⟂ affected  ∪  rollup(factPost ⋉ affected)
+    *
+    * `affected` must contain every key tuple the changelog touches on
+    * EITHER image — a key-moving update affects both its old and new
+    * group (the caller derives this from the changelog's old+new key
+    * columns; missing one side is the classic IVM unsoundness and the
+    * OpsSpec law would catch it). A fully-deleted group correctly
+    * vanishes (the recompute yields no row); a brand-new group
+    * correctly appears.
+    *
+    * Scale shape: `affected` is changelog-sized (distinct key tuples
+    * of the delta), so both the anti- and semi-join broadcast it; the
+    * recompute scan reads only affected-key fact rows — with the fact
+    * partitioned or bucketed on a key prefix that is a partition-
+    * pruned slice, O(|changelog| + |affected groups|), never the full
+    * fact. The stored-rollup side is one key-cardinality-sized scan.
+    */
+  def maintainKeys(
+      stored: DataFrame,
+      factPost: DataFrame,
+      keyCols: Seq[String],
+      metric: Column,
+      affected: DataFrame): DataFrame = {
+    val aff = affected.select(keyCols.map(col): _*).distinct()
+    stored.join(broadcast(aff), keyCols, "left_anti")
+      .unionByName(rollup(factPost.join(broadcast(aff), keyCols, "left_semi"),
+        keyCols, metric))
   }
 
   /** In-place refresh of a STORED rollup: read it, [[merge]] a delta

@@ -11,18 +11,32 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.DoubleType
 
 /** One grouping key of a registered MV: its stored column name and
   * its defining expression in name-normalized canonical form.
   */
 private[graft] case class MvKey(name: String, canon: Expression)
 
+/** The join half of a JOINED MV definition: the dimension scan's file
+  * paths and the two join-key expressions in name-normalized canonical
+  * form. A query matches only if it performs the same INNER equi-join
+  * of the same two file scans on the same key pair.
+  */
+private[graft] case class MvJoin(
+    dimPaths: Set[String],
+    factKeyCanon: Expression,
+    dimKeyCanon: Expression)
+
 /** A registered materialized aggregate: the stored
-  * [[graft.ops.Materialize.rollup]] table (`key…, n, sum_m, min_m,
-  * max_m`) plus enough of its DEFINITION to prove a query can be
-  * answered from it — the fact scan's file paths, and the key/metric
-  * expressions in name-normalized canonical form. Keys are an ordered
-  * tuple; queries may group on any subset of them (coarsening).
+  * [[graft.ops.Materialize.rollup]] table (`key…, n, n_m, sum_m,
+  * min_m, max_m`) plus enough of its DEFINITION to prove a query can
+  * be answered from it — the fact scan's file paths, and the
+  * key/metric expressions in name-normalized canonical form. Keys are
+  * an ordered tuple; queries may group on any subset of them
+  * (coarsening). `join`, when present, makes this a JOINED MV: the
+  * rollup was materialized over `fact INNER JOIN dim ON fk = dk`, and
+  * only a query performing that same join can be answered from it.
   */
 private[graft] case class MvDef(
     name: String,
@@ -30,7 +44,8 @@ private[graft] case class MvDef(
     keys: Seq[MvKey],
     metricCanon: Expression,
     mvPath: String,
-    mv: LogicalRelation)
+    mv: LogicalRelation,
+    join: Option[MvJoin] = None)
 
 /** Registry of materialized aggregates for [[MvRewriteRule]].
   *
@@ -148,6 +163,107 @@ object MvCatalog {
     ()
   }
 
+  /** Materialize a JOINED rollup — `fact INNER JOIN dim ON factKey =
+    * dimKey`, grouped by `keys` (from either side), aggregating
+    * `metric` — and register it for rewriting. The denormalized
+    * dashboard shape: group order revenue by a DIMENSION attribute
+    * without paying the join at query time. Maintenance rides the
+    * same merge laws as a plain rollup because the join distributes
+    * over fact slices: (pre ∪ delta) ⋈ dim = (pre ⋈ dim) ∪ (delta ⋈
+    * dim), so a fact-append delta refreshes as rollup(delta ⋈ dim)
+    * merged in — the dim stays static (a mutated dim is a
+    * [[graft.ops.Materialize.maintainKeys]] recompute, keyed by the
+    * affected dim keys).
+    */
+  def createJoined(
+      spark: SparkSession,
+      name: String,
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: Column,
+      dimKey: Column,
+      keys: Seq[(Column, String)],
+      metric: Column,
+      path: String): Unit = {
+    defs.values.asScala.filter(_.mvPath == path).map(_.name).foreach(defs.remove)
+    graft.ops.Materialize
+      .rollup(
+        fact.join(dim, factKey === dimKey)
+          .select(keys.map { case (c, n) => c.as(n) } :+ metric.as("__graft_mv_m"): _*),
+        keys.map(_._2), col("__graft_mv_m"))
+      .write.mode("overwrite").parquet(path)
+    registerJoined(spark, name, fact, dim, factKey, dimKey, keys, metric, path)
+  }
+
+  /** Register an ALREADY-materialized joined rollup (e.g. one kept
+    * fresh by merging fact-delta ⋈ dim partials).
+    */
+  def registerJoined(
+      spark: SparkSession,
+      name: String,
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: Column,
+      dimKey: Column,
+      keys: Seq[(Column, String)],
+      metric: Column,
+      path: String): Unit = {
+    require(keys.nonEmpty, s"MV '$name': at least one grouping key required")
+    val probeCols = keys.zipWithIndex.map { case ((c, _), i) => c.as(s"__graft_mv_k$i") } ++
+      Seq(metric.cast("long").as("__graft_mv_m"),
+        factKey.as("__graft_mv_fk"), dimKey.as("__graft_mv_dk"))
+    val probe = fact.join(dim, factKey === dimKey).select(probeCols: _*)
+    val opt = probe.queryExecution.optimizedPlan
+    val dec = MvRewriteRule.decomposeJoined2(opt).getOrElse(
+      throw new IllegalArgumentException(
+        s"MV '$name': definition must be a bare INNER equi-join of two file scans, got:\n$opt"))
+    val (aliases, filters, lrL, lrR, _, _) = dec
+    def defOf(n: String): Expression = {
+      val a = opt.output.find(_.name == n).getOrElse(
+        throw new IllegalStateException(s"MV '$name': probe lost column $n"))
+      aliases.getOrElse(a.exprId, a)
+    }
+    // orient the two relations: the one the fact key resolves against
+    // is the fact side (the optimizer does not reorder a bare 2-table
+    // join, but the registration must not depend on that)
+    val fkRefs = defOf("__graft_mv_fk").references
+    val (lrF, lrD) =
+      if (fkRefs.subsetOf(lrL.outputSet)) (lrL, lrR)
+      else if (fkRefs.subsetOf(lrR.outputSet)) (lrR, lrL)
+      else throw new IllegalArgumentException(
+        s"MV '$name': fact join key must come from one side of the join")
+    // name-unambiguity: canonical matching is by column NAME, so a
+    // name present in both scans would make the proof ambiguous
+    val shared = lrF.output.map(_.name.toLowerCase(Locale.ROOT)).toSet
+      .intersect(lrD.output.map(_.name.toLowerCase(Locale.ROOT)).toSet)
+    require(shared.isEmpty,
+      s"MV '$name': fact and dim scans share column names $shared — unsupported")
+    val fkCanon = MvRewriteRule.nameNorm(defOf("__graft_mv_fk"))
+    val dkCanon = MvRewriteRule.nameNorm(defOf("__graft_mv_dk"))
+    // the only tolerated residual filters are the IsNotNull(join key)
+    // constraints the optimizer infers from the inner join itself
+    val stray = filters.flatMap(MvRewriteRule.splitConjuncts)
+      .filterNot(f => MvRewriteRule.impliedByJoin(f, fkCanon, dkCanon))
+    require(stray.isEmpty,
+      s"MV '$name': a FILTERED joined definition cannot answer whole-join aggregates: $stray")
+    val fPaths = MvRewriteRule.relPaths(lrF).getOrElse(
+      throw new IllegalArgumentException(s"MV '$name': fact scan is not a file relation"))
+    val dPaths = MvRewriteRule.relPaths(lrD).getOrElse(
+      throw new IllegalArgumentException(s"MV '$name': dim scan is not a file relation"))
+    val keyDefs = keys.zipWithIndex.map { case ((_, n), i) =>
+      MvKey(n, MvRewriteRule.nameNorm(defOf(s"__graft_mv_k$i")))
+    }
+    val mvRel = spark.read.parquet(path).queryExecution.analyzed
+      .collectFirst { case l: LogicalRelation => l }
+      .getOrElse(throw new IllegalStateException(s"MV '$name': $path is not a file scan"))
+    defs.put(name, MvDef(
+      name, fPaths, keyDefs,
+      MvRewriteRule.nameNorm(defOf("__graft_mv_m")),
+      path, mvRel,
+      join = Some(MvJoin(dPaths, fkCanon, dkCanon))))
+    ()
+  }
+
   def unregister(name: String): Unit = { defs.remove(name); () }
   def clear(): Unit = defs.clear()
   def isEmpty: Boolean = defs.isEmpty
@@ -165,8 +281,12 @@ object MvCatalog {
   * rollup's merge laws can PROVE:
   *
   *   count(1)           → sum(n)        (counts add across partials)
+  *   count(metric)      → sum(n_m)      (non-null counts add)
   *   sum(metric)        → sum(sum_m)    (sums add)
   *   min/max(metric)    → min/max(min_m/max_m)  (reduce)
+  *   avg(metric)        → sum(sum_m) / sum(n_m)  (one post-aggregation
+  *                        divide of two exact BIGINTs — NOT / sum(n):
+  *                        avg skips nulls, count(*) does not)
   *   group keys         → rollup key columns (any SUBSET of the
   *                        registered key tuple, including none: a
   *                        coarser group-by — or a global aggregate —
@@ -184,13 +304,17 @@ object MvCatalog {
   * Matching is deliberately conservative (a rewrite rule must never
   * fire on a plan it cannot prove equal): the aggregate's child must
   * decompose to projections/filters over the EXACT fact file scan the
-  * MV was defined on, every grouping expression must match a DISTINCT
-  * registered key and every aggregate argument the registered metric
-  * (name-normalized canonical compare, so attribute ids don't
-  * matter), and aggregates must be the four derivable functions,
-  * non-DISTINCT, unfiltered. Anything else leaves the plan untouched.
-  * AVG needs no case of its own: derive it AFTER aggregation as
-  * sum_cents/n — two exact BIGINTs dividing deterministically.
+  * MV was defined on — or, for a JOINED MV, to the exact INNER
+  * equi-join of the registered fact and dim file scans on the
+  * registered key pair (either orientation; the IsNotNull join-key
+  * constraints the optimizer infers are discarded as join-implied;
+  * a joined MV never answers a bare fact aggregate, whose rows an
+  * inner join would not preserve) — every grouping expression must
+  * match a DISTINCT registered key and every aggregate argument the
+  * registered metric (name-normalized canonical compare, so attribute
+  * ids don't matter), and aggregates must be among the derivable
+  * functions above, non-DISTINCT, unfiltered. Anything else leaves
+  * the plan untouched.
   *
   * Output attribute ids and positions are preserved (each rewritten
   * aggregate re-uses the original alias's exprId), so parent operators
@@ -199,9 +323,12 @@ object MvCatalog {
   * equal by law tests, but plan SHAPE changes only when asked for —
   * the j14/j16 pinned-conf-window discipline.
   */
-object MvRewriteRule extends Rule[LogicalPlan] {
+object MvRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val EnabledKey = "spark.graft.mv.enabled"
+
+  private[plans] def splitConjuncts(f: Expression): Seq[Expression] =
+    splitConjunctivePredicates(f)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MvCatalog.isEmpty || conf.getConfString(EnabledKey, "false") != "true") plan
@@ -211,15 +338,72 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   }
 
   private def rewrite(agg: Aggregate): Option[Aggregate] =
+    rewriteSingle(agg).orElse(rewriteJoined(agg))
+
+  private def rewriteSingle(agg: Aggregate): Option[Aggregate] =
     for {
       (aliases, filters, rel) <- decompose(agg.child)
       paths <- relPaths(rel)
       // several MVs can share a fact table (different keys/metrics):
-      // try each until one proves the query, deterministically by name
-      out <- MvCatalog.all.filter(_.factPaths == paths).toSeq.sortBy(_.name)
+      // try each until one proves the query, deterministically by
+      // name. A JOINED MV must never answer a bare fact aggregate —
+      // its rows are post-join (inner-join drops unmatched fact rows).
+      out <- MvCatalog.all.filter(d => d.join.isEmpty && d.factPaths == paths)
+        .toSeq.sortBy(_.name)
         .iterator.flatMap(mv => tryRewrite(agg, aliases, filters, mv).iterator)
         .nextOption()
     } yield out
+
+  /** The joined-MV leg: the aggregate's child must decompose to an
+    * INNER equi-join of exactly the registered fact and dim file
+    * scans on the registered key pair (either textual orientation);
+    * residual filters implied by the join (IsNotNull on a join key)
+    * are discarded, everything else flows to [[tryRewrite]]'s
+    * key-only filter discipline unchanged.
+    */
+  private def rewriteJoined(agg: Aggregate): Option[Aggregate] =
+    for {
+      (aliases, filters, lrA, lrB, kA, kB) <- decomposeJoined2(agg.child)
+      pA <- relPaths(lrA)
+      pB <- relPaths(lrB)
+      // canonical matching is by name — bail out if the two scans
+      // share any column name (same guard as registration)
+      if lrA.output.map(_.name.toLowerCase(Locale.ROOT)).toSet
+        .intersect(lrB.output.map(_.name.toLowerCase(Locale.ROOT)).toSet).isEmpty
+      kAc = nameNorm(inline(kA, aliases))
+      kBc = nameNorm(inline(kB, aliases))
+      out <- MvCatalog.all.toSeq.sortBy(_.name).iterator.flatMap { mv =>
+        mv.join match {
+          case Some(j)
+              // the registered (fact, dim, fk, dk) quadruple, in
+              // either left/right orientation of the query's join
+              if (mv.factPaths == pA && j.dimPaths == pB &&
+                ((kAc.semanticEquals(j.factKeyCanon) && kBc.semanticEquals(j.dimKeyCanon)) ||
+                  (kAc.semanticEquals(j.dimKeyCanon) && kBc.semanticEquals(j.factKeyCanon)))) ||
+                (mv.factPaths == pB && j.dimPaths == pA &&
+                  ((kBc.semanticEquals(j.factKeyCanon) && kAc.semanticEquals(j.dimKeyCanon)) ||
+                    (kBc.semanticEquals(j.dimKeyCanon) && kAc.semanticEquals(j.factKeyCanon)))) =>
+            // split AND-trees first: a user key-filter arrives fused
+            // with the inferred IsNotNull(join key) in one conjunction
+            val residual = filters.flatMap(splitConjunctivePredicates)
+              .filterNot(f => impliedByJoin(f, j.factKeyCanon, j.dimKeyCanon))
+            tryRewrite(agg, aliases, residual, mv).iterator
+          case _ => Iterator.empty
+        }
+      }.nextOption()
+    } yield out
+
+  /** True for the filters an inner equi-join makes tautological on
+    * its own rows: IsNotNull of either join key (the optimizer infers
+    * and pushes these; the MV's rows satisfy them by construction).
+    */
+  private[plans] def impliedByJoin(
+      f: Expression, fkCanon: Expression, dkCanon: Expression): Boolean = f match {
+    case IsNotNull(c) =>
+      val n = nameNorm(c)
+      n.semanticEquals(fkCanon) || n.semanticEquals(dkCanon)
+    case _ => false
+  }
 
   private def tryRewrite(
       agg: Aggregate,
@@ -268,6 +452,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       sumA <- mvAttr("sum_m")
       minA <- mvAttr("min_m")
       maxA <- mvAttr("max_m")
+      // optional non-null metric count (rollups built before the n_m
+      // column simply don't offer count(metric)/avg(metric) derivation)
+      nmA = mvAttr("n_m")
     } yield {
       // An output attribute standing for a grouped key, by grouping
       // alias id or by canonical match.
@@ -285,21 +472,41 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       })
       if (fRews.exists(f => !f.references.subsetOf(AttributeSet(kAs)))) return None
 
-      def derive(fn: AggregateFunction): Option[AggregateFunction] = fn match {
-        case Count(Seq(l: Literal)) if l.value != null => Some(Sum(nA))
-        case s: Sum if isMetric(s.child) => Some(Sum(sumA))
-        case m: Min if isMetric(m.child) => Some(Min(minA))
-        case m: Max if isMetric(m.child) => Some(Max(maxA))
-        case _ => None
-      }
+      def aggE(fn: AggregateFunction, like: AggregateExpression): AggregateExpression =
+        AggregateExpression(fn, like.mode, isDistinct = false)
+      def deriveExpr(ae: AggregateExpression): Option[Expression] =
+        ae.aggregateFunction match {
+          case Count(Seq(l: Literal)) if l.value != null => Some(aggE(Sum(nA), ae))
+          // count(metric) — non-null count — is exactly the stored n_m
+          case Count(Seq(c)) if isMetric(c) && nmA.isDefined =>
+            Some(aggE(Sum(nmA.get), ae))
+          case s: Sum if isMetric(s.child) => Some(aggE(Sum(sumA), ae))
+          case m: Min if isMetric(m.child) => Some(aggE(Min(minA), ae))
+          case m: Max if isMetric(m.child) => Some(aggE(Max(maxA), ae))
+          // avg(metric) = sum(sum_m) / sum(n_m) as ONE post-aggregation
+          // divide of two exact BIGINTs. Bit-equal to the un-rewritten
+          // Average while the group's metric sum stays below 2^53
+          // (Average itself accumulates the sum in a double, so both
+          // sides compute double(exact_sum)/double(n_m) — past 2^53
+          // Average's own partial sums round and neither side is
+          // "exact"). LEGACY divide, deliberately: an all-null-metric
+          // group has sum(n_m) = 0, where Average yields NULL — ANSI
+          // Divide would instead raise DIVIDE_BY_ZERO and the rewrite
+          // would not be semantics-preserving.
+          case av: Average
+              if isMetric(av.child) && nmA.isDefined && av.dataType == DoubleType =>
+            Some(Divide(
+              Cast(aggE(Sum(sumA), ae), DoubleType),
+              Cast(aggE(Sum(nmA.get), ae), DoubleType),
+              EvalMode.LEGACY))
+          case _ => None
+        }
       val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
         case a: AttributeReference if attrKeyIdx(a).isDefined =>
           Some(Alias(kAs(attrKeyIdx(a).get), a.name)(exprId = a.exprId))
         case al @ Alias(ae: AggregateExpression, name)
             if !ae.isDistinct && ae.filter.isEmpty =>
-          derive(ae.aggregateFunction)
-            .map(f => Alias(AggregateExpression(f, ae.mode, isDistinct = false), name)(
-              exprId = al.exprId))
+          deriveExpr(ae).map(e => Alias(e, name)(exprId = al.exprId))
         case al @ Alias(a: AttributeReference, name) if attrKeyIdx(a).isDefined =>
           Some(Alias(kAs(attrKeyIdx(a).get), name)(exprId = al.exprId))
         case al @ Alias(other, name) if keyIdx(other).exists(i => gIdx.contains(i)) =>
@@ -316,6 +523,59 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       Aggregate(gIdx.map(kAs), newAggExprs, child)
     }
     rewritten
+  }
+
+  /** Peel projections/filters off a plan down to an INNER equi-join
+    * of two file scans, returning (merged alias-inline map, all
+    * filters from above and inside both sides inlined to relation
+    * attributes, left relation, right relation, left join key, right
+    * join key). None for any other shape — outer joins change row
+    * multiplicity, multi-condition joins are not what was registered,
+    * and anything non-decomposable on a side hides unknown semantics.
+    */
+  private[plans] def decomposeJoined2(p: LogicalPlan)
+      : Option[(Map[ExprId, Expression], Seq[Expression],
+        LogicalRelation, LogicalRelation, Expression, Expression)] = {
+    // peel the stack ABOVE the join with the single-relation peeler's
+    // discipline (projections of attrs/aliases, filters collected),
+    // child-first so alias chains inline against the deeper map
+    def peel(p: LogicalPlan)
+        : Option[(Map[ExprId, Expression], Seq[Expression],
+          LogicalRelation, LogicalRelation, Expression, Expression)] = p match {
+      case SubqueryAlias(_, c) => peel(c)
+      case Project(pl, c) =>
+        val ok = pl.forall {
+          case _: AttributeReference => true
+          case _: Alias => true
+          case _ => false
+        }
+        if (!ok) None
+        else peel(c).map { case (m, fs, lrL, lrR, a, b) =>
+          val m2 = pl.collect { case al: Alias => al.exprId -> inline(al.child, m) }
+          (m ++ m2, fs, lrL, lrR, a, b)
+        }
+      case Filter(cond, c) =>
+        peel(c).map { case (m, fs, lrL, lrR, a, b) =>
+          (m, fs :+ inline(cond, m), lrL, lrR, a, b)
+        }
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner, Some(cond), _) =>
+        for {
+          (mL, fL, lrL) <- decompose(l)
+          (mR, fR, lrR) <- decompose(r)
+          mAll = mL ++ mR
+          eq <- inline(cond, mAll) match {
+            case EqualTo(a, b)
+                if a.references.subsetOf(lrL.outputSet) &&
+                  b.references.subsetOf(lrR.outputSet) => Some((a, b))
+            case EqualTo(a, b)
+                if a.references.subsetOf(lrR.outputSet) &&
+                  b.references.subsetOf(lrL.outputSet) => Some((b, a))
+            case _ => None
+          }
+        } yield (mAll, fL ++ fR, lrL, lrR, eq._1, eq._2)
+      case _ => None
+    }
+    peel(p)
   }
 
   /** Peel projections/filters/aliases off a plan down to its file

@@ -205,6 +205,209 @@ class MvRewriteSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  // ---- avg / count(metric) derivation (s35) ----
+
+  test("avg(metric) and count(metric) rewrite bit-identically") {
+    mvReady()
+    def q: DataFrame = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(avg(cents).as("a"), count(cents).as("nm"), sum(cents).as("s"))
+    val plain = rows(q)
+    val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+    assert(paths.exists(_.contains("mv_orders")), paths)
+    assert(!paths.exists(_.contains("orders.parquet")), paths)
+    assert(rewritten == plain)
+  }
+
+  test("avg/count(metric) with NULL metrics: n_m (not n) is the divisor") {
+    // a fact with nulls in the metric is exactly where avg ≠ sum/count(*)
+    // and count(metric) ≠ count(*) — the rewrite must stay bit-identical
+    // anyway, including the all-null group (avg NULL, count 0)
+    val path = graft.ops.Sink.scratchDir("mv_nulls_test")
+    val fact = path + "/fact"
+    spark.range(0, 300)
+      .select(
+        (col("id") % 7).as("k"),
+        when(col("id") % 3 === 0, lit(null).cast("long")) // every group: mixed nulls
+          .otherwise(col("id") * 11).as("m0"))
+      // group 6 entirely null
+      .select(col("k"), when(col("k") === 6, lit(null).cast("long"))
+        .otherwise(col("m0")).as("m"))
+      .write.mode("overwrite").parquet(fact)
+    val f = spark.read.parquet(fact)
+    MvCatalog.create(spark, "test_nulls_mv", f, col("k"), "k", col("m"), path + "/mv")
+    try {
+      def q: DataFrame = spark.read.parquet(fact)
+        .groupBy(col("k"))
+        .agg(avg(col("m")).as("a"), count(col("m")).as("nm"),
+          count(lit(1)).as("n"), sum(col("m")).as("s"))
+      val plain = rows(q)
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(paths.exists(p => p.contains("mv_nulls_test") && p.endsWith("/mv")), paths)
+      assert(!paths.exists(_.endsWith("/fact")), paths)
+      assert(rewritten == plain)
+      // the law has teeth only if the fixture really diverges n from n_m
+      val g = q.collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(g.exists { case (_, (nm, n)) => nm != n }, "fixture lost its nulls")
+    } finally MvCatalog.unregister("test_nulls_mv")
+  }
+
+  test("avg under coarsening re-aggregates sum_m/n_m, not an avg of avgs") {
+    withTupleMv { _ =>
+      def q: DataFrame = Tables.orders(spark, dir)
+        .groupBy(day.as("day"))
+        .agg(avg(cents).as("a"), count(lit(1)).as("n"))
+      val plain = rows(q)
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(paths.exists(_.contains("mv_tuple_test")), paths)
+      assert(!paths.exists(_.contains("orders.parquet")), paths)
+      assert(rewritten == plain)
+    }
+  }
+
+  test("avg(DISTINCT metric) is not derivable and leaves the fact scan") {
+    mvReady()
+    val q = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(expr("avg(DISTINCT CAST(floor(o_totalprice * 100) AS LONG))").as("a"))
+    val paths = withMvRule { scans(q) }
+    assert(paths.exists(_.contains("orders.parquet")), paths)
+  }
+
+  // ---- joined MV (s37/s38) ----
+
+  private def withJoinedMv[T](body: String => T): T = {
+    val path = graft.ops.Sink.scratchDir("mv_joined_law") + "/nation"
+    MvCatalog.createJoined(spark, "test_joined_mv",
+      Tables.orders(spark, dir), Tables.customer(spark, dir),
+      col("o_custkey"), col("c_custkey"),
+      Seq(col("c_nationkey") -> "c_nationkey"), cents, path)
+    try body(path)
+    finally MvCatalog.unregister("test_joined_mv")
+  }
+
+  test("joined MV: the fact ⋈ dim aggregate rewrites, both base scans gone") {
+    withJoinedMv { _ =>
+      def q: DataFrame = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+          min(cents).as("lo"), max(cents).as("hi"), avg(cents).as("a"))
+      val plain = rows(q)
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(paths.exists(_.contains("mv_joined_law")), paths)
+      assert(!paths.exists(p =>
+        p.contains("orders.parquet") || p.contains("customer.parquet")), paths)
+      assert(rewritten == plain)
+    }
+  }
+
+  test("joined MV: swapped join sides still rewrite (dim ⋈ fact)") {
+    withJoinedMv { _ =>
+      def q: DataFrame = Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"))
+      val plain = rows(q)
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(paths.exists(_.contains("mv_joined_law")), paths)
+      assert(!paths.exists(p =>
+        p.contains("orders.parquet") || p.contains("customer.parquet")), paths)
+      assert(rewritten == plain)
+    }
+  }
+
+  test("joined MV: a key filter pushes; the global aggregate coarsens") {
+    withJoinedMv { _ =>
+      def q: DataFrame = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_nationkey") % 5 === 2)
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"))
+      val plain = rows(q)
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(paths.exists(_.contains("mv_joined_law")), paths)
+      assert(!paths.exists(p =>
+        p.contains("orders.parquet") || p.contains("customer.parquet")), paths)
+      assert(rewritten == plain)
+    }
+  }
+
+  test("joined MV: a DIFFERENT join key pair leaves the base scans") {
+    withJoinedMv { _ =>
+      // same two tables, same group key, but joined on nationkey —
+      // different rows entirely; the registered proof must not apply
+      val q = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_nationkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+      val paths = withMvRule { scans(q) }
+      assert(paths.exists(_.contains("orders.parquet")), paths)
+    }
+  }
+
+  test("joined MV: an OUTER join of the same tables leaves the base scans") {
+    withJoinedMv { _ =>
+      val q = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+      val paths = withMvRule { scans(q) }
+      assert(paths.exists(_.contains("orders.parquet")), paths)
+    }
+  }
+
+  test("joined MV: a non-key filter on either side leaves the base scans") {
+    withJoinedMv { _ =>
+      val q1 = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+      assert(withMvRule(scans(q1)).exists(_.contains("orders.parquet")))
+      val q2 = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir).filter(col("c_acctbal") > 0),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+      assert(withMvRule(scans(q2)).exists(_.contains("orders.parquet")))
+    }
+  }
+
+  test("joined MV never answers a bare fact aggregate") {
+    withJoinedMv { _ =>
+      // without the join, orders rows with customers absent from the
+      // dim (none here, but unprovable) would be silently dropped —
+      // the rule must not use the joined rollup
+      val q = Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents).as("s"))
+      val paths = withMvRule { scans(q) }
+      // an earlier-registered SINGLE-table MV (s30's, JVM-global) may
+      // legitimately answer this — the law is only that the JOINED
+      // rollup never does
+      assert(!paths.exists(_.contains("mv_joined_law")), paths)
+    }
+  }
+
+  test("joined MV refresh law: (pre ⋈ dim) ⊕ (delta ⋈ dim) ≡ whole ⋈ dim") {
+    import graft.ops.Materialize
+    val dim = Tables.customer(spark, dir)
+    def slice(pred: org.apache.spark.sql.Column) =
+      Tables.orders(spark, dir).filter(pred)
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), cents.as("m"))
+    val whole = rows(Materialize.rollup(
+      Tables.orders(spark, dir)
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), cents.as("m")), "c_nationkey", col("m")))
+    val merged = rows(Materialize.merge(
+      Materialize.rollup(slice(col("o_orderkey") % 3 === 0), "c_nationkey", col("m")),
+      Materialize.rollup(slice(col("o_orderkey") % 3 =!= 0), "c_nationkey", col("m")),
+      "c_nationkey"))
+    assert(merged == whole)
+  }
+
   test("disabled conf leaves every plan untouched even with MVs registered") {
     mvReady()
     // rule attached but conf NOT set: EnabledKey defaults to false

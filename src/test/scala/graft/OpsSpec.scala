@@ -590,22 +590,67 @@ class OpsSpec extends SparkSpec {
     val facts = (1 to 500).map(i => (s"day${i % 13}", (i * 37 % 1000).toLong))
       .toDF("day", "m")
     val full = Materialize.rollup(facts, "day", col("m"))
-      .as[(String, Long, Long, Long, Long)].collect().toSet
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
     for (mod <- Seq(2, 3, 7)) {
       val a = facts.filter(col("m") % mod === 0)
       val b = facts.filter(col("m") % mod =!= 0)
       val merged = Materialize.merge(
         Materialize.rollup(a, "day", col("m")),
         Materialize.rollup(b, "day", col("m")), "day")
-        .as[(String, Long, Long, Long, Long)].collect().toSet
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
       assert(merged == full, s"mod=$mod")
     }
     // delta with keys absent from the base appends them unchanged
     val aOnly = Materialize.rollup(facts.filter(col("day") === "day1"), "day", col("m"))
     val bOnly = Materialize.rollup(facts.filter(col("day") === "day2"), "day", col("m"))
     val app = Materialize.merge(aOnly, bOnly, "day")
-      .as[(String, Long, Long, Long, Long)].collect().toSet
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
     assert(app == full.filter(r => r._1 == "day1" || r._1 == "day2"))
+  }
+
+  test("Materialize.maintainKeys: CDC-maintained rollup equals the post-image rebuild") {
+    // pre-image facts, then three mutation mixes (inserts + metric
+    // updates + deletes + KEY-MOVING updates); the maintained rollup
+    // must be bit-identical to a from-scratch rollup of the post-image,
+    // including vanished groups (all rows deleted) and born groups
+    // (insert/move into a day the base never had)
+    val pre = (1 to 400).map(i => (i.toLong, s"day${i % 11}", (i * 37 % 1000).toLong))
+      .toDF("id", "day", "m")
+    for (seed <- Seq(3, 5, 8)) {
+      val stored = Materialize.rollup(pre, "day", col("m"))
+      val del = col("id") % seed === 0
+      val upd = !del && col("id") % (seed + 4) === 1
+      val mov = !del && !upd && col("id") % (seed + 7) === 2
+      val ins = (1000 to 1040).map(i => (i.toLong, s"day${i % 17}", (i * 53 % 1000).toLong))
+        .toDF("id", "day", "m")
+      val post = pre.filter(!del).select(
+        col("id"),
+        when(mov, concat(lit("moved_"), col("day"))).otherwise(col("day")).as("day"),
+        when(upd, col("m") + 7).otherwise(col("m")).as("m"))
+        .unionByName(ins)
+      val affected = pre.filter(del || upd || mov).select(col("day"))
+        .unionByName(pre.filter(mov).select(concat(lit("moved_"), col("day")).as("day")))
+        .unionByName(ins.select(col("day")))
+      val maintained = Materialize.maintainKeys(stored, post, Seq("day"), col("m"), affected)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      val rebuilt = Materialize.rollup(post, "day", col("m"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(maintained == rebuilt, s"seed=$seed")
+    }
+    // dropping the NEW image's keys from `affected` is the classic IVM
+    // unsoundness — the law must catch it (moved-into groups missing)
+    val del0 = col("id") % 3 === 0
+    val mov0 = !del0 && col("id") % 10 === 2
+    val stored0 = Materialize.rollup(pre, "day", col("m"))
+    val post0 = pre.filter(!del0).select(col("id"),
+      when(mov0, concat(lit("moved_"), col("day"))).otherwise(col("day")).as("day"),
+      col("m"))
+    val badAffected = pre.filter(del0 || mov0).select(col("day")) // old image only
+    val bad = Materialize.maintainKeys(stored0, post0, Seq("day"), col("m"), badAffected)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val truth = Materialize.rollup(post0, "day", col("m"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(bad != truth, "old-image-only affected set should be unsound here")
   }
 
   test("ndvSketch: merge of split sketches equals the full sketch; estimator exact below k") {

@@ -464,9 +464,9 @@ class StreamingSpec extends SparkSpec {
     // rollup; the registered query already forces maxFilesPerTrigger=1
     val dir = "/root/testdata/sf0.001"
     val got = StreamQueries.s19RollupStream(spark, dir)
-      .as[(java.sql.Timestamp, Long, Long, Long, Long)].collect().toSet
+      .as[(java.sql.Timestamp, Long, Long, Long, Long, Long)].collect().toSet
     val batch = ParityQueries.all("s19_rollup_incremental")(spark, dir)
-      .as[(java.sql.Timestamp, Long, Long, Long, Long)].collect().toSet
+      .as[(java.sql.Timestamp, Long, Long, Long, Long, Long)].collect().toSet
     assert(got == batch)
     assert(got.nonEmpty)
   }

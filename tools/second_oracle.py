@@ -3259,13 +3259,14 @@ def s19_rollup_incremental(sf):
     cents = [int(math.floor(float(v) * 100)) for v in o["o_totalprice"]]
     rows = {}
     for d, c in zip(day, cents):
-        n, s_, mn, mx = rows.get(d, (0, 0, None, None))
-        rows[d] = (n + 1, s_ + c,
-                   c if mn is None else min(mn, c),
-                   c if mx is None else max(mx, c))
+        n, nm, s_, mn, mx = rows.get(d, (0, 0, 0, None, None))
+        rows[d] = (n + 1, nm + (0 if c is None else 1),
+                   s_ + (0 if c is None else c),
+                   mn if c is None else (c if mn is None else min(mn, c)),
+                   mx if c is None else (c if mx is None else max(mx, c)))
     return pd.DataFrame(
-        [(d, n, s_, mn, mx) for d, (n, s_, mn, mx) in rows.items()],
-        columns=["day", "n", "sum_m", "min_m", "max_m"])
+        [(d, n, nm, s_, mn, mx) for d, (n, nm, s_, mn, mx) in rows.items()],
+        columns=["day", "n", "n_m", "sum_m", "min_m", "max_m"])
 
 
 def w11_streaks(sf, min_run=3):
@@ -3580,6 +3581,99 @@ def s34_mv_coarsen(sf):
     return (o.groupby("day")
             .agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"),
                  min_cents=("cents", "min"), max_cents=("cents", "max"))
+            .reset_index())
+
+
+def s35_mv_avg(sf):
+    # avg()/count(metric) under MV substitution may only change WHICH
+    # table the plan scans — the result is the plain grouped aggregate
+    # over orders; avg replayed as float(exact_sum)/float(nonnull_n),
+    # the same single IEEE divide both engines reach
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    o = o.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in o["o_totalprice"]])
+    g = (o.groupby("o_custkey")
+         .agg(n_priced=("cents", "count"), sum_cents=("cents", "sum"))
+         .reset_index())
+    g["avg_cents"] = [float(s) / float(n)
+                      for s, n in zip(g["sum_cents"], g["n_priced"])]
+    return g[["o_custkey", "avg_cents", "n_priced", "sum_cents"]]
+
+
+def s36_mv_cdc(sf):
+    # CDC-maintained rollup must equal the full POST-image rollup: the
+    # changelog (1997-only inserts/deletes/updates/key-moves in the
+    # %13/%17/%19/%23 precedence) applied row-by-row in pure Python,
+    # then the day rollup recomputed from scratch
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    day = pd.to_datetime(o["o_orderdate"]).dt.floor("D")
+    rows = {}
+    for k, d, v in zip(o["o_orderkey"], day, o["o_totalprice"]):
+        k = int(k)
+        c = int(math.floor(float(v) * 100))
+        yr = d.year == 1997
+        ins = yr and k % 13 == 3
+        dele = yr and not ins and k % 17 == 5
+        upd = yr and not ins and not dele and k % 19 == 7
+        mov = yr and not ins and not dele and not upd and k % 23 == 11
+        if dele:
+            continue
+        if upd:
+            c = c + k % 1000
+        if mov:
+            d = d + pd.Timedelta(days=7)
+        n, nm, s_, mn, mx = rows.get(d, (0, 0, 0, None, None))
+        rows[d] = (n + 1, nm + 1, s_ + c,
+                   c if mn is None else min(mn, c),
+                   c if mx is None else max(mx, c))
+    return pd.DataFrame(
+        [(d, n, nm, s_, mn, mx) for d, (n, nm, s_, mn, mx) in rows.items()],
+        columns=["day", "n", "n_m", "sum_m", "min_m", "max_m"])
+
+
+def s37_mv_join(sf):
+    # the joined-MV substitution may only change WHICH tables the plan
+    # scans — the result is the plain orders ⋈ customer aggregate by
+    # c_nationkey, replayed from the two base parquets (a stale joined
+    # rollup on the Spark side diverges three engines, not two)
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
+    j = j.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in j["o_totalprice"]])
+    g = (j.groupby("c_nationkey")
+         .agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"),
+              min_cents=("cents", "min"), max_cents=("cents", "max"))
+         .reset_index())
+    g["avg_cents"] = [float(s) / float(n)
+                      for s, n in zip(g["sum_cents"], g["n_orders"])]
+    return g
+
+
+def s38_mv_join_refresh(sf):
+    # refresh ⊕ joined rewrite: result is the plain join aggregate by
+    # c_mktsegment — only matches if (pre ⋈ dim) ⊕ (delta ⋈ dim)
+    # ≡ (whole fact ⋈ dim) held through the stored-artifact round-trip
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
+    j = j.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in j["o_totalprice"]])
+    return (j.groupby("c_mktsegment")
+            .agg(n=("cents", "size"), n_m=("cents", "count"),
+                 sum_m=("cents", "sum"), min_m=("cents", "min"),
+                 max_m=("cents", "max"))
             .reset_index())
 
 
@@ -5188,6 +5282,10 @@ QUERIES = {
     "s32_rollup_quantile": s32_rollup_quantile,
     "s33_mv_multikey": s33_mv_multikey,
     "s34_mv_coarsen": s34_mv_coarsen,
+    "s35_mv_avg": s35_mv_avg,
+    "s36_mv_cdc": s36_mv_cdc,
+    "s37_mv_join": s37_mv_join,
+    "s38_mv_join_refresh": s38_mv_join_refresh,
     "j15_join_size_profile": j15_join_size_profile,
     "e2_sssp_weighted": e2_sssp_weighted,
     "p13_ref_integrity": p13_ref_integrity,

@@ -67,9 +67,21 @@ object Bm25Index {
   /** Build the index from scratch (overwrite). */
   def write(docs: DataFrame, idCol: String, textCol: String, ix: String): Unit = {
     val (tf, dl) = derive(docs, idCol, textCol)
-    tf.write.mode("overwrite").partitionBy("wb").parquet(postingsPath(ix))
+    clusterByBucket(tf).write.mode("overwrite").partitionBy("wb").parquet(postingsPath(ix))
     dl.write.mode("overwrite").parquet(doclenPath(ix))
   }
+
+  /** Cluster postings rows by their wb bucket before a partitionBy
+    * write. Without this every upstream task writes a file into every
+    * bucket directory it has rows for — up to tasks × 32 small files
+    * PER write (r14 bench: the 32-way layout tripled the
+    * build+append+probe row's cost purely in file handles). One
+    * bucket-keyed exchange caps it at one file per non-empty bucket
+    * per write; the shuffle moves only the postings rows being
+    * written, which the append path bounds at O(|delta|) anyway.
+    */
+  private def clusterByBucket(tf: DataFrame): DataFrame =
+    tf.repartition(WordBuckets, col("wb"))
 
   /** Append a delta corpus: the delta's postings and doc lengths land
     * as new parquet files beside the existing segments (inside the
@@ -80,7 +92,7 @@ object Bm25Index {
     */
   def append(docs: DataFrame, idCol: String, textCol: String, ix: String): Unit = {
     val (tf, dl) = derive(docs, idCol, textCol)
-    tf.write.mode("append").partitionBy("wb").parquet(postingsPath(ix))
+    clusterByBucket(tf).write.mode("append").partitionBy("wb").parquet(postingsPath(ix))
     dl.write.mode("append").parquet(doclenPath(ix))
   }
 

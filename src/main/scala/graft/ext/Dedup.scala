@@ -460,28 +460,32 @@ object Dedup {
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
     val eds = graft.ops.Sink.cachedEager(und)
-    var reached = graft.ops.Sink.cachedEager(
+    val seed = graft.ops.Sink.cachedEager(
       seeds.select(col(idCol).as("id")).distinct()
         .select(col("id"), lit(0L).as("hops")))
-    var frontier = reached
-    for (r <- 1 to maxHops) {
+    // Frontier LAYERS are disjoint by construction (each round
+    // anti-joins everything reached so far), so the reached set never
+    // needs re-materializing: it is the lazy union of the cached
+    // layers, and the result is that same union — one cachedEager per
+    // round instead of two (r15: the per-round merged-union
+    // materialization re-cached the whole reached set every round,
+    // pure constant overhead at any scale).
+    var layers = Vector(seed)
+    var frontier = seed
+    var live = true
+    for (r <- 1 to maxHops if live) {
+      val reachedIds = layers.map(_.select(col("id"))).reduce(_.unionByName(_))
       val next = frontier.join(eds, frontier("id") === eds("src"))
         .select(col("dst").as("id"), lit(r.toLong).as("hops"))
-        .join(reached.select(col("id").as("seen")),
+        .join(reachedIds.select(col("id").as("seen")),
           col("id") === col("seen"), "left_anti")
         .groupBy(col("id")).agg(min(col("hops")).as("hops"))
-      val nextP = graft.ops.Sink.cachedEager(next)
-      val merged = graft.ops.Sink.cachedEager(reached.unionByName(nextP))
-      reached.unpersist()
-      frontier.unpersist()
-      reached = merged
-      frontier = nextP
+      val (nextP, n) = graft.ops.Sink.cachedEagerCount(next)
+      if (n == 0) { nextP.unpersist(); live = false } // dead frontier stays dead
+      else { layers :+= nextP; frontier = nextP }
     }
     eds.unpersist()
-    // the final round's frontier is dead state (reached is the return
-    // value) — without this each invocation strands one cached frame
-    if (frontier ne reached) frontier.unpersist()
-    reached
+    layers.reduce(_.unionByName(_))
   }
 
   /** Hop-bounded single-source-shortest-paths over a weighted
@@ -510,32 +514,35 @@ object Dedup {
         edges.select(col(bCol).as("src"), col(aCol).as("dst"), col(wCol).as("w")))
       .distinct()
     val eds = graft.ops.Sink.cachedEager(und)
-    var dist = graft.ops.Sink.cachedEager(
+    val seed = graft.ops.Sink.cachedEager(
       seeds.select(col(idCol).as("id")).distinct()
         .select(col("id"), lit(0L).as("d")))
-    var frontier = dist
-    for (_ <- 1 to maxRounds) {
+    // Improvement LAYERS replace the per-round re-materialized
+    // distance table (the [[bfsHops]] r15 trim, adapted to min-merge):
+    // every recorded (id, d) was the best-so-far when recorded, so the
+    // current best is the lazy per-id min over the cached layers —
+    // computed in-plan where the old code re-cached the whole merged
+    // table each round. One cachedEager per round instead of two.
+    var layers = Vector(seed)
+    var frontier = seed
+    var live = true
+    def best: DataFrame = layers.reduce(_.unionByName(_))
+      .groupBy(col("id")).agg(min(col("d")).as("d"))
+    for (_ <- 1 to maxRounds if live) {
       val relaxed = frontier.join(eds, frontier("id") === eds("src"))
         .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
         .groupBy(col("id")).agg(min(col("d")).as("d"))
       val improved = relaxed
-        .join(dist.select(col("id").as("oid"), col("d").as("od")),
+        .join(best.select(col("id").as("oid"), col("d").as("od")),
           relaxed("id") === col("oid"), "left")
         .filter(col("od").isNull || col("d") < col("od"))
         .select(col("id"), col("d"))
-      val improvedP = graft.ops.Sink.cachedEager(improved)
-      val merged = graft.ops.Sink.cachedEager(
-        dist.unionByName(improvedP)
-          .groupBy(col("id")).agg(min(col("d")).as("d")))
-      dist.unpersist()
-      frontier.unpersist()
-      dist = merged
-      frontier = improvedP
+      val (improvedP, n) = graft.ops.Sink.cachedEagerCount(improved)
+      if (n == 0) { improvedP.unpersist(); live = false } // fixpoint reached
+      else { layers :+= improvedP; frontier = improvedP }
     }
     eds.unpersist()
-    // same dead-frontier release as [[bfsHops]]
-    if (frontier ne dist) frontier.unpersist()
-    dist
+    best
   }
 
   /** Deterministic dedup: keep the first row per key group by

@@ -146,6 +146,17 @@ object Sink {
     p
   }
 
+  /** [[cachedEager]], returning the materialization count instead of
+    * discarding it — iterative operators use it to break out of dead
+    * rounds (an empty frontier stays empty forever) without paying a
+    * second count job.
+    */
+  def cachedEagerCount(df: DataFrame): (DataFrame, Long) = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = p.count()
+    (p, n)
+  }
+
   /** Per-JVM random token appended to every scratch path. PID alone
     * is NOT collision-free across runs: Linux defaults pid_max to
     * 32768, shutdown hooks never fire on a hard kill (OOM), and a

@@ -916,6 +916,59 @@ object StreamQueries {
     s.read.parquet(stored)
   }
 
+  // ---- S39s: STREAMING joined-MV maintenance --------------------------------
+  // The live form of s38's joined-rollup refresh: the FACT delta
+  // arrives as a stream under forced one-file micro-batches, and each
+  // batch joins ONLY its own rows against the (static, broadcastable)
+  // dimension before merging the partial rollup into the stored
+  // artifact — the join distributes over fact slices, so any batching
+  // lands on the same table and the oracle is the full
+  // orders ⋈ customer rollup by nation. At 100 TB this is the CDC
+  // consumer for a denormalized dashboard aggregate: per batch,
+  // O(|batch| ⋈ dim) work, fact history never rescanned, dim never
+  // joined against more than the delta.
+  def s39MvJoinStream(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(ParityQueries.S19Cutoff).cast("timestamp")
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    def joined(fact: DataFrame) = fact
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("m"))
+    val facts = Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderdate"),
+      floor(col("o_totalprice") * 100).cast("long").as("m"))
+    val stored = fresh("s39str_roll") + "/nation"
+    Materialize.rollup(
+      joined(facts.filter(col("o_orderdate") < cut)), "c_nationkey", col("m"))
+      .write.mode("overwrite").parquet(stored)
+    val delta = facts.filter(col("o_orderdate") >= cut)
+      .select(col("o_custkey"), col("m"))
+    val in = fresh("s39str_in"); val ck = fresh("s39str_ck")
+    delta.coalesce(4).write.mode("overwrite").parquet(in)
+    val q = s.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Materialize.refreshInto(
+          s, stored,
+          Materialize.rollup(joined(b.toDF()), "c_nationkey", col("m")),
+          "c_nationkey"))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(stored)
+  }
+
+  val s39sSql: String =
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS n_m,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_m,
+      |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_m,
+      |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_m
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   // ---- S24s: STREAMING zone-map manifest maintenance -----------------------
   // The ingest side of s22_zonemap_skip: at 100 TB the per-file
   // min/max manifest is never REBUILT by rescanning the lake — each
@@ -1041,6 +1094,7 @@ object StreamQueries {
     "e5_quality_stream" -> (e5QualityStream _),
     "e8_decontam_stream" -> (e8DecontamStream _),
     "s19_rollup_stream" -> (s19RollupStream _),
+    "s39_mv_join_stream" -> (s39MvJoinStream _),
     "s24_manifest_stream" -> (s24ManifestStream _),
     "s29_cdc_stream" -> (s29CdcStream _),
     "w9_dedup_stream" -> (w9DedupStream _)
@@ -1073,6 +1127,7 @@ object StreamQueries {
     "e5_quality_stream" -> ExtQueries.e5oSql,
     "e8_decontam_stream" -> ExtQueries.e8bSql,
     "s19_rollup_stream" -> ParityQueries.s19Sql,
+    "s39_mv_join_stream" -> s39sSql,
     "s24_manifest_stream" -> ParityQueries.s22Sql,
     "s29_cdc_stream" -> ParityQueries.s25Sql,
     "w9_dedup_stream" -> w9sSql)

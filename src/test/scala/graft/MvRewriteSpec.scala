@@ -390,6 +390,21 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("HAVING (a filter above the aggregate) survives the rewrite untouched") {
+    // the rule rewrites the Aggregate node; a predicate over its
+    // OUTPUT is parent-side and must compose transparently
+    mvReady()
+    def q: DataFrame = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents).as("s"))
+      .filter(col("n_orders") >= 2 && col("s") > 0)
+    val plain = rows(q)
+    val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+    assert(paths.exists(_.contains("mv_orders")), paths)
+    assert(!paths.exists(_.contains("orders.parquet")), paths)
+    assert(rewritten == plain)
+  }
+
   test("joined MV refresh law: (pre ⋈ dim) ⊕ (delta ⋈ dim) ≡ whole ⋈ dim") {
     import graft.ops.Materialize
     val dim = Tables.customer(spark, dir)

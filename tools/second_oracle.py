@@ -3677,6 +3677,24 @@ def s38_mv_join_refresh(sf):
             .reset_index())
 
 
+def s39_mv_join_stream(sf):
+    # streaming joined-rollup maintenance must land on the full
+    # orders ⋈ customer rollup by nation regardless of batching
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
+    j = j.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in j["o_totalprice"]])
+    return (j.groupby("c_nationkey")
+            .agg(n=("cents", "size"), n_m=("cents", "count"),
+                 sum_m=("cents", "sum"), min_m=("cents", "min"),
+                 max_m=("cents", "max"))
+            .reset_index())
+
+
 def s32_rollup_quantile(sf, k=64):
     # per-month bottom-k-by-hash sample replayed with hashlib directly:
     # min-k (h, v) pairs under the (h, v) total order, then type-1
@@ -5286,6 +5304,7 @@ QUERIES = {
     "s36_mv_cdc": s36_mv_cdc,
     "s37_mv_join": s37_mv_join,
     "s38_mv_join_refresh": s38_mv_join_refresh,
+    "s39_mv_join_stream": s39_mv_join_stream,
     "j15_join_size_profile": j15_join_size_profile,
     "e2_sssp_weighted": e2_sssp_weighted,
     "p13_ref_integrity": p13_ref_integrity,

@@ -2157,7 +2157,7 @@ object ParityQueries {
   // the whole-table sketch, which only matches if the merge law holds.
   // Accuracy is the sampling bound (~n/√k rank error, law-tested);
   // k dials it without changing the maintenance cost shape.
-  private val S32K = 64
+  private[graft] val S32K = 64
   def s32RollupQuantile(s: SparkSession, dir: String): DataFrame = {
     val facts = Tables.orders(s, dir).select(
       date_trunc("MONTH", col("o_orderdate")).as("month"),
@@ -3664,6 +3664,43 @@ object ParityQueries {
     s.read.parquet(out)
   }
 
+  // ---- S41: cost-based MV choice across the lattice --------------------------
+  // With BOTH the day-keyed rollup (s31, ~|days| rows) and the
+  // (day × custkey) rollup (s33, ~|orders| rows at this SF) registered
+  // over the same fact scan, a group-by-day query is PROVABLE from
+  // either — the rule must now choose, and it chooses by COST: the
+  // smallest stored artifact (file-relation statistics, no extra
+  // scan), so the plan reads the ~2400-row daily rollup, not the
+  // ~150k-row tuple one it would have to re-aggregate. At 100 TB the
+  // gap is a few KB vs a billion-row coarsening pass. Name order
+  // happens to agree here, so the NAME-independence of the choice is
+  // law-tested in MvRewriteSpec with names arranged to favor the big
+  // MV; this row gates the end-to-end outcome: daily chosen, tuple MV
+  // and fact scan both absent from the optimized plan.
+  def s41MvChoose(s: SparkSession, dir: String): DataFrame = {
+    s31MvDir(s, dir)
+    s33MvDir(s, dir)
+    val out = Sink.scratchDir(s"mv_choose_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(graft.plans.MvRewriteRule.EnabledKey -> "true")) {
+      val q = Tables.orders(s, dir)
+        .groupBy(s31Day.as("day"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(s30Cents).as("sum_cents"),
+          min(s30Cents).as("min_cents"),
+          max(s30Cents).as("max_cents"))
+      val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(scans.exists(_.contains("mv_daily")),
+        s"cost-based choice did not pick the daily MV; plan scans: $scans")
+      require(!scans.exists(_.contains("mv_daycust")),
+        s"cost-based choice picked the LARGER tuple MV; plan scans: $scans")
+      require(!scans.exists(_.contains("orders.parquet")),
+        s"MV choice left a fact scan in the plan; scans: $scans")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
   // ---- S35: MV rewrite of avg() and count(metric) ---------------------------
   // The aggregate-algebra completion of s30: avg(metric) is NOT one
   // mergeable statistic — it is the quotient of two (sum_m and the
@@ -3905,6 +3942,64 @@ object ParityQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1""".stripMargin
 
+  // ---- S40: DIM-side CDC maintenance of a joined MV -------------------------
+  // Completes the joined-MV maintenance matrix: fact-append (s38),
+  // fact-CDC (s36's recipe on the fact), streaming (s39) — and now
+  // the dimension mutating under a denormalized rollup. A customer
+  // changing nation moves ALL its orders between rollup groups, so
+  // the affected key set is {old nation, new nation} of every
+  // changed customer, and [[graft.ops.Materialize.maintainKeys]]
+  // applies unchanged with the post-image JOIN as the recompute
+  // source: untouched nations pass through from the stored rollup,
+  // affected nations re-aggregate fact ⋈ post-dim restricted to
+  // those nations (semi-join — at scale the fact side of that
+  // recompute is bounded by the moved customers' orders via the
+  // join, never the whole fact). The CDC batch re-homes a slice of
+  // NATION_3's customers (c_custkey % 5 == 4) to nation 10, so the
+  // affected set is exactly {3, 10} of 25 groups — the in-query
+  // require proves the maintenance was partial and the oracle is the
+  // full post-image join rollup.
+  def s40MvJoinDimCdc(s: SparkSession, dir: String): DataFrame = {
+    val moved = col("c_nationkey") === 3 && col("c_custkey") % 5 === 4
+    val newNation = lit(10)
+    val dimPre = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val dimPost = Tables.customer(s, dir).select(col("c_custkey"),
+      when(moved, newNation).otherwise(col("c_nationkey")).as("c_nationkey"))
+    val facts = Tables.orders(s, dir).select(col("o_custkey"), s30Cents.as("m"))
+    def joined(dim: DataFrame) = facts
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("m"))
+    val stored = Sink.scratchDir("s40_mv_dimcdc") + "/nation"
+    Materialize.rollup(joined(dimPre), "c_nationkey", col("m"))
+      .write.mode("overwrite").parquet(stored)
+    val affected = Tables.customer(s, dir).filter(moved)
+      .select(col("c_nationkey"))
+      .unionByName(Tables.customer(s, dir).filter(moved)
+        .select(newNation.as("c_nationkey")))
+      .distinct()
+    val affN = affected.count()
+    val allN = s.read.parquet(stored).count()
+    require(affN > 0 && affN < allN,
+      s"dim-CDC maintenance was not partial: $affN affected of $allN groups")
+    Materialize.maintainKeys(
+      s.read.parquet(stored), joined(dimPost), Seq("c_nationkey"), col("m"), affected)
+  }
+
+  val s40Sql =
+    """WITH post AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_nationkey = 3 AND c_custkey % 5 = 4 THEN 10
+      |         ELSE c_nationkey END AS c_nationkey
+      |  FROM customer)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS n_m,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_m,
+      |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_m,
+      |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_m
+      |FROM orders JOIN post ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   val s33Sql =
     """SELECT date_trunc('day', o_orderdate) AS day, o_custkey,
       |  CAST(count(*) AS BIGINT) AS n_orders,
@@ -3920,6 +4015,14 @@ object ParityQueries {
       |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
       |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
       |FROM orders WHERE o_custkey % 2 = 0 GROUP BY 1""".stripMargin
+
+  val s41Sql =
+    """SELECT date_trunc('day', o_orderdate) AS day,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM orders GROUP BY 1""".stripMargin
 
   val s30Sql =
     """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
@@ -4233,6 +4336,8 @@ object ParityQueries {
     "s36_mv_cdc" -> (s36MvCdc _),
     "s37_mv_join" -> (s37MvJoin _),
     "s38_mv_join_refresh" -> (s38MvJoinRefresh _),
+    "s40_mv_join_dimcdc" -> (s40MvJoinDimCdc _),
+    "s41_mv_choose" -> (s41MvChoose _),
     "j15_join_size_profile" -> (j15JoinSizeProfile _),
     "p13_ref_integrity" -> (p13RefIntegrity _),
     "o15_rfm_segments" -> (o15RfmSegments _),
@@ -4369,6 +4474,8 @@ object ParityQueries {
     "s36_mv_cdc" -> s36Sql,
     "s37_mv_join" -> s37Sql,
     "s38_mv_join_refresh" -> s38Sql,
+    "s40_mv_join_dimcdc" -> s40Sql,
+    "s41_mv_choose" -> s41Sql,
     "j15_join_size_profile" -> j15Sql,
     "p13_ref_integrity" -> p13Sql,
     "o15_rfm_segments" -> o15Sql,

@@ -314,7 +314,9 @@ object MvCatalog {
   * registered metric (name-normalized canonical compare, so attribute
   * ids don't matter), and aggregates must be among the derivable
   * functions above, non-DISTINCT, unfiltered. Anything else leaves
-  * the plan untouched.
+  * the plan untouched. When SEVERAL registered MVs prove the same
+  * aggregate, the cheapest stored artifact wins (relation statistics,
+  * name tie-break) — the standard lattice choice; see `cheapest`.
   *
   * Output attribute ids and positions are preserved (each rewritten
   * aggregate re-uses the original alias's exprId), so parent operators
@@ -340,18 +342,33 @@ object MvRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
   private def rewrite(agg: Aggregate): Option[Aggregate] =
     rewriteSingle(agg).orElse(rewriteJoined(agg))
 
+  /** Cost-based choice among PROVEN candidates: when several
+    * registered MVs can each answer the query (the lattice makes this
+    * common — a (day, custkey) rollup and a (day) rollup both answer
+    * a group-by-day), pick the one with the smallest stored footprint
+    * (the file relation's own statistics — no extra scan), name as
+    * the deterministic tie-break. Every candidate is already proven
+    * equal by [[tryRewrite]], so the choice is pure cost: answering
+    * from the coarser artifact re-aggregates fewer rows. At 100 TB
+    * this is the difference between scanning a 365-row daily rollup
+    * and re-aggregating a billion-row (day × customer) one.
+    */
+  private def cheapest(cands: Seq[(MvDef, Aggregate)]): Option[Aggregate] =
+    cands.sortBy { case (mv, _) => (mv.mv.relation.sizeInBytes, mv.name) }
+      .headOption.map(_._2)
+
   private def rewriteSingle(agg: Aggregate): Option[Aggregate] =
     for {
       (aliases, filters, rel) <- decompose(agg.child)
       paths <- relPaths(rel)
       // several MVs can share a fact table (different keys/metrics):
-      // try each until one proves the query, deterministically by
-      // name. A JOINED MV must never answer a bare fact aggregate —
-      // its rows are post-join (inner-join drops unmatched fact rows).
-      out <- MvCatalog.all.filter(d => d.join.isEmpty && d.factPaths == paths)
-        .toSeq.sortBy(_.name)
-        .iterator.flatMap(mv => tryRewrite(agg, aliases, filters, mv).iterator)
-        .nextOption()
+      // prove each candidate, then take the CHEAPEST proof. A JOINED
+      // MV must never answer a bare fact aggregate — its rows are
+      // post-join (inner-join drops unmatched fact rows).
+      out <- cheapest(
+        MvCatalog.all.filter(d => d.join.isEmpty && d.factPaths == paths)
+          .toSeq.sortBy(_.name)
+          .flatMap(mv => tryRewrite(agg, aliases, filters, mv).map(mv -> _)))
     } yield out
 
   /** The joined-MV leg: the aggregate's child must decompose to an
@@ -372,7 +389,7 @@ object MvRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
         .intersect(lrB.output.map(_.name.toLowerCase(Locale.ROOT)).toSet).isEmpty
       kAc = nameNorm(inline(kA, aliases))
       kBc = nameNorm(inline(kB, aliases))
-      out <- MvCatalog.all.toSeq.sortBy(_.name).iterator.flatMap { mv =>
+      out <- cheapest(MvCatalog.all.toSeq.sortBy(_.name).flatMap { mv =>
         mv.join match {
           case Some(j)
               // the registered (fact, dim, fk, dk) quadruple, in
@@ -387,10 +404,10 @@ object MvRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
             // with the inferred IsNotNull(join key) in one conjunction
             val residual = filters.flatMap(splitConjunctivePredicates)
               .filterNot(f => impliedByJoin(f, j.factKeyCanon, j.dimKeyCanon))
-            tryRewrite(agg, aliases, residual, mv).iterator
-          case _ => Iterator.empty
+            tryRewrite(agg, aliases, residual, mv).map(mv -> _)
+          case _ => None
         }
-      }.nextOption()
+      })
     } yield out
 
   /** True for the filters an inner equi-join makes tautological on

@@ -160,9 +160,9 @@ class MvRewriteSpec extends SparkSpec {
       val plain = rows(q)
       val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
       // ANY registered rollup over this fact can answer the lattice
-      // bottom (s30's custkey MV sorts before the tuple MV and wins
-      // when both are live) — the law is that the FACT scan is gone
-      // and the result is bit-identical, whichever rollup answered.
+      // bottom (the cheapest stored one wins when several are live) —
+      // the law is that the FACT scan is gone and the result is
+      // bit-identical, whichever rollup answered.
       assert(!paths.exists(_.contains("orders.parquet")), paths)
       assert(paths.nonEmpty, "expected a rollup scan in the plan")
       assert(rewritten == plain)
@@ -421,6 +421,61 @@ class MvRewriteSpec extends SparkSpec {
       Materialize.rollup(slice(col("o_orderkey") % 3 =!= 0), "c_nationkey", col("m")),
       "c_nationkey"))
     assert(merged == whole)
+  }
+
+  // ---- cost-based choice among proven candidates (s41) ----
+
+  test("cost choice: the smaller proven MV wins regardless of name order") {
+    // fine (day × custkey) named to sort FIRST, coarse (day-only,
+    // far fewer rows) named to sort LAST — name order favors the big
+    // artifact, so only a cost-driven choice reads the small one
+    val pFine = graft.ops.Sink.scratchDir("mv_cost_fine") + "/day_cust"
+    val pCoarse = graft.ops.Sink.scratchDir("mv_cost_coarse") + "/daily"
+    MvCatalog.create(spark, "aaa_cost_fine", Tables.orders(spark, dir),
+      Seq(day -> "day", col("o_custkey") -> "o_custkey"), cents, pFine)
+    MvCatalog.create(spark, "zzz_cost_coarse", Tables.orders(spark, dir),
+      day, "day", cents, pCoarse)
+    try {
+      def q: DataFrame = Tables.orders(spark, dir)
+        .groupBy(day.as("day"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+          min(cents).as("lo"), max(cents).as("hi"))
+      val plain = rows(q)
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(paths.exists(_.contains("mv_cost_coarse")), paths)
+      assert(!paths.exists(_.contains("mv_cost_fine")), paths)
+      assert(!paths.exists(_.contains("orders.parquet")), paths)
+      assert(rewritten == plain)
+    } finally {
+      MvCatalog.unregister("aaa_cost_fine")
+      MvCatalog.unregister("zzz_cost_coarse")
+    }
+  }
+
+  test("cost choice: an MV that cannot PROVE the query never wins on size") {
+    // the daily MV is the smaller artifact but cannot answer a custkey
+    // filter — cost ranks candidates, it must never override the proof
+    val pFine = graft.ops.Sink.scratchDir("mv_cost_fine2") + "/day_cust"
+    val pCoarse = graft.ops.Sink.scratchDir("mv_cost_coarse2") + "/daily"
+    MvCatalog.create(spark, "aaa_cost_fine2", Tables.orders(spark, dir),
+      Seq(day -> "day", col("o_custkey") -> "o_custkey"), cents, pFine)
+    MvCatalog.create(spark, "zzz_cost_coarse2", Tables.orders(spark, dir),
+      day, "day", cents, pCoarse)
+    try {
+      def q: DataFrame = Tables.orders(spark, dir)
+        .filter(col("o_custkey") % 3 === 1)
+        .groupBy(day.as("day"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"))
+      val plain = rows(q)
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(paths.exists(_.contains("mv_cost_fine2")), paths)
+      assert(!paths.exists(_.contains("mv_cost_coarse2")), paths)
+      assert(!paths.exists(_.contains("orders.parquet")), paths)
+      assert(rewritten == plain)
+    } finally {
+      MvCatalog.unregister("aaa_cost_fine2")
+      MvCatalog.unregister("zzz_cost_coarse2")
+    }
   }
 
   test("disabled conf leaves every plan untouched even with MVs registered") {

@@ -653,6 +653,40 @@ class OpsSpec extends SparkSpec {
     assert(bad != truth, "old-image-only affected set should be unsound here")
   }
 
+  test("Materialize.maintainKeys: dim-side CDC through a join equals the post-image rebuild") {
+    // a dimension row changing its group column moves EVERY joined fact
+    // row between rollup groups at once; the affected set is the union
+    // of moved rows' old AND new groups, and maintenance recomputes only
+    // those groups from the post-image join (the s40 gate shape)
+    val dimPre = (1 to 60).map(i => (i.toLong, s"g${i % 6}")).toDF("k", "grp")
+    val facts = (1 to 900).map(i => ((i % 60 + 1).toLong, (i * 31 % 500).toLong))
+      .toDF("fk", "m")
+    def joined(dim: org.apache.spark.sql.DataFrame) =
+      facts.join(dim, col("fk") === col("k")).select(col("grp"), col("m"))
+    val moved = col("grp") === "g2" && col("k") % 2 === 0
+    val dimPost = dimPre.select(col("k"),
+      when(moved, lit("g_new")).otherwise(col("grp")).as("grp"))
+    val stored = Materialize.rollup(joined(dimPre), "grp", col("m"))
+    val affected = dimPre.filter(moved).select(col("grp"))
+      .unionByName(dimPre.filter(moved).select(lit("g_new").as("grp")))
+    val maintained = Materialize.maintainKeys(
+      stored, joined(dimPost), Seq("grp"), col("m"), affected)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val rebuilt = Materialize.rollup(joined(dimPost), "grp", col("m"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(maintained == rebuilt)
+    // the maintenance must have been PARTIAL: untouched groups pass
+    // through, so only {g2, g_new} were recomputed
+    val affN = affected.distinct().count()
+    assert(affN == 2 && affN < stored.count())
+    // missing the OLD group from `affected` leaves stale g2 rows behind
+    val badMaintained = Materialize.maintainKeys(
+      stored, joined(dimPost), Seq("grp"), col("m"),
+      dimPre.filter(moved).select(lit("g_new").as("grp")))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(badMaintained != rebuilt, "new-image-only affected set should be unsound here")
+  }
+
   test("ndvSketch: merge of split sketches equals the full sketch; estimator exact below k") {
     val facts = (1 to 400).map(i => (s"g${i % 4}", (i * 13 % 97).toLong))
       .toDF("g", "id")

@@ -3584,6 +3584,22 @@ def s34_mv_coarsen(sf):
             .reset_index())
 
 
+def s41_mv_choose(sf):
+    # cost-based MV choice may only change WHICH rollup the plan reads
+    # (daily vs day-by-customer); the answer stays the plain fact-side
+    # day rollup, replayed here straight off the fact table
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    o = o.assign(
+        day=pd.to_datetime(o["o_orderdate"]).dt.floor("D"),
+        cents=[int(math.floor(float(v) * 100)) for v in o["o_totalprice"]])
+    return (o.groupby("day")
+            .agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"),
+                 min_cents=("cents", "min"), max_cents=("cents", "max"))
+            .reset_index())
+
+
 def s35_mv_avg(sf):
     # avg()/count(metric) under MV substitution may only change WHICH
     # table the plan scans — the result is the plain grouped aggregate
@@ -3685,6 +3701,28 @@ def s39_mv_join_stream(sf):
         f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     c = pd.read_parquet(
         f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
+    j = j.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in j["o_totalprice"]])
+    return (j.groupby("c_nationkey")
+            .agg(n=("cents", "size"), n_m=("cents", "count"),
+                 sum_m=("cents", "sum"), min_m=("cents", "min"),
+                 max_m=("cents", "max"))
+            .reset_index())
+
+
+def s40_mv_join_dimcdc(sf):
+    # dim-side CDC maintenance must equal the full post-image join
+    # rollup: NATION_3 customers with c_custkey % 5 == 4 re-homed to
+    # nation 10 in pure Python, then the nation rollup recomputed
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    c = c.assign(c_nationkey=[
+        10 if (int(n) == 3 and int(k) % 5 == 4) else int(n)
+        for k, n in zip(c["c_custkey"], c["c_nationkey"])])
     j = o.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
     j = j.assign(
         cents=[int(math.floor(float(v) * 100)) for v in j["o_totalprice"]])
@@ -5305,6 +5343,8 @@ QUERIES = {
     "s37_mv_join": s37_mv_join,
     "s38_mv_join_refresh": s38_mv_join_refresh,
     "s39_mv_join_stream": s39_mv_join_stream,
+    "s40_mv_join_dimcdc": s40_mv_join_dimcdc,
+    "s41_mv_choose": s41_mv_choose,
     "j15_join_size_profile": j15_join_size_profile,
     "e2_sssp_weighted": e2_sssp_weighted,
     "p13_ref_integrity": p13_ref_integrity,

@@ -916,6 +916,47 @@ object StreamQueries {
     s.read.parquet(stored)
   }
 
+  // ---- S32s: STREAMING quantile-sketch maintenance --------------------------
+  // The live form of s32_rollup_quantile, completing the maintenance
+  // matrix for the LAST stat family (quantiles): the delta arrives
+  // under forced one-file micro-batches, each batch reduces its own
+  // rows to a per-month min-k (h, v) sketch and merges it into the
+  // stored sketch table (rewrite-then-swap) — min-k of a union equals
+  // min-k of concatenated min-k's, so ANY batching lands on the same
+  // sketch and the estimates must hash-match the batch twin's
+  // whole-table oracle. Per batch: O(|batch| + k·|months touched|),
+  // history never rescanned — at 100 TB the standing percentile
+  // dashboard costs one micro-batch sketch + a key-cardinality merge
+  // per refresh, not a fact scan.
+  def s32QuantileStream(s: SparkSession, dir: String): DataFrame = {
+    val k = ParityQueries.S32K
+    val facts = Tables.orders(s, dir).select(
+      date_trunc("MONTH", col("o_orderdate")).as("month"),
+      col("o_orderkey"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val cut = lit(ParityQueries.S19Cutoff).cast("timestamp")
+    val stored = fresh("s32str_qsk") + "/monthly"
+    Materialize.quantileSketch(
+      facts.filter(col("month") < cut), "month", "o_orderkey", "cents", k)
+      .write.mode("overwrite").parquet(stored)
+    val delta = facts.filter(col("month") >= cut)
+    val in = fresh("s32str_in"); val ck = fresh("s32str_ck")
+    delta.coalesce(4).write.mode("overwrite").parquet(in)
+    val q = s.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Materialize.refreshQuantileInto(
+          s, stored,
+          Materialize.quantileSketch(b.toDF(), "month", "o_orderkey", "cents", k),
+          "month", k))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Materialize.quantileEstimate(s.read.parquet(stored), "month")
+  }
+
   // ---- S39s: STREAMING joined-MV maintenance --------------------------------
   // The live form of s38's joined-rollup refresh: the FACT delta
   // arrives as a stream under forced one-file micro-batches, and each
@@ -1094,6 +1135,7 @@ object StreamQueries {
     "e5_quality_stream" -> (e5QualityStream _),
     "e8_decontam_stream" -> (e8DecontamStream _),
     "s19_rollup_stream" -> (s19RollupStream _),
+    "s32_quantile_stream" -> (s32QuantileStream _),
     "s39_mv_join_stream" -> (s39MvJoinStream _),
     "s24_manifest_stream" -> (s24ManifestStream _),
     "s29_cdc_stream" -> (s29CdcStream _),
@@ -1127,6 +1169,7 @@ object StreamQueries {
     "e5_quality_stream" -> ExtQueries.e5oSql,
     "e8_decontam_stream" -> ExtQueries.e8bSql,
     "s19_rollup_stream" -> ParityQueries.s19Sql,
+    "s32_quantile_stream" -> ParityQueries.s32Sql,
     "s39_mv_join_stream" -> s39sSql,
     "s24_manifest_stream" -> ParityQueries.s22Sql,
     "s29_cdc_stream" -> ParityQueries.s25Sql,

@@ -246,10 +246,27 @@ object Materialize {
     */
   def refreshInto(
       spark: org.apache.spark.sql.SparkSession,
-      stored: String, deltaRollup: DataFrame, keyCol: String): Unit = {
+      stored: String, deltaRollup: DataFrame, keyCol: String): Unit =
+    rewriteSwap(spark, stored)(s => merge(s.read.parquet(stored), deltaRollup, keyCol))
+
+  /** In-place refresh of a STORED quantile sketch table
+    * ([[quantileSketch]] schema): read, [[mergeQuantile]] the delta
+    * sketch in — min-k of the union, so merge ≡ rebuild bit-exactly —
+    * rewrite to a sibling, swap. Same crash story as [[refreshInto]]:
+    * the merged table fully materializes before the old one is
+    * touched, so a failure leaves old or new intact, never a partial.
+    */
+  def refreshQuantileInto(
+      spark: org.apache.spark.sql.SparkSession,
+      stored: String, deltaSketch: DataFrame, keyCol: String, k: Int): Unit =
+    rewriteSwap(spark, stored)(s =>
+      mergeQuantile(s.read.parquet(stored), deltaSketch, keyCol, k))
+
+  private def rewriteSwap(
+      spark: org.apache.spark.sql.SparkSession, stored: String)(
+      merged: org.apache.spark.sql.SparkSession => DataFrame): Unit = {
     val tmp = stored + "_refreshing"
-    merge(spark.read.parquet(stored), deltaRollup, keyCol)
-      .write.mode("overwrite").parquet(tmp)
+    merged(spark).write.mode("overwrite").parquet(tmp)
     Sink.clearLocalPath(stored)
     val ok = new java.io.File(tmp.stripPrefix("file:"))
       .renameTo(new java.io.File(stored.stripPrefix("file:")))

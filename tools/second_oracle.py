@@ -5336,6 +5336,9 @@ QUERIES = {
     "j17_aqe_skew": j17_aqe_skew,
     "s30_mv_rewrite": s30_mv_rewrite,
     "s32_rollup_quantile": s32_rollup_quantile,
+    # streaming twin: any batching merges to the same min-k sketch, so
+    # the replay is the batch twin's whole-table sketch verbatim
+    "s32_quantile_stream": s32_rollup_quantile,
     "s33_mv_multikey": s33_mv_multikey,
     "s34_mv_coarsen": s34_mv_coarsen,
     "s35_mv_avg": s35_mv_avg,

@@ -1627,6 +1627,40 @@ object ExtQueries {
        |  FROM documents) t WHERE rk <= $ReservoirK""".stripMargin
   }
 
+  // ---- E7k: weighted sampling without replacement (priority sampling) ------
+  // Mixture assembly by IMPORTANCE, not uniformly: inclusion ∝ weight
+  // (n_chars here — longer documents proportionally likelier), via
+  // Duffield–Lund–Thorup priorities q = w/u with the τ-threshold
+  // subset-sum estimator attached per kept row (see
+  // [[graft.ext.Sampling.prioritySamplePerGroup]] for why q's single
+  // correctly-rounded divide is chosen over the Efraimidis–Spirakis
+  // pow key, which is not engine-invariant). At 100 TB: partial
+  // top-(k+1) prunes every map task before the shuffle, so a group
+  // never materializes — the shape "sample 100k docs per source,
+  // weighted by quality score" runs at scan cost.
+  private val PriorityK = 7
+  def e7PrioritySample(s: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySamplePerGroup(
+      Tables.documents(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
+      "source", "doc_id", "n_chars", PriorityK)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        col("rk").cast("long").as("rk"), col("est_w"))
+  val e7kSql: String = {
+    val u =
+      s"(CAST((${duckMd5Int("'wsamp_' || CAST(doc_id AS VARCHAR)")} + 1) AS DOUBLE) / 4294967296.0)"
+    s"""WITH d AS (SELECT source, doc_id, n_chars,
+       |    CAST(n_chars AS DOUBLE) / $u AS q
+       |  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+       |r AS (SELECT source, doc_id, n_chars, q,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS BIGINT) AS rk
+       |  FROM d),
+       |t AS (SELECT source, max(CASE WHEN rk = ${PriorityK + 1} THEN q END) AS tau
+       |  FROM r GROUP BY source)
+       |SELECT r.source, doc_id, n_chars, rk,
+       |  greatest(CAST(n_chars AS DOUBLE), coalesce(tau, CAST(n_chars AS DOUBLE))) AS est_w
+       |FROM r JOIN t ON r.source = t.source WHERE rk <= $PriorityK""".stripMargin
+  }
+
   private val MixRates = Map("src0" -> 100, "src1" -> 1000, "src2" -> 500)
   private val MixDefault = 300
   def e7MixtureStats(s: SparkSession, dir: String): DataFrame =
@@ -3671,6 +3705,7 @@ object ExtQueries {
     "e2_chain_components" -> (e2ChainComponents _),
     "e2_semantic_dedup" -> (e2SemanticDedup _),
     "e7_reservoir" -> (e7Reservoir _),
+    "e7_priority_sample" -> (e7PrioritySample _),
     "e5_bpe_train" -> (e5BpeTrain _),
     "e2_triangles" -> (e2Triangles _),
     "e5_pack_assemble" -> (e5PackAssemble _),
@@ -3754,6 +3789,7 @@ object ExtQueries {
     "e6_full_prep" -> e6pSql,
     "e7_split" -> e7Sql,
     "e7_reservoir" -> e7gSql,
+    "e7_priority_sample" -> e7kSql,
     "e5_bpe_train" -> e5tSql,
     "e5_bpe_apply" -> e5vSql,
     "e2_triangles" -> e2kSql,

@@ -95,6 +95,52 @@ object Sampling {
       .drop("_draw")
   }
 
+  /** WEIGHTED sample without replacement, k per group, inclusion
+    * probability ∝ weight — priority sampling (Duffield–Lund–Thorup,
+    * "Priority sampling for estimation of arbitrary subset sums",
+    * JACM 2007): each row draws u = (md5("wsamp_" ‖ id) + 1) / 2^32
+    * (a uniform in (0, 1]; the +1 excludes zero, the power-of-two
+    * scale is EXACT in binary floating point) and gets priority
+    * q = w / u ≥ w; the per-group top-k by (q desc, id) is the
+    * sample. ONE correctly-rounded double divide after two exact
+    * ops — IEEE 754 requires division correctly rounded, so q is
+    * bit-identical on every engine, which is why this formulation is
+    * used instead of the classical Efraimidis–Spirakis u^(1/w) key
+    * (pow/log are not correctly rounded and may flip ranks across
+    * engines). The (k+1)-th priority τ turns the sample into a
+    * sketch: `est_w` = max(w, τ) per kept row sums to an UNBIASED
+    * estimate of any subset's total weight (the DLT estimator; groups
+    * with ≤ k rows keep est_w = w exactly — every row was taken).
+    *
+    * Deterministic on any engine / partitioning / rerun, like every
+    * Sampling draw. Scale shape: WindowGroupLimit partial top-(k+1)
+    * prunes each map task to k+1 rows per group BEFORE the shuffle;
+    * τ and ranks then compute on ≤ (k+1)·|groups| rows. Mergeable:
+    * top-(k+1) by priority of a union = top-(k+1) of concatenated
+    * per-slice top-(k+1)s, the reservoir/quantile-sketch min-k law
+    * with q's order reversed.
+    */
+  def prioritySamplePerGroup(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      idCol: String,
+      wCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val u = (TextOps.md5Int32(concat(lit("wsamp_"), col(idCol).cast("string"))) + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    val drawn = df
+      .filter(col(wCol).isNotNull && col(idCol).isNotNull)
+      .withColumn("_q", col(wCol).cast("double") / u)
+    val wDbl = col(wCol).cast("double")
+    val grp = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    graft.ops.Ranking
+      .topKPerGroup(drawn, Seq(groupCol), Seq(col("_q").desc, col(idCol).asc), k + 1)
+      .withColumn("_tau", max(when(col("rk") === k + 1, col("_q"))).over(grp))
+      .filter(col("rk") <= k)
+      .withColumn("est_w", greatest(wDbl, coalesce(col("_tau"), wDbl)))
+      .drop("_q", "_tau")
+  }
+
   /** Deterministic PER-EPOCH shuffle order: for each epoch e, every
     * row gets `position` = its rank under the md5 draw
     * `md5(\"epoch<e>_\" || id)` (ties → id). Training loaders need a

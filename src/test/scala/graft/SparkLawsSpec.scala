@@ -287,6 +287,39 @@ class SparkLawsSpec extends SparkSpec {
     assert(a.subsetOf(data.toSet))
   }
 
+  test("law: prioritySamplePerGroup is exactly-k, repartition-invariant, estimator unbiased-ish") {
+    val data = (0 until 600).map(i => (s"g${i % 5}", i.toLong, (i % 97 + 1).toLong))
+    val df = data.toDF("grp", "id", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ext.Sampling.prioritySamplePerGroup(d, "grp", "id", "w", 11)
+        .select("grp", "id", "w", "rk", "est_w")
+        .as[(String, Long, Long, Int, Double)].collect().toSeq.sortBy(r => (r._1, r._4))
+    val a = run(df)
+    val b = run(df.repartition(13))
+    assert(a == b) // winners, ranks AND tau-estimates partitioning-invariant
+    val perGroup = a.groupBy(_._1)
+    val trueW = data.groupBy(_._1).view.mapValues(_.map(_._3).sum.toDouble).toMap
+    for ((g, rows) <- perGroup) {
+      assert(rows.size == math.min(11, data.count(_._1 == g)))
+      // DLT estimator: sum(est_w) over the sample estimates the group
+      // total weight; unbiased in expectation, so for this fixed draw
+      // just bound the relative error loosely (k = 11 of 120 rows)
+      val est = rows.map(_._5).sum
+      assert(math.abs(est - trueW(g)) / trueW(g) < 0.6,
+        s"group $g: est $est vs true ${trueW(g)}")
+    }
+    // heavier rows win more often than light ones across groups: the
+    // sample's mean weight must exceed the population's
+    val meanSample = a.map(_._3).sum.toDouble / a.size
+    val meanPop = data.map(_._3).sum.toDouble / data.size
+    assert(meanSample > meanPop, s"weighted sample not weight-biased: $meanSample <= $meanPop")
+    // a group smaller than k is taken whole with est_w = w exactly
+    val tiny = (0 until 4).map(i => ("t", i.toLong, (i + 1).toLong)).toDF("grp", "id", "w")
+    val all = graft.ext.Sampling.prioritySamplePerGroup(tiny, "grp", "id", "w", 11)
+      .select("id", "w", "est_w").as[(Long, Long, Double)].collect()
+    assert(all.length == 4 && all.forall(r => r._3 == r._2.toDouble))
+  }
+
   test("law: blocked KS is blockWidth-invariant and bounded in [0, 1]") {
     val r = new Random(5)
     val rows = Seq.fill(400)(("a", r.nextInt(500) / 10.0)) ++

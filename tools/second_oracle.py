@@ -1916,6 +1916,28 @@ def e7_reservoir(sf):
     return pd.DataFrame(rows, columns=["source", "doc_id", "rk"])
 
 
+def e7_priority_sample(sf, k=7):
+    # Duffield-Lund-Thorup priority sampling: q = w/u with u a nonzero
+    # md5 uniform in (0, 1] (exact power-of-two scale); per-source
+    # top-k by (q desc, doc_id), tau = the (k+1)-th priority, est_w =
+    # max(w, tau). The q divide is one IEEE-correctly-rounded float64
+    # op after two exact ones, so Python replays it bit-exactly.
+    d = pd.read_parquet(f"{sf}/documents.parquet",
+                        columns=["source", "doc_id", "n_chars"])
+    rows = []
+    for src, g in d.groupby("source"):
+        ranked = sorted(
+            ((-(float(w) / ((_md5i(f"wsamp_{int(i)}") + 1) / 4294967296.0)),
+              int(i), int(w))
+             for i, w in zip(g["doc_id"], g["n_chars"])))
+        tau = -ranked[k][0] if len(ranked) > k else None
+        for rk, (negq, i, w) in enumerate(ranked[:k], start=1):
+            est = max(float(w), tau) if tau is not None else float(w)
+            rows.append((src, i, w, rk, est))
+    return pd.DataFrame(
+        rows, columns=["source", "doc_id", "n_chars", "rk", "est_w"])
+
+
 def e1_source_overlap(sf):
     # cross-source shingle overlap: distinct (source, shingle) sets,
     # pairwise intersection counts, Jaccard
@@ -5231,6 +5253,7 @@ QUERIES = {
     "e3_ivf_topk": e3_ivf_topk,
     "e3_sq8_topk": e3_sq8_topk,
     "e7_reservoir": e7_reservoir,
+    "e7_priority_sample": e7_priority_sample,
     "e1_source_overlap": e1_source_overlap,
     "e1_span_dedup": e1_span_dedup,
     "e1_span_maximal": e1_span_maximal,

@@ -2190,6 +2190,45 @@ object ParityQueries {
        |  CAST(max(CASE WHEN rk = ((ns - 1) * 3) // 4 + 1 THEN v END) AS BIGINT) AS est_p75
        |FROM s GROUP BY month""".stripMargin
 
+  // ---- S42: incremental TOP-K (leaderboard) maintenance ----------------------
+  // The EXACT sibling of s32's sampled quantiles: extremes survive
+  // truncation (top-k of a union = top-k of concatenated top-ks under
+  // the (cents desc, orderkey) total order), so the standing
+  // per-priority leaderboard refreshes from the delta's top-k alone —
+  // O(|delta| + k·|keys|) per refresh, history never rescanned, and
+  // the result is EXACT, no sampling bound. Storage round-trip as in
+  // s19; the oracle is the whole-table window recompute, which only
+  // matches if the merge law holds.
+  private val S42K = 7
+  def s42TopkMaintain(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.orders(s, dir).select(
+      col("o_orderpriority"), col("o_orderkey"), col("o_orderdate"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val cut = lit(S19Cutoff).cast("timestamp")
+    val stored = Sink.scratchDir("s42_topk") + "/prio"
+    Materialize.topkRollup(
+      facts.filter(col("o_orderdate") < cut).drop("o_orderdate"),
+      "o_orderpriority", "cents", "o_orderkey", S42K)
+      .write.mode("overwrite").parquet(stored)
+    val delta = Materialize.topkRollup(
+      facts.filter(col("o_orderdate") >= cut).drop("o_orderdate"),
+      "o_orderpriority", "cents", "o_orderkey", S42K)
+    Materialize.mergeTopk(
+      s.read.parquet(stored), delta, "o_orderpriority", "cents", "o_orderkey", S42K)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("cents"),
+        col("rk").cast("long").as("rk"))
+  }
+  val s42Sql =
+    s"""SELECT o_orderpriority, o_orderkey, cents, rk FROM (
+       |  SELECT o_orderpriority, o_orderkey,
+       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+       |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC, o_orderkey)
+       |      AS BIGINT) AS rk
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL) t
+       |WHERE rk <= $S42K""".stripMargin
+
   // ---- S20: snapshot (time-travel) read over the SCD2 history --------------
   // The consumption side of s14: the dimension AS OF a fixed instant
   // ([[graft.ops.Relational.snapshotAt]]) — one covering version row
@@ -3701,6 +3740,52 @@ object ParityQueries {
     s.read.parquet(out)
   }
 
+  // ---- S43: MV catalog persistence (metastore round-trip) --------------------
+  // Registrations so far lived only in the JVM while the rollup
+  // artifacts live on disk — a restarted session would stop rewriting
+  // until someone re-registered by hand. MvCatalog.save persists every
+  // definition (canonical key/metric expressions as SQL text) to a
+  // parquet metastore table; load re-parses and replays the FULL
+  // registration probe. This row proves the round-trip end-to-end:
+  // create → save → UNREGISTER (and structurally verify the rewrite is
+  // dead — the plan scans the fact again) → load → the same user query
+  // substitutes the rollup with the fact scan gone, values matching
+  // the whole-table oracle. o_orderpriority is a key no other
+  // registered MV carries, so only the LOADED definition can answer.
+  def s43MvMetastore(s: SparkSession, dir: String): DataFrame = {
+    val base = Sink.scratchDir(s"mv_meta_${math.abs(dir.hashCode)}")
+    val name = s"orders_prio_cents_${math.abs(dir.hashCode)}"
+    graft.plans.MvCatalog.create(
+      s, name, Tables.orders(s, dir), col("o_orderpriority"), "o_orderpriority",
+      s30Cents, base + "/prio")
+    graft.plans.MvCatalog.save(s, base + "/catalog")
+    graft.plans.MvCatalog.unregister(name)
+    def q = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(s30Cents).as("sum_cents"),
+        min(s30Cents).as("min_cents"), max(s30Cents).as("max_cents"))
+    val out = Sink.scratchDir(s"mv_meta_out_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(graft.plans.MvRewriteRule.EnabledKey -> "true")) {
+      val pre = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(pre.exists(_.contains("orders.parquet")),
+        s"definition still live after unregister; plan scans: $pre")
+      graft.plans.MvCatalog.load(s, base + "/catalog")
+      val post = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(post.exists(_.contains("mv_meta")),
+        s"loaded definition did not rewrite; plan scans: $post")
+      require(!post.exists(_.contains("orders.parquet")),
+        s"loaded rewrite left a fact scan; scans: $post")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+  val s43Sql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ---- S35: MV rewrite of avg() and count(metric) ---------------------------
   // The aggregate-algebra completion of s30: avg(metric) is NOT one
   // mergeable statistic — it is the quotient of two (sum_m and the
@@ -4309,6 +4394,7 @@ object ParityQueries {
     "s19_rollup_incremental" -> (s19RollupIncremental _),
     "s21_rollup_ndv" -> (s21RollupNdv _),
     "s32_rollup_quantile" -> (s32RollupQuantile _),
+    "s42_topk_maintain" -> (s42TopkMaintain _),
     "s20_snapshot_read" -> (s20SnapshotRead _),
     "p11_quantile_bin" -> (p11QuantileBin _),
     "p12_feature_matrix" -> (p12FeatureMatrix _),
@@ -4338,6 +4424,7 @@ object ParityQueries {
     "s38_mv_join_refresh" -> (s38MvJoinRefresh _),
     "s40_mv_join_dimcdc" -> (s40MvJoinDimCdc _),
     "s41_mv_choose" -> (s41MvChoose _),
+    "s43_mv_metastore" -> (s43MvMetastore _),
     "j15_join_size_profile" -> (j15JoinSizeProfile _),
     "p13_ref_integrity" -> (p13RefIntegrity _),
     "o15_rfm_segments" -> (o15RfmSegments _),
@@ -4447,6 +4534,7 @@ object ParityQueries {
     "s19_rollup_incremental" -> s19Sql,
     "s21_rollup_ndv" -> s21Sql,
     "s32_rollup_quantile" -> s32Sql,
+    "s42_topk_maintain" -> s42Sql,
     "s20_snapshot_read" -> s20Sql,
     "p11_quantile_bin" -> p11Sql,
     "p12_feature_matrix" -> p12Sql,
@@ -4476,6 +4564,7 @@ object ParityQueries {
     "s38_mv_join_refresh" -> s38Sql,
     "s40_mv_join_dimcdc" -> s40Sql,
     "s41_mv_choose" -> s41Sql,
+    "s43_mv_metastore" -> s43Sql,
     "j15_join_size_profile" -> j15Sql,
     "p13_ref_integrity" -> p13Sql,
     "o15_rfm_segments" -> o15Sql,

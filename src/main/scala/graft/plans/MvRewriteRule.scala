@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.DoubleType
 
 /** One grouping key of a registered MV: its stored column name and
@@ -263,6 +263,62 @@ object MvCatalog {
       join = Some(MvJoin(dPaths, fkCanon, dkCanon))))
     ()
   }
+
+  /** Persist every registered definition to a parquet "metastore"
+    * table so a FRESH session (new JVM, empty catalog) can
+    * re-register and keep rewriting — the role a warehouse
+    * metastore's MV catalog plays; without it registrations die with
+    * the JVM while the rollup artifacts survive on disk. The
+    * canonical key/metric expressions are stored as SQL text
+    * (resolved `Expression.sql` round-trips for every shape
+    * `register` accepts — column refs, casts, arithmetic,
+    * date_trunc — because the definition must decompose to bare-scan
+    * projections to register at all); [[load]] re-parses with `expr`
+    * and replays the FULL registration probe, so a definition that
+    * fails to round-trip fails loudly at load time, never silently
+    * mis-rewrites.
+    */
+  def save(spark: SparkSession, path: String): Unit = {
+    val sp = spark
+    import sp.implicits._
+    all.toSeq.sortBy(_.name)
+      .map { d =>
+        (d.name, d.factPaths.toSeq.sorted, d.keys.map(_.name), d.keys.map(_.canon.sql),
+          d.metricCanon.sql, d.mvPath,
+          d.join.map(_.dimPaths.toSeq.sorted).getOrElse(Seq.empty[String]),
+          d.join.map(_.factKeyCanon.sql).getOrElse(""),
+          d.join.map(_.dimKeyCanon.sql).getOrElse(""))
+      }
+      .toDF("name", "fact_paths", "key_names", "key_sqls", "metric_sql",
+        "mv_path", "dim_paths", "fk_sql", "dk_sql")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Re-register every definition saved by [[save]]. Idempotent:
+    * re-putting a live definition overwrites it with an equal one
+    * (the stored rollup artifacts are NOT rebuilt — the path is the
+    * identity, exactly as with a [[graft.ops.Materialize.refreshInto]]
+    * refresh). The catalog is deliberately NOT cleared first: load is
+    * additive, like reading one metastore database into a session.
+    */
+  def load(spark: SparkSession, path: String): Unit =
+    spark.read.parquet(path).collect().sortBy(_.getAs[String]("name")).foreach { r =>
+      def strs(c: String): Seq[String] =
+        r.getAs[scala.collection.Seq[String]](c).toSeq
+      val name = r.getAs[String]("name")
+      val fact = spark.read.parquet(strs("fact_paths"): _*)
+      val keys = strs("key_names")
+        .zip(strs("key_sqls"))
+        .map { case (n, sql) => expr(sql) -> n }
+      val metric = expr(r.getAs[String]("metric_sql"))
+      val dims = strs("dim_paths")
+      if (dims.isEmpty)
+        register(spark, name, fact, keys.toSeq, metric, r.getAs[String]("mv_path"))
+      else
+        registerJoined(spark, name, fact, spark.read.parquet(dims.toSeq: _*),
+          expr(r.getAs[String]("fk_sql")), expr(r.getAs[String]("dk_sql")),
+          keys.toSeq, metric, r.getAs[String]("mv_path"))
+    }
 
   def unregister(name: String): Unit = { defs.remove(name); () }
   def clear(): Unit = defs.clear()

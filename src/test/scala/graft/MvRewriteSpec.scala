@@ -423,6 +423,51 @@ class MvRewriteSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  // ---- metastore persistence: save → unregister → load (s43) ----
+
+  test("catalog save/load round-trips a computed-key MV: rewrite dead, then alive again") {
+    val day2 = date_trunc("DAY", col("o_orderdate"))
+    val base = graft.ops.Sink.scratchDir("mv_meta_law")
+    MvCatalog.create(spark, "test_meta_daily", Tables.orders(spark, dir),
+      day2, "day", cents, base + "/daily")
+    try {
+      def q: DataFrame = Tables.orders(spark, dir)
+        .groupBy(day2.as("day"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+          min(cents).as("lo"), max(cents).as("hi"))
+      val plain = rows(q)
+      MvCatalog.save(spark, base + "/catalog")
+      MvCatalog.unregister("test_meta_daily")
+      val dead = withMvRule { scans(q) }
+      assert(dead.exists(_.contains("orders.parquet")), dead)
+      MvCatalog.load(spark, base + "/catalog")
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(paths.exists(_.contains("mv_meta_law")), paths)
+      assert(!paths.exists(_.contains("orders.parquet")), paths)
+      assert(rewritten == plain)
+    } finally MvCatalog.unregister("test_meta_daily")
+  }
+
+  test("catalog save/load round-trips a JOINED MV with both join keys") {
+    withJoinedMv { _ =>
+      val base = graft.ops.Sink.scratchDir("mv_meta_jlaw")
+      def q: DataFrame = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"))
+      val plain = rows(q)
+      MvCatalog.save(spark, base + "/catalog")
+      MvCatalog.unregister("test_joined_mv")
+      assert(withMvRule { scans(q) }.exists(_.contains("orders.parquet")))
+      MvCatalog.load(spark, base + "/catalog")
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(paths.exists(_.contains("mv_joined_law")), paths)
+      assert(!paths.exists(p =>
+        p.contains("orders.parquet") || p.contains("customer.parquet")), paths)
+      assert(rewritten == plain)
+    }
+  }
+
   // ---- cost-based choice among proven candidates (s41) ----
 
   test("cost choice: the smaller proven MV wins regardless of name order") {

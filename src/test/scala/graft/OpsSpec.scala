@@ -740,6 +740,26 @@ class OpsSpec extends SparkSpec {
     assert(est("x") == ((5L, 20L, 30L, 40L)))
   }
 
+  test("topkRollup: merge of split leaderboards equals the full top-k, any split") {
+    val facts = (1 to 600).map(i => (s"g${i % 5}", i.toLong, (i * 137 % 10007).toLong))
+      .toDF("g", "id", "v")
+    val k = 9
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("g", "id", "v", "rk").as[(String, Long, Long, Int)].collect().toSet
+    val full = rows(Materialize.topkRollup(facts, "g", "v", "id", k))
+    for (mod <- Seq(2, 3, 7)) {
+      val a = Materialize.topkRollup(facts.filter(col("id") % mod === 0), "g", "v", "id", k)
+      val b = Materialize.topkRollup(facts.filter(col("id") % mod =!= 0), "g", "v", "id", k)
+      val merged = rows(Materialize.mergeTopk(a, b, "g", "v", "id", k))
+      assert(merged == full, s"mod=$mod")
+    }
+    // a group below k rows is kept whole; metric ties order by id
+    val tied = Seq(("x", 1L, 5L), ("x", 2L, 5L), ("x", 3L, 9L)).toDF("g", "id", "v")
+    val got = Materialize.topkRollup(tied, "g", "v", "id", k)
+      .orderBy(col("rk")).select("id", "rk").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((3L, 1), (1L, 2), (2L, 3)))
+  }
+
   test("quantileSketch accuracy: sampled median's true rank within the sampling bound") {
     // one key, n=1500, k=64: the estimate's TRUE rank position must
     // sit within ±0.2 of 0.5 — loose vs the ~n/sqrt(k) expectation,

@@ -3755,6 +3755,40 @@ def s40_mv_join_dimcdc(sf):
             .reset_index())
 
 
+def s42_topk_maintain(sf, k=7):
+    # incremental leaderboard must equal the whole-table top-k per
+    # priority under the (cents desc, orderkey asc) total order
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    o = o[o["o_totalprice"].notna() & o["o_orderkey"].notna()]
+    o = o.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in o["o_totalprice"]])
+    rows = []
+    for prio, g in o.groupby("o_orderpriority"):
+        ranked = sorted(
+            ((-int(c), int(i)) for i, c in zip(g["o_orderkey"], g["cents"])))[:k]
+        for rk, (negc, i) in enumerate(ranked, start=1):
+            rows.append((prio, i, -negc, rk))
+    return pd.DataFrame(
+        rows, columns=["o_orderpriority", "o_orderkey", "cents", "rk"])
+
+
+def s43_mv_metastore(sf):
+    # the metastore round-trip may only change WHICH table the plan
+    # scans; the answer is the plain per-priority cents rollup
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_orderpriority", "o_totalprice"])
+    o = o.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in o["o_totalprice"]])
+    return (o.groupby("o_orderpriority")
+            .agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"),
+                 min_cents=("cents", "min"), max_cents=("cents", "max"))
+            .reset_index())
+
+
 def s32_rollup_quantile(sf, k=64):
     # per-month bottom-k-by-hash sample replayed with hashlib directly:
     # min-k (h, v) pairs under the (h, v) total order, then type-1
@@ -5371,6 +5405,8 @@ QUERIES = {
     "s39_mv_join_stream": s39_mv_join_stream,
     "s40_mv_join_dimcdc": s40_mv_join_dimcdc,
     "s41_mv_choose": s41_mv_choose,
+    "s42_topk_maintain": s42_topk_maintain,
+    "s43_mv_metastore": s43_mv_metastore,
     "j15_join_size_profile": j15_join_size_profile,
     "e2_sssp_weighted": e2_sssp_weighted,
     "p13_ref_integrity": p13_ref_integrity,

@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // answered from a registered rollup (graft.plans.MvRewriteRule;
     // opt-in per session via spark.graft.mv.enabled)
     ext.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
+    // FK join elimination: inner joins to an unused parent removed
+    // under validated constraints (graft.plans.JoinEliminationRule;
+    // opt-in per session via spark.graft.fkelim.enabled)
+    ext.injectOptimizerRule(_ => graft.plans.JoinEliminationRule)
     // whole-operator tier: the native sort-merge AS-OF join
     // (graft.plans.AsOfJoinNode → AsOfJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -2199,7 +2199,7 @@ object ParityQueries {
   // the result is EXACT, no sampling bound. Storage round-trip as in
   // s19; the oracle is the whole-table window recompute, which only
   // matches if the merge law holds.
-  private val S42K = 7
+  private[graft] val S42K = 7
   def s42TopkMaintain(s: SparkSession, dir: String): DataFrame = {
     val facts = Tables.orders(s, dir).select(
       col("o_orderpriority"), col("o_orderkey"), col("o_orderdate"),
@@ -3511,6 +3511,86 @@ object ParityQueries {
       |WHERE n_name = 'NATION_7'
       |GROUP BY n_name""".stripMargin
 
+  // ---- J18: FK join elimination (validated RELY constraints) -----------------
+  // The classic star-schema rewrite BI tools force engines to ship:
+  // generated SQL joins every dimension whether the query uses it or
+  // not, and under a validated foreign key (child key non-null, every
+  // child key has exactly ONE parent row) an inner equi-join
+  // preserves child rows 1:1 — so a join whose parent columns are
+  // never referenced is dead weight. FkCatalog.register VALIDATES the
+  // three facts with one-time jobs (null/orphan/duplicate probes —
+  // p13's referential-integrity checks as a registration gate), then
+  // JoinEliminationRule (opt-in conf) removes the join and the parent
+  // scan. The oracle RUNS the join — values can only match because
+  // the constraint actually holds, which is the soundness argument
+  // made bit-exact. At 100 TB: the largest shuffle in the plan is
+  // deleted outright.
+  private val j18FkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def j18JoinElim(s: SparkSession, dir: String): DataFrame = {
+    j18FkCache.computeIfAbsent(dir, _ => {
+      graft.plans.FkCatalog.register(
+        s, s"orders_customer_fk_${math.abs(dir.hashCode)}",
+        Tables.orders(s, dir), col("o_custkey"),
+        Tables.customer(s, dir), col("c_custkey"))
+      "registered"
+    })
+    val out = Sink.scratchDir(s"join_elim_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(graft.plans.JoinEliminationRule.EnabledKey -> "true")) {
+      val q = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(s30Cents).as("sum_cents"))
+      val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(!scans.exists(_.contains("customer.parquet")),
+        s"join elimination left the parent scan in the plan; scans: $scans")
+      require(scans.exists(_.contains("orders.parquet")),
+        s"join elimination removed the wrong side; scans: $scans")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+  val j18Sql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  // ---- S44: metadata-only aggregate pushdown (parquet footer statistics) -----
+  // The cheapest possible plan for whole-table count/min/max: every
+  // parquet footer already stores row counts and per-column min/max,
+  // so the scan can answer the aggregate WITHOUT decoding a single
+  // data page — Spark's DSv2 aggregate pushdown
+  // (spark.sql.parquet.aggregatePushdown; the parquet V2 path must be
+  // enabled for the window since V1 does not implement it). At 100 TB
+  // this turns a full-table statistics query into a footer-metadata
+  // sweep — the same class of win as s22's zone-map pruning, applied
+  // to aggregation instead of filtering. The in-query require proves
+  // the aggregate reached the scan (PushedAggregation in the plan);
+  // the oracle recomputes from rows, so a stale/wrong footer would
+  // diverge.
+  def s44CountPushdown(s: SparkSession, dir: String): DataFrame = {
+    val out = Sink.scratchDir(s"agg_pushdown_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")) {
+      val q = s.read.parquet(s"$dir/orders.parquet")
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregate was not pushed to the parquet scan:\n$plan")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+  val s44Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+      |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+      |FROM orders""".stripMargin
+
   // ---- S30: materialized-view rewrite (automatic rollup substitution) -------
   // The CONSUMPTION half of the s19 story, and the eighth planning
   // leg: s19 proves a stored rollup can be maintained in O(delta);
@@ -4413,6 +4493,8 @@ object ParityQueries {
     "s28_compound_skip" -> (s28CompoundSkip _),
     "j14_bloom_join" -> (j14BloomJoin _),
     "j16_cbo_reorder" -> (j16CboReorder _),
+    "j18_join_elim" -> (j18JoinElim _),
+    "s44_count_pushdown" -> (s44CountPushdown _),
     "j17_aqe_skew" -> (j17AqeSkew _),
     "s30_mv_rewrite" -> (s30MvRewrite _),
     "s31_mv_refresh" -> (s31MvRefresh _),
@@ -4553,6 +4635,8 @@ object ParityQueries {
     "s28_compound_skip" -> s28Sql,
     "j14_bloom_join" -> j14Sql,
     "j16_cbo_reorder" -> j16Sql,
+    "j18_join_elim" -> j18Sql,
+    "s44_count_pushdown" -> s44Sql,
     "j17_aqe_skew" -> j17Sql,
     "s30_mv_rewrite" -> s30Sql,
     "s31_mv_refresh" -> s19Sql,

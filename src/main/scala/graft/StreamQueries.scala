@@ -957,6 +957,46 @@ object StreamQueries {
     Materialize.quantileEstimate(s.read.parquet(stored), "month")
   }
 
+  // ---- S42s: STREAMING leaderboard maintenance -------------------------------
+  // The live form of s42_topk_maintain: each micro-batch reduces its
+  // own rows to a per-priority top-k and merges it into the stored
+  // leaderboard (rewrite-then-swap). Top-k of a union = top-k of
+  // concatenated top-ks, so ANY batching lands on the same — EXACT —
+  // table, and the result must hash-match the batch twin's
+  // whole-table window oracle. Per batch: O(|batch| + k·|keys|),
+  // history never rescanned; at 100 TB this is the standing
+  // "biggest orders right now" dashboard fed by the landing stream.
+  def s42TopkStream(s: SparkSession, dir: String): DataFrame = {
+    val k = ParityQueries.S42K
+    val facts = Tables.orders(s, dir).select(
+      col("o_orderpriority"), col("o_orderkey"), col("o_orderdate"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val cut = lit(ParityQueries.S19Cutoff).cast("timestamp")
+    val stored = fresh("s42str_topk") + "/prio"
+    Materialize.topkRollup(
+      facts.filter(col("o_orderdate") < cut).drop("o_orderdate"),
+      "o_orderpriority", "cents", "o_orderkey", k)
+      .write.mode("overwrite").parquet(stored)
+    val delta = facts.filter(col("o_orderdate") >= cut).drop("o_orderdate")
+    val in = fresh("s42str_in"); val ck = fresh("s42str_ck")
+    delta.coalesce(4).write.mode("overwrite").parquet(in)
+    val q = s.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Materialize.refreshTopkInto(
+          s, stored,
+          Materialize.topkRollup(b.toDF(), "o_orderpriority", "cents", "o_orderkey", k),
+          "o_orderpriority", "cents", "o_orderkey", k))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(stored)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("cents"),
+        col("rk").cast("long").as("rk"))
+  }
+
   // ---- S39s: STREAMING joined-MV maintenance --------------------------------
   // The live form of s38's joined-rollup refresh: the FACT delta
   // arrives as a stream under forced one-file micro-batches, and each
@@ -1136,6 +1176,7 @@ object StreamQueries {
     "e8_decontam_stream" -> (e8DecontamStream _),
     "s19_rollup_stream" -> (s19RollupStream _),
     "s32_quantile_stream" -> (s32QuantileStream _),
+    "s42_topk_stream" -> (s42TopkStream _),
     "s39_mv_join_stream" -> (s39MvJoinStream _),
     "s24_manifest_stream" -> (s24ManifestStream _),
     "s29_cdc_stream" -> (s29CdcStream _),
@@ -1170,6 +1211,7 @@ object StreamQueries {
     "e8_decontam_stream" -> ExtQueries.e8bSql,
     "s19_rollup_stream" -> ParityQueries.s19Sql,
     "s32_quantile_stream" -> ParityQueries.s32Sql,
+    "s42_topk_stream" -> ParityQueries.s42Sql,
     "s39_mv_join_stream" -> s39sSql,
     "s24_manifest_stream" -> ParityQueries.s22Sql,
     "s29_cdc_stream" -> ParityQueries.s25Sql,

@@ -289,6 +289,17 @@ object Materialize {
     rewriteSwap(spark, stored)(s =>
       mergeQuantile(s.read.parquet(stored), deltaSketch, keyCol, k))
 
+  /** In-place refresh of a STORED leaderboard ([[topkRollup]]
+    * schema): read, [[mergeTopk]] the delta's top-k in, rewrite,
+    * swap — same crash story as [[refreshInto]].
+    */
+  def refreshTopkInto(
+      spark: org.apache.spark.sql.SparkSession,
+      stored: String, deltaTopk: DataFrame, keyCol: String, ordCol: String,
+      idCol: String, k: Int): Unit =
+    rewriteSwap(spark, stored)(s =>
+      mergeTopk(s.read.parquet(stored), deltaTopk, keyCol, ordCol, idCol, k))
+
   private def rewriteSwap(
       spark: org.apache.spark.sql.SparkSession, stored: String)(
       merged: org.apache.spark.sql.SparkSession => DataFrame): Unit = {

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.{FkCatalog, JoinEliminationRule, MvRewriteRule}
+
+/** Laws for FK join elimination (j18): the rewrite must change the
+  * PLAN (parent scan gone) and not one bit of the RESULT, must refuse
+  * every join it cannot prove, and registration must refuse every
+  * violated constraint.
+  */
+class JoinEliminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val cents = floor(col("o_totalprice") * 100).cast("long")
+
+  private def withRule[T](body: => T): T = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ JoinEliminationRule
+    spark.conf.set(JoinEliminationRule.EnabledKey, "true")
+    try body
+    finally {
+      spark.conf.unset(JoinEliminationRule.EnabledKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq JoinEliminationRule)
+    }
+  }
+
+  private def withFk[T](body: => T): T = {
+    FkCatalog.register(spark, "law_orders_customer",
+      Tables.orders(spark, dir), col("o_custkey"),
+      Tables.customer(spark, dir), col("c_custkey"))
+    try body
+    finally FkCatalog.unregister("law_orders_customer")
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  private def scans(df: DataFrame): Set[String] =
+    MvRewriteRule.scanPaths(df.queryExecution.optimizedPlan)
+
+  private def joined: DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+
+  test("aggregate over an unused parent: join and parent scan eliminated, bit-identical") {
+    withFk {
+      def q: DataFrame = joined
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"))
+      val plain = rows(q)
+      val (rewritten, paths) = withRule { (rows(q), scans(q)) }
+      assert(!paths.exists(_.contains("customer.parquet")), paths)
+      assert(paths.exists(_.contains("orders.parquet")), paths)
+      assert(rewritten == plain)
+    }
+  }
+
+  test("projection of child columns only: eliminated, bit-identical; swapped sides too") {
+    withFk {
+      def q: DataFrame = joined.select(col("o_orderkey"), col("o_orderpriority"))
+      val plain = rows(q)
+      val (rewritten, paths) = withRule { (rows(q), scans(q)) }
+      assert(!paths.exists(_.contains("customer.parquet")), paths)
+      assert(rewritten == plain)
+      // customer JOIN orders (parent written first) eliminates the same
+      def qSwap: DataFrame = Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val plainSwap = rows(qSwap)
+      val (rewSwap, pathsSwap) = withRule { (rows(qSwap), scans(qSwap)) }
+      assert(!pathsSwap.exists(_.contains("customer.parquet")), pathsSwap)
+      assert(rewSwap == plainSwap)
+    }
+  }
+
+  test("a query that USES a parent column keeps the join") {
+    withFk {
+      val q = joined.select(col("o_orderkey"), col("c_nationkey"))
+      val paths = withRule { scans(q) }
+      assert(paths.exists(_.contains("customer.parquet")), paths)
+    }
+  }
+
+  test("a filter on a parent column keeps the join (it re-drops child rows)") {
+    withFk {
+      val q = joined
+        .filter(col("c_nationkey") % 5 === 2)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val paths = withRule { scans(q) }
+      assert(paths.exists(_.contains("customer.parquet")), paths)
+    }
+  }
+
+  test("an unregistered key pair keeps the join") {
+    withFk {
+      // same tables, different (non-FK) equality
+      val q = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_nationkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val paths = withRule { scans(q) }
+      assert(paths.exists(_.contains("customer.parquet")), paths)
+    }
+  }
+
+  test("an OUTER join is never eliminated") {
+    withFk {
+      val q = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val paths = withRule { scans(q) }
+      assert(paths.exists(_.contains("customer.parquet")), paths)
+    }
+  }
+
+  test("eliminating toward the PARENT side never happens (child rows multiply parents)") {
+    withFk {
+      // uses only customer columns: dropping orders would be unsound —
+      // a customer with 3 orders appears 3 times in the join
+      val q = joined.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      val paths = withRule { scans(q) }
+      assert(paths.exists(_.contains("orders.parquet")), paths)
+      assert(paths.exists(_.contains("customer.parquet")), paths)
+    }
+  }
+
+  test("registration refuses violated constraints: nulls, orphans, duplicate parents") {
+    val base = graft.ops.Sink.scratchDir("fk_violation_law")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").parquet(base + "/parent_ok")
+    Seq((1L, 10L), (2L, 20L)).toDF("fk", "m")
+      .write.mode("overwrite").parquet(base + "/child_ok")
+    Seq((Some(1L), 10L), (None, 20L)).toDF("fk", "m")
+      .write.mode("overwrite").parquet(base + "/child_null")
+    Seq((1L, 10L), (9L, 20L)).toDF("fk", "m")
+      .write.mode("overwrite").parquet(base + "/child_orphan")
+    Seq((1L, "a"), (1L, "dup"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(base + "/parent_dup")
+    def p(n: String) = spark.read.parquet(base + s"/$n")
+    FkCatalog.register(spark, "law_ok", p("child_ok"), col("fk"), p("parent_ok"), col("k"))
+    FkCatalog.unregister("law_ok")
+    intercept[IllegalArgumentException] {
+      FkCatalog.register(spark, "law_null", p("child_null"), col("fk"), p("parent_ok"), col("k"))
+    }
+    intercept[IllegalArgumentException] {
+      FkCatalog.register(spark, "law_orphan", p("child_orphan"), col("fk"), p("parent_ok"), col("k"))
+    }
+    intercept[IllegalArgumentException] {
+      FkCatalog.register(spark, "law_dup", p("child_ok"), col("fk"), p("parent_dup"), col("k"))
+    }
+  }
+
+  test("disabled conf leaves the join untouched even with the FK registered") {
+    withFk {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ JoinEliminationRule
+      try {
+        val q = joined.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        assert(scans(q).exists(_.contains("customer.parquet")))
+      } finally spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq JoinEliminationRule)
+    }
+  }
+}

@@ -3775,6 +3775,32 @@ def s42_topk_maintain(sf, k=7):
         rows, columns=["o_orderpriority", "o_orderkey", "cents", "rk"])
 
 
+def s44_count_pushdown(sf):
+    # footer-statistics pushdown may only change WHERE the numbers come
+    # from; the replay recomputes them from the rows themselves
+    o = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey"])
+    return pd.DataFrame([(len(o), int(o["o_orderkey"].min()),
+                          int(o["o_orderkey"].max()))],
+                        columns=["n_orders", "min_key", "max_key"])
+
+
+def j18_join_elim(sf):
+    # join elimination may only DROP the parent scan; the answer is the
+    # full join's rollup, replayed here WITH the join so an unsound
+    # elimination (dropped or duplicated child rows) diverges
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    c = pd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
+    j = j.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in j["o_totalprice"]])
+    return (j.groupby("o_orderpriority")
+            .agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"))
+            .reset_index())
+
+
 def s43_mv_metastore(sf):
     # the metastore round-trip may only change WHICH table the plan
     # scans; the answer is the plain per-priority cents rollup
@@ -5405,7 +5431,11 @@ QUERIES = {
     "s39_mv_join_stream": s39_mv_join_stream,
     "s40_mv_join_dimcdc": s40_mv_join_dimcdc,
     "s41_mv_choose": s41_mv_choose,
+    "j18_join_elim": j18_join_elim,
+    "s44_count_pushdown": s44_count_pushdown,
     "s42_topk_maintain": s42_topk_maintain,
+    # streaming twin: any batching merges to the same exact top-k
+    "s42_topk_stream": s42_topk_maintain,
     "s43_mv_metastore": s43_mv_metastore,
     "j15_join_size_profile": j15_join_size_profile,
     "e2_sssp_weighted": e2_sssp_weighted,

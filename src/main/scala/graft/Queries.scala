@@ -3556,6 +3556,81 @@ object ParityQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1""".stripMargin
 
+  // ---- S46: deletion vectors (merge-on-read deletes) --------------------------
+  // The lakehouse DELETE that never rewrites a data file: the delete
+  // persists only (file, row_position) pairs — Delta/Iceberg deletion
+  // vectors — and every read applies them positionally. Here the DV
+  // is built once from the predicate, but the READ path never sees
+  // the predicate: it anti-joins `_metadata.file_path` +
+  // `_metadata.row_index` against the DV table, so the oracle (the
+  // predicate applied to rows) matches only if positional delete
+  // application is sound. In-query requires prove the delete was real
+  // and partial. At 100 TB: a delete costs one DV write instead of
+  // rewriting terabytes of parquet; reads pay a broadcast-sized
+  // anti-join (per-file bitmaps once DVs outgrow a broadcast).
+  def s46DeletionVectors(s: SparkSession, dir: String): DataFrame = {
+    val base = Sink.scratchDir(s"s46_dv_${math.abs(dir.hashCode)}")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(base + "/data")
+    def withPos = s.read.parquet(base + "/data")
+      .withColumn("__f", col("_metadata.file_path"))
+      .withColumn("__p", col("_metadata.row_index"))
+    withPos.filter(col("o_custkey") % 10 === 3).select(col("__f"), col("__p"))
+      .write.mode("overwrite").parquet(base + "/dv")
+    val dv = s.read.parquet(base + "/dv")
+    val nDel = dv.count()
+    val nAll = s.read.parquet(base + "/data").count()
+    require(nDel > 0 && nDel < nAll,
+      s"deletion vector is trivial: $nDel deleted of $nAll")
+    withPos.join(broadcast(dv), Seq("__f", "__p"), "left_anti")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
+  }
+  val s46Sql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_live,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders WHERE NOT (o_custkey % 10 = 3)
+      |GROUP BY 1""".stripMargin
+
+  // ---- S45: DISTINCT elimination on a validated unique key --------------------
+  // The defensive dropDuplicates BI tools emit on primary keys is a
+  // whole-table shuffle that does nothing. FkCatalog.registerUnique
+  // VALIDATES the key (duplicate probe, or RELY mode), and
+  // JoinEliminationRule collapses the Aggregate that Catalyst rewrote
+  // the Deduplicate into (grouping keys must COVER the unique key;
+  // every output a grouped attribute or a first(attr) alias) to a
+  // bare Project — the in-query require proves no Aggregate remains.
+  // The oracle is the table itself: under uniqueness, dedup-by-key is
+  // the identity, which the bit-exact match proves.
+  private val s45UqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def s45DistinctElim(s: SparkSession, dir: String): DataFrame = {
+    s45UqCache.computeIfAbsent(dir, _ => {
+      graft.plans.FkCatalog.registerUnique(
+        s, s"customer_pk_${math.abs(dir.hashCode)}",
+        Tables.customer(s, dir), col("c_custkey"))
+      "registered"
+    })
+    val out = Sink.scratchDir(s"distinct_elim_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(graft.plans.JoinEliminationRule.EnabledKey -> "true")) {
+      val q = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .dropDuplicates("c_custkey")
+      val aggs = q.queryExecution.optimizedPlan.collect {
+        case ag: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ag
+      }
+      require(aggs.isEmpty,
+        s"distinct elimination left an aggregate in the plan:\n${q.queryExecution.optimizedPlan}")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+  val s45Sql =
+    "SELECT c_custkey, c_nationkey, c_acctbal FROM customer"
+
   // ---- S44: metadata-only aggregate pushdown (parquet footer statistics) -----
   // The cheapest possible plan for whole-table count/min/max: every
   // parquet footer already stores row counts and per-column min/max,
@@ -4495,6 +4570,8 @@ object ParityQueries {
     "j16_cbo_reorder" -> (j16CboReorder _),
     "j18_join_elim" -> (j18JoinElim _),
     "s44_count_pushdown" -> (s44CountPushdown _),
+    "s45_distinct_elim" -> (s45DistinctElim _),
+    "s46_deletion_vectors" -> (s46DeletionVectors _),
     "j17_aqe_skew" -> (j17AqeSkew _),
     "s30_mv_rewrite" -> (s30MvRewrite _),
     "s31_mv_refresh" -> (s31MvRefresh _),
@@ -4637,6 +4714,8 @@ object ParityQueries {
     "j16_cbo_reorder" -> j16Sql,
     "j18_join_elim" -> j18Sql,
     "s44_count_pushdown" -> s44Sql,
+    "s45_distinct_elim" -> s45Sql,
+    "s46_deletion_vectors" -> s46Sql,
     "j17_aqe_skew" -> j17Sql,
     "s30_mv_rewrite" -> s30Sql,
     "s31_mv_refresh" -> s19Sql,

@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -83,9 +84,50 @@ object FkCatalog {
   }
 
   def unregister(name: String): Unit = { defs.remove(name); () }
-  def clear(): Unit = defs.clear()
-  def isEmpty: Boolean = defs.isEmpty
+  def clear(): Unit = { defs.clear(); uniques.clear() }
+  def isEmpty: Boolean = defs.isEmpty && uniques.isEmpty
   private[plans] def all: Iterable[FkDef] = defs.values.asScala
+
+  /** A declared-and-validated UNIQUE key of one file scan. */
+  private[graft] case class UniqueDef(
+      name: String, paths: Set[String], keyCanon: Expression)
+
+  private val uniques = new java.util.concurrent.ConcurrentHashMap[String, UniqueDef]()
+
+  /** Register (and by default validate) a unique key on a table — the
+    * standalone half of the FK machinery, consumed by
+    * [[JoinEliminationRule]]'s DISTINCT elimination: a
+    * dropDuplicates whose key set contains a unique key is a no-op.
+    */
+  def registerUnique(
+      spark: SparkSession,
+      name: String,
+      table: DataFrame,
+      key: Column,
+      validate: Boolean = true): Unit = {
+    val probe = table.select(key.as("__uq_k"))
+    val opt = probe.queryExecution.optimizedPlan
+    val (aliases, filters, rel) = MvRewriteRule.decompose(opt).getOrElse(
+      throw new IllegalArgumentException(
+        s"UNIQUE '$name': table must be a bare file scan (+ projections), got:\n$opt"))
+    require(filters.isEmpty,
+      s"UNIQUE '$name': a FILTERED table cannot carry a whole-table constraint")
+    val paths = MvRewriteRule.relPaths(rel).getOrElse(
+      throw new IllegalArgumentException(s"UNIQUE '$name': scan is not a file relation"))
+    if (validate) {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val dups = probe.groupBy(col("__uq_k")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count()
+      require(dups == 0, s"UNIQUE '$name' violated: key has duplicates")
+    }
+    val out = opt.output.head
+    uniques.put(name, UniqueDef(
+      name, paths, MvRewriteRule.nameNorm(aliases.getOrElse(out.exprId, out))))
+    ()
+  }
+
+  def unregisterUnique(name: String): Unit = { uniques.remove(name); () }
+  private[plans] def allUniques: Iterable[UniqueDef] = uniques.values.asScala
 }
 
 /** Optimizer rule: JOIN ELIMINATION on validated foreign keys — the
@@ -121,9 +163,48 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
       case p @ Project(pl, j: Join) =>
         childSide(j, pl.flatMap(_.references)).map(c => p.copy(child = c)).getOrElse(p)
       case a @ Aggregate(g, ae, j: Join, _) =>
-        childSide(j, (g ++ ae).flatMap(_.references)).map(c => a.copy(child = c)).getOrElse(a)
+        childSide(j, (g ++ ae).flatMap(_.references)).map(c => a.copy(child = c))
+          .orElse(distinctElim(a)).getOrElse(a)
+      case a: Aggregate => distinctElim(a).getOrElse(a)
     }
   }
+
+  /** DISTINCT elimination: `dropDuplicates(keys)` over a scan whose
+    * registered UNIQUE key is among `keys` is a no-op — every row is
+    * already its own group. By the time user rules run, Catalyst has
+    * rewritten Deduplicate to `Aggregate(keys, keys ++ first(other))`
+    * (ReplaceDeduplicateWithAggregate), so that is the shape matched:
+    * grouping keys must cover a registered unique key of the scan,
+    * every output is a grouped attribute or a first(attr) alias, and
+    * the whole aggregate collapses to a Project over the (possibly
+    * filtered — uniqueness survives filtering) child. At 100 TB the
+    * elimination deletes a whole-table shuffle BI tools emit
+    * defensively on primary keys.
+    */
+  private def distinctElim(a: Aggregate): Option[LogicalPlan] =
+    for {
+      (aliases, _, rel) <- MvRewriteRule.decompose(a.child)
+      paths <- MvRewriteRule.relPaths(rel)
+      gAttrs <- Some(a.groupingExpressions).filter(_.forall(_.isInstanceOf[Attribute]))
+        .map(_.map(_.asInstanceOf[Attribute]))
+      if gAttrs.nonEmpty
+      gCanons = gAttrs.map(g =>
+        MvRewriteRule.nameNorm(aliases.getOrElse(g.exprId, g)))
+      if FkCatalog.allUniques.exists(u =>
+        u.paths == paths && gCanons.exists(_.semanticEquals(u.keyCanon)))
+      gSet = AttributeSet(gAttrs)
+      outs <- traverse(a.aggregateExpressions.map {
+        case at: Attribute if gSet.contains(at) => Some(at)
+        case al @ Alias(aggregate.AggregateExpression(
+            aggregate.First(c: Attribute, false), _, false, None, _), name) =>
+          Some(Alias(c, name)(exprId = al.exprId))
+        case al @ Alias(at: Attribute, _) if gSet.contains(at) => Some(al)
+        case _ => None
+      })
+    } yield Project(outs, a.child)
+
+  private def traverse[T](xs: Seq[Option[T]]): Option[Seq[T]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
   /** If `j` is a registered FK join and `used` touches only one side —
     * the CHILD side of the constraint — return that side's subtree.

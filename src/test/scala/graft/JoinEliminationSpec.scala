@@ -157,6 +157,67 @@ class JoinEliminationSpec extends SparkSpec {
     }
   }
 
+  private def aggCount(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+
+  private def withUnique[T](body: => T): T = {
+    FkCatalog.registerUnique(spark, "law_customer_pk",
+      Tables.customer(spark, dir), col("c_custkey"))
+    try body
+    finally FkCatalog.unregisterUnique("law_customer_pk")
+  }
+
+  test("distinct elimination: dedup on a validated unique key collapses to a scan") {
+    withUnique {
+      def q: DataFrame = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .dropDuplicates("c_custkey")
+      val plain = rows(q)
+      val (rewritten, nAggs) = withRule { (rows(q), aggCount(q)) }
+      assert(nAggs == 0)
+      assert(rewritten == plain)
+      // a key SUPERSET still covers the unique key
+      def q2: DataFrame = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .dropDuplicates("c_custkey", "c_nationkey")
+      val plain2 = rows(q2)
+      val (rew2, nAggs2) = withRule { (rows(q2), aggCount(q2)) }
+      assert(nAggs2 == 0)
+      assert(rew2 == plain2)
+      // uniqueness survives filtering: a filtered scan still eliminates
+      def q3: DataFrame = Tables.customer(spark, dir)
+        .filter(col("c_nationkey") % 3 === 1)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .dropDuplicates("c_custkey")
+      val plain3 = rows(q3)
+      val (rew3, nAggs3) = withRule { (rows(q3), aggCount(q3)) }
+      assert(nAggs3 == 0)
+      assert(rew3 == plain3)
+    }
+  }
+
+  test("distinct elimination: a NON-unique key keeps the aggregate") {
+    withUnique {
+      val q = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .dropDuplicates("c_nationkey")
+      val nAggs = withRule { aggCount(q) }
+      assert(nAggs > 0)
+    }
+  }
+
+  test("registerUnique refuses a duplicated key") {
+    val base = graft.ops.Sink.scratchDir("uq_violation_law")
+    Seq((1L, "a"), (1L, "dup"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(base + "/dup")
+    intercept[IllegalArgumentException] {
+      FkCatalog.registerUnique(spark, "law_uq_bad",
+        spark.read.parquet(base + "/dup"), col("k"))
+    }
+  }
+
   test("disabled conf leaves the join untouched even with the FK registered") {
     withFk {
       spark.experimental.extraOptimizations =

@@ -3775,6 +3775,28 @@ def s42_topk_maintain(sf, k=7):
         rows, columns=["o_orderpriority", "o_orderkey", "cents", "rk"])
 
 
+def s46_deletion_vectors(sf):
+    # positional delete application must equal the predicate applied
+    # to rows: the replay filters rows directly
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    o = o[~(o["o_custkey"] % 10 == 3)]
+    o = o.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in o["o_totalprice"]])
+    return (o.groupby("o_orderpriority")
+            .agg(n_live=("cents", "size"), sum_cents=("cents", "sum"))
+            .reset_index())
+
+
+def s45_distinct_elim(sf):
+    # eliminated dedup-by-PK must be the identity on the table
+    return pd.read_parquet(
+        f"{sf}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+
 def s44_count_pushdown(sf):
     # footer-statistics pushdown may only change WHERE the numbers come
     # from; the replay recomputes them from the rows themselves
@@ -5433,6 +5455,8 @@ QUERIES = {
     "s41_mv_choose": s41_mv_choose,
     "j18_join_elim": j18_join_elim,
     "s44_count_pushdown": s44_count_pushdown,
+    "s45_distinct_elim": s45_distinct_elim,
+    "s46_deletion_vectors": s46_deletion_vectors,
     "s42_topk_maintain": s42_topk_maintain,
     # streaming twin: any batching merges to the same exact top-k
     "s42_topk_stream": s42_topk_maintain,

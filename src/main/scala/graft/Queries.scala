@@ -3595,6 +3595,55 @@ object ParityQueries {
       |FROM orders WHERE NOT (o_custkey % 10 = 3)
       |GROUP BY 1""".stripMargin
 
+  // ---- S47: merge-on-read UPSERT (deletion vector + append) -------------------
+  // The full Iceberg-v2/Delta-DV write path for an UPDATE: the old row
+  // versions are position-deleted (s46's DV) and the post-image rows
+  // land as an appended delta file — no base file is ever rewritten.
+  // The read is (base ⊳ DV) ∪ delta. As in s46 the read path is
+  // predicate-blind (positions + appended rows only), so matching the
+  // oracle's post-image SQL proves positional delete + append compose
+  // to exactly one current version per row. Compaction, when the DV
+  // outgrows its usefulness, is s12's rewrite recipe applied to the
+  // live frame. At 100 TB an update batch costs O(|batch|) writes.
+  def s47MorUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Sink.scratchDir(s"s47_mor_${math.abs(dir.hashCode)}")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(base + "/data")
+    val hit = col("o_custkey") % 7 === 2
+    def withPos = s.read.parquet(base + "/data")
+      .withColumn("__f", col("_metadata.file_path"))
+      .withColumn("__p", col("_metadata.row_index"))
+    // UPDATE ... SET cents = cents + 100 WHERE o_custkey % 7 = 2, as a
+    // position-delete of the old versions plus an appended post-image
+    withPos.filter(hit).select(col("__f"), col("__p"))
+      .write.mode("overwrite").parquet(base + "/dv")
+    s.read.parquet(base + "/data").filter(hit)
+      .withColumn("cents", col("cents") + 100)
+      .write.mode("overwrite").parquet(base + "/delta")
+    val dv = s.read.parquet(base + "/dv")
+    val nDel = dv.count()
+    require(nDel > 0 && nDel < withPos.count(),
+      s"upsert batch is trivial: $nDel of ${withPos.count()} rows")
+    withPos.join(broadcast(dv), Seq("__f", "__p"), "left_anti")
+      .drop("__f", "__p")
+      .unionByName(s.read.parquet(base + "/delta"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        max(col("cents")).as("max_cents"))
+  }
+  val s47Sql =
+    """WITH post AS (SELECT o_orderpriority,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT)
+      |      + CASE WHEN o_custkey % 7 = 2 THEN 100 ELSE 0 END AS cents
+      |  FROM orders)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(max(cents) AS BIGINT) AS max_cents
+      |FROM post GROUP BY 1""".stripMargin
+
   // ---- S45: DISTINCT elimination on a validated unique key --------------------
   // The defensive dropDuplicates BI tools emit on primary keys is a
   // whole-table shuffle that does nothing. FkCatalog.registerUnique
@@ -4572,6 +4621,7 @@ object ParityQueries {
     "s44_count_pushdown" -> (s44CountPushdown _),
     "s45_distinct_elim" -> (s45DistinctElim _),
     "s46_deletion_vectors" -> (s46DeletionVectors _),
+    "s47_mor_upsert" -> (s47MorUpsert _),
     "j17_aqe_skew" -> (j17AqeSkew _),
     "s30_mv_rewrite" -> (s30MvRewrite _),
     "s31_mv_refresh" -> (s31MvRefresh _),
@@ -4716,6 +4766,7 @@ object ParityQueries {
     "s44_count_pushdown" -> s44Sql,
     "s45_distinct_elim" -> s45Sql,
     "s46_deletion_vectors" -> s46Sql,
+    "s47_mor_upsert" -> s47Sql,
     "j17_aqe_skew" -> j17Sql,
     "s30_mv_rewrite" -> s30Sql,
     "s31_mv_refresh" -> s19Sql,

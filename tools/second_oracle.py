@@ -3790,6 +3790,22 @@ def s46_deletion_vectors(sf):
             .reset_index())
 
 
+def s47_mor_upsert(sf):
+    # position-delete + appended post-image must compose to exactly one
+    # CURRENT version per row: the replay applies the update directly
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    o = o.assign(cents=[
+        int(math.floor(float(v) * 100)) + (100 if int(k) % 7 == 2 else 0)
+        for v, k in zip(o["o_totalprice"], o["o_custkey"])])
+    return (o.groupby("o_orderpriority")
+            .agg(n_rows=("cents", "size"), sum_cents=("cents", "sum"),
+                 max_cents=("cents", "max"))
+            .reset_index())
+
+
 def s45_distinct_elim(sf):
     # eliminated dedup-by-PK must be the identity on the table
     return pd.read_parquet(
@@ -5457,6 +5473,7 @@ QUERIES = {
     "s44_count_pushdown": s44_count_pushdown,
     "s45_distinct_elim": s45_distinct_elim,
     "s46_deletion_vectors": s46_deletion_vectors,
+    "s47_mor_upsert": s47_mor_upsert,
     "s42_topk_maintain": s42_topk_maintain,
     # streaming twin: any batching merges to the same exact top-k
     "s42_topk_stream": s42_topk_maintain,

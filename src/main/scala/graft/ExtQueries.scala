@@ -590,6 +590,38 @@ object ExtQueries {
        |  FROM scored) WHERE rk <= $E3K""".stripMargin
   }
 
+  // ---- E3f: FILTERED vector search (metadata predicate + top-k) -------------
+  // The production retrieval shape vector stores call pre-filtering:
+  // "nearest English documents", not nearest-then-filter. The
+  // predicate lives on the DOCUMENT table and is applied to the
+  // CANDIDATE set via a semi-join BEFORE any distance is computed —
+  // post-filtering the top-k instead would under-fill k whenever the
+  // neighborhood is predicate-sparse (here lang='en' keeps ~44%, so
+  // the two answers demonstrably differ). At 100 TB: the semi-join
+  // prunes the scan ahead of the O(|q|·|corpus|) scoring, and with an
+  // IVF index the same semi-join applies per posting list; queries
+  // stay broadcast either way.
+  def e3FilteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val en = Tables.documents(s, dir)
+      .filter(col("lang") === "en").select(col("doc_id"))
+    val cands = emb.join(en, col("vec_id") === col("doc_id"), "left_semi")
+    Similarity.cosineTopK(emb.filter(col("vec_id") < E3NumQueries), cands, E3K)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+  val e3pfSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2 FROM embeddings),
+       |c AS (SELECT e.* FROM e JOIN documents ON vec_id = doc_id WHERE lang = 'en'),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM e q JOIN c ON q.vec_id < $E3NumQueries AND c.vec_id <> q.vec_id)
+       |SELECT query_id, vec_id, cos_sim, rk FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= $E3K""".stripMargin
+  }
+
   // ---- E3s: the SQL-first form of e3_cosine_topk ---------------------------
   // Same computation, same oracle — but written as one spark.sql
   // statement calling the injected native function (graft_dot, the
@@ -3677,6 +3709,7 @@ object ExtQueries {
     "e8_decontaminated" -> (e8Decontaminated _),
     "e8_bloom_prefilter" -> (e8BloomPrefilter _),
     "e3_cosine_topk" -> (e3CosineTopK _),
+    "e3_filtered_topk" -> (e3FilteredTopK _),
     "e3_ann_bucketed" -> (e3AnnBucketed _),
     "e3_ann_recall" -> (e3AnnRecall _),
     "e3_ivf_topk" -> (e3IvfTopK _),
@@ -3807,6 +3840,7 @@ object ExtQueries {
     "e8_decontaminated" -> e8bSql,
     "e8_bloom_prefilter" -> e8bSql,
     "e3_cosine_topk" -> e3Sql,
+    "e3_filtered_topk" -> e3pfSql,
     "e3_ann_bucketed" -> e3bSql,
     "e3_ann_recall" -> e3dSql,
     "e3_ivf_topk" -> e3cSql,

@@ -2246,6 +2246,39 @@ def e2_minhash_pairs(sf):
         columns=["doc_a", "doc_b", "jaccard_est"])
 
 
+def e3_filtered_topk(sf, nq=8, k=5):
+    # pre-filtered vector search: candidates restricted to lang='en'
+    # docs BEFORE scoring; queries unrestricted; same fold arithmetic
+    import math
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    en = set(int(i) for i, l in zip(docs["doc_id"], docs["lang"]) if l == "en")
+    vecs = {int(i): [float(x) for x in v]
+            for i, v in zip(emb["vec_id"], emb["embedding"])}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    n2 = {i: fold_dot(v, v) for i, v in vecs.items()}
+    rows = []
+    for q in sorted(vecs):
+        if q >= nq:
+            continue
+        scored = sorted(
+            ((c, fold_dot(vecs[q], vecs[c]) /
+              (math.sqrt(n2[q]) * math.sqrt(n2[c])))
+             for c in vecs if c != q and c in en),
+            key=lambda t: (-t[1], t[0]))[:k]
+        for rk, (c, cs) in enumerate(scored, start=1):
+            rows.append((q, c, cs, rk))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
+
+
 def e3_cosine_topk(sf):
     # brute-force cosine top-k replayed with the exact left-fold
     # arithmetic: float32 -> double per element, left-associated adds
@@ -5333,6 +5366,7 @@ QUERIES = {
     "a26_corr_matrix": a26_corr_matrix,
     "p9_target_encode": p9_target_encode,
     "e3_cosine_topk": e3_cosine_topk,
+    "e3_filtered_topk": e3_filtered_topk,
     "e3_cosine_sql": e3_cosine_topk,
     "e2_simhash_pairs": e2_simhash_pairs,
     "e2_triangles": e2_triangles,

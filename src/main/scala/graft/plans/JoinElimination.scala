@@ -146,7 +146,11 @@ object FkCatalog {
   * be the registered key pair (either orientation; canonical compare
   * modulo attribute identity), the parent side may carry no residual
   * filter beyond the join-implied IsNotNull of its key, and the
-  * parent relation's attributes must not leak into anything above.
+  * parent relation's attributes must not leak into anything above —
+  * with ONE exception: references to the parent's join KEY itself
+  * rewrite to the child key (equal on every retained row, both
+  * non-null under the constraint), which covers the ubiquitous
+  * `GROUP BY parent_pk` star query.
   * Matched shapes: Project-over-Join and Aggregate-over-Join (the two
   * forms Catalyst's column pruning leaves after optimization).
   * Anything else is left untouched. Opt-in per session via
@@ -161,13 +165,43 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
     if (FkCatalog.isEmpty || conf.getConfString(EnabledKey, "false") != "true") plan
     else plan.transform {
       case p @ Project(pl, j: Join) =>
-        childSide(j, pl.flatMap(_.references)).map(c => p.copy(child = c)).getOrElse(p)
+        childSide(j, pl.flatMap(_.references)).map { case (keep, subst) =>
+          Project(pl.map(substNamed(_, subst)), keep)
+        }.getOrElse(p)
       case a @ Aggregate(g, ae, j: Join, _) =>
-        childSide(j, (g ++ ae).flatMap(_.references)).map(c => a.copy(child = c))
-          .orElse(distinctElim(a)).getOrElse(a)
+        childSide(j, (g ++ ae).flatMap(_.references)).map { case (keep, subst) =>
+          a.copy(
+            groupingExpressions = g.map(substExpr(_, subst)),
+            aggregateExpressions = ae.map(substNamed(_, subst)),
+            child = keep)
+        }.orElse(distinctElim(a)).getOrElse(a)
       case a: Aggregate => distinctElim(a).getOrElse(a)
     }
   }
+
+  /** Replace every reference to the dropped parent's key with the
+    * surviving child key (equal on every retained row by the join
+    * condition; non-null by the validated constraint). Top-level
+    * named outputs keep their original name and exprId via an alias
+    * so parent operators never notice the substitution.
+    */
+  private def substExpr(e: Expression, subst: Map[ExprId, Attribute]): Expression =
+    if (subst.isEmpty) e
+    else e.transformUp {
+      case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
+    }
+
+  private def substNamed(
+      ne: NamedExpression, subst: Map[ExprId, Attribute]): NamedExpression =
+    if (subst.isEmpty) ne
+    else ne match {
+      case a: AttributeReference if subst.contains(a.exprId) =>
+        Alias(subst(a.exprId), a.name)(exprId = a.exprId)
+      case al: Alias =>
+        Alias(substExpr(al.child, subst), al.name)(exprId = al.exprId,
+          qualifier = al.qualifier, explicitMetadata = al.explicitMetadata)
+      case other => substExpr(other, subst).asInstanceOf[NamedExpression]
+    }
 
   /** DISTINCT elimination: `dropDuplicates(keys)` over a scan whose
     * registered UNIQUE key is among `keys` is a no-op — every row is
@@ -206,20 +240,44 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
   private def traverse[T](xs: Seq[Option[T]]): Option[Seq[T]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
-  /** If `j` is a registered FK join and `used` touches only one side —
-    * the CHILD side of the constraint — return that side's subtree.
+  /** If `j` is a registered FK join and `used` touches only the
+    * constraint's CHILD side — plus, at most, the parent's join KEY,
+    * which equals the child key on every retained row — return the
+    * child subtree and the parent-key → child-key substitution map
+    * (empty when the parent key goes unused). Row multiplicity is
+    * preserved only child-ward: eliminating the child of a used
+    * parent would be unsound whenever a parent row has 0 or 2+
+    * children, so that direction is never attempted.
     */
-  private def childSide(j: Join, used: Seq[Attribute]): Option[LogicalPlan] = j match {
-    case Join(l, r, Inner, Some(cond), _) =>
-      val usedSet = AttributeSet(used)
-      // candidate orientations: the side whose columns are used must
-      // be the constraint's CHILD (row multiplicity is preserved only
-      // child-ward; eliminating the child of a used parent would be
-      // unsound whenever a parent row has 0 or 2+ children)
-      Seq((l, r), (r, l)).collectFirst {
-        case (keep, drop) if usedSet.subsetOf(keep.outputSet) &&
-          eliminable(keep, drop, cond) => keep
-      }
+  private def childSide(
+      j: Join, used: Seq[Attribute]): Option[(LogicalPlan, Map[ExprId, Attribute])] =
+    j match {
+      case Join(l, r, Inner, Some(cond), _) =>
+        val usedSet = AttributeSet(used)
+        Seq((l, r), (r, l)).flatMap { case (keep, drop) =>
+          val strays = usedSet -- keep.outputSet
+          if (!eliminable(keep, drop, cond)) None
+          else if (strays.isEmpty) Some((keep, Map.empty[ExprId, Attribute]))
+          else bareKeys(keep, drop, cond) match {
+            // references to the parent KEY rewrite to the child key
+            case Some((ck, pk)) if strays.subsetOf(AttributeSet(pk :: Nil)) =>
+              Some((keep, Map(pk.exprId -> ck)))
+            case _ => None
+          }
+        }.headOption
+      case _ => None
+    }
+
+  /** The join keys when both are BARE attributes of their sides (the
+    * plain FK shape) — the only case key substitution supports.
+    */
+  private def bareKeys(
+      keep: LogicalPlan, drop: LogicalPlan, cond: Expression)
+      : Option[(AttributeReference, AttributeReference)] = cond match {
+    case EqualTo(a: AttributeReference, b: AttributeReference)
+        if keep.outputSet.contains(a) && drop.outputSet.contains(b) => Some((a, b))
+    case EqualTo(a: AttributeReference, b: AttributeReference)
+        if keep.outputSet.contains(b) && drop.outputSet.contains(a) => Some((b, a))
     case _ => None
   }
 

@@ -77,6 +77,30 @@ class JoinEliminationSpec extends SparkSpec {
     }
   }
 
+  test("references to the parent KEY rewrite to the child key and still eliminate") {
+    withFk {
+      // the ubiquitous star shape: GROUP BY the parent's primary key
+      def q: DataFrame = joined
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"))
+      val plain = rows(q)
+      val (rewritten, paths) = withRule { (rows(q), scans(q)) }
+      assert(!paths.exists(_.contains("customer.parquet")), paths)
+      assert(paths.exists(_.contains("orders.parquet")), paths)
+      assert(rewritten == plain)
+      // and a bare projection of the parent key keeps its output name
+      def q2: DataFrame = joined.select(col("c_custkey"), col("o_orderkey"))
+      val plain2 = rows(q2)
+      val (rew2, paths2) = withRule {
+        val d = q2
+        assert(d.columns.toSeq == Seq("c_custkey", "o_orderkey"))
+        (rows(d), scans(d))
+      }
+      assert(!paths2.exists(_.contains("customer.parquet")), paths2)
+      assert(rew2 == plain2)
+    }
+  }
+
   test("a query that USES a parent column keeps the join") {
     withFk {
       val q = joined.select(col("o_orderkey"), col("c_nationkey"))

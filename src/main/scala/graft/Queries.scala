@@ -3595,6 +3595,53 @@ object ParityQueries {
       |FROM orders WHERE NOT (o_custkey % 10 = 3)
       |GROUP BY 1""".stripMargin
 
+  // ---- J19: join elimination ∘ MV rewrite (two-step plan collapse) -----------
+  // The planner legs COMPOSE inside one fixed-point batch: the star
+  // query below joins the dimension (unused → j18's elimination
+  // deletes the join, leaving a bare fact aggregate on the child key)
+  // and THEN s30's MV substitution answers that aggregate from the
+  // registered custkey rollup — so the optimized plan reads NEITHER
+  // base table. The join-inferred IsNotNull(o_custkey) residual is a
+  // KEY filter, which the MV rewrite pushes onto the rollup; both
+  // requires below prove the full two-step collapse structurally. At
+  // 100 TB a BI-generated star query becomes an O(|rollup|) scan with
+  // no human rewriting anything.
+  def j19ElimThenMv(s: SparkSession, dir: String): DataFrame = {
+    j18FkCache.computeIfAbsent(dir, _ => {
+      graft.plans.FkCatalog.register(
+        s, s"orders_customer_fk_${math.abs(dir.hashCode)}",
+        Tables.orders(s, dir), col("o_custkey"),
+        Tables.customer(s, dir), col("c_custkey"))
+      "registered"
+    })
+    s30MvDir(s, dir)
+    val out = Sink.scratchDir(s"elim_mv_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(
+      graft.plans.JoinEliminationRule.EnabledKey -> "true",
+      graft.plans.MvRewriteRule.EnabledKey -> "true")) {
+      val q = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(s30Cents).as("sum_cents"),
+          min(s30Cents).as("min_cents"), max(s30Cents).as("max_cents"))
+      val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(scans.exists(_.contains("mv_orders")),
+        s"elimination + MV rewrite did not reach the rollup; plan scans: $scans")
+      require(!scans.exists(p =>
+        p.contains("orders.parquet") || p.contains("customer.parquet")),
+        s"a base scan survived the two-step collapse; scans: $scans")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+  val j19Sql =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   // ---- S47: merge-on-read UPSERT (deletion vector + append) -------------------
   // The full Iceberg-v2/Delta-DV write path for an UPDATE: the old row
   // versions are position-deleted (s46's DV) and the post-image rows
@@ -4620,6 +4667,7 @@ object ParityQueries {
     "j18_join_elim" -> (j18JoinElim _),
     "s44_count_pushdown" -> (s44CountPushdown _),
     "s45_distinct_elim" -> (s45DistinctElim _),
+    "j19_elim_then_mv" -> (j19ElimThenMv _),
     "s46_deletion_vectors" -> (s46DeletionVectors _),
     "s47_mor_upsert" -> (s47MorUpsert _),
     "j17_aqe_skew" -> (j17AqeSkew _),
@@ -4765,6 +4813,7 @@ object ParityQueries {
     "j18_join_elim" -> j18Sql,
     "s44_count_pushdown" -> s44Sql,
     "s45_distinct_elim" -> s45Sql,
+    "j19_elim_then_mv" -> j19Sql,
     "s46_deletion_vectors" -> s46Sql,
     "s47_mor_upsert" -> s47Sql,
     "j17_aqe_skew" -> j17Sql,

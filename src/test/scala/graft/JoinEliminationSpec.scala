@@ -232,6 +232,41 @@ class JoinEliminationSpec extends SparkSpec {
     }
   }
 
+  test("composition: join elimination then MV rewrite collapses to the rollup scan") {
+    import graft.plans.{MvCatalog, MvRewriteRule}
+    withFk {
+      val path = graft.ops.Sink.scratchDir("mv_elim_law") + "/cust"
+      MvCatalog.create(spark, "law_elim_mv", Tables.orders(spark, dir),
+        col("o_custkey"), "o_custkey", cents, path)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++ Seq(JoinEliminationRule, MvRewriteRule)
+      spark.conf.set(JoinEliminationRule.EnabledKey, "true")
+      spark.conf.set(MvRewriteRule.EnabledKey, "true")
+      try {
+        def q: DataFrame = joined
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), sum(cents).as("s"))
+        val paths = scans(q)
+        assert(paths.exists(_.contains("mv_elim_law")), paths)
+        assert(!paths.exists(p =>
+          p.contains("orders.parquet") || p.contains("customer.parquet")), paths)
+        // values: rewritten two-step plan ≡ the plain join aggregate
+        val rewritten = rows(q)
+        spark.conf.set(JoinEliminationRule.EnabledKey, "false")
+        spark.conf.set(MvRewriteRule.EnabledKey, "false")
+        val plain = rows(q)
+        assert(rewritten == plain)
+      } finally {
+        spark.conf.unset(JoinEliminationRule.EnabledKey)
+        spark.conf.unset(MvRewriteRule.EnabledKey)
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations
+            .filterNot(r => (r eq JoinEliminationRule) || (r eq MvRewriteRule))
+        MvCatalog.unregister("law_elim_mv")
+      }
+    }
+  }
+
   test("registerUnique refuses a duplicated key") {
     val base = graft.ops.Sink.scratchDir("uq_violation_law")
     Seq((1L, "a"), (1L, "dup"), (2L, "b")).toDF("k", "v")

@@ -3823,6 +3823,23 @@ def s46_deletion_vectors(sf):
             .reset_index())
 
 
+def j19_elim_then_mv(sf):
+    # the two-step plan collapse may only change WHICH tables the plan
+    # reads; the answer is the join's per-customer rollup, replayed
+    # here WITH the join
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
+    j = j.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in j["o_totalprice"]])
+    return (j.groupby("o_custkey")
+            .agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"),
+                 min_cents=("cents", "min"), max_cents=("cents", "max"))
+            .reset_index())
+
+
 def s47_mor_upsert(sf):
     # position-delete + appended post-image must compose to exactly one
     # CURRENT version per row: the replay applies the update directly
@@ -5504,6 +5521,7 @@ QUERIES = {
     "s40_mv_join_dimcdc": s40_mv_join_dimcdc,
     "s41_mv_choose": s41_mv_choose,
     "j18_join_elim": j18_join_elim,
+    "j19_elim_then_mv": j19_elim_then_mv,
     "s44_count_pushdown": s44_count_pushdown,
     "s45_distinct_elim": s45_distinct_elim,
     "s46_deletion_vectors": s46_deletion_vectors,

@@ -3595,6 +3595,83 @@ object ParityQueries {
       |FROM orders WHERE NOT (o_custkey % 10 = 3)
       |GROUP BY 1""".stripMargin
 
+  // ---- J20: LEFT-join elimination under parent uniqueness --------------------
+  // BI tools emit LEFT joins defensively precisely because the FK
+  // might not hold — and that is what makes this leg strictly more
+  // applicable than j18: a left join never drops a child row, so
+  // DUPLICATION is the only hazard and a validated UNIQUE key on the
+  // parent side alone proves the elimination (orphans and null child
+  // keys are fine — unmatched rows null-extend, which nothing above
+  // observes; the law suite drives exactly that data shape). The
+  // oracle runs the real LEFT JOIN.
+  def j20LeftElim(s: SparkSession, dir: String): DataFrame = {
+    s45UqCache.computeIfAbsent(dir, _ => {
+      graft.plans.FkCatalog.registerUnique(
+        s, s"customer_pk_${math.abs(dir.hashCode)}",
+        Tables.customer(s, dir), col("c_custkey"))
+      "registered"
+    })
+    val out = Sink.scratchDir(s"left_elim_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(graft.plans.JoinEliminationRule.EnabledKey -> "true")) {
+      val q = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(s30Cents).as("sum_cents"))
+      val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(!scans.exists(_.contains("customer.parquet")),
+        s"left-join elimination left the parent scan; scans: $scans")
+      require(scans.exists(_.contains("orders.parquet")),
+        s"left-join elimination removed the wrong side; scans: $scans")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+  val j20Sql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  // ---- S48: count(DISTINCT unique_key) loses its DISTINCT ---------------------
+  // The distinct aggregation costs an Expand plus an extra exchange —
+  // and is a no-op when the argument is a validated unique key.
+  // JoinEliminationRule strips the DISTINCT (resultId preserved) so
+  // the plan runs as a plain count; the in-query require proves no
+  // distinct aggregate survived, and the oracle computes the REAL
+  // count(DISTINCT), so the rewrite is sound only because uniqueness
+  // actually holds.
+  def s48CountDistinctElim(s: SparkSession, dir: String): DataFrame = {
+    s45UqCache.computeIfAbsent(dir, _ => {
+      graft.plans.FkCatalog.registerUnique(
+        s, s"customer_pk_${math.abs(dir.hashCode)}",
+        Tables.customer(s, dir), col("c_custkey"))
+      "registered"
+    })
+    val out = Sink.scratchDir(s"cd_elim_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(graft.plans.JoinEliminationRule.EnabledKey -> "true")) {
+      val q = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(count_distinct(col("c_custkey")).as("n_cust"),
+          count(lit(1)).as("n_rows"))
+      val distincts = q.queryExecution.optimizedPlan.collect {
+        case ag: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          ag.aggregateExpressions.flatMap(_.collect {
+            case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+                if ae.isDistinct => ae
+          })
+      }.flatten
+      require(distincts.isEmpty,
+        s"count(DISTINCT pk) kept its distinct aggregation: $distincts")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+  val s48Sql =
+    """SELECT c_nationkey, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM customer GROUP BY 1""".stripMargin
+
   // ---- J19: join elimination ∘ MV rewrite (two-step plan collapse) -----------
   // The planner legs COMPOSE inside one fixed-point batch: the star
   // query below joins the dimension (unused → j18's elimination
@@ -4668,6 +4745,8 @@ object ParityQueries {
     "s44_count_pushdown" -> (s44CountPushdown _),
     "s45_distinct_elim" -> (s45DistinctElim _),
     "j19_elim_then_mv" -> (j19ElimThenMv _),
+    "j20_left_elim" -> (j20LeftElim _),
+    "s48_count_distinct_elim" -> (s48CountDistinctElim _),
     "s46_deletion_vectors" -> (s46DeletionVectors _),
     "s47_mor_upsert" -> (s47MorUpsert _),
     "j17_aqe_skew" -> (j17AqeSkew _),
@@ -4814,6 +4893,8 @@ object ParityQueries {
     "s44_count_pushdown" -> s44Sql,
     "s45_distinct_elim" -> s45Sql,
     "j19_elim_then_mv" -> j19Sql,
+    "j20_left_elim" -> j20Sql,
+    "s48_count_distinct_elim" -> s48Sql,
     "s46_deletion_vectors" -> s46Sql,
     "s47_mor_upsert" -> s47Sql,
     "j17_aqe_skew" -> j17Sql,

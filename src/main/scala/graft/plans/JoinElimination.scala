@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -175,7 +175,8 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
             aggregateExpressions = ae.map(substNamed(_, subst)),
             child = keep)
         }.orElse(distinctElim(a)).getOrElse(a)
-      case a: Aggregate => distinctElim(a).getOrElse(a)
+      case a: Aggregate =>
+        distinctElim(a).orElse(countDistinctElim(a)).getOrElse(a)
     }
   }
 
@@ -240,6 +241,28 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
   private def traverse[T](xs: Seq[Option[T]]): Option[Seq[T]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
+  /** count(DISTINCT unique_key) → count(unique_key): the distinct
+    * aggregation's Expand + extra exchange is a no-op when the
+    * argument is a validated unique key of the scan. Grouped or
+    * global; every other aggregate expression passes through
+    * untouched, and the AggregateExpression keeps its resultId so
+    * parents never notice.
+    */
+  private def countDistinctElim(a: Aggregate): Option[LogicalPlan] =
+    for {
+      (aliases, _, rel) <- MvRewriteRule.decompose(a.child)
+      paths <- MvRewriteRule.relPaths(rel)
+      uniq = FkCatalog.allUniques.filter(_.paths == paths).map(_.keyCanon).toSeq
+      if uniq.nonEmpty
+      newExprs = a.aggregateExpressions.map(_.transformUp {
+        case ae @ aggregate.AggregateExpression(
+            aggregate.Count(Seq(c)), _, true, None, _)
+            if uniq.exists(MvRewriteRule.nameNorm(inlined(c, aliases)).semanticEquals) =>
+          ae.copy(isDistinct = false)
+      }.asInstanceOf[NamedExpression])
+      if newExprs != a.aggregateExpressions
+    } yield a.copy(aggregateExpressions = newExprs)
+
   /** If `j` is a registered FK join and `used` touches only the
     * constraint's CHILD side — plus, at most, the parent's join KEY,
     * which equals the child key on every retained row — return the
@@ -256,7 +279,7 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
         val usedSet = AttributeSet(used)
         Seq((l, r), (r, l)).flatMap { case (keep, drop) =>
           val strays = usedSet -- keep.outputSet
-          if (!eliminable(keep, drop, cond)) None
+          if (!eliminable(keep, drop, cond, leftOuter = false)) None
           else if (strays.isEmpty) Some((keep, Map.empty[ExprId, Attribute]))
           else bareKeys(keep, drop, cond) match {
             // references to the parent KEY rewrite to the child key
@@ -265,6 +288,16 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
             case _ => None
           }
         }.headOption
+      // LEFT OUTER: no child row is ever dropped, so the only hazard
+      // is duplication — a UNIQUE right-side key alone proves the
+      // elimination, with no null/orphan requirement on the left key
+      // (unmatched rows null-extend, which nothing above observes).
+      // The right key cannot substitute for left-key references here:
+      // on an unmatched row it is NULL where the left key is not.
+      case Join(l, r, LeftOuter, Some(cond), _)
+          if AttributeSet(used).subsetOf(l.outputSet) &&
+            eliminable(l, r, cond, leftOuter = true) =>
+        Some((l, Map.empty))
       case _ => None
     }
 
@@ -281,7 +314,9 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def eliminable(keep: LogicalPlan, drop: LogicalPlan, cond: Expression): Boolean = {
+  private def eliminable(
+      keep: LogicalPlan, drop: LogicalPlan, cond: Expression,
+      leftOuter: Boolean): Boolean = {
     val dec = for {
       (mK, _, lrK) <- MvRewriteRule.decompose(keep)
       (mD, fD, lrD) <- MvRewriteRule.decompose(drop)
@@ -304,14 +339,26 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
         d.childPaths == kPaths && d.parentPaths == dPaths &&
           ckCanon.semanticEquals(d.childKeyCanon) &&
           pkCanon.semanticEquals(d.parentKeyCanon))
-      // the dropped side may carry ONLY the join-implied IsNotNull of
-      // its own key — any real parent-side filter would re-drop child
-      // rows and the elimination would change results
-      val fOk = fD.flatMap(splitConjuncts).forall {
-        case IsNotNull(c) => MvRewriteRule.nameNorm(c).semanticEquals(pkCanon)
-        case _ => false
+      if (leftOuter) {
+        // duplication is the only hazard: the dropped key must be
+        // UNIQUE — via a standalone unique constraint or the parent
+        // half of a validated FK. Dropped-side FILTERS are all
+        // tolerable here: they only toggle matched vs null-extended,
+        // invisible when no dropped column is referenced (and
+        // uniqueness survives filtering).
+        fk || FkCatalog.allUniques.exists(u =>
+          u.paths == dPaths && pkCanon.semanticEquals(u.keyCanon))
+      } else {
+        // INNER: the full FK (non-null, no orphans, unique) must hold,
+        // and the dropped side may carry ONLY the join-implied
+        // IsNotNull of its own key — any real parent-side filter would
+        // re-drop child rows and the elimination would change results
+        val fOk = fD.flatMap(splitConjuncts).forall {
+          case IsNotNull(c) => MvRewriteRule.nameNorm(c).semanticEquals(pkCanon)
+          case _ => false
+        }
+        fk && fOk
       }
-      fk && fOk
     }
     dec.contains(true)
   }

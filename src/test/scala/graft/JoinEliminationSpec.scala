@@ -132,15 +132,28 @@ class JoinEliminationSpec extends SparkSpec {
     }
   }
 
-  test("an OUTER join is never eliminated") {
+  test("a LEFT join under the registered FK eliminates; RIGHT and FULL never do") {
     withFk {
-      val q = Tables.orders(spark, dir)
+      // left: parent uniqueness (the FK's parent half) suffices
+      def qL: DataFrame = Tables.orders(spark, dir)
         .join(Tables.customer(spark, dir),
           col("o_custkey") === col("c_custkey"), "left")
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"))
-      val paths = withRule { scans(q) }
-      assert(paths.exists(_.contains("customer.parquet")), paths)
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"))
+      val plain = rows(qL)
+      val (rewritten, paths) = withRule { (rows(qL), scans(qL)) }
+      assert(!paths.exists(_.contains("customer.parquet")), paths)
+      assert(rewritten == plain)
+      // right outer / full outer change row multiplicity parent-ward —
+      // never eliminated
+      for (jt <- Seq("right", "full")) {
+        val q = Tables.orders(spark, dir)
+          .join(Tables.customer(spark, dir),
+            col("o_custkey") === col("c_custkey"), jt)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+        assert(withRule { scans(q) }.exists(_.contains("customer.parquet")), jt)
+      }
     }
   }
 
@@ -264,6 +277,83 @@ class JoinEliminationSpec extends SparkSpec {
             .filterNot(r => (r eq JoinEliminationRule) || (r eq MvRewriteRule))
         MvCatalog.unregister("law_elim_mv")
       }
+    }
+  }
+
+  test("LEFT join elimination needs only parent uniqueness — orphans and null keys welcome") {
+    val base = graft.ops.Sink.scratchDir("left_elim_law")
+    // child has an orphan (fk=9) and a NULL key; parent is unique but
+    // does NOT cover the child — an FK would be unregistrable here
+    Seq((Some(1L), 10L), (Some(1L), 11L), (Some(9L), 20L), (None, 30L))
+      .toDF("fk", "m").write.mode("overwrite").parquet(base + "/child")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(base + "/parent")
+    def child = spark.read.parquet(base + "/child")
+    def parent = spark.read.parquet(base + "/parent")
+    intercept[IllegalArgumentException] {
+      FkCatalog.register(spark, "law_left_fk", child, col("fk"), parent, col("k"))
+    }
+    FkCatalog.registerUnique(spark, "law_left_uq", parent, col("k"))
+    try {
+      def q: DataFrame = child
+        .join(parent, col("fk") === col("k"), "left")
+        .select(col("fk"), col("m"))
+      val plain = rows(q)
+      assert(plain.size == 4) // all child rows, orphan + null included
+      val (rewritten, paths) = withRule { (rows(q), scans(q)) }
+      assert(!paths.exists(_.contains("parent")), paths)
+      assert(rewritten == plain)
+      // the INNER form of the same join must NOT eliminate (no FK)
+      val qInner = child.join(parent, col("fk") === col("k")).select(col("fk"), col("m"))
+      assert(withRule { scans(qInner) }.exists(_.contains("parent")))
+    } finally FkCatalog.unregisterUnique("law_left_uq")
+  }
+
+  test("LEFT join to a DUPLICATE-keyed parent keeps the join") {
+    val base = graft.ops.Sink.scratchDir("left_dup_law")
+    Seq((1L, 10L), (2L, 20L)).toDF("fk", "m")
+      .write.mode("overwrite").parquet(base + "/child")
+    Seq((1L, "a"), (1L, "dup"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(base + "/parent")
+    def child = spark.read.parquet(base + "/child")
+    def parent = spark.read.parquet(base + "/parent")
+    intercept[IllegalArgumentException] {
+      FkCatalog.registerUnique(spark, "law_left_dup", parent, col("k"))
+    }
+    // nothing registrable → the join must survive
+    val q = child.join(parent, col("fk") === col("k"), "left").select(col("fk"), col("m"))
+    assert(withRule { scans(q) }.exists(_.contains("parent")))
+  }
+
+  test("count(DISTINCT unique_key) loses its DISTINCT; non-unique columns keep it") {
+    withUnique {
+      def distinctCount(df: DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case ag: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+            ag.aggregateExpressions.flatMap(_.collect {
+              case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+                  if ae.isDistinct => ae
+            }).size
+        }.sum
+      def q: DataFrame = Tables.customer(spark, dir)
+        .agg(count_distinct(col("c_custkey")).as("n_cust"),
+          count(lit(1)).as("n_rows"))
+      val plain = rows(q)
+      val (rewritten, nDistinct) = withRule { (rows(q), distinctCount(q)) }
+      assert(nDistinct == 0, "count(DISTINCT pk) kept its distinct aggregation")
+      assert(rewritten == plain)
+      // grouped form too
+      def qg: DataFrame = Tables.customer(spark, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(count_distinct(col("c_custkey")).as("n_cust"))
+      val plainG = rows(qg)
+      val (rewG, nDistG) = withRule { (rows(qg), distinctCount(qg)) }
+      assert(nDistG == 0)
+      assert(rewG == plainG)
+      // a NON-unique argument keeps the distinct aggregation
+      val qBad = Tables.customer(spark, dir)
+        .agg(count_distinct(col("c_nationkey")).as("n_nat"))
+      assert(withRule { distinctCount(qBad) } == 1)
     }
   }
 

@@ -3823,6 +3823,32 @@ def s46_deletion_vectors(sf):
             .reset_index())
 
 
+def j20_left_elim(sf):
+    # left-join elimination may only drop the parent scan; under the
+    # data's FK the left join is the identity on fact rows
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    c = pd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey", how="left")
+    j = j.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in j["o_totalprice"]])
+    return (j.groupby("o_orderpriority")
+            .agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"))
+            .reset_index())
+
+
+def s48_count_distinct_elim(sf):
+    # the stripped DISTINCT is sound only under real uniqueness: the
+    # replay computes the true distinct count per nation
+    c = pd.read_parquet(f"{sf}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    return (c.groupby("c_nationkey")
+            .agg(n_cust=("c_custkey", "nunique"), n_rows=("c_custkey", "size"))
+            .reset_index())
+
+
 def j19_elim_then_mv(sf):
     # the two-step plan collapse may only change WHICH tables the plan
     # reads; the answer is the join's per-customer rollup, replayed
@@ -5522,6 +5548,8 @@ QUERIES = {
     "s41_mv_choose": s41_mv_choose,
     "j18_join_elim": j18_join_elim,
     "j19_elim_then_mv": j19_elim_then_mv,
+    "j20_left_elim": j20_left_elim,
+    "s48_count_distinct_elim": s48_count_distinct_elim,
     "s44_count_pushdown": s44_count_pushdown,
     "s45_distinct_elim": s45_distinct_elim,
     "s46_deletion_vectors": s46_deletion_vectors,

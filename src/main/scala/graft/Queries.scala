@@ -3595,6 +3595,51 @@ object ParityQueries {
       |FROM orders WHERE NOT (o_custkey % 10 = 3)
       |GROUP BY 1""".stripMargin
 
+  // ---- O16: first/last-touch attribution ---------------------------------------
+  // The marketing-analytics primitive: every purchase is attributed to
+  // the FIRST and LAST click of the same user within the preceding
+  // 7 days. One equi-join on user_id carrying the time-window
+  // predicate, then per-purchase lexicographic struct min/max —
+  // min(struct(ts, id)) IS "first by (ts, id)" with deterministic
+  // ties, no window operator, so the whole thing is one shuffle on
+  // user_id plus a purchase-keyed partial aggregate. At 100 TB:
+  // per-user pair fan-out is bounded by per-user activity in the
+  // window; hot users salt (j4) or the pairs pre-bin by (user, week)
+  // through the range-join machinery (j6). The oracle derives the
+  // same picks with row_number windows — independent algorithm,
+  // identical rows.
+  private val O16WindowUs = 7L * 24 * 3600 * 1000000
+  def o16Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pt"), col("event_id").as("pid"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("ct"), col("event_id").as("cid"))
+    p.join(c, col("user_id") === col("cu") &&
+        col("ct") <= col("pt") &&
+        unix_micros(col("pt")) - unix_micros(col("ct")) <= O16WindowUs)
+      .groupBy(col("pid"))
+      .agg(
+        min(struct(col("ct"), col("cid"))).getField("cid").as("first_click"),
+        max(struct(col("ct"), col("cid"))).getField("cid").as("last_click"),
+        count(lit(1)).as("n_touches"))
+  }
+  val o16Sql =
+    s"""WITH p AS (SELECT user_id, ts AS pt, event_id AS pid FROM events
+       |  WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id, ts AS ct, event_id AS cid FROM events
+       |  WHERE event_type = 'click'),
+       |j AS (SELECT pid, cid, ct FROM p JOIN c ON p.user_id = c.user_id
+       |  AND ct <= pt AND epoch_us(pt) - epoch_us(ct) <= $O16WindowUs),
+       |r AS (SELECT pid, cid,
+       |    row_number() OVER (PARTITION BY pid ORDER BY ct ASC, cid ASC) AS fr,
+       |    row_number() OVER (PARTITION BY pid ORDER BY ct DESC, cid DESC) AS lr
+       |  FROM j)
+       |SELECT pid, CAST(max(CASE WHEN fr = 1 THEN cid END) AS BIGINT) AS first_click,
+       |  CAST(max(CASE WHEN lr = 1 THEN cid END) AS BIGINT) AS last_click,
+       |  CAST(count(*) AS BIGINT) AS n_touches
+       |FROM r GROUP BY pid""".stripMargin
+
   // ---- J20: LEFT-join elimination under parent uniqueness --------------------
   // BI tools emit LEFT joins defensively precisely because the FK
   // might not hold — and that is what makes this leg strictly more
@@ -4746,6 +4791,7 @@ object ParityQueries {
     "s45_distinct_elim" -> (s45DistinctElim _),
     "j19_elim_then_mv" -> (j19ElimThenMv _),
     "j20_left_elim" -> (j20LeftElim _),
+    "o16_attribution" -> (o16Attribution _),
     "s48_count_distinct_elim" -> (s48CountDistinctElim _),
     "s46_deletion_vectors" -> (s46DeletionVectors _),
     "s47_mor_upsert" -> (s47MorUpsert _),
@@ -4894,6 +4940,7 @@ object ParityQueries {
     "s45_distinct_elim" -> s45Sql,
     "j19_elim_then_mv" -> j19Sql,
     "j20_left_elim" -> j20Sql,
+    "o16_attribution" -> o16Sql,
     "s48_count_distinct_elim" -> s48Sql,
     "s46_deletion_vectors" -> s46Sql,
     "s47_mor_upsert" -> s47Sql,

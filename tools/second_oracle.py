@@ -3823,6 +3823,28 @@ def s46_deletion_vectors(sf):
             .reset_index())
 
 
+def o16_attribution(sf, window_us=7 * 24 * 3600 * 1000000):
+    # first/last-touch replayed per purchase with explicit (ts, id)
+    # ordering over the same 7-day click window
+    e = pd.read_parquet(f"{sf}/events.parquet",
+                        columns=["user_id", "event_type", "ts", "event_id"])
+    e = e.assign(us=[int(pd.Timestamp(t).value) // 1000 for t in e["ts"]])
+    clicks = {}
+    for u, t, i in zip(e[e["event_type"] == "click"]["user_id"],
+                       e[e["event_type"] == "click"]["us"],
+                       e[e["event_type"] == "click"]["event_id"]):
+        clicks.setdefault(int(u), []).append((int(t), int(i)))
+    rows = []
+    p = e[e["event_type"] == "purchase"]
+    for u, t, i in zip(p["user_id"], p["us"], p["event_id"]):
+        cs = [(ct, ci) for ct, ci in clicks.get(int(u), [])
+              if ct <= int(t) and int(t) - ct <= window_us]
+        if cs:
+            rows.append((int(i), min(cs)[1], max(cs)[1], len(cs)))
+    return pd.DataFrame(
+        rows, columns=["pid", "first_click", "last_click", "n_touches"])
+
+
 def j20_left_elim(sf):
     # left-join elimination may only drop the parent scan; under the
     # data's FK the left join is the identity on fact rows
@@ -5549,6 +5571,7 @@ QUERIES = {
     "j18_join_elim": j18_join_elim,
     "j19_elim_then_mv": j19_elim_then_mv,
     "j20_left_elim": j20_left_elim,
+    "o16_attribution": o16_attribution,
     "s48_count_distinct_elim": s48_count_distinct_elim,
     "s44_count_pushdown": s44_count_pushdown,
     "s45_distinct_elim": s45_distinct_elim,

@@ -404,6 +404,60 @@ class SparkLawsSpec extends SparkSpec {
     assert(hashes.forall(_._2.matches("[0-9a-f]{32}")))
   }
 
+  test("law: FK join elimination equals the plain join for random shapes and join types") {
+    import graft.plans.{FkCatalog, JoinEliminationRule}
+    val base = graft.ops.Sink.scratchDir("fk_rand_law")
+    val r0 = new Random(7)
+    val parentKeys = (0 until 40).map(_.toLong)
+    parentKeys.map(k => (k, s"p$k")).toDF("pk", "pv")
+      .write.mode("overwrite").parquet(base + "/parent")
+    Seq.fill(600)((parentKeys(r0.nextInt(40)), r0.nextInt(1000).toLong))
+      .toDF("ck", "m").write.mode("overwrite").parquet(base + "/child")
+    def child = spark.read.parquet(base + "/child")
+    def parent = spark.read.parquet(base + "/parent")
+    FkCatalog.register(spark, "law_rand_fk", child, col("ck"), parent, col("pk"))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ JoinEliminationRule
+    try {
+      for (seed <- 1 to 10) {
+        val r = new Random(seed)
+        val leftJoin = r.nextBoolean()
+        def joined =
+          if (r.nextBoolean())
+            child.join(parent, col("ck") === col("pk"), if (leftJoin) "left" else "inner")
+          else if (leftJoin) // left outer keeps the CHILD side only child-first
+            child.join(parent, col("ck") === col("pk"), "left")
+          else parent.join(child, col("pk") === col("ck"))
+        // shape 2 (parent-key grouping) only under INNER: on a left
+        // join the parent key is NULL for unmatched rows and must not
+        // substitute — the rule refuses, so exclude it here
+        val shape = if (leftJoin) r.nextInt(2) else r.nextInt(3)
+        def q = shape match {
+          case 0 => joined.select(col("ck"), col("m"))
+          case 1 => joined.groupBy(col("ck"))
+            .agg(sum(col("m")).as("s"), count(lit(1)).as("n"))
+          case _ => joined.groupBy(col("pk")).agg(max(col("m")).as("mx"))
+        }
+        val plain = q.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+        val (rewritten, scans) = {
+          spark.conf.set(JoinEliminationRule.EnabledKey, "true")
+          try {
+            val d = q
+            (d.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq,
+              graft.plans.MvRewriteRule.scanPaths(d.queryExecution.optimizedPlan))
+          } finally spark.conf.unset(JoinEliminationRule.EnabledKey)
+        }
+        assert(!scans.exists(_.contains("/parent")),
+          s"seed=$seed leftJoin=$leftJoin shape=$shape did not eliminate: $scans")
+        assert(rewritten == plain, s"seed=$seed leftJoin=$leftJoin shape=$shape")
+      }
+    } finally {
+      FkCatalog.unregister("law_rand_fk")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq JoinEliminationRule)
+    }
+  }
+
   test("law: MV rewrite equals the plain aggregate for random agg subsets and key filters") {
     import graft.plans.{MvCatalog, MvRewriteRule}
     // random fact written to parquet (the rewrite matches on scan

@@ -3369,6 +3369,76 @@ object ExtQueries {
        |FROM knn GROUP BY 1, 2 HAVING count(*) = 2""".stripMargin
   }
 
+  // ---- E3z: graph-ANN — beam search over the saved kNN graph ---------------
+  // The highest-recall modern ANN index class (r15 VERDICT Next #3):
+  // greedy/beam search over a neighborhood graph, HNSW's search loop
+  // batch-expressed over the standing mutual-kNN artifact
+  // ([[Similarity.graphBeamSearch]]). Queries are corpus members, so
+  // each walk enters at its own node and expands 3 rounds × beam 8,
+  // scoring only FRESH candidates against the probed vectors — the
+  // corpus is never broadcast and never rescanned (PlanGuardSpec).
+  // Deterministic end to end (windows under the (cos desc, id) total
+  // order), so the oracle unrolls the identical rounds as SQL stages
+  // over the identically-derived edge table — the e2_knn_communities
+  // recipe applied to a search instead of a propagation. The recall
+  // law beside e3_ivf_recall_probe lives in ExtSpec.
+  private val BeamRounds = 3
+  private val BeamWidth = 8
+  def e3GraphSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.graphBeamSearch(
+      emb.filter(col("vec_id") < AnnQueries), knnGraphDir(s, dir),
+      BeamRounds, BeamWidth, AnnK)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+  val e3zSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val bucket = s"array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END for i in range(1, ${AnnBits + 1})], '')"
+    val rounds = (1 to BeamRounds).map { r =>
+      s"""nb$r AS (SELECT DISTINCT f.query_id, a.dst AS cand
+         |  FROM f${r - 1} f JOIN ad a ON f.vec_id = a.src),
+         |fr$r AS (SELECT nb.query_id, nb.cand FROM nb$r nb
+         |  LEFT JOIN s${r - 1} s ON nb.query_id = s.query_id AND nb.cand = s.vec_id
+         |  WHERE s.vec_id IS NULL),
+         |sc$r AS (SELECT f.query_id, c.vec_id,
+         |    ${duckDot("qq.embedding", "c.embedding")} / (sqrt(qq.n2) * sqrt(c.n2)) AS cos_sim
+         |  FROM fr$r f JOIN e c ON f.cand = c.vec_id
+         |  JOIN q qq ON f.query_id = qq.query_id),
+         |ly$r AS (SELECT query_id, vec_id, cos_sim FROM (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+         |  FROM sc$r) WHERE rk <= $BeamWidth),
+         |f$r AS (SELECT query_id, vec_id FROM ly$r),
+         |s$r AS (SELECT query_id, vec_id FROM s${r - 1}
+         |  UNION ALL SELECT query_id, vec_id FROM ly$r)""".stripMargin
+    }.mkString(",\n")
+    val pool = (1 to BeamRounds)
+      .map(r => s"SELECT query_id, vec_id, cos_sim FROM ly$r")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2, $bucket AS bucket FROM embeddings),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+       |knn AS (SELECT query_id, vec_id, cos_sim FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM scored) WHERE rk <= $AnnK),
+       |me AS (SELECT least(query_id, vec_id) AS id_a, greatest(query_id, vec_id) AS id_b,
+       |    max(cos_sim) AS cos_sim
+       |  FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
+       |ad AS (SELECT id_a AS src, id_b AS dst FROM me
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM me),
+       |q AS (SELECT vec_id AS query_id, embedding, n2 FROM e WHERE vec_id < $AnnQueries),
+       |f0 AS (SELECT query_id, query_id AS vec_id FROM q),
+       |s0 AS (SELECT query_id, vec_id FROM f0),
+       |$rounds,
+       |pool AS ($pool)
+       |SELECT query_id, vec_id, cos_sim, rk FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM pool) WHERE rk <= $AnnK""".stripMargin
+  }
+
   // ---- E2n: communities on the mutual k-NN graph (weighted LPA) ------------
   // The composition the two new graph pieces exist for: mutual-kNN
   // edges over the embedding corpus ([[Similarity.mutualKnnGraph]])
@@ -3792,6 +3862,7 @@ object ExtQueries {
     "e3_knn_graph" -> (e3KnnGraph _),
     "e3_knn_appended" -> (e3KnnAppended _),
     "e3_knn_compacted" -> (e3KnnCompacted _),
+    "e3_graph_search" -> (e3GraphSearch _),
     "e2_bfs_hops" -> (e2BfsHops _),
     "e2_sssp_weighted" -> (e2SsspWeighted _),
     "e3_mrr_eval" -> (e3MrrEval _),
@@ -3912,6 +3983,7 @@ object ExtQueries {
     "e3_knn_graph" -> e3ySql,
     "e3_knn_appended" -> e3ySql,
     "e3_knn_compacted" -> e3ySql,
+    "e3_graph_search" -> e3zSql,
     "e2_bfs_hops" -> e2bfSql,
     "e2_sssp_weighted" -> e2qSql,
     "e3_mrr_eval" -> e3mrSql,

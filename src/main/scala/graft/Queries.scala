@@ -3764,6 +3764,61 @@ object ParityQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1""".stripMargin
 
+  // ---- S50: exactness-gated count-DISTINCT from the NDV-sketch rollup --------
+  // The one dashboard tile the MV tier couldn't answer (r15 VERDICT
+  // Next #2): count(DISTINCT custkey) GROUP BY month is not derivable
+  // from count/sum/min/max partials — exact NDV does not merge. The
+  // mergeable swap is the s21 KMV discipline hardened into a PROOF:
+  // [[graft.plans.NdvCatalog]] stores the per-month min-k distinct id
+  // hashes ([[graft.ops.Materialize.ndvSketchExact]]), and when every
+  // group is UNSATURATED (|hashes| < k) the sketch IS the complete
+  // per-group hash set, so size(hs) is the exact distinct count —
+  // registration validates unsaturation AND hash collision-freedom
+  // (one pass each, the FkCatalog discipline) and snapshots the fact's
+  // file list, so a drifted fact disqualifies instead of estimating.
+  // The in-query requires prove the substitution fired (fact scan
+  // gone); the oracle computes the REAL count(DISTINCT), so the row is
+  // green only because the exactness gate is sound. At 100 TB the tile
+  // costs O(#months) sketch rows instead of a fact-wide Expand +
+  // double exchange. k = 4096 bounds the artifact at 32 KiB per month
+  // and holds ~2x headroom over sf0.1's densest month (1 914 distinct
+  // custkeys); saturation at any scale flips exactOk and the gate row
+  // fails STRUCTURALLY (require), never numerically.
+  private val S50K = 4096
+  private val s50NdvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def s50NdvDir(s: SparkSession, dir: String): String =
+    s50NdvCache.computeIfAbsent(dir, _ => {
+      val path = Sink.scratchDir(s"ndv_mv_${math.abs(dir.hashCode)}") + "/month_cust"
+      graft.plans.NdvCatalog.create(
+        s, s"orders_month_custndv_${math.abs(dir.hashCode)}",
+        Tables.orders(s, dir),
+        Seq(date_trunc("MONTH", col("o_orderdate")) -> "month"),
+        col("o_custkey"), S50K, path)
+      path
+    })
+
+  def s50NdvRewrite(s: SparkSession, dir: String): DataFrame = {
+    s50NdvDir(s, dir)
+    val out = Sink.scratchDir(s"ndv_rewrite_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(graft.plans.MvRewriteRule.EnabledKey -> "true")) {
+      val q = Tables.orders(s, dir)
+        .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+        .agg(count_distinct(col("o_custkey")).as("n_cust"))
+      val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(scans.exists(_.contains("ndv_mv")),
+        s"count-DISTINCT rewrite did not reach the NDV sketch; scans: $scans")
+      require(!scans.exists(_.contains("orders.parquet")),
+        s"the fact scan survived the count-DISTINCT rewrite; scans: $scans")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+  val s50Sql =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ---- S47: merge-on-read UPSERT (deletion vector + append) -------------------
   // The full Iceberg-v2/Delta-DV write path for an UPDATE: the old row
   // versions are position-deleted (s46's DV) and the post-image rows
@@ -4793,6 +4848,7 @@ object ParityQueries {
     "j20_left_elim" -> (j20LeftElim _),
     "o16_attribution" -> (o16Attribution _),
     "s48_count_distinct_elim" -> (s48CountDistinctElim _),
+    "s50_ndv_rewrite" -> (s50NdvRewrite _),
     "s46_deletion_vectors" -> (s46DeletionVectors _),
     "s47_mor_upsert" -> (s47MorUpsert _),
     "j17_aqe_skew" -> (j17AqeSkew _),
@@ -4942,6 +4998,7 @@ object ParityQueries {
     "j20_left_elim" -> j20Sql,
     "o16_attribution" -> o16Sql,
     "s48_count_distinct_elim" -> s48Sql,
+    "s50_ndv_rewrite" -> s50Sql,
     "s46_deletion_vectors" -> s46Sql,
     "s47_mor_upsert" -> s47Sql,
     "j17_aqe_skew" -> j17Sql,

@@ -485,7 +485,14 @@ object Dedup {
       else { layers :+= nextP; frontier = nextP }
     }
     eds.unpersist()
-    layers.reduce(_.unionByName(_))
+    // Materialize the result ONCE, then release every per-round layer:
+    // the lazy union's lineage spans all of them, so returning it
+    // un-materialized would strand up to maxHops persisted frames no
+    // caller could release. One cached frame leaves (the result —
+    // matching the at-most-one discipline the pre-r15 loop had).
+    val out = graft.ops.Sink.cachedEager(layers.reduce(_.unionByName(_)))
+    layers.foreach { l => l.unpersist(); () }
+    out
   }
 
   /** Hop-bounded single-source-shortest-paths over a weighted
@@ -542,7 +549,12 @@ object Dedup {
       else { layers :+= improvedP; frontier = improvedP }
     }
     eds.unpersist()
-    best
+    // Same release discipline as [[bfsHops]]: materialize the final
+    // per-id min once, then unpersist every improvement layer — the
+    // returned frame is the single cached survivor.
+    val out = graft.ops.Sink.cachedEager(best)
+    layers.foreach { l => l.unpersist(); () }
+    out
   }
 
   /** Deterministic dedup: keep the first row per key group by

@@ -650,6 +650,103 @@ object Similarity {
     graft.ops.Sink.clearLocalPath(s"$indexDir/vecs_delta")
   }
 
+  /** Graph-ANN probe (r15 VERDICT Next #3): fixed-round BEAM SEARCH
+    * over the saved mutual-kNN edge table — the batch-expressible
+    * skeleton of the HNSW/NSG search loop, run for a whole query set
+    * at once instead of one query at a time. Queries are corpus
+    * members, so each walk enters the graph AT ITS OWN NODE (the
+    * ideal entry point — no bucket probe, no global entry heuristic)
+    * and expands `rounds` times:
+    *
+    *   frontier₀ = {query}          (seen = {query}: self never scored)
+    *   round r:  neighbors(frontierᵣ₋₁) via the edge table,
+    *             anti-joined against everything seen (per query),
+    *             scored by exact cosine against the PROBED vectors,
+    *             top-`beam` per query (cos desc, id asc — the e3 tie
+    *             discipline) become frontierᵣ and join the pool
+    *   answer:   top-k of the pooled candidates per query
+    *
+    * Wholly deterministic — every round is a join + window cut under
+    * a total order — so the DuckDB oracle replays it round by round
+    * (the e2_knn_communities CTE-unrolling recipe) and the driver
+    * gate hashes it bit-exactly.
+    *
+    * Scale shape: each round touches O(|frontier| × avg-degree)
+    * edge rows (frontier is ≤ beam per query) and scores only the
+    * FRESH candidates — the corpus is never broadcast and never
+    * rescanned as a whole; the per-round WindowGroupLimit cuts to
+    * `beam` rows per query map-side before the exchange. Loop state
+    * follows the bfsHops release discipline: per-round layers are
+    * cached (each feeds the next round AND the final pool), the
+    * result is materialized once, every layer unpersisted — one
+    * cached frame leaves. Empty frontiers short-circuit dead rounds.
+    */
+  def graphBeamSearch(
+      queries: DataFrame,
+      indexDir: String,
+      rounds: Int,
+      beam: Int,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val edges = spark.read.parquet(s"$indexDir/edges")
+    // mutual edges are stored once (id_a < id_b); walks need both ways
+    val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val vecs = spark.read.parquet(s"$indexDir/vecs")
+      .select(col("vec_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
+    // query side: small by construction — broadcast it, never the corpus
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), norm2(col("embedding")).as("q_n2")))
+    val self = q.select(col("query_id"), col("query_id").as("vec_id"))
+    var frontier = self
+    var layers = Vector.empty[DataFrame]
+    var r = 0
+    var dead = false
+    while (r < rounds && !dead) {
+      r += 1
+      // renamed-column + using-join discipline throughout: every frame
+      // here descends from the same query frame, and df("col")-style
+      // references across such lineages trip the ambiguous-self-join
+      // analyzer check (the scoredPairs precedent)
+      // explicit broadcast hints on the per-query frames: the frontier
+      // is ≤ beam rows per query and the fresh candidate set ≤ beam ×
+      // avg-degree — at 100 TB the EDGE and VECTOR tables are the huge
+      // sides, and an unhinted planner (statistics-blind behind the
+      // cached layers) would happily broadcast them instead
+      // (PlanGuardSpec pins corpus-never-broadcast)
+      val nbrs = broadcast(frontier.select(col("query_id"), col("vec_id").as("src")))
+        .join(adj, Seq("src"))
+        .select(col("query_id"), col("dst").as("cand_id"))
+        .distinct()
+      val seen = layers.map(_.select(col("query_id"), col("vec_id")))
+        .foldLeft(self)(_.unionByName(_))
+      val fresh = nbrs.join(
+        seen.withColumnRenamed("vec_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_anti")
+      val scored = broadcast(fresh.withColumnRenamed("cand_id", "vec_id"))
+        .join(vecs, Seq("vec_id"))
+        .join(q, Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosineFrom(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2"))
+            .as("cos_sim"))
+      val (layer, n) = graft.ops.Sink.cachedEagerCount(
+        Ranking.topKPerGroup(
+          scored, Seq("query_id"),
+          Seq(col("cos_sim").desc, col("vec_id").asc), beam).drop("rk"))
+      if (n == 0) { layer.unpersist(); dead = true }
+      else {
+        layers :+= layer
+        frontier = layer.select(col("query_id"), col("vec_id"))
+      }
+    }
+    if (layers.isEmpty) return rankTopK(self.filter(lit(false))
+      .withColumn("cos_sim", lit(0.0d)), k)
+    val out = graft.ops.Sink.cachedEager(
+      rankTopK(layers.reduce(_.unionByName(_)), k))
+    layers.foreach { l => l.unpersist(); () }
+    out
+  }
+
   /** Compact a saved graph after appends (AnnIndex.compactIvf's
     * rewrite-then-swap recipe): vecs/ re-clustered one file per
     * bucket partition, knn/ and edges/ to `targetFiles`. Row content

@@ -99,7 +99,7 @@ object Materialize {
           graft.ext.TextOps.md5Int32(
             concat(lit("kmv_"), col(idCol).cast("string"))).as("h"))
         .distinct(),
-      keyCol, k)
+      Seq(keyCol), k)
 
   /** Merge two NDV sketch tables ([[ndvSketch]] schema): explode,
     * distinct (the same key in both slices yields the same hash),
@@ -111,12 +111,75 @@ object Materialize {
       base.unionByName(delta)
         .select(col(keyCol), explode(col("hs")).as("h"))
         .distinct(),
-      keyCol, k)
+      Seq(keyCol), k)
 
-  private def minK(hs: DataFrame, keyCol: String, k: Int): DataFrame =
-    Ranking.topKPerGroup(hs, Seq(keyCol), Seq(col("h").asc), k)
-      .groupBy(col(keyCol))
+  private def minK(hs: DataFrame, keyCols: Seq[String], k: Int): DataFrame =
+    Ranking.topKPerGroup(hs, keyCols, Seq(col("h").asc), k)
+      .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(col("h"))).as("hs"))
+
+  /** The EXACTNESS-GATED variant of [[ndvSketch]], built for
+    * [[graft.plans.NdvCatalog]]'s count-DISTINCT rewrite; three
+    * differences, each load-bearing for the prove-equal contract:
+    *
+    *  - 60-bit hashes (15 hex chars of md5), not [[ndvSketch]]'s
+    *    32-bit: when every group is unsaturated the sketch IS the
+    *    group's complete distinct-hash set, so `size(hs)` equals
+    *    `count(DISTINCT id)` exactly iff the hash is collision-free
+    *    over the live id domain — 2⁻⁶¹-scale birthday odds instead of
+    *    2⁻³³ (and registration VALIDATES collision-freedom anyway,
+    *    this just makes the validation essentially never fail).
+    *  - the GROUP UNIVERSE is preserved: a group whose ids are all
+    *    NULL has `count(DISTINCT id) = 0` but still appears in the
+    *    query's output, so it must appear here (empty array) — the
+    *    plain sketch drops it with the null ids. Null-safe join keys:
+    *    groupBy keeps NULL-keyed groups, so the universe join must
+    *    match them.
+    *  - multi-key, because the rewrite tier's MVs are.
+    *
+    * Scale shape is [[ndvSketch]]'s: WindowGroupLimit prunes to k
+    * hashes per key before the exchange; both join sides are
+    * rollup-sized (one row per group), never the fact.
+    */
+  def ndvSketchExact(df: DataFrame, keyCols: Seq[String], idCol: String, k: Int): DataFrame = {
+    val sk = minK(
+      df.filter(col(idCol).isNotNull)
+        .select(keyCols.map(col) :+ ndvHash(col(idCol)).as("h"): _*)
+        .distinct(),
+      keyCols, k)
+    val uni = df.select(keyCols.map(col): _*).distinct()
+    uni.join(sk, keyCols.map(c => uni(c) <=> sk(c)).reduce(_ && _), "left")
+      .select(keyCols.map(uni(_)) :+
+        coalesce(sk("hs"), array().cast("array<long>")).as("hs"): _*)
+  }
+
+  /** [[mergeNdv]] for [[ndvSketchExact]] tables: distinct-union the
+    * exploded hashes, re-take min-k, and re-attach the merged group
+    * UNIVERSE (explode of an empty array drops the row, so all-null
+    * groups must be joined back — merge ≡ rebuild must hold for them
+    * too). Work stays bounded by 2k hashes per key.
+    */
+  def mergeNdvExact(base: DataFrame, delta: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
+    val uni = base.select(keyCols.map(col): _*)
+      .unionByName(delta.select(keyCols.map(col): _*)).distinct()
+    val sk = minK(
+      base.unionByName(delta)
+        .select(keyCols.map(col) :+ explode(col("hs")).as("h"): _*)
+        .distinct(),
+      keyCols, k)
+    uni.join(sk, keyCols.map(c => uni(c) <=> sk(c)).reduce(_ && _), "left")
+      .select(keyCols.map(uni(_)) :+
+        coalesce(sk("hs"), array().cast("array<long>")).as("hs"): _*)
+  }
+
+  /** The 60-bit id hash [[ndvSketchExact]] stores: 15 hex chars of
+    * md5 (never negative, fits a BIGINT), distinct "ndv_" domain
+    * prefix so no other sketch family's hashes can collide with it
+    * by construction.
+    */
+  private[graft] def ndvHash(id: Column): Column =
+    conv(substring(md5(concat(lit("ndv_"), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
 
   /** Finish an NDV sketch into per-key estimates (the
     * [[Aggregates.kmvDistinct]] estimator: exact below k, else
@@ -257,9 +320,20 @@ object Materialize {
       keyCols: Seq[String],
       metric: Column,
       affected: DataFrame): DataFrame = {
-    val aff = affected.select(keyCols.map(col): _*).distinct()
-    stored.join(broadcast(aff), keyCols, "left_anti")
-      .unionByName(rollup(factPost.join(broadcast(aff), keyCols, "left_semi"),
+    // NULL-SAFE key matching throughout: rollup itself produces a
+    // NULL-keyed group (groupBy keeps null keys), so a changelog
+    // touching NULL-keyed rows must select that group like any other.
+    // Plain equi-joins never match NULL = NULL — the anti-join would
+    // let the stale NULL group survive AND the semi-join would drop
+    // its fact rows from the recompute, silently leaving the group
+    // wrong. <=> (null-safe equality) restores exactly-once routing
+    // of every group, NULL-keyed included.
+    val aff = broadcast(
+      affected.select(keyCols.map(c => col(c).as(s"__aff_$c")): _*).distinct())
+    def cond(left: DataFrame) =
+      keyCols.map(c => left(c) <=> aff(s"__aff_$c")).reduce(_ && _)
+    stored.join(aff, cond(stored), "left_anti")
+      .unionByName(rollup(factPost.join(aff, cond(factPost), "left_semi"),
         keyCols, metric))
   }
 

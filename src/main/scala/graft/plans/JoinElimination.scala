@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 
 /** A declared-and-VALIDATED foreign-key relationship between two file
   * scans: every child row's key is non-null and matches exactly one
@@ -22,7 +23,14 @@ private[graft] case class FkDef(
     childPaths: Set[String],
     parentPaths: Set[String],
     childKeyCanon: Expression,
-    parentKeyCanon: Expression)
+    parentKeyCanon: Expression,
+    // point-in-time identity: the concrete files each side's scan held
+    // at registration. Validation proves the constraint over THESE
+    // files only — a scan whose contents drifted (append under the
+    // same rootPath, compaction) no longer matches and the rewrite
+    // refuses to fire rather than trust a possibly-broken constraint.
+    childFiles: Set[String],
+    parentFiles: Set[String])
 
 /** Registry of foreign-key constraints for [[JoinEliminationRule]].
   *
@@ -63,10 +71,11 @@ object FkCatalog {
       val paths = MvRewriteRule.relPaths(rel).getOrElse(
         throw new IllegalArgumentException(s"FK '$name': $side scan is not a file relation"))
       val out = opt.output.head
-      (paths, MvRewriteRule.nameNorm(aliases.getOrElse(out.exprId, out)))
+      (paths, MvRewriteRule.relFiles(rel),
+        MvRewriteRule.nameNorm(aliases.getOrElse(out.exprId, out)))
     }
-    val (cPaths, cCanon) = scanOf(cProbe, "child")
-    val (pPaths, pCanon) = scanOf(pProbe, "parent")
+    val (cPaths, cFiles, cCanon) = scanOf(cProbe, "child")
+    val (pPaths, pFiles, pCanon) = scanOf(pProbe, "parent")
     if (validate) {
       import org.apache.spark.sql.functions.{col, count}
       val nulls = cProbe.filter(col("__fk_ck").isNull).limit(1).count()
@@ -79,7 +88,7 @@ object FkCatalog {
         .filter(col("n") > 1).limit(1).count()
       require(dups == 0, s"FK '$name' violated: parent key is not unique")
     }
-    defs.put(name, FkDef(name, cPaths, pPaths, cCanon, pCanon))
+    defs.put(name, FkDef(name, cPaths, pPaths, cCanon, pCanon, cFiles, pFiles))
     ()
   }
 
@@ -88,9 +97,13 @@ object FkCatalog {
   def isEmpty: Boolean = defs.isEmpty && uniques.isEmpty
   private[plans] def all: Iterable[FkDef] = defs.values.asScala
 
-  /** A declared-and-validated UNIQUE key of one file scan. */
+  /** A declared-and-validated UNIQUE key of one file scan. `files` is
+    * the same point-in-time snapshot [[FkDef]] carries: uniqueness was
+    * proven over these concrete files, and a drifted scan disqualifies
+    * the rewrite instead of silently trusting a stale constraint.
+    */
   private[graft] case class UniqueDef(
-      name: String, paths: Set[String], keyCanon: Expression)
+      name: String, paths: Set[String], keyCanon: Expression, files: Set[String])
 
   private val uniques = new java.util.concurrent.ConcurrentHashMap[String, UniqueDef]()
 
@@ -122,7 +135,8 @@ object FkCatalog {
     }
     val out = opt.output.head
     uniques.put(name, UniqueDef(
-      name, paths, MvRewriteRule.nameNorm(aliases.getOrElse(out.exprId, out))))
+      name, paths, MvRewriteRule.nameNorm(aliases.getOrElse(out.exprId, out)),
+      MvRewriteRule.relFiles(rel)))
     ()
   }
 
@@ -152,8 +166,15 @@ object FkCatalog {
   * non-null under the constraint), which covers the ubiquitous
   * `GROUP BY parent_pk` star query.
   * Matched shapes: Project-over-Join and Aggregate-over-Join (the two
-  * forms Catalyst's column pruning leaves after optimization).
-  * Anything else is left untouched. Opt-in per session via
+  * forms Catalyst's column pruning leaves after optimization). The
+  * kept side need not be a bare scan: any tree of INNER joins /
+  * projections / filters over file scans qualifies (see
+  * `decomposeInnerTree`), so SNOWFLAKE CHAINS collapse to the bare
+  * fact — each elimination's survivor is the next one's keep-tree,
+  * and the fixed-point optimizer batch re-applies the rule until no
+  * join matches (j21). For LEFT joins the keep side may be anything
+  * at all, so stacked defensive LEFT joins peel off one per batch
+  * iteration. Anything else is left untouched. Opt-in per session via
   * `spark.graft.fkelim.enabled` — plan shape changes only when asked
   * for (the j14/j16/s30 pinned-conf discipline).
   */
@@ -226,7 +247,8 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
       gCanons = gAttrs.map(g =>
         MvRewriteRule.nameNorm(aliases.getOrElse(g.exprId, g)))
       if FkCatalog.allUniques.exists(u =>
-        u.paths == paths && gCanons.exists(_.semanticEquals(u.keyCanon)))
+        u.paths == paths && u.files == MvRewriteRule.relFiles(rel) &&
+          gCanons.exists(_.semanticEquals(u.keyCanon)))
       gSet = AttributeSet(gAttrs)
       outs <- traverse(a.aggregateExpressions.map {
         case at: Attribute if gSet.contains(at) => Some(at)
@@ -252,7 +274,9 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
     for {
       (aliases, _, rel) <- MvRewriteRule.decompose(a.child)
       paths <- MvRewriteRule.relPaths(rel)
-      uniq = FkCatalog.allUniques.filter(_.paths == paths).map(_.keyCanon).toSeq
+      uniq = FkCatalog.allUniques
+        .filter(u => u.paths == paths && u.files == MvRewriteRule.relFiles(rel))
+        .map(_.keyCanon).toSeq
       if uniq.nonEmpty
       newExprs = a.aggregateExpressions.map(_.transformUp {
         case ae @ aggregate.AggregateExpression(
@@ -314,31 +338,97 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Peel a KEEP-side subtree that provably yields only sub-multisets
+    * of combinations of its scans' rows: Project(attrs/aliases),
+    * Filter, SubqueryAlias, INNER join (any condition) over file
+    * scans. Returns the merged alias-inline map and every leaf
+    * relation. This is what makes eliminations CHAIN (the snowflake
+    * case, j21): after fact ⋈ dim1 ⋈ dim2 loses dim2, the survivor
+    * `fact ⋈ dim1` is itself a keep-tree whose dim1-side key still
+    * satisfies the dim1→dim2 constraint — any key value present in
+    * such a tree is a genuine row value of its source scan, so
+    * non-null + orphan-free + unique carry through filters and inner
+    * joins unchanged, and the fixed-point optimizer batch re-applies
+    * the rule until the whole chain is gone. Anything that could
+    * null-extend or fabricate rows (outer joins, unions, generates,
+    * aggregates) fails the decomposition: a LEFT join inside the keep
+    * side can hold NULL where the source column is scanned non-null,
+    * and the inner join to the parent would then DROP rows the
+    * elimination must preserve.
+    */
+  private def decomposeInnerTree(p: LogicalPlan)
+      : Option[(Map[ExprId, Expression], Seq[LogicalRelation])] = p match {
+    case lr: LogicalRelation => Some((Map.empty, Seq(lr)))
+    case SubqueryAlias(_, c) => decomposeInnerTree(c)
+    case Project(pl, c) =>
+      decomposeInnerTree(c).flatMap { case (m, rels) =>
+        val ok = pl.forall {
+          case _: AttributeReference => true
+          case _: Alias => true
+          case _ => false
+        }
+        if (!ok) None
+        else Some((m ++ pl.collect { case a: Alias => a.exprId -> inlined(a.child, m) }, rels))
+      }
+    case Filter(_, c) => decomposeInnerTree(c)
+    case Join(l, r, Inner, _, _) =>
+      for {
+        (ml, rl) <- decomposeInnerTree(l)
+        (mr, rr) <- decomposeInnerTree(r)
+      } yield (ml ++ mr, rl ++ rr)
+    case _ => None
+  }
+
   private def eliminable(
       keep: LogicalPlan, drop: LogicalPlan, cond: Expression,
       leftOuter: Boolean): Boolean = {
+    val keepDec = decomposeInnerTree(keep)
     val dec = for {
-      (mK, _, lrK) <- MvRewriteRule.decompose(keep)
       (mD, fD, lrD) <- MvRewriteRule.decompose(drop)
-      // canonical matching is by name — same guard as the MV tier
-      if lrK.output.map(_.name.toLowerCase(Locale.ROOT)).toSet
-        .intersect(lrD.output.map(_.name.toLowerCase(Locale.ROOT)).toSet).isEmpty
-      kPaths <- MvRewriteRule.relPaths(lrK)
       dPaths <- MvRewriteRule.relPaths(lrD)
+      // keep side: an inner-tree for the INNER leg (see
+      // [[decomposeInnerTree]]); for LEFT OUTER the keep side may be
+      // ANY plan — no keep row is dropped or duplicated regardless of
+      // what produced it, the duplication hazard lives entirely on
+      // the dropped side — so a failed decomposition degrades to an
+      // empty alias map instead of disqualifying (this is what lets
+      // STACKS of defensive LEFT joins eliminate one by one).
+      mK <- keepDec.map(_._1)
+        .orElse(if (leftOuter) Some(Map.empty[ExprId, Expression]) else None)
       eq <- inlined(cond, mK ++ mD) match {
-        case EqualTo(a, b) if a.references.subsetOf(lrK.outputSet) &&
-          b.references.subsetOf(lrD.outputSet) => Some((a, b))
+        case EqualTo(a, b) if b.references.subsetOf(lrD.outputSet) &&
+          a.references.nonEmpty && !a.references.exists(lrD.outputSet.contains) =>
+          Some((a, b))
         case EqualTo(a, b) if a.references.subsetOf(lrD.outputSet) &&
-          b.references.subsetOf(lrK.outputSet) => Some((b, a))
+          b.references.nonEmpty && !b.references.exists(lrD.outputSet.contains) =>
+          Some((b, a))
         case _ => None
       }
     } yield {
       val ckCanon = MvRewriteRule.nameNorm(eq._1)
       val pkCanon = MvRewriteRule.nameNorm(eq._2)
-      val fk = FkCatalog.all.exists(d =>
-        d.childPaths == kPaths && d.parentPaths == dPaths &&
-          ckCanon.semanticEquals(d.childKeyCanon) &&
-          pkCanon.semanticEquals(d.parentKeyCanon))
+      // constraints are point-in-time: the scans must still hold the
+      // exact files the constraint was validated over (files appended
+      // under the same directory after register() could violate
+      // non-null/orphan-free/unique without re-validation)
+      val dFiles = MvRewriteRule.relFiles(lrD)
+      // the keep-side scan the child key is BOUND to — by exprId
+      // containment, so two keep scans sharing column names can never
+      // confuse the match; the FK reasoning then applies to that scan
+      // whatever else is inner-joined around it
+      val lrC = keepDec.flatMap(_._2.find(lr => eq._1.references.subsetOf(lr.outputSet)))
+      val fk = lrC.exists { lc =>
+        // canonical matching is by name — same guard as the MV tier
+        lc.output.map(_.name.toLowerCase(Locale.ROOT)).toSet
+          .intersect(lrD.output.map(_.name.toLowerCase(Locale.ROOT)).toSet).isEmpty &&
+        MvRewriteRule.relPaths(lc).exists { kPaths =>
+          FkCatalog.all.exists(d =>
+            d.childPaths == kPaths && d.parentPaths == dPaths &&
+              d.childFiles == MvRewriteRule.relFiles(lc) && d.parentFiles == dFiles &&
+              ckCanon.semanticEquals(d.childKeyCanon) &&
+              pkCanon.semanticEquals(d.parentKeyCanon))
+        }
+      }
       if (leftOuter) {
         // duplication is the only hazard: the dropped key must be
         // UNIQUE — via a standalone unique constraint or the parent
@@ -347,7 +437,8 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
         // invisible when no dropped column is referenced (and
         // uniqueness survives filtering).
         fk || FkCatalog.allUniques.exists(u =>
-          u.paths == dPaths && pkCanon.semanticEquals(u.keyCanon))
+          u.paths == dPaths && u.files == dFiles &&
+            pkCanon.semanticEquals(u.keyCanon))
       } else {
         // INNER: the full FK (non-null, no orphans, unique) must hold,
         // and the dropped side may carry ONLY the join-implied

@@ -326,6 +326,136 @@ object MvCatalog {
   private[plans] def all: Iterable[MvDef] = defs.values.asScala
 }
 
+/** A registered NDV-sketch rollup
+  * ([[graft.ops.Materialize.ndvSketchExact]] artifact: `key…, hs`)
+  * that can answer `count(DISTINCT id) GROUP BY key…` EXACTLY — the
+  * one dashboard tile shape the mergeable count/sum/min/max rollup
+  * can never serve (exact NDV does not merge). The sketch does merge,
+  * and it becomes an exact answer precisely when it is everywhere
+  * UNSATURATED: a group holding fewer than k distinct id hashes keeps
+  * ALL of them, so `size(hs)` is the group's hash NDV, which equals
+  * `count(DISTINCT id)` when the hash is collision-free over the live
+  * ids. Both conditions are VALIDATED at registration (one pass each,
+  * the [[FkCatalog]] discipline) and are point-in-time — `factFiles`
+  * snapshots the scanned files, and a drifted fact disqualifies the
+  * rewrite instead of trusting a stale proof.
+  */
+private[graft] case class NdvDef(
+    name: String,
+    factPaths: Set[String],
+    factFiles: Set[String],
+    keys: Seq[MvKey],
+    idCanon: Expression,
+    k: Int,
+    exactOk: Boolean,
+    mvPath: String,
+    mv: LogicalRelation)
+
+/** Registry of NDV-sketch rollups for [[MvRewriteRule]]'s
+  * count-DISTINCT leg. JVM-global like [[MvCatalog]]; the rewrite
+  * stays opt-in per session under the same
+  * [[MvRewriteRule.EnabledKey]].
+  */
+object NdvCatalog {
+
+  private val defs = new java.util.concurrent.ConcurrentHashMap[String, NdvDef]()
+
+  /** Materialize `ndvSketchExact(fact, keys, id, k)` at `path` and
+    * register it. The one-time build cost is the same bootstrap scan
+    * every rollup pays; refreshes ride
+    * [[graft.ops.Materialize.mergeNdvExact]] (delta-only).
+    */
+  def create(
+      spark: SparkSession,
+      name: String,
+      fact: DataFrame,
+      keys: Seq[(Column, String)],
+      id: Column,
+      k: Int,
+      path: String): Unit = {
+    defs.values.asScala.filter(_.mvPath == path).map(_.name).foreach(defs.remove)
+    graft.ops.Materialize
+      .ndvSketchExact(
+        fact.select(keys.map { case (c, n) => c.as(n) } :+ id.as("__graft_ndv_id"): _*),
+        keys.map(_._2), "__graft_ndv_id", k)
+      .write.mode("overwrite").parquet(path)
+    register(spark, name, fact, keys, id, k, path)
+  }
+
+  /** Register an ALREADY-materialized exact-NDV sketch. Validation
+    * happens HERE, every time: the rewrite substitutes an exact
+    * count(DISTINCT), so both exactness preconditions are re-proven
+    * against the artifact and fact as they stand —
+    *
+    *  - UNSATURATION: `max(size(hs)) < k` over the stored sketch
+    *    (a saturated group truncated its hash set; `size` is then an
+    *    underestimate and the rewrite must never fire);
+    *  - COLLISION-FREEDOM: `count(DISTINCT id) = count(DISTINCT
+    *    hash(id))` over the fact (global equality implies per-group
+    *    equality — a restriction of an injective map is injective).
+    *
+    * A failed condition registers with `exactOk = false`: the
+    * definition is visible (and a law test can see WHY it refuses)
+    * but the rewrite is disqualified. The fact's concrete file list
+    * is snapshotted; any append/compaction under the same directory
+    * disqualifies until re-registration re-validates.
+    */
+  def register(
+      spark: SparkSession,
+      name: String,
+      fact: DataFrame,
+      keys: Seq[(Column, String)],
+      id: Column,
+      k: Int,
+      path: String): Unit = {
+    require(keys.nonEmpty, s"NDV MV '$name': at least one grouping key required")
+    val probeCols = keys.zipWithIndex.map { case ((c, _), i) => c.as(s"__graft_ndv_k$i") } :+
+      id.as("__graft_ndv_id")
+    val probe = fact.select(probeCols: _*)
+    val opt = probe.queryExecution.optimizedPlan
+    val (aliases, filters, rel) = MvRewriteRule.decompose(opt).getOrElse(
+      throw new IllegalArgumentException(
+        s"NDV MV '$name': fact must be a bare file scan (+ projections), got:\n$opt"))
+    require(filters.isEmpty,
+      s"NDV MV '$name': a FILTERED fact definition cannot answer whole-table aggregates")
+    val paths = MvRewriteRule.relPaths(rel).getOrElse(
+      throw new IllegalArgumentException(s"NDV MV '$name': fact scan is not a file relation"))
+    def defOf(n: String): Expression = {
+      val a = opt.output.find(_.name == n).getOrElse(
+        throw new IllegalStateException(s"NDV MV '$name': probe lost column $n"))
+      aliases.getOrElse(a.exprId, a)
+    }
+    val keyDefs = keys.zipWithIndex.map { case ((_, n), i) =>
+      MvKey(n, MvRewriteRule.nameNorm(defOf(s"__graft_ndv_k$i")))
+    }
+    val mvRel = spark.read.parquet(path).queryExecution.analyzed
+      .collectFirst { case l: LogicalRelation => l }
+      .getOrElse(throw new IllegalStateException(s"NDV MV '$name': $path is not a file scan"))
+    import org.apache.spark.sql.functions.{countDistinct, max, size}
+    val saturated = spark.read.parquet(path)
+      .agg(max(size(col("hs"))).as("mx")).collect()(0) match {
+      case r if r.isNullAt(0) => false // empty sketch: trivially complete
+      case r => r.getInt(0) >= k
+    }
+    val idNn = probe.select(col("__graft_ndv_id")).filter(col("__graft_ndv_id").isNotNull)
+    val collided = idNn
+      .agg(
+        countDistinct(col("__graft_ndv_id")).as("d_id"),
+        countDistinct(graft.ops.Materialize.ndvHash(col("__graft_ndv_id"))).as("d_h"))
+      .collect()(0) match { case r => r.getLong(0) != r.getLong(1) }
+    defs.put(name, NdvDef(
+      name, paths, MvRewriteRule.relFiles(rel), keyDefs,
+      MvRewriteRule.nameNorm(defOf("__graft_ndv_id")),
+      k, exactOk = !saturated && !collided, path, mvRel))
+    ()
+  }
+
+  def unregister(name: String): Unit = { defs.remove(name); () }
+  def clear(): Unit = defs.clear()
+  def isEmpty: Boolean = defs.isEmpty
+  private[plans] def all: Iterable[NdvDef] = defs.values.asScala
+}
+
 /** Optimizer rule: answer a grouped aggregate over the FACT table from
   * a registered materialized rollup — the consumption half of the
   * incremental-maintenance story ([[graft.ops.Materialize]] keeps the
@@ -389,14 +519,15 @@ object MvRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     splitConjunctivePredicates(f)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (MvCatalog.isEmpty || conf.getConfString(EnabledKey, "false") != "true") plan
+    if ((MvCatalog.isEmpty && NdvCatalog.isEmpty) ||
+      conf.getConfString(EnabledKey, "false") != "true") plan
     else plan.transform {
       case agg: Aggregate => rewrite(agg).getOrElse(agg)
     }
   }
 
   private def rewrite(agg: Aggregate): Option[Aggregate] =
-    rewriteSingle(agg).orElse(rewriteJoined(agg))
+    rewriteSingle(agg).orElse(rewriteJoined(agg)).orElse(rewriteNdv(agg))
 
   /** Cost-based choice among PROVEN candidates: when several
     * registered MVs can each answer the query (the lattice makes this
@@ -465,6 +596,107 @@ object MvRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
         }
       })
     } yield out
+
+  /** The count-DISTINCT leg ([[NdvCatalog]]): `count(DISTINCT id)
+    * GROUP BY key…` over the registered fact becomes `sum(size(hs))`
+    * over the stored exact-NDV sketch — one row per group in, one per
+    * group out, so the Sum is a 1-row-group reduce that preserves the
+    * Aggregate plan shape (parents never notice). Fires only when the
+    * definition's exactness proof is LIVE: `exactOk` (unsaturated +
+    * collision-free, validated at registration) AND the fact scan
+    * still holds exactly the validated files. The grouping must cover
+    * the registered key tuple EXACTLY — coarsening a count-distinct
+    * needs the union of per-group id sets, not a sum, so a subset
+    * grouping is not provable from per-group sizes and disqualifies.
+    * Key-only filters push onto the sketch exactly as in
+    * [[tryRewrite]] (a key predicate selects whole sketch rows).
+    */
+  private def rewriteNdv(agg: Aggregate): Option[Aggregate] =
+    for {
+      (aliases, filters, rel) <- decompose(agg.child)
+      paths <- relPaths(rel)
+      files = relFiles(rel)
+      out <- NdvCatalog.all
+        .filter(d => d.exactOk && d.factPaths == paths && d.factFiles == files)
+        .toSeq.sortBy(_.name)
+        .flatMap(d => tryNdvRewrite(agg, aliases, filters, d))
+        .headOption
+    } yield out
+
+  private def tryNdvRewrite(
+      agg: Aggregate,
+      aliases: Map[ExprId, Expression],
+      filters: Seq[Expression],
+      mv: NdvDef): Option[Aggregate] = {
+    def keyIdx(e: Expression): Option[Int] = {
+      val n = nameNorm(inline(e, aliases))
+      mv.keys.indexWhere(k => n.semanticEquals(k.canon)) match {
+        case -1 => None
+        case i => Some(i)
+      }
+    }
+    def isId(e: Expression): Boolean =
+      nameNorm(inline(e, aliases)).semanticEquals(mv.idCanon)
+
+    val gMatched: Seq[(Option[Int], Option[ExprId])] = agg.groupingExpressions.map {
+      case al: Alias => (keyIdx(al.child), Some(al.exprId))
+      case a: Attribute => (keyIdx(a), Some(a.exprId))
+      case e => (keyIdx(e), None)
+    }
+    if (gMatched.exists(_._1.isEmpty)) return None
+    val gIdx = gMatched.map(_._1.get)
+    // exact grain only: every registered key grouped on, each once
+    if (gIdx.distinct.size != gIdx.size || gIdx.toSet != mv.keys.indices.toSet) return None
+    val idToIdx: Map[ExprId, Int] =
+      gMatched.collect { case (Some(i), Some(id)) => id -> i }.toMap
+
+    val mvRel = mv.mv.newInstance().asInstanceOf[LogicalRelation]
+    def mvAttr(n: String): Option[Attribute] =
+      mvRel.output.find(_.name.equalsIgnoreCase(n))
+    val rewritten = for {
+      kAs <- Some(mv.keys.map(k => mvAttr(k.name)))
+        .filter(_.forall(_.isDefined)).map(_.map(_.get))
+      hsA <- mvAttr("hs")
+    } yield {
+      def attrKeyIdx(a: AttributeReference): Option[Int] =
+        idToIdx.get(a.exprId).orElse(keyIdx(a))
+      val fRews = filters.map(_.transformUp {
+        case e if keyIdx(e).exists(i => e.dataType == kAs(i).dataType) =>
+          kAs(keyIdx(e).get)
+      })
+      if (fRews.exists(f => !f.references.subsetOf(AttributeSet(kAs)))) return None
+
+      // count(DISTINCT id) → sum(size(hs)): each group is exactly one
+      // sketch row, so the sum reduces a single Int — cast to LONG to
+      // keep Count's output type bit-for-bit
+      def derive(ae: AggregateExpression): Option[Expression] = ae.aggregateFunction match {
+        case Count(Seq(c)) if ae.isDistinct && ae.filter.isEmpty && isId(c) =>
+          Some(AggregateExpression(
+            Sum(Cast(Size(hsA, legacySizeOfNull = false),
+              org.apache.spark.sql.types.LongType)),
+            ae.mode, isDistinct = false))
+        case _ => None
+      }
+      val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+        case a: AttributeReference if attrKeyIdx(a).isDefined =>
+          Some(Alias(kAs(attrKeyIdx(a).get), a.name)(exprId = a.exprId))
+        case al @ Alias(ae: AggregateExpression, name) =>
+          derive(ae).map(e => Alias(e, name)(exprId = al.exprId))
+        case al @ Alias(a: AttributeReference, name) if attrKeyIdx(a).isDefined =>
+          Some(Alias(kAs(attrKeyIdx(a).get), name)(exprId = al.exprId))
+        case al @ Alias(other, name) if keyIdx(other).exists(i => gIdx.contains(i)) =>
+          Some(Alias(kAs(keyIdx(other).get), name)(exprId = al.exprId))
+        case _ => None
+      }
+      if (mapped.exists(_.isEmpty)) return None
+      val newAggExprs = mapped.map(_.get)
+      if (newAggExprs.map(_.dataType) != agg.aggregateExpressions.map(_.dataType))
+        return None
+      val child = fRews.foldLeft(mvRel: LogicalPlan)((p, f) => Filter(f, p))
+      Aggregate(gIdx.map(kAs), newAggExprs, child)
+    }
+    rewritten
+  }
 
   /** True for the filters an inner equi-join makes tautological on
     * its own rows: IsNotNull of either join key (the optimizer infers
@@ -547,12 +779,23 @@ object MvRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
       def aggE(fn: AggregateFunction, like: AggregateExpression): AggregateExpression =
         AggregateExpression(fn, like.mode, isDistinct = false)
+      // count(*)/count(metric) derive as sums of stored counts, but
+      // sum-over-empty is NULL where count-over-empty is 0 — reachable
+      // only for a GLOBAL aggregate (no grouping: a pushed key filter
+      // matching no rollup rows, or an empty fact, still yields one
+      // output row). Grouped rewrites never see an empty group, so the
+      // coalesce is confined to the global case to keep the grouped
+      // plan untouched.
+      def countDerive(src: Attribute, ae: AggregateExpression): Expression = {
+        val s = aggE(Sum(src), ae)
+        if (agg.groupingExpressions.isEmpty) Coalesce(Seq(s, Literal(0L))) else s
+      }
       def deriveExpr(ae: AggregateExpression): Option[Expression] =
         ae.aggregateFunction match {
-          case Count(Seq(l: Literal)) if l.value != null => Some(aggE(Sum(nA), ae))
+          case Count(Seq(l: Literal)) if l.value != null => Some(countDerive(nA, ae))
           // count(metric) — non-null count — is exactly the stored n_m
           case Count(Seq(c)) if isMetric(c) && nmA.isDefined =>
-            Some(aggE(Sum(nmA.get), ae))
+            Some(countDerive(nmA.get, ae))
           case s: Sum if isMetric(s.child) => Some(aggE(Sum(sumA), ae))
           case m: Min if isMetric(m.child) => Some(aggE(Min(minA), ae))
           case m: Max if isMetric(m.child) => Some(aggE(Max(maxA), ae))
@@ -695,6 +938,20 @@ object MvRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     lr.relation match {
       case h: HadoopFsRelation => Some(h.location.rootPaths.map(_.toString).toSet)
       case _ => None
+    }
+
+  /** The CONCRETE files under a file scan — the point-in-time identity
+    * of validated constraints ([[FkCatalog]]): rootPaths name a
+    * directory, but a directory's contents drift (appends, overwrite
+    * compactions), and a constraint validated against yesterday's
+    * files proves nothing about today's. Snapshotting the file list at
+    * registration and comparing it at rewrite time makes staleness
+    * DISQUALIFY the rewrite instead of silently changing results.
+    */
+  private[graft] def relFiles(lr: LogicalRelation): Set[String] =
+    lr.relation match {
+      case h: HadoopFsRelation => h.location.inputFiles.toSet
+      case _ => Set.empty
     }
 
   /** Canonical compare modulo attribute identity: expressions are

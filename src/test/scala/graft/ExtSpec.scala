@@ -1062,4 +1062,86 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) == ((1L, 3L, 0.6)))
     assert(got(5L) == ((0L, 0L, 0.0)))
   }
+
+  test("graphBeamSearch: recall@k vs exact, monotone in rounds, scores exact-cosine") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val ix = graft.ops.Sink.scratchDir("beam_recall_ix")
+    Similarity.writeKnnGraph(emb, 6, 3, ix)
+    val q = emb.filter(col("vec_id") < 32)
+    val k = 3
+    val exact = Similarity.cosineTopK(q, emb, k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"))
+    val nExact = exact.count()
+    def beamHits(rounds: Int): Long = {
+      val ann = Similarity.graphBeamSearch(q, ix, rounds, 8, k)
+        .select(col("query_id").as("aq"), col("vec_id").as("av"))
+      exact.join(ann,
+        col("query_id") === col("aq") && col("vec_id") === col("av"),
+        "left_semi").count()
+    }
+    val h1 = beamHits(1)
+    val h3 = beamHits(3)
+    // more rounds = bigger pool; a pooled candidate can only be pushed
+    // out of the top-k by a HIGHER-cos candidate, which is itself an
+    // exact-top-k member — so hits are monotone in rounds
+    assert(h3 >= h1, s"recall must be monotone in rounds: $h3 < $h1")
+    // relative floor: the walk starts FROM the bucketed kNN lists, so
+    // it can never do worse than the bucketed ANN it navigates over
+    // (the testdata embeddings are near-random — bucketed recall is
+    // ~3% here and no index can beat the substrate; the ABSOLUTE
+    // recall floor lives in the clustered-fixture test below)
+    val bucketed = Similarity.bucketedTopK(q, emb, 6, k)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"))
+    val hBuck = exact.join(bucketed,
+      col("query_id") === col("aq") && col("vec_id") === col("av"),
+      "left_semi").count()
+    assert(h3 >= hBuck, s"beam $h3 must not trail its bucketed substrate $hBuck of $nExact")
+    // every returned score is the exact cosine: semi-join the beam
+    // results against the exact SCORED pairs (same pair, same double)
+    val ann3 = Similarity.graphBeamSearch(q, ix, 3, 8, k)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"), col("cos_sim").as("ac"))
+    val scoredPairs = Similarity.cosineTopK(q, emb, 1000)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"))
+    val mismatches = ann3.join(scoredPairs,
+      col("aq") === col("query_id") && col("av") === col("vec_id") &&
+        col("ac") === col("cos_sim"), "left_anti").count()
+    assert(mismatches == 0, s"$mismatches beam scores differ from exact cosine")
+  }
+
+  test("graphBeamSearch: high recall on a CLUSTERED corpus (navigable graph)") {
+    // the testdata embeddings are near-random (no index can recall on
+    // them — bucketed ANN sits at ~3%); real embedding corpora are
+    // clustered, which is what makes neighborhood graphs navigable.
+    // 16 well-separated clusters x 24 points: sign-bucket LSH aligns
+    // with clusters, the mutual-kNN graph connects within clusters,
+    // and a 3-round beam walk from each query must recover most of
+    // its exact top-k.
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val pts = (0 until 384).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val base = graft.ops.Sink.scratchDir("beam_clustered")
+    df.write.mode("overwrite").parquet(base + "/emb")
+    val emb = spark.read.parquet(base + "/emb")
+    val ix = base + "/ix"
+    // 3 bucket bits: the kNN build's LSH edges never cross buckets, so
+    // the bucket count trades candidate-set size against navigability —
+    // at 384 points, 8 buckets keep each cluster bucket-coherent
+    Similarity.writeKnnGraph(emb, 3, 8, ix)
+    val q = emb.filter(col("vec_id") < 16) // one query per cluster
+    val k = 5
+    val exact = Similarity.cosineTopK(q, emb, k)
+      .select(col("query_id"), col("vec_id"))
+    val ann = Similarity.graphBeamSearch(q, ix, 3, 8, k)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"))
+    val hits = exact.join(ann,
+      col("query_id") === col("aq") && col("vec_id") === col("av"),
+      "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.8, s"clustered recall@$k = $recall")
+  }
 }

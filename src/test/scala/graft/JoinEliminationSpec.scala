@@ -367,6 +367,44 @@ class JoinEliminationSpec extends SparkSpec {
     }
   }
 
+  test("constraints are point-in-time: files appended after register() disqualify") {
+    // the ADVICE r15 finding: rootPath matching kept a validated FkDef
+    // live after the directory's contents changed — the appended rows
+    // may violate the constraint with no re-validation. The registry
+    // now snapshots the concrete file list; a drifted scan refuses the
+    // elimination instead of silently changing results.
+    val base = graft.ops.Sink.scratchDir("fk_staleness_law")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(base + "/parent")
+    Seq((1L, 10L), (2L, 20L)).toDF("fk", "m")
+      .write.mode("overwrite").parquet(base + "/child")
+    def child = spark.read.parquet(base + "/child")
+    def parent = spark.read.parquet(base + "/parent")
+    FkCatalog.register(spark, "law_stale_fk", child, col("fk"), parent, col("k"))
+    FkCatalog.registerUnique(spark, "law_stale_uq", parent, col("k"))
+    try {
+      def q: DataFrame = child.join(parent, col("fk") === col("k"))
+        .select(col("fk"), col("m"))
+      assert(withRule { !scans(q).exists(_.contains("parent")) },
+        "fresh snapshot should eliminate")
+      def qd: DataFrame = parent.select(col("k"), col("v")).dropDuplicates("k")
+      assert(withRule { aggCount(qd) } == 0, "fresh snapshot should drop the distinct")
+      // append a DUPLICATE parent key under the same directory — the
+      // validated uniqueness is now false on disk
+      Seq((1L, "dup")).toDF("k", "v").write.mode("append").parquet(base + "/parent")
+      assert(withRule { scans(q).exists(_.contains("parent")) },
+        "drifted parent files must keep the join")
+      assert(withRule { aggCount(qd) } > 0,
+        "drifted parent files must keep the distinct aggregate")
+      // child-side drift disqualifies the inner elimination too
+      Seq((3L, 30L)).toDF("fk", "m").write.mode("append").parquet(base + "/child")
+      assert(withRule { scans(q).exists(_.contains("parent")) })
+    } finally {
+      FkCatalog.unregister("law_stale_fk")
+      FkCatalog.unregisterUnique("law_stale_uq")
+    }
+  }
+
   test("disabled conf leaves the join untouched even with the FK registered") {
     withFk {
       spark.experimental.extraOptimizations =

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.plans.{MvCatalog, MvRewriteRule}
+import graft.plans.{MvCatalog, MvRewriteRule, NdvCatalog}
 
 /** Laws for the materialized-view substitution (s30): the rewrite
   * must change the PLAN (fact scan → rollup scan) and must not change
@@ -11,6 +11,8 @@ import graft.plans.{MvCatalog, MvRewriteRule}
   * prove, leaving the fact scan in place.
   */
 class MvRewriteSpec extends SparkSpec {
+
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
   private val cents = floor(col("o_totalprice") * 100).cast("long")
@@ -166,6 +168,24 @@ class MvRewriteSpec extends SparkSpec {
       assert(!paths.exists(_.contains("orders.parquet")), paths)
       assert(paths.nonEmpty, "expected a rollup scan in the plan")
       assert(rewritten == plain)
+    }
+  }
+
+  test("empty-slice GLOBAL aggregate: derived counts coalesce to 0, not NULL") {
+    // a pushed key-filter matching no rollup rows still yields ONE
+    // output row on a global aggregate; count(*)/count(metric) must be
+    // 0 there while sum-over-empty is NULL — the ADVICE r15 finding:
+    // an uncoalesced sum(n) would return NULL where count returns 0
+    withTupleMv { _ =>
+      def q: DataFrame = Tables.orders(spark, dir)
+        .filter(col("o_custkey") === -12345) // matches nothing
+        .agg(count(lit(1)).as("n"), count(cents).as("n_m"),
+          sum(cents).as("s"), min(cents).as("lo"))
+      val plain = rows(q)
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(!paths.exists(_.contains("orders.parquet")), paths)
+      assert(rewritten == plain)
+      assert(rewritten == Seq(Seq(0L, 0L, null, null)), rewritten)
     }
   }
 
@@ -533,5 +553,138 @@ class MvRewriteSpec extends SparkSpec {
       assert(paths.exists(_.contains("orders.parquet")), paths)
     } finally spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_ eq MvRewriteRule)
+  }
+
+  // ---- the exactness-gated count-DISTINCT leg (s50, r15 VERDICT #2) ----
+
+  private def withNdvMv[T](k: Int)(body: String => T): T = {
+    val path = graft.ops.Sink.scratchDir(s"ndv_mv_test_k$k") + "/month_cust"
+    NdvCatalog.create(spark, s"test_ndv_k$k",
+      Tables.orders(spark, dir),
+      Seq(date_trunc("MONTH", col("o_orderdate")) -> "month"),
+      col("o_custkey"), k, path)
+    try body(path)
+    finally NdvCatalog.unregister(s"test_ndv_k$k")
+  }
+
+  private def ndvQuery: DataFrame = Tables.orders(spark, dir)
+    .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+    .agg(countDistinct(col("o_custkey")).as("n_cust"))
+
+  test("NDV rewrite: sketch scan substituted, count(DISTINCT) bit-identical") {
+    withNdvMv(4096) { _ =>
+      val plain = rows(ndvQuery)
+      val (rewritten, paths) = withMvRule { (rows(ndvQuery), scans(ndvQuery)) }
+      assert(paths.exists(_.contains("ndv_mv_test")), paths)
+      assert(!paths.exists(_.contains("orders.parquet")), paths)
+      assert(rewritten == plain)
+    }
+  }
+
+  test("NDV rewrite: a key filter pushes onto the sketch and stays exact") {
+    withNdvMv(4096) { _ =>
+      def q: DataFrame = Tables.orders(spark, dir)
+        .filter(date_trunc("MONTH", col("o_orderdate")) >=
+          lit("1995-01-01").cast("timestamp"))
+        .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      val plain = rows(q)
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(paths.exists(_.contains("ndv_mv_test")), paths)
+      assert(!paths.exists(_.contains("orders.parquet")), paths)
+      assert(rewritten == plain)
+    }
+  }
+
+  test("NDV rewrite: SATURATION disqualifies — a truncated sketch never answers") {
+    // k = 2 saturates every month at sf0.001; register must flag it
+    // and the rewrite must leave the fact scan rather than estimate
+    withNdvMv(2) { _ =>
+      val paths = withMvRule { scans(ndvQuery) }
+      assert(paths.exists(_.contains("orders.parquet")), paths)
+    }
+  }
+
+  test("NDV rewrite: coarser grouping than the registered keys disqualifies") {
+    // count(DISTINCT) does not merge across groups — a global NDV
+    // cannot be summed from per-month sizes, so the rewrite refuses
+    withNdvMv(4096) { _ =>
+      val q = Tables.orders(spark, dir)
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      val paths = withMvRule { scans(q) }
+      assert(paths.exists(_.contains("orders.parquet")), paths)
+    }
+  }
+
+  test("NDV rewrite: a non-id count(DISTINCT) leaves the fact scan") {
+    withNdvMv(4096) { _ =>
+      val q = Tables.orders(spark, dir)
+        .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+        .agg(countDistinct(col("o_orderpriority")).as("nd"))
+      val paths = withMvRule { scans(q) }
+      assert(paths.exists(_.contains("orders.parquet")), paths)
+    }
+  }
+
+  test("NDV constraint is point-in-time: fact files appended after register disqualify") {
+    val base = graft.ops.Sink.scratchDir("ndv_stale_law")
+    Seq((1L, "a"), (2L, "a"), (2L, "b")).toDF("id", "g")
+      .write.mode("overwrite").parquet(base + "/fact")
+    def fact = spark.read.parquet(base + "/fact")
+    NdvCatalog.create(spark, "law_ndv_stale", fact,
+      Seq(col("g") -> "g"), col("id"), 64, base + "/mv")
+    try {
+      def q: DataFrame = fact.groupBy(col("g"))
+        .agg(countDistinct(col("id")).as("nd"))
+      assert(withMvRule { !scans(q).exists(_.contains("/fact")) },
+        "fresh snapshot should rewrite")
+      Seq((9L, "a")).toDF("id", "g").write.mode("append").parquet(base + "/fact")
+      assert(withMvRule { scans(q).exists(_.contains("/fact")) },
+        "drifted fact files must keep the fact scan")
+      assert(withMvRule { rows(q) } == rows(q), "post-drift answer stays correct")
+    } finally NdvCatalog.unregister("law_ndv_stale")
+  }
+
+  test("NDV rewrite: NULL-keyed groups and all-NULL-id groups stay exact") {
+    // count(DISTINCT id) skips null ids but the GROUP still appears
+    // (n = 0); groupBy keeps a NULL key group. Both shapes must
+    // round-trip the sketch artifact exactly.
+    val base = graft.ops.Sink.scratchDir("ndv_null_law")
+    Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "a"), (1L, null), (3L, null),
+      (null, "b"), (null, "b"))
+      .toDF("id", "g")
+      .write.mode("overwrite").parquet(base + "/fact")
+    def fact = spark.read.parquet(base + "/fact")
+    NdvCatalog.create(spark, "law_ndv_nulls", fact,
+      Seq(col("g") -> "g"), col("id"), 64, base + "/mv")
+    try {
+      def q: DataFrame = fact.groupBy(col("g"))
+        .agg(countDistinct(col("id")).as("nd"))
+      val plain = rows(q)
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(!paths.exists(_.contains("/fact")), paths)
+      assert(rewritten == plain)
+      // the law is not vacuous: a NULL-key group and a zero-NDV group
+      assert(plain.exists(r => r(0) == null))
+      assert(plain.exists(r => r(1) == 0L))
+    } finally NdvCatalog.unregister("law_ndv_nulls")
+  }
+
+  test("ndvSketchExact merge law: base ⊕ delta ≡ whole-table rebuild, empty groups kept") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "a"), (3L, "a"), (1L, "b"), (null, "c"), (2L, null), (4L, "b"))
+      .toDF("id", "g")
+    val k = 2 // deliberately SATURATING: the merge law must hold for sketches too
+    val base = graft.ops.Materialize.ndvSketchExact(
+      df.filter(col("id").isNotNull && col("id") <= 2 || col("id").isNull), Seq("g"), "id", k)
+    val delta = graft.ops.Materialize.ndvSketchExact(
+      df.filter(col("id") > 2), Seq("g"), "id", k)
+    val merged = graft.ops.Materialize.mergeNdvExact(base, delta, Seq("g"), k)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toSet
+    val whole = graft.ops.Materialize.ndvSketchExact(df, Seq("g"), "id", k)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toSet
+    assert(merged == whole)
+    assert(whole.exists { case (g, hs) => g == "c" && hs.isEmpty })
   }
 }

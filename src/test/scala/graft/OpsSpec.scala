@@ -653,6 +653,37 @@ class OpsSpec extends SparkSpec {
     assert(bad != truth, "old-image-only affected set should be unsound here")
   }
 
+  test("Materialize.maintainKeys: a CDC batch touching NULL-keyed rows maintains the NULL group") {
+    // rollup keeps a NULL-keyed group like any other; the maintenance
+    // joins are null-safe (<=>), so a changelog touching NULL-keyed
+    // rows must recompute that group — with plain equi-joins the stale
+    // NULL group would survive the anti-join AND its post-image rows
+    // would be lost by the semi-join (the ADVICE r15 finding)
+    val pre = (1 to 200).map { i =>
+      (i.toLong, if (i % 7 == 0) null else s"day${i % 5}", (i * 37 % 1000).toLong)
+    }.toDF("id", "day", "m")
+    val stored = Materialize.rollup(pre, "day", col("m"))
+    // delete some NULL-keyed rows and move one keyed row INTO the NULL group
+    val del = col("id") % 14 === 0
+    val mov = col("id") === 3
+    val post = pre.filter(!del).select(col("id"),
+      when(mov, lit(null).cast("string")).otherwise(col("day")).as("day"), col("m"))
+    val affected = pre.filter(del).select(col("day"))
+      .unionByName(pre.filter(mov).select(col("day")))
+      .unionByName(pre.filter(mov).select(lit(null).cast("string").as("day")))
+    val maintained = Materialize.maintainKeys(stored, post, Seq("day"), col("m"), affected)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val rebuilt = Materialize.rollup(post, "day", col("m"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(maintained == rebuilt,
+      "NULL-keyed group must be routed through the recompute exactly once")
+    // and the NULL group genuinely changed — the law is not vacuous
+    val preNull = stored.filter(col("day").isNull)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val postNull = rebuilt.filter(_._1 == null)
+    assert(preNull.map(_.productIterator.toSeq) != postNull.map(_.productIterator.toSeq))
+  }
+
   test("Materialize.maintainKeys: dim-side CDC through a join equals the post-image rebuild") {
     // a dimension row changing its group column moves EVERY joined fact
     // row between rollup groups at once; the affected set is the union

@@ -780,4 +780,88 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("CartesianProduct"), p) // 1-row scalar joins are BNLJ
   }
+
+  test("graphBeamSearch: probe touches only graph + probed vectors; corpus never broadcast") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val emb = Tables.embeddings(spark, dir)
+    val ix = graft.ops.Sink.scratchDir("pg_beam_ix")
+    graft.ext.Similarity.writeKnnGraph(emb, 6, 3, ix)
+    // the search materializes per-round layers internally, so the
+    // guard captures EVERY execution fired while it runs and audits
+    // them all — the per-round join plans included, not just the
+    // returned cache scan
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[SparkPlan]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        captured.add(qe.executedPlan); ()
+      }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val out =
+      try {
+        val o = graft.ext.Similarity.graphBeamSearch(
+          emb.filter(col("vec_id") < 8), ix, 2, 4, 3)
+        o.count()
+        // listener delivery is async — wait for the round plans
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (captured.size() < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+        o
+      } finally spark.listenerManager.unregister(listener)
+    assert(out.count() > 0)
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case r: ReusedExchangeExec => allNodes(r.child)
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        allNodes(i.relation.cachedPlan)
+      case _ => p.children.flatMap(allNodes)
+    })
+    val plans = captured.asScala.toSeq
+    assert(plans.nonEmpty)
+    val flat = plans.flatMap(allNodes)
+    val everyScan = flat.collect {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString).mkString(",")
+    }
+    // only the artifact and the query-side input are read — the
+    // corpus reaches the search exclusively through ix/vecs
+    assert(everyScan.forall(s => s.contains(ix) || s.contains("embeddings.parquet")),
+      everyScan.filterNot(s => s.contains(ix) || s.contains("embeddings.parquet")))
+    assert(everyScan.exists(_.contains("/edges")), everyScan)
+    assert(everyScan.exists(_.contains("/vecs")), everyScan)
+    // no all-pairs shapes anywhere
+    flat.foreach { n =>
+      assert(!n.nodeName.contains("CartesianProduct") &&
+        !n.nodeName.contains("BroadcastNestedLoopJoin"), n.nodeName)
+    }
+    // the corpus (vecs/) side is NEVER the broadcast side of a join —
+    // at 100 TB that broadcast is the OOM; only the per-query frames
+    // (queries, frontiers, fresh candidates) may broadcast
+    // subtree walk for the broadcast check STOPS at cache boundaries:
+    // an InMemoryTableScan inside a broadcast contributes only its
+    // (already materialized, layer-sized) output — recursing into its
+    // lineage would flag the PREVIOUS round's corpus scan as
+    // "broadcast" when it never was
+    def matNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => Nil
+      case a: AdaptiveSparkPlanExec => matNodes(a.executedPlan)
+      case q: QueryStageExec => matNodes(q.plan)
+      case r: ReusedExchangeExec => matNodes(r.child)
+      case _ => p.children.flatMap(matNodes)
+    })
+    val corpusBroadcast = flat.collect { case b: BroadcastExchangeExec => b }
+      .filter(b => matNodes(b).exists {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("/vecs"))
+        case _ => false
+      })
+    assert(corpusBroadcast.isEmpty,
+      s"the corpus vector table was broadcast:\n${corpusBroadcast.mkString("\n----\n")}")
+  }
 }

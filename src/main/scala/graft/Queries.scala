@@ -3556,6 +3556,59 @@ object ParityQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1""".stripMargin
 
+  // ---- J21: SNOWFLAKE-CHAIN join elimination ----------------------------------
+  // BI-generated star queries stack fact→dim→dim chains (orders →
+  // customer → nation here), referencing none of them. One validated
+  // FK per hop and the eliminations COMPOSE across the optimizer's
+  // fixed point: nation drops first (the keep side — orders⋈customer —
+  // decomposes as an inner-join tree, through which non-null/
+  // orphan-free/unique provably carry), and the survivor is exactly
+  // j18's shape, so the second pass drops customer too. The in-query
+  // requires prove BOTH parent scans are gone; the oracle runs the
+  // real two-join chain, so green means the constraints actually
+  // hold. At 100 TB the plan's two largest shuffles are deleted
+  // outright — the dim chain costs zero whether it is 2 or 5 hops.
+  private val j21FkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def j21ChainElim(s: SparkSession, dir: String): DataFrame = {
+    j18FkCache.computeIfAbsent(dir, _ => {
+      graft.plans.FkCatalog.register(
+        s, s"orders_customer_fk_${math.abs(dir.hashCode)}",
+        Tables.orders(s, dir), col("o_custkey"),
+        Tables.customer(s, dir), col("c_custkey"))
+      "registered"
+    })
+    j21FkCache.computeIfAbsent(dir, _ => {
+      graft.plans.FkCatalog.register(
+        s, s"customer_nation_fk_${math.abs(dir.hashCode)}",
+        Tables.customer(s, dir), col("c_nationkey"),
+        Tables.nation(s, dir), col("n_nationkey"))
+      "registered"
+    })
+    val out = Sink.scratchDir(s"chain_elim_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(graft.plans.JoinEliminationRule.EnabledKey -> "true")) {
+      val q = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(s30Cents).as("sum_cents"))
+      val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(!scans.exists(p =>
+        p.contains("customer.parquet") || p.contains("nation.parquet")),
+        s"a dim scan survived the chain elimination; scans: $scans")
+      require(scans.exists(_.contains("orders.parquet")),
+        s"chain elimination removed the fact side; scans: $scans")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+  val j21Sql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1""".stripMargin
+
   // ---- S46: deletion vectors (merge-on-read deletes) --------------------------
   // The lakehouse DELETE that never rewrites a data file: the delete
   // persists only (file, row_position) pairs — Delta/Iceberg deletion
@@ -4846,6 +4899,7 @@ object ParityQueries {
     "s45_distinct_elim" -> (s45DistinctElim _),
     "j19_elim_then_mv" -> (j19ElimThenMv _),
     "j20_left_elim" -> (j20LeftElim _),
+    "j21_chain_elim" -> (j21ChainElim _),
     "o16_attribution" -> (o16Attribution _),
     "s48_count_distinct_elim" -> (s48CountDistinctElim _),
     "s50_ndv_rewrite" -> (s50NdvRewrite _),
@@ -4996,6 +5050,7 @@ object ParityQueries {
     "s45_distinct_elim" -> s45Sql,
     "j19_elim_then_mv" -> j19Sql,
     "j20_left_elim" -> j20Sql,
+    "j21_chain_elim" -> j21Sql,
     "o16_attribution" -> o16Sql,
     "s48_count_distinct_elim" -> s48Sql,
     "s50_ndv_rewrite" -> s50Sql,

@@ -196,9 +196,43 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
             aggregateExpressions = ae.map(substNamed(_, subst)),
             child = keep)
         }.orElse(distinctElim(a)).getOrElse(a)
+      // the chain case (j21): after one elimination the survivor is
+      // Aggregate → pruning-Project(s) → Join (column pruning ran in
+      // the main batch and will not re-collapse what this batch
+      // leaves), so the interposed attribute-only Project stack must
+      // be peeled for the next fixed-point pass to fire. The stack
+      // only ever NARROWS columns, so it is replaced by one minimal
+      // projection of exactly the attributes the aggregate still
+      // needs (post-substitution) — the scan stays as narrow as
+      // pruning made it.
+      case a @ Aggregate(g, ae, child, _) if peelAttrProjects(child).isDefined =>
+        peelAttrProjects(child).flatMap(j =>
+          childSide(j, (g ++ ae).flatMap(_.references)).map { case (keep, subst) =>
+            val g2 = g.map(substExpr(_, subst))
+            val ae2 = ae.map(substNamed(_, subst))
+            val needed = AttributeSet((g2 ++ ae2).flatMap(_.references))
+            a.copy(
+              groupingExpressions = g2,
+              aggregateExpressions = ae2,
+              child = Project(keep.output.filter(needed.contains), keep))
+          }).getOrElse(a)
       case a: Aggregate =>
         distinctElim(a).orElse(countDistinctElim(a)).getOrElse(a)
     }
+  }
+
+  /** A Join under a stack (possibly empty is NOT accepted — the bare
+    * Join case is handled by the direct pattern) of attribute-only
+    * Projects. Aliases or computed projections hide semantics and
+    * refuse the peel.
+    */
+  private def peelAttrProjects(p: LogicalPlan): Option[Join] = p match {
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      c match {
+        case j: Join => Some(j)
+        case _ => peelAttrProjects(c)
+      }
+    case _ => None
   }
 
   /** Replace every reference to the dropped parent's key with the
@@ -441,11 +475,21 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
             pkCanon.semanticEquals(u.keyCanon))
       } else {
         // INNER: the full FK (non-null, no orphans, unique) must hold,
-        // and the dropped side may carry ONLY the join-implied
-        // IsNotNull of its own key — any real parent-side filter would
-        // re-drop child rows and the elimination would change results
+        // and the dropped side may carry ONLY filters that provably
+        // drop nothing: the join-implied IsNotNull of its own key, or
+        // an IsNotNull of a column VALIDATED non-null as the child key
+        // of a registered FK on this same scan (same file snapshot) —
+        // the residue a previously-eliminated downstream join leaves
+        // on a middle dimension in a snowflake chain (j21). Any real
+        // parent-side filter would re-drop child rows and the
+        // elimination would change results.
         val fOk = fD.flatMap(splitConjuncts).forall {
-          case IsNotNull(c) => MvRewriteRule.nameNorm(c).semanticEquals(pkCanon)
+          case IsNotNull(c) =>
+            val n = MvRewriteRule.nameNorm(c)
+            n.semanticEquals(pkCanon) ||
+              FkCatalog.all.exists(d =>
+                d.childPaths == dPaths && d.childFiles == dFiles &&
+                  n.semanticEquals(d.childKeyCanon))
           case _ => false
         }
         fk && fOk

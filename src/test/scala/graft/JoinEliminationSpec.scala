@@ -367,6 +367,62 @@ class JoinEliminationSpec extends SparkSpec {
     }
   }
 
+  test("snowflake chain: fact→dim→dim collapses to the bare fact, bit-identical") {
+    // the two eliminations COMPOSE across the fixed point: nation drops
+    // first (keep side = the orders⋈customer inner tree, decomposed by
+    // decomposeInnerTree), whose survivor is exactly j18's shape — so
+    // the second pass drops customer and only the fact scan remains
+    FkCatalog.register(spark, "law_chain_oc",
+      Tables.orders(spark, dir), col("o_custkey"),
+      Tables.customer(spark, dir), col("c_custkey"))
+    FkCatalog.register(spark, "law_chain_cn",
+      Tables.customer(spark, dir), col("c_nationkey"),
+      Tables.nation(spark, dir), col("n_nationkey"))
+    try {
+      def q: DataFrame = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"))
+      val plain = rows(q)
+      val (rewritten, paths) = withRule { (rows(q), scans(q)) }
+      assert(!paths.exists(_.contains("customer.parquet")), paths)
+      assert(!paths.exists(_.contains("nation.parquet")), paths)
+      assert(paths.exists(_.contains("orders.parquet")), paths)
+      assert(rewritten == plain)
+    } finally {
+      FkCatalog.unregister("law_chain_oc")
+      FkCatalog.unregister("law_chain_cn")
+    }
+  }
+
+  test("snowflake chain: referencing the MIDDLE dim keeps exactly that join") {
+    // grouping on a customer column makes customer load-bearing: only
+    // the nation leg may drop — the fact⋈customer join must survive
+    FkCatalog.register(spark, "law_chain_oc2",
+      Tables.orders(spark, dir), col("o_custkey"),
+      Tables.customer(spark, dir), col("c_custkey"))
+    FkCatalog.register(spark, "law_chain_cn2",
+      Tables.customer(spark, dir), col("c_nationkey"),
+      Tables.nation(spark, dir), col("n_nationkey"))
+    try {
+      def q: DataFrame = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"))
+      val plain = rows(q)
+      val (rewritten, paths) = withRule { (rows(q), scans(q)) }
+      assert(paths.exists(_.contains("customer.parquet")), paths)
+      assert(!paths.exists(_.contains("nation.parquet")), paths)
+      assert(paths.exists(_.contains("orders.parquet")), paths)
+      assert(rewritten == plain)
+    } finally {
+      FkCatalog.unregister("law_chain_oc2")
+      FkCatalog.unregister("law_chain_cn2")
+    }
+  }
+
   test("constraints are point-in-time: files appended after register() disqualify") {
     // the ADVICE r15 finding: rootPath matching kept a validated FkDef
     // live after the directory's contents changed — the appended rows

@@ -863,4 +863,41 @@ class OpsSpec extends SparkSpec {
       else assert(nOrphans == 0 && nKeys == 0, s"$rel should be clean")
     }
   }
+
+  test("o16 attribution: (user, week) pre-binned join ≡ the unbinned join, hot user included") {
+    // a planted bot-grade hot user (500 clicks + 20 purchases over 60
+    // days) plus boundary cases: a click EXACTLY 7 days before a
+    // purchase (inclusive edge — must attribute), one just outside,
+    // and clicks straddling week-bin boundaries. The binned join must
+    // reproduce the naive join row-for-row.
+    val base = 1700000000000000L // µs
+    val day = 24L * 3600 * 1000000
+    val rnd = new scala.util.Random(7)
+    val hot = (0 until 500).map(i =>
+      (1L, "click", base + (rnd.nextLong().abs % (60 * day)), 1000L + i)) ++
+      (0 until 20).map(i =>
+        (1L, "purchase", base + i.toLong * 3 * day, 2000L + i))
+    val edge = Seq(
+      (2L, "purchase", base + 30 * day, 3000L),
+      (2L, "click", base + 23 * day, 3001L),            // exactly 7d before: in
+      (2L, "click", base + 23 * day - 1, 3002L),        // 7d + 1µs before: out
+      (2L, "click", base + 30 * day, 3003L),            // same instant: in
+      (2L, "click", base + 30 * day + 1, 3004L),        // after: out
+      (3L, "purchase", base + 7 * day, 3100L),          // bin straddle
+      (3L, "click", base + 1, 3101L))
+    val ev2 = (hot ++ edge).toDF("user_id", "event_type", "us", "event_id")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), col("event_id"))
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    val binned = sorted(ParityQueries.o16Binned(ev2))
+    val naive = sorted(ParityQueries.o16Unbinned(ev2))
+    assert(binned == naive)
+    // the inclusive edge attributed, the µs-outside click did not
+    val p3000 = naive.find(_.head == 3000L).get
+    assert(p3000(1) == 3001L && p3000(2) == 3003L && p3000(3) == 2L, p3000)
+    // the hot user genuinely exercises the binned path (many touches)
+    assert(naive.filter(r => r.head.asInstanceOf[Long] >= 2000L &&
+      r.head.asInstanceOf[Long] < 3000L).map(_(3).asInstanceOf[Long]).sum > 500)
+  }
 }

@@ -374,6 +374,33 @@ object Materialize {
     rewriteSwap(spark, stored)(s =>
       mergeTopk(s.read.parquet(stored), deltaTopk, keyCol, ordCol, idCol, k))
 
+  /** In-place [[maintainKeys]] against a STORED rollup — the
+    * deployment shape of keyed CDC maintenance: untouched groups pass
+    * through, affected groups recompute from `factPost`, and the
+    * result swaps in atomically (same crash story as [[refreshInto]]).
+    * `affected` must be stable across the two passes the maintenance
+    * makes (cache it if its lineage reads state this call replaces).
+    */
+  def maintainKeysInto(
+      spark: org.apache.spark.sql.SparkSession,
+      stored: String,
+      factPost: DataFrame,
+      keyCols: Seq[String],
+      metric: Column,
+      affected: DataFrame): Unit =
+    rewriteSwap(spark, stored)(s =>
+      maintainKeys(s.read.parquet(stored), factPost, keyCols, metric, affected))
+
+  /** Replace a stored table with `next` under the same
+    * rewrite-then-swap discipline. `next` MAY read the table it
+    * replaces: the new contents fully materialize to a sibling before
+    * the old directory is touched.
+    */
+  def replaceInto(
+      spark: org.apache.spark.sql.SparkSession,
+      stored: String, next: DataFrame): Unit =
+    rewriteSwap(spark, stored)(_ => next)
+
   private def rewriteSwap(
       spark: org.apache.spark.sql.SparkSession, stored: String)(
       merged: org.apache.spark.sql.SparkSession => DataFrame): Unit = {

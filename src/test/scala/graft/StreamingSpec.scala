@@ -611,4 +611,18 @@ class StreamingSpec extends SparkSpec {
     assert(rows(StreamQueries.s29CdcStreamImpl(spark, dir, nFiles = 1)) == batch)
     assert(rows(StreamQueries.s29CdcStreamImpl(spark, dir, nFiles = 7)) == batch)
   }
+
+  test("s49 streaming dim-CDC: per-micro-batch maintenance lands on the batch twin's table") {
+    // the dim changelog split into micro-batches must land on exactly
+    // s40's batch-applied post-image rollup — batches touch disjoint
+    // customers, so maintenance steps commute and batching is
+    // invisible (any divergence = a stale group or a double-apply)
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    val streamed = rows(StreamQueries.s49MvDimCdcStream(spark, dir))
+    val batch = rows(ParityQueries.s40MvJoinDimCdc(spark, dir))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }

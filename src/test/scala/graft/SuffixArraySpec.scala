@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, SuffixArray}
+
+/** Laws for the char-granular suffix-array dedup leg: the
+  * prefix-doubling rank build must agree EXACTLY with a brute-force
+  * substring count (different algorithm, same spans), must see
+  * duplicates below [[Dedup.maximalDupSpans]]'s token-window floor,
+  * and must never report a window that crosses a document boundary.
+  */
+class SuffixArraySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Brute force: every length-L window per doc, corpus-wide
+    * occurrence counts, duplicated starts merged into maximal runs —
+    * the operator's contract restated in 15 lines of local Scala.
+    */
+  private def bruteSpans(docs: Seq[(Long, String)], L: Int): Set[(Long, Long, Long, Long)] = {
+    val wins = for {
+      (id, t) <- docs
+      i <- 0 to t.length - L
+    } yield (id, i.toLong, t.substring(i, i + L))
+    val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val dup = wins.filter(w => counts(w._3) >= 2)
+    dup.groupBy(_._1).flatMap { case (id, ws) =>
+      val ps = ws.map(_._2).sorted
+      // gaps-and-islands
+      val runs = ps.foldLeft(Vector.empty[Vector[Long]]) {
+        case (acc, p) if acc.nonEmpty && acc.last.last == p - 1 =>
+          acc.init :+ (acc.last :+ p)
+        case (acc, p) => acc :+ Vector(p)
+      }
+      runs.map(r => (id, r.head, r.last + L - 1, r.last + L - r.head))
+    }.toSet
+  }
+
+  private def run(docs: Seq[(Long, String)], L: Int): Set[(Long, Long, Long, Long)] =
+    SuffixArray.dupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("dupSpans ≡ brute-force substring counting on a seeded random corpus") {
+    // 3-letter alphabet forces plenty of REAL duplicates and makes a
+    // broken document fence visible (cross-boundary windows would
+    // collide constantly)
+    val rnd = new scala.util.Random(1234)
+    val docs = (0L until 30L).map(i =>
+      (i, (0 until 40 + rnd.nextInt(60)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+    val L = 8
+    assert(run(docs, L) == bruteSpans(docs, L))
+    assert(bruteSpans(docs, L).nonEmpty) // the law is not vacuous
+  }
+
+  test("dupSpans finds a planted duplicate BELOW the token-window floor") {
+    // a 2-token phrase duplicated across two docs: invisible to the
+    // 5-token-window maximalDupSpans, found char-exactly here
+    val phrase = "quantum flamingo paradox here"
+    val a = s"unique lead-in words alpha $phrase trailing distinct tail one"
+    val b = s"other opening sequence beta $phrase different closing words two"
+    val docs = Seq((1L, a), (2L, b))
+    val L = 16
+    val spans = run(docs, L)
+    // both docs report a span covering the planted phrase
+    val sA = spans.filter(_._1 == 1L)
+    val sB = spans.filter(_._1 == 2L)
+    assert(sA.nonEmpty && sB.nonEmpty, spans)
+    val offA = a.indexOf(phrase).toLong
+    val offB = b.indexOf(phrase).toLong
+    assert(sA.exists(s => s._2 <= offA && s._3 >= offA + phrase.length - 1), (sA, offA))
+    assert(sB.exists(s => s._2 <= offB && s._3 >= offB + phrase.length - 1), (sB, offB))
+    // the token-window operator (5-token windows) is blind to it
+    val tok = Dedup.maximalDupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", 5)
+    assert(tok.count() == 0, "the planted dup should be below the token-window floor")
+    // and the brute force agrees exactly
+    assert(spans == bruteSpans(docs, L))
+  }
+
+  test("document fencing: identical doc tails never merge across the boundary") {
+    // two docs ENDING in the same 20 chars and a third starting with
+    // them: duplicates are reported inside each doc, but no span ever
+    // exceeds its doc's length
+    val common = "zzzzyyyyxxxxwwwwvvvv"
+    val docs = Seq(
+      (1L, "aaaaaaaaaa" + common),
+      (2L, "bbbbbbbbbb" + common),
+      (3L, common + "cccccccccc"))
+    val L = 16
+    val spans = run(docs, L)
+    val byDoc = docs.toMap
+    spans.foreach { case (id, s, e, _) =>
+      assert(s >= 0 && e < byDoc(id).length, (id, s, e))
+    }
+    assert(spans.map(_._1) == Set(1L, 2L, 3L))
+    assert(spans == bruteSpans(docs, L))
+  }
+}

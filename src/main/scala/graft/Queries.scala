@@ -3877,6 +3877,42 @@ object ParityQueries {
       path
     })
 
+  // ---- S51: NDV metastore round-trip -----------------------------------------
+  // s43's survival story for the NDV tier: definitions die with the
+  // JVM, artifacts don't. save() persists the canonical definition;
+  // load() replays the FULL registration — both exactness validations
+  // (unsaturation + collision-freedom) and a fresh fact-file snapshot
+  // run again, so a reload never trusts a proof from before the
+  // outage. The requires prove dead-then-alive-again; the oracle is
+  // s50's true count(DISTINCT).
+  def s51NdvMetastore(s: SparkSession, dir: String): DataFrame = {
+    val base = Sink.scratchDir(s"ndv_meta_${math.abs(dir.hashCode)}")
+    val name = s"orders_month_ndvm_${math.abs(dir.hashCode)}"
+    graft.plans.NdvCatalog.create(
+      s, name, Tables.orders(s, dir),
+      Seq(date_trunc("MONTH", col("o_orderdate")) -> "month"),
+      col("o_custkey"), S50K, base + "/mv")
+    graft.plans.NdvCatalog.save(s, base + "/catalog")
+    graft.plans.NdvCatalog.unregister(name)
+    def q = Tables.orders(s, dir)
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+      .agg(count_distinct(col("o_custkey")).as("n_cust"))
+    val out = Sink.scratchDir(s"ndv_meta_out_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(graft.plans.MvRewriteRule.EnabledKey -> "true")) {
+      val pre = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(pre.exists(_.contains("orders.parquet")),
+        s"NDV definition still live after unregister; plan scans: $pre")
+      graft.plans.NdvCatalog.load(s, base + "/catalog")
+      val post = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(post.exists(_.contains("ndv_meta")),
+        s"loaded NDV definition did not rewrite; plan scans: $post")
+      require(!post.exists(_.contains("orders.parquet")),
+        s"loaded NDV rewrite left a fact scan; scans: $post")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
   def s50NdvRewrite(s: SparkSession, dir: String): DataFrame = {
     s50NdvDir(s, dir)
     val out = Sink.scratchDir(s"ndv_rewrite_${math.abs(dir.hashCode)}")
@@ -4929,6 +4965,7 @@ object ParityQueries {
     "o16_attribution" -> (o16Attribution _),
     "s48_count_distinct_elim" -> (s48CountDistinctElim _),
     "s50_ndv_rewrite" -> (s50NdvRewrite _),
+    "s51_ndv_metastore" -> (s51NdvMetastore _),
     "s46_deletion_vectors" -> (s46DeletionVectors _),
     "s47_mor_upsert" -> (s47MorUpsert _),
     "j17_aqe_skew" -> (j17AqeSkew _),
@@ -5080,6 +5117,7 @@ object ParityQueries {
     "o16_attribution" -> o16Sql,
     "s48_count_distinct_elim" -> s48Sql,
     "s50_ndv_rewrite" -> s50Sql,
+    "s51_ndv_metastore" -> s50Sql,
     "s46_deletion_vectors" -> s46Sql,
     "s47_mor_upsert" -> s47Sql,
     "j17_aqe_skew" -> j17Sql,

@@ -392,7 +392,12 @@ object NdvCatalog {
     *    underestimate and the rewrite must never fire);
     *  - COLLISION-FREEDOM: `count(DISTINCT id) = count(DISTINCT
     *    hash(id))` over the fact (global equality implies per-group
-    *    equality — a restriction of an injective map is injective).
+    *    equality — a restriction of an injective map is injective);
+    *  - ARTIFACT ≡ FACT (extensional): per group, `size(hs)` equals
+    *    the fact's true distinct hash count over the exact group
+    *    universe — the check that catches a STALE artifact whose fact
+    *    drifted before a re-register/metastore reload snapshotted the
+    *    new files (law-tested in MvRewriteSpec).
     *
     * A failed condition registers with `exactOk = false`: the
     * definition is visible (and a law test can see WHY it refuses)
@@ -431,7 +436,7 @@ object NdvCatalog {
     val mvRel = spark.read.parquet(path).queryExecution.analyzed
       .collectFirst { case l: LogicalRelation => l }
       .getOrElse(throw new IllegalStateException(s"NDV MV '$name': $path is not a file scan"))
-    import org.apache.spark.sql.functions.{countDistinct, max, size}
+    import org.apache.spark.sql.functions.{coalesce, countDistinct, lit, max, size}
     val saturated = spark.read.parquet(path)
       .agg(max(size(col("hs"))).as("mx")).collect()(0) match {
       case r if r.isNullAt(0) => false // empty sketch: trivially complete
@@ -443,12 +448,68 @@ object NdvCatalog {
         countDistinct(col("__graft_ndv_id")).as("d_id"),
         countDistinct(graft.ops.Materialize.ndvHash(col("__graft_ndv_id"))).as("d_h"))
       .collect()(0) match { case r => r.getLong(0) != r.getLong(1) }
+    // EXTENSIONAL artifact check — the validation that catches a STALE
+    // artifact (fact drifted after the sketch was built, then the
+    // definition re-registered or metastore-reloaded against today's
+    // files): per group, size(hs) must equal the fact's true distinct
+    // hash count, over the exact group universe (countDistinct skips
+    // nulls, so an all-null-id group validates against its empty
+    // array). With collision-freedom this IS the exactness proof —
+    // unsaturation stops being load-bearing (a truncated group can't
+    // match its true count) but stays for the diagnostic.
+    val keyNames = keys.indices.map(i => s"__graft_ndv_k$i")
+    val factNdv = probe
+      .groupBy(keyNames.map(col): _*)
+      .agg(countDistinct(graft.ops.Materialize.ndvHash(col("__graft_ndv_id"))).as("d"))
+    val skSz = spark.read.parquet(path).select(
+      keys.map(_._2).zip(keyNames).map { case (n, kn) => col(n).as(kn) } :+
+        size(col("hs")).cast("long").as("sz"): _*)
+    val cond = keyNames.map(kn => skSz(kn) <=> factNdv(kn)).reduce(_ && _)
+    val mismatches = skSz.join(factNdv, cond, "full_outer")
+      .filter(!(coalesce(col("sz"), lit(-1L)) <=> coalesce(col("d"), lit(-1L))))
+      .limit(1).count()
     defs.put(name, NdvDef(
       name, paths, MvRewriteRule.relFiles(rel), keyDefs,
       MvRewriteRule.nameNorm(defOf("__graft_ndv_id")),
-      k, exactOk = !saturated && !collided, path, mvRel))
+      k, exactOk = !saturated && !collided && mismatches == 0, path, mvRel))
     ()
   }
+
+  /** Persist every registered NDV definition to a parquet "metastore"
+    * table ([[MvCatalog.save]]'s recipe): canonical key/id expressions
+    * as SQL text, k and artifact path alongside. [[load]] replays the
+    * FULL registration — including BOTH exactness validations and a
+    * fresh fact-file snapshot — so a definition whose fact drifted
+    * while the JVM was down re-registers against today's files and
+    * re-proves (or refuses) exactness, never trusts yesterday's.
+    */
+  def save(spark: SparkSession, path: String): Unit = {
+    val sp = spark
+    import sp.implicits._
+    all.toSeq.sortBy(_.name)
+      .map { d =>
+        (d.name, d.factPaths.toSeq.sorted, d.keys.map(_.name),
+          d.keys.map(_.canon.sql), d.idCanon.sql, d.k, d.mvPath)
+      }
+      .toDF("name", "fact_paths", "key_names", "key_sqls", "id_sql", "k", "mv_path")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Re-register every definition saved by [[save]]. Additive and
+    * idempotent, like [[MvCatalog.load]]; each definition pays its
+    * validation scans again — that is the point, see [[save]].
+    */
+  def load(spark: SparkSession, path: String): Unit =
+    spark.read.parquet(path).collect().sortBy(_.getAs[String]("name")).foreach { r =>
+      def strs(c: String): Seq[String] =
+        r.getAs[scala.collection.Seq[String]](c).toSeq
+      val fact = spark.read.parquet(strs("fact_paths"): _*)
+      val keys = strs("key_names").zip(strs("key_sqls"))
+        .map { case (n, sql) => expr(sql) -> n }
+      register(spark, r.getAs[String]("name"), fact, keys.toSeq,
+        expr(r.getAs[String]("id_sql")), r.getAs[Int]("k"),
+        r.getAs[String]("mv_path"))
+    }
 
   def unregister(name: String): Unit = { defs.remove(name); () }
   def clear(): Unit = defs.clear()

@@ -671,6 +671,40 @@ class MvRewriteSpec extends SparkSpec {
     } finally NdvCatalog.unregister("law_ndv_nulls")
   }
 
+  test("NDV metastore reload RE-VALIDATES: a stale artifact refuses exactness") {
+    // the sharp case the file-snapshot guard alone cannot catch: the
+    // fact drifts while the "JVM is down", then load() re-registers
+    // against TODAY's files — the snapshot is fresh, unsaturation and
+    // collision-freedom still pass, but the ARTIFACT predates the
+    // drift and would serve a wrong count. The extensional
+    // artifact ≡ fact validation (per-group size(hs) vs true distinct
+    // hash count) must flip exactOk and keep the fact scan.
+    val base = graft.ops.Sink.scratchDir("ndv_meta_drift_law")
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+      .write.mode("overwrite").parquet(base + "/fact")
+    def fact = spark.read.parquet(base + "/fact")
+    NdvCatalog.create(spark, "law_ndv_meta", fact,
+      Seq(col("g") -> "g"), col("id"), 64, base + "/mv")
+    NdvCatalog.save(spark, base + "/catalog")
+    NdvCatalog.unregister("law_ndv_meta")
+    try {
+      def q: DataFrame = fact.groupBy(col("g"))
+        .agg(countDistinct(col("id")).as("nd"))
+      // drift while "down": a new distinct id lands in group a
+      Seq((9L, "a")).toDF("id", "g").write.mode("append").parquet(base + "/fact")
+      NdvCatalog.load(spark, base + "/catalog")
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(paths.exists(_.contains("/fact")),
+        "a stale NDV artifact must never answer the query")
+      assert(rewritten == rows(q))
+      // and a REBUILD over the drifted fact restores the rewrite
+      NdvCatalog.create(spark, "law_ndv_meta", fact,
+        Seq(col("g") -> "g"), col("id"), 64, base + "/mv")
+      val paths2 = withMvRule { scans(q) }
+      assert(!paths2.exists(_.contains("/fact")), paths2)
+    } finally NdvCatalog.unregister("law_ndv_meta")
+  }
+
   test("ndvSketchExact merge law: base ⊕ delta ≡ whole-table rebuild, empty groups kept") {
     val df = Seq[(java.lang.Long, String)](
       (1L, "a"), (2L, "a"), (3L, "a"), (1L, "b"), (null, "c"), (2L, null), (4L, "b"))

@@ -5340,6 +5340,114 @@ def q22_dormant_value(sf):
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+# ---- r16 closure: the five new gate rows -----------------------------------
+
+def j21_chain_elim(sf):
+    # snowflake-chain elimination may only change WHICH tables the plan
+    # reads: the replay runs the REAL two-hop join
+    import math
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    c = pd.read_parquet(f"{sf}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    n = pd.read_parquet(f"{sf}/nation.parquet", columns=["n_nationkey"])
+    j = (o.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
+         .merge(n, left_on="c_nationkey", right_on="n_nationkey", how="inner"))
+    j = j.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in j["o_totalprice"]])
+    return (j.groupby("o_orderpriority")
+            .agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"))
+            .reset_index())
+
+
+def s50_ndv_rewrite(sf):
+    # the exactness-gated sketch substitution must equal the TRUE
+    # count(DISTINCT) per month — the replay computes it directly
+    o = pd.read_parquet(f"{sf}/orders.parquet",
+                        columns=["o_orderdate", "o_custkey"])
+    month = pd.to_datetime(o["o_orderdate"]).values.astype("datetime64[M]")
+    seen = {}
+    for m, ck in zip(month, o["o_custkey"]):
+        seen.setdefault(m, set())
+        if pd.notna(ck):
+            seen[m].add(int(ck))
+    rows = [(pd.Timestamp(m), len(s_)) for m, s_ in sorted(seen.items())]
+    return pd.DataFrame(rows, columns=["month", "n_cust"])
+
+
+def e1_suffix_spans(sf, L=32):
+    # char-granular duplicated spans replayed by direct substring
+    # counting (no ranks, no doubling): every length-L window,
+    # corpus-wide occurrence counts, gaps-and-islands per doc
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    wins = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        if t is None:
+            continue
+        for p in range(0, len(t) - L + 1):
+            wins.append((int(i), p, t[p:p + L]))
+    counts = {}
+    for _, _, w in wins:
+        counts[w] = counts.get(w, 0) + 1
+    dup = {}
+    for i, p, w in wins:
+        if counts[w] >= 2:
+            dup.setdefault(i, []).append(p)
+    rows = []
+    for i, ps in dup.items():
+        ps.sort()
+        start = prev = ps[0]
+        for p in ps[1:] + [None]:
+            if p is not None and p == prev + 1:
+                prev = p
+                continue
+            rows.append((i, start, prev + L - 1, prev + L - start))
+            if p is not None:
+                start = prev = p
+    return pd.DataFrame(
+        rows, columns=["doc_id", "span_start", "span_end", "span_len"])
+
+
+def e3_graph_search(sf, rounds=3, beam=8, k=3, n_queries=32):
+    # beam search replayed over the identically-derived mutual graph:
+    # enter at the query node, expand via edges, score fresh candidates
+    # by exact cosine, per-round top-beam, final top-k of the pool
+    import math
+    edges = e3_knn_graph(sf)
+    adj = {}
+    for a, b in zip(edges["id_a"], edges["id_b"]):
+        adj.setdefault(int(a), []).append(int(b))
+        adj.setdefault(int(b), []).append(int(a))
+    e = pd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    emb = {int(v): [float(x) for x in a]
+           for v, a in zip(e["vec_id"], e["embedding"])}
+    n2 = {i: _dot(v, v) for i, v in emb.items()}
+    rows = []
+    for q in sorted(emb):
+        if q >= n_queries:
+            continue
+        seen = {q}
+        frontier = [q]
+        pool = []
+        for _ in range(rounds):
+            cands = sorted({c for f in frontier for c in adj.get(f, [])} - seen)
+            if not cands:
+                break
+            scored = sorted(
+                ((_dot(emb[q], emb[c]) /
+                  (math.sqrt(n2[q]) * math.sqrt(n2[c])), c) for c in cands),
+                key=lambda t: (-t[0], t[1]))[:beam]
+            seen.update(c for _, c in scored)
+            frontier = [c for _, c in scored]
+            pool.extend(scored)
+        top = sorted(pool, key=lambda t: (-t[0], t[1]))[:k]
+        rows.extend((q, c, cs, rk)
+                    for rk, (cs, c) in enumerate(top, start=1))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -5567,7 +5675,15 @@ QUERIES = {
     "s38_mv_join_refresh": s38_mv_join_refresh,
     "s39_mv_join_stream": s39_mv_join_stream,
     "s40_mv_join_dimcdc": s40_mv_join_dimcdc,
+    # streaming twin: disjoint-customer batches commute to the same table
+    "s49_mv_dimcdc_stream": s40_mv_join_dimcdc,
     "s41_mv_choose": s41_mv_choose,
+    "j21_chain_elim": j21_chain_elim,
+    "s50_ndv_rewrite": s50_ndv_rewrite,
+    # metastore reload re-registers the same definition: same answer
+    "s51_ndv_metastore": s50_ndv_rewrite,
+    "e1_suffix_spans": e1_suffix_spans,
+    "e3_graph_search": e3_graph_search,
     "j18_join_elim": j18_join_elim,
     "j19_elim_then_mv": j19_elim_then_mv,
     "j20_left_elim": j20_left_elim,

@@ -3381,6 +3381,24 @@ object ExtQueries {
     Similarity.probeKnnGraph(s, ix)
   }
 
+  // Beam search over an INCREMENTALLY-INGESTED graph: build on a ~91%
+  // slice, append the rest, then probe with the SAME beam walk and the
+  // SAME rebuilt-graph oracle (e3zSql) — green only because
+  // appendKnnGraph's top-k merge is exact, so the search-time
+  // composition inherits the append ≡ rebuild law end to end. This is
+  // the 100 TB deployment shape: the corpus grows, the standing graph
+  // ingests the delta in O(|delta| × bucket occupancy), and every
+  // query keeps navigating the SAME artifact.
+  def e3GraphSearchAppended(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val ix = annScratch("knng_beam_app")
+    Similarity.writeKnnGraph(emb.filter(col("vec_id") % 11 =!= 5), AnnBits, AnnK, ix)
+    Similarity.appendKnnGraph(emb.filter(col("vec_id") % 11 === 5), AnnBits, AnnK, ix)
+    Similarity.graphBeamSearch(
+      emb.filter(col("vec_id") < AnnQueries), ix, BeamRounds, BeamWidth, AnnK)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+
   def e3KnnCompacted(s: SparkSession, dir: String): DataFrame = {
     val ix = knnGraphDir(s, dir)
     Similarity.compactKnnGraph(s, ix)
@@ -3897,6 +3915,7 @@ object ExtQueries {
     "e3_knn_appended" -> (e3KnnAppended _),
     "e3_knn_compacted" -> (e3KnnCompacted _),
     "e3_graph_search" -> (e3GraphSearch _),
+    "e3_graph_search_appended" -> (e3GraphSearchAppended _),
     "e2_bfs_hops" -> (e2BfsHops _),
     "e2_sssp_weighted" -> (e2SsspWeighted _),
     "e3_mrr_eval" -> (e3MrrEval _),
@@ -4019,6 +4038,7 @@ object ExtQueries {
     "e3_knn_appended" -> e3ySql,
     "e3_knn_compacted" -> e3ySql,
     "e3_graph_search" -> e3zSql,
+    "e3_graph_search_appended" -> e3zSql,
     "e2_bfs_hops" -> e2bfSql,
     "e2_sssp_weighted" -> e2qSql,
     "e3_mrr_eval" -> e3mrSql,

@@ -5684,6 +5684,8 @@ QUERIES = {
     "s51_ndv_metastore": s50_ndv_rewrite,
     "e1_suffix_spans": e1_suffix_spans,
     "e3_graph_search": e3_graph_search,
+    # append ≡ rebuild: the ingested graph answers like the rebuilt one
+    "e3_graph_search_appended": e3_graph_search,
     "j18_join_elim": j18_join_elim,
     "j19_elim_then_mv": j19_elim_then_mv,
     "j20_left_elim": j20_left_elim,

@@ -31,7 +31,12 @@ object PlanAudit {
         // plain lazy plans whose shapes print directly
         "s30_mv_rewrite", "s41_mv_choose", "j18_join_elim",
         "j19_elim_then_mv", "s44_count_pushdown", "s45_distinct_elim",
-        "e3_filtered_topk", "e7_priority_sample", "s42_topk_maintain")
+        "e3_filtered_topk", "e7_priority_sample", "s42_topk_maintain",
+        // r16 rows: the NDV substitution, the chain collapse, and the
+        // suffix-array/beam probes (their in-query requires / plan
+        // guards fire while the audit drives them)
+        "s50_ndv_rewrite", "j21_chain_elim", "e1_suffix_spans",
+        "e3_graph_search")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -3885,17 +3885,22 @@ object ParityQueries {
   // run again, so a reload never trusts a proof from before the
   // outage. The requires prove dead-then-alive-again; the oracle is
   // s50's true count(DISTINCT).
+  private val S51K = 8192 // sf0.1 densest quarter holds 4 878 distinct custkeys
   def s51NdvMetastore(s: SparkSession, dir: String): DataFrame = {
     val base = Sink.scratchDir(s"ndv_meta_${math.abs(dir.hashCode)}")
-    val name = s"orders_month_ndvm_${math.abs(dir.hashCode)}"
+    val name = s"orders_quarter_ndvm_${math.abs(dir.hashCode)}"
+    // QUARTER grain, not s50's month: definitions match by (fact,
+    // keys, id) canon, so a month-grain twin would let s50's standing
+    // registration answer this query and break the dead-then-alive
+    // proof whenever s50 happens to run first
     graft.plans.NdvCatalog.create(
       s, name, Tables.orders(s, dir),
-      Seq(date_trunc("MONTH", col("o_orderdate")) -> "month"),
-      col("o_custkey"), S50K, base + "/mv")
+      Seq(date_trunc("QUARTER", col("o_orderdate")) -> "quarter"),
+      col("o_custkey"), S51K, base + "/mv")
     graft.plans.NdvCatalog.save(s, base + "/catalog")
     graft.plans.NdvCatalog.unregister(name)
     def q = Tables.orders(s, dir)
-      .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+      .groupBy(date_trunc("QUARTER", col("o_orderdate")).as("quarter"))
       .agg(count_distinct(col("o_custkey")).as("n_cust"))
     val out = Sink.scratchDir(s"ndv_meta_out_${math.abs(dir.hashCode)}")
     withConfs(s, Seq(graft.plans.MvRewriteRule.EnabledKey -> "true")) {
@@ -3931,6 +3936,10 @@ object ParityQueries {
   }
   val s50Sql =
     """SELECT date_trunc('month', o_orderdate) AS month,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      |FROM orders GROUP BY 1""".stripMargin
+  val s51Sql =
+    """SELECT date_trunc('quarter', o_orderdate) AS quarter,
       |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
       |FROM orders GROUP BY 1""".stripMargin
 
@@ -5117,7 +5126,7 @@ object ParityQueries {
     "o16_attribution" -> o16Sql,
     "s48_count_distinct_elim" -> s48Sql,
     "s50_ndv_rewrite" -> s50Sql,
-    "s51_ndv_metastore" -> s50Sql,
+    "s51_ndv_metastore" -> s51Sql,
     "s46_deletion_vectors" -> s46Sql,
     "s47_mor_upsert" -> s47Sql,
     "j17_aqe_skew" -> j17Sql,

@@ -5376,6 +5376,22 @@ def s50_ndv_rewrite(sf):
     return pd.DataFrame(rows, columns=["month", "n_cust"])
 
 
+def s51_ndv_metastore(sf):
+    # quarter-grain true count(DISTINCT) — the reloaded definition's
+    # answer must be the real thing
+    o = pd.read_parquet(f"{sf}/orders.parquet",
+                        columns=["o_orderdate", "o_custkey"])
+    ts = pd.to_datetime(o["o_orderdate"])
+    quarter = ts.dt.to_period("Q").dt.start_time
+    seen = {}
+    for qd, ck in zip(quarter, o["o_custkey"]):
+        seen.setdefault(qd, set())
+        if pd.notna(ck):
+            seen[qd].add(int(ck))
+    rows = [(pd.Timestamp(m), len(s_)) for m, s_ in sorted(seen.items())]
+    return pd.DataFrame(rows, columns=["quarter", "n_cust"])
+
+
 def e1_suffix_spans(sf, L=32):
     # char-granular duplicated spans replayed by direct substring
     # counting (no ranks, no doubling): every length-L window,
@@ -5680,8 +5696,7 @@ QUERIES = {
     "s41_mv_choose": s41_mv_choose,
     "j21_chain_elim": j21_chain_elim,
     "s50_ndv_rewrite": s50_ndv_rewrite,
-    # metastore reload re-registers the same definition: same answer
-    "s51_ndv_metastore": s50_ndv_rewrite,
+    "s51_ndv_metastore": s51_ndv_metastore,
     "e1_suffix_spans": e1_suffix_spans,
     "e3_graph_search": e3_graph_search,
     # append ≡ rebuild: the ingested graph answers like the rebuilt one

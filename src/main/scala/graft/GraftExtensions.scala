@@ -90,7 +90,19 @@ object GraftExtensions {
         args(0), foldableInt(args(1), "w"), foldableInt(args(2), "h"), foldableInt(args(3), "n"))),
     ("graft_gif_frame_stats",
       "graft_gif_frame_stats(blob) - decode an animated GIF and frame-sample the middle frame to (n_frames, frame_idx, px_sum, px_min, px_max); null if undecodable",
-      (args: Seq[Expression]) => graft.functions.GifFrameStats(args.head)))
+      (args: Seq[Expression]) => graft.functions.GifFrameStats(args.head)),
+    ("graft_bitmap",
+      "graft_bitmap(sorted_ids) - exact compressed id-set binary from a strictly ascending array<bigint>",
+      (args: Seq[Expression]) => graft.functions.BitmapFromSorted(args.head)),
+    ("graft_bitmap_card",
+      "graft_bitmap_card(bm) - exact cardinality of an encoded id-set binary",
+      (args: Seq[Expression]) => graft.functions.BitmapCard(args.head)),
+    ("graft_bitmap_union",
+      "graft_bitmap_union(a, b) - set union of two encoded id-set binaries",
+      (args: Seq[Expression]) => graft.functions.BitmapUnion(args(0), args(1))),
+    ("graft_bitmap_and_card",
+      "graft_bitmap_and_card(a, b) - exact intersection cardinality of two encoded id-set binaries",
+      (args: Seq[Expression]) => graft.functions.BitmapIntersectCard(args(0), args(1))))
 
   private def foldableInt(e: Expression, name: String): Int = {
     require(e.foldable, s"$name must be a literal")

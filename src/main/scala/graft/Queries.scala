@@ -3943,6 +3943,134 @@ object ParityQueries {
       |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ---- S52: incremental EXACT NDV maintenance via compressed id-set bitmaps --
+  // s21 closes the NDV maintenance gap with an ESTIMATE (KMV min-k);
+  // s50 makes the estimate exact but only while every group is
+  // unsaturated. This is the third point on the curve — the one
+  // warehouse engines standardize on for count-distinct tiles: the
+  // rollup stores each group's distinct id set ITSELF, compressed
+  // ([[graft.functions.Bitmap64]] sorted-delta varints, ~1 byte/id on
+  // dense domains), so the statistic merges by streaming set union
+  // (O(bytes) per key, no explode — cheaper shape than s21's
+  // explode-distinct-recollect) and the finished count is EXACT at
+  // ANY cardinality, no saturation clause anywhere. Storage is
+  // O(group NDV) instead of O(k) — the explicit trade, documented in
+  // [[graft.ops.Materialize.bitmapSketch]], taken exactly when the
+  // tile must stay exact. Same split-build-merge discipline as s19/
+  // s21: pre-cutoff slice materialized to parquet (a real storage
+  // round-trip), post-cutoff delta merged in, history never
+  // rescanned; the oracle is the whole-table recompute, so the green
+  // row IS the merge law.
+  def s52BitmapNdv(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.orders(s, dir).select(
+      date_trunc("MONTH", col("o_orderdate")).as("month"), col("o_custkey"))
+    val cut = lit(S19Cutoff).cast("timestamp")
+    val stored = Sink.scratchDir(s"s52_bm_${math.abs(dir.hashCode)}") + "/monthly"
+    graft.ops.Materialize
+      .bitmapSketch(facts.filter(col("month") < cut), Seq("month"), "o_custkey")
+      .write.mode("overwrite").parquet(stored)
+    val delta = graft.ops.Materialize
+      .bitmapSketch(facts.filter(col("month") >= cut), Seq("month"), "o_custkey")
+    graft.ops.Materialize.bitmapCounts(
+      graft.ops.Materialize.mergeBitmap(s.read.parquet(stored), delta, Seq("month")),
+      Seq("month"))
+  }
+  val s52Sql =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---- S53: count-DISTINCT rewrite from the bitmap artifact ----------------
+  // The consumption half of s52, and the structural upgrade over
+  // s50's KMV leg: the bitmap NDV MV has NO saturation clause, so the
+  // rewrite stays live at grains where the KMV definition must
+  // disqualify itself. The gate stages exactly that contrast — the
+  // PRIORITY grain packs ~every customer into each of 5 groups, far
+  // past any reasonable k: a k=64 KMV definition registers with
+  // exactOk=false (validation refuses, in-query require proves the
+  // fact scan SURVIVES), then the bitmap definition registers on the
+  // same fact and the same query plans against the bitmap artifact
+  // with the fact scan GONE (sum of a 1-row-group graft_bitmap_card
+  // per group — plan shape preserved). Exactness needs no collision
+  // argument: the artifact stores the ids themselves.
+  def s53BitmapRewrite(s: SparkSession, dir: String): DataFrame = {
+    val base = Sink.scratchDir(s"s53_bm_${math.abs(dir.hashCode)}")
+    val fact = Tables.orders(s, dir)
+    val keys = Seq(col("o_orderpriority") -> "prio")
+    def q = fact
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(count_distinct(col("o_custkey")).as("n_cust"))
+    withConfs(s, Seq(graft.plans.MvRewriteRule.EnabledKey -> "true")) {
+      // KMV at k=64 SATURATES on this grain: registration's validation
+      // refuses exactness and the rewrite must leave the fact scan alone
+      graft.plans.NdvCatalog.create(
+        s, s"s53_kmv_${math.abs(dir.hashCode)}", fact, keys,
+        col("o_custkey"), 64, base + "/kmv")
+      val kmvScans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(kmvScans.exists(_.contains("orders.parquet")),
+        s"saturated KMV definition must NOT rewrite; plan scans: $kmvScans")
+      graft.plans.NdvCatalog.unregister(s"s53_kmv_${math.abs(dir.hashCode)}")
+      // the bitmap artifact has no saturation concept: same fact, same
+      // grain, rewrite fires and the fact scan disappears
+      graft.plans.NdvCatalog.createBitmap(
+        s, s"s53_bm_${math.abs(dir.hashCode)}", fact, keys,
+        col("o_custkey"), base + "/bm")
+      val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(scans.exists(_.contains("s53_bm")),
+        s"count-DISTINCT rewrite did not reach the bitmap artifact; scans: $scans")
+      require(!scans.exists(_.contains("orders.parquet")),
+        s"the fact scan survived the bitmap count-DISTINCT rewrite; scans: $scans")
+      val out = Sink.scratchDir(s"s53_out_${math.abs(dir.hashCode)}")
+      q.write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    }
+  }
+  val s53Sql =
+    """SELECT o_orderpriority AS prio,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---- A28: exact segment-overlap matrix from stored id-set bitmaps --------
+  // The audience-overlap tile: how many distinct customers do every
+  // two order-priority segments SHARE? Naively that is a per-pair
+  // fact self-join (10 shuffles of the fact at 5 segments — and the
+  // pair count grows quadratically). With s52's bitmap rollup the
+  // fact is scanned ONCE to build 5 rollup rows, and every pairwise
+  // |A∩B| / |A∪B| is a streaming merge-join over two compressed id
+  // streams ([[graft.functions.Bitmap64.intersectCardinality]]) —
+  // sketch-side work bounded by |segments|² pairs of O(bytes)
+  // scans, the fact never rejoined. At 100 TB the rollup is KB-scale
+  // per segment while the fact self-join alternative is 10 full
+  // shuffles; this is why engines store the bitmap, not the count.
+  def a28SegmentOverlap(s: SparkSession, dir: String): DataFrame = {
+    val seg = graft.ops.Materialize.bitmapSketch(
+      Tables.orders(s, dir).select(col("o_orderpriority").as("seg"), col("o_custkey")),
+      Seq("seg"), "o_custkey")
+    val a = seg.select(col("seg").as("seg_a"), col("bm").as("bm_a"))
+    val b = seg.select(col("seg").as("seg_b"), col("bm").as("bm_b"))
+    // |segments|² pair enumeration over the 5-row rollup — broadcast
+    // nested-loop on sketch rows by construction, never fact rows
+    a.join(b, col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        graft.ops.Materialize.bitmapCard(col("bm_a")).as("n_a"),
+        graft.ops.Materialize.bitmapCard(col("bm_b")).as("n_b"),
+        graft.ops.Materialize.bitmapIntersectCard(col("bm_a"), col("bm_b")).as("n_common"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
+  }
+  val a28Sql =
+    """WITH s AS (SELECT DISTINCT o_orderpriority AS seg, o_custkey AS c
+      |    FROM orders WHERE o_custkey IS NOT NULL),
+      |n AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY seg),
+      |p AS (SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, b.n AS n_b
+      |    FROM n a JOIN n b ON a.seg < b.seg),
+      |ov AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+      |      CAST(count(*) AS BIGINT) AS n_common
+      |    FROM s a JOIN s b ON a.c = b.c AND a.seg < b.seg GROUP BY 1, 2)
+      |SELECT p.seg_a, p.seg_b, p.n_a, p.n_b,
+      |  COALESCE(ov.n_common, 0) AS n_common,
+      |  p.n_a + p.n_b - COALESCE(ov.n_common, 0) AS n_union
+      |FROM p LEFT JOIN ov ON ov.seg_a = p.seg_a AND ov.seg_b = p.seg_b""".stripMargin
+
   // ---- S47: merge-on-read UPSERT (deletion vector + append) -------------------
   // The full Iceberg-v2/Delta-DV write path for an UPDATE: the old row
   // versions are position-deleted (s46's DV) and the post-image rows
@@ -4975,6 +5103,9 @@ object ParityQueries {
     "s48_count_distinct_elim" -> (s48CountDistinctElim _),
     "s50_ndv_rewrite" -> (s50NdvRewrite _),
     "s51_ndv_metastore" -> (s51NdvMetastore _),
+    "s52_bitmap_ndv" -> (s52BitmapNdv _),
+    "s53_bitmap_rewrite" -> (s53BitmapRewrite _),
+    "a28_segment_overlap" -> (a28SegmentOverlap _),
     "s46_deletion_vectors" -> (s46DeletionVectors _),
     "s47_mor_upsert" -> (s47MorUpsert _),
     "j17_aqe_skew" -> (j17AqeSkew _),
@@ -5127,6 +5258,9 @@ object ParityQueries {
     "s48_count_distinct_elim" -> s48Sql,
     "s50_ndv_rewrite" -> s50Sql,
     "s51_ndv_metastore" -> s51Sql,
+    "s52_bitmap_ndv" -> s52Sql,
+    "s53_bitmap_rewrite" -> s53Sql,
+    "a28_segment_overlap" -> a28Sql,
     "s46_deletion_vectors" -> s46Sql,
     "s47_mor_upsert" -> s47Sql,
     "j17_aqe_skew" -> j17Sql,

@@ -172,6 +172,72 @@ object Materialize {
         coalesce(sk("hs"), array().cast("array<long>")).as("hs"): _*)
   }
 
+  /** Per-key EXACT distinct-id set as a compressed bitmap column
+    * ([[graft.functions.Bitmap64]] sorted-delta varints over the ids
+    * THEMSELVES) — the NDV statistic that stays exact at ANY group
+    * cardinality, where [[ndvSketchExact]]'s min-k goes
+    * estimate-only on saturation. The trade is explicit: storage is
+    * O(group NDV) (≈1 byte/id on dense domains) instead of O(k), paid
+    * exactly when the dashboard tile must stay exact. Ids must be
+    * integral (they are stored, not hashed — exactness needs no
+    * collision argument).
+    *
+    * Scale shape: the (key, id) distinct is the same map-side
+    * pre-reduce every sketch build starts with; per-key assembly
+    * collects each group's DISTINCT ids once (bounded by group NDV,
+    * never fact rows). (key, NULL) rows survive the distinct and
+    * collect_list skips nulls, so an all-null-id group keeps its
+    * (empty-bitmap) row — the group-universe discipline
+    * [[ndvSketchExact]] needs a join for falls out for free here.
+    */
+  def bitmapSketch(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    requireIntegralId(df, idCol)
+    df.select(keyCols.map(col) :+ col(idCol).cast("long").as("__graft_bm_id"): _*)
+      .distinct()
+      .groupBy(keyCols.map(col): _*)
+      .agg(bitmapOf(sort_array(collect_list(col("__graft_bm_id")))).as("bm"))
+  }
+
+  /** Merge two [[bitmapSketch]] tables: null-safe full-outer join on
+    * the key tuple, per-row streaming set union of the two encoded
+    * bitmaps. O(|keys| + bytes) with NO explode — the merge never
+    * rematerializes ids, unlike [[mergeNdvExact]]'s
+    * explode-distinct-recollect. Keys on one side pass through with
+    * their bitmap unchanged (union with empty).
+    */
+  def mergeBitmap(base: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val d = delta.select(
+      keyCols.map(c => col(c).as(s"__d_$c")) :+ col("bm").as("__d_bm"): _*)
+    val cond = keyCols.map(c => base(c) <=> d(s"__d_$c")).reduce(_ && _)
+    val empty = lit(graft.functions.Bitmap64.Empty)
+    base.join(d, cond, "full_outer")
+      .select(keyCols.map(c => coalesce(base(c), d(s"__d_$c")).as(c)) :+
+        bitmapUnion(coalesce(base("bm"), empty), coalesce(col("__d_bm"), empty)).as("bm"): _*)
+  }
+
+  /** Finish a bitmap sketch into per-key EXACT distinct counts — an
+    * O(bytes) varint count per row, ids never materialized.
+    */
+  def bitmapCounts(sketch: DataFrame, keyCols: Seq[String]): DataFrame =
+    sketch.select(keyCols.map(col) :+ bitmapCard(col("bm")).as("n_distinct"): _*)
+
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(Seq("tinyint", "smallint", "int", "bigint").contains(dt.simpleString),
+      s"bitmapSketch stores ids exactly; id column '$idCol' must be integral, got $dt")
+  }
+
+  import org.apache.spark.sql.graftshim.ColumnBridge.{column => toCol, expression => toExpr}
+
+  private[graft] def bitmapOf(sortedIds: Column): Column =
+    toCol(graft.functions.BitmapFromSorted(toExpr(sortedIds)))
+  private[graft] def bitmapCard(bm: Column): Column =
+    toCol(graft.functions.BitmapCard(toExpr(bm)))
+  private[graft] def bitmapUnion(a: Column, b: Column): Column =
+    toCol(graft.functions.BitmapUnion(toExpr(a), toExpr(b)))
+  private[graft] def bitmapIntersectCard(a: Column, b: Column): Column =
+    toCol(graft.functions.BitmapIntersectCard(toExpr(a), toExpr(b)))
+
   /** The 60-bit id hash [[ndvSketchExact]] stores: 15 hex chars of
     * md5 (never negative, fits a BIGINT), distinct "ndv_" domain
     * prefix so no other sketch family's hashes can collide with it

@@ -349,7 +349,12 @@ private[graft] case class NdvDef(
     k: Int,
     exactOk: Boolean,
     mvPath: String,
-    mv: LogicalRelation)
+    mv: LogicalRelation,
+    // "kmv": ndvSketchExact artifact (`hs` array column, exact only
+    // while unsaturated + collision-free); "bitmap": bitmapSketch
+    // artifact (`bm` compressed exact id set — no saturation concept,
+    // no hash, exact at any cardinality; see Materialize.bitmapSketch)
+    kind: String = "kmv")
 
 /** Registry of NDV-sketch rollups for [[MvRewriteRule]]'s
   * count-DISTINCT leg. JVM-global like [[MvCatalog]]; the rewrite
@@ -475,13 +480,101 @@ object NdvCatalog {
     ()
   }
 
+  /** Materialize `Materialize.bitmapSketch(fact, keys, id)` at `path`
+    * and register it — the EXACT-id-set variant of [[create]]: no k,
+    * no saturation, exact at any per-group cardinality
+    * ([[graft.functions.Bitmap64]]). Refreshes ride
+    * [[graft.ops.Materialize.mergeBitmap]] (null-safe outer join of
+    * key rows + streaming set union — delta-only, no explode).
+    */
+  def createBitmap(
+      spark: SparkSession,
+      name: String,
+      fact: DataFrame,
+      keys: Seq[(Column, String)],
+      id: Column,
+      path: String): Unit = {
+    defs.values.asScala.filter(_.mvPath == path).map(_.name).foreach(defs.remove)
+    graft.ops.Materialize
+      .bitmapSketch(
+        fact.select(keys.map { case (c, n) => c.as(n) } :+ id.as("__graft_ndv_id"): _*),
+        keys.map(_._2), "__graft_ndv_id")
+      .write.mode("overwrite").parquet(path)
+    registerBitmap(spark, name, fact, keys, id, path)
+  }
+
+  /** Register an ALREADY-materialized bitmap NDV artifact. The
+    * exactness story is SHORTER than [[register]]'s, by construction:
+    * the bitmap stores the group's distinct ids themselves, so there
+    * is no saturation condition and no collision condition — the one
+    * thing to prove is the EXTENSIONAL check, per group
+    * `bitmap_card(bm) = count(DISTINCT id)` over the exact group
+    * universe, which both re-proves the artifact against today's fact
+    * (stale-artifact fence, same as [[register]]) and IS the rewrite's
+    * prove-equal contract. Ids must be integral ([[graft.ops
+    * .Materialize.bitmapSketch]] enforces it at build; re-checked here
+    * because registration accepts foreign artifacts).
+    */
+  def registerBitmap(
+      spark: SparkSession,
+      name: String,
+      fact: DataFrame,
+      keys: Seq[(Column, String)],
+      id: Column,
+      path: String): Unit = {
+    require(keys.nonEmpty, s"NDV MV '$name': at least one grouping key required")
+    val probeCols = keys.zipWithIndex.map { case ((c, _), i) => c.as(s"__graft_ndv_k$i") } :+
+      id.as("__graft_ndv_id")
+    val probe = fact.select(probeCols: _*)
+    val opt = probe.queryExecution.optimizedPlan
+    val (aliases, filters, rel) = MvRewriteRule.decompose(opt).getOrElse(
+      throw new IllegalArgumentException(
+        s"NDV MV '$name': fact must be a bare file scan (+ projections), got:\n$opt"))
+    require(filters.isEmpty,
+      s"NDV MV '$name': a FILTERED fact definition cannot answer whole-table aggregates")
+    val paths = MvRewriteRule.relPaths(rel).getOrElse(
+      throw new IllegalArgumentException(s"NDV MV '$name': fact scan is not a file relation"))
+    def defOf(n: String): Expression = {
+      val a = opt.output.find(_.name == n).getOrElse(
+        throw new IllegalStateException(s"NDV MV '$name': probe lost column $n"))
+      aliases.getOrElse(a.exprId, a)
+    }
+    require(Seq("tinyint", "smallint", "int", "bigint")
+      .contains(defOf("__graft_ndv_id").dataType.simpleString),
+      s"NDV MV '$name': bitmap artifacts store ids exactly; id must be integral")
+    val keyDefs = keys.zipWithIndex.map { case ((_, n), i) =>
+      MvKey(n, MvRewriteRule.nameNorm(defOf(s"__graft_ndv_k$i")))
+    }
+    val mvRel = spark.read.parquet(path).queryExecution.analyzed
+      .collectFirst { case l: LogicalRelation => l }
+      .getOrElse(throw new IllegalStateException(s"NDV MV '$name': $path is not a file scan"))
+    import org.apache.spark.sql.functions.{coalesce, countDistinct, lit}
+    val keyNames = keys.indices.map(i => s"__graft_ndv_k$i")
+    val factNdv = probe
+      .groupBy(keyNames.map(col): _*)
+      .agg(countDistinct(col("__graft_ndv_id")).as("d"))
+    val bmCard = spark.read.parquet(path).select(
+      keys.map(_._2).zip(keyNames).map { case (n, kn) => col(n).as(kn) } :+
+        graft.ops.Materialize.bitmapCard(col("bm")).as("sz"): _*)
+    val cond = keyNames.map(kn => bmCard(kn) <=> factNdv(kn)).reduce(_ && _)
+    val mismatches = bmCard.join(factNdv, cond, "full_outer")
+      .filter(!(coalesce(col("sz"), lit(-1L)) <=> coalesce(col("d"), lit(-1L))))
+      .limit(1).count()
+    defs.put(name, NdvDef(
+      name, paths, MvRewriteRule.relFiles(rel), keyDefs,
+      MvRewriteRule.nameNorm(defOf("__graft_ndv_id")),
+      k = 0, exactOk = mismatches == 0, path, mvRel, kind = "bitmap"))
+    ()
+  }
+
   /** Persist every registered NDV definition to a parquet "metastore"
     * table ([[MvCatalog.save]]'s recipe): canonical key/id expressions
-    * as SQL text, k and artifact path alongside. [[load]] replays the
-    * FULL registration — including BOTH exactness validations and a
-    * fresh fact-file snapshot — so a definition whose fact drifted
-    * while the JVM was down re-registers against today's files and
-    * re-proves (or refuses) exactness, never trusts yesterday's.
+    * as SQL text, kind, k and artifact path alongside. [[load]]
+    * replays the FULL registration — including the exactness
+    * validations and a fresh fact-file snapshot — so a definition
+    * whose fact drifted while the JVM was down re-registers against
+    * today's files and re-proves (or refuses) exactness, never trusts
+    * yesterday's.
     */
   def save(spark: SparkSession, path: String): Unit = {
     val sp = spark
@@ -489,9 +582,9 @@ object NdvCatalog {
     all.toSeq.sortBy(_.name)
       .map { d =>
         (d.name, d.factPaths.toSeq.sorted, d.keys.map(_.name),
-          d.keys.map(_.canon.sql), d.idCanon.sql, d.k, d.mvPath)
+          d.keys.map(_.canon.sql), d.idCanon.sql, d.k, d.mvPath, d.kind)
       }
-      .toDF("name", "fact_paths", "key_names", "key_sqls", "id_sql", "k", "mv_path")
+      .toDF("name", "fact_paths", "key_names", "key_sqls", "id_sql", "k", "mv_path", "kind")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
@@ -506,9 +599,13 @@ object NdvCatalog {
       val fact = spark.read.parquet(strs("fact_paths"): _*)
       val keys = strs("key_names").zip(strs("key_sqls"))
         .map { case (n, sql) => expr(sql) -> n }
-      register(spark, r.getAs[String]("name"), fact, keys.toSeq,
-        expr(r.getAs[String]("id_sql")), r.getAs[Int]("k"),
-        r.getAs[String]("mv_path"))
+      if (r.getAs[String]("kind") == "bitmap")
+        registerBitmap(spark, r.getAs[String]("name"), fact, keys.toSeq,
+          expr(r.getAs[String]("id_sql")), r.getAs[String]("mv_path"))
+      else
+        register(spark, r.getAs[String]("name"), fact, keys.toSeq,
+          expr(r.getAs[String]("id_sql")), r.getAs[Int]("k"),
+          r.getAs[String]("mv_path"))
     }
 
   def unregister(name: String): Unit = { defs.remove(name); () }
@@ -717,7 +814,7 @@ object MvRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     val rewritten = for {
       kAs <- Some(mv.keys.map(k => mvAttr(k.name)))
         .filter(_.forall(_.isDefined)).map(_.map(_.get))
-      hsA <- mvAttr("hs")
+      hsA <- mvAttr(if (mv.kind == "bitmap") "bm" else "hs")
     } yield {
       def attrKeyIdx(a: AttributeReference): Option[Int] =
         idToIdx.get(a.exprId).orElse(keyIdx(a))
@@ -727,15 +824,17 @@ object MvRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       })
       if (fRews.exists(f => !f.references.subsetOf(AttributeSet(kAs)))) return None
 
-      // count(DISTINCT id) → sum(size(hs)): each group is exactly one
-      // sketch row, so the sum reduces a single Int — cast to LONG to
-      // keep Count's output type bit-for-bit
+      // count(DISTINCT id) → sum(size(hs)) for the KMV-exact artifact,
+      // sum(bitmap_card(bm)) for the bitmap one: each group is exactly
+      // one sketch row, so the Sum is a 1-row-group reduce — cast to
+      // LONG where needed to keep Count's output type bit-for-bit
       def derive(ae: AggregateExpression): Option[Expression] = ae.aggregateFunction match {
         case Count(Seq(c)) if ae.isDistinct && ae.filter.isEmpty && isId(c) =>
-          Some(AggregateExpression(
-            Sum(Cast(Size(hsA, legacySizeOfNull = false),
-              org.apache.spark.sql.types.LongType)),
-            ae.mode, isDistinct = false))
+          val perGroup =
+            if (mv.kind == "bitmap") graft.functions.BitmapCard(hsA)
+            else Cast(Size(hsA, legacySizeOfNull = false),
+              org.apache.spark.sql.types.LongType)
+          Some(AggregateExpression(Sum(perGroup), ae.mode, isDistinct = false))
         case _ => None
       }
       val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {

@@ -721,4 +721,78 @@ class MvRewriteSpec extends SparkSpec {
     assert(merged == whole)
     assert(whole.exists { case (g, hs) => g == "c" && hs.isEmpty })
   }
+
+  // ---- the bitmap count-DISTINCT leg (s52/s53): exact at ANY grain ----
+
+  test("bitmap NDV rewrite: fires where KMV saturates, results bit-identical") {
+    // PRIORITY grain: ~every customer in each of 5 groups — k=64 KMV
+    // must refuse (saturated), the bitmap artifact must answer
+    val base = graft.ops.Sink.scratchDir("bm_mv_test")
+    def q: DataFrame = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+    NdvCatalog.create(spark, "test_bm_kmv", Tables.orders(spark, dir),
+      Seq(col("o_orderpriority") -> "prio"), col("o_custkey"), 64, base + "/kmv")
+    try {
+      assert(withMvRule { scans(q).exists(_.contains("orders.parquet")) },
+        "saturated KMV must leave the fact scan")
+    } finally NdvCatalog.unregister("test_bm_kmv")
+    NdvCatalog.createBitmap(spark, "test_bm", Tables.orders(spark, dir),
+      Seq(col("o_orderpriority") -> "prio"), col("o_custkey"), base + "/bm")
+    try {
+      val plain = rows(q)
+      val (rewritten, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(paths.exists(_.contains("bm_mv_test")), paths)
+      assert(!paths.exists(_.contains("orders.parquet")), paths)
+      assert(rewritten == plain)
+    } finally NdvCatalog.unregister("test_bm")
+  }
+
+  test("bitmap NDV constraint is point-in-time: an appended fact file disqualifies") {
+    val base = graft.ops.Sink.scratchDir("bm_stale_law")
+    Seq((1L, "a"), (2L, "a"), (2L, "b")).toDF("id", "g")
+      .write.mode("overwrite").parquet(base + "/fact")
+    def fact = spark.read.parquet(base + "/fact")
+    NdvCatalog.createBitmap(spark, "law_bm_stale", fact,
+      Seq(col("g") -> "g"), col("id"), base + "/mv")
+    try {
+      def q: DataFrame = fact.groupBy(col("g"))
+        .agg(countDistinct(col("id")).as("nd"))
+      assert(withMvRule { !scans(q).exists(_.contains("/fact")) },
+        "fresh snapshot should rewrite")
+      // drift the fact under the same directory: snapshot mismatch
+      Seq((9L, "a")).toDF("id", "g").write.mode("append").parquet(base + "/fact")
+      val paths = withMvRule { scans(q) }
+      assert(paths.exists(_.contains("/fact")),
+        s"drifted fact must disqualify the bitmap rewrite; scans: $paths")
+      // re-create against today's files: validation re-proves, rewrite
+      // returns, and the answer includes the appended row
+      NdvCatalog.createBitmap(spark, "law_bm_stale", fact,
+        Seq(col("g") -> "g"), col("id"), base + "/mv")
+      val (vals, paths2) = withMvRule { (rows(q), scans(q)) }
+      assert(!paths2.exists(_.contains("/fact")), paths2)
+      assert(vals == Seq(Seq("a", 3L), Seq("b", 1L)))
+    } finally NdvCatalog.unregister("law_bm_stale")
+  }
+
+  test("NDV metastore round-trips the bitmap kind and re-validates on load") {
+    val base = graft.ops.Sink.scratchDir("bm_meta_law")
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+      .write.mode("overwrite").parquet(base + "/fact")
+    def fact = spark.read.parquet(base + "/fact")
+    NdvCatalog.createBitmap(spark, "law_bm_meta", fact,
+      Seq(col("g") -> "g"), col("id"), base + "/mv")
+    NdvCatalog.save(spark, base + "/catalog")
+    NdvCatalog.unregister("law_bm_meta")
+    try {
+      def q: DataFrame = fact.groupBy(col("g"))
+        .agg(countDistinct(col("id")).as("nd"))
+      assert(withMvRule { scans(q).exists(_.contains("/fact")) },
+        "unregistered definition must not rewrite")
+      NdvCatalog.load(spark, base + "/catalog")
+      val (vals, paths) = withMvRule { (rows(q), scans(q)) }
+      assert(!paths.exists(_.contains("/fact")), paths)
+      assert(vals == Seq(Seq("a", 2L), Seq("b", 1L)))
+    } finally NdvCatalog.unregister("law_bm_meta")
+  }
 }

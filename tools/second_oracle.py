@@ -5392,6 +5392,56 @@ def s51_ndv_metastore(sf):
     return pd.DataFrame(rows, columns=["quarter", "n_cust"])
 
 
+def s52_bitmap_ndv(sf):
+    # the bitmap rollup is EXACT by construction (it stores the ids);
+    # the replay is the true per-month count(DISTINCT o_custkey)
+    o = pd.read_parquet(f"{sf}/orders.parquet",
+                        columns=["o_orderdate", "o_custkey"])
+    month = pd.to_datetime(o["o_orderdate"]).values.astype("datetime64[M]")
+    seen = {}
+    for m, ck in zip(month, o["o_custkey"]):
+        seen.setdefault(m, set())
+        if pd.notna(ck):
+            seen[m].add(int(ck))
+    rows = [(pd.Timestamp(m), len(s_)) for m, s_ in sorted(seen.items())]
+    return pd.DataFrame(rows, columns=["month", "n_distinct"])
+
+
+def s53_bitmap_rewrite(sf):
+    # priority-grain true count(DISTINCT) — the grain where the KMV
+    # definition must refuse and only the bitmap artifact answers
+    o = pd.read_parquet(f"{sf}/orders.parquet",
+                        columns=["o_orderpriority", "o_custkey"])
+    seen = {}
+    for p_, ck in zip(o["o_orderpriority"], o["o_custkey"]):
+        seen.setdefault(p_, set())
+        if pd.notna(ck):
+            seen[p_].add(int(ck))
+    rows = [(p_, len(s_)) for p_, s_ in sorted(seen.items())]
+    return pd.DataFrame(rows, columns=["prio", "n_cust"])
+
+
+def a28_segment_overlap(sf):
+    # exact pairwise segment overlap replayed with raw python sets —
+    # the same quantity the engine reads off two compressed bitmaps
+    o = pd.read_parquet(f"{sf}/orders.parquet",
+                        columns=["o_orderpriority", "o_custkey"])
+    segs = {}
+    for p_, ck in zip(o["o_orderpriority"], o["o_custkey"]):
+        segs.setdefault(p_, set())
+        if pd.notna(ck):
+            segs[p_].add(int(ck))
+    names = sorted(segs)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            na, nb = len(segs[a]), len(segs[b])
+            common = len(segs[a] & segs[b])
+            rows.append((a, b, na, nb, common, na + nb - common))
+    return pd.DataFrame(
+        rows, columns=["seg_a", "seg_b", "n_a", "n_b", "n_common", "n_union"])
+
+
 def e1_suffix_spans(sf, L=32):
     # char-granular duplicated spans replayed by direct substring
     # counting (no ranks, no doubling): every length-L window,
@@ -5697,6 +5747,9 @@ QUERIES = {
     "j21_chain_elim": j21_chain_elim,
     "s50_ndv_rewrite": s50_ndv_rewrite,
     "s51_ndv_metastore": s51_ndv_metastore,
+    "s52_bitmap_ndv": s52_bitmap_ndv,
+    "s53_bitmap_rewrite": s53_bitmap_rewrite,
+    "a28_segment_overlap": a28_segment_overlap,
     "e1_suffix_spans": e1_suffix_spans,
     "e3_graph_search": e3_graph_search,
     # append ≡ rebuild: the ingested graph answers like the rebuilt one

@@ -3442,6 +3442,95 @@ object ExtQueries {
       BeamRounds, BeamWidth, AnnK)
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
   }
+
+  // ---- E3x: graph-ANN for EXTERNAL queries (landmark-seeded entry) ---------
+  // The case e3z's own-node entry cannot serve: queries that are NOT
+  // graph members — the production regime (a search query arrives,
+  // the corpus is indexed). HNSW descends an upper layer to find
+  // entry points; the batch equivalent seeds each walk with the
+  // query's top-[[ExtEntryK]] LANDMARKS by exact cosine
+  // ([[Similarity.graphBeamSearchExternal]]), then expands the same
+  // fresh-only beam rounds. The landmark policy here is a
+  // deterministic arithmetic pick (vec_id % 29 = 1, ~3% of corpus) so
+  // the oracle replays it verbatim; production swaps in k-center
+  // picks (e3_kcenter) or IVF centroids — the SEARCH mechanism, which
+  // is what this gate pins, is identical for any entry policy. The
+  // corpus holds out every query (vec_id % 10 = 0), so a hit can only
+  // come through the graph walk, never self-entry. Entry nodes are
+  // scored as real candidates (layer 0) — at beam ≥ EntryK none is
+  // cut, matching the oracle's ly0 = ent.
+  private val ExtEntryK = 4
+  def e3GraphSearchExternal(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val ix = annScratch("knng_beam_ext")
+    Similarity.writeKnnGraph(corpus, AnnBits, AnnK, ix)
+    val queries = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < AnnQueries * 10)
+    val landmarks = corpus.filter(col("vec_id") % 29 === 1)
+    val entries = Similarity.cosineTopK(queries, landmarks, ExtEntryK)
+      .select(col("query_id"), col("vec_id"))
+    Similarity.graphBeamSearchExternal(
+      queries, ix, entries, BeamRounds, BeamWidth, AnnK)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+  val e3xSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val bucket = s"array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END for i in range(1, ${AnnBits + 1})], '')"
+    val rounds = (1 to BeamRounds).map { r =>
+      s"""nb$r AS (SELECT DISTINCT f.query_id, a.dst AS cand
+         |  FROM f${r - 1} f JOIN ad a ON f.vec_id = a.src),
+         |fr$r AS (SELECT nb.query_id, nb.cand FROM nb$r nb
+         |  LEFT JOIN s${r - 1} s ON nb.query_id = s.query_id AND nb.cand = s.vec_id
+         |  WHERE s.vec_id IS NULL),
+         |sc$r AS (SELECT f.query_id, c.vec_id,
+         |    ${duckDot("qq.embedding", "c.embedding")} / (sqrt(qq.n2) * sqrt(c.n2)) AS cos_sim
+         |  FROM fr$r f JOIN e c ON f.cand = c.vec_id
+         |  JOIN q qq ON f.query_id = qq.query_id),
+         |ly$r AS (SELECT query_id, vec_id, cos_sim FROM (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+         |  FROM sc$r) WHERE rk <= $BeamWidth),
+         |f$r AS (SELECT query_id, vec_id FROM ly$r),
+         |s$r AS (SELECT query_id, vec_id FROM s${r - 1}
+         |  UNION ALL SELECT query_id, vec_id FROM ly$r)""".stripMargin
+    }.mkString(",\n")
+    val pool = (0 to BeamRounds)
+      .map(r => s"SELECT query_id, vec_id, cos_sim FROM ly$r")
+      .mkString(" UNION ALL ")
+    s"""WITH al AS (SELECT vec_id, embedding, $n2 AS n2, $bucket AS bucket FROM embeddings),
+       |e AS (SELECT * FROM al WHERE vec_id % 10 <> 0),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+       |knn AS (SELECT query_id, vec_id, cos_sim FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM scored) WHERE rk <= $AnnK),
+       |me AS (SELECT least(query_id, vec_id) AS id_a, greatest(query_id, vec_id) AS id_b,
+       |    max(cos_sim) AS cos_sim
+       |  FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
+       |ad AS (SELECT id_a AS src, id_b AS dst FROM me
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM me),
+       |q AS (SELECT vec_id AS query_id, embedding, n2 FROM al
+       |  WHERE vec_id % 10 = 0 AND vec_id < ${AnnQueries * 10}),
+       |lm AS (SELECT vec_id, embedding, n2 FROM e WHERE vec_id % 29 = 1),
+       |ent AS (SELECT query_id, vec_id, cos_sim FROM (
+       |  SELECT qq.query_id, l.vec_id,
+       |    ${duckDot("qq.embedding", "l.embedding")} / (sqrt(qq.n2) * sqrt(l.n2)) AS cos_sim,
+       |    row_number() OVER (PARTITION BY qq.query_id ORDER BY
+       |      ${duckDot("qq.embedding", "l.embedding")} / (sqrt(qq.n2) * sqrt(l.n2)) DESC,
+       |      l.vec_id) AS rk
+       |  FROM q qq CROSS JOIN lm l) WHERE rk <= $ExtEntryK),
+       |ly0 AS (SELECT query_id, vec_id, cos_sim FROM ent),
+       |f0 AS (SELECT query_id, vec_id FROM ly0),
+       |s0 AS (SELECT query_id, vec_id FROM ent),
+       |$rounds,
+       |pool AS ($pool)
+       |SELECT query_id, vec_id, cos_sim, rk FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM pool) WHERE rk <= $AnnK""".stripMargin
+  }
   val e3zSql: String = {
     val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
     val bucket = s"array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END for i in range(1, ${AnnBits + 1})], '')"
@@ -3916,6 +4005,7 @@ object ExtQueries {
     "e3_knn_compacted" -> (e3KnnCompacted _),
     "e3_graph_search" -> (e3GraphSearch _),
     "e3_graph_search_appended" -> (e3GraphSearchAppended _),
+    "e3_graph_search_external" -> (e3GraphSearchExternal _),
     "e2_bfs_hops" -> (e2BfsHops _),
     "e2_sssp_weighted" -> (e2SsspWeighted _),
     "e3_mrr_eval" -> (e3MrrEval _),
@@ -4039,6 +4129,7 @@ object ExtQueries {
     "e3_knn_compacted" -> e3ySql,
     "e3_graph_search" -> e3zSql,
     "e3_graph_search_appended" -> e3zSql,
+    "e3_graph_search_external" -> e3xSql,
     "e2_bfs_hops" -> e2bfSql,
     "e2_sssp_weighted" -> e2qSql,
     "e3_mrr_eval" -> e3mrSql,

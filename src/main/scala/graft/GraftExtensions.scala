@@ -102,7 +102,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => graft.functions.BitmapUnion(args(0), args(1))),
     ("graft_bitmap_and_card",
       "graft_bitmap_and_card(a, b) - exact intersection cardinality of two encoded id-set binaries",
-      (args: Seq[Expression]) => graft.functions.BitmapIntersectCard(args(0), args(1))))
+      (args: Seq[Expression]) => graft.functions.BitmapIntersectCard(args(0), args(1))),
+    ("graft_bitmap_union_agg",
+      "graft_bitmap_union_agg(bm) - aggregate set union of encoded id-set binaries",
+      (args: Seq[Expression]) => graft.functions.BitmapUnionAgg(args.head)))
 
   private def foldableInt(e: Expression, name: String): Int = {
     require(e.foldable, s"$name must be a literal")

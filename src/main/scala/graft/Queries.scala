@@ -4030,6 +4030,106 @@ object ParityQueries {
       |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ---- S55: count-DISTINCT COARSENING from the bitmap lattice --------------
+  // The capability boundary between the two exact-NDV artifacts, made
+  // a gate: the KMV-exact rollup is grain-LOCKED (per-group sizes
+  // double-count ids shared across groups — its coarser-grouping
+  // disqualification is law-tested), but the bitmap rollup is a true
+  // LATTICE node: id sets union losslessly, so ONE fine-grained
+  // (month, priority) artifact answers the per-priority tile AND the
+  // global distinct-customer count by re-aggregating with
+  // graft_bitmap_union_agg and counting the union — both rewritten
+  // here with the fact scan gone (in-query requires). At 100 TB this
+  // is one stored rollup serving the whole drill-up hierarchy of
+  // count-distinct tiles, where the KMV tier would need one artifact
+  // per grain and the naive plan one fact scan per tile.
+  def s55BitmapCoarsen(s: SparkSession, dir: String): DataFrame = {
+    val base = Sink.scratchDir(s"s55_bm_${math.abs(dir.hashCode)}")
+    // stage a PRIVATE fact copy: NdvCatalog definitions match on fact
+    // paths, and this gate's requires must prove the LATTICE path
+    // specifically — on the shared orders scan, whichever bitmap/KMV
+    // definition another gate registered first (registry order is
+    // JVM-history-dependent) could legitimately serve these queries
+    // at its own grain and turn the requires into an ordering lottery
+    Tables.orders(s, dir)
+      .select(col("o_orderdate"), col("o_orderpriority"), col("o_custkey"))
+      .write.mode("overwrite").parquet(base + "/fact")
+    val fact = s.read.parquet(base + "/fact")
+    graft.plans.NdvCatalog.createBitmap(
+      s, s"s55_bm_${math.abs(dir.hashCode)}", fact,
+      Seq(date_trunc("MONTH", col("o_orderdate")) -> "month",
+        col("o_orderpriority") -> "prio"),
+      col("o_custkey"), base + "/bm")
+    withConfs(s, Seq(graft.plans.MvRewriteRule.EnabledKey -> "true")) {
+      val q = fact.groupBy(col("o_orderpriority").as("prio"))
+        .agg(count_distinct(col("o_custkey")).as("n_cust"))
+      val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+      require(scans.exists(_.contains("/bm")) && !scans.exists(_.contains("/fact")),
+        s"coarsened count-DISTINCT did not ride the bitmap lattice; scans: $scans")
+      val g = fact.agg(count_distinct(col("o_custkey")).as("n_total"))
+      val gScans = graft.plans.MvRewriteRule.scanPaths(g.queryExecution.optimizedPlan)
+      require(gScans.exists(_.contains("/bm")) && !gScans.exists(_.contains("/fact")),
+        s"the GLOBAL count-DISTINCT (lattice bottom) kept the fact scan: $gScans")
+      val out = Sink.scratchDir(s"s55_out_${math.abs(dir.hashCode)}")
+      q.crossJoin(g).write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    }
+  }
+  val s55Sql =
+    """SELECT o_orderpriority AS prio,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      |  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS n_total
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---- S54: FD-based GROUP BY key pruning on a validated PRIMARY key -------
+  // The BI-emitted shape `GROUP BY cust_id, cust_name, cust_segment`
+  // drags wide string columns through the exchange key for nothing:
+  // under a validated PRIMARY key (unique + non-null —
+  // FkCatalog.registerUnique(nonNull = true)) every other column of
+  // that dim scan is row-wise a FUNCTION of the key, so
+  // JoinEliminationRule narrows the grouping to the key alone and
+  // recovers each pruned column as first(col) — constant per group by
+  // the dependency, so the aggregate values and the output are
+  // bit-identical (the oracle runs the real wide grouping). The
+  // in-query require proves the optimized Aggregate groups on ONE
+  // expression. At 100 TB the shuffle key of every such dashboard
+  // query shrinks from (int + 2 strings) to the bare int — less
+  // hashing, less comparison, less exchange volume, same rows.
+  // NULL-extension is why uniqueness alone is NOT enough (a nullable
+  // unique key would let a real null-key group merge with outer-join
+  // null-extended rows); the nonNull validation closes it.
+  private val s54PkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def s54FdPrune(s: SparkSession, dir: String): DataFrame = {
+    s54PkCache.computeIfAbsent(dir, _ => {
+      graft.plans.FkCatalog.registerUnique(
+        s, s"customer_pknn_${math.abs(dir.hashCode)}",
+        Tables.customer(s, dir), col("c_custkey"), validate = true, nonNull = true)
+      "registered"
+    })
+    val out = Sink.scratchDir(s"fd_prune_${math.abs(dir.hashCode)}")
+    withConfs(s, Seq(graft.plans.JoinEliminationRule.EnabledKey -> "true")) {
+      val q = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(s30Cents).as("sum_cents"))
+      val aggs = q.queryExecution.optimizedPlan.collect {
+        case ag: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          ag.groupingExpressions.length
+      }
+      require(aggs.nonEmpty && aggs.forall(_ == 1),
+        s"FD prune did not narrow the grouping to the key; grouping arities: $aggs")
+      q.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+  val s54Sql =
+    """SELECT c_custkey, c_name, c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2, 3""".stripMargin
+
   // ---- A28: exact segment-overlap matrix from stored id-set bitmaps --------
   // The audience-overlap tile: how many distinct customers do every
   // two order-priority segments SHARE? Naively that is a per-pair
@@ -5105,6 +5205,8 @@ object ParityQueries {
     "s51_ndv_metastore" -> (s51NdvMetastore _),
     "s52_bitmap_ndv" -> (s52BitmapNdv _),
     "s53_bitmap_rewrite" -> (s53BitmapRewrite _),
+    "s54_fd_prune" -> (s54FdPrune _),
+    "s55_bitmap_coarsen" -> (s55BitmapCoarsen _),
     "a28_segment_overlap" -> (a28SegmentOverlap _),
     "s46_deletion_vectors" -> (s46DeletionVectors _),
     "s47_mor_upsert" -> (s47MorUpsert _),
@@ -5260,6 +5362,8 @@ object ParityQueries {
     "s51_ndv_metastore" -> s51Sql,
     "s52_bitmap_ndv" -> s52Sql,
     "s53_bitmap_rewrite" -> s53Sql,
+    "s54_fd_prune" -> s54Sql,
+    "s55_bitmap_coarsen" -> s55Sql,
     "a28_segment_overlap" -> a28Sql,
     "s46_deletion_vectors" -> s46Sql,
     "s47_mor_upsert" -> s47Sql,

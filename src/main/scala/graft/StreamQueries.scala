@@ -596,6 +596,37 @@ object StreamQueries {
     s.read.parquet(out).select(col("doc_id"), col("label_seed"), col("label_pred"))
   }
 
+  // ---- E7s: STREAMING deterministic split routing --------------------------
+  // Ingest-time train/val/test assignment: the batch e7_split's
+  // md5-deterministic bucket is a pure per-row function, so routing
+  // documents AS THEY ARRIVE (the shape a 100 TB corpus build
+  // actually wants — splits decided once at landing, never a
+  // whole-corpus shuffle later) is batch-split-invariant by
+  // construction. The gate forces one-file micro-batches
+  // (maxFilesPerTrigger=1) and reuses the batch oracle verbatim: any
+  // batching must land every doc in the same split, and rerunning
+  // the corpus through a different batching cannot move a document
+  // between train and test — the reproducibility property split
+  // assignment exists to provide. Stateless: no watermark, no state
+  // store, scan-bound per batch.
+  def e7SplitStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val in = fresh("e7s_in"); val out = fresh("e7s_out"); val ck = fresh("e7s_ck")
+    docs.coalesce(4).write.mode("overwrite").parquet(in)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = stream
+      .select(col("doc_id"), graft.ext.Sampling.assignSplit(col("doc_id")).as("split"))
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out).select(col("doc_id"), col("split"))
+  }
+
   // ---- E8s: streaming Bloom-gated decontamination ------------------------
   // Train-offline / score-online for corpus hygiene: the benchmark
   // Bloom mask and distinct-shingle frame are built ONCE batch-side
@@ -957,6 +988,42 @@ object StreamQueries {
     Materialize.quantileEstimate(s.read.parquet(stored), "month")
   }
 
+  // ---- S52s: STREAMING exact-bitmap NDV maintenance --------------------------
+  // The live form of s52_bitmap_ndv, completing the bitmap lifecycle
+  // (build → merge → rewrite → STREAM): delta fact rows arrive under
+  // forced one-file micro-batches, each batch reduces its own rows to
+  // a per-month compressed id-set sketch and set-unions it into the
+  // stored table (rewrite-then-swap). Union is associative AND
+  // idempotent, so any batching — and even a replayed batch — lands
+  // on the same artifact; the finished exact counts must hash-match
+  // the batch twin's whole-table count(DISTINCT) oracle. Per batch:
+  // O(|batch| + bytes of touched months), history never rescanned —
+  // the standing exact-NDV dashboard tile under continuous ingest.
+  def s52BitmapStream(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.orders(s, dir).select(
+      date_trunc("MONTH", col("o_orderdate")).as("month"), col("o_custkey"))
+    val cut = lit(ParityQueries.S19Cutoff).cast("timestamp")
+    val stored = fresh("s52str_bm") + "/monthly"
+    Materialize.bitmapSketch(facts.filter(col("month") < cut), Seq("month"), "o_custkey")
+      .write.mode("overwrite").parquet(stored)
+    val delta = facts.filter(col("month") >= cut)
+    val in = fresh("s52str_in"); val ck = fresh("s52str_ck")
+    delta.coalesce(4).write.mode("overwrite").parquet(in)
+    val q = s.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Materialize.refreshBitmapInto(
+          s, stored,
+          Materialize.bitmapSketch(b.toDF(), Seq("month"), "o_custkey"),
+          Seq("month")))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Materialize.bitmapCounts(s.read.parquet(stored), Seq("month"))
+  }
+
   // ---- S42s: STREAMING leaderboard maintenance -------------------------------
   // The live form of s42_topk_maintain: each micro-batch reduces its
   // own rows to a per-priority top-k and merges it into the stored
@@ -1244,8 +1311,10 @@ object StreamQueries {
     "a24_cusum_stream" -> (a24CusumStream _),
     "e5_quality_stream" -> (e5QualityStream _),
     "e8_decontam_stream" -> (e8DecontamStream _),
+    "e7_split_stream" -> (e7SplitStream _),
     "s19_rollup_stream" -> (s19RollupStream _),
     "s32_quantile_stream" -> (s32QuantileStream _),
+    "s52_bitmap_stream" -> (s52BitmapStream _),
     "s42_topk_stream" -> (s42TopkStream _),
     "s39_mv_join_stream" -> (s39MvJoinStream _),
     "s49_mv_dimcdc_stream" -> (s49MvDimCdcStream _),
@@ -1280,8 +1349,10 @@ object StreamQueries {
     "a24_cusum_stream" -> a24sSql,
     "e5_quality_stream" -> ExtQueries.e5oSql,
     "e8_decontam_stream" -> ExtQueries.e8bSql,
+    "e7_split_stream" -> ExtQueries.e7Sql,
     "s19_rollup_stream" -> ParityQueries.s19Sql,
     "s32_quantile_stream" -> ParityQueries.s32Sql,
+    "s52_bitmap_stream" -> ParityQueries.s52Sql,
     "s42_topk_stream" -> ParityQueries.s42Sql,
     "s39_mv_join_stream" -> s39sSql,
     "s49_mv_dimcdc_stream" -> ParityQueries.s40Sql,

@@ -687,6 +687,59 @@ object Similarity {
       rounds: Int,
       beam: Int,
       k: Int): DataFrame = {
+    val (adj, vecs, q) = beamSetup(queries, indexDir)
+    val self = q.select(col("query_id"), col("query_id").as("vec_id"))
+    beamLoop(adj, vecs, q, seenBase = self, initFrontier = self,
+      initLayers = Vector.empty, rounds, beam, k)
+  }
+
+  /** Graph-ANN probe for EXTERNAL queries — vectors that are NOT
+    * graph nodes, so "enter at your own node" is unavailable and the
+    * walk needs seeded ENTRY POINTS ([[graphBeamSearch]]'s scaladoc
+    * notes corpus-membership as the ideal case; this is the other
+    * case, HNSW's upper-layer descent batch-expressed). `entries` is
+    * a (query_id, vec_id) frame naming each query's entry nodes —
+    * the caller's policy (a landmark table scored exactly, IVF
+    * centroids, any deterministic pick); entry nodes are real
+    * candidates, so round 0 SCORES them (top-beam per query becomes
+    * the first layer AND the first frontier) and the walk proceeds
+    * exactly as the member variant: fresh-only scoring, per-round
+    * beam cut under the (cos desc, id) total order, top-k of the
+    * pooled layers. Same scale shape — entries are ≤ a handful per
+    * query, the corpus is never broadcast and never bulk-scanned.
+    */
+  def graphBeamSearchExternal(
+      queries: DataFrame,
+      indexDir: String,
+      entries: DataFrame,
+      rounds: Int,
+      beam: Int,
+      k: Int): DataFrame = {
+    val (adj, vecs, q) = beamSetup(queries, indexDir)
+    val ent = entries.select(col("query_id"), col("vec_id"))
+    val scored0 = broadcast(ent)
+      .join(vecs, Seq("vec_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineFrom(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2"))
+          .as("cos_sim"))
+    val (layer0, n0) = graft.ops.Sink.cachedEagerCount(
+      Ranking.topKPerGroup(
+        scored0, Seq("query_id"),
+        Seq(col("cos_sim").desc, col("vec_id").asc), beam).drop("rk"))
+    if (n0 == 0) {
+      layer0.unpersist()
+      return rankTopK(ent.filter(lit(false)).withColumn("cos_sim", lit(0.0d)), k)
+    }
+    // every named entry counts as VISITED (even one the beam cut) —
+    // re-scoring it later would double-pool the same candidate
+    beamLoop(adj, vecs, q, seenBase = ent,
+      initFrontier = layer0.select(col("query_id"), col("vec_id")),
+      initLayers = Vector(layer0), rounds, beam, k)
+  }
+
+  private def beamSetup(
+      queries: DataFrame, indexDir: String): (DataFrame, DataFrame, DataFrame) = {
     val spark = queries.sparkSession
     val edges = spark.read.parquet(s"$indexDir/edges")
     // mutual edges are stored once (id_a < id_b); walks need both ways
@@ -697,9 +750,21 @@ object Similarity {
     // query side: small by construction — broadcast it, never the corpus
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), norm2(col("embedding")).as("q_n2")))
-    val self = q.select(col("query_id"), col("query_id").as("vec_id"))
-    var frontier = self
-    var layers = Vector.empty[DataFrame]
+    (adj, vecs, q)
+  }
+
+  private def beamLoop(
+      adj: DataFrame,
+      vecs: DataFrame,
+      q: DataFrame,
+      seenBase: DataFrame,
+      initFrontier: DataFrame,
+      initLayers: Vector[DataFrame],
+      rounds: Int,
+      beam: Int,
+      k: Int): DataFrame = {
+    var frontier = initFrontier
+    var layers = initLayers
     var r = 0
     var dead = false
     while (r < rounds && !dead) {
@@ -719,7 +784,7 @@ object Similarity {
         .select(col("query_id"), col("dst").as("cand_id"))
         .distinct()
       val seen = layers.map(_.select(col("query_id"), col("vec_id")))
-        .foldLeft(self)(_.unionByName(_))
+        .foldLeft(seenBase)(_.unionByName(_))
       val fresh = nbrs.join(
         seen.withColumnRenamed("vec_id", "cand_id"),
         Seq("query_id", "cand_id"), "left_anti")
@@ -739,7 +804,7 @@ object Similarity {
         frontier = layer.select(col("query_id"), col("vec_id"))
       }
     }
-    if (layers.isEmpty) return rankTopK(self.filter(lit(false))
+    if (layers.isEmpty) return rankTopK(seenBase.filter(lit(false))
       .withColumn("cos_sim", lit(0.0d)), k)
     val out = graft.ops.Sink.cachedEager(
       rankTopK(layers.reduce(_.unionByName(_)), k))

@@ -226,6 +226,67 @@ case class BitmapCard(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** AGGREGATE set union of encoded bitmaps — `graft_bitmap_union_agg`
+  * folds any number of per-group bitmap rows into one id set. This is
+  * what makes the bitmap rollup a true LATTICE node where the KMV
+  * sketch is structurally a leaf: per-group exact sizes can never
+  * answer a coarser grouping (ids shared across groups would double-
+  * count — the KMV leg's documented disqualification), but the id
+  * SETS themselves union losslessly, so `count(DISTINCT id) GROUP BY
+  * any-key-subset` is derivable from a finer bitmap rollup by
+  * re-aggregating with this function and counting the result.
+  *
+  * Update and merge are the same streaming [[Bitmap64.union]] — an
+  * associative, commutative, idempotent fold, so partial aggregation
+  * (map-side combine) applies and shuffle order cannot perturb a
+  * byte. Buffer cost is bounded by the union's true NDV, the same
+  * O(group NDV) envelope the rollup already accepted at build.
+  */
+case class BitmapUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Byte]] {
+
+  override def prettyName: String = "graft_bitmap_union_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = Bitmap64.Empty
+
+  override def update(
+      buffer: Array[Byte],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] =
+    child.eval(input) match {
+      case null => buffer // null bitmap rows contribute nothing
+      case b => Bitmap64.union(buffer, b.asInstanceOf[Array[Byte]])
+    }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] =
+    Bitmap64.union(buffer, other)
+
+  override def eval(buffer: Array[Byte]): Any = buffer
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 /** Set union of two encoded bitmaps — the per-key merge step of the
   * bitmap rollup (base ⊕ delta), O(bytes) streaming.
   */

@@ -221,6 +221,19 @@ object Materialize {
   def bitmapCounts(sketch: DataFrame, keyCols: Seq[String]): DataFrame =
     sketch.select(keyCols.map(col) :+ bitmapCard(col("bm")).as("n_distinct"): _*)
 
+  /** Re-aggregate a [[bitmapSketch]] to a COARSER key subset by
+    * per-group set union ([[graft.functions.BitmapUnionAgg]]) — the
+    * lattice step no size- or hash-based NDV statistic supports: id
+    * sets union losslessly where per-group counts double-count
+    * shared ids. `coarsenBitmap(sketch(K), K') ≡ sketch(K')` for any
+    * K' ⊆ K (law-tested), so ONE fine-grained rollup serves every
+    * coarser count-distinct tile. Cost: one shuffle of rollup-sized
+    * rows with map-side partial union (associative/commutative/
+    * idempotent fold).
+    */
+  def coarsenBitmap(sketch: DataFrame, keyCols: Seq[String]): DataFrame =
+    sketch.groupBy(keyCols.map(col): _*).agg(bitmapUnionAgg(col("bm")).as("bm"))
+
   private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
     val dt = df.schema(idCol).dataType
     require(Seq("tinyint", "smallint", "int", "bigint").contains(dt.simpleString),
@@ -237,6 +250,8 @@ object Materialize {
     toCol(graft.functions.BitmapUnion(toExpr(a), toExpr(b)))
   private[graft] def bitmapIntersectCard(a: Column, b: Column): Column =
     toCol(graft.functions.BitmapIntersectCard(toExpr(a), toExpr(b)))
+  private[graft] def bitmapUnionAgg(c: Column): Column =
+    toCol(graft.functions.BitmapUnionAgg(toExpr(c)).toAggregateExpression())
 
   /** The 60-bit id hash [[ndvSketchExact]] stores: 15 hex chars of
     * md5 (never negative, fits a BIGINT), distinct "ndv_" domain
@@ -428,6 +443,22 @@ object Materialize {
       stored: String, deltaSketch: DataFrame, keyCol: String, k: Int): Unit =
     rewriteSwap(spark, stored)(s =>
       mergeQuantile(s.read.parquet(stored), deltaSketch, keyCol, k))
+
+  /** In-place refresh of a STORED bitmap NDV rollup ([[bitmapSketch]]
+    * schema): read, [[mergeBitmap]] the delta sketch in — set union is
+    * idempotent AND associative, so ANY batching of the delta lands on
+    * the same stored table — rewrite to a sibling, swap. Same crash
+    * story as [[refreshInto]]. (Idempotence is worth noting: unlike
+    * count/sum merges, a REPLAYED delta batch cannot corrupt a bitmap
+    * rollup — union with an already-merged id set is a no-op — so the
+    * exactly-once bookkeeping other refreshes need is belt-and-braces
+    * here, not load-bearing.)
+    */
+  def refreshBitmapInto(
+      spark: org.apache.spark.sql.SparkSession,
+      stored: String, deltaSketch: DataFrame, keyCols: Seq[String]): Unit =
+    rewriteSwap(spark, stored)(s =>
+      mergeBitmap(s.read.parquet(stored), deltaSketch, keyCols))
 
   /** In-place refresh of a STORED leaderboard ([[topkRollup]]
     * schema): read, [[mergeTopk]] the delta's top-k in, rewrite,

@@ -103,7 +103,12 @@ object FkCatalog {
     * the rewrite instead of silently trusting a stale constraint.
     */
   private[graft] case class UniqueDef(
-      name: String, paths: Set[String], keyCanon: Expression, files: Set[String])
+      name: String, paths: Set[String], keyCanon: Expression, files: Set[String],
+      // true ⇒ the key is also validated (or RELY-declared) NON-NULL —
+      // i.e. a PRIMARY KEY. DISTINCT/count-DISTINCT elimination need
+      // uniqueness alone; the FD group-by prune needs the stronger
+      // form (see fdGroupPrune's null-extension argument).
+      nonNull: Boolean = false)
 
   private val uniques = new java.util.concurrent.ConcurrentHashMap[String, UniqueDef]()
 
@@ -117,7 +122,13 @@ object FkCatalog {
       name: String,
       table: DataFrame,
       key: Column,
-      validate: Boolean = true): Unit = {
+      validate: Boolean = true,
+      // declare the key PRIMARY (unique AND non-null): with
+      // `validate = true` the null-absence is proven by one extra
+      // probe; with `validate = false` it is RELY-trusted like the
+      // uniqueness itself. Only nonNull defs feed the FD group-by
+      // prune ([[JoinEliminationRule]]).
+      nonNull: Boolean = false): Unit = {
     val probe = table.select(key.as("__uq_k"))
     val opt = probe.queryExecution.optimizedPlan
     val (aliases, filters, rel) = MvRewriteRule.decompose(opt).getOrElse(
@@ -132,11 +143,15 @@ object FkCatalog {
       val dups = probe.groupBy(col("__uq_k")).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).limit(1).count()
       require(dups == 0, s"UNIQUE '$name' violated: key has duplicates")
+      if (nonNull) {
+        val nulls = probe.filter(col("__uq_k").isNull).limit(1).count()
+        require(nulls == 0, s"PRIMARY '$name' violated: key has NULLs")
+      }
     }
     val out = opt.output.head
     uniques.put(name, UniqueDef(
       name, paths, MvRewriteRule.nameNorm(aliases.getOrElse(out.exprId, out)),
-      MvRewriteRule.relFiles(rel)))
+      MvRewriteRule.relFiles(rel), nonNull))
     ()
   }
 
@@ -195,7 +210,7 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
             groupingExpressions = g.map(substExpr(_, subst)),
             aggregateExpressions = ae.map(substNamed(_, subst)),
             child = keep)
-        }.orElse(distinctElim(a)).getOrElse(a)
+        }.orElse(distinctElim(a)).orElse(fdGroupPrune(a)).getOrElse(a)
       // the chain case (j21): after one elimination the survivor is
       // Aggregate → pruning-Project(s) → Join (column pruning ran in
       // the main batch and will not re-collapse what this batch
@@ -215,9 +230,9 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
               groupingExpressions = g2,
               aggregateExpressions = ae2,
               child = Project(keep.output.filter(needed.contains), keep))
-          }).getOrElse(a)
+          }).orElse(fdGroupPrune(a)).getOrElse(a)
       case a: Aggregate =>
-        distinctElim(a).orElse(countDistinctElim(a)).getOrElse(a)
+        distinctElim(a).orElse(countDistinctElim(a)).orElse(fdGroupPrune(a)).getOrElse(a)
     }
   }
 
@@ -320,6 +335,113 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
       }.asInstanceOf[NamedExpression])
       if newExprs != a.aggregateExpressions
     } yield a.copy(aggregateExpressions = newExprs)
+
+  /** FUNCTIONAL-DEPENDENCY group-by pruning: `GROUP BY pk, f(attrs…)`
+    * where `pk` is a validated PRIMARY key (unique + non-null,
+    * [[FkCatalog.registerUnique]] with `nonNull = true`) of a scan in
+    * the aggregate's child, and every `attrs` column comes from that
+    * SAME scan instance, narrows to `GROUP BY pk` with each pruned
+    * expression recovered as `first(expr)` (constant per group, so
+    * First's order-dependence is vacuous). BI tools emit exactly this
+    * — `GROUP BY cust_id, cust_name, cust_address, …` — and the wide
+    * string columns ride the exchange key for nothing; at 100 TB the
+    * prune shrinks every shuffle row's key to the integer pk.
+    *
+    * Soundness: within any row set derived from the scan by the
+    * WHITELISTED operators (Project/Filter/Join of any type), the
+    * scan's attributes are row-wise a function of pk — each retained
+    * row carries one whole dim row, and outer-join null-extension
+    * nulls pk and the attrs TOGETHER, which collides with no real
+    * group precisely because the key is validated non-null (a
+    * nullable unique key would let a real (null-pk, attr) group merge
+    * with the null-extended one — that is why uniqueness alone is not
+    * enough). So the partition of rows under (pk, f(attrs)) is the
+    * partition under pk alone, every aggregate value is unchanged,
+    * and f (required deterministic) is constant per group. Operators
+    * that can BREAK per-row provenance — Union (merges attribute ids
+    * across branches), Expand (nulls grouping columns per projection)
+    * — are simply never walked through, so a relation behind them is
+    * invisible to the prune. Same point-in-time file-snapshot guard
+    * as every other constraint consumer.
+    */
+  private def fdGroupPrune(a: Aggregate): Option[LogicalPlan] = {
+    // scans reachable through provenance-preserving operators only —
+    // plus the alias definitions those operators introduce (the
+    // analyzer materializes computed GROUP BY expressions as a Project
+    // below the Aggregate, so `GROUP BY pk, upper(name)` arrives as a
+    // grouping ATTRIBUTE whose definition lives one Project down;
+    // deterministic aliases preserve per-row provenance, so walking
+    // through them is as sound as walking through attribute renames)
+    def walk(p: LogicalPlan): (Seq[LogicalRelation], Map[ExprId, Expression]) = p match {
+      case l: LogicalRelation => (Seq(l), Map.empty)
+      case Project(pl, c) if pl.forall {
+            case _: AttributeReference => true
+            case al: Alias => al.child.deterministic
+            case _ => false
+          } =>
+        val (rs, m) = walk(c)
+        (rs, m ++ pl.collect { case al: Alias => al.exprId -> al.child })
+      case Filter(_, c) => walk(c)
+      case j: Join =>
+        val (lr, lm) = walk(j.left)
+        val (rr, rm) = walk(j.right)
+        (lr ++ rr, lm ++ rm)
+      case _ => (Nil, Map.empty)
+    }
+    val (rels, aliasMap) = walk(a.child)
+    def inlineAll(e: Expression): Expression = {
+      val r = e.transformUp {
+        case at: AttributeReference if aliasMap.contains(at.exprId) => aliasMap(at.exprId)
+      }
+      if (r.fastEquals(e)) r else inlineAll(r)
+    }
+    val candidates: Seq[(LogicalRelation, Attribute)] = for {
+      l <- rels
+      paths <- MvRewriteRule.relPaths(l).toSeq
+      u <- FkCatalog.allUniques.toSeq.sortBy(_.name)
+      if u.nonNull && u.paths == paths && u.files == MvRewriteRule.relFiles(l)
+      kAttr <- l.output.find(at => MvRewriteRule.nameNorm(at).semanticEquals(u.keyCanon))
+    } yield (l, kAttr)
+    candidates.flatMap { case (rel, kAttr) =>
+      val (keyG, restG) = a.groupingExpressions.partition {
+        case at: Attribute => at.exprId == kAttr.exprId
+        case _ => false
+      }
+      // pruned: non-key grouping expressions determined by the pk —
+      // deterministic and (after inlining interposed alias
+      // definitions) referencing ONLY this scan instance
+      val (pruned, kept) = restG.partition { e =>
+        val ie = inlineAll(e)
+        ie.deterministic && ie.references.nonEmpty && ie.references.subsetOf(rel.outputSet)
+      }
+      if (keyG.isEmpty || pruned.isEmpty) None
+      else {
+        def isPruned(e: Expression): Boolean = pruned.exists(_.semanticEquals(e))
+        def firstOf(e: Expression): Expression =
+          aggregate.AggregateExpression(
+            aggregate.First(e, ignoreNulls = false), aggregate.Complete, isDistinct = false)
+        val mapped: Seq[Option[NamedExpression]] = a.aggregateExpressions.map {
+          case at: Attribute if isPruned(at) =>
+            Some(Alias(firstOf(at), at.name)(exprId = at.exprId))
+          case at: Attribute => Some(at) // kept grouping attr (validity unchanged)
+          case al @ Alias(ae: aggregate.AggregateExpression, name) =>
+            Some(al) // real aggregates pass through untouched
+          case al @ Alias(e, name) if isPruned(e) =>
+            Some(Alias(firstOf(e), name)(exprId = al.exprId))
+          case al @ Alias(e, _) if (keyG ++ kept).exists(_.semanticEquals(e)) =>
+            Some(al)
+          // anything else (an expression OVER a pruned grouping value,
+          // nested aggregates, …) — refuse rather than risk building
+          // an invalid Aggregate
+          case _ => None
+        }
+        if (mapped.exists(_.isEmpty)) None
+        else Some(a.copy(
+          groupingExpressions = keyG ++ kept,
+          aggregateExpressions = mapped.map(_.get)))
+      }
+    }.headOption
+  }
 
   /** If `j` is a registered FK join and `used` touches only the
     * constraint's CHILD side — plus, at most, the parent's join KEY,

@@ -803,8 +803,15 @@ object MvRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     }
     if (gMatched.exists(_._1.isEmpty)) return None
     val gIdx = gMatched.map(_._1.get)
-    // exact grain only: every registered key grouped on, each once
-    if (gIdx.distinct.size != gIdx.size || gIdx.toSet != mv.keys.indices.toSet) return None
+    if (gIdx.distinct.size != gIdx.size) return None
+    val exactGrain = gIdx.toSet == mv.keys.indices.toSet
+    // the KMV-exact artifact is grain-LOCKED: per-group sizes cannot
+    // answer a coarser grouping (ids shared across groups would
+    // double-count). The bitmap artifact is a true lattice node — the
+    // id SETS union losslessly — so any key SUBSET (including the
+    // global aggregate) coarsens by re-aggregating with
+    // graft_bitmap_union_agg and counting the union.
+    if (!exactGrain && mv.kind != "bitmap") return None
     val idToIdx: Map[ExprId, Int] =
       gMatched.collect { case (Some(i), Some(id)) => id -> i }.toMap
 
@@ -825,16 +832,26 @@ object MvRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       if (fRews.exists(f => !f.references.subsetOf(AttributeSet(kAs)))) return None
 
       // count(DISTINCT id) → sum(size(hs)) for the KMV-exact artifact,
-      // sum(bitmap_card(bm)) for the bitmap one: each group is exactly
-      // one sketch row, so the Sum is a 1-row-group reduce — cast to
-      // LONG where needed to keep Count's output type bit-for-bit
+      // sum(bitmap_card(bm)) for the bitmap one: at the EXACT grain
+      // each group is exactly one sketch row, so the Sum is a
+      // 1-row-group reduce — cast to LONG where needed to keep
+      // Count's output type bit-for-bit. COARSENED (bitmap only,
+      // gated above): the group's sketch rows re-aggregate by set
+      // union and the count reads off the union — still exact,
+      // because the union dedups the ids the per-group counts would
+      // double-count.
       def derive(ae: AggregateExpression): Option[Expression] = ae.aggregateFunction match {
         case Count(Seq(c)) if ae.isDistinct && ae.filter.isEmpty && isId(c) =>
-          val perGroup =
-            if (mv.kind == "bitmap") graft.functions.BitmapCard(hsA)
-            else Cast(Size(hsA, legacySizeOfNull = false),
-              org.apache.spark.sql.types.LongType)
-          Some(AggregateExpression(Sum(perGroup), ae.mode, isDistinct = false))
+          if (!exactGrain)
+            Some(graft.functions.BitmapCard(AggregateExpression(
+              graft.functions.BitmapUnionAgg(hsA), ae.mode, isDistinct = false)))
+          else {
+            val perGroup =
+              if (mv.kind == "bitmap") graft.functions.BitmapCard(hsA)
+              else Cast(Size(hsA, legacySizeOfNull = false),
+                org.apache.spark.sql.types.LongType)
+            Some(AggregateExpression(Sum(perGroup), ae.mode, isDistinct = false))
+          }
         case _ => None
       }
       val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {

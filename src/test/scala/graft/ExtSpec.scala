@@ -1109,6 +1109,53 @@ class ExtSpec extends SparkSpec {
     assert(mismatches == 0, s"$mismatches beam scores differ from exact cosine")
   }
 
+  test("graphBeamSearchExternal: rounds=0 ≡ entry top-k, recall monotone, scores exact") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val ix = graft.ops.Sink.scratchDir("beam_ext_ix")
+    Similarity.writeKnnGraph(corpus, 6, 3, ix)
+    val q = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 200)
+    val nQ = q.count()
+    val landmarks = corpus.filter(col("vec_id") % 29 === 1)
+    val entries = Similarity.cosineTopK(q, landmarks, 4)
+      .select(col("query_id"), col("vec_id"))
+    val k = 3
+    // rounds = 0: no expansion — the answer IS the entry scoring's
+    // top-k, i.e. exactly cosineTopK against the landmark set
+    val r0 = Similarity.graphBeamSearchExternal(q, ix, entries, 0, 8, k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim")).collect()
+      .map(_.toSeq).toSet
+    val lmTopk = Similarity.cosineTopK(q, landmarks, k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim")).collect()
+      .map(_.toSeq).toSet
+    assert(r0 == lmTopk)
+    // every query answers k rows (the pool never starves: 4 entries ≥ k)
+    assert(r0.size == nQ * k)
+    // recall vs exact over the held-out corpus is monotone in rounds
+    val exact = Similarity.cosineTopK(q, corpus, k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"))
+    def hits(rounds: Int): Long = {
+      val ann = Similarity.graphBeamSearchExternal(q, ix, entries, rounds, 8, k)
+        .select(col("query_id").as("aq"), col("vec_id").as("av"))
+      exact.join(ann,
+        col("query_id") === col("aq") && col("vec_id") === col("av"),
+        "left_semi").count()
+    }
+    val h0 = hits(0)
+    val h3 = hits(3)
+    assert(h3 >= h0, s"external recall must be monotone in rounds: $h3 < $h0")
+    // every returned score is the exact query-candidate cosine
+    val ann3 = Similarity.graphBeamSearchExternal(q, ix, entries, 3, 8, k)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"), col("cos_sim").as("ac"))
+    val scoredPairs = Similarity.cosineTopK(q, corpus, 1000)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"))
+    val mismatches = ann3.join(scoredPairs,
+      col("aq") === col("query_id") && col("av") === col("vec_id") &&
+        col("ac") === col("cos_sim"), "left_anti").count()
+    assert(mismatches == 0, s"$mismatches external beam scores differ from exact cosine")
+  }
+
   test("graphBeamSearch: high recall on a CLUSTERED corpus (navigable graph)") {
     // the testdata embeddings are near-random (no index can recall on
     // them — bucketed ANN sits at ~3%); real embedding corpora are

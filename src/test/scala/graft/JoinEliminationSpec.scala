@@ -472,4 +472,114 @@ class JoinEliminationSpec extends SparkSpec {
         spark.experimental.extraOptimizations.filterNot(_ eq JoinEliminationRule)
     }
   }
+
+  // ---- FD group-by pruning (s54): PRIMARY key determines its scan's columns ----
+
+  private def withPk[T](body: => T): T = {
+    FkCatalog.registerUnique(spark, "law_cust_pk",
+      Tables.customer(spark, dir), col("c_custkey"), validate = true, nonNull = true)
+    try body
+    finally FkCatalog.unregisterUnique("law_cust_pk")
+  }
+
+  private def groupArities(df: DataFrame): Seq[Int] =
+    df.queryExecution.optimizedPlan.collect {
+      case ag: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        ag.groupingExpressions.length
+    }
+
+  test("FD prune: wide dim grouping narrows to the pk, results bit-identical") {
+    withPk {
+      def q: DataFrame = joined
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"))
+      val plain = rows(q)
+      val (pruned, arities) = withRule { (rows(q), groupArities(q)) }
+      assert(arities == Seq(1), arities)
+      assert(pruned == plain)
+    }
+  }
+
+  test("FD prune: a computed expression OVER a dim column prunes too") {
+    withPk {
+      def q: DataFrame = joined
+        .groupBy(col("c_custkey"), upper(col("c_mktsegment")).as("seg"))
+        .agg(count(lit(1)).as("n"))
+      val plain = rows(q)
+      val (pruned, arities) = withRule { (rows(q), groupArities(q)) }
+      assert(arities == Seq(1), arities)
+      assert(pruned == plain)
+    }
+  }
+
+  test("FD prune: uniqueness WITHOUT non-null never fires (null-extension hazard)") {
+    FkCatalog.registerUnique(spark, "law_cust_uq_only",
+      Tables.customer(spark, dir), col("c_custkey"))
+    try {
+      val q = joined
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n"))
+      assert(withRule { groupArities(q) } == Seq(2))
+    } finally FkCatalog.unregisterUnique("law_cust_uq_only")
+  }
+
+  test("FD prune: LEFT-join null-extension stays exact under the non-null pk") {
+    // fact keys 1,2,9 — 9 has NO dim row, so the dim side null-extends;
+    // the (null, null) rows must stay ONE group before and after pruning
+    val base = graft.ops.Sink.scratchDir("fd_ljoin_law")
+    Seq((1L, 10L), (1L, 20L), (2L, 5L), (9L, 7L), (9L, 8L))
+      .toDF("fk", "v").write.mode("overwrite").parquet(base + "/fact")
+    Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("pk", "nm").write.mode("overwrite").parquet(base + "/dim")
+    val fact = spark.read.parquet(base + "/fact")
+    val dim = spark.read.parquet(base + "/dim")
+    FkCatalog.registerUnique(spark, "law_dim_pk", dim, col("pk"),
+      validate = true, nonNull = true)
+    try {
+      def q: DataFrame = fact.join(dim, col("fk") === col("pk"), "left")
+        .groupBy(col("pk"), col("nm"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      val plain = rows(q)
+      val (pruned, arities) = withRule { (rows(q), groupArities(q)) }
+      assert(arities == Seq(1), arities)
+      assert(pruned == plain)
+      assert(plain.exists(r => r(0) == null && r(1) == null && r(2) == 2L))
+    } finally FkCatalog.unregisterUnique("law_dim_pk")
+  }
+
+  test("FD prune: an output expression OVER a pruned value refuses rather than break") {
+    withPk {
+      // concat(c_name, …) as an AGGREGATE OUTPUT is an expression over
+      // a grouping value, not the grouping expression itself — the
+      // conservative tier declines the whole prune (grouping stays
+      // wide) instead of risking an invalid Aggregate
+      def q: DataFrame = joined
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tag", concat(col("c_name"), lit("!")))
+      val plain = rows(q)
+      val pruned = withRule { rows(q) }
+      assert(pruned == plain)
+    }
+  }
+
+  test("FD prune: pk constraint is point-in-time — a drifted dim disqualifies") {
+    val base = graft.ops.Sink.scratchDir("fd_stale_law")
+    Seq((1L, "a"), (2L, "b")).toDF("pk", "nm")
+      .write.mode("overwrite").parquet(base + "/dim")
+    Seq((1L, 10L), (2L, 5L)).toDF("fk", "v")
+      .write.mode("overwrite").parquet(base + "/fact")
+    def dim = spark.read.parquet(base + "/dim")
+    def fact = spark.read.parquet(base + "/fact")
+    FkCatalog.registerUnique(spark, "law_fd_stale", dim, col("pk"),
+      validate = true, nonNull = true)
+    try {
+      def q: DataFrame = fact.join(dim, col("fk") === col("pk"))
+        .groupBy(col("pk"), col("nm")).agg(sum(col("v")).as("s"))
+      assert(withRule { groupArities(q) } == Seq(1))
+      // append under the same directory: snapshot mismatch, prune dead
+      Seq((2L, "B2")).toDF("pk", "nm").write.mode("append").parquet(base + "/dim")
+      assert(withRule { groupArities(q) } == Seq(2))
+    } finally FkCatalog.unregisterUnique("law_fd_stale")
+  }
 }

@@ -775,6 +775,54 @@ class MvRewriteSpec extends SparkSpec {
     } finally NdvCatalog.unregister("law_bm_stale")
   }
 
+  test("bitmap NDV coarsening: a key-subset grouping and the GLOBAL both rewrite exactly") {
+    val base = graft.ops.Sink.scratchDir("bm_coarsen_test")
+    NdvCatalog.createBitmap(spark, "test_bm_coarsen", Tables.orders(spark, dir),
+      Seq(date_trunc("MONTH", col("o_orderdate")) -> "month",
+        col("o_orderpriority") -> "prio"),
+      col("o_custkey"), base + "/bm")
+    try {
+      def byPrio: DataFrame = Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      def global: DataFrame = Tables.orders(spark, dir)
+        .agg(countDistinct(col("o_custkey")).as("n_total"))
+      val plainP = rows(byPrio)
+      val plainG = rows(global)
+      val (gotP, pathsP) = withMvRule { (rows(byPrio), scans(byPrio)) }
+      assert(pathsP.exists(_.contains("bm_coarsen_test")), pathsP)
+      assert(!pathsP.exists(_.contains("orders.parquet")), pathsP)
+      assert(gotP == plainP)
+      val (gotG, pathsG) = withMvRule { (rows(global), scans(global)) }
+      assert(!pathsG.exists(_.contains("orders.parquet")), pathsG)
+      assert(gotG == plainG)
+      // the EXACT grain still takes the cheap per-row path and agrees
+      def exactGrain: DataFrame = Tables.orders(spark, dir)
+        .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"),
+          col("o_orderpriority").as("prio"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      val plainE = rows(exactGrain)
+      val (gotE, pathsE) = withMvRule { (rows(exactGrain), scans(exactGrain)) }
+      assert(!pathsE.exists(_.contains("orders.parquet")), pathsE)
+      assert(gotE == plainE)
+    } finally NdvCatalog.unregister("test_bm_coarsen")
+  }
+
+  test("KMV kind stays grain-locked: the SAME subset grouping keeps the fact scan") {
+    val base = graft.ops.Sink.scratchDir("kmv_lock_test")
+    NdvCatalog.create(spark, "test_kmv_lock", Tables.orders(spark, dir),
+      Seq(date_trunc("MONTH", col("o_orderdate")) -> "month",
+        col("o_orderpriority") -> "prio"),
+      col("o_custkey"), 65536, base + "/kmv")
+    try {
+      val q = Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      val paths = withMvRule { scans(q) }
+      assert(paths.exists(_.contains("orders.parquet")), paths)
+    } finally NdvCatalog.unregister("test_kmv_lock")
+  }
+
   test("NDV metastore round-trips the bitmap kind and re-validates on load") {
     val base = graft.ops.Sink.scratchDir("bm_meta_law")
     Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")

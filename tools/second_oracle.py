@@ -5442,6 +5442,39 @@ def a28_segment_overlap(sf):
         rows, columns=["seg_a", "seg_b", "n_a", "n_b", "n_common", "n_union"])
 
 
+def s54_fd_prune(sf):
+    # the FD prune may only change the GROUPING KEY WIDTH, never a
+    # value: the replay runs the real wide grouping
+    import math
+    o = pd.read_parquet(f"{sf}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{sf}/customer.parquet",
+                        columns=["c_custkey", "c_name", "c_mktsegment"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
+    j = j.assign(
+        cents=[int(math.floor(float(v) * 100)) for v in j["o_totalprice"]])
+    out = (j.groupby(["c_custkey", "c_name", "c_mktsegment"])
+           .agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"))
+           .reset_index())
+    return out
+
+
+def s55_bitmap_coarsen(sf):
+    # one fine-grained bitmap rollup answers every coarser grain; the
+    # replay computes both tiles directly from the fact
+    o = pd.read_parquet(f"{sf}/orders.parquet",
+                        columns=["o_orderpriority", "o_custkey"])
+    seen = {}
+    allc = set()
+    for p_, ck in zip(o["o_orderpriority"], o["o_custkey"]):
+        seen.setdefault(p_, set())
+        if pd.notna(ck):
+            seen[p_].add(int(ck))
+            allc.add(int(ck))
+    rows = [(p_, len(s_), len(allc)) for p_, s_ in sorted(seen.items())]
+    return pd.DataFrame(rows, columns=["prio", "n_cust", "n_total"])
+
+
 def e1_suffix_spans(sf, L=32):
     # char-granular duplicated spans replayed by direct substring
     # counting (no ranks, no doubling): every length-L window,
@@ -5505,6 +5538,71 @@ def e3_graph_search(sf, rounds=3, beam=8, k=3, n_queries=32):
                 ((_dot(emb[q], emb[c]) /
                   (math.sqrt(n2[q]) * math.sqrt(n2[c])), c) for c in cands),
                 key=lambda t: (-t[0], t[1]))[:beam]
+            seen.update(c for _, c in scored)
+            frontier = [c for _, c in scored]
+            pool.extend(scored)
+        top = sorted(pool, key=lambda t: (-t[0], t[1]))[:k]
+        rows.extend((q, c, cs, rk)
+                    for rk, (cs, c) in enumerate(top, start=1))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
+
+
+def e3_graph_search_external(sf, rounds=3, beam=8, k=3,
+                             n_queries=32, entry_k=4):
+    # external-query variant: graph over the held-out corpus
+    # (vec_id % 10 != 0), each query (vec_id % 10 == 0) seeded at its
+    # top-entry_k landmarks (corpus vec_id % 29 == 1) by exact cosine;
+    # entries are scored as layer 0, then the member-variant walk
+    import math
+    from collections import Counter
+    e = pd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    emb = {int(v): [float(x) for x in a]
+           for v, a in zip(e["vec_id"], e["embedding"])}
+    n2 = {i: _dot(v, v) for i, v in emb.items()}
+    corpus = {i for i in emb if i % 10 != 0}
+    buckets = {}
+    for i in sorted(corpus):
+        v = emb[i]
+        key = "".join("1" if x >= 0 else "0" for x in v[:6]).ljust(6, "0")
+        buckets.setdefault(key, []).append(i)
+    directed = []
+    for members in buckets.values():
+        for q in members:
+            scored = sorted(
+                ((c, _dot(emb[q], emb[c]) /
+                  (math.sqrt(n2[q]) * math.sqrt(n2[c])))
+                 for c in members if c != q),
+                key=lambda t: (-t[1], t[0]))[:3]
+            directed.extend((q, c) for c, _ in scored)
+    dirs = Counter()
+    for q, c in directed:
+        dirs[(min(q, c), max(q, c))] += 1
+    adj = {}
+    for (a, b), n in dirs.items():
+        if n == 2:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+    landmarks = sorted(i for i in corpus if i % 29 == 1)
+
+    def cosv(a, b):
+        return _dot(emb[a], emb[b]) / (math.sqrt(n2[a]) * math.sqrt(n2[b]))
+
+    rows = []
+    for q in sorted(emb):
+        if q % 10 != 0 or q >= n_queries * 10:
+            continue
+        ent = sorted(((cosv(q, l), l) for l in landmarks),
+                     key=lambda t: (-t[0], t[1]))[:entry_k]
+        seen = {c for _, c in ent}
+        pool = list(ent)  # layer 0: entries are candidates
+        frontier = [c for _, c in sorted(ent, key=lambda t: (-t[0], t[1]))[:beam]]
+        for _ in range(rounds):
+            cands = sorted({c for f in frontier for c in adj.get(f, [])} - seen)
+            if not cands:
+                break
+            scored = sorted(((cosv(q, c), c) for c in cands),
+                            key=lambda t: (-t[0], t[1]))[:beam]
             seen.update(c for _, c in scored)
             frontier = [c for _, c in scored]
             pool.extend(scored)
@@ -5750,10 +5848,15 @@ QUERIES = {
     "s52_bitmap_ndv": s52_bitmap_ndv,
     "s53_bitmap_rewrite": s53_bitmap_rewrite,
     "a28_segment_overlap": a28_segment_overlap,
+    "s52_bitmap_stream": s52_bitmap_ndv,
+    "s54_fd_prune": s54_fd_prune,
+    "s55_bitmap_coarsen": s55_bitmap_coarsen,
+    "e7_split_stream": e7_split,
     "e1_suffix_spans": e1_suffix_spans,
     "e3_graph_search": e3_graph_search,
     # append ≡ rebuild: the ingested graph answers like the rebuilt one
     "e3_graph_search_appended": e3_graph_search,
+    "e3_graph_search_external": e3_graph_search_external,
     "j18_join_elim": j18_join_elim,
     "j19_elim_then_mv": j19_elim_then_mv,
     "j20_left_elim": j20_left_elim,

@@ -3719,6 +3719,81 @@ object ParityQueries {
        |  CAST(count(*) AS BIGINT) AS n_touches
        |FROM r GROUP BY pid""".stripMargin
 
+  // ---- O17: position-based (U-shaped) MULTI-TOUCH attribution ----------------
+  // o16 answers WHO gets the credit under single-touch rules; this is
+  // the multi-touch ledger marketing actually budgets from: each
+  // purchase's value splits across ALL its window clicks — 40% to the
+  // first touch, 40% to the last, 20% spread over the middles — and
+  // rolls up per click CHANNEL (the props.k field bucketed mod 8).
+  // Exactness discipline: weights are integer BASIS POINTS (n=1 →
+  // 10000; n=2 → 5000/5000; n≥3 → 4000/4000 + per-middle
+  // 2000 div (n−2), remainder to the earliest middles), credit is
+  // (cents × bp) div 10000 — all-BIGINT, both engines bit-agree, and
+  // per purchase the bp sum is exactly 10000 by construction (the
+  // conservation law OpsSpec pins). Scale shape: the same (user,
+  // week-bin) pre-binned join as o16 (hot users bounded per bin), one
+  // pid-keyed window pass for the position ranks, one channel-keyed
+  // reduce — no fact self-join, no per-channel rescan.
+  private[graft] def o17Credits(ev: DataFrame): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), col("ts").as("pt"), col("event_id").as("pid"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("bin", explode(array(
+        floor(unix_micros(col("pt")) / O16WindowUs) - 1,
+        floor(unix_micros(col("pt")) / O16WindowUs))))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("ct"), col("event_id").as("cid"),
+        (get_json_object(col("props"), "$.k").cast("long") % 8).as("channel"))
+      .withColumn("cbin", floor(unix_micros(col("ct")) / O16WindowUs))
+    val j = p.join(c, col("user_id") === col("cu") && col("bin") === col("cbin") &&
+      col("ct") <= col("pt") &&
+      unix_micros(col("pt")) - unix_micros(col("ct")) <= O16WindowUs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+    val r = j
+      .withColumn("fr", row_number().over(w.orderBy(col("ct").asc, col("cid").asc)))
+      .withColumn("lr", row_number().over(w.orderBy(col("ct").desc, col("cid").desc)))
+      .withColumn("n", count(lit(1)).over(w))
+    val bp = when(col("n") === 1, lit(10000L))
+      .when(col("n") === 2, lit(5000L))
+      .when(col("fr") === 1 || col("lr") === 1, lit(4000L))
+      .otherwise(expr("2000 div (n - 2)") +
+        when(col("fr") - 1 <= expr("2000 % (n - 2)"), 1L).otherwise(0L))
+    r.select(col("pid"), col("cid"), col("channel"), col("cents"),
+      bp.cast("long").as("bp"))
+      .withColumn("credit_cents", expr("(cents * bp) div 10000"))
+  }
+  def o17MultiTouch(s: SparkSession, dir: String): DataFrame =
+    o17Credits(Tables.events(s, dir))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_cents")).as("credit_cents"))
+  val o17Sql =
+    s"""WITH p AS (SELECT user_id, ts AS pt, event_id AS pid,
+       |    CAST(round(value * 100) AS BIGINT) AS cents FROM events
+       |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+       |c AS (SELECT user_id, ts AS ct, event_id AS cid,
+       |    CAST(props->>'$$.k' AS BIGINT) % 8 AS channel FROM events
+       |  WHERE event_type = 'click'),
+       |j AS (SELECT pid, cents, cid, ct, channel FROM p
+       |  JOIN c ON p.user_id = c.user_id
+       |  AND ct <= pt AND epoch_us(pt) - epoch_us(ct) <= $O16WindowUs),
+       |r AS (SELECT pid, cents, cid, channel,
+       |    row_number() OVER (PARTITION BY pid ORDER BY ct ASC, cid ASC) AS fr,
+       |    row_number() OVER (PARTITION BY pid ORDER BY ct DESC, cid DESC) AS lr,
+       |    count(*) OVER (PARTITION BY pid) AS n
+       |  FROM j),
+       |b AS (SELECT channel, cents,
+       |    CASE WHEN n = 1 THEN 10000
+       |         WHEN n = 2 THEN 5000
+       |         WHEN fr = 1 OR lr = 1 THEN 4000
+       |         ELSE 2000 // (n - 2)
+       |           + CASE WHEN fr - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END
+       |    END AS bp
+       |  FROM r)
+       |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+       |  CAST(sum((cents * bp) // 10000) AS BIGINT) AS credit_cents
+       |FROM b GROUP BY 1""".stripMargin
+
   // ---- J20: LEFT-join elimination under parent uniqueness --------------------
   // BI tools emit LEFT joins defensively precisely because the FK
   // might not hold — and that is what makes this leg strictly more
@@ -4029,6 +4104,42 @@ object ParityQueries {
     """SELECT o_orderpriority AS prio,
       |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
       |FROM orders GROUP BY 1""".stripMargin
+
+  // ---- A29: month-over-month retention off the bitmap rollup ---------------
+  // The second derived tile the stored id sets unlock (a28 is the
+  // pairwise overlap matrix; this is the RETENTION curve): customers
+  // active in month m AND m+1, exactly, per consecutive month pair —
+  // one streaming intersection of two rollup-row bitmaps per pair.
+  // The naive plan self-joins the fact per month pair; here the fact
+  // is scanned once at rollup build (or never, when s52's standing
+  // artifact is current) and the whole curve is rollup-row work. The
+  // event-based w6_retention answers sessions-style cohorts; this is
+  // the warehouse-side twin over the fact table's key sets.
+  def a29RetentionBitmap(s: SparkSession, dir: String): DataFrame = {
+    val sk = graft.ops.Materialize.bitmapSketch(
+      Tables.orders(s, dir).select(
+        date_trunc("MONTH", col("o_orderdate")).as("month"), col("o_custkey")),
+      Seq("month"), "o_custkey")
+    val a = sk.select(col("month"), col("bm").as("bm_a"))
+    val b = sk.select(col("month").as("next_month"), col("bm").as("bm_b"))
+    a.join(b, col("next_month") === add_months(col("month"), 1).cast("timestamp"))
+      .select(col("month"),
+        graft.ops.Materialize.bitmapCard(col("bm_a")).as("n_month"),
+        graft.ops.Materialize.bitmapCard(col("bm_b")).as("n_next"),
+        graft.ops.Materialize.bitmapIntersectCard(col("bm_a"), col("bm_b"))
+          .as("n_retained"))
+  }
+  val a29Sql =
+    """WITH s AS (SELECT DISTINCT date_trunc('month', o_orderdate) AS month,
+      |    o_custkey AS c FROM orders WHERE o_custkey IS NOT NULL),
+      |n AS (SELECT month, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+      |r AS (SELECT a.month AS month, CAST(count(*) AS BIGINT) AS n_retained
+      |  FROM s a JOIN s b ON b.month = a.month + INTERVAL 1 MONTH AND a.c = b.c
+      |  GROUP BY 1)
+      |SELECT na.month, na.n AS n_month, nb.n AS n_next,
+      |  COALESCE(r.n_retained, 0) AS n_retained
+      |FROM n na JOIN n nb ON nb.month = na.month + INTERVAL 1 MONTH
+      |LEFT JOIN r ON r.month = na.month""".stripMargin
 
   // ---- S55: count-DISTINCT COARSENING from the bitmap lattice --------------
   // The capability boundary between the two exact-NDV artifacts, made
@@ -5207,6 +5318,8 @@ object ParityQueries {
     "s53_bitmap_rewrite" -> (s53BitmapRewrite _),
     "s54_fd_prune" -> (s54FdPrune _),
     "s55_bitmap_coarsen" -> (s55BitmapCoarsen _),
+    "o17_multi_touch" -> (o17MultiTouch _),
+    "a29_retention_bitmap" -> (a29RetentionBitmap _),
     "a28_segment_overlap" -> (a28SegmentOverlap _),
     "s46_deletion_vectors" -> (s46DeletionVectors _),
     "s47_mor_upsert" -> (s47MorUpsert _),
@@ -5364,6 +5477,8 @@ object ParityQueries {
     "s53_bitmap_rewrite" -> s53Sql,
     "s54_fd_prune" -> s54Sql,
     "s55_bitmap_coarsen" -> s55Sql,
+    "o17_multi_touch" -> o17Sql,
+    "a29_retention_bitmap" -> a29Sql,
     "a28_segment_overlap" -> a28Sql,
     "s46_deletion_vectors" -> s46Sql,
     "s47_mor_upsert" -> s47Sql,

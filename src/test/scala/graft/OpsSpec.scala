@@ -864,6 +864,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("o17 multi-touch: basis points sum to exactly 10000 per purchase, every n") {
+    // the U-shape's integer-weight discipline: n=1 → 10000; n=2 →
+    // 5000+5000; n≥3 → 4000+4000 + middles of 2000 div (n−2) with the
+    // remainder on the earliest middles. Conservation is structural —
+    // pin it over the real events table (every n that occurs) and the
+    // per-click credit floor bound (cents·bp div 10⁴ loses < n units
+    // per purchase, never gains).
+    val credits = ParityQueries.o17Credits(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    val perPurchase = credits.groupBy(col("pid"))
+      .agg(sum(col("bp")).as("bp_sum"), count(lit(1)).as("n"),
+        max(col("cents")).as("cents"), sum(col("credit_cents")).as("credited"))
+      .collect()
+    assert(perPurchase.nonEmpty)
+    perPurchase.foreach { r =>
+      assert(r.getAs[Long]("bp_sum") == 10000L,
+        s"pid ${r.get(0)}: bp sum ${r.getAs[Long]("bp_sum")} (n=${r.getAs[Long]("n")})")
+      val cents = r.getAs[Long]("cents")
+      val credited = r.getAs[Long]("credited")
+      val n = r.getAs[Long]("n")
+      assert(credited <= cents && credited > cents - n,
+        s"pid ${r.get(0)}: credited $credited of $cents over $n touches")
+    }
+    // the data exercises all three weight regimes
+    val ns = perPurchase.map(_.getAs[Long]("n")).toSet
+    assert(ns.contains(1L) && ns.exists(_ >= 3L), s"n values seen: $ns")
+  }
+
   test("o16 attribution: (user, week) pre-binned join ≡ the unbinned join, hot user included") {
     // a planted bot-grade hot user (500 clicks + 20 purchases over 60
     // days) plus boundary cases: a click EXACTLY 7 days before a

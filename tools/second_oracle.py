@@ -3845,6 +3845,68 @@ def o16_attribution(sf, window_us=7 * 24 * 3600 * 1000000):
         rows, columns=["pid", "first_click", "last_click", "n_touches"])
 
 
+def o17_multi_touch(sf, window_us=7 * 24 * 3600 * 1000000):
+    # U-shaped multi-touch credit replayed with raw integer arithmetic:
+    # bp weights (10000 / 5000+5000 / 4000+4000+middles of
+    # 2000//(n-2) with remainder to the earliest middles), credit =
+    # cents*bp//10000, rolled up per click channel (props.k % 8)
+    import json as _json
+    e = pd.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id", "value", "props"])
+    e = e.assign(us=[int(pd.Timestamp(t).value) // 1000 for t in e["ts"]])
+    clicks = {}
+    ce = e[e["event_type"] == "click"]
+    for u, t, i, pr in zip(ce["user_id"], ce["us"], ce["event_id"], ce["props"]):
+        ch = int(_json.loads(pr)["k"]) % 8
+        clicks.setdefault(int(u), []).append((int(t), int(i), ch))
+    agg = {}
+    p = e[(e["event_type"] == "purchase") & e["value"].notna()]
+    for u, t, val in zip(p["user_id"], p["us"], p["value"]):
+        cents = int(round(float(val) * 100))
+        cs = sorted((ct, ci, ch) for ct, ci, ch in clicks.get(int(u), [])
+                    if ct <= int(t) and int(t) - ct <= window_us)
+        n = len(cs)
+        if n == 0:
+            continue
+        for idx, (ct, ci, ch) in enumerate(cs, start=1):
+            if n == 1:
+                bp = 10000
+            elif n == 2:
+                bp = 5000
+            elif idx == 1 or idx == n:
+                bp = 4000
+            else:
+                bp = 2000 // (n - 2) + (1 if idx - 1 <= 2000 % (n - 2) else 0)
+            cnt, cred = agg.get(ch, (0, 0))
+            agg[ch] = (cnt + 1, cred + (cents * bp) // 10000)
+    rows = [(ch, c_, cr) for ch, (c_, cr) in sorted(agg.items())]
+    return pd.DataFrame(rows, columns=["channel", "n_touches", "credit_cents"])
+
+
+def a29_retention_bitmap(sf):
+    # month-over-month retained distinct customers, replayed with raw
+    # python sets — the engine reads the same counts off two bitmaps
+    o = pd.read_parquet(f"{sf}/orders.parquet",
+                        columns=["o_orderdate", "o_custkey"])
+    month = pd.to_datetime(o["o_orderdate"]).values.astype("datetime64[M]")
+    seen = {}
+    for m, ck in zip(month, o["o_custkey"]):
+        seen.setdefault(m, set())
+        if pd.notna(ck):
+            seen[m].add(int(ck))
+    months = sorted(seen)
+    rows = []
+    for m in months:
+        nxt = (m.astype("datetime64[M]") + 1) if hasattr(m, "astype") else m
+        nxt = m + 1  # datetime64[M] arithmetic: +1 month
+        if nxt in seen:
+            rows.append((pd.Timestamp(m), len(seen[m]), len(seen[nxt]),
+                         len(seen[m] & seen[nxt])))
+    return pd.DataFrame(rows,
+                        columns=["month", "n_month", "n_next", "n_retained"])
+
+
 def j20_left_elim(sf):
     # left-join elimination may only drop the parent scan; under the
     # data's FK the left join is the identity on fact rows
@@ -5851,6 +5913,8 @@ QUERIES = {
     "s52_bitmap_stream": s52_bitmap_ndv,
     "s54_fd_prune": s54_fd_prune,
     "s55_bitmap_coarsen": s55_bitmap_coarsen,
+    "o17_multi_touch": o17_multi_touch,
+    "a29_retention_bitmap": a29_retention_bitmap,
     "e7_split_stream": e7_split,
     "e1_suffix_spans": e1_suffix_spans,
     "e3_graph_search": e3_graph_search,

@@ -1358,8 +1358,8 @@ object ExtQueries {
   // evaluates the codec chain ONCE per row regardless of how many
   // stat fields are projected (a bare multi-field select would let
   // the optimizer duplicate the decode per field).
-  private val ImgW = 8
-  private val ImgH = 8
+  private[graft] val ImgW = 8
+  private[graft] val ImgH = 8
   def e4DecodeStats(s: SparkSession, dir: String): DataFrame = {
     val seed = TextOps.md5Int32(md5(col("text")))
     val stats = Multimodal.imageStats(Multimodal.synthImage(seed, ImgW, ImgH))
@@ -3443,6 +3443,94 @@ object ExtQueries {
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
   }
 
+  // ---- E3w: ADC-scored beam search with exact re-rank -----------------------
+  // The memory-bound composition of the two index families: at 100 TB
+  // full vectors cannot ride the walk, so every in-loop candidate is
+  // scored from its PQ CODES against per-query lookup tables
+  // ([[Similarity.graphBeamSearchAdc]] — bytes per candidate, the
+  // e3_pq_adc asymmetric-distance discipline), and only the final
+  // pooled candidates (≤ rounds × beam per query) touch real vectors
+  // for the exact-cosine re-rank. The oracle composes the two proven
+  // replays end-to-end: the PQ codebook chains (per-subspace 1-iter
+  // k-means, e3k's pqSqlChains) feed an all-pairs ADC relation, the
+  // e3z graph CTEs and unrolled rounds draw their scores from it, and
+  // the pooled walk re-ranks by exact cosine — every stage's
+  // arithmetic bit-agreed (fixed left-assoc Σ p_i; ADC's coarse ties
+  // break on vec_id in both engines).
+  def e3GraphSearchAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.graphBeamSearchAdc(
+      emb.filter(col("vec_id") < AnnQueries), knnGraphDir(s, dir),
+      PqM, PqSubDim, PqK, PqIters, BeamRounds, BeamWidth, AnnK)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+  lazy val e3wSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val bucket = s"array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END for i in range(1, ${AnnBits + 1})], '')"
+    val luts = (0 until PqM).map { i =>
+      val (lo, hi) = (i * PqSubDim + 1, (i + 1) * PqSubDim)
+      s"""lut$i AS (SELECT q.query_id, c.cid, ${duckDot("q.q_sub", "c.cent")} AS p_$i
+         |  FROM (SELECT vec_id AS query_id, embedding[$lo:$hi] AS q_sub
+         |        FROM embeddings WHERE vec_id < $AnnQueries) q
+         |  CROSS JOIN s${i}c1 c)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until PqM).map(i => s"JOIN s${i}a2 a$i USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until PqM).map {
+      case 0 => "JOIN lut0 l0 ON l0.cid = a0.cid"
+      case i => s"JOIN lut$i l$i ON l$i.query_id = l0.query_id AND l$i.cid = a$i.cid"
+    }.mkString(" ")
+    val adc = (0 until PqM).map(i => s"l$i.p_$i").reduce((a, b) => s"($a + $b)")
+    val rounds = (1 to BeamRounds).map { r =>
+      s"""nb$r AS (SELECT DISTINCT f.query_id, a.dst AS cand
+         |  FROM f${r - 1} f JOIN ad a ON f.vec_id = a.src),
+         |fr$r AS (SELECT nb.query_id, nb.cand FROM nb$r nb
+         |  LEFT JOIN s$r${"p"}rev s ON nb.query_id = s.query_id AND nb.cand = s.vec_id
+         |  WHERE s.vec_id IS NULL),
+         |sc$r AS (SELECT f.query_id, f.cand AS vec_id, ac.adc AS cos_sim
+         |  FROM fr$r f JOIN adcall ac
+         |    ON ac.query_id = f.query_id AND ac.vec_id = f.cand),
+         |ly$r AS (SELECT query_id, vec_id, cos_sim FROM (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+         |  FROM sc$r) WHERE rk <= $BeamWidth),
+         |f$r AS (SELECT query_id, vec_id FROM ly$r),
+         |s${r + 1}${"p"}rev AS (SELECT query_id, vec_id FROM s$r${"p"}rev
+         |  UNION ALL SELECT query_id, vec_id FROM ly$r)""".stripMargin
+    }.mkString(",\n")
+    val pool = (1 to BeamRounds)
+      .map(r => s"SELECT query_id, vec_id FROM ly$r")
+      .mkString(" UNION ALL ")
+    val exCos = duckDot("qq.embedding", "c.embedding") + " / (sqrt(qq.n2) * sqrt(c.n2))"
+    s"""WITH $pqSqlChains,
+       |$luts,
+       |adcall AS (SELECT l0.query_id, a0.vec_id, $adc AS adc
+       |  FROM s0a2 a0 $codeJoins $lutJoins),
+       |e AS (SELECT vec_id, embedding, $n2 AS n2, $bucket AS bucket FROM embeddings),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+       |knn AS (SELECT query_id, vec_id, cos_sim FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM scored) WHERE rk <= $AnnK),
+       |me AS (SELECT least(query_id, vec_id) AS id_a, greatest(query_id, vec_id) AS id_b
+       |  FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
+       |ad AS (SELECT id_a AS src, id_b AS dst FROM me
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM me),
+       |q AS (SELECT vec_id AS query_id, embedding, n2 FROM e WHERE vec_id < $AnnQueries),
+       |f0 AS (SELECT query_id, query_id AS vec_id FROM q),
+       |s1prev AS (SELECT query_id, vec_id FROM f0),
+       |$rounds,
+       |pool AS ($pool)
+       |SELECT query_id, vec_id, cos_sim, rk FROM (
+       |  SELECT pl.query_id, pl.vec_id, $exCos AS cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY pl.query_id
+       |      ORDER BY $exCos DESC, pl.vec_id) AS BIGINT) AS rk
+       |  FROM pool pl JOIN e c ON pl.vec_id = c.vec_id
+       |  JOIN q qq ON pl.query_id = qq.query_id) t
+       |WHERE rk <= $AnnK""".stripMargin
+  }
+
   // ---- E3x: graph-ANN for EXTERNAL queries (landmark-seeded entry) ---------
   // The case e3z's own-node entry cannot serve: queries that are NOT
   // graph members — the production regime (a search query arrives,
@@ -4006,6 +4094,7 @@ object ExtQueries {
     "e3_graph_search" -> (e3GraphSearch _),
     "e3_graph_search_appended" -> (e3GraphSearchAppended _),
     "e3_graph_search_external" -> (e3GraphSearchExternal _),
+    "e3_graph_search_adc" -> (e3GraphSearchAdc _),
     "e2_bfs_hops" -> (e2BfsHops _),
     "e2_sssp_weighted" -> (e2SsspWeighted _),
     "e3_mrr_eval" -> (e3MrrEval _),
@@ -4130,6 +4219,7 @@ object ExtQueries {
     "e3_graph_search" -> e3zSql,
     "e3_graph_search_appended" -> e3zSql,
     "e3_graph_search_external" -> e3xSql,
+    "e3_graph_search_adc" -> e3wSql,
     "e2_bfs_hops" -> e2bfSql,
     "e2_sssp_weighted" -> e2qSql,
     "e3_mrr_eval" -> e3mrSql,

@@ -627,6 +627,41 @@ object StreamQueries {
     s.read.parquet(out).select(col("doc_id"), col("split"))
   }
 
+  // ---- E4s: STREAMING multimodal decode-stats ------------------------------
+  // The last extension family without a live twin: multimodal blobs
+  // land continuously (the 100 TB ingest regime — images arrive, the
+  // feature row is computed ONCE at landing, the raw blob never
+  // rescanned), and the decode is per-row REAL codec work
+  // (synthesize → PNG decode → pixel stats, the e4_decode_stats
+  // plumbing) with no state, no watermark, no shuffle. Stateless ⇒
+  // batch-split-invariant by construction: forced one-file
+  // micro-batches reuse the batch oracle verbatim, proving the
+  // landing-time feature rows equal the whole-corpus batch pass
+  // bit-for-bit.
+  def e4StatsStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val in = fresh("e4s_in"); val out = fresh("e4s_out"); val ck = fresh("e4s_ck")
+    docs.coalesce(4).write.mode("overwrite").parquet(in)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val seed = TextOps.md5Int32(md5(col("text")))
+    val stats = graft.ext.Multimodal.imageStats(
+      graft.ext.Multimodal.synthImage(seed, ExtQueries.ImgW, ExtQueries.ImgH))
+    val q = stream
+      .select(col("doc_id"), inline(array(stats)))
+      .withColumn("px_mean", col("px_sum").cast("double") /
+        lit((ExtQueries.ImgW * ExtQueries.ImgH).toDouble))
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out).select(col("doc_id"), col("img_w"), col("img_h"),
+      col("px_sum"), col("px_min"), col("px_max"), col("px_mean"))
+  }
+
   // ---- E8s: streaming Bloom-gated decontamination ------------------------
   // Train-offline / score-online for corpus hygiene: the benchmark
   // Bloom mask and distinct-shingle frame are built ONCE batch-side
@@ -1312,6 +1347,7 @@ object StreamQueries {
     "e5_quality_stream" -> (e5QualityStream _),
     "e8_decontam_stream" -> (e8DecontamStream _),
     "e7_split_stream" -> (e7SplitStream _),
+    "e4_stats_stream" -> (e4StatsStream _),
     "s19_rollup_stream" -> (s19RollupStream _),
     "s32_quantile_stream" -> (s32QuantileStream _),
     "s52_bitmap_stream" -> (s52BitmapStream _),
@@ -1350,6 +1386,7 @@ object StreamQueries {
     "e5_quality_stream" -> ExtQueries.e5oSql,
     "e8_decontam_stream" -> ExtQueries.e8bSql,
     "e7_split_stream" -> ExtQueries.e7Sql,
+    "e4_stats_stream" -> ExtQueries.e4cSql,
     "s19_rollup_stream" -> ParityQueries.s19Sql,
     "s32_quantile_stream" -> ParityQueries.s32Sql,
     "s52_bitmap_stream" -> ParityQueries.s52Sql,

@@ -689,8 +689,8 @@ object Similarity {
       k: Int): DataFrame = {
     val (adj, vecs, q) = beamSetup(queries, indexDir)
     val self = q.select(col("query_id"), col("query_id").as("vec_id"))
-    beamLoop(adj, vecs, q, seenBase = self, initFrontier = self,
-      initLayers = Vector.empty, rounds, beam, k)
+    beamLoop(adj, exactScorer(vecs, q), seenBase = self, initFrontier = self,
+      initLayers = Vector.empty, rounds, beam, finish = rankTopK(_, k))
   }
 
   /** Graph-ANN probe for EXTERNAL queries — vectors that are NOT
@@ -717,12 +717,7 @@ object Similarity {
       k: Int): DataFrame = {
     val (adj, vecs, q) = beamSetup(queries, indexDir)
     val ent = entries.select(col("query_id"), col("vec_id"))
-    val scored0 = broadcast(ent)
-      .join(vecs, Seq("vec_id"))
-      .join(q, Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        cosineFrom(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2"))
-          .as("cos_sim"))
+    val scored0 = exactScorer(vecs, q)(ent)
     val (layer0, n0) = graft.ops.Sink.cachedEagerCount(
       Ranking.topKPerGroup(
         scored0, Seq("query_id"),
@@ -733,9 +728,79 @@ object Similarity {
     }
     // every named entry counts as VISITED (even one the beam cut) —
     // re-scoring it later would double-pool the same candidate
-    beamLoop(adj, vecs, q, seenBase = ent,
+    beamLoop(adj, exactScorer(vecs, q), seenBase = ent,
       initFrontier = layer0.select(col("query_id"), col("vec_id")),
-      initLayers = Vector(layer0), rounds, beam, k)
+      initLayers = Vector(layer0), rounds, beam, finish = rankTopK(_, k))
+  }
+
+  /** ADC-scored beam search over the saved kNN graph — the
+    * MEMORY-BOUND regime of graph-ANN at 100 TB: full vectors do not
+    * fit beside the walk, so every candidate in the loop is scored
+    * from its PQ CODES against the query's per-subspace lookup tables
+    * (bytes per candidate, the [[pqAdcTopK]] asymmetric-distance
+    * discipline: fixed left-assoc Σ p_i, so both engines bit-agree),
+    * and only the FINAL pooled candidates — rounds × beam per query —
+    * touch real vectors for an exact-cosine re-rank. Same walk, same
+    * seen-set, same (score desc, id asc) total order (ADC's coarse
+    * ties break on id deterministically); the codes table is the only
+    * corpus-sized frame the loop reads, and it is code-width, not
+    * vector-width. Queries are corpus members (own-node entry).
+    */
+  def graphBeamSearchAdc(
+      queries: DataFrame,
+      indexDir: String,
+      m: Int,
+      subDim: Int,
+      pqK: Int,
+      iters: Int,
+      rounds: Int,
+      beam: Int,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val (adj, vecs, q) = beamSetup(queries, indexDir)
+    val corpusEmb = spark.read.parquet(s"$indexDir/vecs")
+      .select(col("vec_id"), col("embedding"))
+    val parts = (0 until m).map { i =>
+      val sub = corpusEmb.select(col("vec_id"),
+        slice(col("embedding"), i * subDim + 1, subDim).as("embedding"))
+      val cents = kmeansCentroids(sub, pqK, iters)
+      val codes = assignToCentroid(sub, cents)
+        .select(col("vec_id"), col("cid").as(s"code_$i"))
+      // the LUT is the ONLY place the walk's rounds re-enter this
+      // subspace's lineage — and the k-means training under it is a
+      // BIG logical tree. An eager localCheckpoint (the
+      // e1_suffix_spans loop discipline) both materializes the
+      // |queries| × pqK rows once AND truncates the lineage, so each
+      // round's plan carries a leaf, not four codebook trainings —
+      // without it the driver re-analyzes the full PQ lineage on
+      // every action and analysis time dwarfs the actual work
+      val lut = queries
+        .select(col("vec_id").as("query_id"),
+          slice(col("embedding"), i * subDim + 1, subDim).as("q_sub"))
+        .crossJoin(broadcast(
+          cents.select(col("vec_id").as(s"code_$i"), col("embedding").as("cent"))))
+        .select(col("query_id"), col(s"code_$i"),
+          dot(col("q_sub"), col("cent")).as(s"p_$i"))
+        .localCheckpoint(true)
+      (codes, lut)
+    }
+    // one codes row per corpus vector (m small ints) — cached: every
+    // round's scoring joins it, and re-deriving means re-running the
+    // per-subspace assignment m times per round
+    val codes = parts.map(_._1).reduce(_.join(_, Seq("vec_id"))).localCheckpoint(true)
+    val adc = (0 until m).map(i => col(s"p_$i")).reduce(_ + _)
+    def adcScorer(pairs: DataFrame): DataFrame =
+      parts.map(_._2).zipWithIndex.foldLeft(
+        broadcast(pairs).join(codes, Seq("vec_id"))) {
+        case (acc, (lut, i)) => acc.join(broadcast(lut), Seq("query_id", s"code_$i"))
+      }.select(col("query_id"), col("vec_id"), adc.as("cos_sim"))
+    // finish: the pooled candidates (adc-scored) re-rank by EXACT
+    // cosine — the only place the walk touches full vectors
+    def rerank(pool: DataFrame): DataFrame =
+      rankTopK(exactScorer(vecs, q)(pool.select(col("query_id"), col("vec_id"))), k)
+    val self = q.select(col("query_id"), col("query_id").as("vec_id"))
+    beamLoop(adj, adcScorer, seenBase = self, initFrontier = self,
+      initLayers = Vector.empty, rounds, beam, finish = rerank)
   }
 
   private def beamSetup(
@@ -753,16 +818,29 @@ object Similarity {
     (adj, vecs, q)
   }
 
+  /** Exact-cosine scorer for [[beamLoop]]: join the (query_id,
+    * vec_id) pair frame (broadcast — per-query-bounded by
+    * construction) against the probed vectors and the broadcast query
+    * frame. The default walk scorer; [[graphBeamSearchAdc]] swaps in
+    * the PQ lookup-table scorer instead.
+    */
+  private def exactScorer(vecs: DataFrame, q: DataFrame)(pairs: DataFrame): DataFrame =
+    broadcast(pairs)
+      .join(vecs, Seq("vec_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineFrom(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2"))
+          .as("cos_sim"))
+
   private def beamLoop(
       adj: DataFrame,
-      vecs: DataFrame,
-      q: DataFrame,
+      score: DataFrame => DataFrame,
       seenBase: DataFrame,
       initFrontier: DataFrame,
       initLayers: Vector[DataFrame],
       rounds: Int,
       beam: Int,
-      k: Int): DataFrame = {
+      finish: DataFrame => DataFrame): DataFrame = {
     var frontier = initFrontier
     var layers = initLayers
     var r = 0
@@ -788,12 +866,7 @@ object Similarity {
       val fresh = nbrs.join(
         seen.withColumnRenamed("vec_id", "cand_id"),
         Seq("query_id", "cand_id"), "left_anti")
-      val scored = broadcast(fresh.withColumnRenamed("cand_id", "vec_id"))
-        .join(vecs, Seq("vec_id"))
-        .join(q, Seq("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          cosineFrom(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2"))
-            .as("cos_sim"))
+      val scored = score(fresh.withColumnRenamed("cand_id", "vec_id"))
       val (layer, n) = graft.ops.Sink.cachedEagerCount(
         Ranking.topKPerGroup(
           scored, Seq("query_id"),
@@ -804,10 +877,10 @@ object Similarity {
         frontier = layer.select(col("query_id"), col("vec_id"))
       }
     }
-    if (layers.isEmpty) return rankTopK(seenBase.filter(lit(false))
-      .withColumn("cos_sim", lit(0.0d)), k)
+    if (layers.isEmpty) return finish(seenBase.filter(lit(false))
+      .withColumn("cos_sim", lit(0.0d)))
     val out = graft.ops.Sink.cachedEager(
-      rankTopK(layers.reduce(_.unionByName(_)), k))
+      finish(layers.reduce(_.unionByName(_))))
     layers.foreach { l => l.unpersist(); () }
     out
   }

@@ -1156,6 +1156,28 @@ class ExtSpec extends SparkSpec {
     assert(mismatches == 0, s"$mismatches external beam scores differ from exact cosine")
   }
 
+  test("graphBeamSearchAdc: walk scores from codes, answers re-ranked to exact cosine") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val ix = graft.ops.Sink.scratchDir("beam_adc_ix")
+    Similarity.writeKnnGraph(emb, 6, 3, ix)
+    val q = emb.filter(col("vec_id") < 32)
+    val ann = Similarity.graphBeamSearchAdc(q, ix, 4, 16, 4, 1, 3, 8, 3)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"), col("cos_sim").as("ac"))
+    // the returned scores are EXACT cosines — the re-rank touched the
+    // real vectors even though the walk never did
+    val scoredPairs = Similarity.cosineTopK(q, emb, 1000)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"))
+    val mismatches = ann.join(scoredPairs,
+      col("aq") === col("query_id") && col("av") === col("vec_id") &&
+        col("ac") === col("cos_sim"), "left_anti").count()
+    assert(mismatches == 0, s"$mismatches ADC-walk answers differ from exact cosine")
+    // deterministic end to end: a second run is bit-identical
+    val again = Similarity.graphBeamSearchAdc(q, ix, 4, 16, 4, 1, 3, 8, 3)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"), col("cos_sim").as("ac"))
+    assert(ann.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+  }
+
   test("graphBeamSearch: high recall on a CLUSTERED corpus (navigable graph)") {
     // the testdata embeddings are near-random (no index can recall on
     // them — bucketed ANN sits at ~3%); real embedding corpora are

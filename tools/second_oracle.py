@@ -5674,6 +5674,51 @@ def e3_graph_search_external(sf, rounds=3, beam=8, k=3,
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def e3_graph_search_adc(sf, rounds=3, beam=8, k=3, n_queries=32):
+    # ADC-scored walk with exact re-rank: in-loop scores come from the
+    # PQ codebook replay (fixed left-assoc subspace sum), the final
+    # pool re-ranks by exact cosine — composing the two proven replays
+    import math
+    parts = _pq_parts(sf, None)
+
+    def adc(q, c):
+        total, first = 0.0, True
+        for i in range(4):
+            sub, codes, cents = parts[i]
+            p = _dot(sub[q], cents[codes[c]][0])
+            total = p if first else total + p
+            first = False
+        return total
+
+    edges = e3_knn_graph(sf)
+    adj = {}
+    for a, b in zip(edges["id_a"], edges["id_b"]):
+        adj.setdefault(int(a), []).append(int(b))
+        adj.setdefault(int(b), []).append(int(a))
+    emb, n2 = _load_emb(sf)
+    rows = []
+    for q in sorted(emb):
+        if q >= n_queries:
+            continue
+        seen = {q}
+        frontier = [q]
+        pool = []
+        for _ in range(rounds):
+            cands = sorted({c for f in frontier for c in adj.get(f, [])} - seen)
+            if not cands:
+                break
+            scored = sorted(((adc(q, c), c) for c in cands),
+                            key=lambda t: (-t[0], t[1]))[:beam]
+            seen.update(c for _, c in scored)
+            frontier = [c for _, c in scored]
+            pool.extend(c for _, c in scored)
+        rer = sorted(
+            ((_dot(emb[q], emb[c]) / (math.sqrt(n2[q]) * math.sqrt(n2[c])), c)
+             for c in pool), key=lambda t: (-t[0], t[1]))[:k]
+        rows.extend((q, c, cs, rk) for rk, (cs, c) in enumerate(rer, start=1))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -5915,12 +5960,14 @@ QUERIES = {
     "s55_bitmap_coarsen": s55_bitmap_coarsen,
     "o17_multi_touch": o17_multi_touch,
     "a29_retention_bitmap": a29_retention_bitmap,
+    "e4_stats_stream": e4_decode_stats,
     "e7_split_stream": e7_split,
     "e1_suffix_spans": e1_suffix_spans,
     "e3_graph_search": e3_graph_search,
     # append ≡ rebuild: the ingested graph answers like the rebuilt one
     "e3_graph_search_appended": e3_graph_search,
     "e3_graph_search_external": e3_graph_search_external,
+    "e3_graph_search_adc": e3_graph_search_adc,
     "j18_join_elim": j18_join_elim,
     "j19_elim_then_mv": j19_elim_then_mv,
     "j20_left_elim": j20_left_elim,

@@ -3531,6 +3531,24 @@ object ExtQueries {
        |WHERE rk <= $AnnK""".stripMargin
   }
 
+  // ---- E3w': the SAVED-artifact form of the ADC walk -------------------------
+  // The serving path: both artifacts (mutual-kNN graph + PQ
+  // codebooks/codes) are standing tables built once; the probe
+  // learns nothing, encodes nothing, and reads no float vectors
+  // until the final re-rank. Bit-identical to the build-in-query
+  // walk (same corpus, same constants — the e3_pq_saved equality
+  // discipline), so the gate reuses e3wSql verbatim: the equality IS
+  // the claim under test.
+  def e3GraphSearchAdcSaved(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pq = annScratch("pq_walk")
+    AnnIndex.writePq(emb, PqM, PqSubDim, PqK, PqIters, pq)
+    Similarity.graphBeamSearchAdcSaved(
+      emb.filter(col("vec_id") < AnnQueries), knnGraphDir(s, dir), pq,
+      PqM, PqSubDim, BeamRounds, BeamWidth, AnnK)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+
   // ---- E3x: graph-ANN for EXTERNAL queries (landmark-seeded entry) ---------
   // The case e3z's own-node entry cannot serve: queries that are NOT
   // graph members — the production regime (a search query arrives,
@@ -4095,6 +4113,7 @@ object ExtQueries {
     "e3_graph_search_appended" -> (e3GraphSearchAppended _),
     "e3_graph_search_external" -> (e3GraphSearchExternal _),
     "e3_graph_search_adc" -> (e3GraphSearchAdc _),
+    "e3_graph_search_adc_saved" -> (e3GraphSearchAdcSaved _),
     "e2_bfs_hops" -> (e2BfsHops _),
     "e2_sssp_weighted" -> (e2SsspWeighted _),
     "e3_mrr_eval" -> (e3MrrEval _),
@@ -4220,6 +4239,7 @@ object ExtQueries {
     "e3_graph_search_appended" -> e3zSql,
     "e3_graph_search_external" -> e3xSql,
     "e3_graph_search_adc" -> e3wSql,
+    "e3_graph_search_adc_saved" -> e3wSql,
     "e2_bfs_hops" -> e2bfSql,
     "e2_sssp_weighted" -> e2qSql,
     "e3_mrr_eval" -> e3mrSql,

@@ -803,6 +803,54 @@ object Similarity {
       initLayers = Vector.empty, rounds, beam, finish = rerank)
   }
 
+  /** [[graphBeamSearchAdc]]'s deployment form: probe a SAVED PQ index
+    * ([[AnnIndex.writePq]]'s codebooks/ + codes/) beside the saved
+    * graph — no codebook learning, no corpus encoding, no float
+    * corpus reads in the walk. The LUTs build from the kilobyte
+    * codebook table per query set and the codes table is a bare
+    * parquet leaf, so every round's plan is naturally tiny (the
+    * in-query-build variant needs lineage truncation to get the same
+    * property). Results are bit-identical to the build-in-query walk
+    * when the artifacts come from the same corpus and constants —
+    * the e3_pq_saved equality discipline, so the gate reuses the
+    * composed oracle unchanged.
+    */
+  def graphBeamSearchAdcSaved(
+      queries: DataFrame,
+      graphDir: String,
+      pqDir: String,
+      m: Int,
+      subDim: Int,
+      rounds: Int,
+      beam: Int,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val (adj, vecs, q) = beamSetup(queries, graphDir)
+    val books = spark.read.parquet(s"$pqDir/codebooks")
+    val luts = (0 until m).map { i =>
+      queries
+        .select(col("vec_id").as("query_id"),
+          slice(col("embedding"), i * subDim + 1, subDim).as("q_sub"))
+        .crossJoin(broadcast(
+          books.filter(col("sub") === i)
+            .select(col("cid").as(s"code_$i"), col("cent"))))
+        .select(col("query_id"), col(s"code_$i"),
+          dot(col("q_sub"), col("cent")).as(s"p_$i"))
+    }
+    val codes = spark.read.parquet(s"$pqDir/codes")
+    val adc = (0 until m).map(i => col(s"p_$i")).reduce(_ + _)
+    def adcScorer(pairs: DataFrame): DataFrame =
+      luts.zipWithIndex.foldLeft(
+        broadcast(pairs).join(codes, Seq("vec_id"))) {
+        case (acc, (lut, i)) => acc.join(broadcast(lut), Seq("query_id", s"code_$i"))
+      }.select(col("query_id"), col("vec_id"), adc.as("cos_sim"))
+    def rerank(pool: DataFrame): DataFrame =
+      rankTopK(exactScorer(vecs, q)(pool.select(col("query_id"), col("vec_id"))), k)
+    val self = q.select(col("query_id"), col("query_id").as("vec_id"))
+    beamLoop(adj, adcScorer, seenBase = self, initFrontier = self,
+      initLayers = Vector.empty, rounds, beam, finish = rerank)
+  }
+
   private def beamSetup(
       queries: DataFrame, indexDir: String): (DataFrame, DataFrame, DataFrame) = {
     val spark = queries.sparkSession

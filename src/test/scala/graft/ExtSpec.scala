@@ -1176,6 +1176,12 @@ class ExtSpec extends SparkSpec {
     val again = Similarity.graphBeamSearchAdc(q, ix, 4, 16, 4, 1, 3, 8, 3)
       .select(col("query_id").as("aq"), col("vec_id").as("av"), col("cos_sim").as("ac"))
     assert(ann.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+    // the SAVED-artifact probe walks to the same answers bit-for-bit
+    val pq = graft.ops.Sink.scratchDir("beam_adc_pq")
+    graft.ext.AnnIndex.writePq(emb, 4, 16, 4, 1, pq)
+    val saved = Similarity.graphBeamSearchAdcSaved(q, ix, pq, 4, 16, 3, 8, 3)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"), col("cos_sim").as("ac"))
+    assert(saved.collect().map(_.toSeq).toSet == ann.collect().map(_.toSeq).toSet)
   }
 
   test("graphBeamSearch: high recall on a CLUSTERED corpus (navigable graph)") {

@@ -5968,6 +5968,7 @@ QUERIES = {
     "e3_graph_search_appended": e3_graph_search,
     "e3_graph_search_external": e3_graph_search_external,
     "e3_graph_search_adc": e3_graph_search_adc,
+    "e3_graph_search_adc_saved": e3_graph_search_adc,
     "j18_join_elim": j18_join_elim,
     "j19_elim_then_mv": j19_elim_then_mv,
     "j20_left_elim": j20_left_elim,

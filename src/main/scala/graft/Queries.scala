@@ -4075,29 +4075,42 @@ object ParityQueries {
     def q = fact
       .groupBy(col("o_orderpriority").as("prio"))
       .agg(count_distinct(col("o_custkey")).as("n_cust"))
+    // EVERY definition this gate registers is unregistered on EVERY exit
+    // path: the gate's first require asserts the saturated KMV leg does
+    // NOT rewrite, so a bitmap definition left live from a previous
+    // execution of this very query (Bench runs the registry twice per
+    // archive) would rewrite the probe and make the gate throw on its
+    // own leftovers. try/finally makes the gate idempotent — a
+    // registry-wide run-twice regression test (IdempotenceSpec) holds
+    // the whole rewrite-gate class to this.
     withConfs(s, Seq(graft.plans.MvRewriteRule.EnabledKey -> "true")) {
-      // KMV at k=64 SATURATES on this grain: registration's validation
-      // refuses exactness and the rewrite must leave the fact scan alone
-      graft.plans.NdvCatalog.create(
-        s, s"s53_kmv_${math.abs(dir.hashCode)}", fact, keys,
-        col("o_custkey"), 64, base + "/kmv")
-      val kmvScans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
-      require(kmvScans.exists(_.contains("orders.parquet")),
-        s"saturated KMV definition must NOT rewrite; plan scans: $kmvScans")
-      graft.plans.NdvCatalog.unregister(s"s53_kmv_${math.abs(dir.hashCode)}")
-      // the bitmap artifact has no saturation concept: same fact, same
-      // grain, rewrite fires and the fact scan disappears
-      graft.plans.NdvCatalog.createBitmap(
-        s, s"s53_bm_${math.abs(dir.hashCode)}", fact, keys,
-        col("o_custkey"), base + "/bm")
-      val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
-      require(scans.exists(_.contains("s53_bm")),
-        s"count-DISTINCT rewrite did not reach the bitmap artifact; scans: $scans")
-      require(!scans.exists(_.contains("orders.parquet")),
-        s"the fact scan survived the bitmap count-DISTINCT rewrite; scans: $scans")
-      val out = Sink.scratchDir(s"s53_out_${math.abs(dir.hashCode)}")
-      q.write.mode("overwrite").parquet(out)
-      s.read.parquet(out)
+      try {
+        // KMV at k=64 SATURATES on this grain: registration's validation
+        // refuses exactness and the rewrite must leave the fact scan alone
+        graft.plans.NdvCatalog.create(
+          s, s"s53_kmv_${math.abs(dir.hashCode)}", fact, keys,
+          col("o_custkey"), 64, base + "/kmv")
+        val kmvScans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+        require(kmvScans.exists(_.contains("orders.parquet")),
+          s"saturated KMV definition must NOT rewrite; plan scans: $kmvScans")
+        graft.plans.NdvCatalog.unregister(s"s53_kmv_${math.abs(dir.hashCode)}")
+        // the bitmap artifact has no saturation concept: same fact, same
+        // grain, rewrite fires and the fact scan disappears
+        graft.plans.NdvCatalog.createBitmap(
+          s, s"s53_bm_${math.abs(dir.hashCode)}", fact, keys,
+          col("o_custkey"), base + "/bm")
+        val scans = graft.plans.MvRewriteRule.scanPaths(q.queryExecution.optimizedPlan)
+        require(scans.exists(_.contains("s53_bm")),
+          s"count-DISTINCT rewrite did not reach the bitmap artifact; scans: $scans")
+        require(!scans.exists(_.contains("orders.parquet")),
+          s"the fact scan survived the bitmap count-DISTINCT rewrite; scans: $scans")
+        val out = Sink.scratchDir(s"s53_out_${math.abs(dir.hashCode)}")
+        q.write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+      } finally {
+        graft.plans.NdvCatalog.unregister(s"s53_kmv_${math.abs(dir.hashCode)}")
+        graft.plans.NdvCatalog.unregister(s"s53_bm_${math.abs(dir.hashCode)}")
+      }
     }
   }
   val s53Sql =

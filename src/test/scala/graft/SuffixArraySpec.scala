@@ -77,6 +77,29 @@ class SuffixArraySpec extends SparkSpec {
     assert(spans == bruteSpans(docs, L))
   }
 
+  test("dupSpans at L below the seed width (zero doubling rounds) ≡ brute force") {
+    // L=4 < the 8-char seed: the ladder collapses to the seeded round
+    // alone (seedW = L), the path a seed-width bug would break first
+    val rnd = new scala.util.Random(99)
+    val docs = (0L until 20L).map(i =>
+      (i, (0 until 20 + rnd.nextInt(30)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString))
+    val L = 4
+    assert(run(docs, L) == bruteSpans(docs, L))
+    assert(bruteSpans(docs, L).nonEmpty)
+  }
+
+  test("docs shorter than the seed width are fenced, not dropped") {
+    // doc 3 (len 5 < seed 8) duplicates a window of docs 1/2 at L=4;
+    // doc 4 (len 3 < L) can hold no window at all
+    val docs = Seq(
+      (1L, "xxabcdyy"), (2L, "zzabcdww"), (3L, "abcde"), (4L, "abc"))
+    val L = 4
+    val spans = run(docs, L)
+    assert(spans == bruteSpans(docs, L))
+    assert(spans.exists(_._1 == 3L), spans) // the short doc reports its dup
+    assert(!spans.exists(_._1 == 4L), spans)
+  }
+
   test("document fencing: identical doc tails never merge across the boundary") {
     // two docs ENDING in the same 20 chars and a third starting with
     // them: duplicates are reported inside each doc, but no span ever

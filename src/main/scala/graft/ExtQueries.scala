@@ -2190,6 +2190,37 @@ object ExtQueries {
       "FROM documents"
   }
 
+  // ---- E5y: HTML main-content extraction ------------------------------------
+  // The missing FRONT stage of the corpus chain (r16 VERDICT Missing
+  // #1): C4/RefinedWeb/FineWeb-style pipelines strip markup and drop
+  // boilerplate blocks BEFORE any of the cleaning/dedup/quality
+  // stages this registry already covers. Each document is wrapped in
+  // a deterministic synthetic page (head + script/style + nav/footer
+  // link lists + an entity-bearing tagline — the container has no
+  // image/HTML libs, so the page itself is synthesized, exactly like
+  // the E4 codec tier synthesizes its PNGs), then
+  // [[TextOps.htmlMainContent]] must recover the decoded tagline +
+  // body and NOTHING else. Per-row expression chain, zero shuffles,
+  // scan-bound at 100 TB; the oracle replays wrap AND extraction in
+  // DuckDB (shared Java∩RE2 regex dialect), so the density filter,
+  // tag strip, and entity decode are all proven bit-exact.
+  def e5HtmlExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.htmlWrap(col("doc_id"), col("text")).as("html"))
+      .select(col("doc_id"), length(col("html")).cast("long").as("n_html_chars"),
+        TextOps.htmlMainContent(col("html")).as("content"))
+      .withColumn("n_content_chars", length(col("content")).cast("long"))
+  val e5hxSql: String = {
+    val wrap = TextOps.htmlWrapDuck("doc_id", "text")
+    val extract = TextOps.htmlMainContentDuck("html")
+    s"""WITH pages AS (SELECT doc_id, $wrap AS html FROM documents)
+       |SELECT doc_id, CAST(length(html) AS BIGINT) AS n_html_chars,
+       |  $extract AS content,
+       |  CAST(length($extract) AS BIGINT) AS n_content_chars
+       |FROM pages""".stripMargin
+  }
+
   // ---- E5d: content fingerprint (md5) + 32-bit SimHash ---------------------
   def e5Fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -4045,6 +4076,7 @@ object ExtQueries {
     "e5_word_freq" -> (e5WordFreq _),
     "e5_quality_langid" -> (e5QualityLangid _),
     "e5_char_trigrams" -> (e5CharTrigrams _),
+    "e5_html_extract" -> (e5HtmlExtract _),
     "e5_fingerprint" -> (e5Fingerprint _),
     "e5_repetition" -> (e5Repetition _),
     "e5_pii_redact" -> (e5PiiRedact _),
@@ -4185,6 +4217,7 @@ object ExtQueries {
     "e5_word_freq" -> e5bSql,
     "e5_quality_langid" -> e5cSql,
     "e5_char_trigrams" -> e5eSql,
+    "e5_html_extract" -> e5hxSql,
     "e5_fingerprint" -> e5dSql,
     "e5_repetition" -> e5fSql,
     "e5_pii_redact" -> e5gSql,

@@ -241,4 +241,116 @@ object TextOps {
             .as("occ_coverage"))
       }: _*)))
   }
+
+  // ---- HTML main-content extraction (r16 VERDICT Missing #1) ---------------
+  // Every web-corpus pipeline (C4, RefinedWeb, FineWeb) runs a
+  // trafilatura-style markup strip + boilerplate drop BEFORE the
+  // E5/E1/E2 stages above. The published heuristic family is
+  // TEXT-DENSITY block filtering (Kohlschütter et al., "Boilerplate
+  // Detection using Shallow Text Features", WSDM 2010): split the
+  // page at block-level tag boundaries; a block whose characters are
+  // mostly markup (nav link lists, footers, chrome) is boilerplate, a
+  // block whose characters are mostly text is content. Everything
+  // here is a per-row chain of regexp/HOF built-ins — zero shuffles,
+  // scan-bound at 100 TB like the rest of E5, and every regex stays
+  // inside the Java∩RE2 common dialect so the DuckDB oracle replays
+  // the extraction bit-for-bit (no backreferences, no lookarounds).
+
+  /** Tags that end a text block. Inline tags (a, b, i, em, span, …)
+    * deliberately stay INSIDE blocks: their markup chars are what the
+    * density test weighs against the block's text.
+    */
+  private[graft] val BlockTagAlt =
+    "p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|" +
+      "section|article|main|header|footer|nav|aside|blockquote|pre|" +
+      "form|figure|figcaption|body|html|br|hr"
+
+  private def stripTags(seg: Column): Column =
+    regexp_replace(seg, "<[^>]*>", "")
+
+  /** Main-content text of an HTML page:
+    *  1. drop non-content subtrees outright (head, script, style,
+    *     comments — their text is never content);
+    *  2. split at block-level tag boundaries;
+    *  3. keep a block iff its tag-stripped text is non-blank AND
+    *     text chars make up more than half the block (the density
+    *     test, integer arithmetic — no float thresholds to drift
+    *     between engines);
+    *  4. join kept blocks, decode the five core entities (&amp;
+    *     LAST, per the HTML spec's double-escaping rule), collapse
+    *     whitespace.
+    */
+  def htmlMainContent(html: Column): Column = {
+    val pre = regexp_replace(
+      regexp_replace(
+        regexp_replace(html, "(?is)<(?:script|style)\\b[^>]*>.*?</(?:script|style)\\s*>", " "),
+        "(?is)<head\\b[^>]*>.*?</head\\s*>", " "),
+      "(?s)<!--.*?-->", " ")
+    val blocks = split(pre, s"(?i)</?(?:$BlockTagAlt)\\b[^>]*>")
+    val kept = filter(blocks, seg =>
+      (length(trim(stripTags(seg))) > lit(0)) &&
+        (length(stripTags(seg)) * lit(2) > length(seg)))
+    val joined = array_join(transform(kept, seg => trim(stripTags(seg))), " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(joined) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** DuckDB replay of [[htmlMainContent]] over a column expression —
+    * the same strip/split/density/decode chain in the oracle dialect
+    * (string_split_regex + list lambdas; regexes identical).
+    */
+  def htmlMainContentDuck(htmlExpr: String): String = {
+    val pre = "regexp_replace(regexp_replace(regexp_replace(" + htmlExpr +
+      """, '(?is)<(?:script|style)\b[^>]*>.*?</(?:script|style)\s*>', ' ', 'g')""" +
+      """, '(?is)<head\b[^>]*>.*?</head\s*>', ' ', 'g')""" +
+      """, '(?s)<!--.*?-->', ' ', 'g')"""
+    def strip(e: String) = s"regexp_replace($e, '<[^>]*>', '', 'g')"
+    val blocks = s"string_split_regex($pre, '(?i)</?(?:$BlockTagAlt)\\b[^>]*>')"
+    val kept = s"list_filter($blocks, seg -> length(trim(${strip("seg")})) > 0 " +
+      s"AND 2 * length(${strip("seg")}) > length(seg))"
+    val joined = s"array_to_string(list_transform($kept, seg -> trim(${strip("seg")})), ' ')"
+    val decoded = Seq(
+      // SQL-literal spellings: '' is ONE escaped single quote
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(joined) { case (c, (ent, ch)) => s"replace($c, '$ent', '$ch')" }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
+  /** Deterministic synthetic page: realistic chrome (head, scripts,
+    * nav/footer link lists, a comment) around two content blocks — an
+    * entity-bearing tagline and the document body. The chrome blocks
+    * all fail the density test; extraction must recover exactly the
+    * decoded tagline + body (law-tested, and the e5_html_extract
+    * oracle replays the whole wrap+extract chain in DuckDB).
+    */
+  def htmlWrap(docId: Column, text: Column): Column = concat(
+    lit("<html><head><title>d"), docId,
+    lit("</title><style>body{margin:0;font:14px sans}</style>" +
+      "<script>var page=\"d\"+"), docId, lit(";track(page);</script></head><body>" +
+      "<nav><a href=\"/\">home</a> <a href=\"/tags\">tags</a> " +
+      "<a href=\"/about\">about</a> <a href=\"/feed\">feed</a></nav>" +
+      "<header><img src=\"/logo.png\"/><a href=\"/login\">login</a></header>" +
+      "<!-- rendered page shell -->" +
+      "<div id=\"main\"><p>doc &quot;d"), docId,
+    lit("&quot; &amp; its body:</p><p>"), text,
+    lit("</p></div><footer><a href=\"/c\">c</a> <a href=\"/d\">d</a> " +
+      "<a href=\"/e\">e</a> <a href=\"/f\">f</a></footer></body></html>"))
+
+  /** DuckDB replay of [[htmlWrap]]. */
+  def htmlWrapDuck(docIdExpr: String, textExpr: String): String =
+    "concat('<html><head><title>d', " + docIdExpr + ", " +
+      "'</title><style>body{margin:0;font:14px sans}</style>" +
+      "<script>var page=\"d\"+', " + docIdExpr + ", ';track(page);</script></head><body>" +
+      "<nav><a href=\"/\">home</a> <a href=\"/tags\">tags</a> " +
+      "<a href=\"/about\">about</a> <a href=\"/feed\">feed</a></nav>" +
+      "<header><img src=\"/logo.png\"/><a href=\"/login\">login</a></header>" +
+      "<!-- rendered page shell -->" +
+      "<div id=\"main\"><p>doc &quot;d', " + docIdExpr + ", " +
+      "'&quot; &amp; its body:</p><p>', " + textExpr + ", " +
+      "'</p></div><footer><a href=\"/c\">c</a> <a href=\"/d\">d</a> " +
+      "<a href=\"/e\">e</a> <a href=\"/f\">f</a></footer></body></html>')"
 }

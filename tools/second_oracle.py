@@ -1831,6 +1831,55 @@ def e6_corpus_clean(sf):
         rows, columns=["doc_id", "fp", "n_tokens", "lang_guess"])
 
 
+def e5_html_extract(sf):
+    # HTML main-content extraction: synthetic page wrap, then the
+    # strip/split/density/decode chain replayed with Python re (the
+    # regexes live in the Java/RE2/Python common dialect: no
+    # backreferences, no lookarounds)
+    import re as _re
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    block = (r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|"
+             r"tr|td|th|section|article|main|header|footer|nav|aside|"
+             r"blockquote|pre|form|figure|figcaption|body|html|br|hr)\b[^>]*>")
+
+    def wrap(i, t):
+        return (
+            '<html><head><title>d%d</title>'
+            '<style>body{margin:0;font:14px sans}</style>'
+            '<script>var page="d"+%d;track(page);</script></head><body>'
+            '<nav><a href="/">home</a> <a href="/tags">tags</a> '
+            '<a href="/about">about</a> <a href="/feed">feed</a></nav>'
+            '<header><img src="/logo.png"/><a href="/login">login</a></header>'
+            '<!-- rendered page shell -->'
+            '<div id="main"><p>doc &quot;d%d&quot; &amp; its body:</p><p>%s</p></div>'
+            '<footer><a href="/c">c</a> <a href="/d">d</a> '
+            '<a href="/e">e</a> <a href="/f">f</a></footer></body></html>'
+        ) % (i, i, i, t)
+
+    def extract(h):
+        h = _re.sub(r"(?is)<(?:script|style)\b[^>]*>.*?</(?:script|style)\s*>", " ", h)
+        h = _re.sub(r"(?is)<head\b[^>]*>.*?</head\s*>", " ", h)
+        h = _re.sub(r"(?s)<!--.*?-->", " ", h)
+        kept = []
+        for seg in _re.split(block, h):
+            txt = _re.sub(r"<[^>]*>", "", seg)
+            if txt.strip(" ") and 2 * len(txt) > len(seg):
+                kept.append(txt.strip(" "))
+        s = " ".join(kept)
+        for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]:
+            s = s.replace(ent, ch)
+        return _re.sub(r"\s+", " ", s).strip(" ")
+
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        h = wrap(int(i), str(t))
+        c = extract(h)
+        rows.append((int(i), len(h), c, len(c)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_html_chars", "content", "n_content_chars"])
+
+
 def e5_normalize(sf):
     # NFC canonical composition over the combining-mark fixture
     import unicodedata
@@ -5834,6 +5883,7 @@ QUERIES = {
     "e1_span_dedup": e1_span_dedup,
     "e1_span_maximal": e1_span_maximal,
     "e6_corpus_clean": e6_corpus_clean,
+    "e5_html_extract": e5_html_extract,
     "e5_normalize": e5_normalize,
     "e5_lm_score": e5_lm_score,
     "e5_tfidf": e5_tfidf,

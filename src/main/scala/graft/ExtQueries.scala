@@ -1918,6 +1918,147 @@ object ExtQueries {
        |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_sym
        |FROM dw JOIN vocab USING (word) GROUP BY doc_id""".stripMargin
 
+  // ---- E5g: UNIGRAM-LM tokenizer training (SentencePiece family) -----------
+  // The other production tokenizer family beside BPE's merge table:
+  // seed candidate pieces from corpus substrings, then hard-EM rounds
+  // of Viterbi segmentation + usage re-count + prune
+  // ([[Unigram]] for the integer-packed objective that lets two
+  // independent engines agree bit-exactly where Σ log p could not).
+  // The oracle replays the WHOLE training loop: the seed counts, and
+  // per round a recursive-CTE forward DP (each iteration carries the
+  // last K cells, candidates scored by correlated lookups into the
+  // round's vocabulary CTE, ties broken shortest-piece-first by the
+  // same CASE order as the Spark fold) followed by the recount and
+  // the alphabet-∪-top-V prune. A single divergent DP cell anywhere
+  // moves a segmentation, hence a count, hence every later round.
+  private val UnigramRounds = 2
+  private val UnigramPieceLen = 4
+  private val UnigramBudget = 32
+  def e5UnigramTrain(s: SparkSession, dir: String): DataFrame =
+    Unigram.train(Tables.documents(s, dir), "text",
+      UnigramRounds, UnigramPieceLen, UnigramBudget)
+
+  /** Recursive-CTE forward DP: Viterbi-segment every word of `w`
+    * under the piece→count CTE `vocabCte`, emitting seg$tag(word, f,
+    * segs). Cell layout and tie order mirror [[Unigram.segment]]'s
+    * fold exactly — st[k] = dp[i−k] (NULL while unreachable or
+    * before the word), candidate k adds 2⁴¹ − cnt(piece), CASE picks
+    * the smallest k achieving the min. Vocabulary probes are LEFT
+    * JOINS, not correlated scalar subqueries: a join plans the vocab
+    * subtree once per recursion ITERATION, a correlated probe
+    * re-evaluates it once per ROW — and on DuckDB 1.0.0 a correlated
+    * probe into the previous round's (recursion-derived) vocabulary
+    * silently reads wrong counts when upstream CTEs are materialized
+    * (bisected: alpha/cnt1/v2 flip the result; joins are stable
+    * under every materialization combination).
+    */
+  private def unigramDpSql(tag: String, vocabCte: String): String = {
+    val K = UnigramPieceLen
+    val nullCell = "{'s': CAST(NULL AS BIGINT), 'g': CAST([] AS VARCHAR[])}"
+    val initCells = ("{'s': CAST(0 AS BIGINT), 'g': CAST([] AS VARCHAR[])}" +:
+      Seq.fill(K - 1)(nullCell)).mkString(", ")
+    val joins = (1 to K).map { k =>
+      s"LEFT JOIN $vocabCte vk$k ON vk$k.piece = substring(word, i + ${2 - k}, $k)"
+    }.mkString("\n  ")
+    val candDefs = (1 to K).map { k =>
+      s"st[$k].s + ${Unigram.Big} - vk$k.cnt AS c$k"
+    }.mkString(",\n    ")
+    val whens = (1 to K).map { k =>
+      val piece = s"substring(word, i + ${2 - k}, $k)"
+      val branch = s"{'s': c$k, 'g': list_append(st[$k].g, $piece)}"
+      if (k < K) {
+        val later = ((k + 1) to K).map(j => s"coalesce(c$j, c$k)").mkString(", ")
+        s"WHEN c$k IS NOT NULL AND c$k <= least($later) THEN $branch"
+      } else s"ELSE $branch"
+    }.mkString("\n      ")
+    s"""dp$tag AS (
+       |  SELECT word, f, len(word) AS n, 0 AS i, [$initCells] AS st FROM w
+       |  UNION ALL
+       |  SELECT word, f, n, i + 1,
+       |    list_prepend(CASE $whens END, st[1:${K - 1}])
+       |  FROM (SELECT word, f, n, i, st,
+       |    $candDefs
+       |  FROM dp$tag
+       |  $joins
+       |  WHERE i < n) t),
+       |seg$tag AS (SELECT word, f, st[1].g AS segs FROM dp$tag WHERE i = n)""".stripMargin
+  }
+
+  /** WITH-RECURSIVE body replaying [[Unigram.trainVocab]]: seed
+    * counts, alphabet, then per round r the DP dp_r/seg_r under v_r,
+    * the recount cnt_r, and the pruned v_{r+1}. Shared by
+    * e5_unigram_train (reads v_{R+1}) and e5_unigram_apply (runs one
+    * more DP under v_{R+1} and joins the corpus).
+    */
+  private lazy val unigramChainSql: String = {
+    val K = UnigramPieceLen
+    // model-sized CTEs are MATERIALIZED: DuckDB inlines plain CTEs
+    // per reference, and the DP's per-row vocabulary lookups would
+    // otherwise re-run the ENTIRE upstream chain (previous rounds'
+    // recursions included) once per probe — exponential in rounds
+    val rounds = (1 to UnigramRounds).map { r =>
+      s"""${unigramDpSql(r.toString, s"v$r")},
+         |cnt$r AS MATERIALIZED (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM (SELECT f, unnest(segs) AS piece FROM seg$r) t GROUP BY piece),
+         |v${r + 1} AS MATERIALIZED (
+         |  SELECT a.piece, CAST(coalesce(n.cnt, 0) AS BIGINT) AS cnt
+         |  FROM alpha a LEFT JOIN cnt$r n ON a.piece = n.piece
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (SELECT piece, cnt FROM cnt$r
+         |    WHERE len(piece) > 1 ORDER BY cnt DESC, piece LIMIT $UnigramBudget) t)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS f FROM (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents) t
+       |  WHERE len(word) > 0 GROUP BY word),
+       |wk AS (SELECT word, f, unnest(range(1, ${K + 1})) AS k FROM w),
+       |subs AS (SELECT f, substring(word, CAST(i AS INT), CAST(k AS INT)) AS piece
+       |  FROM (SELECT word, f, k, unnest(range(1, len(word) - k + 2)) AS i FROM wk) t),
+       |cnt0 AS MATERIALIZED (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt FROM subs GROUP BY piece),
+       |alpha AS MATERIALIZED (SELECT piece, cnt FROM cnt0 WHERE len(piece) = 1),
+       |mu0 AS (SELECT piece, cnt FROM cnt0 WHERE len(piece) > 1
+       |  ORDER BY cnt DESC, piece LIMIT $UnigramBudget),
+       |v1 AS MATERIALIZED (SELECT * FROM alpha UNION ALL SELECT * FROM mu0),
+       |$rounds""".stripMargin
+  }
+  lazy val e5ugSql: String =
+    s"""WITH RECURSIVE $unigramChainSql
+       |SELECT piece, cnt AS n_uses FROM v${UnigramRounds + 1}""".stripMargin
+
+  // ---- E5g': unigram train -> ENCODE, composed (the shipping path) ---------
+  // The e5_bpe_apply analogue for the unigram family: the model
+  // trained on THIS corpus segments it back, emitting per-document
+  // whitespace-token and unigram-piece counts. Encoding runs one
+  // more Viterbi pass on the DISTINCT-WORD frame under the final
+  // model (segmentation is frequency-independent), then the corpus
+  // joins the word→piece-count vocab on the word key — model-bounded
+  // work plus one co-partitioned join. Train and encode share ONE
+  // corpus tokenize: the (word, f) frame is built once, cached, and
+  // consumed by both trainVocab and the encode segmentation.
+  def e5UnigramApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = Sink.cachedEager(Bpe.wordFreqs(docs, "text"))
+    val vocab = Unigram.trainVocab(words, UnigramRounds, UnigramPieceLen, UnigramBudget)
+    val wordSegs = Sink.cachedEager(
+      Unigram.segment(words, vocab, UnigramPieceLen)
+        .select(col("word"), size(col("segs")).cast("long").as("n_seg")))
+    words.unpersist(blocking = false)
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(wordSegs, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_seg")).as("n_pieces"))
+  }
+  lazy val e5uaSql: String =
+    s"""WITH RECURSIVE $unigramChainSql,
+       |${unigramDpSql("f", s"v${UnigramRounds + 1}")},
+       |wseg AS (SELECT word, CAST(len(segs) AS BIGINT) AS n_seg FROM segf),
+       |dw AS (SELECT doc_id, word FROM (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents) t
+       |  WHERE len(word) > 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_seg) AS BIGINT) AS n_pieces
+       |FROM dw JOIN wseg USING (word) GROUP BY doc_id""".stripMargin
+
   def e5BpeTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
@@ -3390,6 +3531,9 @@ object ExtQueries {
     knnGraphCache.computeIfAbsent(dir, _ => {
       val ix = graft.ops.Sink.scratchDir(s"knn_graph_${math.abs(dir.hashCode)}")
       Similarity.writeKnnGraph(Tables.embeddings(s, dir), AnnBits, AnnK, ix)
+      // the stored entry-point table rides with the graph: built once
+      // here, probed by e3_graph_search_ext_saved with zero training
+      Similarity.writeGraphLandmarks(s, ix, GraphLmK)
       ix
     })
 
@@ -3585,52 +3729,96 @@ object ExtQueries {
   // graph members — the production regime (a search query arrives,
   // the corpus is indexed). HNSW descends an upper layer to find
   // entry points; the batch equivalent seeds each walk with the
-  // query's top-[[ExtEntryK]] LANDMARKS by exact cosine
-  // ([[Similarity.graphBeamSearchExternal]]), then expands the same
-  // fresh-only beam rounds. The landmark policy here is a
-  // deterministic arithmetic pick (vec_id % 29 = 1, ~3% of corpus) so
-  // the oracle replays it verbatim; production swaps in k-center
-  // picks (e3_kcenter) or IVF centroids — the SEARCH mechanism, which
-  // is what this gate pins, is identical for any entry policy. The
-  // corpus holds out every query (vec_id % 10 = 0), so a hit can only
-  // come through the graph walk, never self-entry. Entry nodes are
-  // scored as real candidates (layer 0) — at beam ≥ EntryK none is
-  // cut, matching the oracle's ly0 = ent.
+  // query's top-[[ExtEntryK]] of the index's own STORED LANDMARKS —
+  // k-center exemplars trained at build time and persisted beside
+  // the graph ([[Similarity.writeGraphLandmarks]], r16 VERDICT Next
+  // #6: the probe is turnkey, callers hand in nothing but query
+  // vectors) — then expands the same fresh-only beam rounds
+  // ([[Similarity.graphBeamSearchFromLandmarks]]). The oracle replays
+  // the whole composition: the k-center selection chain over the
+  // corpus, the entry scoring, and the walk. The corpus holds out
+  // every query (vec_id % 10 = 0), so a hit can only come through
+  // the graph walk, never self-entry. Entry nodes are scored as real
+  // candidates (layer 0) — at beam ≥ EntryK none is cut, matching
+  // the oracle's ly0 = ent.
   private val ExtEntryK = 4
+  private val GraphLmK = 6
   def e3GraphSearchExternal(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val corpus = emb.filter(col("vec_id") % 10 =!= 0)
     val ix = annScratch("knng_beam_ext")
     Similarity.writeKnnGraph(corpus, AnnBits, AnnK, ix)
+    Similarity.writeGraphLandmarks(s, ix, GraphLmK)
     val queries = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < AnnQueries * 10)
-    val landmarks = corpus.filter(col("vec_id") % 29 === 1)
-    val entries = Similarity.cosineTopK(queries, landmarks, ExtEntryK)
-      .select(col("query_id"), col("vec_id"))
-    Similarity.graphBeamSearchExternal(
-      queries, ix, entries, BeamRounds, BeamWidth, AnnK)
+    Similarity.graphBeamSearchFromLandmarks(
+      queries, ix, ExtEntryK, BeamRounds, BeamWidth, AnnK)
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
   }
-  val e3xSql: String = {
+
+  /** Chained-CTE replay of [[Similarity.kcenterSelect]] over the CTE
+    * `src` (must expose vec_id, embedding, n2): emits `${p}s1`
+    * (seed), `${p}m*` (running min-distances), `${p}c*` (greedy
+    * picks) and `${p}sel` (all selected ids) — every distance the
+    * identical fixed-order IEEE expression, so argmax picks and
+    * running mins match the operator bit for bit. Shared by
+    * e3_kcenter's gate and both landmark-seeded graph probes.
+    */
+  private def kcenterChainSql(src: String, k: Int, p: String): String = {
+    def dist(a: String, b: String) =
+      s"1.0 - ${duckDot(s"$a.embedding", s"$b.embedding")} / (sqrt($a.n2) * sqrt($b.n2))"
+    // every stage is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and each mᵢ/cᵢ is referenced by all later stages —
+    // un-materialized, the chain re-evaluates itself exponentially
+    val rounds = (2 to k).map { i =>
+      val selSet = s"SELECT id FROM ${p}s1" +
+        (2 until i).map(j => s" UNION ALL SELECT vec_id FROM ${p}c$j").mkString
+      val m =
+        if (i == 2)
+          s"""${p}m1 AS MATERIALIZED (SELECT pt.vec_id, ${dist("pt", "c")} AS md
+             |  FROM $src pt JOIN $src c ON c.vec_id = (SELECT id FROM ${p}s1))""".stripMargin
+        else
+          s"""${p}m${i - 1} AS MATERIALIZED (SELECT ${p}m${i - 2}.vec_id, least(${p}m${i - 2}.md, ${dist("pt", "c")}) AS md
+             |  FROM ${p}m${i - 2} JOIN $src pt ON pt.vec_id = ${p}m${i - 2}.vec_id
+             |  JOIN $src c ON c.vec_id = (SELECT vec_id FROM ${p}c${i - 1}))""".stripMargin
+      val c =
+        s"""${p}c$i AS MATERIALIZED (SELECT vec_id, md FROM ${p}m${i - 1}
+           |  WHERE vec_id NOT IN ($selSet) ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+      s"$m,\n$c"
+    }.mkString(",\n")
+    val sel = s"SELECT id AS vec_id FROM ${p}s1" +
+      (2 to k).map(i => s" UNION ALL SELECT vec_id FROM ${p}c$i").mkString
+    s"""${p}s1 AS MATERIALIZED (SELECT min(vec_id) AS id FROM $src),
+       |$rounds,
+       |${p}sel AS MATERIALIZED ($sel)""".stripMargin
+  }
+
+  /** The fresh-only beam-walk rounds shared verbatim by every
+    * graph-probe oracle that scores exact cosine: expects CTEs `e`
+    * (corpus: vec_id, embedding, n2), `ad` (directed edges), `q`
+    * (query_id, embedding, n2), `f0`/`s0` (initial frontier / seen).
+    */
+  private def beamRoundsSql: String = (1 to BeamRounds).map { r =>
+    s"""nb$r AS (SELECT DISTINCT f.query_id, a.dst AS cand
+       |  FROM f${r - 1} f JOIN ad a ON f.vec_id = a.src),
+       |fr$r AS (SELECT nb.query_id, nb.cand FROM nb$r nb
+       |  LEFT JOIN s${r - 1} s ON nb.query_id = s.query_id AND nb.cand = s.vec_id
+       |  WHERE s.vec_id IS NULL),
+       |sc$r AS (SELECT f.query_id, c.vec_id,
+       |    ${duckDot("qq.embedding", "c.embedding")} / (sqrt(qq.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM fr$r f JOIN e c ON f.cand = c.vec_id
+       |  JOIN q qq ON f.query_id = qq.query_id),
+       |ly$r AS (SELECT query_id, vec_id, cos_sim FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM sc$r) WHERE rk <= $BeamWidth),
+       |f$r AS (SELECT query_id, vec_id FROM ly$r),
+       |s$r AS (SELECT query_id, vec_id FROM s${r - 1}
+       |  UNION ALL SELECT query_id, vec_id FROM ly$r)""".stripMargin
+  }.mkString(",\n")
+
+  lazy val e3xSql: String = {
     val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
     val bucket = s"array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END for i in range(1, ${AnnBits + 1})], '')"
-    val rounds = (1 to BeamRounds).map { r =>
-      s"""nb$r AS (SELECT DISTINCT f.query_id, a.dst AS cand
-         |  FROM f${r - 1} f JOIN ad a ON f.vec_id = a.src),
-         |fr$r AS (SELECT nb.query_id, nb.cand FROM nb$r nb
-         |  LEFT JOIN s${r - 1} s ON nb.query_id = s.query_id AND nb.cand = s.vec_id
-         |  WHERE s.vec_id IS NULL),
-         |sc$r AS (SELECT f.query_id, c.vec_id,
-         |    ${duckDot("qq.embedding", "c.embedding")} / (sqrt(qq.n2) * sqrt(c.n2)) AS cos_sim
-         |  FROM fr$r f JOIN e c ON f.cand = c.vec_id
-         |  JOIN q qq ON f.query_id = qq.query_id),
-         |ly$r AS (SELECT query_id, vec_id, cos_sim FROM (
-         |  SELECT query_id, vec_id, cos_sim,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
-         |  FROM sc$r) WHERE rk <= $BeamWidth),
-         |f$r AS (SELECT query_id, vec_id FROM ly$r),
-         |s$r AS (SELECT query_id, vec_id FROM s${r - 1}
-         |  UNION ALL SELECT query_id, vec_id FROM ly$r)""".stripMargin
-    }.mkString(",\n")
     val pool = (0 to BeamRounds)
       .map(r => s"SELECT query_id, vec_id, cos_sim FROM ly$r")
       .mkString(" UNION ALL ")
@@ -3650,7 +3838,8 @@ object ExtQueries {
        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM me),
        |q AS (SELECT vec_id AS query_id, embedding, n2 FROM al
        |  WHERE vec_id % 10 = 0 AND vec_id < ${AnnQueries * 10}),
-       |lm AS (SELECT vec_id, embedding, n2 FROM e WHERE vec_id % 29 = 1),
+       |${kcenterChainSql("e", GraphLmK, "kc")},
+       |lm AS MATERIALIZED (SELECT e.vec_id, e.embedding, e.n2 FROM e JOIN kcsel s ON e.vec_id = s.vec_id),
        |ent AS (SELECT query_id, vec_id, cos_sim FROM (
        |  SELECT qq.query_id, l.vec_id,
        |    ${duckDot("qq.embedding", "l.embedding")} / (sqrt(qq.n2) * sqrt(l.n2)) AS cos_sim,
@@ -3661,34 +3850,75 @@ object ExtQueries {
        |ly0 AS (SELECT query_id, vec_id, cos_sim FROM ent),
        |f0 AS (SELECT query_id, vec_id FROM ly0),
        |s0 AS (SELECT query_id, vec_id FROM ent),
-       |$rounds,
+       |$beamRoundsSql,
        |pool AS ($pool)
        |SELECT query_id, vec_id, cos_sim, rk FROM (
        |  SELECT query_id, vec_id, cos_sim,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
        |  FROM pool) WHERE rk <= $AnnK""".stripMargin
   }
+
+  // ---- E3x': the SAVED-artifact form of the turnkey external probe ---------
+  // The serving path the landmark artifact exists for: graph AND
+  // landmarks are standing tables (built once per corpus into the
+  // shared knn-graph index the e2 graph queries also probe), and the
+  // probe trains nothing — it broadcasts the k-row landmark table,
+  // scores entries, walks. Queries here are corpus members but enter
+  // ONLY through the stored landmarks (never own-node seeding), so a
+  // query's own vector must be REDISCOVERED by the walk — landmark
+  // entry scoring skips the degenerate self-pair exactly as
+  // [[Similarity.cosineTopK]] does, and the oracle's ent CTE carries
+  // the same l.vec_id <> qq.query_id guard.
+  def e3GraphSearchExtSaved(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.graphBeamSearchFromLandmarks(
+      emb.filter(col("vec_id") < AnnQueries), knnGraphDir(s, dir),
+      ExtEntryK, BeamRounds, BeamWidth, AnnK)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+  lazy val e3xsSql: String = {
+    val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val bucket = s"array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END for i in range(1, ${AnnBits + 1})], '')"
+    val pool = (0 to BeamRounds)
+      .map(r => s"SELECT query_id, vec_id, cos_sim FROM ly$r")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2, $bucket AS bucket FROM embeddings),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+       |  FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+       |knn AS (SELECT query_id, vec_id, cos_sim FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM scored) WHERE rk <= $AnnK),
+       |me AS (SELECT least(query_id, vec_id) AS id_a, greatest(query_id, vec_id) AS id_b,
+       |    max(cos_sim) AS cos_sim
+       |  FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
+       |ad AS (SELECT id_a AS src, id_b AS dst FROM me
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM me),
+       |q AS (SELECT vec_id AS query_id, embedding, n2 FROM e WHERE vec_id < $AnnQueries),
+       |${kcenterChainSql("e", GraphLmK, "kc")},
+       |lm AS MATERIALIZED (SELECT e.vec_id, e.embedding, e.n2 FROM e JOIN kcsel s ON e.vec_id = s.vec_id),
+       |ent AS (SELECT query_id, vec_id, cos_sim FROM (
+       |  SELECT qq.query_id, l.vec_id,
+       |    ${duckDot("qq.embedding", "l.embedding")} / (sqrt(qq.n2) * sqrt(l.n2)) AS cos_sim,
+       |    row_number() OVER (PARTITION BY qq.query_id ORDER BY
+       |      ${duckDot("qq.embedding", "l.embedding")} / (sqrt(qq.n2) * sqrt(l.n2)) DESC,
+       |      l.vec_id) AS rk
+       |  FROM q qq CROSS JOIN lm l WHERE l.vec_id <> qq.query_id) WHERE rk <= $ExtEntryK),
+       |ly0 AS (SELECT query_id, vec_id, cos_sim FROM ent),
+       |f0 AS (SELECT query_id, vec_id FROM ly0),
+       |s0 AS (SELECT query_id, vec_id FROM ent),
+       |$beamRoundsSql,
+       |pool AS ($pool)
+       |SELECT query_id, vec_id, cos_sim, rk FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM pool) WHERE rk <= $AnnK""".stripMargin
+  }
+
   val e3zSql: String = {
     val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
     val bucket = s"array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END for i in range(1, ${AnnBits + 1})], '')"
-    val rounds = (1 to BeamRounds).map { r =>
-      s"""nb$r AS (SELECT DISTINCT f.query_id, a.dst AS cand
-         |  FROM f${r - 1} f JOIN ad a ON f.vec_id = a.src),
-         |fr$r AS (SELECT nb.query_id, nb.cand FROM nb$r nb
-         |  LEFT JOIN s${r - 1} s ON nb.query_id = s.query_id AND nb.cand = s.vec_id
-         |  WHERE s.vec_id IS NULL),
-         |sc$r AS (SELECT f.query_id, c.vec_id,
-         |    ${duckDot("qq.embedding", "c.embedding")} / (sqrt(qq.n2) * sqrt(c.n2)) AS cos_sim
-         |  FROM fr$r f JOIN e c ON f.cand = c.vec_id
-         |  JOIN q qq ON f.query_id = qq.query_id),
-         |ly$r AS (SELECT query_id, vec_id, cos_sim FROM (
-         |  SELECT query_id, vec_id, cos_sim,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
-         |  FROM sc$r) WHERE rk <= $BeamWidth),
-         |f$r AS (SELECT query_id, vec_id FROM ly$r),
-         |s$r AS (SELECT query_id, vec_id FROM s${r - 1}
-         |  UNION ALL SELECT query_id, vec_id FROM ly$r)""".stripMargin
-    }.mkString(",\n")
     val pool = (1 to BeamRounds)
       .map(r => s"SELECT query_id, vec_id, cos_sim FROM ly$r")
       .mkString(" UNION ALL ")
@@ -3708,7 +3938,7 @@ object ExtQueries {
        |q AS (SELECT vec_id AS query_id, embedding, n2 FROM e WHERE vec_id < $AnnQueries),
        |f0 AS (SELECT query_id, query_id AS vec_id FROM q),
        |s0 AS (SELECT query_id, vec_id FROM f0),
-       |$rounds,
+       |$beamRoundsSql,
        |pool AS ($pool)
        |SELECT query_id, vec_id, cos_sim, rk FROM (
        |  SELECT query_id, vec_id, cos_sim,
@@ -3787,31 +4017,12 @@ object ExtQueries {
     Similarity.kcenterSelect(Tables.embeddings(s, dir), KcenterK)
   val e3kcSql: String = {
     val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
-    def dist(p: String, c: String) =
-      s"1.0 - ${duckDot(s"$p.embedding", s"$c.embedding")} / (sqrt($p.n2) * sqrt($c.n2))"
-    val rounds = (2 to KcenterK).map { i =>
-      val selSet = "SELECT id FROM s1" +
-        (2 until i).map(j => s" UNION ALL SELECT vec_id FROM c$j").mkString
-      val m =
-        if (i == 2)
-          s"""m1 AS (SELECT p.vec_id, ${dist("p", "c")} AS md
-             |  FROM e p JOIN e c ON c.vec_id = (SELECT id FROM s1))""".stripMargin
-        else
-          s"""m${i - 1} AS (SELECT m${i - 2}.vec_id, least(m${i - 2}.md, ${dist("p", "c")}) AS md
-             |  FROM m${i - 2} JOIN e p ON p.vec_id = m${i - 2}.vec_id
-             |  JOIN e c ON c.vec_id = (SELECT vec_id FROM c${i - 1}))""".stripMargin
-      val c =
-        s"""c$i AS (SELECT vec_id, md FROM m${i - 1}
-           |  WHERE vec_id NOT IN ($selSet) ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
-      s"$m,\n$c"
-    }.mkString(",\n")
     val out = (2 to KcenterK)
-      .map(i => s"UNION ALL SELECT CAST($i AS BIGINT), vec_id, md FROM c$i")
+      .map(i => s"UNION ALL SELECT CAST($i AS BIGINT), vec_id, md FROM kcc$i")
       .mkString("\n")
     s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2 FROM embeddings),
-       |s1 AS (SELECT min(vec_id) AS id FROM e),
-       |$rounds
-       |SELECT CAST(1 AS BIGINT) AS sel_order, id AS vec_id, 0.0 AS dist_at_selection FROM s1
+       |${kcenterChainSql("e", KcenterK, "kc")}
+       |SELECT CAST(1 AS BIGINT) AS sel_order, id AS vec_id, 0.0 AS dist_at_selection FROM kcs1
        |$out""".stripMargin
   }
 
@@ -4088,6 +4299,8 @@ object ExtQueries {
     "e7_reservoir" -> (e7Reservoir _),
     "e7_priority_sample" -> (e7PrioritySample _),
     "e5_bpe_train" -> (e5BpeTrain _),
+    "e5_unigram_train" -> (e5UnigramTrain _),
+    "e5_unigram_apply" -> (e5UnigramApply _),
     "e2_triangles" -> (e2Triangles _),
     "e5_pack_assemble" -> (e5PackAssemble _),
     "e1_source_overlap" -> (e1SourceOverlap _),
@@ -4144,6 +4357,7 @@ object ExtQueries {
     "e3_graph_search" -> (e3GraphSearch _),
     "e3_graph_search_appended" -> (e3GraphSearchAppended _),
     "e3_graph_search_external" -> (e3GraphSearchExternal _),
+    "e3_graph_search_ext_saved" -> (e3GraphSearchExtSaved _),
     "e3_graph_search_adc" -> (e3GraphSearchAdc _),
     "e3_graph_search_adc_saved" -> (e3GraphSearchAdcSaved _),
     "e2_bfs_hops" -> (e2BfsHops _),
@@ -4179,6 +4393,8 @@ object ExtQueries {
     "e7_priority_sample" -> e7kSql,
     "e5_bpe_train" -> e5tSql,
     "e5_bpe_apply" -> e5vSql,
+    "e5_unigram_train" -> e5ugSql,
+    "e5_unigram_apply" -> e5uaSql,
     "e2_triangles" -> e2kSql,
     "e5_pack_assemble" -> e5uSql,
     "e1_source_overlap" -> e1cSql,
@@ -4271,6 +4487,7 @@ object ExtQueries {
     "e3_graph_search" -> e3zSql,
     "e3_graph_search_appended" -> e3zSql,
     "e3_graph_search_external" -> e3xSql,
+    "e3_graph_search_ext_saved" -> e3xsSql,
     "e3_graph_search_adc" -> e3wSql,
     "e3_graph_search_adc_saved" -> e3wSql,
     "e2_bfs_hops" -> e2bfSql,

@@ -733,6 +733,53 @@ object Similarity {
       initLayers = Vector(layer0), rounds, beam, finish = rankTopK(_, k))
   }
 
+  /** Persist a trained ENTRY-POINT table into a saved kNN-graph index
+    * (r16 VERDICT Next #6 — the turnkey leg [[graphBeamSearchExternal]]
+    * was missing): k-center / farthest-point-first exemplars
+    * ([[kcenterSelect]]) over the graph's own vecs/ artifact, stored
+    * as `landmarks/` beside knn/ and edges/. k-center is the right
+    * entry policy for a beam walk — its picks are a 2-approximate
+    * coverage net, so every query is within one coverage radius of
+    * some landmark, the batch analogue of HNSW's sparse upper layer.
+    * Landmarks carry their embedding and the SAME persisted n2
+    * discipline as vecs/ (norm2 re-derived from the identical stored
+    * doubles), so probe-time scoring never recomputes corpus state.
+    * k-bounded rows: the artifact broadcasts at probe time.
+    */
+  def writeGraphLandmarks(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, k: Int): Unit = {
+    val vecs = spark.read.parquet(s"$indexDir/vecs")
+    kcenterSelect(vecs, k)
+      .join(vecs.select(col("vec_id"), col("embedding"), col("n2")), Seq("vec_id"))
+      .select(col("sel_order"), col("vec_id"), col("embedding"), col("n2"))
+      .write.mode("overwrite").parquet(s"$indexDir/landmarks")
+  }
+
+  /** The stored landmark table — k rows, broadcastable. */
+  def probeGraphLandmarks(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/landmarks")
+
+  /** TURNKEY external-query graph probe: entries come from the
+    * index's own stored landmarks (top-`entryK` by exact cosine
+    * against the k-row broadcast table — the HNSW upper-layer
+    * descent, batch-expressed), then the walk is exactly
+    * [[graphBeamSearchExternal]]. The caller hands in nothing but
+    * query vectors; nothing is learned at probe time.
+    */
+  def graphBeamSearchFromLandmarks(
+      queries: DataFrame,
+      indexDir: String,
+      entryK: Int,
+      rounds: Int,
+      beam: Int,
+      k: Int): DataFrame = {
+    val lm = probeGraphLandmarks(queries.sparkSession, indexDir)
+    val entries = cosineTopK(queries, lm, entryK)
+      .select(col("query_id"), col("vec_id"))
+    graphBeamSearchExternal(queries, indexDir, entries, rounds, beam, k)
+  }
+
   /** ADC-scored beam search over the saved kNN graph — the
     * MEMORY-BOUND regime of graph-ANN at 100 TB: full vectors do not
     * fit beside the walk, so every candidate in the loop is scored

@@ -1,0 +1,174 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Unigram-LM (SentencePiece-family, Kudo ACL 2018) tokenizer
+  * TRAINING: the OTHER production tokenizer family beside BPE's
+  * merge-table ([[Bpe]]) — seed a candidate-piece vocabulary from
+  * corpus substrings, then alternate (E) segment every word under the
+  * current model with a Viterbi dynamic program and (M) re-estimate
+  * piece usage from the chosen segmentations, pruning the vocabulary
+  * after every round. The reference (hospital-ETL, etl_script.py) has
+  * no text operators; this generalizes the engine to the `documents`
+  * substrate the way a 100 TB pretraining pipeline needs.
+  *
+  * Deterministic integer surrogate for the likelihood: SentencePiece
+  * maximizes Σ log p(piece), a float whose `ln` differs across
+  * engines in the last ulp — unverifiable bit-exactly against an
+  * independent oracle (the e5_lm_score / e5_bigram_rarity reasoning).
+  * The Viterbi here optimizes the integer pair
+  * (fewest pieces, then largest Σ current-usage-count), packed into
+  * ONE int64 per DP cell: score = pieces · 2⁴¹ − Σcnt, so each
+  * transition ADDS the constant 2⁴¹ − cnt(piece) and `min` ranks
+  * (pieces asc, Σcnt desc) lexicographically. Fewest-pieces is the
+  * MDL/compression objective unigram training drives toward; the
+  * count term is the model — E-steps under re-estimated counts move
+  * segmentations exactly like probability mass would, and every
+  * comparison is exact 64-bit arithmetic both engines reproduce.
+  * Remaining ties break to the SHORTEST final piece (smallest k), a
+  * total order both the fold below and the oracle's CASE replay.
+  *
+  * Scale shape (the property that makes this trainable at 100 TB):
+  * ONE corpus-sized pass (word frequencies — shared with BPE via
+  * [[Bpe.wordFreqs]]), then every round runs on the DISTINCT-WORD
+  * frame. The E-step is a single zero-shuffle fold per word
+  * (`aggregate` over positions, vocab broadcast as a map literal —
+  * the model is ≤ alphabet + multiBudget entries BY CONSTRUCTION, the
+  * artifact a tokenizer ships, so collecting it each round is the
+  * same bounded-collect category as BPE's per-round argmax); the
+  * M-step is one explode + sum over segmented vocab rows. Nothing in
+  * the loop scales with the corpus.
+  */
+object Unigram {
+
+  /** 2⁴¹ — the pieces-count pack radix. A word's Σcnt is bounded by
+    * len(word) × max piece count; [[segment]] rejects models whose
+    * counts could make the subtraction borrow into the pieces digit.
+    */
+  val Big: Long = 1L << 41
+
+  /** Candidate pieces: every substring of length 1..maxPieceLen of
+    * every distinct word, each OCCURRENCE (position) weighted by the
+    * word's corpus frequency. `sequence(1, n)` is descending for
+    * n < 1 (the Bpe.scala trap), so lengths the word can't fill
+    * contribute an empty array instead.
+    */
+  def seedPieceCounts(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words.select(col("f"), explode(expr(
+      s"""flatten(transform(sequence(1, $maxPieceLen), k ->
+         |  CASE WHEN length(word) >= k
+         |    THEN transform(sequence(1, length(word) - k + 1),
+         |                   i -> substring(word, i, k))
+         |    ELSE array() END))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+
+  /** Viterbi-segment each word of `words` (a (word, …) frame) under
+    * the piece→count model `vocab`, appending a `segs` array column.
+    * One forward fold over positions; DP cell i holds the best
+    * (packed score, piece list) for the prefix word[1..i], and the
+    * carried state is the last `maxPieceLen` cells — cell i−k is
+    * NULL-scored while unreachable (or before the word starts), which
+    * is exactly "no candidate for k", so no boundary guards exist to
+    * disagree on. The model must contain every single character of
+    * every word (the trainer guarantees it by keeping the alphabet
+    * through every prune), making cell 0's reachability inductive.
+    */
+  def segment(words: DataFrame, vocab: Seq[(String, Long)], maxPieceLen: Int): DataFrame = {
+    require(vocab.nonEmpty, "unigram model is empty")
+    val maxCnt = vocab.map(_._2).max
+    require(maxCnt < (1L << 40),
+      s"piece count $maxCnt could overflow the 2^41 pieces-pack radix")
+    val vm = map_from_arrays(
+      typedlit(vocab.map(_._1)), typedlit(vocab.map(_._2)))
+    val word = col("word")
+    val nullCell =
+      struct(lit(null).cast(LongType).as("s"), typedlit(Seq.empty[String]).as("g"))
+    val init = array(
+      struct(lit(0L).as("s"), typedlit(Seq.empty[String]).as("g")) +:
+        Seq.fill(maxPieceLen - 1)(nullCell): _*)
+    val folded = aggregate(
+      sequence(lit(1), length(word)),
+      init,
+      (st: Column, i: Column) => {
+        // candidate k: extend cell i−k with the k-char piece ending at i
+        val cands = (1 to maxPieceLen).map { k =>
+          val piece = word.substr(i - lit(k - 1), lit(k))
+          val prev = st.getItem(k - 1)
+          val s = prev.getField("s") + lit(Big) - try_element_at(vm, piece)
+          (s, concat(prev.getField("g"), array(piece)))
+        }
+        val cs = cands.map(_._1)
+        // smallest k whose score equals the min of all non-null
+        // candidates — evaluated k-ascending with <= so ties stop at
+        // the shortest piece (the oracle replays the same CASE chain)
+        def winsFrom(k: Int): Column = {
+          val later = (k + 1 to maxPieceLen).map(j => coalesce(cs(j - 1), cs(k - 1)))
+          cs(k - 1).isNotNull &&
+            (if (later.isEmpty) lit(true) else cs(k - 1) <= later.reduce(least(_, _)))
+        }
+        val best = (1 until maxPieceLen).foldRight(
+          struct(cs(maxPieceLen - 1).as("s"), cands(maxPieceLen - 1)._2.as("g"))) {
+          (k, els) =>
+            when(winsFrom(k), struct(cs(k - 1).as("s"), cands(k - 1)._2.as("g")))
+              .otherwise(els)
+        }
+        concat(array(best), slice(st, 1, maxPieceLen - 1))
+      })
+    words.withColumn("segs", folded.getItem(0).getField("g"))
+  }
+
+  /** Train `rounds` hard-EM rounds; returns the final model as a
+    * driver-local (piece, count) list — the artifact a tokenizer
+    * ships, bounded by |alphabet| + multiBudget by construction.
+    *
+    * Seeding: the alphabet (every single character, always kept so
+    * segmentation stays total) plus the top `multiBudget` multi-char
+    * substrings by (occurrence count desc, piece asc). Each round:
+    * segment the distinct-word frame under the current model
+    * ([[segment]]), re-count piece usage (occurrences × word
+    * frequency — the M-step), and prune back to alphabet ∪ top
+    * multiBudget used multi-char pieces under the same total order.
+    * Characters the E-step stopped using stay at count 0 (required
+    * symbols, as SentencePiece keeps its character coverage set).
+    * Both bounded collects per round are model-sized, never corpus-
+    * or vocabulary-sized: the seed's top-multi cut runs distributed
+    * (TakeOrdered) and the M-step recount only contains pieces the
+    * segmentations used — a subset of the current model.
+    */
+  def trainVocab(words: DataFrame, rounds: Int, maxPieceLen: Int,
+      multiBudget: Int): Seq[(String, Long)] = {
+    val seed = seedPieceCounts(words, maxPieceLen)
+    val alphabet = seed.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(alphabet.nonEmpty, "empty corpus: no characters to seed the model")
+    val seedMulti = seed.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(multiBudget)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var vocab: Seq[(String, Long)] = alphabet.toSeq ++ seedMulti
+    for (_ <- 1 to rounds) {
+      val counts = segment(words, vocab, maxPieceLen)
+        .select(col("f"), explode(col("segs")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val multi = counts.iterator.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(multiBudget)
+      vocab = alphabet.toSeq.map { case (p, _) => p -> counts.getOrElse(p, 0L) } ++ multi
+    }
+    vocab
+  }
+
+  /** [[trainVocab]] over a corpus column, as a DataFrame for the
+    * registry gate: (piece, n_uses) — the trained model.
+    */
+  def train(docs: DataFrame, textCol: String, rounds: Int, maxPieceLen: Int,
+      multiBudget: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = graft.ops.Sink.cachedEager(Bpe.wordFreqs(docs, textCol))
+    val vocab = trainVocab(words, rounds, maxPieceLen, multiBudget)
+    words.unpersist(blocking = false)
+    vocab.toDF("piece", "n_uses")
+  }
+}

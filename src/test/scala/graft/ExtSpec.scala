@@ -1156,6 +1156,38 @@ class ExtSpec extends SparkSpec {
     assert(mismatches == 0, s"$mismatches external beam scores differ from exact cosine")
   }
 
+  test("graph landmark artifact: k-center content, turnkey probe ≡ explicit-entry walk") {
+    import graft.ext.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val ix = graft.ops.Sink.scratchDir("beam_lm_ix")
+    Similarity.writeKnnGraph(corpus, 6, 3, ix)
+    Similarity.writeGraphLandmarks(spark, ix, 6)
+    // the stored table IS the k-center selection over the corpus
+    val stored = Similarity.probeGraphLandmarks(spark, ix)
+      .select(col("sel_order"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val picks = Similarity.kcenterSelect(corpus, 6)
+      .select(col("sel_order"), col("vec_id")).as[(Long, Long)].collect().toSet
+    assert(stored == picks && stored.size == 6)
+    // turnkey probe ≡ the explicit-entry walk seeded with the same
+    // landmarks — the equality that makes the stored table an ENTRY
+    // POLICY, not a new search mechanism
+    val q = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 200)
+    val entries = Similarity.cosineTopK(
+      q, Similarity.probeGraphLandmarks(spark, ix), 4)
+      .select(col("query_id"), col("vec_id"))
+    val explicit = Similarity.graphBeamSearchExternal(q, ix, entries, 3, 8, 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val turnkey = Similarity.graphBeamSearchFromLandmarks(q, ix, 4, 3, 8, 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(turnkey == explicit && turnkey.nonEmpty)
+    // probe-time landmark read is artifact-only: no corpus recompute
+    val plan = Similarity.probeGraphLandmarks(spark, ix)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("landmarks") && !plan.contains("embeddings"), plan)
+  }
+
   test("graphBeamSearchAdc: walk scores from codes, answers re-ranked to exact cosine") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, dir)

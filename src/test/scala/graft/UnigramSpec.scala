@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Unigram
+
+/** Laws for the unigram-LM (SentencePiece-family) tokenizer trainer:
+  * the Viterbi fold must agree EXACTLY with brute-force enumeration
+  * of every segmentation under the packed integer objective, the
+  * alphabet must survive every prune (segmentation totality), and
+  * the hard-EM loop must move mass the way re-estimated counts say.
+  */
+class UnigramSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Brute force: enumerate ALL segmentations of `word` into vocab
+    * pieces of length ≤ K, rank by (pieces asc, Σcnt desc, then the
+    * fold's shortest-LAST-piece-first order applied left to right) —
+    * the operator's tie discipline restated as explicit enumeration.
+    */
+  private def bruteSegs(word: String, vocab: Map[String, Long], k: Int): Option[Seq[String]] = {
+    def all(rest: String): Seq[Seq[String]] =
+      if (rest.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(k, rest.length)).flatMap { n =>
+        val p = rest.take(n)
+        if (vocab.contains(p)) all(rest.drop(n)).map(p +: _) else Seq.empty
+      }
+    val cands = all(word)
+    if (cands.isEmpty) None
+    else {
+      // packed score = pieces * 2^41 - sum(cnt); the DP breaks packed
+      // ties by preferring the SHORTER final piece at each position,
+      // which in enumeration order is lexicographic on piece lengths
+      // read right-to-left — equivalently, compare reversed length
+      // sequences ascending.
+      val best = cands.minBy { segs =>
+        val score = segs.size * Unigram.Big - segs.map(vocab).sum
+        (score, segs.reverse.map(_.length).mkString(","))
+      }
+      Some(best)
+    }
+  }
+
+  private def segOne(word: String, vocab: Seq[(String, Long)], k: Int): Seq[String] =
+    Unigram.segment(Seq((word, 1L)).toDF("word", "f"), vocab, k)
+      .select(col("segs")).as[Seq[String]].head()
+
+  test("Viterbi fold ≡ brute-force enumeration on a seeded random vocab") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc".map(c => c.toString -> (1L + rnd.nextInt(5))).toSeq
+    val multi = Seq("ab", "bc", "abc", "cab", "bca", "aa", "ccc", "abca")
+      .map(p => p -> (1L + rnd.nextInt(50)))
+    val vocab = alphabet ++ multi
+    val vm = vocab.toMap
+    val words = (1 to 60).map(_ =>
+      (0 until 1 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      .distinct
+    val got = Unigram.segment(words.map(w => (w, 1L)).toDF("word", "f"), vocab, 4)
+      .select(col("word"), col("segs")).as[(String, Seq[String])].collect().toMap
+    for (w <- words) {
+      assert(got(w) == bruteSegs(w, vm, 4).get, s"word '$w'")
+      assert(got(w).mkString == w, s"segmentation of '$w' must concatenate back")
+    }
+  }
+
+  test("fewest pieces wins even against higher-count shorter pieces") {
+    // 'ab' is massively common but 'abab' exists: 1 piece beats 2
+    val vocab = Seq("a" -> 1L, "b" -> 1L, "ab" -> 1000L, "abab" -> 1L)
+    assert(segOne("abab", vocab, 4) == Seq("abab"))
+  }
+
+  test("count breaks the piece-count tie; shortest piece breaks the count tie") {
+    // two 2-piece segmentations of 'abc': [ab, c] (cnt 7+1=8) and
+    // [a, bc] (cnt 1+7=8) — packed scores tie, DP prefers the
+    // SHORTER piece at the last position: 'c' (len 1) over 'bc'
+    val tie = Seq("a" -> 1L, "b" -> 1L, "c" -> 1L, "ab" -> 7L, "bc" -> 7L)
+    assert(segOne("abc", tie, 4) == Seq("ab", "c"))
+    // raise bc's count: [a, bc] now strictly better
+    val won = Seq("a" -> 1L, "b" -> 1L, "c" -> 1L, "ab" -> 7L, "bc" -> 8L)
+    assert(segOne("abc", won, 4) == Seq("a", "bc"))
+  }
+
+  test("alphabet survives pruning at count 0 and keeps segmentation total") {
+    // corpus: 'ab' dominates; after round 1 every word segments to
+    // [ab]-pieces, so 'a'/'b' usage drops — but they must stay in the
+    // model (count 0) or any NEW word with an isolated char would
+    // become unsegmentable
+    val docs = Seq.fill(50)("ab ab abab").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val vocab = Unigram.trainVocab(
+      graft.ext.Bpe.wordFreqs(docs, "text"), rounds = 2, maxPieceLen = 4, multiBudget = 4)
+    val vm = vocab.toMap
+    assert(vm.contains("a") && vm.contains("b"))
+    assert(vm("a") == 0L && vm("b") == 0L, "chars unused by the E-step stay at 0")
+    assert(vm("ab") > 0L && vm("abab") > 0L)
+    // totality on unseen text under the trained model
+    assert(segOne("ba", vocab, 4) == Seq("b", "a"))
+  }
+
+  test("hard-EM re-segmentation follows re-estimated counts across rounds") {
+    // 'xyzw' is itself a ≤4-char seed candidate, so round 1 already
+    // segments both words to their single-piece optimum; round 2's
+    // recount must land on the same fixpoint — usage counts equal to
+    // plain word frequencies, with every shorter candidate unused.
+    val docs = Seq((0L, "xyzw xyzw xyz")).toDF("doc_id", "text")
+    val vocab = Unigram.trainVocab(
+      graft.ext.Bpe.wordFreqs(docs, "text"), rounds = 2, maxPieceLen = 4, multiBudget = 8)
+    val vm = vocab.toMap
+    // 'xyzw' is a 4-char candidate piece: 1 piece beats everything
+    assert(vm("xyzw") == 2L)
+    assert(segOne("xyzw", vocab, 4) == Seq("xyzw"))
+  }
+
+  test("model artifact is bounded by alphabet + budget") {
+    val docs = (0L until 40L).map(i => (i, s"w${i}a b${i % 7} common common"))
+      .toDF("doc_id", "text")
+    val budget = 5
+    val vocab = Unigram.trainVocab(
+      graft.ext.Bpe.wordFreqs(docs, "text"), rounds = 2, maxPieceLen = 4, multiBudget = budget)
+    val alphabetSize = vocab.count(_._1.length == 1)
+    assert(vocab.size <= alphabetSize + budget)
+    assert(vocab.map(_._1).distinct.size == vocab.size, "no duplicate pieces")
+  }
+}

@@ -1644,6 +1644,77 @@ def e5_bpe_apply(sf):
     return pd.DataFrame(rows, columns=["doc_id", "n_tokens", "n_bpe_sym"])
 
 
+def _unigram_chain(sf, rounds=2, K=4, V=32):
+    # SentencePiece-family hard-EM replay: substring seed counts,
+    # alphabet always kept, per-round Viterbi segmentation under the
+    # packed integer objective (pieces * 2^41 - sum(cnt), ties to the
+    # shortest last piece) + usage recount + alphabet-or-top-V prune
+    import re
+    from collections import Counter
+    BIG = 1 << 41
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    words = Counter()
+    for t in d["text"]:
+        for w in re.split(r"\s+", str(t).strip()):
+            if w:
+                words[w] += 1
+    cnt0 = Counter()
+    for w, f in words.items():
+        for k in range(1, K + 1):
+            for i in range(len(w) - k + 1):
+                cnt0[w[i:i + k]] += f
+    alpha = sorted(p for p in cnt0 if len(p) == 1)
+
+    def prune(cnt):
+        vm = {p: cnt.get(p, 0) for p in alpha}
+        multi = sorted(((p, c) for p, c in cnt.items() if len(p) > 1),
+                       key=lambda kv: (-kv[1], kv[0]))[:V]
+        vm.update(dict(multi))
+        return vm
+
+    def segment(w, vm):
+        dp = [None] * (len(w) + 1)
+        dp[0] = (0, [])
+        for i in range(1, len(w) + 1):
+            best = None
+            for k in range(1, min(K, i) + 1):
+                p = w[i - k:i]
+                if p in vm and dp[i - k] is not None:
+                    s = dp[i - k][0] + BIG - vm[p]
+                    if best is None or s < best[0]:
+                        best = (s, dp[i - k][1] + [p])
+            dp[i] = best
+        return dp[len(w)][1]
+
+    vocab = prune(cnt0)
+    for _ in range(rounds):
+        cnt = Counter()
+        for w, f in words.items():
+            for p in segment(w, vocab):
+                cnt[p] += f
+        vocab = prune(cnt)
+    fsegs = {w: segment(w, vocab) for w in words}
+    return words, vocab, fsegs
+
+
+def e5_unigram_train(sf):
+    _, vocab, _ = _unigram_chain(sf)
+    return pd.DataFrame(sorted(vocab.items()), columns=["piece", "n_uses"])
+
+
+def e5_unigram_apply(sf):
+    import re
+    _, _, fsegs = _unigram_chain(sf)
+    n_seg = {w: len(s) for w, s in fsegs.items()}
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = [w for w in re.split(r"\s+", str(t).strip()) if w]
+        if toks:
+            rows.append((int(i), len(toks), sum(n_seg[w] for w in toks)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_tokens", "n_pieces"])
+
+
 def e5_bpe_tokens(sf):
     import re
     pat = re.compile(r"[a-z0-9]+|[^a-z0-9\s]")
@@ -5658,11 +5729,32 @@ def e3_graph_search(sf, rounds=3, beam=8, k=3, n_queries=32):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
+def _kcenter_ids(emb, n2, ids, k):
+    # Gonzalez farthest-point-first picks (the e3_kcenter replay,
+    # ids only): seed = lowest id, then k-1 rounds of running-min
+    # distance fold + (dist desc, id asc) argmax
+    import math
+    seed = min(ids)
+    chosen = [seed]
+    md = {}
+    for _ in range(2, k + 1):
+        c = chosen[-1]
+        for i in ids:
+            d = 1.0 - _dot(emb[i], emb[c]) / (math.sqrt(n2[i]) * math.sqrt(n2[c]))
+            md[i] = d if i not in md else min(md[i], d)
+        taken = set(chosen)
+        cand = [(md[i], i) for i in ids if i not in taken]
+        best = max(cand, key=lambda t: (t[0], -t[1]))
+        chosen.append(best[1])
+    return sorted(chosen)
+
+
 def e3_graph_search_external(sf, rounds=3, beam=8, k=3,
                              n_queries=32, entry_k=4):
     # external-query variant: graph over the held-out corpus
     # (vec_id % 10 != 0), each query (vec_id % 10 == 0) seeded at its
-    # top-entry_k landmarks (corpus vec_id % 29 == 1) by exact cosine;
+    # top-entry_k STORED LANDMARKS (k-center picks over the corpus,
+    # the trained entry table the index ships) by exact cosine;
     # entries are scored as layer 0, then the member-variant walk
     import math
     from collections import Counter
@@ -5694,7 +5786,7 @@ def e3_graph_search_external(sf, rounds=3, beam=8, k=3,
         if n == 2:
             adj.setdefault(a, []).append(b)
             adj.setdefault(b, []).append(a)
-    landmarks = sorted(i for i in corpus if i % 29 == 1)
+    landmarks = _kcenter_ids(emb, n2, sorted(corpus), 6)
 
     def cosv(a, b):
         return _dot(emb[a], emb[b]) / (math.sqrt(n2[a]) * math.sqrt(n2[b]))
@@ -5704,6 +5796,70 @@ def e3_graph_search_external(sf, rounds=3, beam=8, k=3,
         if q % 10 != 0 or q >= n_queries * 10:
             continue
         ent = sorted(((cosv(q, l), l) for l in landmarks),
+                     key=lambda t: (-t[0], t[1]))[:entry_k]
+        seen = {c for _, c in ent}
+        pool = list(ent)  # layer 0: entries are candidates
+        frontier = [c for _, c in sorted(ent, key=lambda t: (-t[0], t[1]))[:beam]]
+        for _ in range(rounds):
+            cands = sorted({c for f in frontier for c in adj.get(f, [])} - seen)
+            if not cands:
+                break
+            scored = sorted(((cosv(q, c), c) for c in cands),
+                            key=lambda t: (-t[0], t[1]))[:beam]
+            seen.update(c for _, c in scored)
+            frontier = [c for _, c in scored]
+            pool.extend(scored)
+        top = sorted(pool, key=lambda t: (-t[0], t[1]))[:k]
+        rows.extend((q, c, cs, rk)
+                    for rk, (cs, c) in enumerate(top, start=1))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
+
+
+def e3_graph_search_ext_saved(sf, rounds=3, beam=8, k=3,
+                              n_queries=32, entry_k=4):
+    # turnkey saved-artifact probe: graph AND landmarks are the
+    # standing full-corpus index; member queries (vec_id < n_queries)
+    # enter ONLY through the stored k-center landmarks (self-pair
+    # skipped in entry scoring), never own-node seeding
+    import math
+    from collections import Counter
+    e = pd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    emb = {int(v): [float(x) for x in a]
+           for v, a in zip(e["vec_id"], e["embedding"])}
+    n2 = {i: _dot(v, v) for i, v in emb.items()}
+    buckets = {}
+    for i in sorted(emb):
+        v = emb[i]
+        key = "".join("1" if x >= 0 else "0" for x in v[:6]).ljust(6, "0")
+        buckets.setdefault(key, []).append(i)
+    directed = []
+    for members in buckets.values():
+        for q in members:
+            scored = sorted(
+                ((c, _dot(emb[q], emb[c]) /
+                  (math.sqrt(n2[q]) * math.sqrt(n2[c])))
+                 for c in members if c != q),
+                key=lambda t: (-t[1], t[0]))[:3]
+            directed.extend((q, c) for c, _ in scored)
+    dirs = Counter()
+    for q, c in directed:
+        dirs[(min(q, c), max(q, c))] += 1
+    adj = {}
+    for (a, b), n in dirs.items():
+        if n == 2:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+    landmarks = _kcenter_ids(emb, n2, sorted(emb), 6)
+
+    def cosv(a, b):
+        return _dot(emb[a], emb[b]) / (math.sqrt(n2[a]) * math.sqrt(n2[b]))
+
+    rows = []
+    for q in sorted(emb):
+        if q >= n_queries:
+            continue
+        ent = sorted(((cosv(q, l), l) for l in landmarks if l != q),
                      key=lambda t: (-t[0], t[1]))[:entry_k]
         seen = {c for _, c in ent}
         pool = list(ent)  # layer 0: entries are candidates
@@ -5892,6 +6048,8 @@ QUERIES = {
     "e7_cluster_split": e7_cluster_split,
     "e8_contamination": e8_contamination,
     "e5_bpe_train": e5_bpe_train,
+    "e5_unigram_train": e5_unigram_train,
+    "e5_unigram_apply": e5_unigram_apply,
     "e5_lid_model": e5_lid_model,
     "e5_lid_saved": e5_lid_model,
     "e5_lid_confusion": e5_lid_confusion,
@@ -6017,6 +6175,7 @@ QUERIES = {
     # append ≡ rebuild: the ingested graph answers like the rebuilt one
     "e3_graph_search_appended": e3_graph_search,
     "e3_graph_search_external": e3_graph_search_external,
+    "e3_graph_search_ext_saved": e3_graph_search_ext_saved,
     "e3_graph_search_adc": e3_graph_search_adc,
     "e3_graph_search_adc_saved": e3_graph_search_adc,
     "j18_join_elim": j18_join_elim,

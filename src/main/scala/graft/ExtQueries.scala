@@ -1931,9 +1931,9 @@ object ExtQueries {
   // same CASE order as the Spark fold) followed by the recount and
   // the alphabet-∪-top-V prune. A single divergent DP cell anywhere
   // moves a segmentation, hence a count, hence every later round.
-  private val UnigramRounds = 2
-  private val UnigramPieceLen = 4
-  private val UnigramBudget = 32
+  private[graft] val UnigramRounds = 2
+  private[graft] val UnigramPieceLen = 4
+  private[graft] val UnigramBudget = 32
   def e5UnigramTrain(s: SparkSession, dir: String): DataFrame =
     Unigram.train(Tables.documents(s, dir), "text",
       UnigramRounds, UnigramPieceLen, UnigramBudget)
@@ -2038,8 +2038,18 @@ object ExtQueries {
     val docs = Tables.documents(s, dir)
     val words = Sink.cachedEager(Bpe.wordFreqs(docs, "text"))
     val vocab = Unigram.trainVocab(words, UnigramRounds, UnigramPieceLen, UnigramBudget)
+    unigramEncode(docs, words, vocab)
+  }
+
+  /** The shared encode tail: segment the distinct-word frame under
+    * `model`, join the corpus on the word key, count per doc. Caller
+    * hands in the cached words frame; released here once the
+    * vocabulary-sized segmentation result is materialized.
+    */
+  private def unigramEncode(docs: DataFrame, words: DataFrame,
+      model: Seq[(String, Long)]): DataFrame = {
     val wordSegs = Sink.cachedEager(
-      Unigram.segment(words, vocab, UnigramPieceLen)
+      Unigram.segment(words, model, UnigramPieceLen)
         .select(col("word"), size(col("segs")).cast("long").as("n_seg")))
     words.unpersist(blocking = false)
     docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
@@ -2047,6 +2057,22 @@ object ExtQueries {
       .join(wordSegs, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("n_seg")).as("n_pieces"))
+  }
+
+  // ---- E5g''': the SAVED-artifact tokenizer path ----------------------------
+  // The tokenizer is THE canonical train-once/apply-forever artifact:
+  // the model is trained, persisted ([[Unigram.writeModel]] — an
+  // (alphabet + budget)-row parquet), and the encode runs entirely
+  // from the READ-BACK table — strings and int64 counts round-trip
+  // parquet bit-exactly, so this is bit-identical to apply-in-query
+  // and the gate reuses e5uaSql verbatim: the equality IS the claim.
+  def e5UnigramSaved(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = Sink.cachedEager(Bpe.wordFreqs(docs, "text"))
+    val ix = annScratch("unigram_model")
+    Unigram.writeModel(s,
+      Unigram.trainVocab(words, UnigramRounds, UnigramPieceLen, UnigramBudget), ix)
+    unigramEncode(docs, words, Unigram.readModel(s, ix))
   }
   lazy val e5uaSql: String =
     s"""WITH RECURSIVE $unigramChainSql,
@@ -2360,6 +2386,32 @@ object ExtQueries {
        |  $extract AS content,
        |  CAST(length($extract) AS BIGINT) AS n_content_chars
        |FROM pages""".stripMargin
+  }
+
+  // ---- E5ld: repeated-line removal (RefinedWeb line-wise filtering) --------
+  // The cleaning stage between HTML extraction and document-level
+  // dedup: repeated boilerplate LINES (nav bars, banners, footers)
+  // survive tag stripping and poison n-gram stats; the standard rule
+  // keeps the first occurrence of each exact line
+  // ([[TextOps.dedupLines]] — pure per-row array work, zero
+  // shuffles). The corpus is single-line, so the gate wraps each doc
+  // in a deterministic multi-line page (nav ×3, footer ×2, unique
+  // header, 8-token content lines — [[TextOps.pageWrapLines]]) and
+  // the operator must drop exactly the boilerplate repeats; both
+  // oracles replay wrap + first-occurrence filter verbatim.
+  def e5LineDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.dedupLines(
+          TextOps.pageWrapLines(col("doc_id"), col("text"))).as("dd"))
+      .select(col("doc_id"), col("dd.n_lines").as("n_lines"),
+        col("dd.n_dupes").as("n_dupes"), col("dd.clean").as("clean_text"))
+  lazy val e5ldSql: String = {
+    val dd = TextOps.dedupLinesDuck("page")
+    s"""WITH pages AS (SELECT doc_id, ${TextOps.pageWrapLinesDuck("doc_id", "text")} AS page FROM documents),
+       |dd AS (SELECT doc_id, $dd AS s FROM pages)
+       |SELECT doc_id, s.n_lines AS n_lines, s.n_dupes AS n_dupes,
+       |  s.clean AS clean_text FROM dd""".stripMargin
   }
 
   // ---- E5d: content fingerprint (md5) + 32-bit SimHash ---------------------
@@ -2911,6 +2963,64 @@ object ExtQueries {
        |  CAST(max(pos) + ${SaLen - 1} AS BIGINT) AS span_end,
        |  CAST(max(pos) - min(pos) + $SaLen AS BIGINT) AS span_len
        |FROM isl GROUP BY doc_id, g""".stripMargin
+
+  // ---- E1g: ExactSubstr SCRUB — the deduplicated corpus itself -------------
+  // e1_suffix_spans DETECTS corpus-duplicated char windows; this is
+  // the TRANSFORM they exist for (Lee et al. 2022): every covered
+  // character excised, docs rebuilt from their inter-cut gaps
+  // ([[SuffixArray.scrubSpans]] — interval union-merge first, since
+  // islands < L apart overlap char-wise after the +L−1 extension).
+  // The oracle replays e1f's independent substring-counting span
+  // derivation, then the SAME merge discipline (running-max island
+  // scan, adjacent intervals merged) and gap reconstruction via
+  // ordered string_agg. Conservation is structural: clean length =
+  // length(text) − n_cut_chars on every row in both engines.
+  def e1SpanScrub(s: SparkSession, dir: String): DataFrame =
+    SuffixArray.scrubSpans(Tables.documents(s, dir), "doc_id", "text", SaLen)
+  val e1gSql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |pos AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+       |    substr(text, CAST(t.i + 1 AS INT), $SaLen) AS w
+       |  FROM d CROSS JOIN LATERAL (
+       |    SELECT unnest(range(0, len(d.text) - $SaLen + 1)) AS i) t),
+       |dw AS (SELECT w FROM pos GROUP BY w HAVING count(*) > 1),
+       |isl AS (SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |  FROM pos JOIN dw USING (w)),
+       |spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |    CAST(max(pos) + ${SaLen - 1} AS BIGINT) AS span_end
+       |  FROM isl GROUP BY doc_id, g),
+       |mg AS (SELECT doc_id, span_start, span_end,
+       |    CASE WHEN coalesce(max(span_end) OVER (PARTITION BY doc_id ORDER BY span_start
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 < span_start
+       |      THEN 1 ELSE 0 END AS newisl
+       |  FROM spans),
+       |mi AS (SELECT doc_id, span_start, span_end,
+       |    sum(newisl) OVER (PARTITION BY doc_id ORDER BY span_start
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM mg),
+       |cuts AS (SELECT doc_id, CAST(min(span_start) AS BIGINT) AS cs,
+       |    CAST(max(span_end) AS BIGINT) AS ce FROM mi GROUP BY doc_id, isl),
+       |gaps AS (SELECT doc_id,
+       |    coalesce(lag(ce) OVER (PARTITION BY doc_id ORDER BY cs), -1) + 1 AS gs,
+       |    cs AS ge FROM cuts),
+       |pieces AS (
+       |  SELECT g.doc_id, g.gs AS ord,
+       |    substr(d.text, CAST(g.gs + 1 AS INT), CAST(g.ge - g.gs AS INT)) AS piece
+       |  FROM gaps g JOIN d ON g.doc_id = d.doc_id
+       |  UNION ALL
+       |  SELECT t.doc_id, t.mx + 1 AS ord, substr(d.text, CAST(t.mx + 2 AS INT)) AS piece
+       |  FROM (SELECT doc_id, max(ce) AS mx FROM cuts GROUP BY doc_id) t
+       |  JOIN d ON t.doc_id = d.doc_id),
+       |st AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+       |  FROM pieces GROUP BY doc_id),
+       |cn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cuts,
+       |    CAST(sum(ce - cs + 1) AS BIGINT) AS n_cut_chars FROM cuts GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(cn.n_cuts, 0) AS BIGINT) AS n_cuts,
+       |  CAST(coalesce(cn.n_cut_chars, 0) AS BIGINT) AS n_cut_chars,
+       |  coalesce(st.clean_text, d.text) AS clean_text
+       |FROM d LEFT JOIN st ON d.doc_id = st.doc_id
+       |LEFT JOIN cn ON d.doc_id = cn.doc_id""".stripMargin
 
   // ---- E5n: bigram-LM predictability (the perplexity-filter shape) ----------
   // Train the n-gram model ON the corpus, score every doc BY it —
@@ -4288,6 +4398,7 @@ object ExtQueries {
     "e5_quality_langid" -> (e5QualityLangid _),
     "e5_char_trigrams" -> (e5CharTrigrams _),
     "e5_html_extract" -> (e5HtmlExtract _),
+    "e5_line_dedup" -> (e5LineDedup _),
     "e5_fingerprint" -> (e5Fingerprint _),
     "e5_repetition" -> (e5Repetition _),
     "e5_pii_redact" -> (e5PiiRedact _),
@@ -4301,6 +4412,7 @@ object ExtQueries {
     "e5_bpe_train" -> (e5BpeTrain _),
     "e5_unigram_train" -> (e5UnigramTrain _),
     "e5_unigram_apply" -> (e5UnigramApply _),
+    "e5_unigram_saved" -> (e5UnigramSaved _),
     "e2_triangles" -> (e2Triangles _),
     "e5_pack_assemble" -> (e5PackAssemble _),
     "e1_source_overlap" -> (e1SourceOverlap _),
@@ -4310,6 +4422,7 @@ object ExtQueries {
     "e3_ivf_recall_probe" -> (e3IvfRecallProbe _),
     "e5_bpe_apply" -> (e5BpeApply _),
     "e1_span_dedup" -> (e1SpanDedup _),
+    "e1_span_scrub" -> (e1SpanScrub _),
     "e5_lm_score" -> (e5LmScore _),
     "e5_quality_classifier" -> (e5QualityClassifier _),
     "e3_sq8_topk" -> (e3Sq8Topk _),
@@ -4395,6 +4508,7 @@ object ExtQueries {
     "e5_bpe_apply" -> e5vSql,
     "e5_unigram_train" -> e5ugSql,
     "e5_unigram_apply" -> e5uaSql,
+    "e5_unigram_saved" -> e5uaSql,
     "e2_triangles" -> e2kSql,
     "e5_pack_assemble" -> e5uSql,
     "e1_source_overlap" -> e1cSql,
@@ -4434,6 +4548,7 @@ object ExtQueries {
     "e5_quality_langid" -> e5cSql,
     "e5_char_trigrams" -> e5eSql,
     "e5_html_extract" -> e5hxSql,
+    "e5_line_dedup" -> e5ldSql,
     "e5_fingerprint" -> e5dSql,
     "e5_repetition" -> e5fSql,
     "e5_pii_redact" -> e5gSql,
@@ -4442,6 +4557,7 @@ object ExtQueries {
     "e5_tfidf" -> e5mSql,
     "e2_chain_components" -> e2hSql,
     "e1_span_dedup" -> e1dSql,
+    "e1_span_scrub" -> e1gSql,
     "e5_lm_score" -> e5nSql,
     "e5_quality_classifier" -> e5oSql,
     "e3_sq8_topk" -> e3hSql,

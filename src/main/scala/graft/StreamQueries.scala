@@ -662,6 +662,82 @@ object StreamQueries {
       col("px_sum"), col("px_min"), col("px_max"), col("px_mean"))
   }
 
+  // ---- E5hs: STREAMING HTML main-content extraction ------------------------
+  // The corpus chain's FRONT stage, live: raw pages land continuously
+  // and boilerplate is stripped ONCE at landing (crawl ingest never
+  // re-reads raw HTML downstream — the e4_stats_stream argument, for
+  // markup instead of pixels). The extraction is a pure per-row
+  // expression chain ([[TextOps.htmlMainContent]]): no state, no
+  // watermark, no shuffle ⇒ batch-split-invariant by construction,
+  // so forced one-file micro-batches reuse the batch e5_html_extract
+  // oracle verbatim.
+  def e5HtmlStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val in = fresh("e5hs_in"); val out = fresh("e5hs_out"); val ck = fresh("e5hs_ck")
+    docs.coalesce(4).write.mode("overwrite").parquet(in)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = stream
+      .select(col("doc_id"),
+        TextOps.htmlWrap(col("doc_id"), col("text")).as("html"))
+      .select(col("doc_id"), length(col("html")).cast("long").as("n_html_chars"),
+        TextOps.htmlMainContent(col("html")).as("content"))
+      .withColumn("n_content_chars", length(col("content")).cast("long"))
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out).select(col("doc_id"), col("n_html_chars"),
+      col("content"), col("n_content_chars"))
+  }
+
+  // ---- E5us: STREAMING tokenize-at-ingest against the stored model ---------
+  // The tokenizer serving regime at 100 TB: the model is trained ONCE
+  // on a corpus snapshot and FROZEN as an artifact
+  // ([[graft.ext.Unigram.writeModel]], batch-side here); every later
+  // document tokenizes at landing against the read-back table — a
+  // single per-row expression ([[graft.ext.Unigram.tokenizeCounts]]:
+  // the Viterbi fold nested inside a per-document token fold, the
+  // (alphabet + budget)-row model inlined as a map literal). No
+  // state, no watermark, no shuffle ⇒ batch-split-invariant; the
+  // batch e5_unigram_apply oracle replays verbatim because
+  // segmentation is word-local — the batch path's distinct-word
+  // frame + join and this per-row fold are two evaluation orders of
+  // the same function.
+  def e5UnigramStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val modelDir = fresh("e5us_model")
+    val words = graft.ops.Sink.cachedEager(
+      graft.ext.Bpe.wordFreqs(Tables.documents(s, dir), "text"))
+    graft.ext.Unigram.writeModel(s,
+      graft.ext.Unigram.trainVocab(words, ExtQueries.UnigramRounds,
+        ExtQueries.UnigramPieceLen, ExtQueries.UnigramBudget), modelDir)
+    words.unpersist(blocking = false)
+    val model = graft.ext.Unigram.readModel(s, modelDir)
+    val in = fresh("e5us_in"); val out = fresh("e5us_out"); val ck = fresh("e5us_ck")
+    docs.coalesce(4).write.mode("overwrite").parquet(in)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = stream
+      .select(col("doc_id"),
+        graft.ext.Unigram.tokenizeCounts(
+          col("text"), model, ExtQueries.UnigramPieceLen).as("tc"))
+      .select(col("doc_id"), col("tc.n_tokens").as("n_tokens"),
+        col("tc.n_pieces").as("n_pieces"))
+      .filter(col("n_tokens") > 0) // batch oracle emits only token-bearing docs
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out).select(col("doc_id"), col("n_tokens"), col("n_pieces"))
+  }
+
   // ---- E8s: streaming Bloom-gated decontamination ------------------------
   // Train-offline / score-online for corpus hygiene: the benchmark
   // Bloom mask and distinct-shingle frame are built ONCE batch-side
@@ -1348,6 +1424,8 @@ object StreamQueries {
     "e8_decontam_stream" -> (e8DecontamStream _),
     "e7_split_stream" -> (e7SplitStream _),
     "e4_stats_stream" -> (e4StatsStream _),
+    "e5_html_stream" -> (e5HtmlStream _),
+    "e5_unigram_stream" -> (e5UnigramStream _),
     "s19_rollup_stream" -> (s19RollupStream _),
     "s32_quantile_stream" -> (s32QuantileStream _),
     "s52_bitmap_stream" -> (s52BitmapStream _),
@@ -1387,6 +1465,8 @@ object StreamQueries {
     "e8_decontam_stream" -> ExtQueries.e8bSql,
     "e7_split_stream" -> ExtQueries.e7Sql,
     "e4_stats_stream" -> ExtQueries.e4cSql,
+    "e5_html_stream" -> ExtQueries.e5hxSql,
+    "e5_unigram_stream" -> ExtQueries.e5uaSql,
     "s19_rollup_stream" -> ParityQueries.s19Sql,
     "s32_quantile_stream" -> ParityQueries.s32Sql,
     "s52_bitmap_stream" -> ParityQueries.s52Sql,

@@ -155,4 +155,59 @@ object SuffixArray {
         (col("span_end") - col("span_start") + 1).as("span_len"))
       .localCheckpoint(true)
   }
+
+  /** The TRANSFORM the span detector exists for (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr): excise from every document each character covered
+    * by ANY corpus-duplicated length-L window, producing the
+    * actually-deduplicated corpus. [[dupSpans]]'s per-island spans
+    * extend L−1 chars past their last duplicated start, so two
+    * islands < L apart OVERLAP char-wise — intervals are first
+    * union-merged (adjacent ones too: running-max island scan, one
+    * window pass), then each doc's kept text is rebuilt as the fold
+    * of its inter-cut gaps. Docs with no duplicated window pass
+    * through untouched via the left join.
+    *
+    * Output: (doc_id, n_cuts, n_cut_chars, clean_text) — n_cuts
+    * counts MERGED excision intervals, n_cut_chars their exact
+    * character total, so clean length = length(text) − n_cut_chars
+    * (the conservation law the spec asserts).
+    *
+    * Scale shape: everything after dupSpans is one window pass plus
+    * one groupBy over SPAN rows (≪ corpus rows) and a per-doc fold
+    * whose work is |cuts| string slices — the corpus text itself is
+    * touched only by the final join + fold projection.
+    */
+  def scrubSpans(docs: DataFrame, idCol: String, textCol: String, L: Int): DataFrame = {
+    val spans = dupSpans(docs, idCol, textCol, L)
+    val byDoc = Window.partitionBy("doc_id").orderBy("span_start")
+    val prevFrame = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val merged = spans
+      .withColumn("_prevMax", max(col("span_end")).over(prevFrame))
+      .withColumn("_new",
+        (col("_prevMax").isNull || col("span_start") > col("_prevMax") + 1).cast("int"))
+      .withColumn("_isl",
+        sum(col("_new")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("span_start")).as("cut_start"), max(col("span_end")).as("cut_end"))
+    val cuts = merged.groupBy("doc_id").agg(
+      sort_array(collect_list(struct(col("cut_start"), col("cut_end")))).as("cuts"),
+      count(lit(1)).as("n_cuts"),
+      sum(col("cut_end") - col("cut_start") + 1).as("n_cut_chars"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+        coalesce(col("n_cut_chars"), lit(0L)).as("n_cut_chars"),
+        expr(
+          """CASE WHEN cuts IS NULL THEN text ELSE
+            |  aggregate(cuts,
+            |    struct(CAST('' AS STRING) AS acc, CAST(0 AS BIGINT) AS nxt),
+            |    (st, c) -> struct(
+            |      concat(st.acc, substring(text, CAST(st.nxt + 1 AS INT),
+            |                               CAST(c.cut_start - st.nxt AS INT))),
+            |      c.cut_end + 1),
+            |    st -> concat(st.acc, substring(text, CAST(st.nxt + 1 AS INT))))
+            |END""".stripMargin).as("clean_text"))
+  }
 }

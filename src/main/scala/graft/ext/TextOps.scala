@@ -340,6 +340,75 @@ object TextOps {
     lit("</p></div><footer><a href=\"/c\">c</a> <a href=\"/d\">d</a> " +
       "<a href=\"/e\">e</a> <a href=\"/f\">f</a></footer></body></html>"))
 
+  // ---- Within-document repeated-line removal (RefinedWeb-style) -----------
+  // Web pages carry repeated boilerplate LINES (nav bars, cookie
+  // banners, footers) that survive tag stripping; the standard
+  // cleaning rule (RefinedWeb §"line-wise filtering", C4's dedup
+  // ancestor) keeps the FIRST occurrence of each exact line and drops
+  // the rest. Pure per-row array work — zero shuffles at any scale.
+
+  /** Drop every repeated line (keep first occurrence, preserve
+    * order). Returns struct(n_lines, n_dupes, clean) — the line
+    * count, dropped count, and the rebuilt text. The split line
+    * array and the kept subset are [[let1]]-bound: inlined, the page
+    * expression re-evaluates once per line per reference (measured
+    * 30×+ on wrapped pages — the tokenizer-inlining trap again).
+    */
+  def dedupLines(page: Column): Column =
+    let1(split(page, "\n")) { ls =>
+      let1(filter(
+        transform(sequence(lit(1), size(ls)),
+          i => struct(i.as("i"), element_at(ls, i).as("l"))),
+        s => array_position(ls, s.getField("l")) === s.getField("i"))) { kept =>
+        struct(
+          size(ls).cast("long").as("n_lines"),
+          (size(ls) - size(kept)).cast("long").as("n_dupes"),
+          array_join(transform(kept, s => s.getField("l")), "\n").as("clean"))
+      }
+    }
+
+  /** DuckDB replay of [[dedupLines]] over a page expression: same
+    * first-occurrence test (list_position = own index).
+    */
+  def dedupLinesDuck(pageExpr: String): String = {
+    val ls = s"string_split($pageExpr, chr(10))"
+    val kept = s"list_filter(list_transform(range(1, len($ls) + 1), " +
+      s"i -> {'i': i, 'l': ($ls)[i]}), s -> list_position($ls, s.l) = s.i)"
+    s"{'n_lines': CAST(len($ls) AS BIGINT), " +
+      s"'n_dupes': CAST(len($ls) - len($kept) AS BIGINT), " +
+      s"'clean': array_to_string(list_transform($kept, s -> s.l), chr(10))}"
+  }
+
+  /** Deterministic multi-line page around a document (the corpus is
+    * single-line, so the fixture SUPPLIES the line structure the way
+    * [[htmlWrap]] supplies markup): tokens chunked into 8-token
+    * content lines between repeated nav/footer boilerplate lines —
+    * nav ×3, footer ×2, so dedup must drop exactly the repeats while
+    * every content line (and the doc-unique header) survives.
+    */
+  def pageWrapLines(docId: Column, text: Column): Column = {
+    val tks = tokens(text)
+    val content = transform(
+      sequence(lit(1), ((size(tks) + lit(7)) / lit(8)).cast("int")),
+      i => array_join(slice(tks, (i - lit(1)) * lit(8) + lit(1), lit(8)), " "))
+    val nav = lit("home | tags | about | feed")
+    val hdr = concat(lit("doc "), docId.cast("string"), lit(" - reader view"))
+    val ftr = lit("copyright example corp")
+    array_join(
+      concat(array(nav, hdr), content, array(nav, ftr, nav, ftr)), "\n")
+  }
+
+  /** DuckDB replay of [[pageWrapLines]]. */
+  def pageWrapLinesDuck(docIdExpr: String, textExpr: String): String = {
+    val tks = s"string_split_regex(trim($textExpr), '\\s+')"
+    val content = s"list_transform(range(1, ((len($tks) + 7) // 8) + 1), " +
+      s"i -> array_to_string(($tks)[CAST((i-1)*8+1 AS INT):CAST((i-1)*8+8 AS INT)], ' '))"
+    "array_to_string(list_concat(list_concat(" +
+      s"['home | tags | about | feed', concat('doc ', $docIdExpr, ' - reader view')], " +
+      s"$content), ['home | tags | about | feed', 'copyright example corp', " +
+      "'home | tags | about | feed', 'copyright example corp']), chr(10))"
+  }
+
   /** DuckDB replay of [[htmlWrap]]. */
   def htmlWrapDuck(docIdExpr: String, textExpr: String): String =
     "concat('<html><head><title>d', " + docIdExpr + ", " +

@@ -75,14 +75,20 @@ object Unigram {
     * every word (the trainer guarantees it by keeping the alphabet
     * through every prune), making cell 0's reachability inductive.
     */
-  def segment(words: DataFrame, vocab: Seq[(String, Long)], maxPieceLen: Int): DataFrame = {
+  def segment(words: DataFrame, vocab: Seq[(String, Long)], maxPieceLen: Int): DataFrame =
+    words.withColumn("segs", viterbiSegs(col("word"), vocab, maxPieceLen))
+
+  /** The per-word Viterbi fold as a bare Column — composable into any
+    * per-row context ([[segment]]'s frame form, the streaming
+    * tokenize-at-ingest twin's nested per-document fold).
+    */
+  def viterbiSegs(word: Column, vocab: Seq[(String, Long)], maxPieceLen: Int): Column = {
     require(vocab.nonEmpty, "unigram model is empty")
     val maxCnt = vocab.map(_._2).max
     require(maxCnt < (1L << 40),
       s"piece count $maxCnt could overflow the 2^41 pieces-pack radix")
     val vm = map_from_arrays(
       typedlit(vocab.map(_._1)), typedlit(vocab.map(_._2)))
-    val word = col("word")
     val nullCell =
       struct(lit(null).cast(LongType).as("s"), typedlit(Seq.empty[String]).as("g"))
     val init = array(
@@ -116,7 +122,7 @@ object Unigram {
         }
         concat(array(best), slice(st, 1, maxPieceLen - 1))
       })
-    words.withColumn("segs", folded.getItem(0).getField("g"))
+    folded.getItem(0).getField("g")
   }
 
   /** Train `rounds` hard-EM rounds; returns the final model as a
@@ -170,5 +176,95 @@ object Unigram {
     val vocab = trainVocab(words, rounds, maxPieceLen, multiBudget)
     words.unpersist(blocking = false)
     vocab.toDF("piece", "n_uses")
+  }
+
+  // ---- Model artifact lifecycle (the AnnIndex discipline for text) --------
+  // A tokenizer is THE canonical train-once / apply-forever artifact:
+  // at 100 TB the model is trained on one corpus snapshot, shipped,
+  // and every later ingest tokenizes against the FROZEN table.
+  // Strings and int64 counts round-trip parquet bit-exactly, so
+  // apply-from-artifact is bit-identical to apply-in-query.
+
+  /** Persist a trained model as the standing tokenizer artifact
+    * (piece, n_uses) — (alphabet + budget) rows, KB-scale.
+    */
+  def writeModel(spark: org.apache.spark.sql.SparkSession,
+      vocab: Seq[(String, Long)], dir: String): Unit = {
+    import spark.implicits._
+    vocab.toDF("piece", "n_uses").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Read a stored model back into the driver-local broadcastable
+    * form every apply path consumes. Sorted for determinism — the
+    * map-literal lookup is order-independent, the plan text is not.
+    */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Long)] =
+    spark.read.parquet(dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+
+  /** SCORE-ONLY Viterbi fold: the final packed dp value for `word`
+    * under the model — same recurrence as [[viterbiSegs]] with the
+    * piece lists dropped, so the carried state is K flat longs
+    * instead of K growing string arrays (the count path needs no
+    * segmentation: `least` over candidate scores is tie-agnostic
+    * because tied candidates share the score by definition).
+    */
+  def viterbiScore(word: Column, vocab: Seq[(String, Long)], maxPieceLen: Int): Column =
+    viterbiScoreWith(word,
+      map_from_arrays(typedlit(vocab.map(_._1)), typedlit(vocab.map(_._2))),
+      maxPieceLen)
+
+  /** [[viterbiScore]] against an already-bound model map column —
+    * lets a per-document fold [[TextOps.let1]]-bind the map once per
+    * row instead of reconstructing the literal inside the innermost
+    * lambda.
+    */
+  def viterbiScoreWith(word: Column, vm: Column, maxPieceLen: Int): Column = {
+    val init = array(
+      lit(0L) +: Seq.fill(maxPieceLen - 1)(lit(null).cast(LongType)): _*)
+    val folded = aggregate(
+      sequence(lit(1), length(word)),
+      init,
+      (st: Column, i: Column) => {
+        val cs = (1 to maxPieceLen).map { k =>
+          st.getItem(k - 1) + lit(Big) -
+            try_element_at(vm, word.substr(i - lit(k - 1), lit(k)))
+        }
+        concat(array(cs.reduce(least(_, _))), slice(st, 1, maxPieceLen - 1))
+      })
+    folded.getItem(0)
+  }
+
+  /** Landing-time per-DOCUMENT tokenization counts under a fixed
+    * model, as one per-row expression: struct(n_tokens, n_pieces) —
+    * whitespace tokens and the sum of each token's Viterbi piece
+    * count. The piece count is recovered from the packed score alone
+    * (score = p·2⁴¹ − Σcnt with 0 ≤ Σcnt < 2⁴¹ ⟹
+    * p = (score + 2⁴¹ − 1) >> 41), so the nested fold is
+    * [[viterbiScore]]'s flat-long version — no string lists ride the
+    * loop. Zero state, zero shuffle: the form a streaming ingest
+    * computes once per arriving document. The batch path
+    * ([[segment]] on the distinct-word frame + a join) is cheaper
+    * per corpus; this is cheaper per DOCUMENT — the serving trade
+    * both engines replay identically because segmentation is
+    * word-local either way (law-tested ≡ the batch counts).
+    */
+  def tokenizeCounts(text: Column, vocab: Seq[(String, Long)],
+      maxPieceLen: Int): Column = {
+    require(vocab.nonEmpty, "unigram model is empty")
+    val mapLit = map_from_arrays(
+      typedlit(vocab.map(_._1)), typedlit(vocab.map(_._2)))
+    TextOps.let1(mapLit) { vm =>
+      TextOps.let1(filter(TextOps.tokens(text), w => length(w) > 0)) { tks =>
+        struct(
+          size(tks).cast("long").as("n_tokens"),
+          aggregate(tks, lit(0L),
+            (acc: Column, w: Column) =>
+              acc + shiftright(viterbiScoreWith(w, vm, maxPieceLen) + lit(Big - 1), 41))
+            .as("n_pieces"))
+      }
+    }
   }
 }

@@ -118,4 +118,61 @@ class SuffixArraySpec extends SparkSpec {
     assert(spans.map(_._1) == Set(1L, 2L, 3L))
     assert(spans == bruteSpans(docs, L))
   }
+
+  /** Brute-force ExactSubstr scrub: remove the union of [p, p+L-1]
+    * over every corpus-duplicated window start p — the transform's
+    * contract with no intervals, no merging, just a char mask.
+    */
+  private def bruteScrub(docs: Seq[(Long, String)], L: Int): Map[Long, String] = {
+    val wins = for {
+      (id, t) <- docs
+      i <- 0 to t.length - L
+    } yield (id, i, t.substring(i, i + L))
+    val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val cut = wins.filter(w => counts(w._3) >= 2)
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(w => w._2 until w._2 + L).toSet).toMap
+    docs.map { case (id, t) =>
+      val mask = cut.getOrElse(id, Set.empty)
+      id -> t.zipWithIndex.collect { case (c, i) if !mask(i) => c }.mkString
+    }.toMap
+  }
+
+  test("scrubSpans ≡ brute-force char-mask removal; conservation; untouched docs pass through") {
+    val rnd = new scala.util.Random(4321)
+    val docs = (0L until 25L).map(i =>
+      (i, (0 until 40 + rnd.nextInt(50)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+    val L = 8
+    val got = SuffixArray.scrubSpans(docs.toDF("doc_id", "text"), "doc_id", "text", L)
+      .as[(Long, Long, Long, String)].collect()
+    val want = bruteScrub(docs, L)
+    val byDoc = docs.toMap
+    assert(got.length == docs.size)
+    got.foreach { case (id, nCuts, nCutChars, clean) =>
+      assert(clean == want(id), s"doc $id")
+      // conservation: clean length = original - cut chars
+      assert(clean.length == byDoc(id).length - nCutChars, s"doc $id")
+      assert((nCuts == 0) == (clean == byDoc(id)), s"doc $id")
+    }
+    assert(got.exists(_._2 > 0), "law not vacuous: some doc was scrubbed")
+  }
+
+  test("scrubSpans merges overlapping islands into one cut") {
+    // doc 1 has duplicated windows at positions 0 and 3 only (two
+    // NON-consecutive islands): their spans [0,7] and [3,10] overlap
+    // after the +L-1 extension, so they must excise as ONE merged
+    // interval, counted once — covering all of doc 1
+    val docs = Seq(
+      (1L, "abcdefghijk"),   // windows: abcdefgh@0, defghijk@3 both dup'd
+      (2L, "xxabcdefghzz"),  // supplies the abcdefgh duplicate
+      (3L, "yydefghijkww"))  // supplies the defghijk duplicate
+    val L = 8
+    val got = SuffixArray.scrubSpans(docs.toDF("doc_id", "text"), "doc_id", "text", L)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val want = bruteScrub(docs, L)
+    docs.foreach { case (id, _) => assert(got(id)._4 == want(id), s"doc $id") }
+    assert(got(1L)._2 == 1L, s"overlapping islands must merge: ${got(1L)}")
+    assert(got(1L)._4 == "", "doc 1 is fully covered by the merged cut")
+    assert(got(2L)._4 == "xxzz" && got(3L)._4 == "yyww")
+  }
 }

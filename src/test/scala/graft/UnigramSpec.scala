@@ -112,6 +112,36 @@ class UnigramSpec extends SparkSpec {
     assert(segOne("xyzw", vocab, 4) == Seq("xyzw"))
   }
 
+  test("model artifact round-trips; per-row tokenizeCounts ≡ distinct-word encode") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 30L).map(i =>
+      (i, (0 until 5 + rnd.nextInt(10))
+        .map(_ => Seq("spark", "scan", "sort", "a", "agg")(rnd.nextInt(5))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val words = graft.ext.Bpe.wordFreqs(docs, "text")
+    val vocab = Unigram.trainVocab(words, rounds = 2, maxPieceLen = 4, multiBudget = 8)
+    // artifact round-trip is exact (strings + int64 through parquet)
+    val dir = graft.ops.Sink.scratchDir("unigram_model_spec")
+    Unigram.writeModel(spark, vocab, dir)
+    assert(Unigram.readModel(spark, dir).toSet == vocab.toSet)
+    // the per-row nested fold and the batch distinct-word encode are
+    // two evaluation orders of the same word-local function
+    val perRow = docs.select(col("doc_id"),
+      Unigram.tokenizeCounts(col("text"), vocab, 4).as("tc"))
+      .select(col("doc_id"), col("tc.n_tokens"), col("tc.n_pieces"))
+      .as[(Long, Long, Long)].collect().toSet
+    val nSeg = Unigram.segment(words, vocab, 4)
+      .select(col("word"), size(col("segs")).cast("long").as("n_seg"))
+    val batch = docs
+      .select(col("doc_id"), explode(graft.ext.TextOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(nSeg, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_seg")).as("n_pieces"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(perRow == batch && perRow.nonEmpty)
+  }
+
   test("model artifact is bounded by alphabet + budget") {
     val docs = (0L until 40L).map(i => (i, s"w${i}a b${i % 7} common common"))
       .toDF("doc_id", "text")

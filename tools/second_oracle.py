@@ -5690,6 +5690,55 @@ def e1_suffix_spans(sf, L=32):
         rows, columns=["doc_id", "span_start", "span_end", "span_len"])
 
 
+def e1_span_scrub(sf, L=32):
+    # ExactSubstr scrub: union-merge each doc's duplicated spans
+    # (adjacent intervals merged too), excise every covered char,
+    # rebuild the doc from its inter-cut gaps
+    spans = e1_suffix_spans(sf, L)
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    by_doc = {}
+    for i, s, e in zip(spans["doc_id"], spans["span_start"], spans["span_end"]):
+        by_doc.setdefault(int(i), []).append((int(s), int(e)))
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        i = int(i)
+        ivs = sorted(by_doc.get(i, []))
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        kept, nxt = [], 0
+        for s, e in merged:
+            kept.append(t[nxt:s])
+            nxt = e + 1
+        kept.append(t[nxt:])
+        rows.append((i, len(merged), sum(e - s + 1 for s, e in merged),
+                     "".join(kept)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_cuts", "n_cut_chars", "clean_text"])
+
+
+def e5_line_dedup(sf):
+    # deterministic page wrap (nav x3, footer x2, unique header,
+    # 8-token content lines) + first-occurrence line filter
+    import re
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    nav, ftr = "home | tags | about | feed", "copyright example corp"
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        tks = [w for w in re.split(r"\s+", str(t).strip())]
+        content = [" ".join(tks[j * 8:j * 8 + 8])
+                   for j in range((len(tks) + 7) // 8)]
+        lines = [nav, f"doc {int(i)} - reader view"] + content + [nav, ftr, nav, ftr]
+        kept = [l for j, l in enumerate(lines) if lines.index(l) == j]
+        rows.append((int(i), len(lines), len(lines) - len(kept),
+                     "\n".join(kept)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_lines", "n_dupes", "clean_text"])
+
+
 def e3_graph_search(sf, rounds=3, beam=8, k=3, n_queries=32):
     # beam search replayed over the identically-derived mutual graph:
     # enter at the query node, expand via edges, score fresh candidates
@@ -6050,6 +6099,8 @@ QUERIES = {
     "e5_bpe_train": e5_bpe_train,
     "e5_unigram_train": e5_unigram_train,
     "e5_unigram_apply": e5_unigram_apply,
+    "e5_unigram_saved": e5_unigram_apply,
+    "e5_unigram_stream": e5_unigram_apply,
     "e5_lid_model": e5_lid_model,
     "e5_lid_saved": e5_lid_model,
     "e5_lid_confusion": e5_lid_confusion,
@@ -6171,6 +6222,9 @@ QUERIES = {
     "e4_stats_stream": e4_decode_stats,
     "e7_split_stream": e7_split,
     "e1_suffix_spans": e1_suffix_spans,
+    "e1_span_scrub": e1_span_scrub,
+    "e5_line_dedup": e5_line_dedup,
+    "e5_html_stream": e5_html_extract,
     "e3_graph_search": e3_graph_search,
     # append ≡ rebuild: the ingested graph answers like the rebuilt one
     "e3_graph_search_appended": e3_graph_search,

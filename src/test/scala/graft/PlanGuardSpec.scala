@@ -864,4 +864,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(corpusBroadcast.isEmpty,
       s"the corpus vector table was broadcast:\n${corpusBroadcast.mkString("\n----\n")}")
   }
+
+  test("e5_line_dedup: pure per-row — zero exchanges, zero joins") {
+    val p = planOf("e5_line_dedup")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("e1_span_scrub: excision carries no row-amplifying join") {
+    val p = planOf("e1_span_scrub")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("e5_unigram_saved: artifact encode — no nested loop, no cartesian") {
+    val p = planOf("e5_unigram_saved")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

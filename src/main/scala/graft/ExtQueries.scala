@@ -2388,6 +2388,48 @@ object ExtQueries {
        |FROM pages""".stripMargin
   }
 
+  // ---- E5uc/E1ud: URL canonicalization + URL-level dedup --------------------
+  // The stage IN FRONT of the HTML chain (r17 VERDICT Missing #2):
+  // web pipelines dedup by canonical URL before any content pass.
+  // The corpus carries no URL column, so the gate wraps each doc in a
+  // deterministic crawl-realistic URL ([[TextOps.urlWrap]] — the
+  // e5_html_extract fixture recipe: mixed-case scheme/host, default
+  // ports, tracking params, unsorted queries, fragments, trailing
+  // slashes), canonicalizes ([[TextOps.canonicalizeUrl]] — RFC 3986
+  // syntax normalizations + tracking strip, zero-exchange plan-
+  // guarded, idempotence law-tested), and the dedup keeps the first
+  // (min) doc_id per canonical form. The oracle replays wrap AND
+  // canonicalization step for step in DuckDB's RE2 dialect; distinct
+  // raw URLs genuinely merge (urlWrap's mod-60 CRT argument), so the
+  // keep-first groups are non-trivial at every SF. At 100 TB: the
+  // canonicalizer is a scan-bound projection; the dedup is ONE hash
+  // shuffle on the canonical key with map-side partial min/count.
+  def e5UrlCanon(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.urlWrap(col("doc_id")).as("url"))
+      .withColumn("canon_url", TextOps.canonicalizeUrl(col("url")))
+  val e5ucSql: String = {
+    val wrap = TextOps.urlWrapDuck("doc_id")
+    val canon = TextOps.canonicalizeUrlDuck("url")
+    s"""WITH u AS (SELECT doc_id, $wrap AS url FROM documents)
+       |SELECT doc_id, url, $canon AS canon_url FROM u""".stripMargin
+  }
+
+  def e1UrlDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.canonicalizeUrl(TextOps.urlWrap(col("doc_id"))).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("kept_doc"), count(lit(1)).as("n_docs"))
+  val e1udSql: String = {
+    val wrap = TextOps.urlWrapDuck("doc_id")
+    val canon = TextOps.canonicalizeUrlDuck("url")
+    s"""WITH u AS (SELECT doc_id, $wrap AS url FROM documents)
+       |SELECT $canon AS canon_url, CAST(min(doc_id) AS BIGINT) AS kept_doc,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM u GROUP BY 1""".stripMargin
+  }
+
   // ---- E5ld: repeated-line removal (RefinedWeb line-wise filtering) --------
   // The cleaning stage between HTML extraction and document-level
   // dedup: repeated boilerplate LINES (nav bars, banners, footers)
@@ -2949,6 +2991,29 @@ object ExtQueries {
   private val SaLen = 32
   def e1SuffixSpans(s: SparkSession, dir: String): DataFrame =
     SuffixArray.dupSpans(Tables.documents(s, dir), "doc_id", "text", SaLen)
+
+  // The span report as a standing ARTIFACT (r17 VERDICT Next #1):
+  // built ONCE per (JVM, sf-dir) — the knnGraphDir lifecycle — and
+  // probed by every consumer: the scrub transform, the saved-report
+  // gate, and the streaming scrub-at-ingest twin. e1_suffix_spans
+  // stays the in-query detection gate (the full prefix-doubling
+  // derivation under the oracle); everything downstream of detection
+  // probes this artifact instead of rebuilding the ladder.
+  private val spanReportCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def spanReportDir(s: SparkSession, dir: String): String =
+    spanReportCache.computeIfAbsent(dir, _ => {
+      val ix = graft.ops.Sink.scratchDir(s"sa_spans_${math.abs(dir.hashCode)}")
+      SuffixArray.writeSpans(Tables.documents(s, dir), "doc_id", "text", SaLen, ix)
+      ix
+    })
+
+  /** Probe of the standing span report — rebuilds nothing; the oracle
+    * is e1f's full span derivation read back, so any row the write or
+    * the parquet round-trip lost/changed diverges rows+hash.
+    */
+  def e1SpansSaved(s: SparkSession, dir: String): DataFrame =
+    SuffixArray.readSpans(s, spanReportDir(s, dir))
   val e1fSql: String =
     s"""WITH d AS (SELECT doc_id, text FROM documents),
        |pos AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
@@ -2975,8 +3040,14 @@ object ExtQueries {
   // scan, adjacent intervals merged) and gap reconstruction via
   // ordered string_agg. Conservation is structural: clean length =
   // length(text) − n_cut_chars on every row in both engines.
+  // Consumes the STANDING span artifact (r17 VERDICT Next #1 — this
+  // query was rebuilding the whole prefix-doubling ladder in-query,
+  // 15 s of pure re-derivation of rows e1_suffix_spans already pins);
+  // bit-identical to scrub-in-query because the artifact is the exact
+  // dupSpans frame (SuffixArraySpec law).
   def e1SpanScrub(s: SparkSession, dir: String): DataFrame =
-    SuffixArray.scrubSpans(Tables.documents(s, dir), "doc_id", "text", SaLen)
+    SuffixArray.scrubFromSpans(Tables.documents(s, dir), "doc_id", "text",
+      SuffixArray.readSpans(s, spanReportDir(s, dir)))
   val e1gSql: String =
     s"""WITH d AS (SELECT doc_id, text FROM documents),
        |pos AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
@@ -3853,9 +3924,16 @@ object ExtQueries {
   // the oracle's ly0 = ent.
   private val ExtEntryK = 4
   private val GraphLmK = 6
+  // The gate's in-query build runs on a deterministic THIRD of the
+  // held-in corpus (r17 VERDICT Next #2: at full width this row spent
+  // 18.7 s re-verifying landmark training the _saved row's laws
+  // already pin — the composition claim, build → landmarks → walk
+  // replayed whole by the oracle, is slice-size-independent). The
+  // turnkey production path remains e3_graph_search_ext_saved against
+  // the full shared graph.
   def e3GraphSearchExternal(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 3 === 1)
     val ix = annScratch("knng_beam_ext")
     Similarity.writeKnnGraph(corpus, AnnBits, AnnK, ix)
     Similarity.writeGraphLandmarks(s, ix, GraphLmK)
@@ -3933,7 +4011,7 @@ object ExtQueries {
       .map(r => s"SELECT query_id, vec_id, cos_sim FROM ly$r")
       .mkString(" UNION ALL ")
     s"""WITH al AS (SELECT vec_id, embedding, $n2 AS n2, $bucket AS bucket FROM embeddings),
-       |e AS (SELECT * FROM al WHERE vec_id % 10 <> 0),
+       |e AS (SELECT * FROM al WHERE vec_id % 10 <> 0 AND vec_id % 3 = 1),
        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
        |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
        |  FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
@@ -4398,6 +4476,8 @@ object ExtQueries {
     "e5_quality_langid" -> (e5QualityLangid _),
     "e5_char_trigrams" -> (e5CharTrigrams _),
     "e5_html_extract" -> (e5HtmlExtract _),
+    "e5_url_canon" -> (e5UrlCanon _),
+    "e1_url_dedup" -> (e1UrlDedup _),
     "e5_line_dedup" -> (e5LineDedup _),
     "e5_fingerprint" -> (e5Fingerprint _),
     "e5_repetition" -> (e5Repetition _),
@@ -4450,6 +4530,7 @@ object ExtQueries {
     "e3_ivf_compacted" -> (e3IvfCompacted _),
     "e1_span_maximal" -> (e1SpanMaximal _),
     "e1_suffix_spans" -> (e1SuffixSpans _),
+    "e1_spans_saved" -> (e1SpansSaved _),
     "e5_lid_saved" -> (e5LidSaved _),
     "e3_sq8_incremental" -> (e3Sq8Incremental _),
     "e3_pq_incremental" -> (e3PqIncremental _),
@@ -4548,6 +4629,8 @@ object ExtQueries {
     "e5_quality_langid" -> e5cSql,
     "e5_char_trigrams" -> e5eSql,
     "e5_html_extract" -> e5hxSql,
+    "e5_url_canon" -> e5ucSql,
+    "e1_url_dedup" -> e1udSql,
     "e5_line_dedup" -> e5ldSql,
     "e5_fingerprint" -> e5dSql,
     "e5_repetition" -> e5fSql,
@@ -4588,6 +4671,7 @@ object ExtQueries {
     "e3_ivf_compacted" -> e3nSql,
     "e1_span_maximal" -> e1eSql,
     "e1_suffix_spans" -> e1fSql,
+    "e1_spans_saved" -> e1fSql,
     "e5_lid_saved" -> e5rSql,
     "e3_sq8_incremental" -> e3oSql,
     "e3_pq_incremental" -> e3qSql,

@@ -738,6 +738,42 @@ object StreamQueries {
     s.read.parquet(out).select(col("doc_id"), col("n_tokens"), col("n_pieces"))
   }
 
+  // ---- E1ss: STREAMING ExactSubstr scrub against the frozen span report ----
+  // The corpus-hygiene serving regime (r17 VERDICT Next #3): the span
+  // report is derived ONCE from a corpus snapshot and FROZEN as the
+  // standing artifact ([[graft.ext.SuffixArray.writeSpans]], shared
+  // with the batch e1_span_scrub via ExtQueries.spanReportDir); later
+  // documents are scrubbed AS THEY LAND — a stream-static left join
+  // against the per-doc merged-cut derivation (computed once batch-
+  // side, staged to parquet so no per-batch re-merge) plus the pure
+  // per-row gap fold ([[graft.ext.SuffixArray.applyCuts]]). A doc's
+  // clean text depends only on its own row and the fixed artifact, so
+  // the result is batch-split-invariant by construction: forced
+  // one-file micro-batches reuse the batch e1_span_scrub oracle
+  // verbatim. No state, no watermark — the join is stream-static.
+  def e1ScrubStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val cutsDir = fresh("e1ss_cuts")
+    graft.ext.SuffixArray.cutsFromSpans(
+      graft.ext.SuffixArray.readSpans(s, ExtQueries.spanReportDir(s, dir)))
+      .write.mode("overwrite").parquet(cutsDir)
+    val cuts = s.read.parquet(cutsDir)
+    val in = fresh("e1ss_in"); val out = fresh("e1ss_out"); val ck = fresh("e1ss_ck")
+    docs.coalesce(4).write.mode("overwrite").parquet(in)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = graft.ext.SuffixArray.applyCuts(stream, "doc_id", "text", cuts)
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out).select(col("doc_id"), col("n_cuts"),
+      col("n_cut_chars"), col("clean_text"))
+  }
+
   // ---- E8s: streaming Bloom-gated decontamination ------------------------
   // Train-offline / score-online for corpus hygiene: the benchmark
   // Bloom mask and distinct-shingle frame are built ONCE batch-side
@@ -1426,6 +1462,7 @@ object StreamQueries {
     "e4_stats_stream" -> (e4StatsStream _),
     "e5_html_stream" -> (e5HtmlStream _),
     "e5_unigram_stream" -> (e5UnigramStream _),
+    "e1_scrub_stream" -> (e1ScrubStream _),
     "s19_rollup_stream" -> (s19RollupStream _),
     "s32_quantile_stream" -> (s32QuantileStream _),
     "s52_bitmap_stream" -> (s52BitmapStream _),
@@ -1467,6 +1504,7 @@ object StreamQueries {
     "e4_stats_stream" -> ExtQueries.e4cSql,
     "e5_html_stream" -> ExtQueries.e5hxSql,
     "e5_unigram_stream" -> ExtQueries.e5uaSql,
+    "e1_scrub_stream" -> ExtQueries.e1gSql,
     "s19_rollup_stream" -> ParityQueries.s19Sql,
     "s32_quantile_stream" -> ParityQueries.s32Sql,
     "s52_bitmap_stream" -> ParityQueries.s52Sql,

@@ -178,8 +178,40 @@ object SuffixArray {
     * whose work is |cuts| string slices — the corpus text itself is
     * touched only by the final join + fold projection.
     */
-  def scrubSpans(docs: DataFrame, idCol: String, textCol: String, L: Int): DataFrame = {
-    val spans = dupSpans(docs, idCol, textCol, L)
+  def scrubSpans(docs: DataFrame, idCol: String, textCol: String, L: Int): DataFrame =
+    scrubFromSpans(docs, idCol, textCol, dupSpans(docs, idCol, textCol, L))
+
+  // ---- Saved-artifact lifecycle (the AnnIndex discipline) -------------------
+  // The span report is THE expensive standing structure of this
+  // family: every consumer (the scrub transform, the detection
+  // report, a streaming scrub-at-ingest) needs the same
+  // (doc_id, span_start, span_end, span_len) rows, and rebuilding the
+  // prefix-doubling ladder per consumer is the wrong lifecycle at any
+  // scale (r17 VERDICT Next #1 — the suite was paying two full SA
+  // builds). Build once per corpus snapshot, persist, probe forever:
+  // four int64 columns round-trip parquet bit-exactly, so every
+  // artifact consumer is bit-identical to its in-query form.
+
+  /** Persist [[dupSpans]]'s report as the standing span artifact. */
+  def writeSpans(docs: DataFrame, idCol: String, textCol: String, L: Int,
+      dir: String): Unit =
+    dupSpans(docs, idCol, textCol, L)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Read a stored span report back — the probe side of the
+    * lifecycle; plans over it scan the artifact and rebuild nothing.
+    */
+  def readSpans(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Per-document merged excision intervals derived from a span
+    * report: (doc_id, cuts sorted-struct-array, n_cuts, n_cut_chars).
+    * The interval union-merge half of [[scrubSpans]], factored so an
+    * artifact consumer (batch probe or streaming scrub-at-ingest)
+    * runs it ONCE over the span table — everything here is span-row
+    * scale, the corpus text is never touched.
+    */
+  def cutsFromSpans(spans: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("span_start")
     val prevFrame = byDoc.rowsBetween(Window.unboundedPreceding, -1)
     val merged = spans
@@ -190,10 +222,20 @@ object SuffixArray {
         sum(col("_new")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("_isl"))
       .agg(min(col("span_start")).as("cut_start"), max(col("span_end")).as("cut_end"))
-    val cuts = merged.groupBy("doc_id").agg(
+    merged.groupBy("doc_id").agg(
       sort_array(collect_list(struct(col("cut_start"), col("cut_end")))).as("cuts"),
       count(lit(1)).as("n_cuts"),
       sum(col("cut_end") - col("cut_start") + 1).as("n_cut_chars"))
+  }
+
+  /** The excision projection: rebuild each doc's kept text as the
+    * fold of its inter-cut gaps (per-row work = |cuts| string
+    * slices). Docs with no duplicated window pass through untouched
+    * via the left join — a stream-static join when `docs` is a
+    * streaming frame and `cuts` the frozen artifact derivation.
+    */
+  def applyCuts(docs: DataFrame, idCol: String, textCol: String,
+      cuts: DataFrame): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .join(cuts, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -209,5 +251,11 @@ object SuffixArray {
             |      c.cut_end + 1),
             |    st -> concat(st.acc, substring(text, CAST(st.nxt + 1 AS INT))))
             |END""".stripMargin).as("clean_text"))
-  }
+
+  /** [[scrubSpans]] from an already-derived span report (in-query or
+    * read back from [[writeSpans]]'s artifact — law-tested equal).
+    */
+  def scrubFromSpans(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame =
+    applyCuts(docs, idCol, textCol, cutsFromSpans(spans))
 }

@@ -422,4 +422,113 @@ object TextOps {
       "'&quot; &amp; its body:</p><p>', " + textExpr + ", " +
       "'</p></div><footer><a href=\"/c\">c</a> <a href=\"/d\">d</a> " +
       "<a href=\"/e\">e</a> <a href=\"/f\">f</a></footer></body></html>')"
+
+  // ---- URL canonicalization (the crawl chain's FRONT stage) ----------------
+  // Real web pipelines (CommonCrawl → C4/RefinedWeb/FineWeb) dedup by
+  // canonicalized URL BEFORE any content pass — the cheapest dedup in
+  // the whole chain (pure per-row string work + one keep-first
+  // groupBy) removes the bulk of re-crawled pages without ever
+  // touching their bytes (r17 VERDICT Missing #2). The rules are the
+  // standard RFC 3986 syntax-based normalizations plus the
+  // tracking-parameter strip every crawler applies:
+  //   scheme + host lowercased; fragment dropped; default port
+  //   (http:80 / https:443) dropped; tracking params (utm_*, gclid,
+  //   fbclid, msclkid, ref) removed; remaining query params sorted;
+  //   trailing slashes stripped (empty path → "/").
+  // Everything stays in the portable regex subset (char classes +
+  // alternation + anchors) so Java regex and DuckDB's RE2 agree, and
+  // the whole chain is a zero-shuffle codegen'd projection.
+
+  private[graft] val TrackingParamRe =
+    "^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|ref)="
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Canonical form of an absolute http(s)-style URL — idempotent
+    * (law-tested: canon ∘ canon = canon).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, SchemeRe, 1))
+    val hp = lower(regexp_extract(noFrag, SchemeRe + "([^/?#]*)", 2))
+    val host = when(scheme === "http", regexp_replace(hp, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hp, ":443$", ""))
+      .otherwise(hp)
+    val rawPath = regexp_extract(noFrag, SchemeRe + "[^/?#]*([^?#]*)", 2)
+    val stripped = regexp_replace(rawPath, "/+$", "")
+    val path = when(length(stripped) === 0, lit("/")).otherwise(stripped)
+    val rawQ = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = array_join(array_sort(filter(split(rawQ, "&"),
+      p => length(p) > 0 && !p.rlike(TrackingParamRe))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
+  /** DuckDB replay of [[canonicalizeUrl]] over a column expression —
+    * the identical step chain in the oracle dialect.
+    */
+  def canonicalizeUrlDuck(urlExpr: String): String = {
+    val noFrag = s"regexp_replace($urlExpr, '#.*$$', '')"
+    val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+    def nf(e: String) = e.replace("$URL", noFrag)
+    val scheme = nf(s"lower(regexp_extract($$URL, '$schemeRe', 1))")
+    val hp = nf(s"lower(regexp_extract($$URL, '$schemeRe([^/?#]*)', 2))")
+    val host = s"CASE WHEN $scheme = 'http' THEN regexp_replace($hp, ':80$$', '') " +
+      s"WHEN $scheme = 'https' THEN regexp_replace($hp, ':443$$', '') ELSE $hp END"
+    val rawPath = nf(s"regexp_extract($$URL, '$schemeRe[^/?#]*([^?#]*)', 2)")
+    val stripped = s"regexp_replace($rawPath, '/+$$', '')"
+    val path = s"CASE WHEN length($stripped) = 0 THEN '/' ELSE $stripped END"
+    val rawQ = nf(s"regexp_extract($$URL, '\\?([^#]*)', 1)")
+    val kept = s"array_to_string(list_sort(list_filter(string_split($rawQ, '&'), " +
+      s"p -> length(p) > 0 AND NOT regexp_matches(p, '$TrackingParamRe'))), '&')"
+    s"concat($scheme, '://', $host, $path, " +
+      s"CASE WHEN length($kept) > 0 THEN concat('?', $kept) ELSE '' END)"
+  }
+
+  /** Deterministic synthetic URL for a document: realistic crawl
+    * variety keyed off the id — mixed-case schemes/hosts, default and
+    * explicit ports, trailing slashes, unsorted queries carrying
+    * tracking params, fragments. All variety derives from id mod 60,
+    * so distinct raw URLs genuinely MERGE under canonicalization
+    * (e.g. m=0's `http://…` and m=30's `Http://…` share a canonical
+    * form) and the keep-first dedup has real groups at every SF.
+    */
+  def urlWrap(id: Column): Column = {
+    val m = id % 60
+    val scheme = when(m % 4 === 0, "http").when(m % 4 === 1, "HTTPS")
+      .when(m % 4 === 2, "Http").otherwise("https")
+    val host = when(m % 5 === 0, "Example.COM").when(m % 5 === 1, "www.example.com")
+      .when(m % 5 === 2, "EXAMPLE.com").when(m % 5 === 3, "docs.Example.org")
+      .otherwise("example.com")
+    val port = when(m % 6 === 0, ":80").when(m % 6 === 1, ":443")
+      .when(m % 6 === 2, ":8080").otherwise("")
+    val path = concat(lit("/Docs/item"), (m % 10).cast("string"),
+      when(m % 2 === 0, "/").otherwise(""))
+    val query = when(m % 3 === 0,
+      concat(lit("?utm_source=feed&z=9&a="), (m % 5).cast("string")))
+      .when(m % 3 === 1,
+        concat(lit("?b=2&utm_campaign=Spring&a="), (m % 5).cast("string")))
+      .otherwise(concat(lit("?a="), (m % 5).cast("string"), lit("&gclid=g123&b=2")))
+    val frag = when(m % 6 === 0,
+      concat(lit("#sec"), (m % 7).cast("string"))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
+  /** DuckDB replay of [[urlWrap]]. */
+  def urlWrapDuck(idExpr: String): String = {
+    val m = s"(($idExpr) % 60)"
+    val scheme = s"CASE WHEN $m % 4 = 0 THEN 'http' WHEN $m % 4 = 1 THEN 'HTTPS' " +
+      s"WHEN $m % 4 = 2 THEN 'Http' ELSE 'https' END"
+    val host = s"CASE WHEN $m % 5 = 0 THEN 'Example.COM' " +
+      s"WHEN $m % 5 = 1 THEN 'www.example.com' WHEN $m % 5 = 2 THEN 'EXAMPLE.com' " +
+      s"WHEN $m % 5 = 3 THEN 'docs.Example.org' ELSE 'example.com' END"
+    val port = s"CASE WHEN $m % 6 = 0 THEN ':80' WHEN $m % 6 = 1 THEN ':443' " +
+      s"WHEN $m % 6 = 2 THEN ':8080' ELSE '' END"
+    val path = s"concat('/Docs/item', CAST($m % 10 AS VARCHAR), " +
+      s"CASE WHEN $m % 2 = 0 THEN '/' ELSE '' END)"
+    val query = s"CASE WHEN $m % 3 = 0 THEN concat('?utm_source=feed&z=9&a=', CAST($m % 5 AS VARCHAR)) " +
+      s"WHEN $m % 3 = 1 THEN concat('?b=2&utm_campaign=Spring&a=', CAST($m % 5 AS VARCHAR)) " +
+      s"ELSE concat('?a=', CAST($m % 5 AS VARCHAR), '&gclid=g123&b=2') END"
+    val frag = s"CASE WHEN $m % 6 = 0 THEN concat('#sec', CAST($m % 7 AS VARCHAR)) ELSE '' END"
+    s"concat($scheme, '://', $host, $port, $path, $query, $frag)"
+  }
 }

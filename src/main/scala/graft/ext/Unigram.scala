@@ -43,11 +43,30 @@ import org.apache.spark.sql.types.LongType
   */
 object Unigram {
 
-  /** 2⁴¹ — the pieces-count pack radix. A word's Σcnt is bounded by
-    * len(word) × max piece count; [[segment]] rejects models whose
-    * counts could make the subtraction borrow into the pieces digit.
+  /** 2⁴¹ — the pieces-count pack radix. Decode correctness and the
+    * fewest-pieces ordering need each word's TOTAL Σcnt < 2⁴¹, and
+    * Σcnt is bounded by len(word) × max piece count — a per-(model,
+    * word) property no model-only require can establish (the r17
+    * ADVICE finding: a ≥3-piece word with counts near 2⁴⁰ broke both
+    * while the old maxCnt < 2⁴⁰ guard passed). Every fold path
+    * therefore runs [[guardedLen]]: a per-row length check that
+    * raises before any packed score can silently wrap — batch,
+    * score-only, and streaming tokenize included.
     */
   val Big: Long = 1L << 41
+
+  /** length(word), or raise_error when len × maxCnt could borrow into
+    * the pieces digit (also capped at 2²² chars so pieces · 2⁴¹
+    * itself cannot overflow int64). Evaluated once per word as the
+    * fold's sequence bound — one integer compare in the hot path.
+    */
+  private def guardedLen(word: Column, maxCnt: Long): Column = {
+    val safe = math.min((Big - 1) / math.max(maxCnt, 1L), (1L << 22) - 1)
+    when(length(word).cast(LongType) <= lit(safe), length(word))
+      .otherwise(raise_error(concat(
+        lit("word of length "), length(word).cast("string"),
+        lit(s" with max piece count $maxCnt could overflow the 2^41 pieces-pack radix"))))
+  }
 
   /** Candidate pieces: every substring of length 1..maxPieceLen of
     * every distinct word, each OCCURRENCE (position) weighted by the
@@ -85,8 +104,8 @@ object Unigram {
   def viterbiSegs(word: Column, vocab: Seq[(String, Long)], maxPieceLen: Int): Column = {
     require(vocab.nonEmpty, "unigram model is empty")
     val maxCnt = vocab.map(_._2).max
-    require(maxCnt < (1L << 40),
-      s"piece count $maxCnt could overflow the 2^41 pieces-pack radix")
+    require(maxCnt < Big,
+      s"piece count $maxCnt cannot fit the 2^41 pieces-pack radix")
     val vm = map_from_arrays(
       typedlit(vocab.map(_._1)), typedlit(vocab.map(_._2)))
     val nullCell =
@@ -95,7 +114,7 @@ object Unigram {
       struct(lit(0L).as("s"), typedlit(Seq.empty[String]).as("g")) +:
         Seq.fill(maxPieceLen - 1)(nullCell): _*)
     val folded = aggregate(
-      sequence(lit(1), length(word)),
+      sequence(lit(1), guardedLen(word, maxCnt)),
       init,
       (st: Column, i: Column) => {
         // candidate k: extend cell i−k with the k-char piece ending at i
@@ -214,18 +233,21 @@ object Unigram {
   def viterbiScore(word: Column, vocab: Seq[(String, Long)], maxPieceLen: Int): Column =
     viterbiScoreWith(word,
       map_from_arrays(typedlit(vocab.map(_._1)), typedlit(vocab.map(_._2))),
-      maxPieceLen)
+      maxPieceLen, vocab.map(_._2).max)
 
   /** [[viterbiScore]] against an already-bound model map column —
     * lets a per-document fold [[TextOps.let1]]-bind the map once per
     * row instead of reconstructing the literal inside the innermost
-    * lambda.
+    * lambda. `maxCnt` is the model's largest count, passed by the
+    * vocab-holding caller so the per-word radix guard covers this
+    * path too (the map column cannot be inspected at plan time).
     */
-  def viterbiScoreWith(word: Column, vm: Column, maxPieceLen: Int): Column = {
+  def viterbiScoreWith(word: Column, vm: Column, maxPieceLen: Int,
+      maxCnt: Long): Column = {
     val init = array(
       lit(0L) +: Seq.fill(maxPieceLen - 1)(lit(null).cast(LongType)): _*)
     val folded = aggregate(
-      sequence(lit(1), length(word)),
+      sequence(lit(1), guardedLen(word, maxCnt)),
       init,
       (st: Column, i: Column) => {
         val cs = (1 to maxPieceLen).map { k =>
@@ -254,6 +276,7 @@ object Unigram {
   def tokenizeCounts(text: Column, vocab: Seq[(String, Long)],
       maxPieceLen: Int): Column = {
     require(vocab.nonEmpty, "unigram model is empty")
+    val maxCnt = vocab.map(_._2).max
     val mapLit = map_from_arrays(
       typedlit(vocab.map(_._1)), typedlit(vocab.map(_._2)))
     TextOps.let1(mapLit) { vm =>
@@ -262,7 +285,7 @@ object Unigram {
           size(tks).cast("long").as("n_tokens"),
           aggregate(tks, lit(0L),
             (acc: Column, w: Column) =>
-              acc + shiftright(viterbiScoreWith(w, vm, maxPieceLen) + lit(Big - 1), 41))
+              acc + shiftright(viterbiScoreWith(w, vm, maxPieceLen, maxCnt) + lit(Big - 1), 41))
             .as("n_pieces"))
       }
     }

@@ -1251,4 +1251,35 @@ class ExtSpec extends SparkSpec {
     val recall = hits.toDouble / exact.count()
     assert(recall >= 0.8, s"clustered recall@$k = $recall")
   }
+
+  test("canonicalizeUrl: pinned normalizations; idempotent on the crawl fixture") {
+    // hand-pinned semantics for every rule
+    val probes = Seq(
+      "HTTP://Example.COM:80/a/?b=2&utm_source=x#frag" -> "http://example.com/a?b=2",
+      "https://Host.org:443/p" -> "https://host.org/p",
+      "https://host.org:8080/p/" -> "https://host.org:8080/p",
+      "http://h.com" -> "http://h.com/",
+      "http://h.com/?z=1&a=2" -> "http://h.com/?a=2&z=1",
+      "http://h.com/x?gclid=g&fbclid=f&ref=r&utm_campaign=c" -> "http://h.com/x",
+      // :8080 must NOT lose its ":80" suffix to the default-port rule
+      "http://h.com:8080/x" -> "http://h.com:8080/x")
+    val got = probes.map(_._1).toDF("url")
+      .select(TextOps.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(got == probes.map(_._2), got.mkString("\n"))
+    // idempotence over the full synthetic crawl fixture: a canonical
+    // URL re-canonicalizes to itself (the law that makes the dedup
+    // key stable under re-processing)
+    val urls = (0L until 240L).toDF("doc_id")
+      .select(TextOps.canonicalizeUrl(TextOps.urlWrap(col("doc_id"))).as("c1"))
+      .select(col("c1"), TextOps.canonicalizeUrl(col("c1")).as("c2"))
+      .as[(String, String)].collect()
+    urls.foreach { case (c1, c2) => assert(c1 == c2, s"not idempotent: $c1 -> $c2") }
+    // and the fixture exercises real merging: fewer canonical forms
+    // than raw URLs
+    val raw = (0L until 240L).toDF("doc_id")
+      .select(TextOps.urlWrap(col("doc_id")).as("u")).distinct().count()
+    val canon = urls.map(_._1).distinct.length
+    assert(canon < raw, s"canonicalization must merge: $canon vs $raw")
+  }
 }

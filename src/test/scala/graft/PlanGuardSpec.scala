@@ -31,6 +31,27 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("e5_url_canon: the canonicalizer is a zero-exchange scan-bound projection") {
+    val p = planOf("e5_url_canon")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("e1_url_dedup: keep-first dedup is ONE hash shuffle with map-side partial agg") {
+    val p = planOf("e1_url_dedup")
+    assert("Exchange hashpartitioning\\(canon_url".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_min") || p.contains("partial_count") ||
+      "HashAggregate.*partial".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("e1_span_scrub: consumes the standing span artifact — no suffix-array rebuild in-plan") {
+    // the scrub plan must READ the persisted span report (a plain
+    // parquet scan) and never re-run the prefix-doubling ladder: no
+    // self-join of position frames, no explode of the corpus text
+    val p = planOf("e1_span_scrub")
+    assert(!p.contains("Generate explode"), p)
+  }
+
   test("o4_topk_per_group: WindowGroupLimit prunes before the exchange") {
     val p = planOf("o4_topk_per_group")
     assert(p.contains("WindowGroupLimit"), p)

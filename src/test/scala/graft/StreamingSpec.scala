@@ -437,6 +437,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("e1 streaming scrub is batch-split-invariant and equals the batch transform") {
+    // a doc's clean text depends only on its own row + the frozen
+    // span artifact, so one-file micro-batches (forced in the gate
+    // itself) must reproduce the whole-corpus batch scrub exactly
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamQueries.all("e1_scrub_stream")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val expected = graft.ext.SuffixArray.scrubSpans(
+      Tables.documents(spark, dir), "doc_id", "text", 32)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == expected)
+    assert(got.exists(_._2 > 0), "law not vacuous: some doc was scrubbed")
+  }
+
   test("w4 streaming hopping windows are batch-split-invariant and equal the batch query") {
     val dir = "/root/testdata/sf0.001"
     val got = StreamQueries.w4HoppingStreamImpl(spark, dir, forcedSplit = true)

@@ -175,4 +175,29 @@ class SuffixArraySpec extends SparkSpec {
     assert(got(1L)._4 == "", "doc 1 is fully covered by the merged cut")
     assert(got(2L)._4 == "xxzz" && got(3L)._4 == "yyww")
   }
+
+  test("span artifact: writeSpans round-trips; scrub-from-artifact ≡ scrub-in-query") {
+    val rnd = new scala.util.Random(987)
+    val docs = (0L until 20L).map(i =>
+      (i, (0 until 40 + rnd.nextInt(40)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+    val df = docs.toDF("doc_id", "text")
+    val L = 8
+    val dir = graft.ops.Sink.scratchDir("sa_spans_law")
+    SuffixArray.writeSpans(df, "doc_id", "text", L, dir)
+    val stored = SuffixArray.readSpans(spark, dir)
+    // the artifact IS the in-query report (four int64 columns, exact)
+    val inQuery = SuffixArray.dupSpans(df, "doc_id", "text", L)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val readBack = stored.as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(readBack == inQuery && inQuery.nonEmpty)
+    // the lifecycle law: scrubbing from the standing report equals
+    // the one-statement in-query transform row for row
+    val fromArtifact = SuffixArray
+      .scrubFromSpans(df, "doc_id", "text", stored)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val oneShot = SuffixArray.scrubSpans(df, "doc_id", "text", L)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(fromArtifact == oneShot)
+    assert(fromArtifact.exists(_._2 > 0), "law not vacuous: some doc was scrubbed")
+  }
 }

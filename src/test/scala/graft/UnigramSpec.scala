@@ -152,4 +152,30 @@ class UnigramSpec extends SparkSpec {
     assert(vocab.size <= alphabetSize + budget)
     assert(vocab.map(_._1).distinct.size == vocab.size, "no duplicate pieces")
   }
+
+  test("pack-radix guard is per-word: len × maxCnt near 2^41 raises, short words pass (r17 ADVICE)") {
+    // counts near 2^40 pass the old model-only guard, but a word
+    // segmenting into ≥3 such pieces overflows Σcnt — the guard must
+    // bound len(word) × maxCnt, on EVERY fold path
+    val huge = 1L << 40
+    val vocab = Seq("a" -> huge, "b" -> 1L)
+    // safe: (2^41 - 1) / 2^40 = 1 char
+    val ok = Unigram.segment(Seq(("a")).toDF("word"), vocab, 2)
+      .select(col("segs")).as[Seq[String]].collect()
+    assert(ok.head == Seq("a"))
+    def mustRaise(body: => Unit): Unit = {
+      val e = intercept[Exception](body)
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("pieces-pack radix")), e.toString)
+    }
+    // segmentation path (batch train/apply)
+    mustRaise(Unigram.segment(Seq(("aab")).toDF("word"), vocab, 2).collect())
+    // score-only + streaming tokenize path (first token in-vocab so
+    // the piece-sum fold reaches the oversized word — a NULL score
+    // short-circuits the accumulating Add before later tokens)
+    mustRaise(Seq(("b aab")).toDF("text")
+      .select(Unigram.tokenizeCounts(col("text"), vocab, 2)).collect())
+  }
 }

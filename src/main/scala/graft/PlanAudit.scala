@@ -36,7 +36,10 @@ object PlanAudit {
         // suffix-array/beam probes (their in-query requires / plan
         // guards fire while the audit drives them)
         "s50_ndv_rewrite", "j21_chain_elim", "e1_suffix_spans",
-        "e3_graph_search")
+        "e3_graph_search",
+        // r18 rows: the artifact-probing scrub (no SA rebuild in-plan)
+        // and the zero-exchange URL canonicalizer + its one-shuffle dedup
+        "e1_span_scrub", "e5_url_canon", "e1_url_dedup")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

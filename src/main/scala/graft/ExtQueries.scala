@@ -2430,6 +2430,95 @@ object ExtQueries {
        |FROM u GROUP BY 1""".stripMargin
   }
 
+  // ---- E5lk/E2hr: outlink extraction + host-graph PageRank ------------------
+  // The crawl's OTHER product: the link graph between hosts, and the
+  // host-level centrality signal built on it (Common Crawl publishes
+  // exactly this; CCNet-family pipelines weight sampling by it).
+  // e5_link_extract: one regexp_extract_all per page pulls the
+  // ABSOLUTE hrefs (relative chrome links are navigation, not
+  // endorsements — the fixture plants both), each canonicalized and
+  // reduced to its authority. Scan-bound per-row chain + one Generate.
+  // e2_host_rank: link rows aggregate to weighted directed host edges
+  // in ONE corpus shuffle, then damped PageRank runs PrIters rounds on
+  // the HOST frame — ≪ corpus, the web reality (1e8 hosts vs 1e11
+  // pages at crawl scale). Arithmetic is the e2_pagerank recipe
+  // (double per-edge contribution in a fixed op order, DECIMAL sums,
+  // double teleport); the oracle replays the wrap, extraction,
+  // canonicalization, edge aggregation, and every unrolled round.
+  def e5LinkExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.outlinkPage(col("doc_id"), col("text")).as("page"))
+      .select(col("doc_id"),
+        explode(TextOps.extractLinks(col("page"))).as("link_url"))
+      .withColumn("canon_url", TextOps.canonicalizeUrl(col("link_url")))
+      .withColumn("link_host", TextOps.urlHost(col("canon_url")))
+  val e5lkSql: String = {
+    val page = TextOps.outlinkPageDuck("doc_id", "text")
+    val canon = TextOps.canonicalizeUrlDuck("link_url")
+    s"""WITH pages AS (SELECT doc_id, $page AS page FROM documents),
+       |links AS (SELECT doc_id,
+       |    unnest(${TextOps.extractLinksDuck("page")}) AS link_url
+       |  FROM pages),
+       |cn AS (SELECT doc_id, link_url, $canon AS canon_url FROM links)
+       |SELECT doc_id, link_url, canon_url,
+       |  ${TextOps.urlHostDuck("canon_url")} AS link_host
+       |FROM cn""".stripMargin
+  }
+
+  def e2HostRank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val links = docs
+      .select(col("doc_id"),
+        TextOps.urlHost(TextOps.canonicalizeUrl(TextOps.urlWrap(col("doc_id"))))
+          .as("src_host"),
+        explode(TextOps.extractLinks(
+          TextOps.outlinkPage(col("doc_id"), col("text")))).as("link_url"))
+      .withColumn("dst_host",
+        TextOps.urlHost(TextOps.canonicalizeUrl(col("link_url"))))
+    val edges = links.groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("w"))
+    val hosts = links.select(col("src_host").as("host"))
+      .unionByName(links.select(col("dst_host").as("host"))).distinct()
+    Dedup.pageRankWeighted(hosts, "host", edges, "src_host", "dst_host", "w", PrIters)
+      .select(col("id").as("host"), col("pr"))
+  }
+  lazy val e2hrSql: String = {
+    val page = TextOps.outlinkPageDuck("doc_id", "text")
+    val canonL = TextOps.canonicalizeUrlDuck("link_url")
+    val wrap = TextOps.urlWrapDuck("doc_id")
+    val canonS = TextOps.canonicalizeUrlDuck("src_url")
+    def iter(r: Int) =
+      s"""c$r AS (SELECT e.dst_host AS id,
+         |    CAST(CAST((p.pr / CAST(e.wout AS DOUBLE)) * CAST(e.w AS DOUBLE) AS VARCHAR) AS $AvgDec) AS cd
+         |  FROM pr${r - 1} p JOIN edw e ON p.id = e.src_host),
+         |s$r AS (SELECT id, SUM(cd) AS sdec FROM c$r GROUP BY id),
+         |pr$r AS (SELECT h.host AS id,
+         |    CAST(0.15 AS DOUBLE) / CAST(nn.n AS DOUBLE) +
+         |    CAST(0.85 AS DOUBLE) * COALESCE(CAST(CAST(s.sdec AS VARCHAR) AS DOUBLE), CAST(0 AS DOUBLE)) AS pr
+         |  FROM hosts h CROSS JOIN nfr nn LEFT JOIN s$r s ON h.host = s.id)""".stripMargin
+    val iters = (1 to PrIters).map(r => "," + iter(r)).mkString("\n")
+    s"""WITH pages AS (SELECT doc_id, $wrap AS src_url, $page AS page FROM documents),
+       |links AS (SELECT doc_id, src_url,
+       |    unnest(${TextOps.extractLinksDuck("page")}) AS link_url
+       |  FROM pages),
+       |lh AS (SELECT ${TextOps.urlHostDuck(s"($canonS)")} AS src_host,
+       |    ${TextOps.urlHostDuck(s"($canonL)")} AS dst_host
+       |  FROM links),
+       |edges AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS w
+       |  FROM lh GROUP BY 1, 2),
+       |wo AS (SELECT src_host, SUM(w) AS wout FROM edges GROUP BY 1),
+       |edw AS (SELECT e.src_host, e.dst_host, e.w, o.wout
+       |  FROM edges e JOIN wo o ON e.src_host = o.src_host),
+       |hosts AS (SELECT DISTINCT host FROM (
+       |  SELECT src_host AS host FROM lh UNION ALL SELECT dst_host FROM lh)),
+       |nfr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hosts),
+       |pr0 AS (SELECT h.host AS id, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS pr
+       |  FROM hosts h CROSS JOIN nfr nn)
+       |$iters
+       |SELECT id AS host, pr FROM pr$PrIters""".stripMargin
+  }
+
   // ---- E5ld: repeated-line removal (RefinedWeb line-wise filtering) --------
   // The cleaning stage between HTML extraction and document-level
   // dedup: repeated boilerplate LINES (nav bars, banners, footers)
@@ -4478,6 +4567,8 @@ object ExtQueries {
     "e5_html_extract" -> (e5HtmlExtract _),
     "e5_url_canon" -> (e5UrlCanon _),
     "e1_url_dedup" -> (e1UrlDedup _),
+    "e5_link_extract" -> (e5LinkExtract _),
+    "e2_host_rank" -> (e2HostRank _),
     "e5_line_dedup" -> (e5LineDedup _),
     "e5_fingerprint" -> (e5Fingerprint _),
     "e5_repetition" -> (e5Repetition _),
@@ -4631,6 +4722,8 @@ object ExtQueries {
     "e5_html_extract" -> e5hxSql,
     "e5_url_canon" -> e5ucSql,
     "e1_url_dedup" -> e1udSql,
+    "e5_link_extract" -> e5lkSql,
+    "e2_host_rank" -> e2hrSql,
     "e5_line_dedup" -> e5ldSql,
     "e5_fingerprint" -> e5dSql,
     "e5_repetition" -> e5fSql,

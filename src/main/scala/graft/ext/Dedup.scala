@@ -387,6 +387,54 @@ object Dedup {
     pr
   }
 
+  /** Damped PageRank over a DIRECTED, WEIGHTED edge list — the host-
+    * graph form ([[pageRank]] is the undirected near-dup variant):
+    * each round a node sends pr · w/Σw_out along every out-edge;
+    * nodes with no out-edges send nothing (no dangling
+    * redistribution — a deterministic, oracle-replayable choice; the
+    * damping teleport keeps every rank positive regardless).
+    * Arithmetic is the engine-portable kmeans recipe: per-edge
+    * contribution as two correctly-rounded double ops
+    * ((pr / Σw_out) · w, in that order) cast to DECIMAL(28,10) for
+    * the order-free sum, teleport in double.
+    *
+    * Scale shape: the edge frame is host-pair-scale (≪ corpus — the
+    * web reality: 1e8 hosts vs 1e11 pages), cached once with its
+    * out-weight; each round is one hash join + one grouped decimal
+    * sum + one left join back to the node frame. The corpus is
+    * touched only upstream, where link rows aggregate to weighted
+    * host edges in a single shuffle.
+    */
+  def pageRankWeighted(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      iters: Int): DataFrame = {
+    val exact = org.apache.spark.sql.types.DecimalType(28, 10)
+    val dir = edges.select(
+      col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).as("w"))
+    val wout = dir.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val ed = graft.ops.Sink.cachedEager(dir.join(wout, Seq("src")))
+    val ids = nodes.select(col(idCol).as("id"))
+    val nFrame = ids.agg(count(lit(1)).as("n"))
+    var pr = ids.crossJoin(broadcast(nFrame))
+      .select(col("id"), (lit(1.0) / col("n").cast("double")).as("pr"))
+    try {
+      for (_ <- 1 to iters) {
+        val sums = pr.join(ed, pr("id") === ed("src"))
+          .select(col("dst").as("id"),
+            ((col("pr") / col("wout").cast("double")) * col("w").cast("double"))
+              .cast(exact).as("cd"))
+          .groupBy(col("id")).agg(sum(col("cd")).as("sdec"))
+        pr = ids.join(sums, Seq("id"), "left")
+          .crossJoin(broadcast(nFrame))
+          .select(col("id"),
+            (lit(0.15) / col("n").cast("double") +
+              lit(0.85) * coalesce(col("sdec").cast("double"), lit(0.0))).as("pr"))
+      }
+      // materialize before releasing the edge cache the loop leaned on
+      pr.localCheckpoint(true)
+    } finally ed.unpersist(blocking = false)
+  }
+
   /** Synchronous WEIGHTED label propagation (Raghavan et al. 2007,
     * arXiv:0709.2938) for community detection — the step past
     * connected components: CC merges everything reachable, LPA

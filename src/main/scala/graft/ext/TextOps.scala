@@ -513,6 +513,71 @@ object TextOps {
     concat(scheme, lit("://"), host, port, path, query, frag)
   }
 
+  // ---- Outlink extraction + host graph (the crawl's OTHER product) --------
+  // A crawl yields two corpora: the pages AND the link graph between
+  // their hosts — the substrate for host-level quality signals
+  // (Common Crawl publishes host-level centrality ranks; CCNet-family
+  // pipelines weight sampling by them). Extraction is one
+  // regexp_extract_all per page (absolute http(s) hrefs only —
+  // relative chrome links are navigation, not endorsements), then the
+  // canonicalizer collapses crawl noise before hosts aggregate.
+
+  private[graft] val AbsHrefRe = "href=\"([A-Za-z][A-Za-z0-9+.-]*://[^\"]+)\""
+
+  /** All absolute hrefs of a page, raw (order preserved). */
+  def extractLinks(page: Column): Column =
+    regexp_extract_all(page, lit(AbsHrefRe), lit(1))
+
+  /** DuckDB replay of [[extractLinks]]. */
+  def extractLinksDuck(pageExpr: String): String =
+    s"regexp_extract_all($pageExpr, 'href=\"([A-Za-z][A-Za-z0-9+.-]*://[^\"]+)\"', 1)"
+
+  /** The authority (host[:non-default-port]) of a canonical URL. */
+  def urlHost(canonUrl: Column): Column =
+    regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+
+  /** DuckDB replay of [[urlHost]]. */
+  def urlHostDuck(canonExpr: String): String =
+    s"regexp_extract($canonExpr, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)"
+
+  /** Deterministic synthetic page with OUTLINKS: three absolute
+    * anchors (mixed-case schemes/hosts, a default port, tracking
+    * params, a fragment — everything the canonicalizer must collapse)
+    * to hosts spread over h0..h22.example.net by three co-prime id
+    * mixes, plus relative chrome links extraction must IGNORE.
+    */
+  def outlinkPage(docId: Column, text: Column): Column = {
+    val k1 = (docId * 7 + 11) % 23
+    val k2 = (docId * 13 + 5) % 23
+    val k3 = (docId * 3 + 2) % 23
+    val p = docId % 7
+    concat(
+      lit("<html><body><nav><a href=\"/\">home</a> <a href=\"/about\">about</a></nav><p>"),
+      text,
+      lit("</p><p>see <a href=\"HTTPS://H"), k1.cast("string"),
+      lit(".Example.NET:443/r"), p.cast("string"),
+      lit("/\">one</a>, <a href=\"http://h"), k2.cast("string"),
+      lit(".example.net/s?utm_source=feed&q="), p.cast("string"),
+      lit("\">two</a> and <a href=\"Http://h"), k3.cast("string"),
+      lit(".Example.NET:8080/t#frag\">three</a></p></body></html>"))
+  }
+
+  /** DuckDB replay of [[outlinkPage]]. */
+  def outlinkPageDuck(idExpr: String, textExpr: String): String = {
+    val k1 = s"CAST((($idExpr) * 7 + 11) % 23 AS VARCHAR)"
+    val k2 = s"CAST((($idExpr) * 13 + 5) % 23 AS VARCHAR)"
+    val k3 = s"CAST((($idExpr) * 3 + 2) % 23 AS VARCHAR)"
+    val p = s"CAST(($idExpr) % 7 AS VARCHAR)"
+    "concat('<html><body><nav><a href=\"/\">home</a> " +
+      "<a href=\"/about\">about</a></nav><p>', " + textExpr +
+      ", '</p><p>see <a href=\"HTTPS://H', " + k1 +
+      ", '.Example.NET:443/r', " + p +
+      ", '/\">one</a>, <a href=\"http://h', " + k2 +
+      ", '.example.net/s?utm_source=feed&q=', " + p +
+      ", '\">two</a> and <a href=\"Http://h', " + k3 +
+      ", '.Example.NET:8080/t#frag\">three</a></p></body></html>')"
+  }
+
   /** DuckDB replay of [[urlWrap]]. */
   def urlWrapDuck(idExpr: String): String = {
     val m = s"(($idExpr) % 60)"

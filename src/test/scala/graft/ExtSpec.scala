@@ -1282,4 +1282,32 @@ class ExtSpec extends SparkSpec {
     val canon = urls.map(_._1).distinct.length
     assert(canon < raw, s"canonicalization must merge: $canon vs $raw")
   }
+
+  test("extractLinks: absolute hrefs only, in page order; relative chrome ignored") {
+    val page = """<a href="/">home</a> <a href="HTTPS://B.org/x">b</a>
+      |<a href="/about">about</a> <a href="http://a.com/y?z=1">a</a>""".stripMargin
+    val got = Seq(page).toDF("p")
+      .select(TextOps.extractLinks(col("p")).as("l")).as[Seq[String]].collect().head
+    assert(got == Seq("HTTPS://B.org/x", "http://a.com/y?z=1"))
+  }
+
+  test("pageRankWeighted: hand graph matches the closed-form rounds; weights matter") {
+    // star with weighted spokes: a sends 3/4 of its mass to b, 1/4 to
+    // c; b and c are sinks (no dangling redistribution — they keep
+    // teleport + inflow). n = 3, one round from uniform 1/3:
+    //   pr(a) = 0.15/3                      = 0.05
+    //   pr(b) = 0.05 + 0.85 * (1/3 * 3/4)   = 0.2625
+    //   pr(c) = 0.05 + 0.85 * (1/3 * 1/4)   = 0.120833…
+    val nodes = Seq("a", "b", "c").toDF("host")
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("s", "d", "w")
+    val got = Dedup.pageRankWeighted(nodes, "host", edges, "s", "d", "w", 1)
+      .as[(String, Double)].collect().toMap
+    // 1e-9, not 1e-12: per-edge contributions quantize to
+    // DECIMAL(28,10) before summing (the cross-engine exactness
+    // trade), so the closed-form double drifts at the 1e-11 scale
+    assert(math.abs(got("a") - 0.05) < 1e-9)
+    assert(math.abs(got("b") - (0.05 + 0.85 * (1.0 / 3.0 / 4.0 * 3.0))) < 1e-9)
+    assert(math.abs(got("c") - (0.05 + 0.85 * (1.0 / 3.0 / 4.0))) < 1e-9)
+    assert(got("b") > got("c"), "the heavier spoke must rank higher")
+  }
 }

@@ -37,6 +37,12 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("e5_link_extract: scan-bound — one Generate for the href explode, zero exchanges") {
+    val p = planOf("e5_link_extract")
+    assert(!p.contains("Exchange"), p)
+    assert("(?s)Generate".r.findAllIn(p).size == 1, p)
+  }
+
   test("e1_url_dedup: keep-first dedup is ONE hash shuffle with map-side partial agg") {
     val p = planOf("e1_url_dedup")
     assert("Exchange hashpartitioning\\(canon_url".r.findAllIn(p).size == 1, p)

@@ -5720,6 +5720,132 @@ def e1_span_scrub(sf, L=32):
         rows, columns=["doc_id", "n_cuts", "n_cut_chars", "clean_text"])
 
 
+# ---- r18: URL canonicalization / link graph / host rank ---------------------
+
+_TRACKING_RE = r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|ref)="
+
+
+def _canon_url(u):
+    import re as _re
+    u = _re.sub(r"#.*$", "", u)
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
+    scheme = m.group(1).lower() if m else ""
+    m = _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", u)
+    hp = (m.group(1) if m else "").lower()
+    if scheme == "http":
+        hp = _re.sub(r":80$", "", hp)
+    elif scheme == "https":
+        hp = _re.sub(r":443$", "", hp)
+    m = _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", u)
+    path = _re.sub(r"/+$", "", m.group(1) if m else "")
+    if path == "":
+        path = "/"
+    m = _re.search(r"\?([^#]*)", u)
+    q = m.group(1) if m else ""
+    kept = sorted(p for p in q.split("&")
+                  if p and not _re.match(_TRACKING_RE, p))
+    return scheme + "://" + hp + path + ("?" + "&".join(kept) if kept else "")
+
+
+def _url_host(canon):
+    import re as _re
+    m = _re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]*)", canon)
+    return m.group(1) if m else ""
+
+
+def _url_wrap(i):
+    m = int(i) % 60
+    scheme = ["http", "HTTPS", "Http", "https"][m % 4]
+    host = ["Example.COM", "www.example.com", "EXAMPLE.com",
+            "docs.Example.org", "example.com"][m % 5]
+    port = {0: ":80", 1: ":443", 2: ":8080"}.get(m % 6, "")
+    path = "/Docs/item%d" % (m % 10) + ("/" if m % 2 == 0 else "")
+    a = m % 5
+    q = ["?utm_source=feed&z=9&a=%d" % a,
+         "?b=2&utm_campaign=Spring&a=%d" % a,
+         "?a=%d&gclid=g123&b=2" % a][m % 3]
+    frag = "#sec%d" % (m % 7) if m % 6 == 0 else ""
+    return scheme + "://" + host + port + path + q + frag
+
+
+def e5_url_canon(sf):
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+    rows = [(int(i), _url_wrap(i), _canon_url(_url_wrap(i)))
+            for i in d["doc_id"]]
+    return pd.DataFrame(rows, columns=["doc_id", "url", "canon_url"])
+
+
+def e1_url_dedup(sf):
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+    groups = {}
+    for i in d["doc_id"]:
+        c = _canon_url(_url_wrap(i))
+        kept, n = groups.get(c, (None, 0))
+        groups[c] = (int(i) if kept is None else min(kept, int(i)), n + 1)
+    return pd.DataFrame(
+        [(c, kept, n) for c, (kept, n) in groups.items()],
+        columns=["canon_url", "kept_doc", "n_docs"])
+
+
+def _outlink_page(i, t):
+    i = int(i)
+    return (
+        '<html><body><nav><a href="/">home</a> '
+        '<a href="/about">about</a></nav><p>%s</p>'
+        '<p>see <a href="HTTPS://H%d.Example.NET:443/r%d/">one</a>, '
+        '<a href="http://h%d.example.net/s?utm_source=feed&q=%d">two</a> '
+        'and <a href="Http://h%d.Example.NET:8080/t#frag">three</a></p>'
+        '</body></html>'
+    ) % (t, (i * 7 + 11) % 23, i % 7, (i * 13 + 5) % 23, i % 7,
+         (i * 3 + 2) % 23)
+
+
+def _extract_links(page):
+    import re as _re
+    return _re.findall(r'href="([A-Za-z][A-Za-z0-9+.-]*://[^"]+)"', page)
+
+
+def e5_link_extract(sf):
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        for u in _extract_links(_outlink_page(i, t)):
+            c = _canon_url(u)
+            rows.append((int(i), u, c, _url_host(c)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "link_url", "canon_url", "link_host"])
+
+
+def e2_host_rank(sf, iters=3):
+    # weighted directed PageRank over the canonical host graph,
+    # replayed with the engine's arithmetic contract: per-edge double
+    # (pr / wout) * w in that op order, DECIMAL(28,10) sums, double
+    # teleport; no dangling redistribution
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    edges = {}
+    hosts = set()
+    for i, t in zip(d["doc_id"], d["text"]):
+        src = _url_host(_canon_url(_url_wrap(i)))
+        hosts.add(src)
+        for u in _extract_links(_outlink_page(i, t)):
+            dst = _url_host(_canon_url(u))
+            hosts.add(dst)
+            edges[(src, dst)] = edges.get((src, dst), 0) + 1
+    wout = {}
+    for (s, _), w in edges.items():
+        wout[s] = wout.get(s, 0) + w
+    n = len(hosts)
+    pr = {h: 1.0 / n for h in hosts}
+    for _ in range(iters):
+        sums = {}
+        for (s, t), w in edges.items():
+            cd = dec10((pr[s] / float(wout[s])) * float(w))
+            sums[t] = sums.get(t, Decimal(0)) + cd
+        pr = {h: 0.15 / n + (0.85 * float(sums[h]) if h in sums else 0.0)
+              for h in hosts}
+    return pd.DataFrame(sorted(pr.items()), columns=["host", "pr"])
+
+
 def e5_line_dedup(sf):
     # deterministic page wrap (nav x3, footer x2, unique header,
     # 8-token content lines) + first-occurrence line filter
@@ -5800,8 +5926,9 @@ def _kcenter_ids(emb, n2, ids, k):
 
 def e3_graph_search_external(sf, rounds=3, beam=8, k=3,
                              n_queries=32, entry_k=4):
-    # external-query variant: graph over the held-out corpus
-    # (vec_id % 10 != 0), each query (vec_id % 10 == 0) seeded at its
+    # external-query variant: graph over a deterministic THIRD of the
+    # held-out corpus (vec_id % 10 != 0 and % 3 == 1 — the r18 bounded
+    # composition gate), each query (vec_id % 10 == 0) seeded at its
     # top-entry_k STORED LANDMARKS (k-center picks over the corpus,
     # the trained entry table the index ships) by exact cosine;
     # entries are scored as layer 0, then the member-variant walk
@@ -5812,7 +5939,7 @@ def e3_graph_search_external(sf, rounds=3, beam=8, k=3,
     emb = {int(v): [float(x) for x in a]
            for v, a in zip(e["vec_id"], e["embedding"])}
     n2 = {i: _dot(v, v) for i, v in emb.items()}
-    corpus = {i for i in emb if i % 10 != 0}
+    corpus = {i for i in emb if i % 10 != 0 and i % 3 == 1}
     buckets = {}
     for i in sorted(corpus):
         v = emb[i]
@@ -6223,6 +6350,14 @@ QUERIES = {
     "e7_split_stream": e7_split,
     "e1_suffix_spans": e1_suffix_spans,
     "e1_span_scrub": e1_span_scrub,
+    # the saved artifact IS the dupSpans report; the stream twin is the
+    # batch scrub under forced one-file micro-batches
+    "e1_spans_saved": e1_suffix_spans,
+    "e1_scrub_stream": e1_span_scrub,
+    "e5_url_canon": e5_url_canon,
+    "e1_url_dedup": e1_url_dedup,
+    "e5_link_extract": e5_link_extract,
+    "e2_host_rank": e2_host_rank,
     "e5_line_dedup": e5_line_dedup,
     "e5_html_stream": e5_html_extract,
     "e3_graph_search": e3_graph_search,

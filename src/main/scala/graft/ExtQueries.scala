@@ -2468,20 +2468,27 @@ object ExtQueries {
 
   def e2HostRank(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val links = docs
+    // cached once: the corpus-scale extraction chain feeds the edge
+    // aggregate AND both legs of the host union — uncached it would
+    // re-run per consumer (3 full passes). pageRankWeighted eagerly
+    // materializes its own edge/node caches and returns a
+    // checkpointed frame, so the link cache releases right after.
+    val links = graft.ops.Sink.cachedEager(docs
       .select(col("doc_id"),
         TextOps.urlHost(TextOps.canonicalizeUrl(TextOps.urlWrap(col("doc_id"))))
           .as("src_host"),
         explode(TextOps.extractLinks(
           TextOps.outlinkPage(col("doc_id"), col("text")))).as("link_url"))
       .withColumn("dst_host",
-        TextOps.urlHost(TextOps.canonicalizeUrl(col("link_url"))))
-    val edges = links.groupBy(col("src_host"), col("dst_host"))
-      .agg(count(lit(1)).as("w"))
-    val hosts = links.select(col("src_host").as("host"))
-      .unionByName(links.select(col("dst_host").as("host"))).distinct()
-    Dedup.pageRankWeighted(hosts, "host", edges, "src_host", "dst_host", "w", PrIters)
-      .select(col("id").as("host"), col("pr"))
+        TextOps.urlHost(TextOps.canonicalizeUrl(col("link_url")))))
+    try {
+      val edges = links.groupBy(col("src_host"), col("dst_host"))
+        .agg(count(lit(1)).as("w"))
+      val hosts = links.select(col("src_host").as("host"))
+        .unionByName(links.select(col("dst_host").as("host"))).distinct()
+      Dedup.pageRankWeighted(hosts, "host", edges, "src_host", "dst_host", "w", PrIters)
+        .select(col("id").as("host"), col("pr"))
+    } finally links.unpersist(blocking = false)
   }
   lazy val e2hrSql: String = {
     val page = TextOps.outlinkPageDuck("doc_id", "text")
@@ -4568,7 +4575,13 @@ object ExtQueries {
     "e5_url_canon" -> (e5UrlCanon _),
     "e1_url_dedup" -> (e1UrlDedup _),
     "e5_link_extract" -> (e5LinkExtract _),
-    "e2_host_rank" -> (e2HostRank _),
+    // host-frame rank rounds (≤ ~60 rows) under the small-state
+    // partition window (the e3_ivf_stream rationale: per-round job
+    // fan-out ∝ partitions, and the host graph is ≪ corpus by design)
+    "e2_host_rank" -> ((s: SparkSession, d: String) =>
+      ParityQueries.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+        e2HostRank(s, d)
+      }),
     "e5_line_dedup" -> (e5LineDedup _),
     "e5_fingerprint" -> (e5Fingerprint _),
     "e5_repetition" -> (e5Repetition _),

@@ -413,7 +413,11 @@ object Dedup {
       col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).as("w"))
     val wout = dir.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val ed = graft.ops.Sink.cachedEager(dir.join(wout, Seq("src")))
-    val ids = nodes.select(col(idCol).as("id"))
+    // the node frame may be an expensive derivation (e2_host_rank
+    // distincts hosts out of a corpus-scale extraction); it is
+    // referenced by pr0 AND every round's left join, so cache it once
+    // or the loop re-runs the derivation iters+1 times
+    val ids = graft.ops.Sink.cachedEager(nodes.select(col(idCol).as("id")))
     val nFrame = ids.agg(count(lit(1)).as("n"))
     var pr = ids.crossJoin(broadcast(nFrame))
       .select(col("id"), (lit(1.0) / col("n").cast("double")).as("pr"))
@@ -430,9 +434,12 @@ object Dedup {
             (lit(0.15) / col("n").cast("double") +
               lit(0.85) * coalesce(col("sdec").cast("double"), lit(0.0))).as("pr"))
       }
-      // materialize before releasing the edge cache the loop leaned on
+      // materialize before releasing the caches the loop leaned on
       pr.localCheckpoint(true)
-    } finally ed.unpersist(blocking = false)
+    } finally {
+      ed.unpersist(blocking = false)
+      ids.unpersist(blocking = false)
+    }
   }
 
   /** Synchronous WEIGHTED label propagation (Raghavan et al. 2007,

@@ -444,24 +444,34 @@ object TextOps {
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 
   /** Canonical form of an absolute http(s)-style URL — idempotent
-    * (law-tested: canon ∘ canon = canon).
+    * (law-tested: canon ∘ canon = canon). Every reused sub-value is
+    * [[let1]]-bound: inlined, `noFrag` (itself carrying the whole
+    * input expression) would re-expand into all five extracts and
+    * `hp`/`stripped`/`kept` into each of their references —
+    * a multiplicative expression-tree blowup that showed up as
+    * multi-second janino compiles per consuming plan, not as row
+    * work (the tokenizer-inlining trap, at plan-compile time).
     */
-  def canonicalizeUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
-    val scheme = lower(regexp_extract(noFrag, SchemeRe, 1))
-    val hp = lower(regexp_extract(noFrag, SchemeRe + "([^/?#]*)", 2))
-    val host = when(scheme === "http", regexp_replace(hp, ":80$", ""))
-      .when(scheme === "https", regexp_replace(hp, ":443$", ""))
-      .otherwise(hp)
-    val rawPath = regexp_extract(noFrag, SchemeRe + "[^/?#]*([^?#]*)", 2)
-    val stripped = regexp_replace(rawPath, "/+$", "")
-    val path = when(length(stripped) === 0, lit("/")).otherwise(stripped)
-    val rawQ = regexp_extract(noFrag, "\\?([^#]*)", 1)
-    val kept = array_join(array_sort(filter(split(rawQ, "&"),
-      p => length(p) > 0 && !p.rlike(TrackingParamRe))), "&")
-    concat(scheme, lit("://"), host, path,
-      when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
-  }
+  def canonicalizeUrl(url: Column): Column =
+    let1(regexp_replace(url, "#.*$", "")) { noFrag =>
+      let1(lower(regexp_extract(noFrag, SchemeRe, 1))) { scheme =>
+        let1(lower(regexp_extract(noFrag, SchemeRe + "([^/?#]*)", 2))) { hp =>
+          val host = when(scheme === "http", regexp_replace(hp, ":80$", ""))
+            .when(scheme === "https", regexp_replace(hp, ":443$", ""))
+            .otherwise(hp)
+          val path = let1(regexp_replace(
+            regexp_extract(noFrag, SchemeRe + "[^/?#]*([^?#]*)", 2), "/+$", "")) {
+            stripped => when(length(stripped) === 0, lit("/")).otherwise(stripped)
+          }
+          val rawQ = regexp_extract(noFrag, "\\?([^#]*)", 1)
+          let1(array_join(array_sort(filter(split(rawQ, "&"),
+            p => length(p) > 0 && !p.rlike(TrackingParamRe))), "&")) { kept =>
+            concat(scheme, lit("://"), host, path,
+              when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+          }
+        }
+      }
+    }
 
   /** DuckDB replay of [[canonicalizeUrl]] over a column expression —
     * the identical step chain in the oracle dialect.

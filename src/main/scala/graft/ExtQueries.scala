@@ -2526,6 +2526,34 @@ object ExtQueries {
        |SELECT id AS host, pr FROM pr$PrIters""".stripMargin
   }
 
+  // ---- E6hq: the host-rank signal CONSUMED — per-doc quality join-back ------
+  // What the host graph exists for: every document carries its host's
+  // centrality as a selection/weighting signal (CCNet-family corpus
+  // builds sample by exactly this). The rank table is host-count-sized
+  // (≪ corpus by construction), so the join-back broadcasts — the
+  // corpus never shuffles to pick up its quality column. The oracle
+  // replays the full produce-then-consume composition: the e2hr rank
+  // chain as a CTE, joined to each doc's canonical authority.
+  def e6HostQuality(s: SparkSession, dir: String): DataFrame = {
+    val rank = e2HostRank(s, dir)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.urlHost(TextOps.canonicalizeUrl(TextOps.urlWrap(col("doc_id"))))
+          .as("src_host"))
+      .join(broadcast(rank.withColumnRenamed("host", "src_host")
+        .withColumnRenamed("pr", "host_pr")), Seq("src_host"))
+      .select(col("doc_id"), col("src_host"), col("host_pr"))
+  }
+  lazy val e6hqSql: String = {
+    val wrap = TextOps.urlWrapDuck("doc_id")
+    val canonS = TextOps.canonicalizeUrlDuck("src_url")
+    s"""WITH rank_tbl AS ($e2hrSql),
+       |du AS (SELECT doc_id, $wrap AS src_url FROM documents),
+       |dh AS (SELECT doc_id, ${TextOps.urlHostDuck(s"($canonS)")} AS src_host FROM du)
+       |SELECT dh.doc_id, dh.src_host, r.pr AS host_pr
+       |FROM dh JOIN rank_tbl r ON dh.src_host = r.host""".stripMargin
+  }
+
   // ---- E5ld: repeated-line removal (RefinedWeb line-wise filtering) --------
   // The cleaning stage between HTML extraction and document-level
   // dedup: repeated boilerplate LINES (nav bars, banners, footers)
@@ -4582,6 +4610,10 @@ object ExtQueries {
       ParityQueries.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
         e2HostRank(s, d)
       }),
+    "e6_host_quality" -> ((s: SparkSession, d: String) =>
+      ParityQueries.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+        e6HostQuality(s, d)
+      }),
     "e5_line_dedup" -> (e5LineDedup _),
     "e5_fingerprint" -> (e5Fingerprint _),
     "e5_repetition" -> (e5Repetition _),
@@ -4737,6 +4769,7 @@ object ExtQueries {
     "e1_url_dedup" -> e1udSql,
     "e5_link_extract" -> e5lkSql,
     "e2_host_rank" -> e2hrSql,
+    "e6_host_quality" -> e6hqSql,
     "e5_line_dedup" -> e5ldSql,
     "e5_fingerprint" -> e5dSql,
     "e5_repetition" -> e5fSql,

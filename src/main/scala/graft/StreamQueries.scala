@@ -774,6 +774,40 @@ object StreamQueries {
       col("n_cut_chars"), col("clean_text"))
   }
 
+  // ---- E5ls: STREAMING outlink extraction at landing ------------------------
+  // The link graph's ingest side: pages land continuously and their
+  // absolute hrefs are pulled, canonicalized, and host-reduced ONCE at
+  // landing (the e5_html_stream argument for anchors instead of
+  // content — downstream host-graph maintenance appends these rows,
+  // raw pages are never re-scanned for links). Pure per-row
+  // expression chain + one in-batch Generate: no state, no watermark,
+  // no shuffle ⇒ batch-split-invariant by construction; forced
+  // one-file micro-batches reuse the batch e5_link_extract oracle
+  // verbatim.
+  def e5LinkStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val in = fresh("e5ls_in"); val out = fresh("e5ls_out"); val ck = fresh("e5ls_ck")
+    docs.coalesce(4).write.mode("overwrite").parquet(in)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = stream
+      .select(col("doc_id"),
+        explode(graft.ext.TextOps.extractLinks(
+          graft.ext.TextOps.outlinkPage(col("doc_id"), col("text")))).as("link_url"))
+      .withColumn("canon_url",
+        graft.ext.TextOps.canonicalizeUrl(col("link_url")))
+      .withColumn("link_host", graft.ext.TextOps.urlHost(col("canon_url")))
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out).select(col("doc_id"), col("link_url"),
+      col("canon_url"), col("link_host"))
+  }
+
   // ---- E8s: streaming Bloom-gated decontamination ------------------------
   // Train-offline / score-online for corpus hygiene: the benchmark
   // Bloom mask and distinct-shingle frame are built ONCE batch-side
@@ -1463,6 +1497,7 @@ object StreamQueries {
     "e5_html_stream" -> (e5HtmlStream _),
     "e5_unigram_stream" -> (e5UnigramStream _),
     "e1_scrub_stream" -> (e1ScrubStream _),
+    "e5_link_stream" -> (e5LinkStream _),
     "s19_rollup_stream" -> (s19RollupStream _),
     "s32_quantile_stream" -> (s32QuantileStream _),
     "s52_bitmap_stream" -> (s52BitmapStream _),
@@ -1505,6 +1540,7 @@ object StreamQueries {
     "e5_html_stream" -> ExtQueries.e5hxSql,
     "e5_unigram_stream" -> ExtQueries.e5uaSql,
     "e1_scrub_stream" -> ExtQueries.e1gSql,
+    "e5_link_stream" -> ExtQueries.e5lkSql,
     "s19_rollup_stream" -> ParityQueries.s19Sql,
     "s32_quantile_stream" -> ParityQueries.s32Sql,
     "s52_bitmap_stream" -> ParityQueries.s52Sql,

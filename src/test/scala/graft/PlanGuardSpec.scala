@@ -43,6 +43,12 @@ class PlanGuardSpec extends SparkSpec {
     assert("(?s)Generate".r.findAllIn(p).size == 1, p)
   }
 
+  test("e6_host_quality: the host-count-sized rank table broadcasts onto the corpus") {
+    val p = planOf("e6_host_quality")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("e1_url_dedup: keep-first dedup is ONE hash shuffle with map-side partial agg") {
     val p = planOf("e1_url_dedup")
     assert("Exchange hashpartitioning\\(canon_url".r.findAllIn(p).size == 1, p)

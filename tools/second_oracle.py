@@ -5816,6 +5816,19 @@ def e5_link_extract(sf):
         rows, columns=["doc_id", "link_url", "canon_url", "link_host"])
 
 
+def e6_host_quality(sf):
+    # the rank signal consumed: every doc joined to its canonical
+    # authority's PageRank (produce-then-consume, one composition)
+    rank = {h: p for h, p in
+            zip(*(lambda df: (df["host"], df["pr"]))(e2_host_rank(sf)))}
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+    rows = [(int(i), _url_host(_canon_url(_url_wrap(i))))
+            for i in d["doc_id"]]
+    return pd.DataFrame(
+        [(i, h, rank[h]) for i, h in rows if h in rank],
+        columns=["doc_id", "src_host", "host_pr"])
+
+
 def e2_host_rank(sf, iters=3):
     # weighted directed PageRank over the canonical host graph,
     # replayed with the engine's arithmetic contract: per-edge double
@@ -6357,7 +6370,9 @@ QUERIES = {
     "e5_url_canon": e5_url_canon,
     "e1_url_dedup": e1_url_dedup,
     "e5_link_extract": e5_link_extract,
+    "e5_link_stream": e5_link_extract,
     "e2_host_rank": e2_host_rank,
+    "e6_host_quality": e6_host_quality,
     "e5_line_dedup": e5_line_dedup,
     "e5_html_stream": e5_html_extract,
     "e3_graph_search": e3_graph_search,

@@ -2482,12 +2482,32 @@ object ExtQueries {
       .withColumn("dst_host",
         TextOps.urlHost(TextOps.canonicalizeUrl(col("link_url")))))
     try {
-      val edges = links.groupBy(col("src_host"), col("dst_host"))
-        .agg(count(lit(1)).as("w"))
-      val hosts = links.select(col("src_host").as("host"))
-        .unionByName(links.select(col("dst_host").as("host"))).distinct()
-      Dedup.pageRankWeighted(hosts, "host", edges, "src_host", "dst_host", "w", PrIters)
-        .select(col("id").as("host"), col("pr"))
+      // The ONE corpus-scale shuffle (link→edge aggregation) runs at
+      // SESSION parallelism and materializes HERE; only the
+      // host-frame work runs under the small-state 8-partition window
+      // below (r18 ADVICE: wrapping the whole query capped the corpus
+      // shuffle at 8 tasks too). The host set derives from the EDGE
+      // frame, not the link frame — same set (edges are the grouped
+      // links, so src∪dst is identical), but edge-scale instead of a
+      // second corpus-scale distinct; pageRankWeighted caches both
+      // frames it loops over itself, so nothing re-materializes.
+      val edges = graft.ops.Sink.cachedEager(
+        links.groupBy(col("src_host"), col("dst_host"))
+          .agg(count(lit(1)).as("w")))
+      try {
+        val hosts = edges.select(col("src_host").as("host"))
+          .unionByName(edges.select(col("dst_host").as("host"))).distinct()
+        // host-frame rank rounds (≤ ~60 rows at the fixture's host
+        // count) under the small-state partition window — the
+        // e3_ivf_stream rationale: per-round job fan-out ∝
+        // partitions, and the host graph is ≪ corpus by design.
+        // pageRankWeighted returns an eager checkpoint, so the
+        // caches release before this method returns.
+        ParityQueries.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+          Dedup.pageRankWeighted(
+            hosts, "host", edges, "src_host", "dst_host", "w", PrIters)
+        }.select(col("id").as("host"), col("pr"))
+      } finally edges.unpersist(blocking = false)
     } finally links.unpersist(blocking = false)
   }
   lazy val e2hrSql: String = {
@@ -2552,6 +2572,54 @@ object ExtQueries {
        |dh AS (SELECT doc_id, ${TextOps.urlHostDuck(s"($canonS)")} AS src_host FROM du)
        |SELECT dh.doc_id, dh.src_host, r.pr AS host_pr
        |FROM dh JOIN rank_tbl r ON dh.src_host = r.host""".stripMargin
+  }
+
+  // ---- E7rw: host-rank-WEIGHTED mixture sampling -----------------------------
+  // The signal's purpose closed end to end (SURVEY §2.20, r18 VERDICT
+  // Next #4 — CCNet-family pipelines WEIGHT SAMPLING by host
+  // centrality): each host's keep-rate derives from its PageRank —
+  // rate = 250 + ⌊(pr / pr_max) · 750⌋ permille, clamped to 1000, so
+  // the top authority keeps everything and the tail keeps a quarter —
+  // and every document draws its keep decision from
+  // [[Sampling.permilleBucket]] (salt `rankmix`) against its host's
+  // rate: produce (e5_link_extract → e2_host_rank) → consume
+  // (authority join-back) → SAMPLE, one oracle replaying all three.
+  // Rate arithmetic is engine-exact: one correctly-rounded divide,
+  // one multiply, floor — no pow, no float accumulation. Scale shape:
+  // the rate table is host-count-sized (one global max, broadcast
+  // back); the corpus picks up its rate by broadcast join and filters
+  // scan-side — never shuffles.
+  def e7RankWeighted(s: SparkSession, dir: String): DataFrame = {
+    val rank = e2HostRank(s, dir) // eager host-scale checkpoint
+    val rates = rank
+      .crossJoin(broadcast(rank.agg(max(col("pr")).as("pr_max"))))
+      .select(col("host").as("src_host"),
+        least(lit(1000L),
+          lit(250L) + floor((col("pr") / col("pr_max")) * lit(750.0)))
+          .as("keep_rate"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.urlHost(TextOps.canonicalizeUrl(TextOps.urlWrap(col("doc_id"))))
+          .as("src_host"))
+      .join(broadcast(rates), Seq("src_host"))
+      .filter(Sampling.permilleBucket(col("doc_id"), "rankmix") < col("keep_rate"))
+      .select(col("doc_id"), col("src_host"), col("keep_rate"))
+  }
+  lazy val e7rwSql: String = {
+    val wrap = TextOps.urlWrapDuck("doc_id")
+    val canonS = TextOps.canonicalizeUrlDuck("src_url")
+    val h = duckMd5Int("'rankmix_' || CAST(doc_id AS VARCHAR)")
+    s"""WITH rank_tbl AS ($e2hrSql),
+       |mx AS (SELECT max(pr) AS pr_max FROM rank_tbl),
+       |rates AS (SELECT host AS src_host,
+       |    least(CAST(1000 AS BIGINT),
+       |      CAST(250 AS BIGINT) + CAST(floor((pr / pr_max) * 750.0) AS BIGINT)) AS keep_rate
+       |  FROM rank_tbl CROSS JOIN mx),
+       |du AS (SELECT doc_id, $wrap AS src_url FROM documents),
+       |dh AS (SELECT doc_id, ${TextOps.urlHostDuck(s"($canonS)")} AS src_host FROM du)
+       |SELECT dh.doc_id, dh.src_host, r.keep_rate
+       |FROM dh JOIN rates r ON dh.src_host = r.src_host
+       |WHERE ($h % 1000) < r.keep_rate""".stripMargin
   }
 
   // ---- E5ld: repeated-line removal (RefinedWeb line-wise filtering) --------
@@ -3113,8 +3181,47 @@ object ExtQueries {
   // rank-multiplicity equals substring-occurrence-count is exactly
   // the suffix-array invariant under test.
   private val SaLen = 32
+  // The detection gate runs its full prefix-doubling derivation on a
+  // deterministic THIRD of the corpus, oracle sliced identically
+  // (r18 VERDICT Next #5: at full width this row spent ~9.7 s purely
+  // re-deriving rows e1_spans_saved pins under the SAME oracle; the
+  // ladder's invariants are slice-size-independent). The slice is a
+  // contiguous PREFIX, not a mod-class: the fixture's duplicated
+  // windows live in cross-doc PAIRS with arbitrary partners, and a
+  // mod-3 doc sample keeps a pair only when both members land in it —
+  // measured VACUOUS at sf0.01 (0 spans; the prefix third keeps 2,
+  // and 112 at sf0.1). doc_id·3 < count is pure integer arithmetic,
+  // identical in both engines. The FULL-corpus build lives in the
+  // artifact path (spanReportDir), which every consumer probes and
+  // e1_spans_saved pins end to end.
+  private val SaSliceSql = "doc_id * 3 < (SELECT count(*) FROM documents)"
+  private def saSlice(docs: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(docs.agg(count(lit(1)).as("_n"))))
+      .filter(col("doc_id") * 3 < col("_n")).drop("_n")
   def e1SuffixSpans(s: SparkSession, dir: String): DataFrame =
-    SuffixArray.dupSpans(Tables.documents(s, dir), "doc_id", "text", SaLen)
+    SuffixArray.dupSpans(
+      saSlice(Tables.documents(s, dir)), "doc_id", "text", SaLen)
+
+  // ---- E1f': the span-index APPEND law as a gate -----------------------------
+  // Build the appendable index on HALF the sliced corpus, ingest the
+  // other half via [[SuffixArray.appendSpans]] (the e3_knn_appended
+  // recipe; the even split — vs e3's 91/9 — halves the in-query
+  // ladder, the gate's dominant cost, while exercising BOTH ingest
+  // regimes at real scale: base-index probing and the delta×delta
+  // group-count), probe spans/ — the oracle is the SAME rebuilt-on-
+  // everything SQL as the detection gate, so the row is green only
+  // because delta ingest is EXACT: cross-boundary flips (a delta
+  // window matching an old singleton), delta×delta duplicates, and
+  // affected-doc island recomputes all reproduce the full rebuild.
+  def e1SpansAppended(s: SparkSession, dir: String): DataFrame = {
+    val docs = saSlice(Tables.documents(s, dir))
+    val ix = annScratch("sa_span_app")
+    SuffixArray.writeSpanIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", SaLen, ix)
+    SuffixArray.appendSpans(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", SaLen, ix)
+    SuffixArray.readIndexSpans(s, ix)
+  }
 
   // The span report as a standing ARTIFACT (r17 VERDICT Next #1):
   // built ONCE per (JVM, sf-dir) — the knnGraphDir lifecycle — and
@@ -3123,11 +3230,18 @@ object ExtQueries {
   // stays the in-query detection gate (the full prefix-doubling
   // derivation under the oracle); everything downstream of detection
   // probes this artifact instead of rebuilding the ladder.
+  // SNAPSHOT-FROZEN per (JVM, sf-dir): the artifact reflects the
+  // corpus as of first touch — a dir rewritten mid-session keeps
+  // serving the old report (every saved-index lifecycle here shares
+  // that contract; growth is what [[SuffixArray.appendSpans]] is
+  // for). The on-disk tag is an md5 of the FULL path (r18 ADVICE:
+  // Int hashCode tags can collide across dirs in one JVM and would
+  // silently cross-serve span artifacts).
   private val spanReportCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def spanReportDir(s: SparkSession, dir: String): String =
     spanReportCache.computeIfAbsent(dir, _ => {
-      val ix = graft.ops.Sink.scratchDir(s"sa_spans_${math.abs(dir.hashCode)}")
+      val ix = graft.ops.Sink.scratchDir(s"sa_spans_${graft.ops.Sink.pathTag(dir)}")
       SuffixArray.writeSpans(Tables.documents(s, dir), "doc_id", "text", SaLen, ix)
       ix
     })
@@ -3138,8 +3252,13 @@ object ExtQueries {
     */
   def e1SpansSaved(s: SparkSession, dir: String): DataFrame =
     SuffixArray.readSpans(s, spanReportDir(s, dir))
-  val e1fSql: String =
-    s"""WITH d AS (SELECT doc_id, text FROM documents),
+  /** The span derivation oracle over an optionally-sliced corpus:
+    * "" → the full corpus (pins the standing artifact via
+    * e1_spans_saved); the gate slice → e1_suffix_spans and
+    * e1_spans_appended.
+    */
+  private def e1fSqlFor(where: String): String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents$where),
        |pos AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
        |    substr(text, CAST(t.i + 1 AS INT), $SaLen) AS w
        |  FROM d CROSS JOIN LATERAL (
@@ -3152,6 +3271,8 @@ object ExtQueries {
        |  CAST(max(pos) + ${SaLen - 1} AS BIGINT) AS span_end,
        |  CAST(max(pos) - min(pos) + $SaLen AS BIGINT) AS span_len
        |FROM isl GROUP BY doc_id, g""".stripMargin
+  val e1fSql: String = e1fSqlFor("")
+  val e1fSliceSql: String = e1fSqlFor(s" WHERE $SaSliceSql")
 
   // ---- E1g: ExactSubstr SCRUB — the deduplicated corpus itself -------------
   // e1_suffix_spans DETECTS corpus-duplicated char windows; this is
@@ -3937,14 +4058,28 @@ object ExtQueries {
   // the pooled walk re-ranks by exact cosine — every stage's
   // arithmetic bit-agreed (fixed left-assoc Σ p_i; ADC's coarse ties
   // break on vec_id in both engines).
+  // The gate's in-query codebook TRAINING runs on a deterministic
+  // third of the corpus (plus the vec_id < PqK seed rows, which the
+  // fixed k-means init reads — r18 VERDICT Next #1: at full width
+  // this row spent 11.8 s re-verifying codebook training the
+  // e3_pq_* rows' laws already pin; the composition claim — codes +
+  // LUTs + walk + exact re-rank replayed whole by the oracle — is
+  // training-set-independent). Code ASSIGNMENT still covers the full
+  // corpus (every walk candidate needs a code row), and the turnkey
+  // production path remains e3_graph_search_adc_saved against
+  // full-corpus-trained standing artifacts.
+  private val PqTrainSlice = s"vec_id < $PqK OR vec_id % 3 = 1"
   def e3GraphSearchAdc(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.graphBeamSearchAdc(
       emb.filter(col("vec_id") < AnnQueries), knnGraphDir(s, dir),
-      PqM, PqSubDim, PqK, PqIters, BeamRounds, BeamWidth, AnnK)
+      PqM, PqSubDim, PqK, PqIters, BeamRounds, BeamWidth, AnnK,
+      trainFilter = Some(expr(PqTrainSlice)))
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
   }
-  lazy val e3wSql: String = {
+  lazy val e3wGateSql: String = e3wSqlWith(pqChains(PqTrainSlice))
+  lazy val e3wSql: String = e3wSqlWith(pqSqlChains)
+  private def e3wSqlWith(chains: String): String = {
     val n2 = duckFold("list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
     val bucket = s"array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END for i in range(1, ${AnnBits + 1})], '')"
     val luts = (0 until PqM).map { i =>
@@ -3981,7 +4116,7 @@ object ExtQueries {
       .map(r => s"SELECT query_id, vec_id FROM ly$r")
       .mkString(" UNION ALL ")
     val exCos = duckDot("qq.embedding", "c.embedding") + " / (sqrt(qq.n2) * sqrt(c.n2))"
-    s"""WITH $pqSqlChains,
+    s"""WITH $chains,
        |$luts,
        |adcall AS (SELECT l0.query_id, a0.vec_id, $adc AS adc
        |  FROM s0a2 a0 $codeJoins $lutJoins),
@@ -4015,10 +4150,11 @@ object ExtQueries {
   // The serving path: both artifacts (mutual-kNN graph + PQ
   // codebooks/codes) are standing tables built once; the probe
   // learns nothing, encodes nothing, and reads no float vectors
-  // until the final re-rank. Bit-identical to the build-in-query
-  // walk (same corpus, same constants — the e3_pq_saved equality
-  // discipline), so the gate reuses e3wSql verbatim: the equality IS
-  // the claim under test.
+  // until the final re-rank. Its oracle (e3wSql) replays the FULL
+  // corpus-trained build + walk — exactly what writePq persists (the
+  // e3_pq_saved equality discipline); the in-query gate above now
+  // trains on its deterministic slice, so the two rows carry
+  // separate oracles replaying their respective training sets.
   def e3GraphSearchAdcSaved(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val pq = annScratch("pq_walk")
@@ -4603,17 +4739,11 @@ object ExtQueries {
     "e5_url_canon" -> (e5UrlCanon _),
     "e1_url_dedup" -> (e1UrlDedup _),
     "e5_link_extract" -> (e5LinkExtract _),
-    // host-frame rank rounds (≤ ~60 rows) under the small-state
-    // partition window (the e3_ivf_stream rationale: per-round job
-    // fan-out ∝ partitions, and the host graph is ≪ corpus by design)
-    "e2_host_rank" -> ((s: SparkSession, d: String) =>
-      ParityQueries.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
-        e2HostRank(s, d)
-      }),
-    "e6_host_quality" -> ((s: SparkSession, d: String) =>
-      ParityQueries.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
-        e6HostQuality(s, d)
-      }),
+    // the 8-partition small-state window is scoped INSIDE e2HostRank
+    // to the host-frame rank rounds only (r18 ADVICE)
+    "e2_host_rank" -> (e2HostRank _),
+    "e6_host_quality" -> (e6HostQuality _),
+    "e7_rank_weighted" -> (e7RankWeighted _),
     "e5_line_dedup" -> (e5LineDedup _),
     "e5_fingerprint" -> (e5Fingerprint _),
     "e5_repetition" -> (e5Repetition _),
@@ -4667,6 +4797,7 @@ object ExtQueries {
     "e1_span_maximal" -> (e1SpanMaximal _),
     "e1_suffix_spans" -> (e1SuffixSpans _),
     "e1_spans_saved" -> (e1SpansSaved _),
+    "e1_spans_appended" -> (e1SpansAppended _),
     "e5_lid_saved" -> (e5LidSaved _),
     "e3_sq8_incremental" -> (e3Sq8Incremental _),
     "e3_pq_incremental" -> (e3PqIncremental _),
@@ -4770,6 +4901,7 @@ object ExtQueries {
     "e5_link_extract" -> e5lkSql,
     "e2_host_rank" -> e2hrSql,
     "e6_host_quality" -> e6hqSql,
+    "e7_rank_weighted" -> e7rwSql,
     "e5_line_dedup" -> e5ldSql,
     "e5_fingerprint" -> e5dSql,
     "e5_repetition" -> e5fSql,
@@ -4809,8 +4941,9 @@ object ExtQueries {
     // compaction must be invisible to results — same lineage, same oracle
     "e3_ivf_compacted" -> e3nSql,
     "e1_span_maximal" -> e1eSql,
-    "e1_suffix_spans" -> e1fSql,
+    "e1_suffix_spans" -> e1fSliceSql,
     "e1_spans_saved" -> e1fSql,
+    "e1_spans_appended" -> e1fSliceSql,
     "e5_lid_saved" -> e5rSql,
     "e3_sq8_incremental" -> e3oSql,
     "e3_pq_incremental" -> e3qSql,
@@ -4827,7 +4960,7 @@ object ExtQueries {
     "e3_graph_search_appended" -> e3zSql,
     "e3_graph_search_external" -> e3xSql,
     "e3_graph_search_ext_saved" -> e3xsSql,
-    "e3_graph_search_adc" -> e3wSql,
+    "e3_graph_search_adc" -> e3wGateSql,
     "e3_graph_search_adc_saved" -> e3wSql,
     "e2_bfs_hops" -> e2bfSql,
     "e2_sssp_weighted" -> e2qSql,

@@ -469,37 +469,53 @@ object Similarity {
     */
   def kcenterSelect(vectors: DataFrame, k: Int): DataFrame = {
     require(k >= 1)
+    val spark = vectors.sparkSession
     val base = graft.ops.Sink.cachedEager(vectors.select(
       col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2")))
-    var centers = base.orderBy(col("vec_id").asc).limit(1)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
-        col("n2").as("c_n2"), lit(1L).as("sel_order"),
-        lit(0.0).as("dist_at_selection"))
-      .localCheckpoint()
-    var mins: DataFrame = null
-    for (i <- 2 to k) {
-      val newc = centers.filter(col("sel_order") === (i - 1))
-        .select(col("c_emb").as("nc_emb"), col("c_n2").as("nc_n2"))
-      val d = base.crossJoin(broadcast(newc))
-        .select(col("vec_id"),
-          (lit(1.0) - cosineFrom(
-            dot(col("embedding"), col("nc_emb")), col("n2"), col("nc_n2")))
-            .as("d"))
-      mins = (if (mins == null) d.select(col("vec_id"), col("d").as("md"))
-              else mins.join(d, Seq("vec_id"))
-                .select(col("vec_id"), least(col("md"), col("d")).as("md")))
-        .localCheckpoint()
-      val next = mins
-        .join(centers.select(col("cid").as("vec_id")), Seq("vec_id"), "left_anti")
-        .orderBy(col("md").desc, col("vec_id").asc).limit(1)
-        .join(base, Seq("vec_id"))
-        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
-          col("n2").as("c_n2"), lit(i.toLong).as("sel_order"),
-          col("md").as("dist_at_selection"))
-      centers = centers.unionByName(next).localCheckpoint()
-    }
-    centers.select(col("sel_order"), col("cid").as("vec_id"),
-      col("dist_at_selection"))
+    try {
+      // The selected centers ARE the model — k rows of (id, vector,
+      // n2, radius), the Unigram.scala bounded-collect class — so the
+      // loop keeps them DRIVER-side as literals: round i is then ONE
+      // cached-corpus scan computing the min-distance to all i−1
+      // centers as a single least-fold expression (left-assoc in
+      // selection order — bit-identical to the former per-round
+      // least(md, d) fold through checkpointed frames) fused into
+      // TakeOrderedAndProject, instead of three eager checkpoint
+      // jobs (mins, centers, the anti-join argmax) per round. 3(k−1)
+      // corpus-scale jobs → (k−1) scans; no persisted loop state.
+      var centers = Vector.empty[(Any, Seq[Float], Double, Double)]
+      val seed = base.orderBy(col("vec_id").asc).limit(1).collect()
+      if (seed.nonEmpty) {
+        centers :+= ((seed(0).get(0), seed(0).getSeq[Float](1),
+          seed(0).getDouble(2), 0.0))
+        var exhausted = false
+        for (i <- 2 to k if !exhausted) {
+          val md = centers.map { case (_, emb, n2c, _) =>
+            lit(1.0) - cosineFrom(
+              dot(col("embedding"), typedlit(emb)), col("n2"), lit(n2c))
+          }.reduceLeft(least(_, _))
+          val next = base
+            .filter(!col("vec_id").isInCollection(centers.map(_._1)))
+            .select(col("vec_id"), col("embedding"), col("n2"), md.as("md"))
+            .orderBy(col("md").desc, col("vec_id").asc).limit(1)
+            .collect()
+          if (next.isEmpty) exhausted = true
+          else centers :+= ((next(0).get(0), next(0).getSeq[Float](1),
+            next(0).getDouble(2), next(0).getDouble(3)))
+        }
+      }
+      val idType = base.schema("vec_id").dataType
+      val out = centers.zipWithIndex.map { case ((id, _, _, d), ix) =>
+        org.apache.spark.sql.Row((ix + 1).toLong, id, d)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sel_order",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("vec_id", idType),
+        org.apache.spark.sql.types.StructField("dist_at_selection",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+    } finally base.unpersist(blocking = false)
   }
 
   /** MUTUAL k-NN graph over the whole corpus: the undirected edge
@@ -802,25 +818,45 @@ object Similarity {
       iters: Int,
       rounds: Int,
       beam: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      trainFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = queries.sparkSession
     val (adj, vecs, q) = beamSetup(queries, indexDir)
     val corpusEmb = spark.read.parquet(s"$indexDir/vecs")
       .select(col("vec_id"), col("embedding"))
-    val parts = (0 until m).map { i =>
+    // Codebooks may TRAIN on a deterministic corpus slice (the
+    // composition-gate discipline: training cost is index-build cost,
+    // not probe cost, so a gate that trains in-query bounds it on a
+    // slice — r18 VERDICT Next #1); code ASSIGNMENT always covers the
+    // full corpus, since every walk candidate needs a code row.
+    val trainEmb = trainFilter.map(corpusEmb.filter).getOrElse(corpusEmb)
+    // The m subspace builds are INDEPENDENT small jobs (a k-means
+    // chain each); submitted from one thread they serialize m
+    // trainings of fixed per-job overhead, so they run concurrently
+    // (Spark's scheduler interleaves jobs from separate threads —
+    // the standard multi-tenant submission path, nothing shared but
+    // the immutable parent frames).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val parts = Await.result(Future.traverse((0 until m).toList) { i => Future {
       val sub = corpusEmb.select(col("vec_id"),
         slice(col("embedding"), i * subDim + 1, subDim).as("embedding"))
-      val cents = kmeansCentroids(sub, pqK, iters)
+      // the k-row codebook feeds BOTH the corpus code assignment and
+      // the query LUT — eagerly materialized once, or each consumer's
+      // job re-runs the whole k-means chain (2m corpus-scale
+      // trainings instead of m)
+      val cents = kmeansCentroids(trainEmb.select(col("vec_id"),
+        slice(col("embedding"), i * subDim + 1, subDim).as("embedding")),
+        pqK, iters).localCheckpoint(true)
       val codes = assignToCentroid(sub, cents)
         .select(col("vec_id"), col("cid").as(s"code_$i"))
       // the LUT is the ONLY place the walk's rounds re-enter this
-      // subspace's lineage — and the k-means training under it is a
-      // BIG logical tree. An eager localCheckpoint (the
+      // subspace's lineage. An eager localCheckpoint (the
       // e1_suffix_spans loop discipline) both materializes the
       // |queries| × pqK rows once AND truncates the lineage, so each
-      // round's plan carries a leaf, not four codebook trainings —
-      // without it the driver re-analyzes the full PQ lineage on
-      // every action and analysis time dwarfs the actual work
+      // round's plan carries a leaf — without it the driver
+      // re-analyzes the full PQ lineage on every action and analysis
+      // time dwarfs the actual work
       val lut = queries
         .select(col("vec_id").as("query_id"),
           slice(col("embedding"), i * subDim + 1, subDim).as("q_sub"))
@@ -830,7 +866,7 @@ object Similarity {
           dot(col("q_sub"), col("cent")).as(s"p_$i"))
         .localCheckpoint(true)
       (codes, lut)
-    }
+    }}, scala.concurrent.duration.Duration.Inf)
     // one codes row per corpus vector (m small ints) — cached: every
     // round's scoring joins it, and re-deriving means re-running the
     // per-subspace assignment m times per round

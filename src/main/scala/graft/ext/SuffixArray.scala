@@ -78,6 +78,21 @@ object SuffixArray {
     * lands exactly on it).
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String, L: Int): DataFrame = {
+    val valid = validRanks(docs, idCol, textCol, L)
+    val dup = valid.join(
+      valid.groupBy("r").agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("r"),
+      Seq("r"), "left_semi")
+    islandsFromStarts(dup.select(col("doc_id"), col("pos")), L)
+      .localCheckpoint(true)
+  }
+
+  /** The final-round rank table, one row per VALID position (window
+    * fully inside its document): (gid, doc_id, pos, len, r) with the
+    * ladder invariant r(i) = r(j) ⇔ equal length-L windows. The
+    * shared core of [[dupSpans]] and [[writeSpanIndex]].
+    */
+  private def validRanks(
+      docs: DataFrame, idCol: String, textCol: String, L: Int): DataFrame = {
     require(L >= 2 && (L & (L - 1)) == 0, s"L must be a power of two >= 2, got $L")
     val seedW = math.min(L, 8).toLong // both powers of two, so seedW divides L
     val base = docs
@@ -138,22 +153,23 @@ object SuffixArray {
         .localCheckpoint(true)
       k *= 2
     }
-    // valid windows only (fully inside their document's text), then
+    // valid windows only (fully inside their document's text);
     // rank multiplicity = substring occurrence count
-    val valid = cur.filter(col("pos") <= col("len") - L)
-    val dup = valid.join(
-      valid.groupBy("r").agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("r"),
-      Seq("r"), "left_semi")
-    // gaps-and-islands per doc: consecutive duplicated window starts
-    // coalesce into one maximal span covering start .. last + L - 1
+    cur.filter(col("pos") <= col("len") - L)
+  }
+
+  /** Gaps-and-islands per doc: consecutive duplicated window starts
+    * coalesce into one maximal span covering start .. last + L − 1.
+    * Shared by the build path and the delta-ingest island recompute.
+    */
+  private def islandsFromStarts(starts: DataFrame, L: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    dup.withColumn("_g", col("pos") - row_number().over(w))
+    starts.withColumn("_g", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("_g"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + (L - 1)).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
-      .localCheckpoint(true)
   }
 
   /** The TRANSFORM the span detector exists for (Lee et al. 2022,
@@ -258,4 +274,184 @@ object SuffixArray {
   def scrubFromSpans(docs: DataFrame, idCol: String, textCol: String,
       spans: DataFrame): DataFrame =
     applyCuts(docs, idCol, textCol, cutsFromSpans(spans))
+
+  // ---- Appendable span INDEX (append ≡ rebuild, the AnnIndex law) ----------
+  // The flat [[writeSpans]] artifact is snapshot-frozen: it records
+  // only the MERGED spans, so a grown corpus cannot be ingested —
+  // a delta document may duplicate a window that was UNIQUE at build
+  // time, and neither that window's content nor its position survives
+  // into the report (r18 VERDICT Missing #1: every other index family
+  // has an append law; the span report alone forced a full
+  // prefix-doubling rebuild per ingest). Exact append needs exactly
+  // the state the report discards, so the INDEX persists three
+  // tables:
+  //   spans/ — the [[dupSpans]] report (what consumers probe);
+  //   uniq/  — (w, doc_id, pos) for every valid position whose
+  //            length-L window occurs exactly ONCE corpus-wide
+  //            (w is a UNIQUE key: two equal windows would be dup);
+  //   dupw/  — (w) the distinct duplicated window strings (their
+  //            positions are recoverable from spans/: island rows are
+  //            runs of consecutive duplicated starts, so the start
+  //            set is exactly ∪ [span_start, span_end − L + 1]).
+  // Storage is O(n·L) chars — the time-space trade every standing
+  // exact-substring index makes (a plain suffix array is already
+  // O(n) words); at cluster scale bucket uniq/ by w so delta probes
+  // co-locate without a shuffle of the standing side.
+
+  /** Build the appendable index: one ladder run, then the three
+    * tables above. The spans/ table is bit-identical to
+    * [[writeSpans]]'s report (same dupSpans frame).
+    */
+  def writeSpanIndex(docs: DataFrame, idCol: String, textCol: String, L: Int,
+      dir: String): Unit = {
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // (gid, doc_id, pos, len, r, n): position-scale, consumed by all
+    // three table builds — checkpointed so the class-count shuffle
+    // runs once. The count rides a whole-partition window over r
+    // (ONE hash shuffle) instead of a groupBy + join-back (two).
+    val classed = {
+      val valid = validRanks(docs, idCol, textCol, L)
+      valid.withColumn("n", count(lit(1)).over(Window.partitionBy("r")))
+        .localCheckpoint(true)
+    }
+    def winOf(df: DataFrame): DataFrame = df
+      .join(d, Seq("doc_id"))
+      .select(expr(s"substring(text, cast(pos + 1 as int), $L)").as("w"),
+        col("doc_id"), col("pos"))
+    // the three table builds read the same checkpoint and nothing
+    // else — independent jobs, submitted concurrently (the
+    // graphBeamSearchAdc subspace discipline)
+    runConcurrently(Seq(
+      () => winOf(classed.filter(col("n") === 1).select(col("doc_id"), col("pos")))
+        .write.mode("overwrite").parquet(s"$dir/uniq"),
+      // one row per duplicated CLASS: its representative position is
+      // the member holding gid == r (r IS the class min-gid)
+      () => winOf(classed.filter(col("n") >= 2 && col("gid") === col("r"))
+          .select(col("doc_id"), col("pos")))
+        .select(col("w"))
+        .write.mode("overwrite").parquet(s"$dir/dupw"),
+      () => islandsFromStarts(
+        classed.filter(col("n") >= 2).select(col("doc_id"), col("pos")), L)
+        .write.mode("overwrite").parquet(s"$dir/spans")))
+  }
+
+  private def runConcurrently(jobs: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.traverse(jobs)(j => Future(j())),
+      scala.concurrent.duration.Duration.Inf)
+    ()
+  }
+
+  /** The index's span report — same shape as [[readSpans]] on the
+    * flat artifact; consumers probe it identically.
+    */
+  def readIndexSpans(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/spans")
+
+  /** Exact delta ingest: fold `delta` docs (ids disjoint from the
+    * indexed corpus) into a saved span index so that afterwards the
+    * three tables equal a [[writeSpanIndex]] over base ∪ delta — the
+    * append ≡ rebuild law ([[graft.SuffixArraySpec]]) — WITHOUT
+    * re-laddering the base:
+    *
+    *   1. the delta's valid windows (|delta|·L chars — extracted
+    *      directly: below corpus scale, grouping raw windows beats
+    *      the ladder, whose whole purpose is avoiding O(n·L) shuffle
+    *      bytes at full-corpus n) probe dupw/ (already-duplicated)
+    *      and uniq/ (the CROSS-BOUNDARY case: an old singleton
+    *      window matched by the delta flips BOTH positions to
+    *      duplicated);
+    *   2. delta×delta duplicates come from one group-count over the
+    *      delta windows;
+    *   3. islands recompute ONLY for affected docs: old docs owning
+    *      a newly-flipped position (their standing dup-start set is
+    *      recovered from spans/ by inverting the island merge) and
+    *      delta docs owning any duplicated position — every other
+    *      doc's span rows carry over untouched;
+    *   4. spans/uniq/dupw swap in atomically (the knn_appending
+    *      discipline), each new table checkpointed BEFORE its
+    *      overwrite so no plan reads a directory being replaced.
+    *
+    * Work is O(|delta|·L + matches + affected-doc spans): the
+    * standing corpus is never rescanned, only its index probed.
+    */
+  def appendSpans(delta: DataFrame, idCol: String, textCol: String, L: Int,
+      dir: String): Unit = {
+    val spark = delta.sparkSession
+    val dwin = delta
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .filter(col("text").isNotNull)
+      .withColumn("len", length(col("text")).cast("long"))
+      .filter(col("len") >= L) // sequence(0, len-L) must not descend
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("len") - L)).as("pos"),
+        col("text"))
+      .select(expr(s"substring(text, cast(pos + 1 as int), $L)").as("w"),
+        col("doc_id"), col("pos"))
+      .localCheckpoint(true)
+    val uniq = spark.read.parquet(s"$dir/uniq")
+    val dupw = spark.read.parquet(s"$dir/dupw")
+    val spans = spark.read.parquet(s"$dir/spans")
+    val dW = dwin.groupBy("w").agg(count(lit(1)).as("dn"))
+    // ONE pass over the base-scale uniq table marks every singleton
+    // window the delta touches — the flips filter out of the
+    // checkpoint, and the keep-side reuses it, so uniq/ is shuffled
+    // once (not once per consumer: flips, the delta classifier, AND
+    // the uniq rewrite all used to re-join it)
+    val uniqMarked = uniq
+      .join(dW.select(col("w"), lit(1).as("_hit")), Seq("w"), "left")
+      .localCheckpoint(true)
+    // cross-boundary flips: old singleton positions now duplicated
+    val hitUniq = uniqMarked.filter(col("_hit").isNotNull)
+      .select(col("w"), col("doc_id"), col("pos"))
+    // delta windows with their delta-wide multiplicity and base hits
+    // (uniq's w is a unique key and dupw's rows are distinct, so the
+    // left joins cannot fan out); the flip set is small, so its join
+    // in is flip-scale, never base-scale
+    val dwinC = dwin
+      .join(dW, Seq("w"))
+      .join(dupw.select(col("w"), lit(1).as("_indup")), Seq("w"), "left")
+      .join(hitUniq.select(col("w"), lit(1).as("_inuniq")), Seq("w"), "left")
+      .localCheckpoint(true)
+    // duplicated DELTA positions (any of the three evidence sources)
+    val deltaDup = dwinC
+      .filter(col("_indup").isNotNull || col("_inuniq").isNotNull || col("dn") >= 2)
+      .select(col("doc_id"), col("pos"))
+    // affected old docs: recovered standing starts ∪ flipped starts
+    // (disjoint — a flipped position was a singleton, never a start)
+    val affected = hitUniq.select("doc_id").distinct()
+    val reIslanded = islandsFromStarts(
+      spans.join(affected, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("span_start"), col("span_end") - (L - 1))).as("pos"))
+        .unionByName(hitUniq.select(col("doc_id"), col("pos"))), L)
+    val spansNew = spans
+      .join(affected, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
+      .unionByName(reIslanded)
+      .unionByName(islandsFromStarts(deltaDup, L))
+    val newDupW = dwinC.filter(col("dn") >= 2).select("w")
+      .unionByName(hitUniq.select("w"))
+      .distinct()
+      .join(dupw, Seq("w"), "left_anti")
+    val dupwNew = dupw.unionByName(newDupW)
+    val uniqNew = uniqMarked
+      .filter(col("_hit").isNull) // flipped singletons leave
+      .select(col("w"), col("doc_id"), col("pos"))
+      .unionByName(dwinC
+        .filter(col("dn") === 1 && col("_indup").isNull && col("_inuniq").isNull)
+        .select(col("w"), col("doc_id"), col("pos")))
+    // Every new table writes to its *_appending TMP first (the source
+    // dirs stay intact under the reads — no pre-write checkpoint
+    // needed), then all three swap in: the parquet write IS the
+    // materialization, and a failure mid-sequence leaves the old
+    // index readable.
+    val tables = Seq("spans" -> spansNew, "dupw" -> dupwNew, "uniq" -> uniqNew)
+    runConcurrently(tables.map { case (name, df) =>
+      () => df.write.mode("overwrite").parquet(s"$dir/${name}_appending")
+    })
+    for ((name, _) <- tables)
+      AnnIndex.swapIn(dir, name, s"$dir/${name}_appending")
+  }
 }

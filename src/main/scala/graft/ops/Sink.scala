@@ -157,6 +157,16 @@ object Sink {
     (p, n)
   }
 
+  /** Collision-proof scratch tag for a path-keyed artifact: md5 hex
+    * of the full path bytes. `math.abs(path.hashCode)` tags (the old
+    * scheme) can collide across two dirs in one JVM and silently
+    * cross-serve artifacts keyed by them.
+    */
+  def pathTag(path: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   /** Per-JVM random token appended to every scratch path. PID alone
     * is NOT collision-free across runs: Linux defaults pid_max to
     * 32768, shutdown hooks never fire on a hard kill (OOM), and a

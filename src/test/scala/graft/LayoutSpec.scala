@@ -150,9 +150,17 @@ class LayoutSpec extends SparkSpec {
       (1 to 50).map(i => ("b", i.toDouble + 1.5))).toDF("t", "v")
     val out = graft.ops.Aggregates.ksDrift(df, "t", "v", "a", "b", blockWidth = 10.0)
     assert(out.count() == 1)
-    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // ...and ATTRIBUTE, not just time-scope (r18 ADVICE: a foreign
+    // cache held past the retry budget still flaked the window
+    // heuristic): a cached Dataset's RDD is named with its physical
+    // plan string, and ksDrift's internal per-value cache is the only
+    // graft frame whose plan carries the `_blk` block column — so
+    // only `_blk`-named survivors count as THIS operator's leak.
+    def leaked = (spark.sparkContext.getPersistentRDDs -- before.toSeq)
+      .filter { case (_, r) => Option(r.name).exists(_.contains("_blk")) }
+      .keySet
     var tries = 0
-    while (leaked.nonEmpty && tries < 40) { Thread.sleep(250); tries += 1 }
+    while (leaked.nonEmpty && tries < 12) { Thread.sleep(250); tries += 1 }
     assert(leaked.isEmpty, s"leaked: $leaked")
   }
 

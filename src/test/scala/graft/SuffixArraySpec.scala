@@ -200,4 +200,66 @@ class SuffixArraySpec extends SparkSpec {
     assert(fromArtifact == oneShot)
     assert(fromArtifact.exists(_._2 > 0), "law not vacuous: some doc was scrubbed")
   }
+
+  private def indexSpans(dir: String): Set[(Long, Long, Long, Long)] =
+    SuffixArray.readIndexSpans(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("span index: append ≡ rebuild on a seeded random split (the law every index family carries)") {
+    val rnd = new scala.util.Random(24680)
+    val docs = (0L until 36L).map(i =>
+      (i, (0 until 40 + rnd.nextInt(60)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+    val L = 8
+    val (base, delta) = docs.partition(_._1 % 5 != 2)
+    val dir = graft.ops.Sink.scratchDir("sa_index_law")
+    SuffixArray.writeSpanIndex(base.toDF("doc_id", "text"), "doc_id", "text", L, dir)
+    // the index's spans/ before append IS the base dupSpans report
+    assert(indexSpans(dir) == bruteSpans(base, L))
+    SuffixArray.appendSpans(delta.toDF("doc_id", "text"), "doc_id", "text", L, dir)
+    assert(indexSpans(dir) == bruteSpans(docs, L))
+    assert(bruteSpans(docs, L) != bruteSpans(base, L),
+      "law not vacuous: the delta must change the report")
+    // the uniq/dupw state is closed under append: a SECOND append
+    // over the updated tables must still equal a full rebuild
+    val more = (100L until 112L).map(i =>
+      (i, (0 until 40 + rnd.nextInt(40)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+    SuffixArray.appendSpans(more.toDF("doc_id", "text"), "doc_id", "text", L, dir)
+    assert(indexSpans(dir) == bruteSpans(docs ++ more, L))
+  }
+
+  test("span index append: cross-boundary flip — a delta window duplicating an old SINGLETON") {
+    // base: w appears ONCE (doc 1); doc 2 shares nothing. The delta
+    // doc repeats w — after append BOTH positions must be reported,
+    // including the base doc's, whose spans/ row did not exist before
+    // (the exact state the flat report cannot recover — why uniq/
+    // exists).
+    val w = "abcdefgh" // L = 8
+    val base = Seq((1L, s"xxxx${w}yyyy"), (2L, "qqqqrrrrssss"))
+    val delta = Seq((9L, s"zz${w}vvzz"))
+    val L = 8
+    val dir = graft.ops.Sink.scratchDir("sa_index_flip")
+    SuffixArray.writeSpanIndex(base.toDF("doc_id", "text"), "doc_id", "text", L, dir)
+    assert(indexSpans(dir).isEmpty, "base has no duplicates")
+    SuffixArray.appendSpans(delta.toDF("doc_id", "text"), "doc_id", "text", L, dir)
+    val got = indexSpans(dir)
+    assert(got == bruteSpans(base ++ delta, L), got)
+    assert(got.exists(_._1 == 1L), "the OLD doc's flipped window must be reported")
+    assert(got.exists(_._1 == 9L), "the delta doc's window must be reported")
+  }
+
+  test("span index append: delta×delta duplicates and already-dup windows fold correctly") {
+    val w = "qrstuvwx"
+    val base = Seq((1L, s"aa${w}bb"), (2L, s"cc${w}dd")) // w already duplicated
+    // delta: one doc re-hits the old dup; two delta docs share a FRESH window
+    val fresh = "mnopmnop"
+    val delta = Seq((7L, s"ee${w}ff"), (8L, s"gg${fresh}hh"), (9L, s"ii${fresh}jj"))
+    val L = 8
+    val dir = graft.ops.Sink.scratchDir("sa_index_dd")
+    SuffixArray.writeSpanIndex(base.toDF("doc_id", "text"), "doc_id", "text", L, dir)
+    SuffixArray.appendSpans(delta.toDF("doc_id", "text"), "doc_id", "text", L, dir)
+    assert(indexSpans(dir) == bruteSpans(base ++ delta, L))
+    // untouched base docs keep their original rows (1 and 2 keep the
+    // w span; neither gains nor loses anything)
+    assert(indexSpans(dir).count(s => s._1 == 1L || s._1 == 2L) == 2)
+  }
 }

@@ -5657,11 +5657,16 @@ def s55_bitmap_coarsen(sf):
     return pd.DataFrame(rows, columns=["prio", "n_cust", "n_total"])
 
 
-def e1_suffix_spans(sf, L=32):
+def e1_suffix_spans(sf, L=32, sliced=False):
     # char-granular duplicated spans replayed by direct substring
     # counting (no ranks, no doubling): every length-L window,
-    # corpus-wide occurrence counts, gaps-and-islands per doc
+    # corpus-wide occurrence counts, gaps-and-islands per doc.
+    # sliced=True replays the detection gate's deterministic prefix
+    # third (doc_id*3 < corpus row count — integer arithmetic).
     d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    if sliced:
+        n = len(d)
+        d = d[d["doc_id"] * 3 < n]
     wins = []
     for i, t in zip(d["doc_id"], d["text"]):
         if t is None:
@@ -5827,6 +5832,25 @@ def e6_host_quality(sf):
     return pd.DataFrame(
         [(i, h, rank[h]) for i, h in rows if h in rank],
         columns=["doc_id", "src_host", "host_pr"])
+
+
+def e7_rank_weighted(sf):
+    # produce -> consume -> SAMPLE: per-host keep-rate derived from
+    # the PageRank (250 + floor(pr/pr_max*750), clamped to 1000
+    # permille), each doc kept iff md5("rankmix_"+id) % 1000 falls
+    # under its host's rate
+    import math
+    df = e2_host_rank(sf)
+    pr_max = max(df["pr"])
+    rate = {h: min(1000, 250 + int(math.floor((p / pr_max) * 750.0)))
+            for h, p in zip(df["host"], df["pr"])}
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+    rows = []
+    for i in d["doc_id"]:
+        h = _url_host(_canon_url(_url_wrap(i)))
+        if h in rate and _md5i(f"rankmix_{int(i)}") % 1000 < rate[h]:
+            rows.append((int(i), h, rate[h]))
+    return pd.DataFrame(rows, columns=["doc_id", "src_host", "keep_rate"])
 
 
 def e2_host_rank(sf, iters=3):
@@ -6068,12 +6092,14 @@ def e3_graph_search_ext_saved(sf, rounds=3, beam=8, k=3,
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim", "rk"])
 
 
-def e3_graph_search_adc(sf, rounds=3, beam=8, k=3, n_queries=32):
+def e3_graph_search_adc(sf, rounds=3, beam=8, k=3, n_queries=32, train=None):
     # ADC-scored walk with exact re-rank: in-loop scores come from the
     # PQ codebook replay (fixed left-assoc subspace sum), the final
-    # pool re-ranks by exact cosine — composing the two proven replays
+    # pool re-ranks by exact cosine — composing the two proven replays.
+    # `train` replays the gate's deterministic codebook-training slice
+    # (the _saved twin trains on the full corpus, train=None).
     import math
-    parts = _pq_parts(sf, None)
+    parts = _pq_parts(sf, train)
 
     def adc(q, c):
         total, first = 0.0, True
@@ -6361,7 +6387,10 @@ QUERIES = {
     "a29_retention_bitmap": a29_retention_bitmap,
     "e4_stats_stream": e4_decode_stats,
     "e7_split_stream": e7_split,
-    "e1_suffix_spans": e1_suffix_spans,
+    # the detection gate and the append gate run on the deterministic
+    # prefix third; the saved artifact stays the FULL dupSpans report
+    "e1_suffix_spans": lambda sf: e1_suffix_spans(sf, sliced=True),
+    "e1_spans_appended": lambda sf: e1_suffix_spans(sf, sliced=True),
     "e1_span_scrub": e1_span_scrub,
     # the saved artifact IS the dupSpans report; the stream twin is the
     # batch scrub under forced one-file micro-batches
@@ -6373,6 +6402,7 @@ QUERIES = {
     "e5_link_stream": e5_link_extract,
     "e2_host_rank": e2_host_rank,
     "e6_host_quality": e6_host_quality,
+    "e7_rank_weighted": e7_rank_weighted,
     "e5_line_dedup": e5_line_dedup,
     "e5_html_stream": e5_html_extract,
     "e3_graph_search": e3_graph_search,
@@ -6380,7 +6410,11 @@ QUERIES = {
     "e3_graph_search_appended": e3_graph_search,
     "e3_graph_search_external": e3_graph_search_external,
     "e3_graph_search_ext_saved": e3_graph_search_ext_saved,
-    "e3_graph_search_adc": e3_graph_search_adc,
+    # the gate trains its codebooks on the deterministic slice
+    # (vec_id < 4 seed rows OR vec_id % 3 == 1); the saved twin's
+    # standing artifacts are full-corpus-trained
+    "e3_graph_search_adc":
+        lambda sf: e3_graph_search_adc(sf, train=lambda v: v < 4 or v % 3 == 1),
     "e3_graph_search_adc_saved": e3_graph_search_adc,
     "j18_join_elim": j18_join_elim,
     "j19_elim_then_mv": j19_elim_then_mv,

@@ -2589,14 +2589,21 @@ object ExtQueries {
   // the rate table is host-count-sized (one global max, broadcast
   // back); the corpus picks up its rate by broadcast join and filters
   // scan-side — never shuffles.
-  def e7RankWeighted(s: SparkSession, dir: String): DataFrame = {
+  /** The host-scale keep-rate table (src_host, keep_rate permille),
+    * derived from the frozen rank — shared by the batch sampler and
+    * the streaming keep-at-landing twin.
+    */
+  private[graft] def hostKeepRates(s: SparkSession, dir: String): DataFrame = {
     val rank = e2HostRank(s, dir) // eager host-scale checkpoint
-    val rates = rank
+    rank
       .crossJoin(broadcast(rank.agg(max(col("pr")).as("pr_max"))))
       .select(col("host").as("src_host"),
         least(lit(1000L),
           lit(250L) + floor((col("pr") / col("pr_max")) * lit(750.0)))
           .as("keep_rate"))
+  }
+  def e7RankWeighted(s: SparkSession, dir: String): DataFrame = {
+    val rates = hostKeepRates(s, dir)
     Tables.documents(s, dir)
       .select(col("doc_id"),
         TextOps.urlHost(TextOps.canonicalizeUrl(TextOps.urlWrap(col("doc_id"))))

@@ -808,6 +808,45 @@ object StreamQueries {
       col("canon_url"), col("link_host"))
   }
 
+  // ---- E7rs: STREAMING rank-weighted sampling at landing --------------------
+  // The sampling family's serving regime, closing produce → consume →
+  // sample → INGEST: the host keep-rate table is derived ONCE
+  // batch-side from the frozen rank
+  // ([[graft.ExtQueries.hostKeepRates]] — host-scale, staged to
+  // parquet so micro-batches never re-run the rank rounds) and each
+  // landing document draws its keep decision immediately — a
+  // stream-static broadcast join plus the pure per-row md5 bucket
+  // ([[graft.ext.Sampling.permilleBucket]], salt `rankmix`). A doc's
+  // verdict depends only on its own id and the fixed rate table, so
+  // the result is batch-split-invariant by construction: forced
+  // one-file micro-batches reuse the batch e7_rank_weighted oracle
+  // verbatim. No state, no watermark, no shuffle.
+  def e7RankStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val ratesDir = fresh("e7rs_rates")
+    ExtQueries.hostKeepRates(s, dir).write.mode("overwrite").parquet(ratesDir)
+    val rates = s.read.parquet(ratesDir)
+    val in = fresh("e7rs_in"); val out = fresh("e7rs_out"); val ck = fresh("e7rs_ck")
+    docs.coalesce(4).write.mode("overwrite").parquet(in)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = stream
+      .select(col("doc_id"),
+        graft.ext.TextOps.urlHost(graft.ext.TextOps.canonicalizeUrl(
+          graft.ext.TextOps.urlWrap(col("doc_id")))).as("src_host"))
+      .join(broadcast(rates), Seq("src_host"))
+      .filter(graft.ext.Sampling.permilleBucket(col("doc_id"), "rankmix")
+        < col("keep_rate"))
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, out))
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out).select(col("doc_id"), col("src_host"), col("keep_rate"))
+  }
+
   // ---- E8s: streaming Bloom-gated decontamination ------------------------
   // Train-offline / score-online for corpus hygiene: the benchmark
   // Bloom mask and distinct-shingle frame are built ONCE batch-side
@@ -1498,6 +1537,7 @@ object StreamQueries {
     "e5_unigram_stream" -> (e5UnigramStream _),
     "e1_scrub_stream" -> (e1ScrubStream _),
     "e5_link_stream" -> (e5LinkStream _),
+    "e7_rank_stream" -> (e7RankStream _),
     "s19_rollup_stream" -> (s19RollupStream _),
     "s32_quantile_stream" -> (s32QuantileStream _),
     "s52_bitmap_stream" -> (s52BitmapStream _),
@@ -1541,6 +1581,7 @@ object StreamQueries {
     "e5_unigram_stream" -> ExtQueries.e5uaSql,
     "e1_scrub_stream" -> ExtQueries.e1gSql,
     "e5_link_stream" -> ExtQueries.e5lkSql,
+    "e7_rank_stream" -> ExtQueries.e7rwSql,
     "s19_rollup_stream" -> ParityQueries.s19Sql,
     "s32_quantile_stream" -> ParityQueries.s32Sql,
     "s52_bitmap_stream" -> ParityQueries.s52Sql,

@@ -6403,6 +6403,8 @@ QUERIES = {
     "e2_host_rank": e2_host_rank,
     "e6_host_quality": e6_host_quality,
     "e7_rank_weighted": e7_rank_weighted,
+    # keep-at-landing twin: stateless stream-static join, batch oracle
+    "e7_rank_stream": e7_rank_weighted,
     "e5_line_dedup": e5_line_dedup,
     "e5_html_stream": e5_html_extract,
     "e3_graph_search": e3_graph_search,

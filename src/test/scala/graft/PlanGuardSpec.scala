@@ -913,4 +913,24 @@ class PlanGuardSpec extends SparkSpec {
     val p = planOf("e5_unigram_saved")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("e7_rank_weighted: the rate table broadcasts; the keep filter never shuffles the corpus") {
+    val p = planOf("e7_rank_weighted")
+    // the corpus picks up its host's keep-rate via broadcast hash join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the md5 keep decision is a post-join Filter, not an aggregation:
+    // no Exchange may key on doc_id (the corpus never re-shuffles)
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("e1_spans_appended: the probe is a bare scan of the swapped-in spans table") {
+    // the append gate RETURNS readIndexSpans — building/ingesting ran
+    // as side effects; the returned plan must be a plain parquet scan
+    // (no ladder, no join: the artifact IS the standing result)
+    val p = planOf("e1_spans_appended")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("FileScan parquet"), p)
+  }
 }

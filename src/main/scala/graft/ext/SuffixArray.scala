@@ -284,23 +284,130 @@ object SuffixArray {
   // has an append law; the span report alone forced a full
   // prefix-doubling rebuild per ingest). Exact append needs exactly
   // the state the report discards, so the INDEX persists three
-  // tables:
-  //   spans/ — the [[dupSpans]] report (what consumers probe);
-  //   uniq/  — (w, doc_id, pos) for every valid position whose
-  //            length-L window occurs exactly ONCE corpus-wide
-  //            (w is a UNIQUE key: two equal windows would be dup);
-  //   dupw/  — (w) the distinct duplicated window strings (their
-  //            positions are recoverable from spans/: island rows are
-  //            runs of consecutive duplicated starts, so the start
-  //            set is exactly ∪ [span_start, span_end − L + 1]).
+  // logical tables:
+  //   spans   — the [[dupSpans]] report (what consumers probe);
+  //   uniq    — (w, doc_id, pos) for every valid position whose
+  //             length-L window occurs exactly ONCE corpus-wide
+  //             (w is a UNIQUE key: two equal windows would be dup);
+  //   dupw    — (w) the distinct duplicated window strings (their
+  //             positions are recoverable from spans: island rows are
+  //             runs of consecutive duplicated starts, so the start
+  //             set is exactly ∪ [span_start, span_end − L + 1]).
   // Storage is O(n·L) chars — the time-space trade every standing
   // exact-substring index makes (a plain suffix array is already
-  // O(n) words); at cluster scale bucket uniq/ by w so delta probes
+  // O(n) words); at cluster scale bucket uniq by w so delta probes
   // co-locate without a shuffle of the standing side.
+  //
+  // LAYOUT — immutable SEGMENTS under a single MANIFEST pointer (the
+  // log-structured / table-format discipline; r19 ADVICE #1: the old
+  // layout swapped three directories in sequence, so a crash between
+  // swaps could leave spans/uniq/dupw from DIFFERENT generations — a
+  // mixed index that reads fine and silently misses cross-boundary
+  // flips on the next append). Here every mutation writes only NEW
+  // segment directories (inert until referenced) and then publishes
+  // them with ONE atomic rename of the MANIFEST file — the index is
+  // either entirely at generation g or entirely at g+1, never mixed;
+  // a crash at any point leaves the old manifest serving the old,
+  // internally-consistent index. (Local filesystem rename here; on a
+  // cluster store the same single-pointer commit rides HDFS rename /
+  // an object-store conditional put — the Iceberg/Delta commit shape.)
+  //
+  //   MANIFEST       gen=N, then one `table=gen:path` line per live
+  //                  segment (table ∈ spans|uniq|uniqdel|dupw)
+  //   g<k>-<table>/  parquet segment written by generation k
+  //
+  // Read rules (the merge-on-read contract):
+  //   spans = union of spans segments, keeping each doc's rows from
+  //           its HIGHEST generation (an append re-emits the FULL
+  //           span set of every doc it touches, so newer wins);
+  //           single-segment manifests skip the window entirely — a
+  //           freshly-built or compacted index probes as a bare scan.
+  //   uniq  = union of uniq segments ANTI JOIN union of uniqdel
+  //           tombstones on w (a flipped singleton never returns:
+  //           its w is in dupw forever after, so the classifier can
+  //           never re-add it — tombstones need no generation order).
+  //   dupw  = union of dupw segments (append-only; appends anti-join
+  //           before writing, so segments are disjoint).
+  // Appends therefore write DELTA-scale segments only — the standing
+  // base tables are read (one probe scan) but never rewritten; the
+  // base-scale rewrite cost moves into [[compactSpanIndex]], paid
+  // once per many ingests (the LSM amortization every other index
+  // family here already follows).
 
-  /** Build the appendable index: one ladder run, then the three
-    * tables above. The spans/ table is bit-identical to
-    * [[writeSpans]]'s report (same dupSpans frame).
+  private case class SpanManifest(gen: Int, segs: Seq[(String, Int, String)])
+
+  private def manifestFile(dir: String) = s"$dir/MANIFEST"
+
+  private def readManifest(dir: String): SpanManifest = {
+    val lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(manifestFile(dir)))
+    var gen = 0
+    val segs = Seq.newBuilder[(String, Int, String)]
+    lines.forEach { ln =>
+      val s = ln.trim
+      if (s.startsWith("gen=")) gen = s.stripPrefix("gen=").toInt
+      else if (s.nonEmpty) {
+        val Array(table, rest) = s.split("=", 2)
+        val Array(g, path) = rest.split(":", 2)
+        segs += ((table, g.toInt, path))
+      }
+    }
+    SpanManifest(gen, segs.result())
+  }
+
+  /** Publish a manifest ATOMICALLY: write a temp file, fsync-free
+    * same-directory rename (ATOMIC_MOVE). The rename IS the commit —
+    * every segment it references was fully written before this call.
+    */
+  private def writeManifest(dir: String, m: SpanManifest): Unit = {
+    val body = (s"gen=${m.gen}" +:
+      m.segs.map { case (t, g, p) => s"$t=$g:$p" }).mkString("\n")
+    val tmp = java.nio.file.Paths.get(s"${manifestFile(dir)}.tmp")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(manifestFile(dir)),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private def segFrames(spark: org.apache.spark.sql.SparkSession,
+      m: SpanManifest, table: String): Seq[(Int, DataFrame)] =
+    m.segs.collect { case (t, g, p) if t == table => (g, spark.read.parquet(p)) }
+
+  /** The live spans view: newest generation wins PER DOC (appends
+    * re-emit the full span set of every doc they touch). The window
+    * is span-scale (≪ corpus) and disappears whenever the manifest
+    * holds one segment — the fresh-build and post-compaction shape.
+    */
+  private def currentSpans(spark: org.apache.spark.sql.SparkSession,
+      m: SpanManifest): DataFrame = {
+    val segs = segFrames(spark, m, "spans")
+    if (segs.size == 1) segs.head._2
+    else {
+      val u = segs.map { case (g, df) => df.withColumn("_g", lit(g)) }
+        .reduce(_.unionByName(_))
+      u.withColumn("_mx", max(col("_g")).over(Window.partitionBy("doc_id")))
+        .filter(col("_g") === col("_mx"))
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
+    }
+  }
+
+  private def currentUniq(spark: org.apache.spark.sql.SparkSession,
+      m: SpanManifest): DataFrame = {
+    val u = segFrames(spark, m, "uniq").map(_._2).reduce(_.unionByName(_))
+    val dels = segFrames(spark, m, "uniqdel").map(_._2)
+    if (dels.isEmpty) u
+    else u.join(dels.reduce(_.unionByName(_)), Seq("w"), "left_anti")
+  }
+
+  private def currentDupw(spark: org.apache.spark.sql.SparkSession,
+      m: SpanManifest): DataFrame =
+    segFrames(spark, m, "dupw").map(_._2).reduce(_.unionByName(_))
+
+  /** Build the appendable index: one ladder run, three generation-0
+    * segments, one manifest commit. The spans segment is
+    * bit-identical to [[writeSpans]]'s report (same dupSpans frame).
     */
   def writeSpanIndex(docs: DataFrame, idCol: String, textCol: String, L: Int,
       dir: String): Unit = {
@@ -318,67 +425,85 @@ object SuffixArray {
       .join(d, Seq("doc_id"))
       .select(expr(s"substring(text, cast(pos + 1 as int), $L)").as("w"),
         col("doc_id"), col("pos"))
-    // the three table builds read the same checkpoint and nothing
-    // else — independent jobs, submitted concurrently (the
-    // graphBeamSearchAdc subspace discipline)
-    runConcurrently(Seq(
+    // the three segment builds read the same checkpoint and nothing
+    // else — independent jobs, submitted concurrently on a dedicated
+    // bounded pool with group-cancel on first failure (graft.ops.Jobs)
+    graft.ops.Jobs.runConcurrently(docs.sparkSession, Seq[() => Unit](
       () => winOf(classed.filter(col("n") === 1).select(col("doc_id"), col("pos")))
-        .write.mode("overwrite").parquet(s"$dir/uniq"),
+        .write.mode("overwrite").parquet(s"$dir/g0-uniq"),
       // one row per duplicated CLASS: its representative position is
       // the member holding gid == r (r IS the class min-gid)
       () => winOf(classed.filter(col("n") >= 2 && col("gid") === col("r"))
           .select(col("doc_id"), col("pos")))
         .select(col("w"))
-        .write.mode("overwrite").parquet(s"$dir/dupw"),
+        .write.mode("overwrite").parquet(s"$dir/g0-dupw"),
       () => islandsFromStarts(
         classed.filter(col("n") >= 2).select(col("doc_id"), col("pos")), L)
-        .write.mode("overwrite").parquet(s"$dir/spans")))
-  }
-
-  private def runConcurrently(jobs: Seq[() => Unit]): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.traverse(jobs)(j => Future(j())),
-      scala.concurrent.duration.Duration.Inf)
-    ()
+        .write.mode("overwrite").parquet(s"$dir/g0-spans")))
+    writeManifest(dir, SpanManifest(0, Seq(
+      ("spans", 0, s"$dir/g0-spans"),
+      ("uniq", 0, s"$dir/g0-uniq"),
+      ("dupw", 0, s"$dir/g0-dupw"))))
   }
 
   /** The index's span report — same shape as [[readSpans]] on the
-    * flat artifact; consumers probe it identically.
+    * flat artifact; consumers probe it identically (a bare segment
+    * scan on a fresh or compacted index).
     */
   def readIndexSpans(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/spans")
+    currentSpans(spark, readManifest(dir))
+
+  /** FORK an index: a new manifest at `newDir` referencing `baseDir`'s
+    * segments by path — zero data copied, valid because segments are
+    * immutable (appends and compactions only ever ADD segment dirs
+    * under their own index root and re-point their own manifest).
+    * Appends to the fork land under `newDir`; the base index is
+    * untouched — the cheap branch primitive the composition gates use
+    * to ingest into a STANDING base without mutating it.
+    */
+  def forkSpanIndex(baseDir: String, newDir: String): Unit =
+    writeManifest(newDir, readManifest(baseDir))
 
   /** Exact delta ingest: fold `delta` docs (ids disjoint from the
     * indexed corpus) into a saved span index so that afterwards the
-    * three tables equal a [[writeSpanIndex]] over base ∪ delta — the
-    * append ≡ rebuild law ([[graft.SuffixArraySpec]]) — WITHOUT
+    * three live views equal a [[writeSpanIndex]] over base ∪ delta —
+    * the append ≡ rebuild law ([[graft.SuffixArraySpec]]) — WITHOUT
     * re-laddering the base:
     *
     *   1. the delta's valid windows (|delta|·L chars — extracted
     *      directly: below corpus scale, grouping raw windows beats
     *      the ladder, whose whole purpose is avoiding O(n·L) shuffle
-    *      bytes at full-corpus n) probe dupw/ (already-duplicated)
-    *      and uniq/ (the CROSS-BOUNDARY case: an old singleton
+    *      bytes at full-corpus n) probe dupw (already-duplicated)
+    *      and uniq (the CROSS-BOUNDARY case: an old singleton
     *      window matched by the delta flips BOTH positions to
     *      duplicated);
     *   2. delta×delta duplicates come from one group-count over the
     *      delta windows;
     *   3. islands recompute ONLY for affected docs: old docs owning
     *      a newly-flipped position (their standing dup-start set is
-    *      recovered from spans/ by inverting the island merge) and
-    *      delta docs owning any duplicated position — every other
-    *      doc's span rows carry over untouched;
-    *   4. spans/uniq/dupw swap in atomically (the knn_appending
-    *      discipline), each new table checkpointed BEFORE its
-    *      overwrite so no plan reads a directory being replaced.
+    *      recovered from the spans view by inverting the island
+    *      merge) and delta docs owning any duplicated position —
+    *      every other doc's rows stay in their standing segments,
+    *      masked by nothing (the spans read rule keeps a doc's
+    *      highest-generation rows, and this append emits the FULL
+    *      new span set for every doc it touches);
+    *   4. the four delta-scale segments (spans, uniq adds, uniq
+    *      tombstones, dupw adds) publish via ONE atomic manifest
+    *      rename — all-or-nothing, never a mixed-generation index
+    *      (r19 ADVICE #1).
     *
-    * Work is O(|delta|·L + matches + affected-doc spans): the
-    * standing corpus is never rescanned, only its index probed.
+    * Work is O(|delta|·L + matches + affected-doc spans) WRITTEN and
+    * one probe scan of the standing uniq/dupw/spans views READ: the
+    * standing corpus is never rescanned, and — unlike the r19 layout,
+    * which rewrote all three base-scale tables per ingest — nothing
+    * base-scale is written; segment growth is reclaimed by
+    * [[compactSpanIndex]], amortized across many ingests.
     */
   def appendSpans(delta: DataFrame, idCol: String, textCol: String, L: Int,
       dir: String): Unit = {
     val spark = delta.sparkSession
+    val m = readManifest(dir)
+    val g = m.gen + 1
     val dwin = delta
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .filter(col("text").isNotNull)
@@ -390,21 +515,18 @@ object SuffixArray {
       .select(expr(s"substring(text, cast(pos + 1 as int), $L)").as("w"),
         col("doc_id"), col("pos"))
       .localCheckpoint(true)
-    val uniq = spark.read.parquet(s"$dir/uniq")
-    val dupw = spark.read.parquet(s"$dir/dupw")
-    val spans = spark.read.parquet(s"$dir/spans")
+    val uniq = currentUniq(spark, m)
+    val dupw = currentDupw(spark, m)
+    val spans = currentSpans(spark, m)
     val dW = dwin.groupBy("w").agg(count(lit(1)).as("dn"))
-    // ONE pass over the base-scale uniq table marks every singleton
-    // window the delta touches — the flips filter out of the
-    // checkpoint, and the keep-side reuses it, so uniq/ is shuffled
-    // once (not once per consumer: flips, the delta classifier, AND
-    // the uniq rewrite all used to re-join it)
-    val uniqMarked = uniq
-      .join(dW.select(col("w"), lit(1).as("_hit")), Seq("w"), "left")
+    // cross-boundary flips: old singleton positions now duplicated.
+    // ONE semi-join pass over the base-scale uniq view, reduced to
+    // FLIP-scale before the checkpoint (the r19 layout kept a marked
+    // base-scale copy alive for its full uniq rewrite; delta-segment
+    // appends have no such consumer, so nothing base-scale is ever
+    // materialized here)
+    val hitUniq = uniq.join(dW.select("w"), Seq("w"), "left_semi")
       .localCheckpoint(true)
-    // cross-boundary flips: old singleton positions now duplicated
-    val hitUniq = uniqMarked.filter(col("_hit").isNotNull)
-      .select(col("w"), col("doc_id"), col("pos"))
     // delta windows with their delta-wide multiplicity and base hits
     // (uniq's w is a unique key and dupw's rows are distinct, so the
     // left joins cannot fan out); the flip set is small, so its join
@@ -426,32 +548,60 @@ object SuffixArray {
         .select(col("doc_id"),
           explode(sequence(col("span_start"), col("span_end") - (L - 1))).as("pos"))
         .unionByName(hitUniq.select(col("doc_id"), col("pos"))), L)
-    val spansNew = spans
-      .join(affected, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
-      .unionByName(reIslanded)
-      .unionByName(islandsFromStarts(deltaDup, L))
-    val newDupW = dwinC.filter(col("dn") >= 2).select("w")
+    // the four DELTA segments of generation g
+    val spansSeg = reIslanded.unionByName(islandsFromStarts(deltaDup, L))
+    val dupwSeg = dwinC.filter(col("dn") >= 2).select("w")
       .unionByName(hitUniq.select("w"))
       .distinct()
       .join(dupw, Seq("w"), "left_anti")
-    val dupwNew = dupw.unionByName(newDupW)
-    val uniqNew = uniqMarked
-      .filter(col("_hit").isNull) // flipped singletons leave
+    val uniqSeg = dwinC
+      .filter(col("dn") === 1 && col("_indup").isNull && col("_inuniq").isNull)
       .select(col("w"), col("doc_id"), col("pos"))
-      .unionByName(dwinC
-        .filter(col("dn") === 1 && col("_indup").isNull && col("_inuniq").isNull)
-        .select(col("w"), col("doc_id"), col("pos")))
-    // Every new table writes to its *_appending TMP first (the source
-    // dirs stay intact under the reads — no pre-write checkpoint
-    // needed), then all three swap in: the parquet write IS the
-    // materialization, and a failure mid-sequence leaves the old
-    // index readable.
-    val tables = Seq("spans" -> spansNew, "dupw" -> dupwNew, "uniq" -> uniqNew)
-    runConcurrently(tables.map { case (name, df) =>
-      () => df.write.mode("overwrite").parquet(s"$dir/${name}_appending")
+    val uniqDelSeg = hitUniq.select("w") // flipped singletons leave
+    val tables = Seq(
+      "spans" -> spansSeg, "uniq" -> uniqSeg,
+      "uniqdel" -> uniqDelSeg, "dupw" -> dupwSeg)
+    graft.ops.Jobs.runConcurrently(spark, tables.map { case (name, df) =>
+      () => df.write.mode("overwrite").parquet(s"$dir/g$g-$name")
     })
-    for ((name, _) <- tables)
-      AnnIndex.swapIn(dir, name, s"$dir/${name}_appending")
+    // single-pointer commit: all four segments or none (r19 ADVICE #1)
+    writeManifest(dir, SpanManifest(g,
+      m.segs ++ tables.map { case (name, _) => (name, g, s"$dir/g$g-$name") }))
+  }
+
+  /** COMPACTION — rewrite the three live views as fresh single
+    * segments and re-point the manifest at them alone (rewrite ≡
+    * accumulated-appends: the views are materialized row-for-row, so
+    * probe output is unchanged by construction — the law
+    * [[graft.SuffixArraySpec]] asserts). What changes is physical:
+    * the merge-on-read work (the per-doc generation window, the
+    * tombstone anti-join, N-segment unions) drops to zero — probes
+    * are bare scans again — and each table lands range-clustered on
+    * its probe key (spans by (doc_id, span_start), uniq/dupw by w),
+    * so parquet row-group min/max prune future ingest probes. The
+    * LSM bargain: appends stay delta-scale, the base-scale rewrite
+    * is paid HERE, once per many ingests. Superseded segment dirs are
+    * left on disk (a forked manifest may still reference them);
+    * reclamation is the store's GC sweep over unreferenced paths —
+    * scratch roots here are deleted wholesale at JVM exit.
+    */
+  def compactSpanIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val m = readManifest(dir)
+    val g = m.gen + 1
+    val spans = currentSpans(spark, m)
+    val uniq = currentUniq(spark, m)
+    val dupw = currentDupw(spark, m)
+    graft.ops.Jobs.runConcurrently(spark, Seq[() => Unit](
+      () => spans.repartitionByRange(col("doc_id"), col("span_start"))
+        .sortWithinPartitions(col("doc_id"), col("span_start"))
+        .write.mode("overwrite").parquet(s"$dir/g$g-spans"),
+      () => uniq.repartitionByRange(col("w")).sortWithinPartitions(col("w"))
+        .write.mode("overwrite").parquet(s"$dir/g$g-uniq"),
+      () => dupw.repartitionByRange(col("w")).sortWithinPartitions(col("w"))
+        .write.mode("overwrite").parquet(s"$dir/g$g-dupw")))
+    writeManifest(dir, SpanManifest(g, Seq(
+      ("spans", g, s"$dir/g$g-spans"),
+      ("uniq", g, s"$dir/g$g-uniq"),
+      ("dupw", g, s"$dir/g$g-dupw"))))
   }
 }

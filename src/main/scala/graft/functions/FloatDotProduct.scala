@@ -6,11 +6,13 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native dot product over two `array<float>` columns → double.
+/** Native dot product over two `array<float|double>` columns → double
+  * (element types chosen per side, so a float corpus can score against
+  * double literals without a cast in the plan).
   *
   * Semantics are IDENTICAL to the higher-order-function formulation
   * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0, +)`
-  * (and to the DuckDB oracle's left-fold): per element, widen float →
+  * (and to the DuckDB oracle's left-fold): per element, widen to
   * double, multiply, accumulate left-to-right — bit-exact across all
   * three. Null element or length mismatch → null (zip_with pads with
   * null, which nulls the fold).
@@ -28,27 +30,37 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  private def elemOf(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    if (elemOf(left.dataType).isDefined && elemOf(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
+      s"$prettyName requires two array<float|double> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def getter(dt: DataType, arr: ArrayData, i: Int): Double = dt match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lt = elemOf(left.dataType).get
+    val rt = elemOf(right.dataType).get
     val n = x.numElements()
     if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      s += getter(lt, x, i) * getter(rt, y, i)
       i += 1
     }
     s
@@ -59,6 +71,10 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      def acc(dt: DataType, v: String, ix: String) =
+        if (dt == FloatType) s"(double) $v.getFloat($ix)" else s"$v.getDouble($ix)"
+      val la = acc(elemOf(left.dataType).get, a, i)
+      val ra = acc(elemOf(right.dataType).get, b, i)
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -67,7 +83,7 @@ case class FloatDotProduct(left: Expression, right: Expression)
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $s += $la * $ra;
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $s;
          |}

@@ -1019,6 +1019,35 @@ class ExtSpec extends SparkSpec {
     assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
   }
 
+  test("kcenterSelect: literal-fold ≡ incremental md path, bit for bit (r19 ADVICE #2)") {
+    // the two plan shapes (k ≤ 24: per-round least-fold over center
+    // literals; k > 24: running md column through checkpoints) must
+    // agree EXACTLY — both fold least() left-assoc in selection
+    // order, so every distance is the same IEEE expression
+    val rnd = new scala.util.Random(777)
+    val vecs = (1L to 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val lit = Similarity.kcenterSelectImpl(vecs, 7, literalFold = true)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val inc = Similarity.kcenterSelectImpl(vecs, 7, literalFold = false)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(lit == inc && lit.size == 7)
+  }
+
+  test("kcenterSelect: DoubleType embeddings are first-class (r19 ADVICE #2)") {
+    // the old path hard-coded getSeq[Float] — a double-array caller
+    // got a runtime ClassCastException mid-loop; the element type now
+    // drives the literal construction
+    def pad(xs: Double*) = (xs ++ Seq.fill(8 - xs.size)(0.0)).toArray
+    val vecs = Seq(
+      (1L, pad(1.0, 0.0)), (2L, pad(1.0, 0.01)),
+      (3L, pad(0.0, 1.0)), (4L, pad(-1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kcenterSelect(vecs, 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 4L, 3L))
+  }
+
   test("bfsHops: min hop wins across seeds; unreached vertices absent; hop cap holds") {
     // path 1-2-3-4-5-6-7 plus isolated 9; seeds 1 and 5
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (9L, 9L))

@@ -154,14 +154,32 @@ class LayoutSpec extends SparkSpec {
     // cache held past the retry budget still flaked the window
     // heuristic): a cached Dataset's RDD is named with its physical
     // plan string, and ksDrift's internal per-value cache is the only
-    // graft frame whose plan carries the `_blk` block column — so
-    // only `_blk`-named survivors count as THIS operator's leak.
-    def leaked = (spark.sparkContext.getPersistentRDDs -- before.toSeq)
+    // graft frame whose plan carries the `_blk` block column — so a
+    // `_blk`-named survivor is DEFINITELY this operator's leak.
+    def newlyHeld = spark.sparkContext.getPersistentRDDs -- before.toSeq
+    def blkLeaked = newlyHeld
       .filter { case (_, r) => Option(r.name).exists(_.contains("_blk")) }
       .keySet
     var tries = 0
-    while (leaked.nonEmpty && tries < 12) { Thread.sleep(250); tries += 1 }
-    assert(leaked.isEmpty, s"leaked: $leaked")
+    while (blkLeaked.nonEmpty && tries < 12) { Thread.sleep(250); tries += 1 }
+    assert(blkLeaked.isEmpty, s"leaked: $blkLeaked")
+    // ...but the name match must not be the SOLE gate (r19 ADVICE #4:
+    // plan-derived RDD names can be truncated or null, so a genuine
+    // leak could slip the `_blk` filter). Second, attribution-free
+    // gate: every persistent-RDD id born in this window must DRAIN.
+    // Foreign suites running concurrently create and release their
+    // own caches inside the window, so the gate fails only on STABLE
+    // survivors — ids pinned continuously across the whole 15 s
+    // budget (the intersection shrinks the moment an owner releases;
+    // a real ksDrift leak is never released and survives every poll).
+    var stable = newlyHeld.keySet
+    var tries2 = 0
+    while (stable.nonEmpty && tries2 < 60) {
+      Thread.sleep(250); tries2 += 1
+      stable = stable & newlyHeld.keySet
+    }
+    assert(stable.isEmpty,
+      s"persistent-RDD delta did not drain (leak regardless of name): $stable")
   }
 
   test("chiSquareDrift: zero on proportional counts, positive on shift, matches naive") {

@@ -924,13 +924,29 @@ class PlanGuardSpec extends SparkSpec {
     assert(!"Exchange hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined, p)
   }
 
-  test("e1_spans_appended: the probe is a bare scan of the swapped-in spans table") {
+  test("e1_spans_appended: the probe reads segments + the per-doc generation window only") {
     // the append gate RETURNS readIndexSpans — building/ingesting ran
-    // as side effects; the returned plan must be a plain parquet scan
-    // (no ladder, no join: the artifact IS the standing result)
+    // as side effects; post-append the manifest holds TWO spans
+    // segments, so the live view is their union resolved by the
+    // per-doc max-generation window (span-scale). What must NEVER
+    // appear: a join (no ladder recompute, no corpus contact) or a
+    // GLOBAL window (the generation resolution partitions by doc_id).
     val p = planOf("e1_spans_appended")
     assert(!p.contains("Join"), p)
+    assert(p.contains("FileScan parquet"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+  }
+
+  test("e1_spans_compacted: compaction restores the bare-scan probe") {
+    // after compactSpanIndex the manifest holds ONE spans segment —
+    // the live view collapses back to a plain parquet scan: no
+    // window, no join, no union of generations (the physical point
+    // of compaction, beyond file clustering)
+    val p = planOf("e1_spans_compacted")
+    assert(!p.contains("Join"), p)
     assert(!p.contains("Window"), p)
+    assert(!p.contains("Union"), p)
     assert(p.contains("FileScan parquet"), p)
   }
 }

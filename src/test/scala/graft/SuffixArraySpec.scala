@@ -262,4 +262,57 @@ class SuffixArraySpec extends SparkSpec {
     // w span; neither gains nor loses anything)
     assert(indexSpans(dir).count(s => s._1 == 1L || s._1 == 2L) == 2)
   }
+
+  test("span index: compaction ≡ accumulated appends, and stays appendable (the LSM law)") {
+    // two appends pile up delta segments + tombstones under the
+    // manifest; compaction must rewrite the live views row-for-row
+    // (probe unchanged), and a FURTHER append against the compacted
+    // index must still equal a full rebuild — i.e. compaction
+    // preserves not just the report but the uniq/dupw ingest state.
+    val rnd = new scala.util.Random(1357)
+    val docs = (0L until 40L).map(i =>
+      (i, (0 until 40 + rnd.nextInt(50)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+    val L = 8
+    val base = docs.filter(_._1 % 4 != 3)
+    val d1 = docs.filter(d => d._1 % 4 == 3 && d._1 < 20)
+    val d2 = docs.filter(d => d._1 % 4 == 3 && d._1 >= 20)
+    val dir = graft.ops.Sink.scratchDir("sa_index_compact")
+    SuffixArray.writeSpanIndex(base.toDF("doc_id", "text"), "doc_id", "text", L, dir)
+    SuffixArray.appendSpans(d1.toDF("doc_id", "text"), "doc_id", "text", L, dir)
+    SuffixArray.appendSpans(d2.toDF("doc_id", "text"), "doc_id", "text", L, dir)
+    val before = indexSpans(dir)
+    assert(before == bruteSpans(docs, L) && before.nonEmpty)
+    SuffixArray.compactSpanIndex(spark, dir)
+    assert(indexSpans(dir) == before, "compaction must not change the probe")
+    // post-compaction ingest: uniq/dupw survived the rewrite intact
+    val more = (200L until 212L).map(i =>
+      (i, (0 until 40 + rnd.nextInt(40)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+    SuffixArray.appendSpans(more.toDF("doc_id", "text"), "doc_id", "text", L, dir)
+    assert(indexSpans(dir) == bruteSpans(docs ++ more, L))
+  }
+
+  test("span index: fork isolates — appending to a fork never mutates the base index") {
+    // forkSpanIndex writes only a manifest referencing the base's
+    // immutable segments; the gate relies on this to ingest into a
+    // STANDING shared base artifact without corrupting it (and it is
+    // the crash-safety shape: an append publishes via ONE manifest
+    // rename, so a reader of the base dir can never observe a
+    // mixed-generation index — r19 ADVICE #1)
+    val w = "abcdefgh"
+    val base = Seq((1L, s"xxxx${w}yyyy"), (2L, "qqqqrrrrssss"))
+    val delta = Seq((9L, s"zz${w}vvzz"))
+    val L = 8
+    val baseDir = graft.ops.Sink.scratchDir("sa_index_fork_base")
+    val forkDir = graft.ops.Sink.scratchDir("sa_index_fork_branch")
+    SuffixArray.writeSpanIndex(base.toDF("doc_id", "text"), "doc_id", "text", L, baseDir)
+    SuffixArray.forkSpanIndex(baseDir, forkDir)
+    SuffixArray.appendSpans(delta.toDF("doc_id", "text"), "doc_id", "text", L, forkDir)
+    // the fork sees the flip; the base still reports NOTHING (its
+    // manifest, segments, and ingest state are untouched)
+    assert(indexSpans(forkDir) == bruteSpans(base ++ delta, L))
+    assert(indexSpans(baseDir).isEmpty)
+    // and the base remains independently appendable afterwards
+    SuffixArray.appendSpans(delta.toDF("doc_id", "text"), "doc_id", "text", L, baseDir)
+    assert(indexSpans(baseDir) == bruteSpans(base ++ delta, L))
+  }
 }

@@ -6391,6 +6391,8 @@ QUERIES = {
     # prefix third; the saved artifact stays the FULL dupSpans report
     "e1_suffix_spans": lambda sf: e1_suffix_spans(sf, sliced=True),
     "e1_spans_appended": lambda sf: e1_suffix_spans(sf, sliced=True),
+    # compaction is probe-invariant by law: same sliced replay
+    "e1_spans_compacted": lambda sf: e1_suffix_spans(sf, sliced=True),
     "e1_span_scrub": e1_span_scrub,
     # the saved artifact IS the dupSpans report; the stream twin is the
     # batch scrub under forced one-file micro-batches

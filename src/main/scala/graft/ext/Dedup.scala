@@ -502,8 +502,8 @@ object Dedup {
     * reached set — so round r's join cost is |frontier_r| · avg
     * degree, the textbook level-synchronous BFS. Each round is one
     * co-partitioned equi-join on the edge source plus a min-reduce;
-    * loop state is eagerly persisted (and the superseded generation
-    * unpersisted) so the lineage never re-expands earlier rounds.
+    * loop state is eagerly checkpointed so the lineage never
+    * re-expands earlier rounds.
     * `maxHops` bounds rounds; an unreached vertex is absent from the
     * output rather than carrying an infinity sentinel.
     */
@@ -535,19 +535,22 @@ object Dedup {
         .join(reachedIds.select(col("id").as("seen")),
           col("id") === col("seen"), "left_anti")
         .groupBy(col("id")).agg(min(col("hops")).as("hops"))
-      val (nextP, n) = graft.ops.Sink.cachedEagerCount(next)
-      if (n == 0) { nextP.unpersist(); live = false } // dead frontier stays dead
+      // eager LOCAL CHECKPOINT, not persist (the beamLoop /
+      // connectedComponents lineage-truncation discipline): round r's
+      // plan embeds every earlier layer through `reachedIds`, so under
+      // persist each round — and every later consumer action — re-paid
+      // Catalyst analysis of the accumulated tree; the checkpoint
+      // flattens each layer to a materialized scan
+      val nextP = next.localCheckpoint(true)
+      val n = nextP.count()
+      if (n == 0) live = false // dead frontier stays dead
       else { layers :+= nextP; frontier = nextP }
     }
     eds.unpersist()
-    // Materialize the result ONCE, then release every per-round layer:
-    // the lazy union's lineage spans all of them, so returning it
-    // un-materialized would strand up to maxHops persisted frames no
-    // caller could release. One cached frame leaves (the result —
-    // matching the at-most-one discipline the pre-r15 loop had).
-    val out = graft.ops.Sink.cachedEager(layers.reduce(_.unionByName(_)))
-    layers.foreach { l => l.unpersist(); () }
-    out
+    // The result is a flat eager checkpoint of the layer union:
+    // repeated consumer actions re-plan a bare scan, and no per-round
+    // state outlives this call as a cache entry.
+    layers.reduce(_.unionByName(_)).localCheckpoint(true)
   }
 
   /** Hop-bounded single-source-shortest-paths over a weighted
@@ -564,7 +567,7 @@ object Dedup {
     * distance-table merge is a min-group on the vertex id. Weights
     * must be non-negative integers (BIGINT path sums stay exact
     * cross-engine; double path sums would not). Loop state is
-    * eagerly persisted and superseded generations unpersisted.
+    * eagerly checkpointed so lineage never re-expands.
     */
   def ssspBounded(
       seeds: DataFrame, idCol: String,
@@ -599,17 +602,17 @@ object Dedup {
           relaxed("id") === col("oid"), "left")
         .filter(col("od").isNull || col("d") < col("od"))
         .select(col("id"), col("d"))
-      val (improvedP, n) = graft.ops.Sink.cachedEagerCount(improved)
-      if (n == 0) { improvedP.unpersist(); live = false } // fixpoint reached
+      // eager local checkpoint — the [[bfsHops]] lineage-truncation
+      // note applies verbatim (here the growth came through `best`)
+      val improvedP = improved.localCheckpoint(true)
+      val n = improvedP.count()
+      if (n == 0) live = false // fixpoint reached
       else { layers :+= improvedP; frontier = improvedP }
     }
     eds.unpersist()
-    // Same release discipline as [[bfsHops]]: materialize the final
-    // per-id min once, then unpersist every improvement layer — the
-    // returned frame is the single cached survivor.
-    val out = graft.ops.Sink.cachedEager(best)
-    layers.foreach { l => l.unpersist(); () }
-    out
+    // flat eager checkpoint of the final per-id min — same rationale
+    // as [[bfsHops]]'s return
+    best.localCheckpoint(true)
   }
 
   /** Deterministic dedup: keep the first row per key group by

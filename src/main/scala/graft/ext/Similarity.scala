@@ -821,38 +821,57 @@ object Similarity {
     * sequential write/read barriers serialize on the driver; here the
     * directed lists, edges, and prepared vectors are eagerly cached
     * once and every downstream consumer (k-center rounds, entry
-    * scoring, walk rounds) reads hot blocks. Production serving still
-    * uses the saved path — standing artifacts, built once, probed
-    * forever.
+    * scoring, walk rounds) reads hot blocks — and the two build
+    * chains that share nothing but `prepared` (directed lists →
+    * mutual edges; k-center landmarks → entry scoring) run
+    * CONCURRENTLY on the bounded pool, so the landmark training's
+    * k−1 sequential driver rounds hide entirely behind the one
+    * corpus-scale kNN self-join instead of adding to it. Production
+    * serving still uses the saved path — standing artifacts, built
+    * once, probed forever.
     */
   def graphSearchExternalInQuery(
       corpus: DataFrame, queries: DataFrame, nBits: Int, knnK: Int,
       lmK: Int, entryK: Int, rounds: Int, beam: Int, k: Int): DataFrame = {
     val prepared = graft.ops.Sink.cachedEager(prepareVecs(corpus, nBits))
-    val knn = graft.ops.Sink.cachedEager(
-      directedTopK(prepared, prepared, knnK)
-        .select(col("query_id"), col("vec_id"), col("cos_sim")))
-    val edges = graft.ops.Sink.cachedEager(mutualEdgesFromKnn(knn))
+    // two independent chains over the materialized `prepared` —
+    // nothing shared downstream, so concurrent submission is pure
+    // latency overlap with identical results
+    val built = graft.ops.Jobs.runConcurrently[AnyRef](
+      prepared.sparkSession, Seq(
+        () => {
+          val knn = graft.ops.Sink.cachedEager(
+            directedTopK(prepared, prepared, knnK)
+              .select(col("query_id"), col("vec_id"), col("cos_sim")))
+          val edges = graft.ops.Sink.cachedEager(mutualEdgesFromKnn(knn))
+          knn.unpersist(blocking = false)
+          edges
+        },
+        () => {
+          // landmark policy: the same k-center picks
+          // writeGraphLandmarks stores (kcenterSelect re-derives n2
+          // from the identical doubles, so picks match the artifact
+          // path bit for bit)
+          val lm = kcenterSelect(prepared, lmK)
+            .join(prepared.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+            .select(col("vec_id"), col("embedding"))
+          graft.ops.Sink.cachedEager(cosineTopK(queries, lm, entryK)
+            .select(col("query_id"), col("vec_id")))
+        }))
+    val edges = built(0).asInstanceOf[DataFrame]
+    val entries = built(1).asInstanceOf[DataFrame]
     val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-    // landmark policy: the same k-center picks writeGraphLandmarks
-    // stores (kcenterSelect re-derives n2 from the identical doubles,
-    // so picks match the artifact path bit for bit)
-    val lm = kcenterSelect(prepared, lmK)
-      .join(prepared.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"))
-    val entries = cosineTopK(queries, lm, entryK)
-      .select(col("query_id"), col("vec_id"))
     val vecs = prepared.select(
       col("vec_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), norm2(col("embedding")).as("q_n2")))
     val out = externalEntryWalk(adj, vecs, q, entries, rounds, beam, k)
-    // out is already materialized (beamLoop's cachedEager finish) —
-    // the build-side caches release without recompute risk
+    // out is a flat eager checkpoint (beamLoop) — the build-side
+    // caches release without recompute or re-planning risk
     prepared.unpersist(blocking = false)
-    knn.unpersist(blocking = false)
     edges.unpersist(blocking = false)
+    entries.unpersist(blocking = false)
     out
   }
 
@@ -1105,11 +1124,23 @@ object Similarity {
         seen.withColumnRenamed("vec_id", "cand_id"),
         Seq("query_id", "cand_id"), "left_anti")
       val scored = score(fresh.withColumnRenamed("cand_id", "vec_id"))
-      val (layer, n) = graft.ops.Sink.cachedEagerCount(
-        Ranking.topKPerGroup(
-          scored, Seq("query_id"),
-          Seq(col("cos_sim").desc, col("vec_id").asc), beam).drop("rk"))
-      if (n == 0) { layer.unpersist(); dead = true }
+      // Eager LOCAL CHECKPOINT, not persist (the connectedComponents
+      // lineage-truncation rationale, measured here too): round r's
+      // layer plan embeds every earlier layer (through `seen`) plus
+      // the full scorer lineage, so under persist each round — and
+      // EVERY later action on the returned frame — re-paid Catalyst
+      // analysis of the whole accumulated tree (~2.5 s per action at
+      // 3 rounds, constant-time re-counts included; the cached DATA
+      // was hit, the driver-side re-planning was the cost).
+      // Checkpointing flattens each layer to a materialized scan, so
+      // per-round planning stays O(round size) and the finish plan is
+      // a union of flat scans.
+      val layer = Ranking.topKPerGroup(
+        scored, Seq("query_id"),
+        Seq(col("cos_sim").desc, col("vec_id").asc), beam).drop("rk")
+        .localCheckpoint(true)
+      val n = layer.count()
+      if (n == 0) dead = true
       else {
         layers :+= layer
         frontier = layer.select(col("query_id"), col("vec_id"))
@@ -1117,10 +1148,11 @@ object Similarity {
     }
     if (layers.isEmpty) return finish(seenBase.filter(lit(false))
       .withColumn("cos_sim", lit(0.0d)))
-    val out = graft.ops.Sink.cachedEager(
-      finish(layers.reduce(_.unionByName(_))))
-    layers.foreach { l => l.unpersist(); () }
-    out
+    // the result is itself a flat eager checkpoint: repeated consumer
+    // actions (Verify's write, Bench's noop drive) re-plan a bare
+    // scan, and callers may release their build-side caches without
+    // any dependency on this frame's lineage
+    finish(layers.reduce(_.unionByName(_))).localCheckpoint(true)
   }
 
   /** Compact a saved graph after appends (AnnIndex.compactIvf's

@@ -219,6 +219,33 @@ object Sink {
   def clearLocalPath(path: String): Unit =
     deleteRecursively(new java.io.File(path.stripPrefix("file:")))
 
+  /** Recursive local-tree copy (artifact FORK for index layouts that
+    * mutate in place): a gate that ingests into a standing base
+    * artifact copies it first so the shared base is never consumed.
+    * Artifacts are pure parquet trees (no absolute paths inside), so
+    * a byte copy is a valid fork; at the gates' artifact sizes
+    * (single-digit MB) this is milliseconds. The manifest-based span
+    * index forks by pointer instead ([[graft.ext.SuffixArray]]) — the
+    * cluster-scale shape; this is the local stand-in for layouts
+    * still on the swap-in discipline.
+    */
+  def copyLocalTree(src: String, dst: String): Unit = {
+    val s = new java.io.File(src.stripPrefix("file:"))
+    val d = new java.io.File(dst.stripPrefix("file:"))
+    def walk(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        val kids = from.listFiles()
+        if (kids != null) kids.foreach(k => walk(k, new java.io.File(to, k.getName)))
+      } else {
+        java.nio.file.Files.copy(from.toPath, to.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
+    walk(s, d)
+  }
+
   /** Register a local path for recursive deletion at JVM exit — the
     * [[scratchDir]] shutdown-hook mechanism for paths whose location
     * is dictated by something else (e.g. a managed table's warehouse

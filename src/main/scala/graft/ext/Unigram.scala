@@ -94,7 +94,22 @@ object Unigram {
     * every word (the trainer guarantees it by keeping the alphabet
     * through every prune), making cell 0's reachability inductive.
     */
-  def segment(words: DataFrame, vocab: Seq[(String, Long)], maxPieceLen: Int): DataFrame =
+  def segment(words: DataFrame, vocab: Seq[(String, Long)], maxPieceLen: Int): DataFrame = {
+    // r20: native DP (one primitive JVM loop per word, backpointer
+    // reconstruction) instead of the interpreted per-position HOF
+    // fold — trainVocab re-segments the distinct-word frame every EM
+    // round and every encode path segments it once more, so the fold
+    // dominated all four unigram gates. Fold kept law-equal below.
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    words.withColumn("segs", ColumnBridge.column(
+      graft.functions.UnigramViterbiSegs(
+        ColumnBridge.expression(col("word")), vocab, maxPieceLen)))
+  }
+
+  /** The original fold form of [[segment]] — the executable spec the
+    * native expression is law-tested against.
+    */
+  private[graft] def segmentFold(words: DataFrame, vocab: Seq[(String, Long)], maxPieceLen: Int): DataFrame =
     words.withColumn("segs", viterbiSegs(col("word"), vocab, maxPieceLen))
 
   /** The per-word Viterbi fold as a bare Column — composable into any
@@ -274,6 +289,24 @@ object Unigram {
     * word-local either way (law-tested ≡ the batch counts).
     */
   def tokenizeCounts(text: Column, vocab: Seq[(String, Long)],
+      maxPieceLen: Int): Column = {
+    // r20: the nested HOF fold below ([[tokenizeCountsFold]]) is
+    // interpreted per element — ~maxPieceLen map probes per character
+    // position per token, none of it codegen'd — and it sits on the
+    // streaming ingest's per-document hot path (13–16 s per sf0.1
+    // micro-batch). The native expression walks the identical DP in
+    // one primitive JVM loop per row; the fold form is kept law-equal
+    // next to it (UnigramSpec "native ≡ fold").
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.UnigramTokenizeCounts(
+      ColumnBridge.expression(text), vocab, maxPieceLen))
+  }
+
+  /** The original nested-fold formulation of [[tokenizeCounts]] —
+    * retained as the executable spec the native expression is
+    * law-tested against (two evaluation strategies of one function).
+    */
+  private[graft] def tokenizeCountsFold(text: Column, vocab: Seq[(String, Long)],
       maxPieceLen: Int): Column = {
     require(vocab.nonEmpty, "unigram model is empty")
     val maxCnt = vocab.map(_._2).max

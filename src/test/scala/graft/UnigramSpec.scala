@@ -64,6 +64,23 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("native segment ≡ the fold form on a total vocab (r20 expression swap)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd".map(c => c.toString -> rnd.nextInt(5).toLong).toSeq
+    val multi = Seq("ab", "bc", "cd", "abc", "bcd", "abcd", "dd", "ada")
+      .map(p => p -> (1L + rnd.nextInt(40)))
+    val vocab = alphabet ++ multi
+    val words = ((1 to 80).map(_ =>
+      (0 until 1 + rnd.nextInt(9)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+      :+ "a").distinct
+    val df = words.map(w => (w, 1L)).toDF("word", "f")
+    val native = Unigram.segment(df, vocab, 4)
+      .select(col("word"), col("segs")).as[(String, Seq[String])].collect().toMap
+    val fold = Unigram.segmentFold(df, vocab, 4)
+      .select(col("word"), col("segs")).as[(String, Seq[String])].collect().toMap
+    assert(native == fold && native.size == words.size)
+  }
+
   test("fewest pieces wins even against higher-count shorter pieces") {
     // 'ab' is massively common but 'abab' exists: 1 piece beats 2
     val vocab = Seq("a" -> 1L, "b" -> 1L, "ab" -> 1000L, "abab" -> 1L)
@@ -140,6 +157,42 @@ class UnigramSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_tokens"), sum(col("n_seg")).as("n_pieces"))
       .as[(Long, Long, Long)].collect().toSet
     assert(perRow == batch && perRow.nonEmpty)
+  }
+
+  test("native tokenizeCounts ≡ the nested-fold form (r20 expression swap)") {
+    // the native expression replaced the interpreted HOF fold on the
+    // streaming ingest hot path; the fold stays as the executable
+    // spec. Corpus exercises: repetition, out-of-alphabet chars
+    // (poison → null n_pieces, including a poison BEFORE a valid
+    // token), multi-whitespace, tabs (StringTrim trims spaces only),
+    // empty and whitespace-only texts, and a null text.
+    val rnd = new scala.util.Random(17)
+    val base = (0L until 40L).map(i =>
+      (i, (0 until 3 + rnd.nextInt(8))
+        .map(_ => Seq("spark", "scan", "sort", "a", "agg")(rnd.nextInt(5))).mkString(" ")))
+    val edge = Seq(
+      (100L, "spark Ω sort"),          // mid-document out-of-alphabet token
+      (101L, "Ω spark"),               // poison FIRST, valid token after
+      (102L, "  spark   scan  "),      // runs of spaces
+      (103L, "\tspark scan\t"),        // tabs survive trim, split drops them
+      (104L, ""), (105L, "   "),       // empty / whitespace-only
+      (106L, null.asInstanceOf[String]))
+    val docs = (base ++ edge).toDF("doc_id", "text")
+    val vocab = Unigram.trainVocab(
+      graft.ext.Bpe.wordFreqs(docs.filter(col("doc_id") < 100L), "text"),
+      rounds = 2, maxPieceLen = 4, multiBudget = 8)
+    def collectWith(f: (org.apache.spark.sql.Column, Seq[(String, Long)], Int) => org.apache.spark.sql.Column) =
+      docs.select(col("doc_id"), f(col("text"), vocab, 4).as("tc"))
+        .select(col("doc_id"), col("tc.n_tokens"), col("tc.n_pieces"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    val native = collectWith(Unigram.tokenizeCounts)
+    val fold = collectWith(Unigram.tokenizeCountsFold)
+    assert(native == fold && native.size == docs.count())
+    // the poison rows really did null n_pieces while keeping n_tokens
+    assert(native.exists { case (id, nt, np) => id == 100L && nt == 3L && np == null })
+    assert(native.exists { case (id, nt, np) => id == 101L && nt == 2L && np == null })
   }
 
   test("model artifact is bounded by alphabet + budget") {
